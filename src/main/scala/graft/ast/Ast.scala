@@ -1,0 +1,252 @@
+package graft.ast
+
+/** Unified AST for the graft SQL engine.
+  *
+  * Merges the two dialects of the reference (kduy/Flink-DSL) into one tree:
+  *   - the FSQL streaming dialect (CREATE SCHEMA / CREATE STREAM / windowed
+  *     SELECT) — reference `fsql/Ast.scala`
+  *   - the flinkdsl/sqltyped batch dialect (joins, group by, rollup, order
+  *     by, limit/offset, set ops, insert/update/delete, subqueries) —
+  *     reference `flinkdsl/ast.scala`
+  *
+  * Unlike the reference (which keeps a two-phase Unresolved[Option[String]] /
+  * Resolved[Stream] tree, `fsql/Ast.scala:11-29`), we keep a single tree:
+  * name resolution is delegated to Spark's Catalyst analyzer, which gives us
+  * proper ambiguity errors for free (the reference silently bound unqualified
+  * columns to the first stream — `fsql/Ast.scala:323` — a documented bug we
+  * deliberately do not reproduce). Our own resolver (graft.translate) only
+  * resolves *relations* (tables/streams/schemas) against the graft catalog.
+  */
+
+// ---------------------------------------------------------------------------
+// Statements
+// ---------------------------------------------------------------------------
+
+sealed trait Statement
+
+/** CREATE SCHEMA name (col type, …) [extends parent] — fsql/parser.scala:31-39 */
+final case class CreateSchema(
+    name: String,
+    fields: Seq[FieldDef],
+    parent: Option[String]) extends Statement
+
+/** CREATE STREAM name (fields)|schemaName [source …] — fsql/parser.scala:47-51 */
+final case class CreateStream(
+    name: String,
+    schema: SchemaRef,
+    source: Option[StreamSource]) extends Statement
+
+sealed trait SchemaRef
+final case class NamedSchema(name: String) extends SchemaRef
+final case class InlineSchema(fields: Seq[FieldDef]) extends SchemaRef
+
+final case class FieldDef(name: String, dataType: String, nullable: Boolean = true)
+
+/** Stream sources — fsql/Ast.scala:77-87 */
+sealed trait StreamSource
+final case class HostSource(host: String, port: Int) extends StreamSource
+final case class FileSource(path: String) extends StreamSource
+final case class DerivedSource(query: QueryExpr) extends StreamSource
+
+/** INSERT INTO target[window] (cols)? (VALUES …| SELECT …) —
+  * fsql/parser.scala:273-277 (stream form), flinkdsl/parser.scala:44-51. */
+final case class Insert(
+    table: String,
+    window: Option[WindowSpec],
+    columns: Option[Seq[String]],
+    input: InsertInput) extends Statement
+
+sealed trait InsertInput
+final case class InsertValues(rows: Seq[Seq[Expr]]) extends InsertInput
+final case class InsertSelect(query: QueryExpr) extends InsertInput
+
+/** UPDATE — parsed for parity (flinkdsl/parser.scala:55-59); execution is
+  * rejected on immutable sources (SURVEY §7.4 risk 5). */
+final case class Update(
+    tables: Seq[TableRef],
+    set: Seq[(ColRef, Expr)],
+    where: Option[Expr],
+    orderBy: Seq[SortKey],
+    limit: Option[Limit]) extends Statement
+
+/** DELETE FROM — flinkdsl/parser.scala:63-66; same execution policy as Update. */
+final case class Delete(tables: Seq[TableRef], where: Option[Expr]) extends Statement
+
+// ---------------------------------------------------------------------------
+// Queries
+// ---------------------------------------------------------------------------
+
+sealed trait QueryExpr extends Statement
+
+final case class Select(
+    distinct: Boolean,
+    projection: Seq[Projection],
+    from: Option[Relation],                // None => `dual` (flinkdsl/typer.scala_:355)
+    where: Option[Expr],
+    groupBy: Option[GroupBy],
+    orderBy: Seq[SortKey],
+    limit: Option[Limit]) extends QueryExpr
+
+/** UNION/EXCEPT/INTERSECT [ALL] — flinkdsl/parser.scala:35-40. Unlike the
+  * reference we keep (and honor) the ALL flag. */
+final case class SetOp(
+    left: QueryExpr,
+    op: SetOpKind,
+    all: Boolean,
+    right: QueryExpr,
+    orderBy: Seq[SortKey],
+    limit: Option[Limit]) extends QueryExpr
+
+sealed trait SetOpKind
+case object Union extends SetOpKind
+case object Except extends SetOpKind
+case object Intersect extends SetOpKind
+
+final case class Projection(expr: Expr, alias: Option[String]) {
+  /** Default output name, mirroring fsql/Ast.scala:107-109. */
+  def outputName: String = alias.getOrElse(Projection.defaultName(expr))
+}
+object Projection {
+  def defaultName(e: Expr): String = e match {
+    case ColRef(_, n)      => n
+    case Lit(_)            => "<constant>"
+    case _: CaseWhen       => "case"
+    case FuncCall(n, _, _) => n
+    case _: Input          => "?"
+    case _                 => "expr"
+  }
+}
+
+final case class GroupBy(exprs: Seq[Expr], rollup: Boolean, having: Option[Expr])
+
+final case class SortKey(expr: Expr, ascending: Boolean)
+
+/** LIMIT n [OFFSET m] — both `?`-parameterizable (flinkdsl/parser.scala:266). */
+final case class Limit(n: Expr, offset: Option[Expr])
+
+// ---------------------------------------------------------------------------
+// Relations (FROM clause)
+// ---------------------------------------------------------------------------
+
+sealed trait Relation
+
+/** Named table/stream, optional window spec (streaming dialect) + alias. */
+final case class TableRef(
+    name: String,
+    alias: Option[String],
+    window: Option[WindowSpec]) extends Relation {
+  def refName: String = alias.getOrElse(name)
+}
+
+/** Derived table `(select …) as name` — fsql/Ast.scala:100-103. */
+final case class DerivedRel(
+    query: QueryExpr,
+    alias: String,
+    window: Option[WindowSpec]) extends Relation
+
+final case class JoinRel(
+    left: Relation,
+    right: Relation,
+    kind: JoinKind,
+    condition: Option[JoinCondition]) extends Relation
+
+sealed trait JoinKind
+case object InnerJoin extends JoinKind
+case object LeftJoin extends JoinKind
+case object RightJoin extends JoinKind
+case object FullJoin extends JoinKind
+case object CrossJoin extends JoinKind
+
+sealed trait JoinCondition
+final case class On(predicate: Expr) extends JoinCondition
+final case class Using(columns: Seq[String]) extends JoinCondition
+
+// ---------------------------------------------------------------------------
+// Streaming windows — fsql/Ast.scala:132-136
+// ---------------------------------------------------------------------------
+
+/** `[size N (unit)? (on col)? (every M (unit)? (on col)?)? (partitioned on col)?]` */
+final case class WindowSpec(
+    size: Policy,
+    every: Option[Policy],
+    partition: Option[ColRef])
+
+/** PolicyBased(value, timeUnit, onField) — fsql/Ast.scala:136.
+  * timeUnit None => count-based window (the custom stateful op, SURVEY W2). */
+final case class Policy(value: Long, timeUnit: Option[String], onField: Option[ColRef])
+
+// ---------------------------------------------------------------------------
+// Expressions (scalar + predicate unified, Spark-style)
+// ---------------------------------------------------------------------------
+
+sealed trait Expr
+
+final case class ColRef(qualifier: Option[String], name: String) extends Expr {
+  def sqlName: String = qualifier.fold(name)(q => s"$q.$name")
+}
+final case class Star(qualifier: Option[String]) extends Expr
+
+/** Literal: Long, Double, String, Boolean or null (fsql/parser.scala:361-371;
+  * integer literals → Long, decimal → Double, flinkdsl/parser.scala:163). */
+final case class Lit(value: Any) extends Expr
+
+final case class Arith(op: String, left: Expr, right: Expr) extends Expr
+final case class Neg(child: Expr) extends Expr
+final case class BitNot(child: Expr) extends Expr
+
+/** Generic function call; `distinct` covers count(distinct x) which the
+  * reference parses-and-drops (flinkdsl/parser.scala:210) but we implement. */
+final case class FuncCall(name: String, args: Seq[Expr], distinct: Boolean = false) extends Expr
+
+final case class CaseWhen(branches: Seq[(Expr, Expr)], otherwise: Option[Expr]) extends Expr
+
+/** `?` positional parameter — fsql/Ast.scala:164. */
+final case class Input() extends Expr
+
+final case class ScalarSubquery(query: QueryExpr) extends Expr
+
+// --- predicates -----------------------------------------------------------
+
+final case class Cmp(op: String, left: Expr, right: Expr) extends Expr
+final case class And(left: Expr, right: Expr) extends Expr
+final case class Or(left: Expr, right: Expr) extends Expr
+final case class Not(child: Expr) extends Expr
+final case class Between(e: Expr, lo: Expr, hi: Expr, negated: Boolean) extends Expr
+final case class Like(e: Expr, pattern: Expr, negated: Boolean) extends Expr
+final case class IsNull(e: Expr, negated: Boolean) extends Expr
+final case class InList(e: Expr, list: Seq[Expr], negated: Boolean) extends Expr
+final case class InSubquery(e: Expr, query: QueryExpr, negated: Boolean) extends Expr
+final case class Exists(query: QueryExpr, negated: Boolean) extends Expr
+
+object Expr {
+  /** Walk an expression tree (children-first not needed; pre-order). */
+  def fold[A](e: Expr, z: A)(f: (A, Expr) => A): A = {
+    val a = f(z, e)
+    children(e).foldLeft(a)((acc, c) => fold(c, acc)(f))
+  }
+
+  def children(e: Expr): Seq[Expr] = e match {
+    case Arith(_, l, r)       => Seq(l, r)
+    case Neg(c)               => Seq(c)
+    case BitNot(c)            => Seq(c)
+    case FuncCall(_, as, _)   => as
+    case CaseWhen(bs, o)      => bs.flatMap(b => Seq(b._1, b._2)) ++ o.toSeq
+    case Cmp(_, l, r)         => Seq(l, r)
+    case And(l, r)            => Seq(l, r)
+    case Or(l, r)             => Seq(l, r)
+    case Not(c)               => Seq(c)
+    case Between(a, b, c, _)  => Seq(a, b, c)
+    case Like(a, b, _)        => Seq(a, b)
+    case IsNull(a, _)         => Seq(a)
+    case InList(a, l, _)      => a +: l
+    case InSubquery(a, _, _)  => Seq(a)
+    case _                    => Nil
+  }
+
+  /** Does this expression contain an aggregate function call? */
+  def hasAggregate(e: Expr, isAgg: String => Boolean): Boolean =
+    fold(e, false) {
+      case (acc, FuncCall(n, _, _)) => acc || isAgg(n.toLowerCase)
+      case (acc, _)                 => acc
+    }
+}

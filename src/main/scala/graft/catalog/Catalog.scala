@@ -1,0 +1,93 @@
+package graft.catalog
+
+import graft.ast._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** In-memory catalog: named schemas (with single inheritance via `extends`,
+  * reference fsql/parser.scala:31-39), and named relations (batch tables or
+  * streams). The reference's `SimpleCatalog` was a bare
+  * `HashMap[String,String]` stub (fsql/Catalog.scala:9-17, comment "should
+  * be logical plan"); ours holds real schemas and DataFrame factories.
+  *
+  * Relations are stored as thunks so a stream registration doesn't start a
+  * source until first use, and a batch parquet table re-reads lazily.
+  */
+final class Catalog {
+
+  private val schemas = mutable.Map.empty[String, StructType]
+  private val relations = mutable.Map.empty[String, () => DataFrame]
+  private val streamNames = mutable.Set.empty[String]
+
+  // --- schemas -------------------------------------------------------------
+
+  /** Register a schema; `parent` fields are prepended (single inheritance). */
+  def createSchema(name: String, fields: Seq[FieldDef], parent: Option[String]): StructType = {
+    val own = StructType(fields.map(toStructField))
+    val merged = parent match {
+      case Some(p) =>
+        val ps = schema(p).getOrElse(
+          throw new IllegalArgumentException(s"unknown parent schema: $p"))
+        StructType(ps.fields ++ own.fields)
+      case None => own
+    }
+    schemas(norm(name)) = merged
+    merged
+  }
+
+  def schema(name: String): Option[StructType] = schemas.get(norm(name))
+
+  def resolveSchema(ref: SchemaRef): StructType = ref match {
+    case NamedSchema(n) =>
+      schema(n).getOrElse(throw new IllegalArgumentException(s"unknown schema: $n"))
+    case InlineSchema(fs) => StructType(fs.map(toStructField))
+  }
+
+  // --- relations -----------------------------------------------------------
+
+  def registerTable(name: String, df: => DataFrame): Unit =
+    relations(norm(name)) = () => df
+
+  def registerStream(name: String, df: => DataFrame): Unit = {
+    relations(norm(name)) = () => df
+    streamNames += norm(name)
+  }
+
+  def relation(name: String): DataFrame =
+    relations.getOrElse(norm(name), throw new IllegalArgumentException(
+      s"unknown table or stream: $name (known: ${relations.keys.toSeq.sorted.mkString(", ")})"))()
+
+  def isStream(name: String): Boolean = streamNames(norm(name))
+  def hasRelation(name: String): Boolean = relations.contains(norm(name))
+  def relationNames: Seq[String] = relations.keys.toSeq.sorted
+
+  private def norm(s: String) = s.toLowerCase
+
+  // --- FSQL type names → Spark types (fsql/parser.scala:355 + the wider
+  // JDBC universe of flinkdsl/jdbc.scala_:45-109) -------------------------
+
+  def toStructField(f: FieldDef): StructField =
+    StructField(f.name, toDataType(f.dataType), f.nullable)
+
+  def toDataType(name: String): DataType = name.toLowerCase match {
+    case "int" | "integer"            => IntegerType
+    case "string" | "varchar" | "text" => StringType
+    case "double"                     => DoubleType
+    case "date"                       => DateType
+    case "byte" | "tinyint"           => ByteType
+    case "short" | "smallint"         => ShortType
+    case "long" | "bigint"            => LongType
+    case "float" | "real"             => FloatType
+    case "character" | "char"         => StringType
+    case "boolean" | "bool"           => BooleanType
+    case "timestamp"                  => TimestampType
+    case "time"                       => TimestampType
+    case "decimal" | "numeric"        => DecimalType(38, 18)
+    case "binary" | "blob"            => BinaryType
+    case s if s.startsWith("array<") && s.endsWith(">") =>
+      ArrayType(toDataType(s.stripPrefix("array<").stripSuffix(">")))
+    case other =>
+      throw new IllegalArgumentException(s"unknown data type: $other")
+  }
+}

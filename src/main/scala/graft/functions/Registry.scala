@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Function registry: FSQL function names → Spark `Column` builders.
+  *
+  * The reference declares a small known-signature table
+  * (`flinkdsl/typer.scala_:277-298`: avg/count/min/max/sum, abs/lower/upper,
+  * bitwise infix ops) plus extension hooks `extraScalarFunctions` /
+  * `extraAggregateFunctions`; unknown names degrade to untyped passthrough
+  * (`flinkdsl/typer.scala_:324`). We mirror that: a registry of known
+  * builders with arity checks, extension registration, and a passthrough to
+  * Spark's whole built-in library via `call_function` for unknown names —
+  * which resolves or errors inside Catalyst.
+  */
+object Registry {
+
+  type Builder = Seq[Column] => Column
+
+  /** Aggregate function names (drives group-by detection in the translator). */
+  val aggregateNames: Set[String] = Set(
+    "avg", "count", "min", "max", "sum",
+    // beyond-reference but standard; free via Spark
+    "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
+    "first", "last", "collect_list", "collect_set", "approx_count_distinct",
+    "percentile_approx", "corr", "covar_samp", "covar_pop", "skewness",
+    "kurtosis", "any_value", "mode", "median", "count_if", "bool_and",
+    "bool_or", "array_agg", "string_agg", "listagg", "group_concat")
+
+  private val extraScalar = scala.collection.concurrent.TrieMap.empty[String, Builder]
+  private val extraAggregate = scala.collection.concurrent.TrieMap.empty[String, Builder]
+
+  /** Extension hooks — the Spark-native analog of the reference's
+    * `extraScalarFunctions`/`extraAggregateFunctions` maps. */
+  def registerScalar(name: String)(b: Builder): Unit = extraScalar(name.toLowerCase) = b
+  def registerAggregate(name: String)(b: Builder): Unit = extraAggregate(name.toLowerCase) = b
+
+  def isAggregate(name: String): Boolean = {
+    val n = name.toLowerCase
+    aggregateNames(n) || extraAggregate.contains(n)
+  }
+
+  private def arity(name: String, args: Seq[Column], n: Int): Unit =
+    require(args.length == n, s"$name expects $n argument(s), got ${args.length}")
+
+  /** Build a Column for `name(args)`; `distinct` only meaningful for
+    * aggregates (count/sum/avg distinct). */
+  def build(name: String, args: Seq[Column], distinct: Boolean = false): Column = {
+    val n = name.toLowerCase
+    extraScalar.get(n).orElse(extraAggregate.get(n)) match {
+      case Some(b) => return b(args)
+      case None    =>
+    }
+    n match {
+      // ----- aggregates (reference flinkdsl/typer.scala_:277-281) -----
+      case "count" if distinct => count_distinct(args.head, args.tail: _*)
+      case "count"             => arity(n, args, 1); count(args.head)
+      case "sum" if distinct   => sum_distinct(args.head)
+      case "sum"               => arity(n, args, 1); sum(args.head)
+      case "avg" if distinct   => avg(args.head)
+      case "avg"               => arity(n, args, 1); avg(args.head)
+      case "min"               => arity(n, args, 1); min(args.head)
+      case "max"               => arity(n, args, 1); max(args.head)
+      // ----- scalars the reference names (flinkdsl/typer.scala_:284-293,
+      // ExpressionParser.scala:79-113) -----
+      case "abs"       => arity(n, args, 1); abs(args.head)
+      case "lower"     => arity(n, args, 1); lower(args.head)
+      case "upper"     => arity(n, args, 1); upper(args.head)
+      case "substring" | "substr" =>
+        require(args.length == 2 || args.length == 3, s"$n expects 2 or 3 args")
+        if (args.length == 3) args.head.substr(args(1), args(2))
+        else call_function("substring", args: _*)
+      // ----- passthrough: Spark's full built-in library (reference P7:
+      // unknown function names parse and pass through) -----
+      case other => call_function(other, args: _*)
+    }
+  }
+}

@@ -1,0 +1,379 @@
+package graft.parser
+
+import graft.ast._
+import scala.util.parsing.combinator.{PackratParsers, RegexParsers}
+
+/** Parser for the unified graft SQL dialect.
+  *
+  * Grammar coverage = the union of the reference's two dialects:
+  *   - FSQL streaming (reference `fsql/parser.scala`): CREATE SCHEMA with
+  *     `extends`, CREATE STREAM with host/file/derived sources, SELECT with
+  *     `[size … every … partitioned on …]` window specs, cross/left joins,
+  *     where/group-by/having, INSERT INTO stream[window].
+  *   - flinkdsl batch (reference `flinkdsl/parser.scala`): full SELECT with
+  *     all five join kinds, USING-lists, subqueries, IN/EXISTS/BETWEEN/LIKE,
+  *     ORDER BY/LIMIT/OFFSET, UNION/EXCEPT/INTERSECT [ALL], rollup, `?`
+  *     params, INSERT/UPDATE/DELETE, FOR UPDATE (parsed, no-op).
+  *
+  * Design differences from the reference (deliberate, see SURVEY §7.4):
+  *   - identifiers do NOT allow `-` (the reference's lexer did at
+  *     fsql/parser.scala:338, which collides with arithmetic);
+  *   - `DISTINCT` (projection + inside aggregate args) is kept in the AST
+  *     and honored, not parsed-and-dropped;
+  *   - the set-operation `ALL` flag is kept and honored.
+  */
+object SqlParser extends RegexParsers with PackratParsers {
+
+  override protected val whiteSpace =
+    """(\s|--[^\n]*\n?|/\*(?s:.*?)\*/)+""".r
+
+  // ----- lexical -----------------------------------------------------------
+
+  /** Reserved words — only those that would make the grammar ambiguous as
+    * identifiers. Context keywords (schema/stream/extends/source/size/every/
+    * partitioned) stay usable as table/column names: the reference's own
+    * test corpus queries a table literally named `stream`
+    * (test/parserTest.scala:53). */
+  private val keywords: Set[String] = Set(
+    "select", "from", "where", "group", "by", "having", "order", "limit",
+    "offset", "as", "and", "or", "not", "in", "exists", "between", "like",
+    "is", "null", "true", "false", "case", "when", "then", "else", "end",
+    "join", "inner", "left", "right", "full", "outer", "cross", "on",
+    "using", "union", "except", "intersect", "all", "distinct", "create",
+    "insert", "into", "values", "update", "set", "delete", "asc", "desc",
+    "collate", "for", "rollup", "with")
+
+  private def kw(w: String): Parser[String] =
+    (s"""(?i)\\Q$w\\E\\b""").r ^^ (_.toLowerCase)
+
+  private def kws(ws: String*): Parser[String] = ws.map(kw).reduce(_ | _)
+
+  lazy val ident: Parser[String] =
+    """[a-zA-Z_][a-zA-Z0-9_]*""".r.filter(s => !keywords(s.toLowerCase))
+      .withFailureMessage("identifier expected")
+
+  /** `t.c` or bare `c` (optionally back-quoted parts). */
+  lazy val colRef: PackratParser[ColRef] =
+    opt(ident <~ ".") ~ ident ^^ { case q ~ n => ColRef(q, n) }
+
+  lazy val stringLit: Parser[String] =
+    """'([^']|'')*'""".r ^^ (s => s.substring(1, s.length - 1).replace("''", "'"))
+
+  /** Integer literal → Long, decimal → Double (fsql/parser.scala:122). */
+  lazy val numericLit: Parser[Lit] =
+    """\d+\.\d+([eE][-+]?\d+)?|\d+[eE][-+]?\d+""".r ^^ (s => Lit(s.toDouble)) |
+    """\d+""".r ^^ (s => Lit(s.toLong))
+
+  // ----- entry points ------------------------------------------------------
+
+  def parse(sql: String): Either[String, Statement] =
+    parseAll(phrase(stmt), sql) match {
+      case Success(s, _) => Right(s)
+      case NoSuccess(msg, next) =>
+        Left(s"parse error at line ${next.pos.line}, col ${next.pos.column}: $msg")
+      case other => Left(s"parse error: $other")
+    }
+
+  def parseQuery(sql: String): Either[String, QueryExpr] =
+    parse(sql) match {
+      case Right(q: QueryExpr) => Right(q)
+      case Right(other)        => Left(s"expected a query, got: ${other.getClass.getSimpleName}")
+      case Left(e)             => Left(e)
+    }
+
+  lazy val stmt: PackratParser[Statement] =
+    createSchemaStmt | createStreamStmt | insertStmt | updateStmt |
+    deleteStmt | query
+
+  // ----- queries -----------------------------------------------------------
+
+  /** selectCore (UNION|EXCEPT|INTERSECT [ALL] selectCore)* [order by][limit]
+    * — trailing ORDER BY/LIMIT bind to the whole set operation, per SQL (and
+    * flinkdsl/ast.scala:163-167's SetStatement carrying its own orderBy). */
+  lazy val query: PackratParser[QueryExpr] = {
+    val op: Parser[(SetOpKind, Boolean)] =
+      (kw("union") ^^^ Union | kw("except") ^^^ Except |
+       kw("intersect") ^^^ Intersect) ~ opt(kw("all")) ^^ {
+        case k ~ a => (k, a.isDefined)
+      }
+    queryOperand ~ rep(op ~ queryOperand) ~ opt(orderByClause) ~ opt(limitClause) <~
+      opt(kw("for") ~ kw("update")) ^^ {
+      case first ~ Nil ~ ob ~ lim => attachTail(first, ob.getOrElse(Nil), lim)
+      case first ~ rest ~ ob ~ lim =>
+        val chained = rest.foldLeft(first) {
+          case (l, (k, all) ~ r) => SetOp(l, k, all, r, Nil, None)
+        }
+        attachTail(chained, ob.getOrElse(Nil), lim)
+    }
+  }
+
+  lazy val queryOperand: PackratParser[QueryExpr] =
+    selectStmt ^^ (s => s: QueryExpr) | "(" ~> query <~ ")"
+
+  private def attachTail(q: QueryExpr, ob: Seq[SortKey], lim: Option[Limit]): QueryExpr =
+    (q, ob, lim) match {
+      case (_, Nil, None)                       => q
+      case (s: Select, _, _) if s.orderBy.isEmpty && s.limit.isEmpty =>
+        s.copy(orderBy = ob, limit = lim)
+      case (s: SetOp, _, _) if s.orderBy.isEmpty && s.limit.isEmpty =>
+        s.copy(orderBy = ob, limit = lim)
+      case _ =>
+        // `(select … order by … limit …) order by …` — wrap via a pass-through
+        // set op is not available; reject clearly instead of mis-binding.
+        throw new IllegalArgumentException(
+          "ORDER BY/LIMIT applied to a subquery that already has them")
+    }
+
+  /** A single SELECT without trailing ORDER BY/LIMIT (owned by `query`). */
+  lazy val selectStmt: PackratParser[Select] =
+    kw("select") ~> opt(kw("distinct")) ~ rep1sep(projection, ",") ~
+      opt(kw("from") ~> fromRelations) ~
+      opt(kw("where") ~> predicate) ~
+      opt(groupByClause) ^^ {
+        case d ~ proj ~ from ~ where ~ gb =>
+          Select(d.isDefined, proj, from, where, gb, Nil, None)
+      }
+
+  lazy val projection: PackratParser[Projection] =
+    (ident <~ "." <~ "*") ^^ (q => Projection(Star(Some(q)), None)) |
+    "*" ^^^ Projection(Star(None), None) |
+    expr ~ opt(opt(kw("as")) ~> ident) ^^ { case e ~ a => Projection(e, a) }
+
+  // ----- FROM / joins ------------------------------------------------------
+
+  /** Comma-separated list folds to cross joins (flinkdsl/parser.scala:31). */
+  lazy val fromRelations: PackratParser[Relation] =
+    rep1sep(relation, ",") ^^ (_.reduceLeft((l, r) => JoinRel(l, r, CrossJoin, None)))
+
+  lazy val relation: PackratParser[Relation] =
+    primaryRelation ~ rep(joinPart) ^^ {
+      case base ~ joins => joins.foldLeft(base) { case (l, f) => f(l) }
+    }
+
+  private type JoinPart = Relation => Relation
+
+  lazy val joinPart: PackratParser[JoinPart] = {
+    val kind: Parser[JoinKind] =
+      kw("cross") ~ kw("join") ^^^ CrossJoin |
+      kw("inner") ~ kw("join") ^^^ InnerJoin |
+      kw("left") ~ opt(kw("outer")) ~ kw("join") ^^^ LeftJoin |
+      kw("right") ~ opt(kw("outer")) ~ kw("join") ^^^ RightJoin |
+      kw("full") ~ opt(kw("outer")) ~ kw("join") ^^^ FullJoin |
+      kw("join") ^^^ InnerJoin
+    val cond: Parser[JoinCondition] =
+      kw("on") ~> predicate ^^ On.apply |
+      kw("using") ~> ("(" ~> rep1sep(ident, ",") <~ ")") ^^ Using.apply |
+      kw("using") ~> ident ^^ (c => Using(Seq(c)))
+    kind ~ primaryRelation ~ opt(cond) ^^ {
+      case k ~ r ~ c => (l: Relation) => JoinRel(l, r, k, c)
+    }
+  }
+
+  lazy val primaryRelation: PackratParser[Relation] =
+    ("(" ~> query <~ ")") ~ opt(kw("as")) ~ ident ~ opt(windowSpec) ^^ {
+      case q ~ _ ~ a ~ w => DerivedRel(q, a, w)
+    } |
+    ident ~ opt(windowSpec) ~ opt(opt(kw("as")) ~> ident) ^^ {
+      case n ~ w ~ a => TableRef(n, a, w)
+    }
+
+  // ----- streaming window spec (fsql/parser.scala:163-176) -----------------
+
+  lazy val timeUnit: Parser[String] =
+    kws("microsec", "milisec", "millisec", "sec", "min", "h", "d")
+
+  /** `N [unit] [on col]` — PolicyBased(value, timeUnit, onField). */
+  lazy val policy: PackratParser[Policy] =
+    """\d+""".r ~ opt(timeUnit) ~ opt(kw("on") ~> colRef) ^^ {
+      case v ~ u ~ f => Policy(v.toLong, u, f)
+    }
+
+  lazy val windowSpec: PackratParser[WindowSpec] =
+    "[" ~> (kw("size") ~> policy) ~ opt(kw("every") ~> policy) ~
+      opt(kw("partitioned") ~> kw("on") ~> colRef) <~ "]" ^^ {
+        case s ~ e ~ p => WindowSpec(s, e, p)
+      }
+
+  // ----- clauses -----------------------------------------------------------
+
+  lazy val groupByClause: PackratParser[GroupBy] =
+    kw("group") ~> kw("by") ~> rep1sep(expr, ",") ~
+      opt(kw("with") ~> kw("rollup")) ~ opt(kw("having") ~> predicate) ^^ {
+        case es ~ r ~ h => GroupBy(es, r.isDefined, h)
+      }
+
+  lazy val orderByClause: PackratParser[Seq[SortKey]] =
+    kw("order") ~> kw("by") ~> rep1sep(sortKey, ",")
+
+  lazy val sortKey: PackratParser[SortKey] =
+    expr ~ opt(kw("collate") ~> ident) ~ opt(kws("asc", "desc")) ^^ {
+      case e ~ _ ~ d => SortKey(e, !d.contains("desc"))
+    }
+
+  lazy val limitClause: PackratParser[Limit] =
+    kw("limit") ~> (numericLit | "?" ^^^ Input()) ~
+      opt(kw("offset") ~> (numericLit | "?" ^^^ Input())) ^^ {
+        case n ~ o => Limit(n, o)
+      }
+
+  // ----- predicates --------------------------------------------------------
+
+  lazy val predicate: PackratParser[Expr] = orExpr
+
+  lazy val orExpr: PackratParser[Expr] =
+    andExpr ~ rep(kw("or") ~> andExpr) ^^ { case h ~ t => t.foldLeft(h)(Or.apply) }
+
+  lazy val andExpr: PackratParser[Expr] =
+    notExpr ~ rep(kw("and") ~> notExpr) ^^ { case h ~ t => t.foldLeft(h)(And.apply) }
+
+  lazy val notExpr: PackratParser[Expr] =
+    kw("not") ~> notExpr ^^ Not.apply | comparison
+
+  lazy val comparison: PackratParser[Expr] = {
+    val cmpOp: Parser[String] = "<>" ^^^ "!=" | "!=" | "<=" | ">=" | "=" | "<" | ">"
+    val suffix: PackratParser[Expr => Expr] =
+      cmpOp ~ expr ^^ { case op ~ r => (l: Expr) => Cmp(op, l, r) } |
+      kw("is") ~> opt(kw("not")) <~ kw("null") ^^ (n => (l: Expr) => IsNull(l, n.isDefined)) |
+      opt(kw("not")) ~ (kw("between") ~> expr) ~ (kw("and") ~> expr) ^^ {
+        case n ~ lo ~ hi => (l: Expr) => Between(l, lo, hi, n.isDefined)
+      } |
+      opt(kw("not")) ~ (kw("like") ~> expr) ^^ {
+        case n ~ p => (l: Expr) => Like(l, p, n.isDefined)
+      } |
+      opt(kw("not")) ~ (kw("in") ~> "(" ~> query <~ ")") ^^ {
+        case n ~ q => (l: Expr) => InSubquery(l, q, n.isDefined)
+      } |
+      opt(kw("not")) ~ (kw("in") ~> "(" ~> rep1sep(expr, ",") <~ ")") ^^ {
+        case n ~ es => (l: Expr) => InList(l, es, n.isDefined)
+      }
+    opt(kw("not")) ~ (kw("exists") ~> "(" ~> query <~ ")") ^^ {
+      case n ~ q => Exists(q, n.isDefined)
+    } |
+    expr ~ opt(suffix) ^^ { case e ~ s => s.fold(e)(f => f(e)) }
+  }
+
+  // ----- scalar expressions ------------------------------------------------
+
+  lazy val expr: PackratParser[Expr] = bitOrExpr
+
+  lazy val bitOrExpr: PackratParser[Expr] =
+    bitAndExpr ~ rep(("|" | "^") ~ bitAndExpr) ^^ {
+      case h ~ t => t.foldLeft(h) { case (l, op ~ r) => Arith(op, l, r) }
+    }
+
+  lazy val bitAndExpr: PackratParser[Expr] =
+    shiftExpr ~ rep("&" ~> shiftExpr) ^^ {
+      case h ~ t => t.foldLeft(h)((l, r) => Arith("&", l, r))
+    }
+
+  lazy val shiftExpr: PackratParser[Expr] =
+    addExpr ~ rep(("<<" | ">>") ~ addExpr) ^^ {
+      case h ~ t => t.foldLeft(h) { case (l, op ~ r) => Arith(op, l, r) }
+    }
+
+  lazy val addExpr: PackratParser[Expr] =
+    mulExpr ~ rep(("+" | "-") ~ mulExpr) ^^ {
+      case h ~ t => t.foldLeft(h) { case (l, op ~ r) => Arith(op, l, r) }
+    }
+
+  lazy val mulExpr: PackratParser[Expr] =
+    unaryExpr ~ rep(("*" | "/" | "%") ~ unaryExpr) ^^ {
+      case h ~ t => t.foldLeft(h) { case (l, op ~ r) => Arith(op, l, r) }
+    }
+
+  lazy val unaryExpr: PackratParser[Expr] =
+    "-" ~> unaryExpr ^^ Neg.apply |
+    "~" ~> unaryExpr ^^ BitNot.apply |
+    atom
+
+  lazy val atom: PackratParser[Expr] =
+    caseExpr |
+    funcCall |
+    literal |
+    "?" ^^^ Input() |
+    colRef |
+    "(" ~> query <~ ")" ^^ ScalarSubquery.apply |
+    "(" ~> predicate <~ ")"
+
+  lazy val literal: PackratParser[Expr] =
+    numericLit |
+    stringLit ^^ (s => Lit(s)) |
+    kw("true") ^^^ Lit(true) |
+    kw("false") ^^^ Lit(false) |
+    kw("null") ^^^ Lit(null)
+
+  lazy val funcCall: PackratParser[Expr] =
+    (ident <~ "(") ~ (opt(kw("distinct")) ~ repsep(funcArg, ",") <~ ")") ^^ {
+      case n ~ (d ~ as) => FuncCall(n.toLowerCase, as, d.isDefined)
+    }
+
+  lazy val funcArg: PackratParser[Expr] =
+    "*" ^^^ Star(None) | predicate
+
+  lazy val caseExpr: PackratParser[Expr] =
+    kw("case") ~> rep1(whenBranch) ~ opt(kw("else") ~> expr) <~ kw("end") ^^ {
+      case bs ~ e => CaseWhen(bs, e)
+    }
+
+  lazy val whenBranch: PackratParser[(Expr, Expr)] =
+    (kw("when") ~> predicate) ~ (kw("then") ~> expr) ^^ { case c ~ v => (c, v) }
+
+  // ----- DDL ---------------------------------------------------------------
+
+  lazy val dataTypeName: Parser[String] =
+    """(?i)array\s*<\s*[a-zA-Z]+\s*>""".r ^^ (_.toLowerCase.replaceAll("\\s", "")) |
+    """[a-zA-Z]+""".r ^^ (_.toLowerCase)
+
+  lazy val fieldDef: PackratParser[FieldDef] =
+    ident ~ dataTypeName ~ opt(kw("not") ~ kw("null")) ^^ {
+      case n ~ t ~ nn => FieldDef(n, t, nullable = nn.isEmpty)
+    }
+
+  lazy val createSchemaStmt: PackratParser[Statement] =
+    kw("create") ~> kw("schema") ~> ident ~
+      ("(" ~> rep1sep(fieldDef, ",") <~ ")") ~ opt(kw("extends") ~> ident) ^^ {
+        case n ~ fs ~ p => CreateSchema(n, fs, p)
+      }
+
+  lazy val createStreamStmt: PackratParser[Statement] =
+    kw("create") ~> kw("stream") ~> ident ~ schemaRef ~ opt(streamSource) ^^ {
+      case n ~ s ~ src => CreateStream(n, s, src)
+    }
+
+  lazy val schemaRef: PackratParser[SchemaRef] =
+    "(" ~> rep1sep(fieldDef, ",") <~ ")" ^^ InlineSchema.apply |
+    ident ^^ NamedSchema.apply
+
+  lazy val streamSource: PackratParser[StreamSource] =
+    kw("source") ~> kw("host") ~> "(" ~> stringLit ~ ("," ~> """\d+""".r) <~ ")" ^^ {
+      case h ~ p => HostSource(h, p.toInt)
+    } |
+    kw("source") ~> kw("file") ~> "(" ~> stringLit <~ ")" ^^ FileSource.apply |
+    kw("as") ~> "(" ~> query <~ ")" ^^ DerivedSource.apply
+
+  // ----- DML ---------------------------------------------------------------
+
+  lazy val insertStmt: PackratParser[Statement] =
+    kw("insert") ~> kw("into") ~> ident ~ opt(windowSpec) ~
+      opt("(" ~> rep1sep(ident, ",") <~ ")") ~ insertInput ^^ {
+        case t ~ w ~ cs ~ in => Insert(t, w, cs, in)
+      }
+
+  lazy val insertInput: PackratParser[InsertInput] =
+    kw("values") ~> rep1sep("(" ~> rep1sep(expr, ",") <~ ")", ",") ^^ InsertValues.apply |
+    query ^^ InsertSelect.apply
+
+  lazy val updateStmt: PackratParser[Statement] =
+    kw("update") ~> rep1sep(tableOnlyRef, ",") ~
+      (kw("set") ~> rep1sep((colRef <~ "=") ~ expr ^^ { case c ~ e => (c, e) }, ",")) ~
+      opt(kw("where") ~> predicate) ~ opt(orderByClause) ~ opt(limitClause) ^^ {
+        case ts ~ sets ~ w ~ ob ~ lim => Update(ts, sets, w, ob.getOrElse(Nil), lim)
+      }
+
+  lazy val deleteStmt: PackratParser[Statement] =
+    kw("delete") ~> kw("from") ~> rep1sep(tableOnlyRef, ",") ~
+      opt(kw("where") ~> predicate) ^^ { case ts ~ w => Delete(ts, w) }
+
+  lazy val tableOnlyRef: PackratParser[TableRef] =
+    ident ~ opt(opt(kw("as")) ~> ident) ^^ { case n ~ a => TableRef(n, a, None) }
+}

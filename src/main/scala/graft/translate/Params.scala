@@ -1,0 +1,95 @@
+package graft.translate
+
+import graft.ast._
+
+/** Positional `?` parameter binding (reference P8: `Input()` terms collected
+  * in syntactic order, `flinkdsl/typer.scala_:33-158`). We rewrite the AST,
+  * replacing each `Input()` with a literal, visiting clauses in the query's
+  * textual order — projection, FROM (incl. subqueries), WHERE, GROUP
+  * BY/HAVING, ORDER BY, LIMIT/OFFSET — so arg positions match the SQL text.
+  */
+object Params {
+
+  def bind(stmt: Statement, args: Seq[Any]): Statement = {
+    val b = new Binder(args)
+    val out = b.statement(stmt)
+    require(b.used == args.length,
+      s"statement has ${b.used} ? parameter(s) but ${args.length} arg(s) given")
+    out
+  }
+
+  private final class Binder(args: Seq[Any]) {
+    var used = 0
+
+    private def next(): Any = {
+      require(used < args.length, s"missing argument for ? parameter #${used + 1}")
+      val v = args(used); used += 1; v
+    }
+
+    def statement(s: Statement): Statement = s match {
+      case q: QueryExpr => query(q)
+      case Insert(t, w, cs, in) => Insert(t, w, cs, in match {
+        case InsertValues(rows) => InsertValues(rows.map(_.map(expr)))
+        case InsertSelect(q)    => InsertSelect(query(q))
+      })
+      case Update(ts, set, w, ob, lim) =>
+        Update(ts, set.map { case (c, e) => (c, expr(e)) }, w.map(expr),
+          ob.map(k => k.copy(expr = expr(k.expr))), lim.map(limit))
+      case Delete(ts, w) => Delete(ts, w.map(expr))
+      case CreateStream(n, sch, src) => CreateStream(n, sch, src.map {
+        case DerivedSource(q) => DerivedSource(query(q))
+        case other            => other
+      })
+      case other => other
+    }
+
+    def query(q: QueryExpr): QueryExpr = q match {
+      case s: Select => select(s)
+      case SetOp(l, op, all, r, ob, lim) =>
+        SetOp(query(l), op, all, query(r),
+          ob.map(k => k.copy(expr = expr(k.expr))), lim.map(limit))
+    }
+
+    private def select(s: Select): Select = Select(
+      s.distinct,
+      s.projection.map(p => p.copy(expr = expr(p.expr))),
+      s.from.map(relation),
+      s.where.map(expr),
+      s.groupBy.map(g => GroupBy(g.exprs.map(expr), g.rollup, g.having.map(expr))),
+      s.orderBy.map(k => k.copy(expr = expr(k.expr))),
+      s.limit.map(limit))
+
+    private def limit(l: Limit): Limit =
+      Limit(expr(l.n), l.offset.map(expr))
+
+    private def relation(r: Relation): Relation = r match {
+      case t: TableRef => t
+      case DerivedRel(q, a, w)  => DerivedRel(query(q), a, w)
+      case JoinRel(l, rr, k, c) => JoinRel(relation(l), relation(rr), k, c.map {
+        case On(p)  => On(expr(p))
+        case u: Using => u
+      })
+    }
+
+    def expr(e: Expr): Expr = e match {
+      case Input()               => Lit(next())
+      case Arith(op, l, r)       => Arith(op, expr(l), expr(r))
+      case Neg(c)                => Neg(expr(c))
+      case BitNot(c)             => BitNot(expr(c))
+      case FuncCall(n, as, d)    => FuncCall(n, as.map(expr), d)
+      case CaseWhen(bs, o)       => CaseWhen(bs.map { case (c, v) => (expr(c), expr(v)) }, o.map(expr))
+      case ScalarSubquery(q)     => ScalarSubquery(query(q))
+      case Cmp(op, l, r)         => Cmp(op, expr(l), expr(r))
+      case And(l, r)             => And(expr(l), expr(r))
+      case Or(l, r)              => Or(expr(l), expr(r))
+      case Not(c)                => Not(expr(c))
+      case Between(x, lo, hi, n) => Between(expr(x), expr(lo), expr(hi), n)
+      case Like(x, p, n)         => Like(expr(x), expr(p), n)
+      case IsNull(x, n)          => IsNull(expr(x), n)
+      case InList(x, l, n)       => InList(expr(x), l.map(expr), n)
+      case InSubquery(x, q, n)   => InSubquery(expr(x), query(q), n)
+      case Exists(q, n)          => Exists(query(q), n)
+      case other                 => other
+    }
+  }
+}

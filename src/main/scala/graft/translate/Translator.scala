@@ -1,0 +1,461 @@
+package graft.translate
+
+import graft.ast._
+import graft.catalog.Catalog
+import graft.functions.Registry
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+final class GraftAnalysisException(msg: String) extends RuntimeException(msg)
+
+/** A planned relation: the DataFrame plus any *implicit grouping keys*
+  * contributed by streaming window specs on the FROM sources.
+  *
+  * FSQL semantics (reference fsql/Ast.scala:132-136): `from s [size 5 min on
+  * ts partitioned on k]` means downstream aggregation is per-(window, k).
+  * We materialize windows as ordinary `w_start`/`w_end` (or `w_id` for count
+  * windows) columns, and carry bound Column references so they stay
+  * unambiguous through joins.
+  */
+final case class RelPlan(df: DataFrame, implicitKeys: Seq[Column], windowed: Boolean)
+
+/** AST → DataFrame translator. Spark-first: we emit declarative
+  * DataFrame/Column operations and let Catalyst do resolution, predicate
+  * pushdown, column pruning, join strategy selection and codegen — the
+  * reference stopped at a resolved AST (fsql/SQLContext.scala:4-41 is an
+  * empty stub), so everything below is new execution design.
+  */
+final class Translator(spark: SparkSession, catalog: Catalog) {
+
+  // ------------------------------------------------------------------
+  // queries
+  // ------------------------------------------------------------------
+
+  def query(q: QueryExpr): DataFrame = q match {
+    case s: Select => select(s)
+    case SetOp(l, op, all, r, orderBy, limit) =>
+      val ld = query(l)
+      val rd = query(r)
+      var out = op match {
+        // SQL set semantics: UNION dedups unless ALL (the reference parsed
+        // the ALL flag and dropped it — flinkdsl/parser.scala:38; we honor it)
+        case Union     => if (all) ld.union(rd) else ld.union(rd).distinct()
+        case Except    => if (all) ld.exceptAll(rd) else ld.except(rd)
+        case Intersect => if (all) ld.intersectAll(rd) else ld.intersect(rd)
+      }
+      if (orderBy.nonEmpty) out = out.orderBy(orderBy.map(sortOnOutput(out, _)): _*)
+      out = applyLimit(out, limit)
+      out
+  }
+
+  // ------------------------------------------------------------------
+  // SELECT
+  // ------------------------------------------------------------------
+
+  private def select(s: Select): DataFrame = {
+    val rel = s.from.map(relation).getOrElse(RelPlan(dual, Nil, windowed = false))
+    var df = rel.df
+
+    // WHERE: split conjuncts; IN-subquery / EXISTS become semi/anti joins
+    // (Catalyst's own decorrelation path, SURVEY §2.8 Q3).
+    s.where.foreach { w =>
+      val conjuncts = splitAnd(normalizeNot(w))
+      val (subq, plain) = conjuncts.partition(containsSubqueryPred)
+      if (plain.nonEmpty)
+        df = df.filter(plain.map(expr).reduce(_ && _))
+      subq.foreach { p => df = applySubqueryPredicate(df, p) }
+    }
+
+    val groupExprs = s.groupBy.map(_.exprs).getOrElse(Nil)
+    val isAgg = groupExprs.nonEmpty ||
+      s.projection.exists(p => Expr.hasAggregate(p.expr, Registry.isAggregate))
+
+    var out =
+      if (isAgg) aggregate(df, rel, s)
+      else plainProject(df, s)
+
+    if (s.distinct) {
+      out = out.distinct()
+      if (s.orderBy.nonEmpty) out = out.orderBy(s.orderBy.map(sortOnOutput(out, _)): _*)
+    }
+    applyLimit(out, s.limit)
+  }
+
+  /** Non-aggregating SELECT: projection (+DISTINCT/ORDER BY/LIMIT). */
+  private def plainProject(df: DataFrame, s: Select): DataFrame = {
+    val hasStar = s.projection.exists(_.expr.isInstanceOf[Star])
+    if (hasStar) {
+      // stars keep original columns; sort against the pre-projection frame
+      val base = if (s.orderBy.nonEmpty && !s.distinct)
+        df.orderBy(s.orderBy.map(k => sortCol(expr(k.expr), k)): _*)
+      else df
+      base.select(s.projection.map(p => p.expr match {
+        case Star(None)    => col("*")
+        case Star(Some(q)) => col(s"$q.*")
+        case e             => expr(e).as(p.outputName)
+      }): _*)
+    } else {
+      // project to unique internal names, sort (keys may reference either an
+      // output alias or any input column — both remain visible), then trim.
+      val internal = s.projection.zipWithIndex.map { case (p, i) => expr(p.expr).as(s"__p$i") }
+      var wide = df.select(col("*") +: internal: _*)
+      if (s.orderBy.nonEmpty && !s.distinct) {
+        val keys = s.orderBy.map { k =>
+          val c = aliasTarget(s, k.expr).map(i => col(s"__p$i")).getOrElse(expr(k.expr))
+          sortCol(c, k)
+        }
+        wide = wide.orderBy(keys: _*)
+      }
+      wide.select(s.projection.zipWithIndex.map { case (p, i) =>
+        col(s"__p$i").as(p.outputName)
+      }: _*)
+    }
+  }
+
+  /** Aggregating SELECT: groupBy/rollup + agg, HAVING, ORDER BY, trim. */
+  private def aggregate(df: DataFrame, rel: RelPlan, s: Select): DataFrame = {
+    val gb = s.groupBy
+    val explicitKeys = gb.map(_.exprs.map(expr)).getOrElse(Nil)
+    // implicit window keys first (FSQL: aggregation is always per-window)
+    val keys = dedupeCols(rel.implicitKeys ++ explicitKeys)
+
+    val projCols = s.projection.zipWithIndex.map {
+      case (Projection(Star(_), _), i) =>
+        throw new GraftAnalysisException("SELECT * is not valid with GROUP BY / aggregates")
+      case (p, i) => expr(p.expr).as(s"__p$i")
+    }
+    val havingCol = gb.flatMap(_.having).map(h => expr(h).as("__h")).toSeq
+    // ORDER BY keys that aren't projection aliases must be computed in-agg
+    val orderCols = s.orderBy.zipWithIndex.flatMap { case (k, i) =>
+      if (aliasTarget(s, k.expr).isDefined) None
+      else Some(expr(k.expr).as(s"__o$i"))
+    }
+
+    val aggCols = projCols ++ havingCol ++ orderCols
+    val grouped =
+      if (gb.exists(_.rollup)) {
+        if (rel.implicitKeys.nonEmpty)
+          throw new GraftAnalysisException("ROLLUP over a windowed stream is not supported")
+        df.rollup(keys: _*)
+      } else df.groupBy(keys: _*)
+    var out = grouped.agg(aggCols.head, aggCols.tail: _*)
+
+    if (havingCol.nonEmpty) out = out.filter(col("__h"))
+    if (s.orderBy.nonEmpty) {
+      val sortKeys = s.orderBy.zipWithIndex.map { case (k, i) =>
+        val c = aliasTarget(s, k.expr).map(j => col(s"__p$j")).getOrElse(col(s"__o$i"))
+        sortCol(c, k)
+      }
+      out = out.orderBy(sortKeys: _*)
+    }
+    out.select(s.projection.zipWithIndex.map { case (p, i) =>
+      col(s"__p$i").as(p.outputName)
+    }: _*)
+  }
+
+  /** Index of the projection whose output alias a bare column ref names. */
+  private def aliasTarget(s: Select, e: Expr): Option[Int] = e match {
+    case ColRef(None, n) =>
+      val i = s.projection.indexWhere(_.outputName.equalsIgnoreCase(n))
+      if (i >= 0) Some(i) else None
+    case _ => None
+  }
+
+  private def sortCol(c: Column, k: SortKey): Column = if (k.ascending) c.asc else c.desc
+
+  private def sortOnOutput(df: DataFrame, k: SortKey): Column = k.expr match {
+    case ColRef(None, n) => sortCol(df(n), k)
+    case e               => sortCol(expr(e), k)
+  }
+
+  private def applyLimit(df: DataFrame, limit: Option[Limit]): DataFrame =
+    limit.fold(df) { l =>
+      val withOffset = l.offset.fold(df)(o => df.offset(litLong(o).toInt))
+      withOffset.limit(litLong(l.n).toInt)
+    }
+
+  private def litLong(e: Expr): Long = e match {
+    case Lit(v: Long)   => v
+    case Lit(v: Double) => v.toLong
+    case other => throw new GraftAnalysisException(s"expected numeric literal, got $other")
+  }
+
+  private def dual: DataFrame = spark.range(1).toDF("__dual")
+
+  private def dedupeCols(cols: Seq[Column]): Seq[Column] = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    cols.filter(c => seen.add(c.toString))
+  }
+
+  // ------------------------------------------------------------------
+  // FROM / relations / windows
+  // ------------------------------------------------------------------
+
+  def relation(r: Relation): RelPlan = r match {
+    case t @ TableRef(name, _, window) =>
+      val base = catalog.relation(name)
+      val (wdf, keys) = window.map(applyWindow(base, _)).getOrElse((base, Nil))
+      val aliased = wdf.alias(t.refName)
+      RelPlan(aliased, keys.map(aliased(_)), window.isDefined)
+
+    case DerivedRel(q, alias, window) =>
+      val base = query(q)
+      val (wdf, keys) = window.map(applyWindow(base, _)).getOrElse((base, Nil))
+      val aliased = wdf.alias(alias)
+      RelPlan(aliased, keys.map(aliased(_)), window.isDefined)
+
+    case JoinRel(l, r, kind, cond) =>
+      val lp = relation(l)
+      val rp = relation(r)
+      // Windowed join (SURVEY W6): both inputs carry window specs → equi-join
+      // on the window bucket, so only co-windowed rows pair up. This is the
+      // scale-safe plan: the bucket equality turns a theta/cross join into a
+      // hash-partitionable equi-join.
+      val windowEq: Option[Column] =
+        if (lp.windowed && rp.windowed)
+          Some(lp.df("w_start") === rp.df("w_start"))
+        else None
+
+      val joined = cond match {
+        case Some(On(p)) =>
+          val userCond = expr(p)
+          lp.df.join(rp.df, windowEq.fold(userCond)(_ && userCond), joinName(kind))
+        case Some(Using(cols)) =>
+          windowEq match {
+            case None => lp.df.join(rp.df, cols, joinName(kind))
+            case Some(we) =>
+              val eq = cols.map(c => lp.df(c) === rp.df(c)).reduce(_ && _)
+              lp.df.join(rp.df, we && eq, joinName(kind))
+          }
+        case None =>
+          (kind, windowEq) match {
+            case (CrossJoin, Some(we)) => lp.df.join(rp.df, we, "inner")
+            case (CrossJoin, None)     => lp.df.crossJoin(rp.df)
+            case (k, Some(we))         => lp.df.join(rp.df, we, joinName(k))
+            case (k, None) =>
+              throw new GraftAnalysisException(s"$k requires an ON or USING clause")
+          }
+      }
+      // keep left's window keys; right's are equated (or absent)
+      val keys = if (lp.implicitKeys.nonEmpty) lp.implicitKeys else rp.implicitKeys
+      RelPlan(joined, keys, lp.windowed || rp.windowed)
+  }
+
+  private def joinName(k: JoinKind): String = k match {
+    case InnerJoin => "inner"
+    case LeftJoin  => "left_outer"
+    case RightJoin => "right_outer"
+    case FullJoin  => "full_outer"
+    case CrossJoin => "cross"
+  }
+
+  /** FSQL time-unit name → microseconds (fsql/parser.scala:356). */
+  private def unitMicros(u: String): Long = u match {
+    case "microsec"               => 1L
+    case "milisec" | "millisec"   => 1000L
+    case "sec"                    => 1000L * 1000
+    case "min"                    => 60L * 1000 * 1000
+    case "h"                      => 3600L * 1000 * 1000
+    case "d"                      => 24L * 3600 * 1000 * 1000
+    case other => throw new GraftAnalysisException(s"unknown time unit: $other")
+  }
+
+  /** Materialize a `[size … every … partitioned on …]` spec as columns.
+    *
+    * Time windows (W1/W3/W4): bucket arithmetic on epoch-microseconds.
+    * Tumbling: one bucket per row (a cheap narrow projection — no shuffle).
+    * Sliding: rows explode into size/every buckets (same expansion Spark's
+    * own TimeWindowing rule generates). Window start/end come back as
+    * `w_start`/`w_end` timestamp columns, which also makes the semantics
+    * directly checkable against a DuckDB oracle with the same arithmetic.
+    *
+    * Count windows (W2, `[size N]`, no unit): the reference's one operator
+    * with no Spark primitive. Batch semantics: rows are numbered per
+    * partition key in `on`-field order and chunked into `w_id = rn / N`.
+    * NOTE scale caveat: without `partitioned on`, numbering is a single
+    * global sort — inherently sequential semantics; with a partition key it
+    * parallelizes per key (documented in SURVEY §7.4).
+    */
+  private def applyWindow(df: DataFrame, w: WindowSpec): (DataFrame, Seq[String]) = {
+    val partCols: Seq[String] = w.partition.map(_.name).toSeq
+    w.size.timeUnit match {
+      case Some(unit) =>
+        val sizeUs = w.size.value * unitMicros(unit)
+        val everyUs = w.every.map(e => e.value * unitMicros(e.timeUnit.getOrElse(unit)))
+        val timeField = w.size.onField.orElse(w.every.flatMap(_.onField)).map(_.name)
+          .orElse(df.schema.fields.find(_.dataType.typeName == "timestamp").map(_.name))
+          .getOrElse(throw new GraftAnalysisException(
+            "time window needs an `on <column>` field or a timestamp column"))
+        val tUs = unix_micros(col(timeField).cast("timestamp"))
+        val out = everyUs match {
+          case None | Some(`sizeUs`) => // tumbling
+            df.withColumn("w_start_us", (tUs / sizeUs).cast("long") * sizeUs)
+          case Some(slide) => // sliding: all bucket starts covering this row
+            val sMax = (tUs / slide).cast("long") * slide
+            val sMin = ((tUs - sizeUs) / slide).cast("long") * slide + slide
+            // `every` > `size` leaves gaps: rows in no window get an empty
+            // start list and are dropped by explode (not explode_outer).
+            val starts = when(sMin <= sMax, sequence(sMin, sMax, lit(slide)))
+              .otherwise(array().cast("array<long>"))
+            df.withColumn("w_start_us", explode(starts))
+        }
+        val withTs = out
+          .withColumn("w_start", timestamp_micros(col("w_start_us")))
+          .withColumn("w_end", timestamp_micros(col("w_start_us") + sizeUs))
+          .drop("w_start_us")
+        (withTs, Seq("w_start", "w_end") ++ partCols)
+
+      case None => // count window [size N]
+        val n = w.size.value
+        val orderCol = w.size.onField.map(f => col(f.name))
+          .getOrElse(col(df.columns.head))
+        val win = if (partCols.nonEmpty)
+          Window.partitionBy(partCols.map(col): _*).orderBy(orderCol)
+        else Window.partitionBy().orderBy(orderCol)
+        val out = df.withColumn("w_id",
+          ((row_number().over(win) - 1) / n).cast("long"))
+        (out, Seq("w_id") ++ partCols)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // WHERE-subquery predicates → joins
+  // ------------------------------------------------------------------
+
+  private def splitAnd(e: Expr): Seq[Expr] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other     => Seq(other)
+  }
+
+  /** Push NOT down over subquery predicates so conjunct handling sees
+    * Exists/InSubquery at the top of the conjunct. */
+  private def normalizeNot(e: Expr): Expr = e match {
+    case Not(Exists(q, n))           => Exists(q, !n)
+    case Not(InSubquery(x, q, n))    => InSubquery(x, q, !n)
+    case Not(Not(x))                 => normalizeNot(x)
+    case And(l, r)                   => And(normalizeNot(l), normalizeNot(r))
+    case other                       => other
+  }
+
+  private def containsSubqueryPred(e: Expr): Boolean =
+    Expr.fold(e, false) {
+      case (acc, _: Exists)      => true
+      case (acc, _: InSubquery)  => true
+      case (acc, _)              => acc
+    }
+
+  private def applySubqueryPredicate(df: DataFrame, p: Expr): DataFrame = p match {
+    case Exists(q, negated) =>
+      q match {
+        // Correlated (or not) simple SELECT: semi/anti join with the
+        // subquery's WHERE as the join condition — outer refs resolve
+        // against the left side, a direct decorrelation.
+        case sel: Select if sel.groupBy.isEmpty && !sel.distinct &&
+            sel.limit.isEmpty && sel.from.isDefined =>
+          val sub = relation(sel.from.get).df
+          val cond = sel.where.map(expr).getOrElse(lit(true))
+          df.join(sub, cond, if (negated) "left_anti" else "left_semi")
+        case _ =>
+          val sub = query(q)
+          df.join(sub, lit(true), if (negated) "left_anti" else "left_semi")
+      }
+    case InSubquery(e, q, negated) =>
+      val sub = query(q)
+      require(sub.columns.length == 1,
+        "IN (subquery) requires a single-column subquery")
+      val cond = expr(e) === sub(sub.columns.head)
+      // NOTE: NOT IN here is null-rejecting anti-join semantics (testdata is
+      // null-free); ANSI NOT-IN tri-valued null semantics documented in README.
+      df.join(sub, cond, if (negated) "left_anti" else "left_semi")
+    case other =>
+      throw new GraftAnalysisException(
+        s"IN/EXISTS subqueries are only supported as top-level AND-conjuncts of WHERE: $other")
+  }
+
+  // ------------------------------------------------------------------
+  // scalar expressions
+  // ------------------------------------------------------------------
+
+  def expr(e: Expr): Column = e match {
+    case ColRef(None, n)    => col(n)
+    case ColRef(Some(q), n) => col(s"$q.$n")
+    case Star(None)         => col("*")
+    case Star(Some(q))      => col(s"$q.*")
+    case Lit(null)          => lit(null)
+    case Lit(v)             => lit(v)
+
+    // `/` always yields nullable Double — reference flinkdsl/typer.scala_:243
+    case Arith("/", l, r)  => expr(l).cast("double") / expr(r).cast("double")
+    case Arith("+", l, r)  => expr(l) + expr(r)
+    case Arith("-", l, r)  => expr(l) - expr(r)
+    case Arith("*", l, r)  => expr(l) * expr(r)
+    case Arith("%", l, r)  => expr(l) % expr(r)
+    case Arith("&", l, r)  => expr(l).bitwiseAND(expr(r))
+    case Arith("|", l, r)  => expr(l).bitwiseOR(expr(r))
+    case Arith("^", l, r)  => expr(l).bitwiseXOR(expr(r))
+    case Arith("<<", l, r) => call_function("shiftleft", expr(l), expr(r))
+    case Arith(">>", l, r) => call_function("shiftright", expr(l), expr(r))
+    case Arith(op, _, _)   => throw new GraftAnalysisException(s"unknown operator: $op")
+
+    case Neg(c)    => -expr(c)
+    case BitNot(c) => bitwise_not(expr(c))
+
+    case FuncCall(n, args, distinct) =>
+      val cols = args.map {
+        case Star(_) => lit(1) // count(*) ≡ count(1)
+        case a       => expr(a)
+      }
+      Registry.build(n, cols, distinct)
+
+    case CaseWhen(branches, otherwise) =>
+      val first = when(expr(branches.head._1), expr(branches.head._2))
+      val chained = branches.tail.foldLeft(first) { case (acc, (c, v)) =>
+        acc.when(expr(c), expr(v))
+      }
+      otherwise.fold(chained)(o => chained.otherwise(expr(o)))
+
+    case Input() =>
+      throw new GraftAnalysisException(
+        "unbound ? parameter — pass positional args to GraftSession.sql(sql, args*)")
+
+    // Uncorrelated scalar subquery: plan + execute it now, inline the value.
+    // (Same evaluate-separately model as Catalyst's ScalarSubquery node.)
+    case ScalarSubquery(q) =>
+      val rows = query(q).limit(2).collect()
+      require(rows.length <= 1, "scalar subquery returned more than one row")
+      require(rows.isEmpty || rows.head.length == 1,
+        "scalar subquery must return a single column")
+      lit(if (rows.isEmpty) null else rows.head.get(0))
+
+    case Cmp("=", l, r)  => expr(l) === expr(r)
+    case Cmp("!=", l, r) => expr(l) =!= expr(r)
+    case Cmp("<", l, r)  => expr(l) < expr(r)
+    case Cmp(">", l, r)  => expr(l) > expr(r)
+    case Cmp("<=", l, r) => expr(l) <= expr(r)
+    case Cmp(">=", l, r) => expr(l) >= expr(r)
+    case Cmp(op, _, _)   => throw new GraftAnalysisException(s"unknown comparison: $op")
+
+    case And(l, r) => expr(l) && expr(r)
+    case Or(l, r)  => expr(l) || expr(r)
+    case Not(c)    => !expr(c)
+
+    case Between(x, lo, hi, neg) =>
+      val b = expr(x).between(expr(lo), expr(hi))
+      if (neg) !b else b
+    case Like(x, Lit(p: String), neg) =>
+      val l = expr(x).like(p)
+      if (neg) !l else l
+    case Like(x, p, neg) =>
+      val l = call_function("like", expr(x), expr(p))
+      if (neg) !l else l
+    case IsNull(x, neg) => if (neg) expr(x).isNotNull else expr(x).isNull
+    case InList(x, list, neg) =>
+      val in = expr(x).isin(list.map(expr): _*)
+      if (neg) !in else in
+
+    case _: InSubquery | _: Exists =>
+      throw new GraftAnalysisException(
+        "IN/EXISTS subqueries are only supported in WHERE as AND-conjuncts")
+  }
+}

@@ -1,0 +1,261 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end: graft SQL → DataFrame, differentially checked against the
+  * equivalent hand-built DataFrame plan (Spark itself is the oracle here;
+  * the driver separately runs DuckDB as an independent oracle). */
+class EngineSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private lazy val g = TestSpark.session
+  private lazy val li: DataFrame = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+  // events.ts is parquet TIMESTAMP(NANOS): go through the catalog, which
+  // restores it to a proper timestamp column.
+  private lazy val ev: DataFrame = g.catalog.relation("events")
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def assertSame(got: DataFrame, want: DataFrame): Unit = {
+    assert(got.columns.toSeq == want.columns.toSeq, "column names differ")
+    assert(rows(got) == rows(want))
+  }
+
+  test("M0: projection + arithmetic + where") {
+    val got = g.sql(
+      "select l_orderkey + 3 as k from lineitem as s where l_linenumber = 2 or (l_quantity > 30 and l_discount = 0.05)")
+    val want = li.filter(col("l_linenumber") === 2 ||
+        (col("l_quantity") > 30 && col("l_discount") === 0.05))
+      .select((col("l_orderkey") + 3).as("k"))
+    assertSame(got, want)
+    assert(got.count() > 0)
+  }
+
+  test("select star and qualified star") {
+    assertSame(g.sql("select * from region"),
+      spark.read.parquet(s"${TestSpark.sf}/region.parquet"))
+    assert(g.sql("select r.* from region as r").columns.length == 2)
+  }
+
+  test("group by / having / aggregates") {
+    val got = g.sql(
+      "select l_returnflag as f, count(l_orderkey) as n, sum(l_quantity) as q, avg(l_discount) as d, min(l_extendedprice) as mn, max(l_extendedprice) as mx " +
+      "from lineitem group by l_returnflag having count(l_orderkey) > 100")
+    val want = li.groupBy(col("l_returnflag"))
+      .agg(count(col("l_orderkey")).as("n"), sum(col("l_quantity")).as("q"),
+        avg(col("l_discount")).as("d"), min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+      .filter(col("n") > 100)
+      .select(col("l_returnflag").as("f"), col("n"), col("q"), col("d"), col("mn"), col("mx"))
+    assertSame(got, want)
+  }
+
+  test("corpus group-by: non-key constant expr in projection") {
+    val got = g.sql("select count(l_orderkey) as i, 1+3 *2 as num from lineitem group by l_returnflag having l_returnflag > 'A'")
+    assert(got.columns.toSeq == Seq("i", "num"))
+    assert(got.count() > 0)
+  }
+
+  test("join on / using / cross") {
+    val cu = spark.read.parquet(s"${TestSpark.sf}/customer.parquet")
+    val na = spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
+    val got = g.sql("select c.c_name, n.n_name from customer c join nation n on c.c_nationkey = n.n_nationkey where c.c_acctbal > 9000")
+    val want = cu.alias("c").join(na.alias("n"),
+        col("c.c_nationkey") === col("n.n_nationkey"))
+      .filter(col("c.c_acctbal") > 9000)
+      .select(col("c.c_name").as("c_name"), col("n.n_name").as("n_name"))
+    assertSame(got, want)
+
+    val using = g.sql("select count(*) as n from nation a join nation b using (n_regionkey)")
+    val naDf = spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
+    val wantUsing = naDf.alias("a").join(naDf.alias("b"), Seq("n_regionkey")).count()
+    assert(using.collect().head.getLong(0) == wantUsing)
+    val cross = g.sql("select * from region r1 cross join region r2")
+    assert(cross.count() == 25)
+  }
+
+  test("left/right/full outer joins") {
+    val n = g.sql("select n.n_name, r.r_name from nation n left join region r on n.n_regionkey = r.r_regionkey")
+    assert(n.count() == 25)
+    val r = g.sql("select n.n_name, r.r_name from nation n right join region r on n.n_regionkey = r.r_regionkey")
+    assert(r.count() >= 25)
+    val f = g.sql("select n.n_name, r.r_name from nation n full outer join region r on n.n_regionkey = r.r_regionkey and r.r_regionkey < 2")
+    assert(f.count() >= 25)
+  }
+
+  test("order by / limit / offset") {
+    val got = g.sql("select o_orderkey, o_totalprice from orders order by o_totalprice desc, o_orderkey limit 5")
+    val want = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice").limit(5)
+    assert(got.collect().toSeq == want.collect().toSeq)
+
+    val page2 = g.sql("select o_orderkey from orders order by o_orderkey limit 3 offset 3")
+    val all6 = g.sql("select o_orderkey from orders order by o_orderkey limit 6")
+    assert(page2.collect().toSeq == all6.collect().toSeq.drop(3))
+  }
+
+  test("order by alias and expression") {
+    val got = g.sql("select l_orderkey * 2 as dbl from lineitem order by dbl limit 3")
+    assert(got.collect().map(_.getLong(0)).toSeq.sorted.sameElements(got.collect().map(_.getLong(0))))
+    g.sql("select l_orderkey from lineitem order by l_extendedprice desc limit 3").collect()
+  }
+
+  test("distinct") {
+    val got = g.sql("select distinct l_returnflag from lineitem")
+    assert(got.count() == li.select("l_returnflag").distinct().count())
+  }
+
+  test("set operations") {
+    val u = g.sql("select n_regionkey from nation union select r_regionkey from region")
+    assert(u.count() == 5)
+    val ua = g.sql("select n_regionkey from nation union all select r_regionkey from region")
+    assert(ua.count() == 30)
+    val ex = g.sql("select n_regionkey from nation except select r_regionkey from region where r_regionkey < 2")
+    assert(rows(ex) == Set(Seq(2), Seq(3), Seq(4)))
+    val ix = g.sql("select n_regionkey from nation intersect select r_regionkey from region")
+    assert(ix.count() == 5)
+  }
+
+  test("in-list, between, like, is null, not") {
+    val got = g.sql("select count(*) as n from orders where o_orderstatus in ('F', 'O') and o_totalprice between 100 and 200000 and o_orderpriority like '1%' and o_custkey is not null")
+    assert(got.collect().head.getLong(0) ==
+      spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+        .filter(col("o_orderstatus").isin("F", "O") &&
+          col("o_totalprice").between(100, 200000) &&
+          col("o_orderpriority").like("1%") && col("o_custkey").isNotNull)
+        .count())
+  }
+
+  test("in (subquery) and exists") {
+    val inq = g.sql("select c_name from customer where c_nationkey in (select n_nationkey from nation where n_regionkey = 1)")
+    val na = spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
+    val cu = spark.read.parquet(s"${TestSpark.sf}/customer.parquet")
+    val keys = na.filter(col("n_regionkey") === 1).select("n_nationkey")
+    val want = cu.join(keys, cu("c_nationkey") === keys("n_nationkey"), "left_semi").select(col("c_name"))
+    assertSame(inq, want)
+
+    val ex = g.sql("select c_name from customer c where exists (select 1 from orders o where o.o_custkey = c.c_custkey and o.o_totalprice > 300000)")
+    assert(ex.count() > 0)
+    val nex = g.sql("select count(*) as n from customer c where not exists (select 1 from orders o where o.o_custkey = c.c_custkey)")
+    val cu2 = spark.read.parquet(s"${TestSpark.sf}/customer.parquet")
+    val or2 = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+    val wantNex = cu2.join(or2, cu2("c_custkey") === or2("o_custkey"), "left_anti").count()
+    assert(nex.collect().head.getLong(0) == wantNex)
+  }
+
+  test("scalar subquery") {
+    val got = g.sql("select o_orderkey from orders where o_totalprice > (select avg(o_totalprice) from orders) limit 5")
+    assert(got.count() == 5)
+  }
+
+  test("case when / functions / division semantics") {
+    val got = g.sql("select case when l_quantity > 25 then 'big' else 'small' end as sz, l_quantity / 2 as hq, abs(0 - l_tax) as t, upper(l_returnflag) as u, substring(l_linestatus, 1, 1) as s1 from lineitem limit 10")
+    assert(got.schema("hq").dataType.typeName == "double") // `/` → Double, typer.scala_:243
+    assert(got.count() == 10)
+  }
+
+  test("? parameters bind in text order") {
+    val got = g.sql("select l_orderkey from lineitem where l_quantity > ? and l_discount < ? order by l_orderkey limit ?", 45, 0.02, 7L)
+    assert(got.count() <= 7)
+  }
+
+  test("derived tables and dual") {
+    val got = g.sql("select k from (select l_orderkey as k from lineitem where l_quantity > 49) as q where k > 100")
+    assert(got.count() > 0)
+    assert(g.sql("select 1 + 2 as three").collect().head.getLong(0) == 3)
+  }
+
+  test("rollup") {
+    val got = g.sql("select l_returnflag as f, l_linestatus as s, sum(l_quantity) as q from lineitem group by l_returnflag, l_linestatus with rollup")
+    val want = li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("q"))
+    assert(got.count() == want.count())
+  }
+
+  test("DDL: create schema (+extends) and create stream with derived source") {
+    g.sql("create schema base (id long, ts timestamp)")
+    g.sql("create schema extended (value double) extends base")
+    assert(g.catalog.schema("extended").get.fieldNames.toSeq == Seq("id", "ts", "value"))
+
+    g.sql("create stream hot_events (event_id long) as (select event_id from events where value > 100)")
+    val n = g.sql("select count(*) as n from hot_events").collect().head.getLong(0)
+    assert(n == ev.filter(col("value") > 100).count())
+  }
+
+  test("insert into values and insert-select") {
+    g.sql("create stream sink (a long, b string)")
+    g.sql("insert into sink (a, b) values (1, 'x'), (2, 'y')")
+    g.sql("insert into sink select l_orderkey, l_returnflag from lineitem where l_orderkey < 3")
+    assert(g.sql("select count(*) as n from sink").collect().head.getLong(0) >= 2)
+  }
+
+  test("update/delete rejected") {
+    intercept[Exception](g.sql("update lineitem set l_quantity = 0"))
+    intercept[Exception](g.sql("delete from lineitem"))
+  }
+
+  test("tumbling time window [size 1 d on ts]") {
+    val got = g.sql("select w_start, count(*) as n from events [size 1 d on ts] group by w_start")
+    val want = ev.groupBy(window(col("ts"), "1 day")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+    assertSame(got, want)
+  }
+
+  test("sliding time window [size 2 d every 1 d on ts]") {
+    val got = g.sql("select w_start, count(*) as n from events [size 2 d on ts every 1 d] group by w_start")
+    val want = ev.groupBy(window(col("ts"), "2 days", "1 day")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+    assertSame(got, want)
+  }
+
+  test("partitioned window implies per-key grouping") {
+    val got = g.sql("select w_start, event_type, sum(value) as v from events [size 1 d on ts partitioned on event_type] group by event_type")
+    val want = ev.groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(sum("value").as("v"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("v"))
+    assertSame(got, want)
+  }
+
+  test("count window [size 100 on event_id]") {
+    val got = g.sql("select w_id, count(*) as n from events [size 100 on event_id] group by w_id")
+    val total = ev.count()
+    val full = got.filter(col("n") === 100).count()
+    assert(full == total / 100)
+  }
+
+  test("windowed join buckets co-windowed rows") {
+    // window specs make downstream aggregation implicitly per-window (FSQL
+    // semantics): sum the per-window counts and compare with the total
+    // number of co-windowed same-type pairs.
+    val got = g.sql(
+      "select count(*) as n from events [size 1 h on ts] as e1 join events [size 1 h on ts] as e2 on e1.event_type = e2.event_type")
+    val gotTotal = got.agg(sum("n")).collect().head.getLong(0)
+    val w = window(col("ts"), "1 hour")
+    val l = ev.select(w.as("w"), col("event_type"))
+    val r = ev.select(w.as("w"), col("event_type").as("et2"))
+    val want = l.join(r, l("w") === r("w") && col("event_type") === col("et2")).count()
+    assert(gotTotal == want)
+  }
+
+  test("fluent expression DSL") {
+    import TestSpark.spark.implicits._
+    val c = g.expr("l_quantity.sum as total")
+    val got = li.agg(c).collect().head.getDouble(0)
+    val want = li.agg(sum("l_quantity")).collect().head.getDouble(0)
+    assert(got == want)
+    assert(li.filter(g.expr("l_quantity > 30 && l_discount <= 0.05")).count() ==
+      li.filter(col("l_quantity") > 30 && col("l_discount") <= 0.05).count())
+    assert(li.select(g.expr("l_returnflag.substring(1, 1)")).distinct().count() ==
+      li.select(col("l_returnflag").substr(1, 1)).distinct().count())
+  }
+
+  test("schemaOf reports output types without execution") {
+    val sch = g.schemaOf("select l_orderkey as k, l_quantity / 2 as h from lineitem")
+    assert(sch.fieldNames.toSeq == Seq("k", "h"))
+    assert(sch("h").dataType.typeName == "double")
+  }
+}

@@ -1,0 +1,26 @@
+package graft
+// Sample user code through the library's public surface (GraftSession).
+object VerifyDrive {
+  def main(a: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    val g = GraftSession.forDir(spark, "/root/testdata/sf0.001")
+    def show(tag: String, sql: String, args: Any*): Unit = {
+      println(s"=== $tag: $sql")
+      try g.sql(sql, args: _*).show(5, false)
+      catch { case e: Exception => println(s"  ERROR(${e.getClass.getSimpleName}): ${e.getMessage}") }
+    }
+    show("agg", "select l_returnflag as f, sum(l_quantity) as q from lineitem group by l_returnflag order by f")
+    show("join+window", "select w_start, event_type, count(*) as n from events [size 1 d on ts partitioned on event_type] group by event_type order by n desc limit 3")
+    show("params", "select o_orderkey from orders where o_totalprice > ? order by o_orderkey limit ?", 400000, 3L)
+    // probes: things a user types wrong
+    show("probe: parse error", "select from where")
+    show("probe: unknown table", "select * from nosuchtable")
+    show("probe: unknown column", "select nope from lineitem")
+    show("probe: update rejected", "update lineitem set l_quantity = 0")
+    show("probe: missing param", "select * from orders where o_orderkey = ?")
+    show("probe: extra param", "select count(*) as n from orders", 42)
+    show("probe: ambiguous column", "select n_nationkey from nation a join nation b on a.n_nationkey = b.n_nationkey")
+    println("=== expr DSL: " + g.expr("l_quantity.sum as total"))
+    println("=== schemaOf: " + g.schemaOf("select l_orderkey as k, l_quantity/2 as h from lineitem"))
+  }
+}
