@@ -1,13 +1,298 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions.{round => rnd, sum => fsum}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry routes through `GraftSession.sql` (the engine under test),
+  * never raw Spark SQL: the point of each query is the operator family from
+  * SURVEY.md §2 named in its key. `oracleSql` carries the DuckDB-equivalent
+  * ANSI SQL over the same parquet tables; column names/aliases match the
+  * engine output exactly (the driver compare hashes by sorted column name).
+  *
+  * Determinism conventions shared by both sides:
+  *   - every query ORDER BYs a unique key (DuckDB default is NULLS LAST on
+  *     ASC; Spark's is NULLS FIRST, so oracles say NULLS FIRST explicitly
+  *     where nullable keys occur);
+  *   - double aggregates are ROUND()ed so sum-order nondeterminism cannot
+  *     flip the hash;
+  *   - DuckDB integer SUMs are CAST(.. AS BIGINT) (DuckDB widens to
+  *     HUGEINT, Spark to long);
+  *   - stream-window starts are epoch-microsecond bucket arithmetic on both
+  *     sides (identical floor semantics, see Translator.applyWindow).
+  */
 object SparkEntry {
+
+  private def g(spark: SparkSession, dir: String): GraftSession =
+    GraftSession.forDir(spark, dir)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    g(spark, "/root/testdata/sf0.001").sql(
+      """select l_returnflag as f, l_linestatus as s, count(*) as n,
+        |round(sum(l_extendedprice), 2) as revenue
+        |from lineitem group by l_returnflag, l_linestatus order by f, s""".stripMargin)
+
+  /** One entry per implemented operator from SURVEY.md §2 (+§7.2 M4
+    * extensions, registered by graft.operators.Extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = relational ++
+    graft.operators.Extensions.queries
+
+  private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- P1-P5, F1, F7: projection, arithmetic, where and/or ----
+    "q01_project_where" -> ((s, d) => g(s, d).sql(
+      "select l_orderkey + 3 as k, l_linenumber as ln from lineitem " +
+      "where l_linenumber = 2 or (l_quantity > 30 and l_discount >= 0.05) order by k, ln")),
+    // ---- A1-A6: group by / having / the five reference aggregates ----
+    "q02_agg_group_having" -> ((s, d) => g(s, d).sql(
+      "select l_returnflag as f, l_linestatus as s, count(l_orderkey) as n, " +
+      "round(sum(l_quantity), 2) as qty, round(sum(l_extendedprice), 2) as price, " +
+      "round(avg(l_discount), 6) as disc, min(l_extendedprice) as mn, max(l_extendedprice) as mx " +
+      "from lineitem group by l_returnflag, l_linestatus having count(l_orderkey) > 100 order by f, s")),
+    // ---- P6/P7/§2.6: case-when, scalar functions, `/`→Double ----
+    "q03_case_scalar_fns" -> ((s, d) => g(s, d).sql(
+      "select l_orderkey as k, l_linenumber as ln, " +
+      "case when l_quantity > 25 then 'big' else 'small' end as sz, " +
+      // NOTE: /2 stays unrounded — binary-exact in both engines; round()
+      // on .xx5 halves diverges (Spark HALF_UP on decimal string vs
+      // DuckDB round-half-even on the binary double).
+      "l_extendedprice / 2 as half, abs(0 - l_tax) as t, " +
+      "upper(l_returnflag) as uf, lower(l_linestatus) as ls, substring(l_linestatus, 1, 1) as s1 " +
+      "from lineitem where l_orderkey < 500 order by k, ln")),
+    // ---- J4/J5: inner join chain with ON predicates ----
+    "q04_join_chain" -> ((s, d) => g(s, d).sql(
+      "select c.c_custkey as ck, n.n_name as nation, r.r_name as region " +
+      "from customer c join nation n on c.c_nationkey = n.n_nationkey " +
+      "join region r on n.n_regionkey = r.r_regionkey where c.c_acctbal > 9000 order by ck")),
+    // ---- J2/J4: left outer join (extra ON conjunct leaves unmatched rows) ----
+    "q05_join_left" -> ((s, d) => g(s, d).sql(
+      "select c.c_custkey as ck, o.o_orderkey as ok from customer c " +
+      "left join orders o on c.c_custkey = o.o_custkey and o.o_totalprice > 400000 " +
+      "order by ck, ok")),
+    "q06_join_right" -> ((s, d) => g(s, d).sql(
+      "select n.n_name as nation, c.c_custkey as ck from customer c " +
+      "right join nation n on c.c_nationkey = n.n_nationkey and c.c_acctbal > 9999 " +
+      "order by nation, ck")),
+    "q07_join_full" -> ((s, d) => g(s, d).sql(
+      "select n.n_name as nation, r.r_name as region from nation n " +
+      "full outer join region r on n.n_regionkey = r.r_regionkey and r.r_regionkey < 2 " +
+      "order by nation, region")),
+    // ---- J3/J1/J6: USING join chained with CROSS JOIN ----
+    "q08_join_using_cross" -> ((s, d) => g(s, d).sql(
+      "select count(*) as n from nation a join nation b using (n_regionkey) cross join region")),
+    // ---- O1/O2: multi-key sort, limit, offset ----
+    "q09_order_limit_offset" -> ((s, d) => g(s, d).sql(
+      "select o_orderkey as k, o_totalprice as p from orders " +
+      "order by o_totalprice desc, o_orderkey limit 10 offset 5")),
+    // ---- P11: DISTINCT ----
+    "q10_distinct" -> ((s, d) => g(s, d).sql(
+      "select distinct l_returnflag as f, l_linestatus as s from lineitem order by f, s")),
+    // ---- O3: set operations ----
+    "q11_union" -> ((s, d) => g(s, d).sql(
+      "select n_regionkey as k from nation union select r_regionkey from region order by k")),
+    "q12_union_all" -> ((s, d) => g(s, d).sql(
+      "select n_regionkey as k from nation union all select r_regionkey from region order by k")),
+    "q13_except" -> ((s, d) => g(s, d).sql(
+      "select n_regionkey as k from nation except select r_regionkey from region where r_regionkey < 2 order by k")),
+    "q14_intersect" -> ((s, d) => g(s, d).sql(
+      "select n_regionkey as k from nation intersect select r_regionkey from region order by k")),
+    // ---- F2-F5: IN-list, BETWEEN, LIKE, IS NULL ----
+    "q15_predicates" -> ((s, d) => g(s, d).sql(
+      "select count(*) as n from orders where o_orderstatus in ('F', 'O') " +
+      "and o_totalprice between 1000 and 200000 and o_orderpriority like '1%' " +
+      "and o_custkey is not null")),
+    // ---- F5/F6 + Q3: IN (subquery), correlated EXISTS ----
+    "q16_in_exists_subq" -> ((s, d) => g(s, d).sql(
+      "select c_custkey as ck from customer c " +
+      "where c_nationkey in (select n_nationkey from nation where n_regionkey = 1) " +
+      "and exists (select 1 from orders o where o.o_custkey = c.c_custkey and o.o_totalprice > 200000) " +
+      "order by ck")),
+    "q17_not_in_not_exists" -> ((s, d) => g(s, d).sql(
+      "select count(*) as n from customer c " +
+      "where c_nationkey not in (select n_nationkey from nation where n_regionkey = 0) " +
+      "and not exists (select 1 from orders o where o.o_custkey = c.c_custkey)")),
+    // ---- P9: scalar subquery in a comparison ----
+    "q18_scalar_subquery" -> ((s, d) => g(s, d).sql(
+      "select o_orderkey as k from orders " +
+      "where o_totalprice > (select max(o_totalprice) - 1000 from orders) order by k")),
+    // ---- P8: positional ? parameters (typed from context, bound in order) ----
+    "q19_params" -> ((s, d) => g(s, d).sql(
+      "select l_orderkey as k, l_linenumber as ln from lineitem " +
+      "where l_quantity > ? and l_discount < ? order by k, ln limit ?",
+      45, 0.02, 7L)),
+    // ---- Q1: derived table in FROM ----
+    "q20_derived_table" -> ((s, d) => g(s, d).sql(
+      "select k, cnt from (select l_orderkey as k, count(*) as cnt from lineitem group by l_orderkey) as t " +
+      "where cnt >= 6 order by k")),
+    // ---- Q5: dual (SELECT without FROM) + literals ----
+    "q21_dual" -> ((s, d) => g(s, d).sql(
+      "select 1 + 2 as three, upper('ab') as u, case when 1 < 2 then 'y' else 'n' end as c")),
+    // ---- A3: WITH ROLLUP ----
+    "q22_rollup" -> ((s, d) => g(s, d).sql(
+      "select l_returnflag as f, l_linestatus as s, round(sum(l_quantity), 2) as qty " +
+      "from lineitem group by l_returnflag, l_linestatus with rollup order by f, s")),
+    // ---- §2.5 note: distinct aggregates (parsed-and-dropped upstream, real here) ----
+    "q23_distinct_agg" -> ((s, d) => g(s, d).sql(
+      "select count(distinct l_suppkey) as ns, sum(distinct l_linenumber) as sl from lineitem")),
+    // ---- W1/W4: tumbling event-time window ----
+    "q24_window_tumbling" -> ((s, d) => g(s, d).sql(
+      "select w_start, count(*) as n, round(sum(value), 4) as v " +
+      "from events [size 1 d on ts] group by w_start order by w_start")),
+    // ---- W3: sliding window (rows explode into size/every buckets) ----
+    "q25_window_sliding" -> ((s, d) => g(s, d).sql(
+      "select w_start, count(*) as n from events [size 2 d on ts every 1 d] " +
+      "group by w_start order by w_start")),
+    // ---- W5: partitioned (per-key) window ----
+    "q26_window_partitioned" -> ((s, d) => g(s, d).sql(
+      "select w_start, event_type as et, round(sum(value), 4) as v " +
+      "from events [size 1 d on ts partitioned on event_type] group by event_type order by w_start, et")),
+    // ---- W2: count window (the reference's one op with no Spark primitive) ----
+    "q27_count_window" -> ((s, d) => g(s, d).sql(
+      "select w_id, event_type as et, count(*) as n " +
+      "from events [size 100 on event_id partitioned on event_type] group by event_type order by et, w_id")),
+    // ---- W6: windowed stream-stream join (equi-join on window bucket) ----
+    "q28_windowed_join" -> ((s, d) => g(s, d).sql(
+      "select count(*) as n from events [size 1 h on ts] as e1 " +
+      "join events [size 1 h on ts] as e2 on e1.event_type = e2.event_type order by n")),
+    // ---- S1/S2/S5: CREATE SCHEMA (+extends) / CREATE STREAM with derived source ----
+    "q29_ddl_derived_stream" -> ((s, d) => {
+      val e = g(s, d)
+      e.sql("create schema q29_base (event_id long)")
+      e.sql("create stream q29_hot q29_base as (select event_id from events where value > 100)")
+      e.sql("select count(*) as n from q29_hot")
+    }),
+    // ---- S6/S7: INSERT INTO … VALUES and INSERT INTO … SELECT ----
+    "q30_insert" -> ((s, d) => {
+      val e = g(s, d)
+      e.sql("create stream q30_sink (a long, b string)")
+      e.sql("insert into q30_sink (a, b) values (1, 'x'), (2, 'y')")
+      e.sql("insert into q30_sink select l_orderkey, l_returnflag from lineitem where l_orderkey < 3")
+      e.sql("select a, b from q30_sink order by a, b")
+    }),
+    // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
+    "q31_expr_dsl" -> ((s, d) => {
+      val e = g(s, d)
+      e.catalog.relation("lineitem")
+        .filter(e.expr("l_quantity > 30 && l_discount <= 0.05"))
+        .agg(rnd(e.expr("l_quantity.sum"), 2).as("total"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (engine-specific operators with
+    * no SQL equivalent) get the driver's weaker rows-only check. */
+  def oracleSql: Map[String, String] = relationalOracles ++
+    graft.operators.Extensions.oracles
+
+  /** Epoch-µs floor-bucket arithmetic, same semantics as Translator.applyWindow. */
+  private def bucketUs(col: String, us: Long): String =
+    s"make_timestamp((epoch_us(CAST($col AS TIMESTAMP)) // $us) * $us)"
+
+  private def relationalOracles: Map[String, String] = Map(
+    "q01_project_where" ->
+      ("SELECT l_orderkey + 3 AS k, l_linenumber AS ln FROM lineitem " +
+       "WHERE l_linenumber = 2 OR (l_quantity > 30 AND l_discount >= 0.05) ORDER BY k, ln"),
+    "q02_agg_group_having" ->
+      ("SELECT l_returnflag AS f, l_linestatus AS s, COUNT(l_orderkey) AS n, " +
+       "ROUND(SUM(l_quantity), 2) AS qty, ROUND(SUM(l_extendedprice), 2) AS price, " +
+       "ROUND(AVG(l_discount), 6) AS disc, MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx " +
+       "FROM lineitem GROUP BY l_returnflag, l_linestatus HAVING COUNT(l_orderkey) > 100 ORDER BY f, s"),
+    "q03_case_scalar_fns" ->
+      ("SELECT l_orderkey AS k, l_linenumber AS ln, " +
+       "CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS sz, " +
+       "CAST(l_extendedprice AS DOUBLE) / 2 AS half, ABS(0 - l_tax) AS t, " +
+       "UPPER(l_returnflag) AS uf, LOWER(l_linestatus) AS ls, SUBSTRING(l_linestatus, 1, 1) AS s1 " +
+       "FROM lineitem WHERE l_orderkey < 500 ORDER BY k, ln"),
+    "q04_join_chain" ->
+      ("SELECT c.c_custkey AS ck, n.n_name AS nation, r.r_name AS region " +
+       "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+       "JOIN region r ON n.n_regionkey = r.r_regionkey WHERE c.c_acctbal > 9000 ORDER BY ck"),
+    "q05_join_left" ->
+      ("SELECT c.c_custkey AS ck, o.o_orderkey AS ok FROM customer c " +
+       "LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000 " +
+       "ORDER BY ck, ok NULLS FIRST"),
+    "q06_join_right" ->
+      ("SELECT n.n_name AS nation, c.c_custkey AS ck FROM customer c " +
+       "RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9999 " +
+       "ORDER BY nation, ck NULLS FIRST"),
+    "q07_join_full" ->
+      ("SELECT n.n_name AS nation, r.r_name AS region FROM nation n " +
+       "FULL OUTER JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_regionkey < 2 " +
+       "ORDER BY nation NULLS FIRST, region NULLS FIRST"),
+    "q08_join_using_cross" ->
+      "SELECT COUNT(*) AS n FROM nation a JOIN nation b USING (n_regionkey) CROSS JOIN region",
+    "q09_order_limit_offset" ->
+      ("SELECT o_orderkey AS k, o_totalprice AS p FROM orders " +
+       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5"),
+    "q10_distinct" ->
+      "SELECT DISTINCT l_returnflag AS f, l_linestatus AS s FROM lineitem ORDER BY f, s",
+    "q11_union" ->
+      "SELECT n_regionkey AS k FROM nation UNION SELECT r_regionkey FROM region ORDER BY k",
+    "q12_union_all" ->
+      "SELECT n_regionkey AS k FROM nation UNION ALL SELECT r_regionkey FROM region ORDER BY k",
+    "q13_except" ->
+      ("SELECT n_regionkey AS k FROM nation EXCEPT " +
+       "SELECT r_regionkey FROM region WHERE r_regionkey < 2 ORDER BY k"),
+    "q14_intersect" ->
+      "SELECT n_regionkey AS k FROM nation INTERSECT SELECT r_regionkey FROM region ORDER BY k",
+    "q15_predicates" ->
+      ("SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus IN ('F', 'O') " +
+       "AND o_totalprice BETWEEN 1000 AND 200000 AND o_orderpriority LIKE '1%' " +
+       "AND o_custkey IS NOT NULL"),
+    "q16_in_exists_subq" ->
+      ("SELECT c_custkey AS ck FROM customer c " +
+       "WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1) " +
+       "AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) " +
+       "ORDER BY ck"),
+    "q17_not_in_not_exists" ->
+      ("SELECT COUNT(*) AS n FROM customer c " +
+       "WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0) " +
+       "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
+    "q18_scalar_subquery" ->
+      ("SELECT o_orderkey AS k FROM orders " +
+       "WHERE o_totalprice > (SELECT MAX(o_totalprice) - 1000 FROM orders) ORDER BY k"),
+    "q19_params" ->
+      ("SELECT l_orderkey AS k, l_linenumber AS ln FROM lineitem " +
+       "WHERE l_quantity > 45 AND l_discount < 0.02 ORDER BY k, ln LIMIT 7"),
+    "q20_derived_table" ->
+      ("SELECT k, cnt FROM (SELECT l_orderkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey) t " +
+       "WHERE cnt >= 6 ORDER BY k"),
+    "q21_dual" ->
+      ("SELECT CAST(1 + 2 AS BIGINT) AS three, UPPER('ab') AS u, " +
+       "CASE WHEN 1 < 2 THEN 'y' ELSE 'n' END AS c"),
+    "q22_rollup" ->
+      ("SELECT l_returnflag AS f, l_linestatus AS s, ROUND(SUM(l_quantity), 2) AS qty " +
+       "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+       "ORDER BY f NULLS FIRST, s NULLS FIRST"),
+    "q23_distinct_agg" ->
+      ("SELECT COUNT(DISTINCT l_suppkey) AS ns, CAST(SUM(DISTINCT l_linenumber) AS BIGINT) AS sl " +
+       "FROM lineitem"),
+    "q24_window_tumbling" ->
+      (s"SELECT ${bucketUs("ts", 86400000000L)} AS w_start, COUNT(*) AS n, " +
+       "ROUND(SUM(value), 4) AS v FROM events GROUP BY 1 ORDER BY 1"),
+    "q25_window_sliding" ->
+      ("SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 - o.off) * 86400000000) AS w_start, " +
+       "COUNT(*) AS n FROM events, (SELECT UNNEST([0, 1]) AS off) o GROUP BY 1 ORDER BY 1"),
+    "q26_window_partitioned" ->
+      (s"SELECT ${bucketUs("ts", 86400000000L)} AS w_start, event_type AS et, " +
+       "ROUND(SUM(value), 4) AS v FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q27_count_window" ->
+      ("SELECT w_id, et, COUNT(*) AS n FROM (SELECT (row_number() OVER " +
+       "(PARTITION BY event_type ORDER BY event_id) - 1) // 100 AS w_id, event_type AS et " +
+       "FROM events) GROUP BY 1, 2 ORDER BY 2, 1"),
+    "q28_windowed_join" ->
+      ("SELECT COUNT(*) AS n FROM " +
+       "(SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS b, event_type FROM events) e1 " +
+       "JOIN (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS b, event_type AS et2 FROM events) e2 " +
+       "ON e1.b = e2.b AND e1.event_type = e2.et2 GROUP BY e1.b ORDER BY n"),
+    "q29_ddl_derived_stream" ->
+      "SELECT COUNT(*) AS n FROM events WHERE value > 100",
+    "q30_insert" ->
+      ("SELECT a, b FROM (SELECT CAST(1 AS BIGINT) AS a, 'x' AS b UNION ALL SELECT 2, 'y' " +
+       "UNION ALL SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_orderkey < 3) " +
+       "ORDER BY a, b"),
+    "q31_expr_dsl" ->
+      ("SELECT ROUND(SUM(l_quantity), 2) AS total FROM lineitem " +
+       "WHERE l_quantity > 30 AND l_discount <= 0.05")
+  )
 }

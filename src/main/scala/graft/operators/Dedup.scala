@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-training-data pipelines (SURVEY §7.2 M4).
+  *
+  * Scale design notes (the 100 TB contract):
+  *  - exact dedup is one hash-partitioned groupBy on the key — Spark's
+  *    map-side partial aggregation keeps the shuffle at one record per
+  *    (partition, key);
+  *  - MinHash/SimHash candidate generation shuffles (band, bucket-hash)
+  *    pairs, never document cross products; only same-bucket documents are
+  *    joined, so the quadratic blowup is bounded by bucket size;
+  *  - all signature computation is pure Column expressions (codegen'd,
+  *    no UDFs, no driver collects).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // exact
+  // ------------------------------------------------------------------
+
+  /** Exact dedup: keep the lowest `idCol` per distinct `keyCols` value.
+    * Returns the surviving rows (all original columns). */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val key = keyCols.map(col)
+    // min-id per key, then inner join back (broadcast-unsafe at scale: the
+    // keeper set is the same size as the output; a semi-join on (key, id)
+    // shuffles once on the same key as the groupBy — AQE reuses the
+    // exchange).
+    val keep = df.groupBy(key: _*).agg(min(col(idCol)).as(idCol))
+    df.join(keep, keyCols :+ idCol, "left_semi")
+  }
+
+  /** Dedup survivors by content hash — same result as `exact` on a text
+    * key but shuffles 64-bit hashes instead of full documents. */
+  def exactByHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val h = xxhash64(col(textCol))
+    val keep = df.select(h.as("__h"), col(idCol))
+      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+    df.join(keep.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  // ------------------------------------------------------------------
+
+  /** Deterministic universal-hash coefficients (seeded — stable across
+    * runs and JVMs, required for driver re-verification). */
+  private def coefficients(n: Int, seed: Long): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val p = (1L << 31) - 1 // Mersenne prime 2^31-1
+    val a = Seq.fill(n)(1L + (rnd.nextLong().abs % (p - 1)))
+    val b = Seq.fill(n)(rnd.nextLong().abs % p)
+    (a, b)
+  }
+
+  private val MersennePrime = (1L << 31) - 1
+
+  /** Word w-shingles of a document as an array column. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    when(size(words) < w, array(concat_ws(" ", words)))
+      .otherwise(transform(
+        sequence(lit(0), size(words) - w),
+        i => concat_ws(" ", slice(words, i + 1, lit(w)))))
+  }
+
+  /** k-component MinHash signature over word shingles: for each seeded
+    * permutation i, min_i over shingles of ((a_i * h + b_i) mod p).
+    * One narrow projection — no shuffle. */
+  def minhashSignature(text: Column, k: Int = 64, shingleW: Int = 3,
+                       seed: Long = 42L): Column = {
+    val (as, bs) = coefficients(k, seed)
+    val hashes = transform(shingles(text, shingleW),
+      s => pmod(xxhash64(s), lit(MersennePrime)))
+    array((0 until k).map { i =>
+      array_min(transform(hashes,
+        h => pmod(h * as(i) + bs(i), lit(MersennePrime))))
+    }: _*)
+  }
+
+  /** MinHash signatures via explode + codegen'd hash aggregation — the
+    * scale path. Nested higher-order functions (`transform`/`aggregate`)
+    * are CodegenFallback in Catalyst (interpreted per element, ~100×
+    * slower); exploding shingles to rows and computing k `min(pmod(...))`
+    * aggregates keeps everything in whole-stage codegen with map-side
+    * partial aggregation (shingles of one doc are colocated, so the
+    * shuffle carries one signature row per doc). */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 64, shingleW: Int = 3,
+                        seed: Long = 42L): DataFrame = {
+    val (as, bs) = coefficients(k, seed)
+    val exploded = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleW)).as("sh"))
+      .select(col("id"), pmod(xxhash64(col("sh")), lit(MersennePrime)).as("h"))
+    val aggs = (0 until k).map(i =>
+      min(pmod(col("h") * as(i) + bs(i), lit(MersennePrime))).as(s"m$i"))
+    exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: candidate pairs are documents sharing at least one
+    * (band, band-hash) bucket. `bands` * rowsPerBand = signature length.
+    * Returns (idA, idB, est_jaccard) with idA < idB, est_jaccard =
+    * fraction of equal signature components (the MinHash estimator). */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 64, bands: Int = 16, shingleW: Int = 3,
+                        threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, "bands must divide signature length")
+    val r = k / bands
+    val sig = minhashSignatures(df, textCol, idCol, k, shingleW, seed)
+    val banded = sig.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(to_json(struct(slice(col("sig"), b * r + 1, lit(r))))).as("bh"))))
+          .as("bucket"))
+      .select(col("id"), col("sig"),
+        col("bucket.band").as("band"), col("bucket.bh").as("bh"))
+    // same-bucket self-join: equi-join on (band, bh) — hash-partitionable;
+    // distinct collapses pairs that collide in several bands BEFORE the
+    // (wider) estimator projection.
+    val l = banded.select(col("band"), col("bh"), col("id").as("ida"), col("sig").as("siga"))
+    val rr = banded.select(col("band"), col("bh"), col("id").as("idb"), col("sig").as("sigb"))
+    val pairs = l.join(rr, Seq("band", "bh")).where(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("siga"), col("sigb")).distinct()
+    val est = size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+      (b: Column) => b)).cast("double") / k
+    pairs.select(col("ida"), col("idb"), round(est, 4).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash over word tokens: bit i of the output is set when the
+    * sum over tokens of ±1 (by bit i of the token hash) is positive. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
+    val bits = transform(sequence(lit(0), lit(63)), i =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
+        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidates: documents sharing at least one of four
+    * 16-bit chunks (any pair with Hamming distance <= 3 must share one).
+    * Returns (ida, idb, hamming). */
+  /** SimHash signatures via explode + codegen'd aggregation (same scale
+    * rationale as [[minhashSignatures]]): one ±1 sum per bit as 64
+    * codegen'd aggregates, then the bit-pack as a plain projection. */
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val aggs = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i"))
+    val bitCols = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    toks.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), bitCols.reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+  }
+
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val withSig = simhashSignatures(df, textCol, idCol)
+    val chunked = withSig.select(col("id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(3)),
+        c => struct(c.as("chunk"),
+          call_function("shiftright", col("sh"), c * lit(16)).bitwiseAND(0xFFFFL).as("ch")))).as("b"))
+      .select(col("id"), col("sh"), col("b.chunk").as("chunk"), col("b.ch").as("ch"))
+    val l = chunked.select(col("chunk"), col("ch"), col("id").as("ida"), col("sh").as("sha"))
+    val r = chunked.select(col("chunk"), col("ch"), col("id").as("idb"), col("sh").as("shb"))
+    val pairs = l.join(r, Seq("chunk", "ch")).where(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("sha"), col("shb")).distinct()
+    val hamming = bit_count(col("sha").bitwiseXOR(col("shb")))
+    pairs.select(col("ida"), col("idb"), hamming.cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------------------
+  // exact n-gram Jaccard (verification-grade, over candidate pairs)
+  // ------------------------------------------------------------------
+
+  /** Exact word-n-gram Jaccard for given candidate pairs. `pairs` has
+    * (ida, idb); joins the documents back in twice (hash joins on id). */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String,
+                   idCol: String, n: Int = 3): DataFrame = {
+    val g = docs.select(col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), n)).as("__grams"))
+    pairs
+      .join(g.select(col("__id").as("ida"), col("__grams").as("ga")), "ida")
+      .join(g.select(col("__id").as("idb"), col("__grams").as("gb")), "idb")
+      .select(col("ida"), col("idb"),
+        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))), 4).as("jaccard"))
+  }
+
+  /** End-to-end near-dup pipeline: MinHash-LSH candidates verified with
+    * exact n-gram Jaccard at `threshold`. */
+  def nearDuplicates(docs: DataFrame, textCol: String, idCol: String,
+                     threshold: Double = 0.8): DataFrame = {
+    val cands = minhashCandidates(docs, textCol, idCol, threshold = threshold * 0.6)
+    ngramJaccard(cands.select(col("ida"), col("idb")), docs, textCol, idCol)
+      .where(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // embedding cosine near-dup
+  // ------------------------------------------------------------------
+
+  /** Near-duplicate pairs by embedding cosine, candidates via banded
+    * multi-table sign-LSH — only pairs sharing a (table, bucket) are
+    * compared. Returns (ida, idb, cos). */
+  def embeddingNearDup(emb: DataFrame, vecCol: String, idCol: String,
+                       minCos: Double = 0.4, tables: Int = 4, bits: Int = 4,
+                       seed: Long = 42L): DataFrame = {
+    val bk = explode(Similarity.hyperplaneBuckets(col(vecCol), tables, bits, seed))
+    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"), bk.as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("ida"), col("v").as("va"))
+    val r = b.select(col("bucket"), col("id").as("idb"), col("v").as("vb"))
+    l.join(r, Seq("bucket")).where(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("va"), col("vb")).distinct()
+      .select(col("ida"), col("idb"),
+        round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+}

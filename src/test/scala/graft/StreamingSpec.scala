@@ -1,0 +1,88 @@
+package graft
+
+import graft.streaming.{CountWindow, Sinks}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming parity (SURVEY §2.9 M3): the FSQL window
+  * constructs running on real streams via MemoryStream. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("W1 streaming: tumbling window aggregation on a stream") {
+    val in = MemoryStream[(java.sql.Timestamp, Double)](spark)
+    val df = in.toDF().toDF("ts", "value")
+    val agg = df
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .select(col("window.start").as("w_start"), col("n"), col("v"))
+    val q = Sinks.memory(agg, "w1_out", OutputMode.Complete())
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      in.addData((ts(1, 0), 1.0), (ts(1, 30), 2.0), (ts(2, 15), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("w1_out").collect()
+        .map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(rows("2024-01-01 01:00:00.0") == (2L, 3.0))
+      assert(rows("2024-01-01 02:00:00.0") == (1L, 4.0))
+    } finally q.stop()
+  }
+
+  test("W2 streaming: count windows via flatMapGroupsWithState") {
+    val in = MemoryStream[(String, Long)](spark)
+    val df = in.toDF().toDF("k", "v")
+    val assigned = CountWindow.assign(df, size = 2, keyCols = Seq("k"))
+    val q = Sinks.memory(assigned, "w2_out", OutputMode.Append())
+    try {
+      in.addData(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L))
+      q.processAllAvailable()
+      in.addData(("a", 4L), ("b", 11L))
+      q.processAllAvailable()
+      val rows = spark.table("w2_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // key a: rows 1,2 -> w0; 3,4 -> w1. key b: 10,11 -> w0 (across batches)
+      assert(rows.toSet == Set(
+        ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L), ("a", 4L, 1L),
+        ("b", 10L, 0L), ("b", 11L, 0L)))
+    } finally q.stop()
+  }
+
+  test("W3/W5 streaming: sliding window with key, update mode") {
+    val in = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val df = in.toDF().toDF("ts", "k")
+    val agg = df.groupBy(window(col("ts"), "2 hours", "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("k"), col("n"))
+    val q = Sinks.memory(agg, "w3_out", OutputMode.Complete())
+    try {
+      def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+      in.addData((ts(1), "x"), (ts(2), "x"))
+      q.processAllAvailable()
+      val rows = spark.table("w3_out").collect()
+      // each row lands in 2 sliding windows; x@1:30 -> [00:00,01:00], x@2:30 -> [01:00,02:00]
+      val byStart = rows.map(r => r.getTimestamp(0).toString -> r.getLong(2)).toMap
+      assert(byStart("2024-01-01 01:00:00.0") == 2L) // both rows share the 01:00 window
+    } finally q.stop()
+  }
+
+  test("streaming GraftSession: file stream source reads and aggregates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toFile
+    val f = new java.io.File(dir, "in.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("1,3.5"); w.println("2,4.5"); w.close()
+    val g = new GraftSession(spark, streaming = true)
+    g.sql("create stream s (id long, v double) source file('" + dir.getAbsolutePath + "')")
+    val sdf = g.catalog.relation("s")
+    assert(sdf.isStreaming)
+    val q = Sinks.memory(sdf.groupBy().agg(sum("v").as("t")), "fs_out", OutputMode.Complete())
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fs_out").collect().head.getDouble(0) == 8.0)
+    } finally { q.stop(); f.delete(); dir.delete() }
+  }
+}
