@@ -58,13 +58,36 @@ object Dedup {
 
   private val MersennePrime = (1L << 31) - 1
 
-  /** Word w-shingles of a document as an array column. */
+  /** Word w-shingles of a document as an array column. (Interpreted HOF —
+    * fine for ad-hoc Column use; the scale path is [[shingleRows]].) */
   def shingles(text: Column, w: Int = 3): Column = {
     val words = split(lower(trim(text)), "\\s+")
     when(size(words) < w, array(concat_ws(" ", words)))
       .otherwise(transform(
         sequence(lit(0), size(words) - w),
         i => concat_ws(" ", slice(words, i + 1, lit(w)))))
+  }
+
+  /** Word w-shingles as (id, shingle) ROWS — same strings as [[shingles]]
+    * but fully codegen'd: posexplode words, lead() window per doc for the
+    * following w-1 words (one partition-by-doc shuffle), short docs fall
+    * back to the whole normalized text. */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String,
+                  w: Int = 3): DataFrame = {
+    val norm = trim(lower(col(textCol)))
+    val words = df.select(col(idCol).as("id"),
+      posexplode(split(norm, "\\s+")).as(Seq("pos", "w")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val leadCols = (1 until w).map(j => lead(col("w"), j).over(win).as(s"l$j"))
+    val withLeads = words.select((col("id") +: col("w") +: leadCols): _*)
+    val full = withLeads.where(col(s"l${w - 1}").isNotNull)
+      .select(col("id"),
+        concat_ws(" ", (col("w") +: (1 until w).map(j => col(s"l$j"))): _*).as("sh"))
+    val short = df
+      .where(size(split(norm, "\\s+")) < w)
+      .select(col(idCol).as("id"), regexp_replace(norm, "\\s+", " ").as("sh"))
+    full.union(short)
   }
 
   /** k-component MinHash signature over word shingles: for each seeded
@@ -92,8 +115,7 @@ object Dedup {
                         k: Int = 64, shingleW: Int = 3,
                         seed: Long = 42L): DataFrame = {
     val (as, bs) = coefficients(k, seed)
-    val exploded = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleW)).as("sh"))
+    val exploded = shingleRows(df, textCol, idCol, shingleW)
       .select(col("id"), pmod(xxhash64(col("sh")), lit(MersennePrime)).as("h"))
     val aggs = (0 until k).map(i =>
       min(pmod(col("h") * as(i) + bs(i), lit(MersennePrime))).as(s"m$i"))
@@ -110,24 +132,30 @@ object Dedup {
                         threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "bands must divide signature length")
     val r = k / bands
+    // Signatures materialized once (≈ rows × k longs — small): referenced
+    // by the banding pass AND twice by the estimator join below.
     val sig = minhashSignatures(df, textCol, idCol, k, shingleW, seed)
-    val banded = sig.select(col("id"), col("sig"),
+      .localCheckpoint()
+    // same-bucket self-join on (band, band-hash) with IDs ONLY — the
+    // narrow distinct collapses multi-band collisions before the wide
+    // signature arrays are re-attached to the (small) pair set.
+    val banded = sig.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
-            xxhash64(to_json(struct(slice(col("sig"), b * r + 1, lit(r))))).as("bh"))))
+            // xxhash64 hashes array values natively (no serialization)
+            xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bh"))))
           .as("bucket"))
-      .select(col("id"), col("sig"),
-        col("bucket.band").as("band"), col("bucket.bh").as("bh"))
-    // same-bucket self-join: equi-join on (band, bh) — hash-partitionable;
-    // distinct collapses pairs that collide in several bands BEFORE the
-    // (wider) estimator projection.
-    val l = banded.select(col("band"), col("bh"), col("id").as("ida"), col("sig").as("siga"))
-    val rr = banded.select(col("band"), col("bh"), col("id").as("idb"), col("sig").as("sigb"))
-    val pairs = l.join(rr, Seq("band", "bh")).where(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"), col("siga"), col("sigb")).distinct()
+      .select(col("id"), col("bucket.band").as("band"), col("bucket.bh").as("bh"))
+    val pairs = banded.select(col("band"), col("bh"), col("id").as("ida"))
+      .join(banded.select(col("band"), col("bh"), col("id").as("idb")), Seq("band", "bh"))
+      .where(col("ida") < col("idb"))
+      .select(col("ida"), col("idb")).distinct()
+    val withSigs = pairs
+      .join(sig.select(col("id").as("ida"), col("sig").as("siga")), "ida")
+      .join(sig.select(col("id").as("idb"), col("sig").as("sigb")), "idb")
     val est = size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
       (b: Column) => b)).cast("double") / k
-    pairs.select(col("ida"), col("idb"), round(est, 4).as("est_jaccard"))
+    withSigs.select(col("ida"), col("idb"), round(est, 4).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
   }
 
@@ -185,15 +213,20 @@ object Dedup {
   // exact n-gram Jaccard (verification-grade, over candidate pairs)
   // ------------------------------------------------------------------
 
-  /** Exact word-n-gram Jaccard for given candidate pairs. `pairs` has
-    * (ida, idb); joins the documents back in twice (hash joins on id). */
+  /** Exact word-n-gram Jaccard for given candidate pairs. Gram sets are
+    * computed ONLY for documents that appear in a pair (semi-join
+    * pre-filter — candidates ≪ corpus at scale), via the codegen'd
+    * [[shingleRows]] + collect_set. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String,
                    idCol: String, n: Int = 3): DataFrame = {
-    val g = docs.select(col(idCol).as("__id"),
-      array_distinct(shingles(col(textCol), n)).as("__grams"))
+    val wanted = pairs.select(col("ida").as(idCol))
+      .union(pairs.select(col("idb").as(idCol))).distinct()
+    val needed = docs.join(wanted, Seq(idCol), "left_semi")
+    val g = shingleRows(needed, textCol, idCol, n)
+      .groupBy(col("id")).agg(collect_set(col("sh")).as("__grams"))
     pairs
-      .join(g.select(col("__id").as("ida"), col("__grams").as("ga")), "ida")
-      .join(g.select(col("__id").as("idb"), col("__grams").as("gb")), "idb")
+      .join(g.select(col("id").as("ida"), col("__grams").as("ga")), "ida")
+      .join(g.select(col("id").as("idb"), col("__grams").as("gb")), "idb")
       .select(col("ida"), col("idb"),
         round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb"))), 4).as("jaccard"))
@@ -203,8 +236,13 @@ object Dedup {
     * exact n-gram Jaccard at `threshold`. */
   def nearDuplicates(docs: DataFrame, textCol: String, idCol: String,
                      threshold: Double = 0.8): DataFrame = {
+    // Candidate pairs are referenced three times downstream (ida-side,
+    // idb-side, and the verify join); localCheckpoint materializes the
+    // (tiny) pair set once instead of re-running the MinHash pipeline per
+    // reference.
     val cands = minhashCandidates(docs, textCol, idCol, threshold = threshold * 0.6)
-    ngramJaccard(cands.select(col("ida"), col("idb")), docs, textCol, idCol)
+      .select(col("ida"), col("idb")).localCheckpoint()
+    ngramJaccard(cands, docs, textCol, idCol)
       .where(col("jaccard") >= threshold)
   }
 

@@ -1,0 +1,24 @@
+package graft
+// Scratch perf probe for operator stages (not a spec).
+object PerfProbe {
+  def main(a: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    val g = GraftSession.forDir(spark, "/root/testdata/sf0.1")
+    val docs = g.catalog.relation("documents")
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[perf] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+    }
+    time("docs count")(docs.count())
+    time("shingleRows")(operators.Dedup.shingleRows(docs, "text", "doc_id").count())
+    time("minhashSignatures")(operators.Dedup.minhashSignatures(docs, "text", "doc_id").count())
+    time("minhashCandidates 0.48")(operators.Dedup.minhashCandidates(docs, "text", "doc_id", threshold = 0.48).count())
+    val pairs = operators.Dedup.minhashCandidates(docs, "text", "doc_id", threshold = 0.48)
+      .select(org.apache.spark.sql.functions.col("ida"), org.apache.spark.sql.functions.col("idb"))
+      .localCheckpoint()
+    time("pairs checkpointed")(pairs.count())
+    time("ngramJaccard on pairs")(operators.Dedup.ngramJaccard(pairs, docs, "text", "doc_id").count())
+    time("nearDuplicates e2e")(operators.Dedup.nearDuplicates(docs, "text", "doc_id").count())
+  }
+}
