@@ -1,0 +1,60 @@
+package graft
+// Plan inspection: assert the physical plans we'd want at 100 TB.
+object PlanProbe {
+  def main(a: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    val g = GraftSession.forDir(spark, "/root/testdata/sf0.1")
+
+    def show(tag: String, df: org.apache.spark.sql.DataFrame,
+             expect: Seq[String]): Unit = {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExtendedMode)
+      val fm = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"==== $tag")
+      expect.foreach { e =>
+        val ok = fm.contains(e) || plan.contains(e)
+        println(s"  [${if (ok) "OK " else "MISS"}] $e")
+      }
+      // scan summary lines
+      fm.linesIterator.filter(l =>
+        l.contains("PushedFilters") || l.contains("ReadSchema") ||
+        l.contains("Broadcast") && l.trim.startsWith("*")).take(8)
+        .foreach(l => println("   " + l.trim.take(140)))
+    }
+
+    show("filter+projection pushdown",
+      g.sql("select l_orderkey + 3 as k from lineitem where l_quantity > 45"),
+      Seq("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"))
+
+    show("small dim join broadcasts",
+      g.sql("select c.c_name, n.n_name from customer c join nation n on c.c_nationkey = n.n_nationkey"),
+      Seq("BroadcastHashJoin"))
+
+    show("agg partial/final split",
+      g.sql("select l_returnflag as f, sum(l_quantity) as q from lineitem group by l_returnflag"),
+      Seq("HashAggregate", "partial_sum"))
+
+    show("order+limit -> TakeOrderedAndProject",
+      g.sql("select o_orderkey as k from orders order by o_totalprice desc limit 5"),
+      Seq("TakeOrderedAndProject"))
+
+    show("exists -> semi join",
+      g.sql("select c_custkey from customer c where exists (select 1 from orders o where o.o_custkey = c.c_custkey)"),
+      Seq("LeftSemi"))
+
+    show("windowed join equi-join on bucket",
+      g.sql("select count(*) as n from events [size 1 h on ts] as e1 join events [size 1 h on ts] as e2 on e1.event_type = e2.event_type"),
+      Seq("SortMergeJoin", "w_start"))
+
+    val emb = g.catalog.relation("embeddings")
+    show("brute topk: broadcast queries, codegen cosine",
+      operators.Similarity.bruteForceTopK(emb, emb.where(org.apache.spark.sql.functions.col("vec_id") < 10), 5),
+      Seq("BroadcastNestedLoopJoin", "vec_cosine"))
+
+    val docs = g.catalog.relation("documents")
+    show("text stats scan prunes columns",
+      operators.TextAnalysis.stats(docs, "text", "doc_id"),
+      Seq("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+}
