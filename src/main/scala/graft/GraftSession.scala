@@ -97,6 +97,22 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     * `"amount.sum as total"` to a Spark Column. */
   def expr(text: String): Column = graft.expr.ExprDsl.parse(text)
 
+  /** JDBC schema introspection (SURVEY S8/S9 — the reference used
+    * SchemaCrawler, flinkdsl/database.scala:7-31): register a JDBC table
+    * in the catalog; its schema comes from the live connection via
+    * `spark.read.jdbc` metadata. Registration is lazy by-name, so the
+    * connection is only opened when the relation is planned. */
+  def registerJdbc(name: String, url: String, table: String,
+                   props: java.util.Properties = new java.util.Properties()): this.type = {
+    catalog.registerTable(name, spark.read.jdbc(url, table, props))
+    this
+  }
+
+  /** S9: output schema of a live JDBC table without reading rows. */
+  def jdbcSchema(url: String, table: String,
+                 props: java.util.Properties = new java.util.Properties()): StructType =
+    spark.read.jdbc(url, table, props).schema
+
   def translator: Translator = new Translator(spark, catalog)
 
   // ------------------------------------------------------------------
@@ -125,11 +141,11 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       }
       spark.emptyDataFrame
 
-    case Insert(table, _, columns, input) =>
+    case Insert(table, window, columns, input) =>
       if (!catalog.hasRelation(table))
         throw new GraftAnalysisException(s"INSERT INTO unknown relation: $table")
       val target = catalog.relation(table)
-      val incoming: DataFrame = input match {
+      val incoming0: DataFrame = input match {
         case InsertSelect(q) => translator.query(q)
         case InsertValues(rows) =>
           val t = translator
@@ -140,13 +156,27 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
             one.select(r.zip(colsInOrder).map { case (c, n) => c.as(n) }: _*)
           }.reduce(_.unionByName(_))
       }
+      // W7/S6: `insert into stream[window] …` — the window spec
+      // materializes w_start/w_end (or w_id) on the incoming rows before
+      // alignment, so a target declaring those columns receives bucketed
+      // data (reference fsql/parser.scala:273 parsed this, never executed).
+      val incoming = window.fold(incoming0)(w => translator.applyWindowPublic(incoming0, w)._1)
       val aligned = columns match {
         case Some(cs) =>
           // named column list: project by name, in target column order
           val named = incoming.toDF(cs: _*)
           target.limit(0).unionByName(named, allowMissingColumns = true)
             .select(target.columns.map(org.apache.spark.sql.functions.col): _*)
-        case None => incoming.toDF(target.columns: _*)
+        case None =>
+          val tcols = target.columns
+          val inLower = incoming.columns.map(_.toLowerCase).toSet
+          // by-name when every target column exists in the incoming frame
+          // (windowed inserts emit w_start/w_end in arbitrary positions);
+          // positional otherwise (classic INSERT ... SELECT).
+          if (incoming.columns.length == tcols.length &&
+              tcols.forall(c => inLower(c.toLowerCase)))
+            incoming.select(tcols.map(org.apache.spark.sql.functions.col): _*)
+          else incoming.toDF(tcols: _*)
       }
       val snapshot = aligned.cache()
       val prior = target

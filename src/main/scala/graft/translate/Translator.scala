@@ -277,6 +277,10 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     * global sort — inherently sequential semantics; with a partition key it
     * parallelizes per key (documented in SURVEY §7.4).
     */
+  /** Public hook for windowed INSERT targets (W7/S6). */
+  def applyWindowPublic(df: DataFrame, w: WindowSpec): (DataFrame, Seq[String]) =
+    applyWindow(df, w)
+
   private def applyWindow(df: DataFrame, w: WindowSpec): (DataFrame, Seq[String]) = {
     val partCols: Seq[String] = w.partition.map(_.name).toSeq
     w.size.timeUnit match {

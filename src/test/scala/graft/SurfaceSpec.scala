@@ -100,6 +100,37 @@ class SurfaceSpec extends AnyFunSuite {
     // genuinely unknown → analysis error from Catalyst
     intercept[Exception](g.sql("select no_such_fn(1) as x").collect())
   }
+  test("S8/S9 JDBC: register a Derby table, introspect schema, query through the dialect") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE people (id BIGINT, name VARCHAR(32), age INT)")
+      st.execute("INSERT INTO people VALUES (1, 'ann', 34), (2, 'bob', 28), (3, 'cyn', 41)")
+      st.close()
+    } finally conn.close()
+
+    val g = new GraftSession(spark)
+    g.registerJdbc("people", url, "people")
+    val sch = g.jdbcSchema(url, "people")
+    assert(sch.fieldNames.map(_.toLowerCase).toSeq == Seq("id", "name", "age"))
+    val rows = g.sql("select name, age from people where age > 30 order by age").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("ANN", "CYN").map(_.toLowerCase))
+    assert(g.schemaOf("select id + 1 as k from people").fieldNames.toSeq == Seq("k"))
+  }
+
+  test("W7/S6: insert into stream[window] buckets incoming rows") {
+    val g = TestSpark.session
+    g.sql("create stream q_w7_sink (w_start timestamp, w_end timestamp, ts timestamp, v double)")
+    g.sql("insert into q_w7_sink [size 1 h on ts] select ts, value as v from events where event_id < 5")
+    val rows = g.sql("select * from q_w7_sink").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ws = r.getTimestamp(0).getTime; val we = r.getTimestamp(1).getTime
+      val ts = r.getTimestamp(2).getTime
+      assert(ws <= ts && ts < we && we - ws == 3600L * 1000)
+    }
+  }
 }
 
 case class FlagQty(flag: String, qty: Double)

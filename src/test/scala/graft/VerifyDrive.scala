@@ -20,6 +20,20 @@ object VerifyDrive {
     show("probe: missing param", "select * from orders where o_orderkey = ?")
     show("probe: extra param", "select count(*) as n from orders", 42)
     show("probe: ambiguous column", "select n_nationkey from nation a join nation b on a.n_nationkey = b.n_nationkey")
+    // JDBC + windowed-insert surface (S8/S9, W7)
+    try {
+      val url = "jdbc:derby:memory:drive_db;create=true"
+      val c = java.sql.DriverManager.getConnection(url)
+      val st = c.createStatement()
+      st.execute("CREATE TABLE t1 (id BIGINT, v DOUBLE)")
+      st.execute("INSERT INTO t1 VALUES (1, 1.5), (2, 2.5)")
+      st.close(); c.close()
+      g.registerJdbc("t1", url, "t1")
+      show("jdbc table via dialect", "select id, v from t1 where v > 2 order by id")
+    } catch { case e: Exception => println("JDBC drive failed: " + e) }
+    show("windowed insert", "create stream wsink (w_start timestamp, w_end timestamp, ts timestamp, v double)")
+    show("windowed insert 2", "insert into wsink [size 1 h on ts] select ts, value as v from events where event_id < 3")
+    show("windowed insert 3", "select * from wsink")
     println("=== expr DSL: " + g.expr("l_quantity.sum as total"))
     println("=== schemaOf: " + g.schemaOf("select l_orderkey as k, l_quantity/2 as h from lineitem"))
   }
