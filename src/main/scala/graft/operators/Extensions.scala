@@ -70,7 +70,9 @@ object Extensions {
     "x14_mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.synthesize(docs(s, d)))
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+    // ---- end-to-end curation pipeline (dedup → quality → token budget) ----
+    "x15_curation" -> ((s, d) => Curation.curate(docs(s, d), minQuality = 0.5))
   )
 
   /** DuckDB lambda syntax for the stopword-hit count used twice below. */
@@ -89,6 +91,14 @@ object Extensions {
     val alphaR = s"CASE WHEN length($t) = 0 THEN 0.0 ELSE CAST(length(regexp_replace($t, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length($t) END"
     val meanTok = s"CASE WHEN $nTok = 0 THEN 0.0 ELSE CAST(length(regexp_replace($t, '\\s', '', 'g')) AS DOUBLE) / $nTok END"
     val swRatio = s"CASE WHEN $nTok = 0 THEN 0.0 ELSE CAST(${duckStopHits(t)} AS DOUBLE) / $nTok END"
+    // Mirrors TextAnalysis.quality exactly: the component ratios are the
+    // ROUND(..., 6) values stats() emits, so threshold comparisons cannot
+    // diverge between engines.
+    val qualityExpr =
+      s"(LEAST(CAST(length($t) AS DOUBLE) / 500.0, 1.0) * 0.25 + " +
+      s"(CASE WHEN ROUND($meanTok, 6) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.25 + " +
+      s"LEAST(ROUND($swRatio, 6) * 4.0, 1.0) * 0.25 + " +
+      s"(1.0 - LEAST(ROUND($digitR, 6) * 2.0, 1.0)) * 0.25)"
     Map(
       "x01_dedup_exact" ->
         "SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY text ORDER BY keep_id",
@@ -112,12 +122,15 @@ object Extensions {
         s"ROUND($meanTok, 6) AS mean_tok_len, ROUND($swRatio, 6) AS stopword_ratio " +
         "FROM documents ORDER BY doc_id"),
       "x10_text_quality" -> (
-        s"SELECT doc_id, ROUND(" +
-        s"LEAST(CAST(length($t) AS DOUBLE) / 500.0, 1.0) * 0.25 + " +
-        s"(CASE WHEN $meanTok BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.25 + " +
-        s"LEAST($swRatio * 4.0, 1.0) * 0.25 + " +
-        s"(1.0 - LEAST($digitR * 2.0, 1.0)) * 0.25, 6) AS quality " +
+        s"SELECT doc_id, ROUND($qualityExpr, 6) AS quality " +
         "FROM documents ORDER BY doc_id"),
+      "x15_curation" -> (
+        "WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text), " +
+        "d AS (SELECT doc.* FROM documents doc JOIN keep USING (doc_id)) " +
+        s"SELECT lang, COUNT(*) AS n_docs, CAST(SUM(token_est) AS BIGINT) AS n_tokens FROM " +
+        s"(SELECT lang, $qualityExpr AS quality, " +
+        s"CASE WHEN length(trim($t)) = 0 THEN 0 ELSE CAST((SELECT SUM(CAST(CEIL(CAST(length(w) AS DOUBLE) / 4.0) AS BIGINT)) FROM (SELECT UNNEST(${duckTokens(t)}) AS w)) AS BIGINT) END AS token_est " +
+        "FROM d) WHERE quality >= 0.5 GROUP BY lang ORDER BY lang"),
       "x13_mm_decode" -> (
         "SELECT doc_id AS media_id, " +
         "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime, " +

@@ -312,14 +312,21 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
 
       case None => // count window [size N]
         val n = w.size.value
-        val orderCol = w.size.onField.map(f => col(f.name))
-          .getOrElse(col(df.columns.head))
-        val win = if (partCols.nonEmpty)
-          Window.partitionBy(partCols.map(col): _*).orderBy(orderCol)
-        else Window.partitionBy().orderBy(orderCol)
-        val out = df.withColumn("w_id",
-          ((row_number().over(win) - 1) / n).cast("long"))
-        (out, Seq("w_id") ++ partCols)
+        if (df.isStreaming) {
+          // row_number is illegal on streams — use the stateful per-key
+          // counter operator (streaming W2, flatMapGroupsWithState).
+          val out = graft.streaming.CountWindow.assign(df, n.toInt, partCols)
+          (out, Seq("w_id") ++ partCols)
+        } else {
+          val orderCol = w.size.onField.map(f => col(f.name))
+            .getOrElse(col(df.columns.head))
+          val win = if (partCols.nonEmpty)
+            Window.partitionBy(partCols.map(col): _*).orderBy(orderCol)
+          else Window.partitionBy().orderBy(orderCol)
+          val out = df.withColumn("w_id",
+            ((row_number().over(win) - 1) / n).cast("long"))
+          (out, Seq("w_id") ++ partCols)
+        }
     }
   }
 

@@ -154,6 +154,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f1 == f2)
   }
 
+  test("curation pipeline: dedup + quality filter + token budget per lang") {
+    val out = Curation.curate(docs, minQuality = 0.5).collect()
+    assert(out.nonEmpty)
+    val langs = out.map(_.getString(0))
+    assert(langs.sameElements(langs.sorted))
+    out.foreach { r => assert(r.getLong(1) > 0 && r.getLong(2) > 0) }
+    // survivors cannot exceed the deduped corpus
+    val total = out.map(_.getLong(1)).sum
+    assert(total <= Dedup.exact(docs, Seq("text"), "doc_id").count())
+  }
+
+  test("salted join equals plain join; salt is deterministic") {
+    val big = docs.select(col("doc_id"), col("lang"))
+    val dim = docs.select(col("lang")).distinct()
+      .withColumn("code", length(col("lang")))
+    val plain = big.join(dim, Seq("lang")).count()
+    val salted1 = Skew.saltedJoin(big, dim, Seq("lang"), buckets = 8).count()
+    val salted2 = Skew.saltedJoin(big, dim, Seq("lang"), buckets = 8).count()
+    assert(salted1 == plain && salted2 == plain)
+    val hist = Skew.keyHistogram(big, Seq("lang"), topN = 3).collect()
+    assert(hist.length == 3 && hist.head.getLong(1) >= hist.last.getLong(1))
+  }
+
   test("multimodal decode/resize/frames plumbing") {
     val media = Multimodal.synthesize(docs.limit(100))
     val dec = Multimodal.decode(media).toDF()

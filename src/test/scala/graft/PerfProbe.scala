@@ -20,5 +20,10 @@ object PerfProbe {
     time("pairs checkpointed")(pairs.count())
     time("ngramJaccard on pairs")(operators.Dedup.ngramJaccard(pairs, docs, "text", "doc_id").count())
     time("nearDuplicates e2e")(operators.Dedup.nearDuplicates(docs, "text", "doc_id").count())
+    val big = docs.select(org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.col("lang"))
+    val dim = docs.select(org.apache.spark.sql.functions.col("lang")).distinct()
+    time("plain join")(big.join(dim, Seq("lang")).count())
+    time("salted join (8)")(operators.Skew.saltedJoin(big, dim, Seq("lang"), 8).count())
+    time("curation pipeline")(operators.Curation.curate(docs).count())
   }
 }

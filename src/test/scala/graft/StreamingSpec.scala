@@ -70,6 +70,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("W2 via the dialect: count window on a streaming source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cw_stream").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "in.csv"))
+    (1 to 5).foreach(i => w.println(s"k,$i"))
+    w.close()
+    val g = new GraftSession(spark, streaming = true)
+    g.sql("create stream cws (k string, v long) source file('" + dir.getAbsolutePath + "')")
+    val df = g.sql("select k, v, w_id from cws [size 2 partitioned on k]")
+    assert(df.isStreaming)
+    val q = Sinks.memory(df, "cw_dialect_out", OutputMode.Append())
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cw_dialect_out").collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(rows == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+    } finally q.stop()
+  }
+
   test("streaming GraftSession: file stream source reads and aggregates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toFile
     val f = new java.io.File(dir, "in.csv")
