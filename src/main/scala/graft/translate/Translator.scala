@@ -281,6 +281,39 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   def applyWindowPublic(df: DataFrame, w: WindowSpec): (DataFrame, Seq[String]) =
     applyWindow(df, w)
 
+  /** Streaming time windows use Spark's native `window()` + a synthesized
+    * watermark (delay = window size — the FSQL syntax has no watermark, so
+    * the translator supplies the policy; SURVEY §7.4 risk 3). Grouping
+    * keys include the window STRUCT (`__w`) so append-mode state eviction
+    * works (the struct carries the event-time watermark metadata; plain
+    * derived `w_start` columns don't — verified empirically, StreamProbe
+    * shapes C vs D). `w_start`/`w_end` stay materialized for projections
+    * and windowed joins. */
+  private def applyStreamingTimeWindow(df: DataFrame, timeField: String,
+      sizeUs: Long, everyUs: Option[Long],
+      partCols: Seq[String]): (DataFrame, Seq[String]) = {
+    if (everyUs.exists(_ > sizeUs))
+      throw new GraftAnalysisException(
+        "streaming windows with `every` > `size` (gaps) are not supported; " +
+          "use a batch source or every <= size")
+    val isTs = df.schema(timeField).dataType.typeName == "timestamp"
+    val (wdf, evtName) =
+      if (isTs) (df.withWatermark(timeField, s"$sizeUs microseconds"), timeField)
+      else {
+        val d = df.withColumn("__evt", col(timeField).cast("timestamp"))
+          .withWatermark("__evt", s"$sizeUs microseconds")
+        (d, "__evt")
+      }
+    val win = everyUs match {
+      case None | Some(`sizeUs`) => window(col(evtName), s"$sizeUs microseconds")
+      case Some(slide) => window(col(evtName), s"$sizeUs microseconds", s"$slide microseconds")
+    }
+    val out = wdf.withColumn("__w", win)
+      .withColumn("w_start", col("__w.start"))
+      .withColumn("w_end", col("__w.end"))
+    (out, Seq("__w", "w_start", "w_end") ++ partCols)
+  }
+
   private def applyWindow(df: DataFrame, w: WindowSpec): (DataFrame, Seq[String]) = {
     val partCols: Seq[String] = w.partition.map(_.name).toSeq
     w.size.timeUnit match {
@@ -291,6 +324,8 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
           .orElse(df.schema.fields.find(_.dataType.typeName == "timestamp").map(_.name))
           .getOrElse(throw new GraftAnalysisException(
             "time window needs an `on <column>` field or a timestamp column"))
+        if (df.isStreaming)
+          return applyStreamingTimeWindow(df, timeField, sizeUs, everyUs, partCols)
         val tUs = unix_micros(col(timeField).cast("timestamp"))
         val out = everyUs match {
           case None | Some(`sizeUs`) => // tumbling

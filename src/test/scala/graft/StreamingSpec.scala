@@ -88,6 +88,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dialect windowed agg on a stream runs APPEND mode with watermark eviction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_append_stream").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "a.csv"))
+    w.println("2024-01-01T01:10:00,3.0")
+    w.println("2024-01-01T01:20:00,4.0")
+    w.println("2024-01-01T09:00:00,1.0") // advances watermark past hour 1
+    w.close()
+    val g = new GraftSession(spark, streaming = true)
+    g.sql("create stream apev (ts timestamp, v double) source file('" + dir.getAbsolutePath + "')")
+    val agg = g.sql("select w_start, count(*) as n, sum(v) as s from apev [size 1 h on ts] group by w_start")
+    // append mode requires a watermark — the translator synthesized one
+    val q = Sinks.memory(agg, "append_out", OutputMode.Append())
+    try {
+      q.processAllAvailable()
+      // second batch pushes the watermark so hour-1 window finalizes
+      val w2 = new java.io.PrintWriter(new java.io.File(dir, "b.csv"))
+      w2.println("2024-01-01T12:00:00,1.0")
+      w2.close()
+      q.processAllAvailable()
+      val rows = spark.table("append_out").collect()
+        .map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(rows.contains("2024-01-01 01:00:00.0"), s"hour-1 window not finalized: $rows")
+      assert(rows("2024-01-01 01:00:00.0") == (2L, 7.0))
+    } finally q.stop()
+  }
+
   test("streaming GraftSession: file stream source reads and aggregates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toFile
     val f = new java.io.File(dir, "in.csv")
