@@ -71,6 +71,11 @@ object Extensions {
       Multimodal.sampleFrames(Multimodal.synthesize(docs(s, d)))
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id")),
+    "x16_sim_ivf_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 10), k = 5)
+        .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+    }),
     // ---- end-to-end curation pipeline (dedup → quality → token budget) ----
     "x15_curation" -> ((s, d) => Curation.curate(docs(s, d), minQuality = 0.5))
   )

@@ -112,6 +112,79 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN: spherical k-means coarse quantizer.
+  // ------------------------------------------------------------------
+
+  /** Train `nlist` centroids with `iters` Lloyd iterations (cosine /
+    * spherical variant). Deterministic: seeds are the `nlist` lowest-id
+    * vectors. The model (nlist × dim doubles) lives on the driver — that
+    * is the IVF design, not a scalability leak: assignment runs as
+    * codegen'd literal-centroid expressions over the distributed corpus,
+    * and only (cluster, pos, mean) aggregates come back per iteration. */
+  def trainIvfCentroids(corpus: DataFrame, nlist: Int = 16, iters: Int = 2,
+                        vecCol: String = "embedding",
+                        idCol: String = "vec_id"): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(col(vecCol).as("v"),
+        nearestCentroid(col(vecCol), centroids).as("c"))
+      val means = assigned
+        .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("c"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        byCluster.get(i) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          case None       => old // empty cluster keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Index of the max-cosine centroid (codegen'd literal probes). */
+  private def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(v, typedLit(c.toSeq)).as("cos"), lit(i).as("idx"))
+    }
+    array_max(array(scored: _*)).getField("idx")
+  }
+
+  /** The `nprobe` highest-cosine centroid indices for a query vector. */
+  private def probeCentroids(v: Column, centroids: Array[Array[Double]],
+                             nprobe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(v, typedLit(c.toSeq)).as("cos"), lit(i).as("idx"))
+    }
+    transform(slice(sort_array(array(scored: _*), asc = false), 1, nprobe),
+      s => s.getField("idx"))
+  }
+
+  /** IVF ANN top-k: corpus vectors are bucketed by nearest centroid;
+    * each query scores only the `nprobe` most promising buckets.
+    * Recall < 1 by design; same output shape as brute force. At scale the
+    * corpus assignment is the natural partitioning/bucketing column for
+    * the vector table (write once, probe many). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, nlist, iters, vecCol, idCol)
+    val indexed = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      nearestCentroid(col(vecCol), centroids).as("c"))
+    val probes = broadcast(queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        explode(probeCentroids(col(vecCol), centroids, nprobe)).as("c")))
+    val scored = indexed.join(probes, "c").where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("cos"))
+    topKPerGroup(scored, k)
+  }
+
   /** Exact per-group top-k: collect (cos, id) per qid, sort desc with id
     * tiebreak, slice k, re-explode. Deterministic. */
   private def topKPerGroup(scored: DataFrame, k: Int): DataFrame = {

@@ -108,6 +108,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(l.map(_.getLong(0)).toSet.subsetOf(brute.map(_._1) ++ l.map(_.getLong(0)).toSet))
   }
 
+  test("ivf top-k: trained centroids, probe buckets, decent recall") {
+    val q = emb.where(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, q, k = 5, nlist = 8, nprobe = 4).collect()
+    assert(ivf.nonEmpty)
+    val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with half the buckets probed, expect >= 40% recall of the true top-5
+    val recall = ivfPairs.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall $recall too low")
+    // centroids deterministic across runs
+    val c1 = Similarity.trainIvfCentroids(emb, nlist = 4, iters = 1)
+    val c2 = Similarity.trainIvfCentroids(emb, nlist = 4, iters = 1)
+    assert(c1.flatten.toSeq == c2.flatten.toSeq)
+  }
+
   test("text analysis components") {
     val d = Seq(
       ("the cat sat on the mat", 6, 0.0),
