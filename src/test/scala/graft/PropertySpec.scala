@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{Dedup, Skew}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style checks (SURVEY §5 strategy item 4): semantic invariants
+  * over generated inputs, exceeding the reference's 3-sample parser
+  * ScalaCheck (test/parserTest.scala:77-79). Samples are drawn from
+  * ScalaCheck Gens with fixed seeds (deterministic; scalatestplus bridge
+  * isn't on the classpath, so sampling is explicit). */
+class PropertySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("property: every row lands inside its tumbling window bucket") {
+    val g = TestSpark.session
+    for ((unit, value, secs) <- Seq(("h", 1L, 3600L), ("min", 30L, 1800L), ("d", 1L, 86400L))) {
+      val w = g.translator.applyWindowPublic(
+        g.catalog.relation("events").limit(500),
+        graft.ast.WindowSpec(
+          graft.ast.Policy(value, Some(unit), Some(graft.ast.ColRef(None, "ts"))),
+          None, None))._1
+      val bad = w.where(col("ts") < col("w_start") || col("ts") >= col("w_end") ||
+        unix_micros(col("w_end")) - unix_micros(col("w_start")) =!= secs * 1000000L)
+      assert(bad.count() == 0, s"window invariant violated for $value $unit")
+    }
+  }
+
+  test("property: sliding windows cover each row exactly size/every times") {
+    val g = TestSpark.session
+    for (everyH <- samples(Gen.choose(1, 4), 4).distinct) {
+      val sizeH = everyH * 2 // size = 2 * slide → every row in exactly 2 windows
+      val df = g.sql(
+        s"select count(*) as n from events [size $sizeH h on ts every $everyH h]")
+      val total = df.agg(sum("n")).collect().head.getLong(0)
+      val rows = g.catalog.relation("events").count()
+      assert(total == rows * 2, s"size=$sizeH h every=$everyH h")
+    }
+  }
+
+  test("property: salted join equals plain join on random key data") {
+    for ((nKeys, buckets) <- samples(Gen.zip(Gen.choose(1, 6), Gen.choose(2, 9)), 6).distinct) {
+      val left = (1 to 60).map(i => (i.toLong, s"k${i % nKeys}")).toDF("id", "k")
+      val right = (0 until nKeys).map(i => (s"k$i", i * 10)).toDF("k", "v")
+      val plain = left.join(right, Seq("k")).count()
+      val salted = Skew.saltedJoin(left, right, Seq("k"), buckets).count()
+      assert(salted == plain, s"nKeys=$nKeys buckets=$buckets")
+    }
+  }
+
+  test("property: minhash estimate tracks true shingle jaccard") {
+    val wordPool = ('a' to 'z').map(_.toString)
+    for (overlap <- samples(Gen.choose(0, 20), 8).distinct) {
+      // doc A = words 0..29; doc B = 30 words overlapping A in `overlap` words
+      val a = (0 until 30).map(i => wordPool(i % 26) + i).mkString(" ")
+      val b = ((30 - overlap) until (60 - overlap)).map(i => wordPool(i % 26) + i).mkString(" ")
+      val d = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      val sigs = Dedup.minhashSignatures(d, "text", "doc_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val est = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y } / 64.0
+      def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val sa = sh(a); val sb = sh(b)
+      val truth = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(est - truth) <= 0.25, s"overlap=$overlap est=$est truth=$truth")
+    }
+  }
+
+  test("property: exact dedup survivor count == distinct key count") {
+    for (nDistinct <- samples(Gen.choose(1, 10), 6).distinct) {
+      val d = (1 to 50).map(i => (i.toLong, s"text${i % nDistinct}")).toDF("doc_id", "text")
+      assert(Dedup.exact(d, Seq("text"), "doc_id").count() == nDistinct.toLong)
+    }
+  }
+
+  test("property: parser accepts generated SELECT combinations") {
+    val gen = for {
+      c <- Gen.oneOf("l_orderkey", "l_quantity", "l_discount")
+      cmp <- Gen.oneOf("<", ">", "=", "<=", ">=", "!=")
+      agg <- Gen.oneOf("sum", "min", "max", "avg", "count")
+      v <- Gen.choose(0, 100)
+    } yield s"select $agg($c) as a from lineitem where $c $cmp $v " +
+      s"group by l_returnflag having $agg($c) $cmp $v"
+    for (sql <- samples(gen, 25)) {
+      graft.parser.SqlParser.parse(sql) match {
+        case Right(_)  => ()
+        case Left(err) => fail(s"parse failed for: $sql — $err")
+      }
+    }
+  }
+}
