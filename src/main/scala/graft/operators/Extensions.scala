@@ -73,7 +73,7 @@ object Extensions {
         .orderBy("media_id")),
     "x16_sim_ivf_topk" -> ((s, d) => {
       val e = emb(s, d)
-      Similarity.ivfTopK(e, e.where(col("vec_id") < 10), k = 5)
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 10), k = 5, iters = 1)
         .orderBy(col("qid"), col("cos").desc, col("vec_id"))
     }),
     // ---- end-to-end curation pipeline (dedup → quality → token budget) ----
