@@ -82,6 +82,52 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       case Right(stmt) => execute(Params.bind(stmt, args))
     }
 
+  /** Multi-statement scripts (SURVEY O7 `Composed`): statements separated
+    * by `;` execute sequentially; returns the last statement's result.
+    * Splitting respects string literals. */
+  def sqlScript(text: String, args: Any*): DataFrame = {
+    val stmts = splitStatements(text)
+    require(stmts.nonEmpty, "empty script")
+    var remaining = args.toList
+    var last: DataFrame = spark.emptyDataFrame
+    stmts.foreach { s =>
+      val n = s.count(_ == '?')
+      val (mine, rest) = remaining.splitAt(n)
+      remaining = rest
+      last = sql(s, mine: _*)
+    }
+    last
+  }
+
+  private def splitStatements(text: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var inStr = false
+    text.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case ';' if !inStr => if (cur.toString.trim.nonEmpty) out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString
+    out.toList
+  }
+
+  /** Write a catalog relation as a BUCKETED table (SCALE.md: co-located
+    * joins). Joins between tables bucketed on the same keys with the same
+    * bucket count need no shuffle exchange. Registers the saved table
+    * back into the graft catalog under `tableName`. */
+  def writeBucketed(relation: String, tableName: String,
+                    bucketKeys: Seq[String], buckets: Int): this.type = {
+    catalog.relation(relation).write
+      .mode("overwrite")
+      .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
+      .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+    catalog.registerTable(tableName, spark.table(tableName))
+    this
+  }
+
   /** Parse + plan without executing; returns the output schema — the
     * Spark-native answer to the reference's `TypedStatement.output`
     * (flinkdsl/typer.scala_:11-22). */

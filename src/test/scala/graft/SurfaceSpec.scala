@@ -131,6 +131,34 @@ class SurfaceSpec extends AnyFunSuite {
       assert(ws <= ts && ts < we && we - ws == 3600L * 1000)
     }
   }
+  test("O7 script: sequential statements share the session, params split per statement") {
+    val g = TestSpark.session
+    val out = g.sqlScript(
+      """create stream o7_sink (a long, b string);
+        |insert into o7_sink (a, b) values (7, 'z');
+        |select a, b from o7_sink where a = ?""".stripMargin, 7L)
+    val rows = out.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 7L && rows.head.getString(1) == "z")
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val g = new GraftSession(spark)
+    g.registerDir("/root/testdata/sf0.001")
+    g.writeBucketed("orders", "orders_b", Seq("o_orderkey"), 8)
+    g.writeBucketed("lineitem", "lineitem_b", Seq("l_orderkey"), 8)
+    val joined = g.sql(
+      "select count(*) as n from orders_b o join lineitem_b l on o.o_orderkey = l.l_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: no Exchange feeding the SortMergeJoin
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected bucket-pruned shuffles, plan:\n$plan") // final agg may shuffle
+    assert(!plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("o_orderkey")),
+      "orders side should read pre-bucketed data without shuffling")
+    val expected = g.sql(
+      "select count(*) as n from orders o join lineitem l on o.o_orderkey = l.l_orderkey")
+      .collect().head.getLong(0)
+    assert(joined.collect().head.getLong(0) == expected)
+  }
 }
 
 case class FlagQty(flag: String, qty: Double)

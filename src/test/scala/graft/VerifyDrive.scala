@@ -34,6 +34,14 @@ object VerifyDrive {
     show("windowed insert", "create stream wsink (w_start timestamp, w_end timestamp, ts timestamp, v double)")
     show("windowed insert 2", "insert into wsink [size 1 h on ts] select ts, value as v from events where event_id < 3")
     show("windowed insert 3", "select * from wsink")
+    println("=== sqlScript: ")
+    g.sqlScript("create stream drv_s (a long); insert into drv_s (a) values (1), (2); select count(*) as n from drv_s").show()
+    println("=== bucketed join plan (expect no Exchange on join keys):")
+    g.writeBucketed("region", "region_b", Seq("r_regionkey"), 4)
+    g.writeBucketed("nation", "nation_b", Seq("n_regionkey"), 4)
+    val bj = g.sql("select count(*) as n from nation_b n join region_b r on n.n_regionkey = r.r_regionkey")
+    println(bj.queryExecution.executedPlan.toString.linesIterator.filter(l => l.contains("Exchange") || l.contains("SortMergeJoin") || l.contains("Scan")).take(6).mkString("\n"))
+    bj.show()
     println("=== expr DSL: " + g.expr("l_quantity.sum as total"))
     println("=== schemaOf: " + g.schemaOf("select l_orderkey as k, l_quantity/2 as h from lineitem"))
   }
