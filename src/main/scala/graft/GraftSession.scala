@@ -118,6 +118,14 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     * back into the graft catalog under `tableName`. */
   def writeBucketed(relation: String, tableName: String,
                     bucketKeys: Seq[String], buckets: Int): this.type = {
+    // idempotent across JVMs: drop the metastore entry AND any orphaned
+    // warehouse location left by a previous session
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(tableName)))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
     catalog.relation(relation).write
       .mode("overwrite")
       .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
