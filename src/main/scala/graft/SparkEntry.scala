@@ -169,6 +169,11 @@ object SparkEntry {
       e.sql("insert into q30_sink select l_orderkey, l_returnflag from lineitem where l_orderkey < 3")
       e.sql("select a, b from q30_sink order by a, b")
     }),
+    // ---- session (gap) windows — beyond-reference extension (SURVEY §2.9) ----
+    "q32_session_window" -> ((s, d) => g(s, d).sql(
+      "select w_start, w_end, event_type as et, count(*) as n, round(sum(value), 4) as v " +
+      "from events [session 30 min on ts partitioned on event_type] " +
+      "group by event_type order by et, w_start")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -293,6 +298,14 @@ object SparkEntry {
        "ORDER BY a, b"),
     "q31_expr_dsl" ->
       ("SELECT ROUND(SUM(l_quantity), 2) AS total FROM lineitem " +
-       "WHERE l_quantity > 30 AND l_discount <= 0.05")
+       "WHERE l_quantity > 30 AND l_discount <= 0.05"),
+    "q32_session_window" ->
+      ("WITH x AS (SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+       "f AS (SELECT *, CASE WHEN LAG(us) OVER (PARTITION BY event_type ORDER BY us) IS NULL " +
+       "OR us - LAG(us) OVER (PARTITION BY event_type ORDER BY us) > 1800000000 THEN 1 ELSE 0 END AS nf FROM x), " +
+       "s AS (SELECT *, SUM(nf) OVER (PARTITION BY event_type ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
+       "SELECT make_timestamp(MIN(us)) AS w_start, make_timestamp(MAX(us) + 1800000000) AS w_end, " +
+       "event_type AS et, COUNT(*) AS n, ROUND(SUM(value), 4) AS v FROM s " +
+       "GROUP BY event_type, sid ORDER BY et, w_start")
   )
 }

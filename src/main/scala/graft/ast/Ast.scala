@@ -165,11 +165,15 @@ final case class Using(columns: Seq[String]) extends JoinCondition
 // Streaming windows — fsql/Ast.scala:132-136
 // ---------------------------------------------------------------------------
 
-/** `[size N (unit)? (on col)? (every M (unit)? (on col)?)? (partitioned on col)?]` */
+/** `[size N (unit)? (on col)? (every M (unit)? (on col)?)? (partitioned on col)?]`
+  * or `[session N unit (on col)? (partitioned on col)?]` — session (gap-based)
+  * windows are a beyond-reference addition (SURVEY §2.9 notes them as a
+  * deliberate extension Spark supports natively). */
 final case class WindowSpec(
     size: Policy,
     every: Option[Policy],
-    partition: Option[ColRef])
+    partition: Option[ColRef],
+    session: Boolean = false)
 
 /** PolicyBased(value, timeUnit, onField) — fsql/Ast.scala:136.
   * timeUnit None => count-based window (the custom stateful op, SURVEY W2). */

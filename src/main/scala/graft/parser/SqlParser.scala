@@ -189,9 +189,10 @@ object SqlParser extends RegexParsers with PackratParsers {
     }
 
   lazy val windowSpec: PackratParser[WindowSpec] =
-    "[" ~> (kw("size") ~> policy) ~ opt(kw("every") ~> policy) ~
+    "[" ~> ((kw("size") ^^^ false) | (kw("session") ^^^ true)) ~ policy ~
+      opt(kw("every") ~> policy) ~
       opt(kw("partitioned") ~> kw("on") ~> colRef) <~ "]" ^^ {
-        case s ~ e ~ p => WindowSpec(s, e, p)
+        case sess ~ s ~ e ~ p => WindowSpec(s, e, p, session = sess)
       }
 
   // ----- clauses -----------------------------------------------------------

@@ -281,6 +281,35 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   def applyWindowPublic(df: DataFrame, w: WindowSpec): (DataFrame, Seq[String]) =
     applyWindow(df, w)
 
+  /** Session (gap-based) windows, batch: classic gaps-and-islands via
+    * window functions — a row starts a new session when its gap from the
+    * previous row (per partition key, event-time order) exceeds `gapUs`;
+    * `w_start`/`w_end` = session min/max event time (w_end + gap, matching
+    * Spark's session_window upper bound). Per-key sorting parallelizes
+    * across keys; the unkeyed form is a single global sort (same caveat as
+    * count windows, documented). Streaming session windows: use
+    * `graft.streaming.Sessions` (native session_window + watermark) — the
+    * per-row two-pass form below is not expressible on a stream. */
+  private def applySessionWindow(df: DataFrame, timeField: String,
+      gapUs: Long, partCols: Seq[String]): (DataFrame, Seq[String]) = {
+    if (df.isStreaming)
+      throw new GraftAnalysisException(
+        "streaming session windows are not supported in the dialect yet; " +
+          "use graft.streaming.Sessions.aggregate")
+    val tUs = unix_micros(col(timeField).cast("timestamp"))
+    val ord = Window.partitionBy(partCols.map(col): _*).orderBy(tUs)
+    val prev = lag(tUs, 1).over(ord)
+    val newSession = when(prev.isNull || tUs - prev > gapUs, 1L).otherwise(0L)
+    val sid = sum(newSession).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val withSid = df.withColumn("__sid", sid)
+    val sess = Window.partitionBy((partCols :+ "__sid").map(col): _*)
+    val out = withSid
+      .withColumn("w_start", timestamp_micros(min(unix_micros(col(timeField).cast("timestamp"))).over(sess)))
+      .withColumn("w_end", timestamp_micros(max(unix_micros(col(timeField).cast("timestamp"))).over(sess) + gapUs))
+      .drop("__sid")
+    (out, Seq("w_start", "w_end") ++ partCols)
+  }
+
   /** Streaming time windows use Spark's native `window()` + a synthesized
     * watermark (delay = window size — the FSQL syntax has no watermark, so
     * the translator supplies the policy; SURVEY §7.4 risk 3). Grouping
@@ -316,6 +345,16 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
 
   private def applyWindow(df: DataFrame, w: WindowSpec): (DataFrame, Seq[String]) = {
     val partCols: Seq[String] = w.partition.map(_.name).toSeq
+    if (w.session) {
+      val unit = w.size.timeUnit.getOrElse(
+        throw new GraftAnalysisException("session windows need a time unit (the gap)"))
+      val gapUs = w.size.value * unitMicros(unit)
+      val timeField = w.size.onField.map(_.name)
+        .orElse(df.schema.fields.find(_.dataType.typeName == "timestamp").map(_.name))
+        .getOrElse(throw new GraftAnalysisException(
+          "session window needs an `on <column>` field or a timestamp column"))
+      return applySessionWindow(df, timeField, gapUs, partCols)
+    }
     w.size.timeUnit match {
       case Some(unit) =>
         val sizeUs = w.size.value * unitMicros(unit)

@@ -114,6 +114,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows via Sessions.aggregate") {
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val df = in.toDF().toDF("ts", "k", "v")
+    val agg = graft.streaming.Sessions.aggregate(
+      df, "ts", "10 minutes", Seq("k"),
+      (count(lit(1)).as("n"), Seq(sum("v").as("s"))))
+    val q = Sinks.memory(agg, "sess_out", OutputMode.Complete())
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // two bursts for key a separated by > 10 min, one for b
+      in.addData((ts(1, 0), "a", 1.0), (ts(1, 5), "a", 2.0), (ts(2, 0), "a", 4.0), (ts(1, 2), "b", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .map(r => (r.getString(0), r.getTimestamp(3).toString) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(rows(("a", "2024-01-01 01:00:00.0")) == (2L, 3.0)) // merged burst
+      assert(rows(("a", "2024-01-01 02:00:00.0")) == (1L, 4.0)) // separate session
+      assert(rows(("b", "2024-01-01 01:02:00.0")) == (1L, 8.0))
+    } finally q.stop()
+  }
+
   test("streaming GraftSession: file stream source reads and aggregates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toFile
     val f = new java.io.File(dir, "in.csv")
