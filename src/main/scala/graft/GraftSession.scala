@@ -32,6 +32,9 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
   // legacy conf is per-session and runtime-settable.
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  // native vector expressions usable from the dialect (vec_dot/vec_cosine)
+  graft.expr.VectorOps.register(spark)
+
   /** Register every parquet table in a testdata directory (TESTDATA.md). */
   def registerDir(dir: String): this.type = {
     val d = new java.io.File(dir)

@@ -130,4 +130,17 @@ object VectorOps {
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
   def cosine(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Register vec_dot / vec_cosine in the session's function registry so
+    * SQL (and the graft dialect via its call_function passthrough) can use
+    * them: `select vec_cosine(embedding, ...) from embeddings`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot",
+      exprs => { require(exprs.length == 2, "vec_dot(a, b)"); DotProduct(exprs(0), exprs(1)) },
+      "built-in")
+    reg.createOrReplaceTempFunction("vec_cosine",
+      exprs => { require(exprs.length == 2, "vec_cosine(a, b)"); CosineSimilarity(exprs(0), exprs(1)) },
+      "built-in")
+  }
 }

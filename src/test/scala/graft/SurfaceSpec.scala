@@ -93,6 +93,18 @@ class SurfaceSpec extends AnyFunSuite {
     assert(grouped.count() == 3)
   }
 
+  test("vec_dot / vec_cosine usable from the dialect (custom codegen expressions)") {
+    val g = TestSpark.session
+    val r = g.sql(
+      "select vec_id as k, round(vec_cosine(embedding, embedding), 4) as self_cos, " +
+      "vec_dot(embedding, embedding) as sq from embeddings order by k limit 3").collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(1) - 1.0) < 1e-9) // cos(v, v) = 1
+      assert(row.getDouble(2) > 0)
+    }
+  }
+
   test("unknown function falls through to Spark's library (P7 passthrough)") {
     val g = TestSpark.session
     val r = g.sql("select concat(l_returnflag, l_linestatus) as c from lineitem limit 1").collect().head

@@ -42,6 +42,7 @@ object VerifyDrive {
     val bj = g.sql("select count(*) as n from nation_b n join region_b r on n.n_regionkey = r.r_regionkey")
     println(bj.queryExecution.executedPlan.toString.linesIterator.filter(l => l.contains("Exchange") || l.contains("SortMergeJoin") || l.contains("Scan")).take(6).mkString("\n"))
     bj.show()
+    show("vec functions in dialect", "select vec_id as k, round(vec_cosine(embedding, embedding), 4) as c from embeddings order by k limit 2")
     println("=== expr DSL: " + g.expr("l_quantity.sum as total"))
     println("=== schemaOf: " + g.schemaOf("select l_orderkey as k, l_quantity/2 as h from lineitem"))
   }
