@@ -73,10 +73,29 @@ object Similarity {
     def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
       trim(a ++ b)
     def finish(r: List[(Double, Long)]): Seq[(Double, Long)] = trim(r)
-    def bufferEncoder = Encoders.product[Tuple1[List[(Double, Long)]]]
-      .asInstanceOf[org.apache.spark.sql.Encoder[List[(Double, Long)]]]
-    def outputEncoder = Encoders.product[Tuple1[Seq[(Double, Long)]]]
-      .asInstanceOf[org.apache.spark.sql.Encoder[Seq[(Double, Long)]]]
+    def bufferEncoder: org.apache.spark.sql.Encoder[List[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Brute-force top-k via the bounded-heap `TopK` udaf — the 100 TB
+    * configuration: map-side partial aggregation caps the shuffle at k
+    * entries per (query, partition) instead of shipping every scored pair
+    * (what collect_list does). Results are identical to
+    * [[bruteForceTopK]] (same score/id ordering). */
+  def bruteForceTopKPartial(corpus: DataFrame, queries: DataFrame, k: Int,
+                            vecCol: String = "embedding",
+                            idCol: String = "vec_id"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val scored = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(q, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("cos"))
+    val topk = udaf(new TopK(k))
+    scored.groupBy(col("qid"))
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e._2").as("vec_id"), col("e._1").as("cos"))
   }
 
   /** Brute-force cosine top-k: for each query row (small, broadcast),

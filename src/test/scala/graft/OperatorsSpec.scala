@@ -98,6 +98,15 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded-heap TopK udaf matches the exact collect_list top-k") {
+    val q = emb.where(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val partial = Similarity.bruteForceTopKPartial(emb, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(partial == exact)
+  }
+
   test("lsh top-k is a subset-quality approximation of brute force") {
     val q = emb.where(col("vec_id") < 3)
     val brute = Similarity.bruteForceTopK(emb, q, k = 5).collect()

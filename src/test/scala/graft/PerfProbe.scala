@@ -25,5 +25,9 @@ object PerfProbe {
     time("plain join")(big.join(dim, Seq("lang")).count())
     time("salted join (8)")(operators.Skew.saltedJoin(big, dim, Seq("lang"), 8).count())
     time("curation pipeline")(operators.Curation.curate(docs).count())
+    val embd = g.catalog.relation("embeddings")
+    val q10 = embd.where(org.apache.spark.sql.functions.col("vec_id") < 10)
+    time("topk collect_list")(operators.Similarity.bruteForceTopK(embd, q10, 5).count())
+    time("topk bounded-heap udaf")(operators.Similarity.bruteForceTopKPartial(embd, q10, 5).count())
   }
 }
