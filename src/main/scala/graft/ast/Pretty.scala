@@ -1,0 +1,144 @@
+package graft.ast
+
+/** SQL pretty-printer for the unified AST: `parse(print(parse(s)))` must
+  * equal `parse(s)` (round-trip property, SURVEY §5 strategy item 4 — the
+  * reference kept expected ASTs only as comments, fsql/parser.scala:401).
+  * Output is fully parenthesized where precedence matters, so the printer
+  * never has to reason about the grammar's precedence table.
+  */
+object Pretty {
+
+  def print(s: Statement): String = s match {
+    case q: QueryExpr => query(q)
+    case CreateSchema(n, fs, parent) =>
+      s"create schema $n (${fs.map(fieldDef).mkString(", ")})" +
+        parent.fold("")(p => s" extends $p")
+    case CreateStream(n, schema, source) =>
+      val sch = schema match {
+        case NamedSchema(sn)    => s" $sn"
+        case InlineSchema(fs)   => s" (${fs.map(fieldDef).mkString(", ")})"
+      }
+      val src = source match {
+        case None                      => ""
+        case Some(HostSource(h, p))    => s" source host('$h', $p)"
+        case Some(FileSource(p))       => s" source file('$p')"
+        case Some(DerivedSource(q))    => s" as (${query(q)})"
+      }
+      s"create stream $n$sch$src"
+    case Insert(t, w, cols, input) =>
+      val ws = w.fold("")(windowSpec)
+      val cs = cols.fold("")(c => s" (${c.mkString(", ")})")
+      val in = input match {
+        case InsertValues(rows) =>
+          " values " + rows.map(r => s"(${r.map(expr).mkString(", ")})").mkString(", ")
+        case InsertSelect(q) => " " + query(q)
+      }
+      s"insert into $t$ws$cs$in"
+    case Update(ts, set, where, orderBy, limit) =>
+      s"update ${ts.map(rel).mkString(", ")} set " +
+        set.map { case (c, e) => s"${c.sqlName} = ${expr(e)}" }.mkString(", ") +
+        where.fold("")(w => s" where ${expr(w)}") +
+        order(orderBy) + lim(limit)
+    case Delete(ts, where) =>
+      s"delete from ${ts.map(rel).mkString(", ")}" +
+        where.fold("")(w => s" where ${expr(w)}")
+  }
+
+  def query(q: QueryExpr): String = q match {
+    case Select(distinct, proj, from, where, groupBy, orderBy, limit) =>
+      val d = if (distinct) "distinct " else ""
+      val p = proj.map(pr => pr.alias.fold(expr(pr.expr))(a => s"${expr(pr.expr)} as $a"))
+        .mkString(", ")
+      val f = from.fold("")(r => s" from ${rel(r)}")
+      val w = where.fold("")(e => s" where ${expr(e)}")
+      val g = groupBy.fold("") { gb =>
+        s" group by ${gb.exprs.map(expr).mkString(", ")}" +
+          (if (gb.rollup) " with rollup" else "") +
+          gb.having.fold("")(h => s" having ${expr(h)}")
+      }
+      s"select $d$p$f$w$g${order(orderBy)}${lim(limit)}"
+    case SetOp(l, op, all, r, orderBy, limit) =>
+      val o = op match {
+        case Union => "union"; case Except => "except"; case Intersect => "intersect"
+      }
+      val a = if (all) " all" else ""
+      s"${query(l)} $o$a ${query(r)}${order(orderBy)}${lim(limit)}"
+  }
+
+  private def order(keys: Seq[SortKey]): String =
+    if (keys.isEmpty) ""
+    else " order by " + keys.map(k =>
+      s"${expr(k.expr)}${if (k.ascending) "" else " desc"}").mkString(", ")
+
+  private def lim(l: Option[Limit]): String =
+    l.fold("")(x => s" limit ${expr(x.n)}" + x.offset.fold("")(o => s" offset ${expr(o)}"))
+
+  def rel(r: Relation): String = r match {
+    case TableRef(n, alias, w) =>
+      s"$n${w.fold("")(windowSpec)}${alias.fold("")(a => s" as $a")}"
+    case DerivedRel(q, alias, w) =>
+      s"(${query(q)})${w.fold("")(windowSpec)} as $alias"
+    case JoinRel(l, rr, kind, cond) =>
+      val k = kind match {
+        case InnerJoin => "join"
+        case LeftJoin  => "left join"
+        case RightJoin => "right join"
+        case FullJoin  => "full outer join"
+        case CrossJoin => "cross join"
+      }
+      val c = cond match {
+        case None             => ""
+        case Some(On(p))      => s" on ${expr(p)}"
+        case Some(Using(cs))  => s" using (${cs.mkString(", ")})"
+      }
+      s"${rel(l)} $k ${rel(rr)}$c"
+  }
+
+  def windowSpec(w: WindowSpec): String = {
+    val kind = if (w.session) "session" else "size"
+    s" [$kind ${policy(w.size)}" +
+      w.every.fold("")(e => s" every ${policy(e)}") +
+      w.partition.fold("")(p => s" partitioned on ${p.sqlName}") + "]"
+  }
+
+  private def policy(p: Policy): String =
+    s"${p.value}" + p.timeUnit.fold("")(u => s" $u") +
+      p.onField.fold("")(f => s" on ${f.sqlName}")
+
+  private def fieldDef(f: FieldDef): String = s"${f.name} ${f.dataType}"
+
+  def expr(e: Expr): String = e match {
+    case ColRef(q, n)  => q.fold(n)(x => s"$x.$n")
+    case Star(None)    => "*"
+    case Star(Some(q)) => s"$q.*"
+    case Lit(null)            => "null"
+    case Lit(s: String)       => "'" + s.replace("'", "''") + "'"
+    case Lit(b: Boolean)      => b.toString
+    case Lit(v)               => v.toString
+    case Arith(op, l, r)      => s"(${expr(l)} $op ${expr(r)})"
+    case Neg(c)               => s"(- ${expr(c)})"
+    case BitNot(c)            => s"(~ ${expr(c)})"
+    case FuncCall(n, args, d) =>
+      val dd = if (d) "distinct " else ""
+      s"$n($dd${args.map(expr).mkString(", ")})"
+    case CaseWhen(bs, o) =>
+      "case " + bs.map { case (c, v) => s"when ${expr(c)} then ${expr(v)}" }.mkString(" ") +
+        o.fold("")(x => s" else ${expr(x)}") + " end"
+    case Input()              => "?"
+    case ScalarSubquery(q)    => s"(${query(q)})"
+    case Cmp(op, l, r)        => s"(${expr(l)} $op ${expr(r)})"
+    case And(l, r)            => s"(${expr(l)} and ${expr(r)})"
+    case Or(l, r)             => s"(${expr(l)} or ${expr(r)})"
+    case Not(c)               => s"(not ${expr(c)})"
+    case Between(a, lo, hi, neg) =>
+      s"(${expr(a)} ${if (neg) "not " else ""}between ${expr(lo)} and ${expr(hi)})"
+    case Like(a, p, neg)      => s"(${expr(a)} ${if (neg) "not " else ""}like ${expr(p)})"
+    case IsNull(a, neg)       => s"(${expr(a)} is ${if (neg) "not " else ""}null)"
+    case InList(a, l, neg)    =>
+      s"(${expr(a)} ${if (neg) "not " else ""}in (${l.map(expr).mkString(", ")}))"
+    case InSubquery(a, q, neg) =>
+      s"(${expr(a)} ${if (neg) "not " else ""}in (${query(q)}))"
+    case Exists(q, neg)       =>
+      s"(${if (neg) "not " else ""}exists (${query(q)}))"
+  }
+}

@@ -10,6 +10,7 @@ object PerfProbe {
       val n = f
       println(f"[perf] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
     }
+    time("entry smoke (driver contract)")(SparkEntry.entry(spark).count())
     time("docs count")(docs.count())
     time("shingleRows")(operators.Dedup.shingleRows(docs, "text", "doc_id").count())
     time("minhashSignatures")(operators.Dedup.minhashSignatures(docs, "text", "doc_id").count())

@@ -1,0 +1,60 @@
+package graft
+
+import graft.parser.SqlParser
+import graft.ast.Pretty
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip property: parse(print(parse(s))) == parse(s) for the whole
+  * acceptance corpus (SURVEY §5 item 4 — the reference only kept expected
+  * ASTs as comments). */
+class RoundTripSpec extends AnyFunSuite {
+
+  private val corpus = Seq(
+    // reference corpus (SURVEY §5, adapted)
+    "select * from stream [size 3 min on time every 1 partitioned on time]",
+    "select id from stream [size 3] as s1 left join suoi [size 3] as s2 on s1.time = s2.thoigian",
+    "select count(id) as i, 1 + 3 * 2 as num from stream group by item having item > 3",
+    "select id + 3 from stream as s where id = 2 or (speed > 3 and time = 1)",
+    "select id from (select p.id from oldStream as p) as q",
+    "create stream myStream (time long) as (select p.id from oldStream as p)",
+    "create schema name1 (a boolean) extends parents",
+    "select (age + p.hight) * 2 from person p where age > 3 and hight < 1 or weight = 2",
+    "select p.age, j.type from person p join job j on p.job = j.id",
+    // our gate queries' shapes
+    "select distinct l_returnflag as f from lineitem order by f",
+    "select a from t union all select b from u order by a limit 3",
+    "select x from t except select y from u",
+    "select c from t where c in (1, 2, 3) and d not between 1 and 2 and e like 'x%' and f is not null",
+    "select c from t where exists (select 1 from u where u.k = t.k) and c not in (select k from v)",
+    "select case when a > 1 then 'x' else 'y' end as c, count(distinct b) as n from t group by c with rollup",
+    "select a from t where b > ? order by a limit ? offset ?",
+    "select a from t order by a desc, b limit 10 offset 5",
+    "insert into sink (a, b) values (1, 'x'), (2, 'y')",
+    "insert into sink select a, b from t where c > 0",
+    "insert into sink [size 1 h on ts] select ts, v from events",
+    "update t set a = 1, b = 'x' where c > 0",
+    "delete from t where a = 1",
+    "create stream s (id long, v double) source host('localhost', 9999)",
+    "create stream s (id long, v double) source file('/tmp/x.csv')",
+    "select w_start, count(*) as n from events [session 30 min on ts partitioned on event_type] group by w_start",
+    "select sum(a) as s from t1 join t2 using (k1, k2) cross join t3 where not (a = 1)",
+    "select -a as na, ~b as nb, a & b as ab, a | b as ob, a ^ b as xb, a << 2 as sl, a >> 1 as sr from t",
+    "select (select max(x) from u) as mx from t"
+  )
+
+  test("parse . print . parse == parse over the corpus") {
+    corpus.foreach { sql =>
+      SqlParser.parse(sql) match {
+        case Left(err) => fail(s"corpus string does not parse: $sql — $err")
+        case Right(ast1) =>
+          val printed = Pretty.print(ast1)
+          SqlParser.parse(printed) match {
+            case Left(err) =>
+              fail(s"printed form does not parse.\n  in:  $sql\n  out: $printed\n  err: $err")
+            case Right(ast2) =>
+              assert(ast2 == ast1, s"round-trip changed the AST.\n  in:  $sql\n  out: $printed")
+          }
+      }
+    }
+  }
+}

@@ -43,6 +43,12 @@ object VerifyDrive {
     println(bj.queryExecution.executedPlan.toString.linesIterator.filter(l => l.contains("Exchange") || l.contains("SortMergeJoin") || l.contains("Scan")).take(6).mkString("\n"))
     bj.show()
     show("vec functions in dialect", "select vec_id as k, round(vec_cosine(embedding, embedding), 4) as c from embeddings order by k limit 2")
+    println("=== pretty-print round-trip: " + {
+      val q = "select w_start, count(*) as n from events [session 30 min on ts partitioned on event_type] group by w_start"
+      val ast = graft.parser.SqlParser.parse(q).toOption.get
+      val printed = graft.ast.Pretty.print(ast)
+      s"${graft.parser.SqlParser.parse(printed).toOption.get == ast} -> $printed"
+    })
     println("=== expr DSL: " + g.expr("l_quantity.sum as total"))
     println("=== schemaOf: " + g.schemaOf("select l_orderkey as k, l_quantity/2 as h from lineitem"))
   }
