@@ -94,12 +94,23 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     var remaining = args.toList
     var last: DataFrame = spark.emptyDataFrame
     stmts.foreach { s =>
-      val n = s.count(_ == '?')
+      val n = countParams(s)
       val (mine, rest) = remaining.splitAt(n)
       remaining = rest
       last = sql(s, mine: _*)
     }
     last
+  }
+
+  /** `?` placeholders outside string literals (a literal "who?" is data). */
+  private def countParams(s: String): Int = {
+    var inStr = false; var n = 0
+    s.foreach {
+      case '\'' => inStr = !inStr
+      case '?' if !inStr => n += 1
+      case _ =>
+    }
+    n
   }
 
   private def splitStatements(text: String): Seq[String] = {

@@ -62,7 +62,14 @@ object Pretty {
         case Union => "union"; case Except => "except"; case Intersect => "intersect"
       }
       val a = if (all) " all" else ""
-      s"${query(l)} $o$a ${query(r)}${order(orderBy)}${lim(limit)}"
+      // operands that are themselves set ops or carry ORDER BY/LIMIT must be
+      // parenthesized or the flat form re-parses left-associated / fails
+      def operand(x: QueryExpr): String = x match {
+        case _: SetOp => s"(${query(x)})"
+        case sel: Select if sel.orderBy.nonEmpty || sel.limit.nonEmpty => s"(${query(x)})"
+        case _ => query(x)
+      }
+      s"${operand(l)} $o$a ${operand(r)}${order(orderBy)}${lim(limit)}"
   }
 
   private def order(keys: Seq[SortKey]): String =

@@ -58,7 +58,9 @@ object Registry {
       case "count"             => arity(n, args, 1); count(args.head)
       case "sum" if distinct   => sum_distinct(args.head)
       case "sum"               => arity(n, args, 1); sum(args.head)
-      case "avg" if distinct   => avg(args.head)
+      case "avg" if distinct   =>
+        // mean of the DISTINCT values (Spark has no avg_distinct builtin)
+        (sum_distinct(args.head) / count_distinct(args.head)).cast("double")
       case "avg"               => arity(n, args, 1); avg(args.head)
       case "min"               => arity(n, args, 1); min(args.head)
       case "max"               => arity(n, args, 1); max(args.head)

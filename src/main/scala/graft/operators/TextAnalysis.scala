@@ -130,12 +130,8 @@ object TextAnalysis {
       .select(col(idCol),
         when(col("__blank"), 0).otherwise(col("__n").cast("int")).as("n_tokens"),
         when(col("__blank"), 0L).otherwise(col("__est")).as("token_est"),
-        round(when(length(col("__t")) === 0, 0.0)
-          .otherwise(length(regexp_replace(col("__t"), "[^0-9]", "")).cast("double") / length(col("__t"))), 6)
-          .as("digit_ratio"),
-        round(when(length(col("__t")) === 0, 0.0)
-          .otherwise(length(regexp_replace(col("__t"), "[^A-Za-z]", "")).cast("double") / length(col("__t"))), 6)
-          .as("alpha_ratio"),
+        round(digitRatio(col("__t")), 6).as("digit_ratio"),
+        round(alphaRatio(col("__t")), 6).as("alpha_ratio"),
         round(when(col("__blank"), 0.0)
           .otherwise(length(regexp_replace(col("__t"), "\\s", "")).cast("double") / col("__n")), 6)
           .as("mean_tok_len"),

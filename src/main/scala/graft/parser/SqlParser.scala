@@ -67,11 +67,15 @@ object SqlParser extends RegexParsers with PackratParsers {
   // ----- entry points ------------------------------------------------------
 
   def parse(sql: String): Either[String, Statement] =
-    parseAll(phrase(stmt), sql) match {
+    try parseAll(phrase(stmt), sql) match {
       case Success(s, _) => Right(s)
       case NoSuccess(msg, next) =>
         Left(s"parse error at line ${next.pos.line}, col ${next.pos.column}: $msg")
       case other => Left(s"parse error: $other")
+    } catch {
+      // semantic actions may reject (e.g. ORDER BY on a subquery that already
+      // has one) — keep the Either contract instead of leaking exceptions
+      case e: IllegalArgumentException => Left(s"parse error: ${e.getMessage}")
     }
 
   def parseQuery(sql: String): Either[String, QueryExpr] =

@@ -86,15 +86,31 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   private def plainProject(df: DataFrame, s: Select): DataFrame = {
     val hasStar = s.projection.exists(_.expr.isInstanceOf[Star])
     if (hasStar) {
-      // stars keep original columns; sort against the pre-projection frame
-      val base = if (s.orderBy.nonEmpty && !s.distinct)
-        df.orderBy(s.orderBy.map(k => sortCol(expr(k.expr), k)): _*)
-      else df
-      base.select(s.projection.map(p => p.expr match {
+      val projected = df.select(s.projection.map(p => p.expr match {
         case Star(None)    => col("*")
         case Star(Some(q)) => col(s"$q.*")
         case e             => expr(e).as(p.outputName)
       }): _*)
+      if (s.orderBy.isEmpty || s.distinct) projected
+      else {
+        // sort AFTER projection when every key resolves against the output
+        // (covers `select *, x+1 as q2 ... order by q2`); otherwise sort the
+        // pre-projection frame (keys may name columns a qualified star drops)
+        val outCols = projected.columns.toSet
+        val allResolvable = s.orderBy.forall(k => k.expr match {
+          case ColRef(None, n) => outCols.contains(n)
+          case _               => false
+        })
+        if (allResolvable)
+          projected.orderBy(s.orderBy.map(k => sortOnOutput(projected, k)): _*)
+        else
+          df.orderBy(s.orderBy.map(k => sortCol(expr(k.expr), k)): _*)
+            .select(s.projection.map(p => p.expr match {
+              case Star(None)    => col("*")
+              case Star(Some(q)) => col(s"$q.*")
+              case e             => expr(e).as(p.outputName)
+            }): _*)
+      }
     } else {
       // project to unique internal names, sort (keys may reference either an
       // output alias or any input column — both remain visible), then trim.
@@ -449,10 +465,14 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       val sub = query(q)
       require(sub.columns.length == 1,
         "IN (subquery) requires a single-column subquery")
-      val cond = expr(e) === sub(sub.columns.head)
-      // NOTE: NOT IN here is null-rejecting anti-join semantics (testdata is
-      // null-free); ANSI NOT-IN tri-valued null semantics documented in README.
-      df.join(sub, cond, if (negated) "left_anti" else "left_semi")
+      // Compute the tested expression as a bound column on the left and
+      // rename the subquery output: with `where a in (select a from u)` a
+      // bare `col("a") === sub("a")` is AMBIGUOUS_REFERENCE.
+      val withKey = df.withColumn("__in_key", expr(e))
+      val subVal = sub.select(sub(sub.columns.head).as("__in_val"))
+      val joined = withKey.join(subVal, withKey("__in_key") === subVal("__in_val"),
+        if (negated) "left_anti" else "left_semi")
+      joined.drop("__in_key")
     case other =>
       throw new GraftAnalysisException(
         s"IN/EXISTS subqueries are only supported as top-level AND-conjuncts of WHERE: $other")
