@@ -62,7 +62,7 @@ final class Catalog {
   def hasRelation(name: String): Boolean = relations.contains(norm(name))
   def relationNames: Seq[String] = relations.keys.toSeq.sorted
 
-  private def norm(s: String) = s.toLowerCase
+  private def norm(s: String) = s.toLowerCase(java.util.Locale.ROOT)
 
   // --- FSQL type names → Spark types (fsql/parser.scala:355 + the wider
   // JDBC universe of flinkdsl/jdbc.scala_:45-109) -------------------------
@@ -70,7 +70,7 @@ final class Catalog {
   def toStructField(f: FieldDef): StructField =
     StructField(f.name, toDataType(f.dataType), f.nullable)
 
-  def toDataType(name: String): DataType = name.toLowerCase match {
+  def toDataType(name: String): DataType = name.toLowerCase(java.util.Locale.ROOT) match {
     case "int" | "integer"            => IntegerType
     case "string" | "varchar" | "text" => StringType
     case "double"                     => DoubleType

@@ -39,7 +39,7 @@ object ExprDsl extends RegexParsers with PackratParsers {
   private val keywords = Set("as", "true", "false", "null")
 
   private lazy val ident: Parser[String] =
-    """[a-zA-Z_][a-zA-Z0-9_]*""".r.filter(s => !keywords(s.toLowerCase))
+    """[a-zA-Z_][a-zA-Z0-9_]*""".r.filter(s => !keywords(s.toLowerCase(java.util.Locale.ROOT)))
 
   private lazy val fieldRef: PackratParser[Column] = ident ^^ (col(_))
 
@@ -47,7 +47,7 @@ object ExprDsl extends RegexParsers with PackratParsers {
     """\d+\.\d+""".r ^^ (s => lit(s.toDouble)) |
     """\d+[Ll]?""".r ^^ (s => lit(s.stripSuffix("L").stripSuffix("l").toLong)) |
     """'([^']|'')*'""".r ^^ (s => lit(s.substring(1, s.length - 1).replace("''", "'"))) |
-    """"([^"])*"""".r ^^ (s => lit(s.substring(1, s.length - 1))) |
+    """"([^"]|"")*"""".r ^^ (s => lit(s.substring(1, s.length - 1).replace("\"\"", "\""))) |
     "(?i)true\\b".r ^^^ lit(true) |
     "(?i)false\\b".r ^^^ lit(false) |
     "(?i)null\\b".r ^^^ lit(null)

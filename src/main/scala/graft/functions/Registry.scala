@@ -33,11 +33,11 @@ object Registry {
 
   /** Extension hooks — the Spark-native analog of the reference's
     * `extraScalarFunctions`/`extraAggregateFunctions` maps. */
-  def registerScalar(name: String)(b: Builder): Unit = extraScalar(name.toLowerCase) = b
-  def registerAggregate(name: String)(b: Builder): Unit = extraAggregate(name.toLowerCase) = b
+  def registerScalar(name: String)(b: Builder): Unit = extraScalar(name.toLowerCase(java.util.Locale.ROOT)) = b
+  def registerAggregate(name: String)(b: Builder): Unit = extraAggregate(name.toLowerCase(java.util.Locale.ROOT)) = b
 
   def isAggregate(name: String): Boolean = {
-    val n = name.toLowerCase
+    val n = name.toLowerCase(java.util.Locale.ROOT)
     aggregateNames(n) || extraAggregate.contains(n)
   }
 
@@ -47,7 +47,7 @@ object Registry {
   /** Build a Column for `name(args)`; `distinct` only meaningful for
     * aggregates (count/sum/avg distinct). */
   def build(name: String, args: Seq[Column], distinct: Boolean = false): Column = {
-    val n = name.toLowerCase
+    val n = name.toLowerCase(java.util.Locale.ROOT)
     extraScalar.get(n).orElse(extraAggregate.get(n)) match {
       case Some(b) => return b(args)
       case None    =>

@@ -23,11 +23,8 @@ object Curation {
     // quality score derives from the stats columns — same rounded
     // components as TextAnalysis.quality, so the oracle mirror holds.
     val st = TextAnalysis.stats(deduped, "text", "doc_id")
-    val quality =
-      least(col("__len") / 500.0, lit(1.0)) * 0.25 +
-      when(col("mean_tok_len").between(3.0, 10.0), 1.0).otherwise(0.5) * 0.25 +
-      least(col("stopword_ratio") * 4.0, lit(1.0)) * 0.25 +
-      (lit(1.0) - least(col("digit_ratio") * 2.0, lit(1.0))) * 0.25
+    val quality = TextAnalysis.qualityFromStats(col("__len"),
+      col("mean_tok_len"), col("stopword_ratio"), col("digit_ratio"))
     deduped.select(col("doc_id"), col("lang"),
         length(col("text")).cast("double").as("__len"))
       .join(st, "doc_id")

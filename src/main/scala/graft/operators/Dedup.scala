@@ -34,9 +34,12 @@ object Dedup {
   }
 
   /** Dedup survivors by content hash — same result as `exact` on a text
-    * key but shuffles 64-bit hashes instead of full documents. */
+    * key but shuffles a 128-bit digest instead of full documents. md5 (not
+    * a 64-bit hash): at billions of documents the 64-bit birthday bound
+    * makes a collision — i.e. silently dropping a unique document —
+    * likely; 128 bits pushes that past 10^18 docs. */
   def exactByHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val h = xxhash64(col(textCol))
+    val h = md5(col(textCol).cast("binary"))
     val keep = df.select(h.as("__h"), col(idCol))
       .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
     df.join(keep.select(col(idCol)), Seq(idCol), "left_semi")
@@ -81,9 +84,11 @@ object Dedup {
       .partitionBy("id").orderBy("pos")
     val leadCols = (1 until w).map(j => lead(col("w"), j).over(win).as(s"l$j"))
     val withLeads = words.select((col("id") +: col("w") +: leadCols): _*)
-    val full = withLeads.where(col(s"l${w - 1}").isNotNull)
-      .select(col("id"),
-        concat_ws(" ", (col("w") +: (1 until w).map(j => col(s"l$j"))): _*).as("sh"))
+    val full =
+      if (w == 1) withLeads.select(col("id"), col("w").as("sh")) // unigrams: no leads
+      else withLeads.where(col(s"l${w - 1}").isNotNull)
+        .select(col("id"),
+          concat_ws(" ", (col("w") +: (1 until w).map(j => col(s"l$j"))): _*).as("sh"))
     val short = df
       .where(size(split(norm, "\\s+")) < w)
       .select(col(idCol).as("id"), regexp_replace(norm, "\\s+", " ").as("sh"))

@@ -73,14 +73,14 @@ object Multimodal {
     * Emits `frames` slices of `frameBytes` bytes each (fewer when the
     * payload is short), as (media_id, frame_no, frame). */
   def sampleFrames(media: DataFrame, frames: Int = 4, frameBytes: Int = 16): DataFrame = {
-    val stride = greatest((col("n_bytes") / frames).cast("int"), lit(1))
+    // stride computed ONCE and reused by the filter and the slice offset
     media.select(col("media_id"), col("payload"), col("n_bytes"),
+        greatest((col("n_bytes") / frames).cast("int"), lit(1)).as("__stride"),
         explode(sequence(lit(0), lit(frames - 1))).as("frame_no"))
-      .where(col("frame_no") * stride < col("n_bytes"))
+      .where(col("frame_no") * col("__stride") < col("n_bytes"))
       .select(col("media_id"), col("frame_no"),
         // binary slice via substring (1-based) — codegen'd, no UDF
-        expr(s"substring(payload, frame_no * greatest(cast(n_bytes / $frames as int), 1) + 1, $frameBytes)")
-          .as("frame"))
+        expr(s"substring(payload, frame_no * __stride + 1, $frameBytes)").as("frame"))
   }
 
   /** "Resize" stub: metadata-level transform (target dims recorded, the

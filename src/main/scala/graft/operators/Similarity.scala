@@ -65,11 +65,19 @@ object Similarity {
     * shuffle carries k rows per (group, partition), not the corpus. */
   final class TopK(k: Int) extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
     def zero: List[(Double, Long)] = Nil
+    // buffer invariant: sorted by (score desc, id asc), length <= k
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
     private def trim(l: List[(Double, Long)]): List[(Double, Long)] =
-      // order: score desc, id asc for deterministic ties
       l.sortBy { case (s, id) => (-s, id) }.take(k)
     def reduce(buf: List[(Double, Long)], in: (Double, Long)): List[(Double, Long)] =
-      trim(in :: buf)
+      // O(1) rejection for the common case: a full buffer whose worst entry
+      // beats the incoming row (the previous trim-per-row was O(k log k))
+      if (buf.lengthCompare(k) >= 0 && !better(in, buf.last)) buf
+      else {
+        val (ge, lt) = buf.span(b => better(b, in) || b == in)
+        (ge ::: in :: lt).take(k)
+      }
     def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
       trim(a ++ b)
     def finish(r: List[(Double, Long)]): Seq[(Double, Long)] = trim(r)

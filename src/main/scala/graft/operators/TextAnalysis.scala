@@ -80,10 +80,12 @@ object TextAnalysis {
     * xxhash64 over character k-grams, minimum per sliding window of w,
     * distinct minima = the fingerprint set. Pure array expressions. */
   def fingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val chars = split(text, "")
+    // substring-based grams: exactly len-k+1 of them (min 1), matching
+    // fingerprintDF — split(text, "") would add a trailing empty element
+    // and a phantom (k-1)-char gram
     val grams = transform(
-      sequence(lit(0), greatest(size(chars) - k, lit(0))),
-      i => xxhash64(concat_ws("", slice(chars, i + 1, lit(k)))))
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => xxhash64(call_function("substring", text, i, lit(k))))
     array_distinct(transform(
       sequence(lit(0), greatest(size(grams) - w, lit(0))),
       i => array_min(slice(grams, i + 1, lit(w)))))
@@ -157,16 +159,25 @@ object TextAnalysis {
     toks.groupBy(col(idCol)).agg(count(lit(1)).as("__n"), aggCols: _*)
   }
 
+  /** The quality blend over already-computed stats columns — the ONE
+    * definition shared by [[quality]] and Curation.curate (and mirrored by
+    * the DuckDB oracle). `lenCol` = document length as double; the other
+    * three are the ROUND(.., 6) columns [[stats]] emits. */
+  def qualityFromStats(lenCol: Column, meanTokLen: Column,
+                       stopwordRatio: Column, digitRatio: Column): Column =
+    least(lenCol / 500.0, lit(1.0)) * 0.25 +
+      when(meanTokLen.between(3.0, 10.0), 1.0).otherwise(0.5) * 0.25 +
+      least(stopwordRatio * 4.0, lit(1.0)) * 0.25 +
+      (lit(1.0) - least(digitRatio * 2.0, lit(1.0))) * 0.25
+
   /** Composite quality score (same formula as [[qualityScore]]) at scale. */
   def quality(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val s = stats(df, textCol, idCol)
     val lenById = df.select(col(idCol), length(col(textCol)).cast("double").as("__len"))
     s.join(lenById, Seq(idCol))
       .select(col(idCol),
-        (least(col("__len") / 500.0, lit(1.0)) * 0.25 +
-         when(col("mean_tok_len").between(3.0, 10.0), 1.0).otherwise(0.5) * 0.25 +
-         least(col("stopword_ratio") * 4.0, lit(1.0)) * 0.25 +
-         (lit(1.0) - least(col("digit_ratio") * 2.0, lit(1.0))) * 0.25).as("quality"))
+        qualityFromStats(col("__len"), col("mean_tok_len"),
+          col("stopword_ratio"), col("digit_ratio")).as("quality"))
   }
 
   /** Language ID at scale: argmax of per-language profile hits (ties →

@@ -44,12 +44,12 @@ object SqlParser extends RegexParsers with PackratParsers {
     "collate", "for", "rollup", "with")
 
   private def kw(w: String): Parser[String] =
-    (s"""(?i)\\Q$w\\E\\b""").r ^^ (_.toLowerCase)
+    (s"""(?i)\\Q$w\\E\\b""").r ^^ (_.toLowerCase(java.util.Locale.ROOT))
 
   private def kws(ws: String*): Parser[String] = ws.map(kw).reduce(_ | _)
 
   lazy val ident: Parser[String] =
-    """[a-zA-Z_][a-zA-Z0-9_]*""".r.filter(s => !keywords(s.toLowerCase))
+    """[a-zA-Z_][a-zA-Z0-9_]*""".r.filter(s => !keywords(s.toLowerCase(java.util.Locale.ROOT)))
       .withFailureMessage("identifier expected")
 
   /** `t.c` or bare `c` (optionally back-quoted parts). */
@@ -309,7 +309,7 @@ object SqlParser extends RegexParsers with PackratParsers {
 
   lazy val funcCall: PackratParser[Expr] =
     (ident <~ "(") ~ (opt(kw("distinct")) ~ repsep(funcArg, ",") <~ ")") ^^ {
-      case n ~ (d ~ as) => FuncCall(n.toLowerCase, as, d.isDefined)
+      case n ~ (d ~ as) => FuncCall(n.toLowerCase(java.util.Locale.ROOT), as, d.isDefined)
     }
 
   lazy val funcArg: PackratParser[Expr] =
@@ -326,8 +326,8 @@ object SqlParser extends RegexParsers with PackratParsers {
   // ----- DDL ---------------------------------------------------------------
 
   lazy val dataTypeName: Parser[String] =
-    """(?i)array\s*<\s*[a-zA-Z]+\s*>""".r ^^ (_.toLowerCase.replaceAll("\\s", "")) |
-    """[a-zA-Z]+""".r ^^ (_.toLowerCase)
+    """(?i)array\s*<\s*[a-zA-Z]+\s*>""".r ^^ (_.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s", "")) |
+    """[a-zA-Z]+""".r ^^ (_.toLowerCase(java.util.Locale.ROOT))
 
   lazy val fieldDef: PackratParser[FieldDef] =
     ident ~ dataTypeName ~ opt(kw("not") ~ kw("null")) ^^ {

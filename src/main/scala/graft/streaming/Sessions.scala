@@ -19,10 +19,12 @@ object Sessions {
                 watermarkDelay: Option[String] = None): DataFrame = {
     val wm = df.withWatermark(timeCol, watermarkDelay.getOrElse(gap))
     val groupCols = session_window(col(timeCol), gap) +: keys.map(col)
-    wm.groupBy(groupCols: _*)
-      .agg(aggs._1, aggs._2: _*)
-      .withColumn("w_start", col("session_window.start"))
-      .withColumn("w_end", col("session_window.end"))
-      .drop("session_window")
+    val agged = wm.groupBy(groupCols: _*).agg(aggs._1, aggs._2: _*)
+    // column order matches the doc: w_start, w_end, keys..., aggregates
+    val rest = agged.columns.filterNot(_ == "session_window")
+    agged.select(
+      (col("session_window.start").as("w_start") +:
+       col("session_window.end").as("w_end") +:
+       rest.map(col).toSeq): _*)
   }
 }

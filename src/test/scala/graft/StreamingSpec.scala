@@ -126,8 +126,9 @@ class StreamingSpec extends AnyFunSuite {
       // two bursts for key a separated by > 10 min, one for b
       in.addData((ts(1, 0), "a", 1.0), (ts(1, 5), "a", 2.0), (ts(2, 0), "a", 4.0), (ts(1, 2), "b", 8.0))
       q.processAllAvailable()
+      // layout per Sessions doc: w_start, w_end, keys..., aggregates
       val rows = spark.table("sess_out").collect()
-        .map(r => (r.getString(0), r.getTimestamp(3).toString) -> (r.getLong(1), r.getDouble(2))).toMap
+        .map(r => (r.getString(2), r.getTimestamp(0).toString) -> (r.getLong(3), r.getDouble(4))).toMap
       assert(rows(("a", "2024-01-01 01:00:00.0")) == (2L, 3.0)) // merged burst
       assert(rows(("a", "2024-01-01 02:00:00.0")) == (1L, 4.0)) // separate session
       assert(rows(("b", "2024-01-01 01:02:00.0")) == (1L, 8.0))
