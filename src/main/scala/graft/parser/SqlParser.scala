@@ -49,6 +49,8 @@ object SqlParser extends RegexParsers with PackratParsers {
   private def kws(ws: String*): Parser[String] = ws.map(kw).reduce(_ | _)
 
   lazy val ident: Parser[String] =
+    // back-quoted form admits reserved words and special characters
+    ("`" ~> """[^`]+""".r <~ "`") |
     """[a-zA-Z_][a-zA-Z0-9_]*""".r.filter(s => !keywords(s.toLowerCase(java.util.Locale.ROOT)))
       .withFailureMessage("identifier expected")
 

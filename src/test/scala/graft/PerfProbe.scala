@@ -12,6 +12,10 @@ object PerfProbe {
     }
     time("entry smoke (driver contract)")(SparkEntry.entry(spark).count())
     time("docs count")(docs.count())
+    val q24 = "select w_start, count(*) as n, round(sum(value), 4) as v from events [size 1 d on ts] group by w_start order by w_start"
+    time("q24 first")(g.sql(q24).count())
+    time("q24 repeat")(g.sql(q24).count())
+    time("events scan only")(g.catalog.relation("events").count())
     time("shingleRows")(operators.Dedup.shingleRows(docs, "text", "doc_id").count())
     time("minhashSignatures")(operators.Dedup.minhashSignatures(docs, "text", "doc_id").count())
     time("minhashCandidates 0.48")(operators.Dedup.minhashCandidates(docs, "text", "doc_id", threshold = 0.48).count())

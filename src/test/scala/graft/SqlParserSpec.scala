@@ -130,4 +130,14 @@ class SqlParserSpec extends AnyFunSuite {
   test("comments are whitespace") {
     parsed("select a -- trailing\nfrom t /* block\ncomment */ where a > 0")
   }
+
+  test("back-quoted identifiers admit reserved words and odd characters") {
+    import graft.ast._
+    val r = graft.parser.SqlParser.parse("select `select`, t.`weird col` from `from` as t")
+    assert(r.isRight, r)
+    val sel = r.toOption.get.asInstanceOf[Select]
+    assert(sel.projection.map(_.expr) == Seq(
+      ColRef(None, "select"), ColRef(Some("t"), "weird col")))
+    assert(sel.from.get.asInstanceOf[TableRef].name == "from")
+  }
 }
