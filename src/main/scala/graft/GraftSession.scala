@@ -188,6 +188,12 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
   private def execute(stmt: Statement): DataFrame = stmt match {
     case q: QueryExpr => translator.query(q)
 
+    case Explain(q) =>
+      import spark.implicits._
+      val plan = translator.query(q).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Seq(plan).toDF("plan")
+
     case CreateSchema(name, fields, parent) =>
       catalog.createSchema(name, fields, parent)
       spark.emptyDataFrame

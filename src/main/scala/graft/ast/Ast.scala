@@ -72,6 +72,9 @@ final case class Update(
 /** DELETE FROM — flinkdsl/parser.scala:63-66; same execution policy as Update. */
 final case class Delete(tables: Seq[TableRef], where: Option[Expr]) extends Statement
 
+/** EXPLAIN <query> — beyond-reference utility: returns the Catalyst plan. */
+final case class Explain(query: QueryExpr) extends Statement
+
 // ---------------------------------------------------------------------------
 // Queries
 // ---------------------------------------------------------------------------
@@ -173,7 +176,8 @@ final case class WindowSpec(
     size: Policy,
     every: Option[Policy],
     partition: Option[ColRef],
-    session: Boolean = false)
+    session: Boolean = false,
+    watermark: Option[Policy] = None)
 
 /** PolicyBased(value, timeUnit, onField) — fsql/Ast.scala:136.
   * timeUnit None => count-based window (the custom stateful op, SURVEY W2). */

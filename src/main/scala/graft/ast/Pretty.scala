@@ -42,6 +42,7 @@ object Pretty {
     case Delete(ts, where) =>
       s"delete from ${ts.map(rel).mkString(", ")}" +
         where.fold("")(w => s" where ${expr(w)}")
+    case Explain(q) => s"explain ${query(q)}"
   }
 
   def query(q: QueryExpr): String = q match {
@@ -105,6 +106,7 @@ object Pretty {
     val kind = if (w.session) "session" else "size"
     s" [$kind ${policy(w.size)}" +
       w.every.fold("")(e => s" every ${policy(e)}") +
+      w.watermark.fold("")(m => s" watermark ${policy(m)}") +
       w.partition.fold("")(p => s" partitioned on ${p.sqlName}") + "]"
   }
 

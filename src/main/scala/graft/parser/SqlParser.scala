@@ -89,7 +89,10 @@ object SqlParser extends RegexParsers with PackratParsers {
 
   lazy val stmt: PackratParser[Statement] =
     createSchemaStmt | createStreamStmt | insertStmt | updateStmt |
-    deleteStmt | query
+    deleteStmt | explainStmt | query
+
+  lazy val explainStmt: PackratParser[Statement] =
+    kw("explain") ~> query ^^ Explain.apply
 
   // ----- queries -----------------------------------------------------------
 
@@ -197,8 +200,9 @@ object SqlParser extends RegexParsers with PackratParsers {
   lazy val windowSpec: PackratParser[WindowSpec] =
     "[" ~> ((kw("size") ^^^ false) | (kw("session") ^^^ true)) ~ policy ~
       opt(kw("every") ~> policy) ~
+      opt(kw("watermark") ~> policy) ~
       opt(kw("partitioned") ~> kw("on") ~> colRef) <~ "]" ^^ {
-        case sess ~ s ~ e ~ p => WindowSpec(s, e, p, session = sess)
+        case sess ~ s ~ e ~ wm ~ p => WindowSpec(s, e, p, session = sess, watermark = wm)
       }
 
   // ----- clauses -----------------------------------------------------------

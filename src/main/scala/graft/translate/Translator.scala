@@ -335,18 +335,20 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     * shapes C vs D). `w_start`/`w_end` stay materialized for projections
     * and windowed joins. */
   private def applyStreamingTimeWindow(df: DataFrame, timeField: String,
-      sizeUs: Long, everyUs: Option[Long],
-      partCols: Seq[String]): (DataFrame, Seq[String]) = {
+      sizeUs: Long, everyUs: Option[Long], partCols: Seq[String],
+      watermarkUs: Option[Long] = None): (DataFrame, Seq[String]) = {
     if (everyUs.exists(_ > sizeUs))
       throw new GraftAnalysisException(
         "streaming windows with `every` > `size` (gaps) are not supported; " +
           "use a batch source or every <= size")
+    // delay: explicit `watermark N unit` in the spec, else the window size
+    val delayUs = watermarkUs.getOrElse(sizeUs)
     val isTs = df.schema(timeField).dataType.typeName == "timestamp"
     val (wdf, evtName) =
-      if (isTs) (df.withWatermark(timeField, s"$sizeUs microseconds"), timeField)
+      if (isTs) (df.withWatermark(timeField, s"$delayUs microseconds"), timeField)
       else {
         val d = df.withColumn("__evt", col(timeField).cast("timestamp"))
-          .withWatermark("__evt", s"$sizeUs microseconds")
+          .withWatermark("__evt", s"$delayUs microseconds")
         (d, "__evt")
       }
     val win = everyUs match {
@@ -380,7 +382,8 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
           .getOrElse(throw new GraftAnalysisException(
             "time window needs an `on <column>` field or a timestamp column"))
         if (df.isStreaming)
-          return applyStreamingTimeWindow(df, timeField, sizeUs, everyUs, partCols)
+          return applyStreamingTimeWindow(df, timeField, sizeUs, everyUs, partCols,
+            w.watermark.map(m => m.value * unitMicros(m.timeUnit.getOrElse(unit))))
         val tUs = unix_micros(col(timeField).cast("timestamp"))
         val out = everyUs match {
           case None | Some(`sizeUs`) => // tumbling

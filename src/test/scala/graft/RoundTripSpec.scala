@@ -39,7 +39,9 @@ class RoundTripSpec extends AnyFunSuite {
     "select w_start, count(*) as n from events [session 30 min on ts partitioned on event_type] group by w_start",
     "select sum(a) as s from t1 join t2 using (k1, k2) cross join t3 where not (a = 1)",
     "select -a as na, ~b as nb, a & b as ab, a | b as ob, a ^ b as xb, a << 2 as sl, a >> 1 as sr from t",
-    "select (select max(x) from u) as mx from t"
+    "select (select max(x) from u) as mx from t",
+    "select w_start from s [size 1 h on ts watermark 10 min partitioned on k] group by w_start",
+    "explain select a from t where b > 1"
   )
 
   test("parse . print . parse == parse over the corpus") {

@@ -171,6 +171,25 @@ class SurfaceSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(joined.collect().head.getLong(0) == expected)
   }
+  test("explicit watermark syntax controls the synthesized delay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "a.csv"))
+    w.println("2024-01-01T01:10:00,3.0"); w.close()
+    val g = new GraftSession(spark, streaming = true)
+    g.sql("create stream wmev (ts timestamp, v double) source file('" + dir.getAbsolutePath + "')")
+    val agg = g.sql("select w_start, count(*) as n from wmev [size 1 h on ts watermark 2 h] group by w_start")
+    val analyzed = agg.queryExecution.analyzed.toString
+    assert(analyzed.contains("7200000000 microseconds") || analyzed.contains("2 hours"),
+      s"watermark delay not found in plan:\n$analyzed")
+  }
+
+  test("EXPLAIN returns the formatted physical plan") {
+    val g = TestSpark.session
+    val plan = g.sql("explain select l_returnflag, count(*) from lineitem group by l_returnflag")
+      .collect().head.getString(0)
+    assert(plan.contains("Physical Plan"))
+    assert(plan.contains("HashAggregate"))
+  }
 }
 
 case class FlagQty(flag: String, qty: Double)

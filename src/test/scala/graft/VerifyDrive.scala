@@ -52,6 +52,7 @@ object VerifyDrive {
     show("avg distinct", "select avg(distinct l_linenumber) as a, avg(l_linenumber) as b from lineitem")
     show("same-name IN subquery", "select count(*) as n from nation where n_regionkey in (select n_regionkey from nation where n_name like 'NATION_1%')")
     show("backquoted idents", "select `l_orderkey` as k, l.`l_quantity` from lineitem as l order by k limit 2")
+    show("explain", "explain select count(*) as n from lineitem where l_quantity > 40")
     println("=== expr DSL: " + g.expr("l_quantity.sum as total"))
     println("=== schemaOf: " + g.schemaOf("select l_orderkey as k, l_quantity/2 as h from lineitem"))
   }
