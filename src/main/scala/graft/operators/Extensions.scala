@@ -71,6 +71,10 @@ object Extensions {
       Multimodal.sampleFrames(Multimodal.synthesize(docs(s, d)))
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id")),
+    // tf-idf restricted to a doc slice so the gate output stays bounded
+    "x17_text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidf(docs(s, d), "text", "doc_id")
+        .where(col("id") < 20).orderBy("id", "term")),
     "x16_sim_ivf_topk" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.ivfTopK(e, e.where(col("vec_id") < 10), k = 5, iters = 1)
@@ -144,6 +148,13 @@ object Extensions {
         "CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS INTEGER) AS channels, " +
         "octet_length(encode(text)) > 0 AS ok " +
         "FROM documents ORDER BY media_id"),
+      "x17_text_tfidf" -> (
+        "WITH toks AS (SELECT doc_id AS id, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term FROM documents), " +
+        "tf AS (SELECT id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY id, term), " +
+        "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), " +
+        "n AS (SELECT COUNT(*) AS n FROM documents) " +
+        "SELECT id, term, tf, ROUND(tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf " +
+        "FROM tf JOIN dfreq USING (term) CROSS JOIN n WHERE id < 20 ORDER BY id, term"),
       "x14_mm_frames" -> (
         "SELECT doc_id AS media_id, CAST(LEAST(4, octet_length(encode(text))) AS BIGINT) AS n_frames " +
         "FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY media_id")

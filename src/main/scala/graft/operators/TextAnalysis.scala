@@ -195,6 +195,24 @@ object TextAnalysis {
     agg.select(col(idCol), ordered.as("predicted"))
   }
 
+  /** TF-IDF over whitespace tokens (lowercased), the classic smooth-idf
+    * formulation: tf = term count in doc, idf = ln((N+1)/(df+1)) + 1.
+    * Output: (id, term, tf, tfidf). Two codegen'd aggregations (one by
+    * (doc, term), one by term) + a broadcast-friendly join on term —
+    * fully expressible in ANSI SQL, so it is oracle-checked. */
+  def tfidf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val n = df.count() // corpus size: one count job, a scalar — not a collect of rows
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .select(col("id"), col("term"), col("tf"),
+        round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6).as("tfidf"))
+  }
+
   /** Rolling-hash fingerprint at scale: min over all k-gram xxhash64
     * values (= min of the winnowing window minima), via explode +
     * codegen'd min aggregation. Blank/short docs hash their whole text. */

@@ -172,6 +172,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(acc > 1.0 / 6.0, s"langid accuracy $acc not better than chance")
   }
 
+  test("tfidf: common terms score low, rare terms high") {
+    val d = Seq((1L, "rare the the the"), (2L, "the the"), (3L, "the common")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(d, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // "the" appears in all 3 docs (idf = ln(4/4)+1 = 1); "rare" in 1 (idf = ln(2)+1)
+    assert(math.abs(out((1L, "rare")) - (math.log(2.0) + 1.0)) < 1e-6)
+    assert(math.abs(out((2L, "the")) - 2.0) < 1e-6) // tf=2 * idf=1
+    assert(out((1L, "rare")) > out((3L, "common")) * 0.9) // rare >= another singleton
+  }
+
   test("fingerprint is deterministic and shift-stable-ish") {
     val d = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
     val f1 = d.select(TextAnalysis.fingerprint(col("text"))).head().getLong(0)
