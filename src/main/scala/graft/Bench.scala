@@ -7,31 +7,51 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up (session + catalog registration + JIT/codegen of the three
-    // main engine shapes: relational agg, token explode+agg, vector math)
-    // so no measured query absorbs fixed startup cost.
-    try {
-      val g = GraftSession.forDir(spark, sfDir)
-      g.sql("select count(*) as n from lineitem").count()
-      val docsSample = g.catalog.relation("documents").limit(50)
+    // main engine shapes). Each step has its own try: a missing table must
+    // not silently skip the remaining warmups.
+    def warm(f: => Unit): Unit = try f catch { case _: Throwable => }
+    warm(GraftSession.forDir(spark, sfDir).sql("select count(*) as n from lineitem").count())
+    warm {
+      val docsSample = GraftSession.forDir(spark, sfDir).catalog.relation("documents").limit(50)
       operators.Dedup.minhashSignatures(docsSample, "text", "doc_id").count()
-      val embSample = g.catalog.relation("embeddings").limit(50)
+    }
+    warm {
+      val embSample = GraftSession.forDir(spark, sfDir).catalog.relation("embeddings").limit(50)
       embSample.select(graft.expr.VectorOps.cosine(
         org.apache.spark.sql.functions.col("embedding"),
         org.apache.spark.sql.functions.col("embedding"))).count()
-    } catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // noop sink materializes the FULL plan — count() would let Catalyst
+      // prune projections and eliminate sorts, timing only scan+filter.
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.toString}")
+          false
+        }
+      // negative elapsed marks a failed query instead of reporting a
+      // fast-looking bogus time
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -dt)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // JSON string escape (same contract as Verify.q): a quote/backslash in
+    // a path or key must not break the driver's json parse
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.filter(_ > 0).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

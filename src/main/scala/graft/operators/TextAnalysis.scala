@@ -127,15 +127,21 @@ object TextAnalysis {
     val t = col(textCol)
     val blank = length(trim(t)) === 0
     val tokAgg = tokenStats(df, textCol, idCol)
+    // one fused scan for [len, digits, alphas, whitespace] — replaces three
+    // regexp_replace passes (same class definitions, oracle-checked)
+    val cs = graft.expr.CharClassStats(col("__t"))
     df.select(col(idCol), t.as("__t"), blank.as("__blank"))
       .join(tokAgg, Seq(idCol), "left_outer")
+      .withColumn("__cs", cs)
       .select(col(idCol),
         when(col("__blank"), 0).otherwise(col("__n").cast("int")).as("n_tokens"),
         when(col("__blank"), 0L).otherwise(col("__est")).as("token_est"),
-        round(digitRatio(col("__t")), 6).as("digit_ratio"),
-        round(alphaRatio(col("__t")), 6).as("alpha_ratio"),
+        round(when(col("__cs")(0) === 0, 0.0)
+          .otherwise(col("__cs")(1).cast("double") / col("__cs")(0)), 6).as("digit_ratio"),
+        round(when(col("__cs")(0) === 0, 0.0)
+          .otherwise(col("__cs")(2).cast("double") / col("__cs")(0)), 6).as("alpha_ratio"),
         round(when(col("__blank"), 0.0)
-          .otherwise(length(regexp_replace(col("__t"), "\\s", "")).cast("double") / col("__n")), 6)
+          .otherwise((col("__cs")(0) - col("__cs")(3)).cast("double") / col("__n")), 6)
           .as("mean_tok_len"),
         round(when(col("__blank"), 0.0)
           .otherwise(col("__sw").cast("double") / col("__n")), 6)

@@ -12,6 +12,14 @@ object PerfProbe {
     }
     time("entry smoke (driver contract)")(SparkEntry.entry(spark).count())
     time("docs count")(docs.count())
+    // x10 probe
+    def noop(df: org.apache.spark.sql.DataFrame): Long = { df.write.format("noop").mode("overwrite").save(); 0L }
+    time("x10 stats only")(noop(operators.TextAnalysis.stats(docs, "text", "doc_id")))
+    time("x10 quality full")(noop(operators.TextAnalysis.quality(docs, "text", "doc_id")))
+    time("x10 gate shape")(noop(operators.TextAnalysis.quality(docs, "text", "doc_id")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.col("quality"), 6).as("quality"))
+      .orderBy("doc_id")))
     val q24 = "select w_start, count(*) as n, round(sum(value), 4) as v from events [size 1 d on ts] group by w_start order by w_start"
     time("q24 first")(g.sql(q24).count())
     time("q24 repeat")(g.sql(q24).count())
