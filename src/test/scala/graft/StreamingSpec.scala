@@ -135,6 +135,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late data in append mode (dialect windows)") {
+    val in = MemoryStream[(java.sql.Timestamp, Double)](spark)
+    val df = in.toDF().toDF("ts", "value")
+    // same translation the dialect produces: native window + watermark
+    val agg = df.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+    val q = Sinks.memory(agg, "late_out", OutputMode.Append())
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      in.addData((ts(1, 0), 1.0), (ts(1, 30), 2.0))
+      q.processAllAvailable()
+      in.addData((ts(9, 0), 1.0)) // watermark -> 08:00, hour-1 window finalizes
+      q.processAllAvailable()
+      in.addData((ts(1, 45), 99.0)) // LATE: behind the watermark, must be dropped
+      q.processAllAvailable()
+      in.addData((ts(10, 0), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_out").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      // hour-1 window emitted once with 2 rows; the late row did not re-emit
+      // or inflate it
+      assert(rows("2024-01-01 01:00:00.0") == 2L)
+    } finally q.stop()
+  }
+
   test("streaming GraftSession: file stream source reads and aggregates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toFile
     val f = new java.io.File(dir, "in.csv")
