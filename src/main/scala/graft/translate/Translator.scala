@@ -18,7 +18,10 @@ final class GraftAnalysisException(msg: String) extends RuntimeException(msg)
   * windows) columns, and carry bound Column references so they stay
   * unambiguous through joins.
   */
-final case class RelPlan(df: DataFrame, implicitKeys: Seq[Column], windowed: Boolean)
+final case class RelPlan(df: DataFrame, implicitKeys: Seq[Column], windowed: Boolean,
+    // streaming session windows: output columns that only exist AFTER the
+    // aggregation, as (outputName -> struct field path on the grouped key)
+    postAggCols: Map[String, String] = Map.empty)
 
 /** AST → DataFrame translator. Spark-first: we emit declarative
   * DataFrame/Column operations and let Catalyst do resolution, predicate
@@ -132,13 +135,20 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   /** Aggregating SELECT: groupBy/rollup + agg, HAVING, ORDER BY, trim. */
   private def aggregate(df: DataFrame, rel: RelPlan, s: Select): DataFrame = {
     val gb = s.groupBy
-    val explicitKeys = gb.map(_.exprs.map(expr)).getOrElse(Nil)
+    // explicit GROUP BY keys naming post-agg columns (session w_start/
+    // w_end) are implied by the struct grouping key — drop them here
+    val explicitKeys = gb.map(_.exprs
+      .filterNot(e => postAggTarget(rel, e).isDefined).map(expr)).getOrElse(Nil)
     // implicit window keys first (FSQL: aggregation is always per-window)
     val keys = dedupeCols(rel.implicitKeys ++ explicitKeys)
 
     val projCols = s.projection.zipWithIndex.map {
       case (Projection(Star(_), _), i) =>
         throw new GraftAnalysisException("SELECT * is not valid with GROUP BY / aggregates")
+      // post-agg columns (streaming session w_start/w_end): placeholder in
+      // the agg, overwritten from the grouped struct afterwards
+      case (p, i) if postAggTarget(rel, p.expr).isDefined =>
+        first(lit(null)).as(s"__p$i")
       case (p, i) => expr(p.expr).as(s"__p$i")
     }
     val havingCol = gb.flatMap(_.having).map(h => expr(h).as("__h")).toSeq
@@ -157,6 +167,12 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       } else df.groupBy(keys: _*)
     var out = grouped.agg(aggCols.head, aggCols.tail: _*)
 
+    // overwrite post-agg placeholders from the grouped struct
+    s.projection.zipWithIndex.foreach { case (p, i) =>
+      postAggTarget(rel, p.expr).foreach { path =>
+        out = out.withColumn(s"__p$i", col(path))
+      }
+    }
     if (havingCol.nonEmpty) out = out.filter(col("__h"))
     if (s.orderBy.nonEmpty) {
       val sortKeys = s.orderBy.zipWithIndex.map { case (k, i) =>
@@ -168,6 +184,13 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     out.select(s.projection.zipWithIndex.map { case (p, i) =>
       col(s"__p$i").as(p.outputName)
     }: _*)
+  }
+
+  /** Struct path for a bare column ref that only exists post-aggregation
+    * (streaming session windows). */
+  private def postAggTarget(rel: RelPlan, e: Expr): Option[String] = e match {
+    case ColRef(None, n) => rel.postAggCols.get(n)
+    case _               => None
   }
 
   /** Index of the projection whose output alias a bare column ref names. */
@@ -211,15 +234,17 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   def relation(r: Relation): RelPlan = r match {
     case t @ TableRef(name, _, window) =>
       val base = catalog.relation(name)
-      val (wdf, keys) = window.map(applyWindow(base, _)).getOrElse((base, Nil))
+      val (wdf, keys, exprKeys, postAgg) =
+        window.map(applyWindowFull(base, _)).getOrElse((base, Nil, Nil, Map.empty[String, String]))
       val aliased = wdf.alias(t.refName)
-      RelPlan(aliased, keys.map(aliased(_)), window.isDefined)
+      RelPlan(aliased, keys.map(aliased(_)) ++ exprKeys, window.isDefined, postAgg)
 
     case DerivedRel(q, alias, window) =>
       val base = query(q)
-      val (wdf, keys) = window.map(applyWindow(base, _)).getOrElse((base, Nil))
+      val (wdf, keys, exprKeys, postAgg) =
+        window.map(applyWindowFull(base, _)).getOrElse((base, Nil, Nil, Map.empty[String, String]))
       val aliased = wdf.alias(alias)
-      RelPlan(aliased, keys.map(aliased(_)), window.isDefined)
+      RelPlan(aliased, keys.map(aliased(_)) ++ exprKeys, window.isDefined, postAgg)
 
     case JoinRel(l, r, kind, cond) =>
       val lp = relation(l)
@@ -294,8 +319,52 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     * parallelizes per key (documented in SURVEY §7.4).
     */
   /** Public hook for windowed INSERT targets (W7/S6). */
-  def applyWindowPublic(df: DataFrame, w: WindowSpec): (DataFrame, Seq[String]) =
-    applyWindow(df, w)
+  def applyWindowPublic(df: DataFrame, w: WindowSpec): (DataFrame, Seq[String]) = {
+    val (d, names, _, _) = applyWindowFull(df, w)
+    (d, names)
+  }
+
+  /** Full window application: (df, named keys, expression keys, post-agg
+    * column mapping). Expression keys (the streaming session_window
+    * struct) group directly; post-agg cols materialize after agg. */
+  private def applyWindowFull(df: DataFrame, w: WindowSpec)
+      : (DataFrame, Seq[String], Seq[Column], Map[String, String]) = {
+    if (w.session && df.isStreaming) applyStreamingSessionWindow(df, w)
+    else {
+      val (d, names) = applyWindow(df, w)
+      (d, names, Nil, Map.empty)
+    }
+  }
+
+  /** Streaming session windows in the dialect: group by the native
+    * session_window struct (+watermark); w_start/w_end exist only after
+    * the aggregation (the session extent depends on the whole group), so
+    * they are post-agg columns resolved from the struct. */
+  private def applyStreamingSessionWindow(df: DataFrame, w: WindowSpec)
+      : (DataFrame, Seq[String], Seq[Column], Map[String, String]) = {
+    val unit = w.size.timeUnit.getOrElse(
+      throw new GraftAnalysisException("session windows need a time unit (the gap)"))
+    val gapUs = w.size.value * unitMicros(unit)
+    val timeField = w.size.onField.map(_.name)
+      .orElse(df.schema.fields.find(_.dataType.typeName == "timestamp").map(_.name))
+      .getOrElse(throw new GraftAnalysisException(
+        "session window needs an `on <column>` field or a timestamp column"))
+    val delayUs = w.watermark.map(m => m.value * unitMicros(m.timeUnit.getOrElse(unit)))
+      .getOrElse(gapUs)
+    val partCols = w.partition.map(_.name).toSeq
+    if (partCols.isEmpty)
+      throw new GraftAnalysisException(
+        "streaming session windows need `partitioned on <col>` " +
+          "(Spark does not support global session aggregation on streams)")
+    val isTs = df.schema(timeField).dataType.typeName == "timestamp"
+    val (wdf, evtName) =
+      if (isTs) (df.withWatermark(timeField, s"$delayUs microseconds"), timeField)
+      else (df.withColumn("__evt", col(timeField).cast("timestamp"))
+        .withWatermark("__evt", s"$delayUs microseconds"), "__evt")
+    val sessKey = session_window(col(evtName), s"$gapUs microseconds")
+    (wdf, partCols, Seq(sessKey),
+      Map("w_start" -> "session_window.start", "w_end" -> "session_window.end"))
+  }
 
   /** Session (gap-based) windows, batch: classic gaps-and-islands via
     * window functions — a row starts a new session when its gap from the

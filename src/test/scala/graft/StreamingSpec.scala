@@ -162,6 +162,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dialect streaming session windows: [session N unit] on a live stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_dialect").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "a.csv"))
+    w.println("2024-01-01T01:00:00,u1,1.0")
+    w.println("2024-01-01T01:05:00,u1,2.0") // same session (gap 10 min)
+    w.println("2024-01-01T02:00:00,u1,4.0") // new session
+    w.println("2024-01-01T01:02:00,u2,8.0") // parallel key
+    w.close()
+    val g = new GraftSession(spark, streaming = true)
+    g.sql("create stream sessev (ts timestamp, k string, v double) source file('" + dir.getAbsolutePath + "')")
+    val agg = g.sql("select w_start, w_end, k, count(*) as n, sum(v) as s " +
+      "from sessev [session 10 min on ts partitioned on k] group by k")
+    assert(agg.isStreaming)
+    val q = Sinks.memory(agg, "sess_dialect_out", OutputMode.Complete())
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sess_dialect_out").collect()
+        .map(r => (r.getString(2), r.getTimestamp(0).toString) ->
+          (r.getTimestamp(1).toString, r.getLong(3), r.getDouble(4))).toMap
+      assert(rows(("u1", "2024-01-01 01:00:00.0")) == ("2024-01-01 01:15:00.0", 2L, 3.0))
+      assert(rows(("u1", "2024-01-01 02:00:00.0")) == ("2024-01-01 02:10:00.0", 1L, 4.0))
+      assert(rows(("u2", "2024-01-01 01:02:00.0")) == ("2024-01-01 01:12:00.0", 1L, 8.0))
+      // global streaming session → clear error, not a cryptic Spark failure
+      val err = intercept[Exception](
+        g.sql("select w_start, count(*) as n from sessev [session 10 min on ts] group by w_start"))
+      assert(err.getMessage.contains("partitioned on"))
+    } finally q.stop()
+  }
+
   test("streaming GraftSession: file stream source reads and aggregates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toFile
     val f = new java.io.File(dir, "in.csv")
