@@ -102,27 +102,60 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     last
   }
 
-  /** `?` placeholders outside string literals (a literal "who?" is data). */
-  private def countParams(s: String): Int = {
-    var inStr = false; var n = 0
-    s.foreach {
-      case '\'' => inStr = !inStr
-      case '?' if !inStr => n += 1
-      case _ =>
+  /** Walk `text` calling `f(char, active)`; `active` is false inside
+    * string literals and inside `-- …\n` / `/* … */` comments (the same
+    * comment forms the parser's whiteSpace regex skips). An apostrophe or
+    * `;`/`?` inside a comment must not affect statement splitting or
+    * positional-arg assignment. */
+  private def scanSql(text: String)(f: (Char, Boolean) => Unit): Unit = {
+    var i = 0; val n = text.length
+    var inStr = false; var inLine = false; var inBlock = false
+    while (i < n) {
+      val c = text.charAt(i)
+      if (inLine) { if (c == '\n') inLine = false; f(c, false) }
+      else if (inBlock) {
+        if (c == '*' && i + 1 < n && text.charAt(i + 1) == '/') {
+          f(c, false); f('/', false); i += 1; inBlock = false
+        } else f(c, false)
+      }
+      else if (inStr) { if (c == '\'') inStr = false; f(c, false) }
+      else c match {
+        case '-' if i + 1 < n && text.charAt(i + 1) == '-' => inLine = true; f(c, false)
+        case '/' if i + 1 < n && text.charAt(i + 1) == '*' => inBlock = true; f(c, false)
+        case '\'' => inStr = true; f(c, false)
+        case other => f(other, true)
+      }
+      i += 1
     }
+  }
+
+  /** `?` placeholders outside string literals and comments (a literal
+    * "who?" or a commented `-- ?` is data, not a parameter). */
+  private def countParams(s: String): Int = {
+    var n = 0
+    scanSql(s) { (c, active) => if (active && c == '?') n += 1 }
     n
   }
 
   private def splitStatements(text: String): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
     val cur = new StringBuilder
-    var inStr = false
-    text.foreach {
-      case '\'' => inStr = !inStr; cur += '\''
-      case ';' if !inStr => if (cur.toString.trim.nonEmpty) out += cur.toString; cur.clear()
-      case c => cur += c
+    var content = false // piece has active non-whitespace (not only comments)
+    def flush(): Unit = {
+      if (content) out += cur.toString
+      cur.clear(); content = false
     }
-    if (cur.toString.trim.nonEmpty) out += cur.toString
+    scanSql(text) { (c, active) =>
+      if (active && c == ';') flush()
+      else {
+        cur += c
+        // active non-whitespace marks real content; a piece that is only
+        // comments/whitespace is dropped, not sent to the parser
+        if (active && !c.isWhitespace) content = true
+        else if (!active && c == '\'') content = true // string literal body
+      }
+    }
+    flush()
     out.toList
   }
 
@@ -183,6 +216,15 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
 
   def translator: Translator = new Translator(spark, catalog)
 
+  // Per-relation cached INSERT snapshots (released on consolidation or when
+  // the relation is re-registered — ADVICE r1: unbounded cache growth).
+  private val insertSnapshots =
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.ListBuffer[DataFrame]]
+  private val consolidateEvery = 8
+
+  private def releaseSnapshots(name: String): Unit =
+    insertSnapshots.remove(name).foreach(_.foreach(_.unpersist(blocking = false)))
+
   // ------------------------------------------------------------------
 
   private def execute(stmt: Statement): DataFrame = stmt match {
@@ -199,6 +241,7 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       spark.emptyDataFrame
 
     case CreateStream(name, schemaRef, source) =>
+      releaseSnapshots(name) // re-registering a relation frees its caches
       val schema = catalog.resolveSchema(schemaRef)
       source match {
         case None =>
@@ -224,6 +267,12 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         case InsertValues(rows) =>
           val t = translator
           val colsInOrder = columns.getOrElse(target.columns.toSeq)
+          rows.zipWithIndex.foreach { case (r, i) =>
+            if (r.length != colsInOrder.length)
+              throw new GraftAnalysisException(
+                s"INSERT INTO $table: VALUES row ${i + 1} has ${r.length} " +
+                  s"expressions for ${colsInOrder.length} target columns")
+          }
           val lits = rows.map(r => r.map(e => t.expr(e)))
           val one = spark.range(1)
           lits.map { r =>
@@ -237,6 +286,11 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       val incoming = window.fold(incoming0)(w => translator.applyWindowPublic(incoming0, w)._1)
       val aligned = columns match {
         case Some(cs) =>
+          val tLower = target.columns.map(_.toLowerCase).toSet
+          cs.find(c => !tLower(c.toLowerCase)).foreach { bad =>
+            throw new GraftAnalysisException(
+              s"INSERT INTO $table: unknown target column `$bad`")
+          }
           // named column list: project by name, in target column order
           val named = incoming.toDF(cs: _*)
           target.limit(0).unionByName(named, allowMissingColumns = true)
@@ -252,9 +306,27 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
             incoming.select(tcols.map(org.apache.spark.sql.functions.col): _*)
           else incoming.toDF(tcols: _*)
       }
-      val snapshot = aligned.cache()
+      // SQL semantics: incoming rows are cast to the declared target types
+      // (a literal 1 parses as Long; an `int` column must stay int)
+      val typed = aligned.select(target.schema.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+      val snapshot = typed.cache()
       val prior = target
-      catalog.registerTable(table, prior.unionByName(snapshot))
+      val snaps = insertSnapshots.getOrElseUpdate(table,
+        scala.collection.mutable.ListBuffer.empty[DataFrame])
+      snaps += snapshot
+      if (snaps.length >= consolidateEvery) {
+        // long-lived sessions: N cached per-insert snapshots collapse into
+        // one materialized checkpoint; the per-insert cache blocks are then
+        // released (old checkpoints are GC'd by Spark's ContextCleaner once
+        // unreferenced), so repeated INSERTs don't grow storage unboundedly
+        val flat = prior.unionByName(snapshot).localCheckpoint(true)
+        snaps.foreach(_.unpersist(blocking = false))
+        snaps.clear()
+        catalog.registerTable(table, flat)
+      } else {
+        catalog.registerTable(table, prior.unionByName(snapshot))
+      }
       spark.emptyDataFrame
 
     case _: Update =>

@@ -454,12 +454,17 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
           return applyStreamingTimeWindow(df, timeField, sizeUs, everyUs, partCols,
             w.watermark.map(m => m.value * unitMicros(m.timeUnit.getOrElse(unit))))
         val tUs = unix_micros(col(timeField).cast("timestamp"))
+        // Bucket start = floor(t/size)*size as pure long arithmetic:
+        // t - pmod(t, size). pmod >= 0, so this floors (not truncates) for
+        // pre-1970 negative epochs too — identical to DuckDB's `//` oracle
+        // (double division + cast truncated toward zero instead).
+        def floorTo(t: Column, stepUs: Long): Column = t - pmod(t, lit(stepUs))
         val out = everyUs match {
           case None | Some(`sizeUs`) => // tumbling
-            df.withColumn("w_start_us", (tUs / sizeUs).cast("long") * sizeUs)
+            df.withColumn("w_start_us", floorTo(tUs, sizeUs))
           case Some(slide) => // sliding: all bucket starts covering this row
-            val sMax = (tUs / slide).cast("long") * slide
-            val sMin = ((tUs - sizeUs) / slide).cast("long") * slide + slide
+            val sMax = floorTo(tUs, slide)
+            val sMin = floorTo(tUs - sizeUs, slide) + slide
             // `every` > `size` leaves gaps: rows in no window get an empty
             // start list and are dropped by explode (not explode_outer).
             val starts = when(sMin <= sMax, sequence(sMin, sMax, lit(slide)))
@@ -596,14 +601,18 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       throw new GraftAnalysisException(
         "unbound ? parameter — pass positional args to GraftSession.sql(sql, args*)")
 
-    // Uncorrelated scalar subquery: plan + execute it now, inline the value.
-    // (Same evaluate-separately model as Catalyst's ScalarSubquery node.)
+    // Uncorrelated scalar subquery: lowered to Catalyst's own ScalarSubquery
+    // node (lazy — nothing executes until the enclosing query runs, so
+    // EXPLAIN / schemaOf stay plan-only; Spark enforces the <=1-row and
+    // single-column contracts itself, and the optimizer can reuse the
+    // subquery result across the plan).
     case ScalarSubquery(q) =>
-      val rows = query(q).limit(2).collect()
-      require(rows.length <= 1, "scalar subquery returned more than one row")
-      require(rows.isEmpty || rows.head.length == 1,
+      val sub = query(q)
+      require(sub.columns.length == 1,
         "scalar subquery must return a single column")
-      lit(if (rows.isEmpty) null else rows.head.get(0))
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+          sub.queryExecution.analyzed))
 
     case Cmp("=", l, r)  => expr(l) === expr(r)
     case Cmp("!=", l, r) => expr(l) =!= expr(r)

@@ -76,4 +76,77 @@ class RegressionSpec extends AnyFunSuite {
     assert(r.isLeft)
     assert(r.left.toOption.get.contains("ORDER BY"))
   }
+
+  test("sqlScript: apostrophes/semicolons inside SQL comments don't corrupt splitting") {
+    // pre-fix: the apostrophe in `don't` flipped the in-string flag and the
+    // `;` in the comment split mid-statement
+    val out = g.sqlScript(
+      "select 1 as a; -- don't; stop ? here\n" +
+      "select n_regionkey as k from nation /* not 'a'; real ? either */ where n_regionkey = ?;\n" +
+      "-- trailing comment-only piece is dropped\n", 2)
+    assert(out.collect().forall(_.getInt(0) == 2))
+  }
+
+  test("tumbling/sliding windows floor pre-1970 event times (not truncate toward zero)") {
+    val d = Seq(
+      ("x", java.sql.Timestamp.from(java.time.Instant.parse("1969-12-31T23:59:30Z"))),
+      ("x", java.sql.Timestamp.from(java.time.Instant.parse("1970-01-01T00:00:30Z"))))
+      .toDF("k", "ts")
+    g.catalog.registerTable("neg_epoch", d)
+    val tumble = g.sql(
+      "select w_start, count(*) as n from neg_epoch [size 1 min on ts] group by w_start order by w_start")
+      .collect().map(_.getTimestamp(0).toInstant.toString)
+    // floor: 23:59:30 belongs to the 23:59:00 bucket; truncation-toward-zero
+    // would have put it at 00:00:00
+    assert(tumble.toSeq == Seq("1969-12-31T23:59:00Z", "1970-01-01T00:00:00Z"))
+    val slide = g.sql(
+      "select w_start from neg_epoch [size 2 min every 1 min on ts] group by w_start order by w_start")
+      .collect().map(_.getTimestamp(0).toInstant.toString)
+    assert(slide.toSeq == Seq("1969-12-31T23:58:00Z", "1969-12-31T23:59:00Z", "1970-01-01T00:00:00Z"))
+  }
+
+  test("INSERT VALUES with wrong arity or unknown column raises, not silently truncates") {
+    g.sql("create stream arity_t (a int, b int)")
+    val e1 = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("insert into arity_t values (1, 2, 3)")
+    }
+    assert(e1.getMessage.contains("3 expressions for 2"))
+    val e2 = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("insert into arity_t (a, nope) values (1, 2)")
+    }
+    assert(e2.getMessage.contains("nope"))
+    g.sql("insert into arity_t values (1, 2)")
+    assert(g.sql("select * from arity_t").count() == 1)
+  }
+
+  test("repeated INSERTs consolidate cached snapshots (bounded storage)") {
+    g.sql("create stream acc_t (a int)")
+    (1 to 10).foreach(i => g.sql(s"insert into acc_t values ($i)"))
+    val got = g.sql("select a from acc_t order by a").collect().map(_.getInt(0)).toSeq
+    assert(got == (1 to 10))
+    // after consolidation at 8, at most (10 - 8) + 1 snapshot caches remain
+    // for this relation; a second relation's caches are unaffected
+    (11 to 20).foreach(i => g.sql(s"insert into acc_t values ($i)"))
+    assert(g.sql("select count(*) as n from acc_t").collect().head.getLong(0) == 20L)
+  }
+
+  test("schemaOf/EXPLAIN with a scalar subquery plans without running a Spark job") {
+    g.catalog.registerTable("sq_probe", Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val schema = g.schemaOf("select s, (select max(id) from sq_probe) as m from sq_probe")
+      assert(schema.fieldNames.toSeq == Seq("s", "m"))
+      Thread.sleep(500) // listener bus is async
+      assert(jobs == 0, "planning a scalar subquery must not execute it")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // and the lazy form still computes the right value
+    val v = g.sql("select (select max(id) from sq_probe) as m from sq_probe where id = 1")
+      .collect().head.getInt(0)
+    assert(v == 2)
+  }
 }
