@@ -20,8 +20,10 @@ final class GraftParseException(msg: String) extends RuntimeException(msg)
   *   - queries return the planned DataFrame (lazy, Catalyst-optimized);
   *   - CREATE SCHEMA / CREATE STREAM mutate the catalog;
   *   - INSERT INTO appends to a catalog-registered relation;
-  *   - UPDATE/DELETE parse but are rejected on immutable sources
-  *     (SURVEY §7.4 risk 5).
+  *   - UPDATE/DELETE execute copy-on-write: the catalog registration is
+  *     replaced with a derived lazy plan (underlying files never change —
+  *     SURVEY §7.4 risk 5 resolved via view semantics rather than
+  *     rejection).
   */
 final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
 
@@ -329,12 +331,61 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       }
       spark.emptyDataFrame
 
-    case _: Update =>
-      throw new GraftAnalysisException(
-        "UPDATE is parsed for dialect parity but not executable on immutable parquet sources")
-    case _: Delete =>
-      throw new GraftAnalysisException(
-        "DELETE is parsed for dialect parity but not executable on immutable parquet sources")
+    // UPDATE/DELETE execute copy-on-write against the catalog (the same
+    // mutability model as INSERT: the registration is replaced with a lazy
+    // derived plan; underlying parquet files are never touched). The
+    // reference parsed these but never executed anything
+    // (flinkdsl/parser.scala:55-66). Scale note: the new registration is a
+    // plan, not a materialization — a mutated 100 TB relation stays lazy
+    // and Catalyst still prunes columns/partitions beneath the rewrite.
+    case Update(tables, sets, where, orderBy, limit) =>
+      if (tables.length != 1)
+        throw new GraftAnalysisException("multi-table UPDATE is not supported")
+      if (orderBy.nonEmpty || limit.isDefined)
+        throw new GraftAnalysisException(
+          "UPDATE ... ORDER BY/LIMIT (MySQL extension) is not supported")
+      val name = tables.head.name
+      if (!catalog.hasRelation(name))
+        throw new GraftAnalysisException(s"UPDATE unknown relation: $name")
+      val target = catalog.relation(name)
+      val t = translator
+      val colSet = target.columns.map(_.toLowerCase).toSet
+      sets.foreach { case (c, _) =>
+        if (!colSet(c.name.toLowerCase))
+          throw new GraftAnalysisException(s"UPDATE $name: unknown column `${c.name}`")
+      }
+      val assign = sets.map { case (c, e) => c.name.toLowerCase -> t.expr(e) }.toMap
+      val cond = where.map(t.expr)
+      val updated = target.select(target.schema.fields.map { f =>
+        import org.apache.spark.sql.functions.{col, when}
+        assign.get(f.name.toLowerCase) match {
+          // SQL semantics: rows where the predicate is null/false keep the
+          // old value; assigned values cast to the declared column type
+          case Some(v) =>
+            cond.fold(v.cast(f.dataType).as(f.name))(c =>
+              when(c, v).otherwise(col(f.name)).cast(f.dataType).as(f.name))
+          case None => col(f.name)
+        }
+      }: _*)
+      catalog.registerTable(name, updated)
+      spark.emptyDataFrame
+
+    case Delete(tables, where) =>
+      if (tables.length != 1)
+        throw new GraftAnalysisException("multi-table DELETE is not supported")
+      val name = tables.head.name
+      if (!catalog.hasRelation(name))
+        throw new GraftAnalysisException(s"DELETE FROM unknown relation: $name")
+      val target = catalog.relation(name)
+      val kept = where match {
+        case None => target.limit(0) // DELETE without WHERE empties the relation
+        case Some(p) =>
+          // delete rows where the predicate IS TRUE; null-predicate rows stay
+          val c = translator.expr(p)
+          target.filter(!(c <=> org.apache.spark.sql.functions.lit(true)))
+      }
+      catalog.registerTable(name, kept)
+      spark.emptyDataFrame
   }
 
   /** File source (S4): batch read by default; streaming read when the

@@ -174,6 +174,43 @@ object SparkEntry {
       "select w_start, w_end, event_type as et, count(*) as n, round(sum(value), 4) as v " +
       "from events [session 30 min on ts partitioned on event_type] " +
       "group by event_type order by et, w_start")),
+    // ---- analytic OVER functions — beyond-reference extension (§2.7 notes
+    // the reference has no OVER anywhere; a data-pipeline engine needs them
+    // for keep-first dedup, per-key ranking, running totals) ----
+    "q33_analytic" -> ((s, d) => g(s, d).sql(
+      "select o_custkey as ck, o_orderkey as k, " +
+      "row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey) as rn, " +
+      "lag(o_orderkey) over (partition by o_custkey order by o_orderkey) as prev, " +
+      "round(sum(o_totalprice) over (partition by o_custkey), 2) as tot, " +
+      // round(6): avg of 2-decimal values lands on exact .xx5 at scale 2
+      // (Spark HALF_UP vs DuckDB half-even diverge); scale 6 is boundary-free
+      "round(avg(o_totalprice) over (partition by o_custkey order by o_orderkey), 6) as run_avg " +
+      "from orders where o_custkey < 200 order by ck, k")),
+    // ---- O5/O6: UPDATE / DELETE executed copy-on-write on session relations ----
+    "q34_update_delete" -> ((s, d) => {
+      val e = g(s, d)
+      e.sql("create stream q34_t (k long, status string, amount double)")
+      e.sql("insert into q34_t select o_orderkey, o_orderstatus, o_totalprice from orders where o_orderkey < 100")
+      e.sql("update q34_t set status = 'X', amount = amount * 2 where amount > 100000")
+      e.sql("delete from q34_t where status = 'O' and amount < 50000")
+      e.sql("select k, status, round(amount, 2) as amount from q34_t order by k")
+    }),
+    // ---- A3 extension: WITH CUBE (reference grammar has only ROLLUP) ----
+    "q35_cube" -> ((s, d) => g(s, d).sql(
+      "select l_returnflag as f, l_linestatus as s, count(*) as n, round(sum(l_quantity), 2) as qty " +
+      "from lineitem group by l_returnflag, l_linestatus with cube order by f, s")),
+    // ---- sketch aggregates (approx distinct / percentile) — the gate
+    // emits exact values plus within-tolerance flags, so the approximate
+    // results stay DuckDB-checkable ----
+    "q36_sketches" -> ((s, d) => g(s, d).sql(
+      "select count(distinct o_custkey) as exact_cd, " +
+      // rsd 0.01 sketch, 5% acceptance: the estimate is deterministic
+      // (order-independent HLL merge) and comfortably inside tolerance
+      "case when abs(approx_count_distinct(o_custkey, 0.01) - count(distinct o_custkey)) " +
+      "<= 0.05 * count(distinct o_custkey) then 1 else 0 end as acd_ok, " +
+      "case when abs(percentile_approx(o_totalprice, 0.5) - percentile(o_totalprice, 0.5)) " +
+      "<= 0.02 * percentile(o_totalprice, 0.5) then 1 else 0 end as pct_ok " +
+      "from orders")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -299,6 +336,27 @@ object SparkEntry {
     "q31_expr_dsl" ->
       ("SELECT ROUND(SUM(l_quantity), 2) AS total FROM lineitem " +
        "WHERE l_quantity > 30 AND l_discount <= 0.05"),
+    "q33_analytic" ->
+      ("SELECT o_custkey AS ck, o_orderkey AS k, " +
+       "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn, " +
+       "lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev, " +
+       "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS tot, " +
+       "ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 6) AS run_avg " +
+       "FROM orders WHERE o_custkey < 200 ORDER BY ck, k"),
+    "q34_update_delete" ->
+      ("WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS amount " +
+       "FROM orders WHERE o_orderkey < 100), " +
+       "upd AS (SELECT k, CASE WHEN amount > 100000 THEN 'X' ELSE status END AS status, " +
+       "CASE WHEN amount > 100000 THEN amount * 2 ELSE amount END AS amount FROM base), " +
+       "del AS (SELECT * FROM upd WHERE NOT (status = 'O' AND amount < 50000)) " +
+       "SELECT k, status, ROUND(amount, 2) AS amount FROM del ORDER BY k"),
+    "q35_cube" ->
+      ("SELECT l_returnflag AS f, l_linestatus AS s, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty " +
+       "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+       "ORDER BY f NULLS FIRST, s NULLS FIRST"),
+    "q36_sketches" ->
+      ("SELECT COUNT(DISTINCT o_custkey) AS exact_cd, " +
+       "CAST(1 AS BIGINT) AS acd_ok, CAST(1 AS BIGINT) AS pct_ok FROM orders"),
     "q32_session_window" ->
       ("WITH x AS (SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
        "f AS (SELECT *, CASE WHEN LAG(us) OVER (PARTITION BY event_type ORDER BY us) IS NULL " +

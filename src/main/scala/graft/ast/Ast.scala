@@ -115,12 +115,17 @@ object Projection {
     case Lit(_)            => "<constant>"
     case _: CaseWhen       => "case"
     case FuncCall(n, _, _) => n
+    case WindowFn(f, _, _) => f.name
     case _: Input          => "?"
     case _                 => "expr"
   }
 }
 
-final case class GroupBy(exprs: Seq[Expr], rollup: Boolean, having: Option[Expr])
+/** `cube` (WITH CUBE — all key combinations, not just prefixes) is a
+  * beyond-reference extension; the reference grammar has only WITH ROLLUP
+  * (flinkdsl/parser.scala:258-262). */
+final case class GroupBy(exprs: Seq[Expr], rollup: Boolean, having: Option[Expr],
+                         cube: Boolean = false)
 
 final case class SortKey(expr: Expr, ascending: Boolean)
 
@@ -208,6 +213,17 @@ final case class FuncCall(name: String, args: Seq[Expr], distinct: Boolean = fal
 
 final case class CaseWhen(branches: Seq[(Expr, Expr)], otherwise: Option[Expr]) extends Expr
 
+/** `fn(args) OVER (PARTITION BY … ORDER BY …)` — analytic/window function.
+  * Beyond-reference extension (SURVEY §2.7 notes the reference has no
+  * OVER clause anywhere): ranking (row_number/rank/dense_rank/ntile),
+  * offset (lag/lead), and any aggregate over a partition frame. Frames use
+  * the SQL defaults (RANGE UNBOUNDED PRECEDING..CURRENT ROW with ORDER BY,
+  * whole partition without) — identical in Spark and DuckDB. */
+final case class WindowFn(
+    fn: FuncCall,
+    partitionBy: Seq[Expr],
+    orderBy: Seq[SortKey]) extends Expr
+
 /** `?` positional parameter — fsql/Ast.scala:164. */
 final case class Input() extends Expr
 
@@ -239,6 +255,10 @@ object Expr {
     case BitNot(c)            => Seq(c)
     case FuncCall(_, as, _)   => as
     case CaseWhen(bs, o)      => bs.flatMap(b => Seq(b._1, b._2)) ++ o.toSeq
+    // NOTE: children are the fn's ARGS, not the fn node itself —
+    // `sum(x) over (…)` is per-row analytic, not a grouping aggregate, so
+    // hasAggregate must not see the inner FuncCall.
+    case WindowFn(f, pb, ob)  => f.args ++ pb ++ ob.map(_.expr)
     case Cmp(_, l, r)         => Seq(l, r)
     case And(l, r)            => Seq(l, r)
     case Or(l, r)             => Seq(l, r)

@@ -54,7 +54,7 @@ object Pretty {
       val w = where.fold("")(e => s" where ${expr(e)}")
       val g = groupBy.fold("") { gb =>
         s" group by ${gb.exprs.map(expr).mkString(", ")}" +
-          (if (gb.rollup) " with rollup" else "") +
+          (if (gb.rollup) " with rollup" else if (gb.cube) " with cube" else "") +
           gb.having.fold("")(h => s" having ${expr(h)}")
       }
       s"select $d$p$f$w$g${order(orderBy)}${lim(limit)}"
@@ -133,6 +133,13 @@ object Pretty {
     case CaseWhen(bs, o) =>
       "case " + bs.map { case (c, v) => s"when ${expr(c)} then ${expr(v)}" }.mkString(" ") +
         o.fold("")(x => s" else ${expr(x)}") + " end"
+    case WindowFn(f, pb, ob) =>
+      val parts = Seq(
+        if (pb.nonEmpty) s"partition by ${pb.map(expr).mkString(", ")}" else "",
+        if (ob.nonEmpty)
+          "order by " + ob.map(k => expr(k.expr) + (if (k.ascending) "" else " desc")).mkString(", ")
+        else "").filter(_.nonEmpty)
+      s"${expr(f)} over (${parts.mkString(" ")})"
     case Input()              => "?"
     case ScalarSubquery(q)    => s"(${query(q)})"
     case Cmp(op, l, r)        => s"(${expr(l)} $op ${expr(r)})"

@@ -209,8 +209,9 @@ object SqlParser extends RegexParsers with PackratParsers {
 
   lazy val groupByClause: PackratParser[GroupBy] =
     kw("group") ~> kw("by") ~> rep1sep(expr, ",") ~
-      opt(kw("with") ~> kw("rollup")) ~ opt(kw("having") ~> predicate) ^^ {
-        case es ~ r ~ h => GroupBy(es, r.isDefined, h)
+      opt(kw("with") ~> (kw("rollup") | kw("cube"))) ~ opt(kw("having") ~> predicate) ^^ {
+        case es ~ r ~ h =>
+          GroupBy(es, r.contains("rollup"), h, cube = r.contains("cube"))
       }
 
   lazy val orderByClause: PackratParser[Seq[SortKey]] =
@@ -314,9 +315,20 @@ object SqlParser extends RegexParsers with PackratParsers {
     kw("null") ^^^ Lit(null)
 
   lazy val funcCall: PackratParser[Expr] =
-    (ident <~ "(") ~ (opt(kw("distinct")) ~ repsep(funcArg, ",") <~ ")") ^^ {
-      case n ~ (d ~ as) => FuncCall(n.toLowerCase(java.util.Locale.ROOT), as, d.isDefined)
+    (ident <~ "(") ~ (opt(kw("distinct")) ~ repsep(funcArg, ",") <~ ")") ~ opt(overClause) ^^ {
+      case n ~ (d ~ as) ~ over =>
+        val f = FuncCall(n.toLowerCase(java.util.Locale.ROOT), as, d.isDefined)
+        over.fold(f: Expr) { case (pb, ob) => WindowFn(f, pb, ob) }
     }
+
+  /** `OVER (PARTITION BY e, … ORDER BY k, …)` — analytic functions
+    * (beyond-reference extension; SQL-default frames only). */
+  lazy val overClause: PackratParser[(Seq[Expr], Seq[SortKey])] =
+    kw("over") ~> "(" ~>
+      opt(kw("partition") ~> kw("by") ~> rep1sep(expr, ",")) ~
+      opt(orderByClause) <~ ")" ^^ {
+        case pb ~ ob => (pb.getOrElse(Nil), ob.getOrElse(Nil))
+      }
 
   lazy val funcArg: PackratParser[Expr] =
     "*" ^^^ Star(None) | predicate

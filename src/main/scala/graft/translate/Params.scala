@@ -55,7 +55,9 @@ object Params {
       s.projection.map(p => p.copy(expr = expr(p.expr))),
       s.from.map(relation),
       s.where.map(expr),
-      s.groupBy.map(g => GroupBy(g.exprs.map(expr), g.rollup, g.having.map(expr))),
+      // .copy, not positional construction: new GroupBy fields (e.g. cube)
+      // must survive binding untouched
+      s.groupBy.map(g => g.copy(exprs = g.exprs.map(expr), having = g.having.map(expr))),
       s.orderBy.map(k => k.copy(expr = expr(k.expr))),
       s.limit.map(limit))
 
@@ -77,6 +79,9 @@ object Params {
       case Neg(c)                => Neg(expr(c))
       case BitNot(c)             => BitNot(expr(c))
       case FuncCall(n, as, d)    => FuncCall(n, as.map(expr), d)
+      case WindowFn(f, pb, ob)   =>
+        WindowFn(expr(f).asInstanceOf[FuncCall], pb.map(expr),
+          ob.map(k => k.copy(expr = expr(k.expr))))
       case CaseWhen(bs, o)       => CaseWhen(bs.map { case (c, v) => (expr(c), expr(v)) }, o.map(expr))
       case ScalarSubquery(q)     => ScalarSubquery(query(q))
       case Cmp(op, l, r)         => Cmp(op, expr(l), expr(r))

@@ -160,10 +160,10 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
 
     val aggCols = projCols ++ havingCol ++ orderCols
     val grouped =
-      if (gb.exists(_.rollup)) {
+      if (gb.exists(g => g.rollup || g.cube)) {
         if (rel.implicitKeys.nonEmpty)
-          throw new GraftAnalysisException("ROLLUP over a windowed stream is not supported")
-        df.rollup(keys: _*)
+          throw new GraftAnalysisException("ROLLUP/CUBE over a windowed stream is not supported")
+        if (gb.exists(_.cube)) df.cube(keys: _*) else df.rollup(keys: _*)
       } else df.groupBy(keys: _*)
     var out = grouped.agg(aggCols.head, aggCols.tail: _*)
 
@@ -613,6 +613,53 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       org.apache.spark.sql.GraftBridge.column(
         org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
           sub.queryExecution.analyzed))
+
+    // Analytic function over a partition frame (beyond-reference; SQL
+    // default frames, so results match DuckDB's OVER exactly). Ranking and
+    // offset functions are only meaningful here, so they are dispatched
+    // locally rather than through the scalar Registry.
+    case WindowFn(f, pb, ob) =>
+      val spec0 = Window.partitionBy(pb.map(expr): _*)
+      val spec =
+        if (ob.isEmpty) spec0
+        else spec0.orderBy(ob.map(k => sortCol(expr(k.expr), k)): _*)
+      def intArg(i: Int, default: Int): Int = f.args.lift(i) match {
+        case Some(Lit(v: Long)) => v.toInt
+        case Some(other) => throw new GraftAnalysisException(
+          s"${f.name}: argument ${i + 1} must be an integer literal, got $other")
+        case None => default
+      }
+      def needOrder(): Unit = if (ob.isEmpty)
+        throw new GraftAnalysisException(s"${f.name}() over (...) requires ORDER BY")
+      val base = f.name match {
+        case "row_number"   => needOrder(); row_number()
+        case "rank"         => needOrder(); rank()
+        case "dense_rank"   => needOrder(); dense_rank()
+        case "percent_rank" => needOrder(); percent_rank()
+        case "cume_dist"    => needOrder(); cume_dist()
+        case "ntile"        => needOrder(); ntile(intArg(0, 1))
+        case "lag" =>
+          needOrder()
+          lag(expr(f.args.head), intArg(1, 1), f.args.lift(2).map {
+            case Lit(v) => v
+            case other  => throw new GraftAnalysisException(
+              s"lag default must be a literal, got $other")
+          }.orNull)
+        case "lead" =>
+          needOrder()
+          lead(expr(f.args.head), intArg(1, 1), f.args.lift(2).map {
+            case Lit(v) => v
+            case other  => throw new GraftAnalysisException(
+              s"lead default must be a literal, got $other")
+          }.orNull)
+        case "first_value"  => needOrder(); first(expr(f.args.head))
+        case "last_value"   => needOrder(); last(expr(f.args.head))
+        case _ => Registry.build(f.name, f.args.map {
+          case Star(_) => lit(1)
+          case a       => expr(a)
+        }, f.distinct)
+      }
+      base.over(spec)
 
     case Cmp("=", l, r)  => expr(l) === expr(r)
     case Cmp("!=", l, r) => expr(l) =!= expr(r)

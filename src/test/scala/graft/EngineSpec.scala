@@ -193,9 +193,25 @@ class EngineSpec extends AnyFunSuite {
     assert(g.sql("select count(*) as n from sink").collect().head.getLong(0) >= 2)
   }
 
-  test("update/delete rejected") {
-    intercept[Exception](g.sql("update lineitem set l_quantity = 0"))
-    intercept[Exception](g.sql("delete from lineitem"))
+  test("update/delete execute copy-on-write on session relations") {
+    g.sql("create stream mut_t (k long, v double, tag string)")
+    g.sql("insert into mut_t values (1, 10.0, 'a'), (2, 20.0, 'b'), (3, 30.0, 'a'), (4, null, 'c')")
+    g.sql("update mut_t set v = v * 10, tag = 'hot' where v >= 20")
+    // null-predicate rows keep old values (SQL three-valued logic)
+    val afterUpd = g.sql("select k, v, tag from mut_t order by k").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getString(2))).toSeq
+    assert(afterUpd == Seq(
+      (1L, Some(10.0), "a"), (2L, Some(200.0), "hot"),
+      (3L, Some(300.0), "hot"), (4L, None, "c")))
+    g.sql("delete from mut_t where v > 250")
+    assert(g.sql("select k from mut_t order by k").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 4L)) // null-predicate row 4 survives
+    g.sql("delete from mut_t")
+    assert(g.sql("select count(*) as n from mut_t").collect().head.getLong(0) == 0L)
+    // guardrails
+    intercept[Exception](g.sql("update mut_t set nope = 1"))
+    intercept[Exception](g.sql("update mut_t set v = 1 order by k limit 1"))
+    intercept[Exception](g.sql("update nosuch_t set v = 1"))
   }
 
   test("tumbling time window [size 1 d on ts]") {
@@ -257,5 +273,43 @@ class EngineSpec extends AnyFunSuite {
     val sch = g.schemaOf("select l_orderkey as k, l_quantity / 2 as h from lineitem")
     assert(sch.fieldNames.toSeq == Seq("k", "h"))
     assert(sch("h").dataType.typeName == "double")
+  }
+
+  test("analytic OVER: ranking, offset, and aggregate-over-partition") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val got = g.sql(
+      "select o_custkey as ck, o_orderkey as k, " +
+      "row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey) as rn, " +
+      "rank() over (partition by o_custkey order by o_orderstatus) as rk, " +
+      "lag(o_orderkey) over (partition by o_custkey order by o_orderkey) as prev, " +
+      "round(sum(o_totalprice) over (partition by o_custkey), 2) as tot " +
+      "from orders where o_custkey < 20 order by ck, k")
+    val base = g.catalog.relation("orders").filter(col("o_custkey") < 20)
+    val want = base.select(
+      col("o_custkey").as("ck"), col("o_orderkey").as("k"),
+      row_number().over(W.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("rn"),
+      rank().over(W.partitionBy("o_custkey").orderBy("o_orderstatus")).as("rk"),
+      lag("o_orderkey", 1).over(W.partitionBy("o_custkey").orderBy("o_orderkey")).as("prev"),
+      round(sum("o_totalprice").over(W.partitionBy("o_custkey")), 2).as("tot"))
+      .orderBy("ck", "k")
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // unpartitioned running aggregate (default frame = rows up to current)
+    val run = g.sql(
+      "select n_nationkey as k, count(*) over (order by n_nationkey) as c " +
+      "from nation order by k limit 3").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(run.toSeq == Seq((0, 1L), (1, 2L), (2, 3L)))
+    // ranking without ORDER BY is a clear analysis error
+    val e = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("select row_number() over (partition by n_regionkey) as rn from nation")
+    }
+    assert(e.getMessage.contains("ORDER BY"))
+  }
+
+  test("analytic OVER round-trips through the pretty-printer") {
+    val sql = "select o_custkey as ck, row_number() over (partition by o_custkey order by o_totalprice desc) as rn from orders"
+    val ast1 = graft.parser.SqlParser.parse(sql).toOption.get
+    val printed = graft.ast.Pretty.print(ast1)
+    val ast2 = graft.parser.SqlParser.parse(printed).toOption.get
+    assert(ast2 == ast1, s"round-trip changed AST: $printed")
   }
 }

@@ -130,6 +130,20 @@ class RegressionSpec extends AnyFunSuite {
     assert(g.sql("select count(*) as n from acc_t").collect().head.getLong(0) == 20L)
   }
 
+  test("param binding preserves GroupBy flags and reaches inside OVER clauses") {
+    // pre-fix: Params.bind rebuilt GroupBy positionally and dropped the new
+    // cube flag, silently degrading WITH CUBE to a plain GROUP BY
+    val cube = g.sql(
+      "select l_returnflag as f, l_linestatus as s, count(*) as n from lineitem " +
+      "where l_quantity > ? group by l_returnflag, l_linestatus with cube", 0)
+    assert(cube.count() == 12) // 6 (f,s) + 3 (f,null) + 2 (null,s) + 1 total
+    // `?` inside an OVER-function argument binds positionally
+    val lagd = g.sql(
+      "select n_nationkey as k, lag(n_nationkey, 1, ?) over (order by n_nationkey) as p " +
+      "from nation order by k limit 1", -1)
+    assert(lagd.collect().head.getInt(1) == -1)
+  }
+
   test("schemaOf/EXPLAIN with a scalar subquery plans without running a Spark job") {
     g.catalog.registerTable("sq_probe", Seq((1, "a"), (2, "b")).toDF("id", "s"))
     @volatile var jobs = 0

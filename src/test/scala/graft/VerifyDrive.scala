@@ -16,7 +16,7 @@ object VerifyDrive {
     show("probe: parse error", "select from where")
     show("probe: unknown table", "select * from nosuchtable")
     show("probe: unknown column", "select nope from lineitem")
-    show("probe: update rejected", "update lineitem set l_quantity = 0")
+    show("probe: update with ORDER BY rejected", "update lineitem set l_quantity = 0 order by l_orderkey limit 1")
     show("probe: missing param", "select * from orders where o_orderkey = ?")
     show("probe: extra param", "select count(*) as n from orders", 42)
     show("probe: ambiguous column", "select n_nationkey from nation a join nation b on a.n_nationkey = b.n_nationkey")
