@@ -72,26 +72,25 @@ object Dedup {
   }
 
   /** Word w-shingles as (id, shingle) ROWS — same strings as [[shingles]]
-    * but fully codegen'd: posexplode words, lead() window per doc for the
-    * following w-1 words (one partition-by-doc shuffle), short docs fall
-    * back to the whole normalized text. */
+    * but fully codegen'd AND shuffle-free: split once into a words array,
+    * explode the start offsets, `slice` + `concat_ws` each shingle out of
+    * the array (all codegen expressions; the array never shuffles — rows
+    * for one doc stay in the scan partition, so a downstream groupBy(id)
+    * gets full map-side partial aggregation). Short docs fall back to the
+    * whole normalized text. (A previous revision used a lead() window,
+    * which cost a partition-by-doc shuffle + sort per call.) */
   def shingleRows(df: DataFrame, textCol: String, idCol: String,
                   w: Int = 3): DataFrame = {
     val norm = trim(lower(col(textCol)))
-    val words = df.select(col(idCol).as("id"),
-      posexplode(split(norm, "\\s+")).as(Seq("pos", "w")))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("pos")
-    val leadCols = (1 until w).map(j => lead(col("w"), j).over(win).as(s"l$j"))
-    val withLeads = words.select((col("id") +: col("w") +: leadCols): _*)
-    val full =
-      if (w == 1) withLeads.select(col("id"), col("w").as("sh")) // unigrams: no leads
-      else withLeads.where(col(s"l${w - 1}").isNotNull)
-        .select(col("id"),
-          concat_ws(" ", (col("w") +: (1 until w).map(j => col(s"l$j"))): _*).as("sh"))
-    val short = df
-      .where(size(split(norm, "\\s+")) < w)
-      .select(col(idCol).as("id"), regexp_replace(norm, "\\s+", " ").as("sh"))
+    val withWords = df.select(col(idCol).as("id"), split(norm, "\\s+").as("__ws"))
+    val full = withWords
+      .where(size(col("__ws")) >= w)
+      .select(col("id"),
+        explode(sequence(lit(1), size(col("__ws")) - (w - 1))).as("__i"), col("__ws"))
+      .select(col("id"), concat_ws(" ", slice(col("__ws"), col("__i"), lit(w))).as("sh"))
+    val short = withWords
+      .where(size(col("__ws")) < w)
+      .select(col("id"), concat_ws(" ", col("__ws")).as("sh"))
     full.union(short)
   }
 
