@@ -370,6 +370,115 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       catalog.registerTable(name, updated)
       spark.emptyDataFrame
 
+    // MERGE INTO: copy-on-write upsert. The matched/not-matched branches
+    // compose into ONE lazy plan (left-outer join for the surviving target
+    // rows + anti join for inserts); only the SQL:2003 cardinality check
+    // (no target row may match >1 source rows) runs eagerly at statement
+    // time — merge is a mutation, so one validation job at mutation time is
+    // the Delta-style contract. Actions apply in declaration order, first
+    // match wins; condition NULLs count as no-match (when() semantics).
+    case Merge(target, source, on, actions) =>
+      import org.apache.spark.sql.functions.{coalesce, col, count, lit, monotonically_increasing_id, when}
+      val name = target.name
+      if (!catalog.hasRelation(name))
+        throw new GraftAnalysisException(s"MERGE INTO unknown relation: $name")
+      val t = translator
+      val base = catalog.relation(name)
+      val tAlias = target.refName
+      val colSet = base.columns.map(_.toLowerCase).toSet
+      actions.foreach {
+        case MergeUpdate(_, set) => set.foreach { case (c, _) =>
+          if (!colSet(c.name.toLowerCase))
+            throw new GraftAnalysisException(s"MERGE INTO $name: unknown column `${c.name}`")
+        }
+        case MergeInsert(_, Some(cols), vs) =>
+          cols.find(c => !colSet(c.toLowerCase)).foreach { bad =>
+            throw new GraftAnalysisException(s"MERGE INTO $name: unknown column `$bad`")
+          }
+          if (vs.length != cols.length)
+            throw new GraftAnalysisException(
+              s"MERGE INTO $name: INSERT has ${vs.length} values for ${cols.length} columns")
+        case MergeInsert(_, None, vs) =>
+          if (vs.length != base.columns.length)
+            throw new GraftAnalysisException(
+              s"MERGE INTO $name: INSERT has ${vs.length} values for ${base.columns.length} columns")
+        case _ =>
+      }
+      val (srcBase, srcAlias) = source match {
+        case tr @ TableRef(n, _, None) =>
+          if (!catalog.hasRelation(n))
+            throw new GraftAnalysisException(s"MERGE USING unknown relation: $n")
+          (catalog.relation(n), tr.refName)
+        case DerivedRel(q, a, None) => (t.query(q), a)
+        case _ => throw new GraftAnalysisException(
+          "MERGE source must be a table or a derived table (no window specs)")
+      }
+      val tgt = base.withColumn("__rid", monotonically_increasing_id()).alias(tAlias)
+      val src = srcBase.withColumn("__m", lit(1)).alias(srcAlias)
+      val cond = t.expr(on)
+      val joined = tgt.join(src, cond, "left_outer")
+      val matched = col("__m").isNotNull
+
+      // SQL:2003 cardinality rule — eager, one aggregation job
+      val dupes = joined.where(matched)
+        .groupBy(col("__rid")).agg(count(lit(1)).as("__c"))
+        .where(col("__c") > 1).limit(1).count()
+      if (dupes > 0)
+        throw new GraftAnalysisException(
+          s"MERGE INTO $name: a target row matches more than one source row " +
+            "(cardinality violation)")
+
+      def nz(c: Option[Expr]): Column =
+        c.map(e => coalesce(t.expr(e), lit(false))).getOrElse(lit(true))
+      // effective condition per matched action = matched AND its AND-cond
+      // AND no earlier matched action fired
+      var prior: Column = lit(false)
+      val effective: Seq[(MergeAction, Column)] = actions.collect {
+        case a @ (_: MergeUpdate | _: MergeDelete) =>
+          val c = matched && nz(a.cond) && !prior
+          prior = prior || (matched && nz(a.cond))
+          (a, c)
+      }
+      val delCond = effective.collect { case (_: MergeDelete, c) => c }
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val updSets: Seq[(Column, Map[String, Column])] = effective.collect {
+        case (u: MergeUpdate, c) =>
+          (c, u.set.map { case (cr, e) => cr.name.toLowerCase -> t.expr(e) }.toMap)
+      }
+      val survivors = joined.filter(!coalesce(delCond, lit(false)))
+        .select(base.schema.fields.map { f =>
+          val orig = col(s"$tAlias.${f.name}")
+          val applicable = updSets.filter(_._2.contains(f.name.toLowerCase))
+          val v = applicable match {
+            case Seq() => orig
+            case (c0, m0) +: rest =>
+              rest.foldLeft(when(c0, m0(f.name.toLowerCase))) { case (acc, (c, m)) =>
+                acc.when(c, m(f.name.toLowerCase))
+              }.otherwise(orig)
+          }
+          v.cast(f.dataType).as(f.name)
+        }: _*)
+
+      val insActs = actions.collect { case i: MergeInsert => i }
+      val merged =
+        if (insActs.isEmpty) survivors
+        else {
+          val anti = srcBase.alias(srcAlias).join(tgt, cond, "left_anti")
+          var priorIns: Column = lit(false)
+          val insRows = insActs.map { i =>
+            val c = nz(i.cond) && !priorIns
+            priorIns = priorIns || nz(i.cond)
+            val cols = i.columns.getOrElse(base.columns.toSeq)
+            val assign = cols.map(_.toLowerCase).zip(i.values.map(t.expr)).toMap
+            anti.filter(c).select(base.schema.fields.map { f =>
+              assign.getOrElse(f.name.toLowerCase, lit(null)).cast(f.dataType).as(f.name)
+            }: _*)
+          }
+          insRows.foldLeft(survivors)(_.unionByName(_))
+        }
+      catalog.registerTable(name, merged)
+      spark.emptyDataFrame
+
     case Delete(tables, where) =>
       if (tables.length != 1)
         throw new GraftAnalysisException("multi-table DELETE is not supported")

@@ -217,6 +217,39 @@ object SparkEntry {
       "cross join (select approx_count_distinct(o_custkey, 0.01) as acd, " +
       "percentile_approx(o_totalprice, 0.5) as pa, percentile(o_totalprice, 0.5) as p " +
       "from orders) as b")),
+    // ---- MERGE INTO (upsert) — beyond-reference extension; actions in
+    // declaration order, first match wins, cardinality-checked ----
+    "q37_merge" -> ((s, d) => {
+      val e = g(s, d)
+      e.sql("create stream q37_t (k long, status string, amount double)")
+      e.sql("insert into q37_t select o_orderkey, o_orderstatus, o_totalprice from orders where o_orderkey < 60")
+      e.sql(
+        "merge into q37_t as t " +
+        "using (select o_orderkey as k, o_totalprice as p from orders " +
+        "where o_orderkey > 20 and o_orderkey < 80) as s " +
+        "on t.k = s.k " +
+        "when matched and s.p > 150000 then update set status = 'H', amount = s.p * 2 " +
+        "when matched and s.p < 50000 then delete " +
+        "when not matched then insert (k, status, amount) values (s.k, 'N', s.p)")
+      e.sql("select k, status, round(amount, 2) as amount from q37_t order by k")
+    }),
+    // ---- WITH (CTEs) — beyond-reference extension ----
+    "q38_cte" -> ((s, d) => g(s, d).sql(
+      "with big as (select o_custkey as ck, count(*) as n from orders group by o_custkey), " +
+      "named as (select b.ck, b.n, c.c_acctbal as bal from big b join customer c on b.ck = c.c_custkey) " +
+      "select ck, n, round(bal, 2) as bal from named where n >= 30 order by ck")),
+    // ---- QUALIFY — beyond-reference extension (keep-top-k per key, the
+    // canonical training-data curation idiom) ----
+    "q39_qualify" -> ((s, d) => g(s, d).sql(
+      "select o_custkey as ck, o_orderkey as k, o_totalprice as p from orders " +
+      "where o_custkey < 100 " +
+      "qualify row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey) <= 2 " +
+      "order by ck, k")),
+    // ---- GROUP BY GROUPING SETS — beyond-reference extension ----
+    "q40_grouping_sets" -> ((s, d) => g(s, d).sql(
+      "select l_returnflag as f, l_linestatus as s, count(*) as n, round(sum(l_quantity), 2) as qty " +
+      "from lineitem group by grouping sets ((l_returnflag, l_linestatus), (l_linestatus), ()) " +
+      "order by f, s")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -363,6 +396,33 @@ object SparkEntry {
     "q36_sketches" ->
       ("SELECT COUNT(DISTINCT o_custkey) AS exact_cd, " +
        "CAST(1 AS BIGINT) AS acd_ok, CAST(1 AS BIGINT) AS pct_ok FROM orders"),
+    "q37_merge" ->
+      ("WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS amount " +
+       "FROM orders WHERE o_orderkey < 60), " +
+       "s AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders " +
+       "WHERE o_orderkey > 20 AND o_orderkey < 80), " +
+       "m AS (SELECT b.k AS k, b.status AS status, b.amount AS amount, s.p AS p, " +
+       "s.k IS NOT NULL AS mt FROM base b LEFT JOIN s ON b.k = s.k), " +
+       "surv AS (SELECT k, CASE WHEN mt AND p > 150000 THEN 'H' ELSE status END AS status, " +
+       "CASE WHEN mt AND p > 150000 THEN p * 2 ELSE amount END AS amount " +
+       "FROM m WHERE NOT (mt AND p < 50000)), " +
+       "ins AS (SELECT s.k AS k, 'N' AS status, s.p AS amount FROM s " +
+       "LEFT JOIN base b ON s.k = b.k WHERE b.k IS NULL) " +
+       "SELECT k, status, ROUND(amount, 2) AS amount FROM " +
+       "(SELECT * FROM surv UNION ALL SELECT * FROM ins) ORDER BY k"),
+    "q38_cte" ->
+      ("WITH big AS (SELECT o_custkey AS ck, COUNT(*) AS n FROM orders GROUP BY o_custkey), " +
+       "named AS (SELECT b.ck, b.n, c.c_acctbal AS bal FROM big b JOIN customer c ON b.ck = c.c_custkey) " +
+       "SELECT ck, n, ROUND(bal, 2) AS bal FROM named WHERE n >= 30 ORDER BY ck"),
+    "q39_qualify" ->
+      ("SELECT o_custkey AS ck, o_orderkey AS k, o_totalprice AS p FROM orders " +
+       "WHERE o_custkey < 100 " +
+       "QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2 " +
+       "ORDER BY ck, k"),
+    "q40_grouping_sets" ->
+      ("SELECT l_returnflag AS f, l_linestatus AS s, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty " +
+       "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ()) " +
+       "ORDER BY f NULLS FIRST, s NULLS FIRST"),
     "q32_session_window" ->
       ("WITH x AS (SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
        "f AS (SELECT *, CASE WHEN LAG(us) OVER (PARTITION BY event_type ORDER BY us) IS NULL " +

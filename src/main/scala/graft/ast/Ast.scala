@@ -75,11 +75,36 @@ final case class Delete(tables: Seq[TableRef], where: Option[Expr]) extends Stat
 /** EXPLAIN <query> — beyond-reference utility: returns the Catalyst plan. */
 final case class Explain(query: QueryExpr) extends Statement
 
+/** MERGE INTO target USING source ON cond WHEN [NOT] MATCHED … — upsert
+  * (beyond-reference extension; the reference has no MERGE). Executes
+  * copy-on-write like UPDATE/DELETE: the catalog registration is replaced
+  * with a derived plan. Actions apply in declaration order (first matching
+  * clause wins, per SQL:2003); a target row matched by more than one
+  * source row is a cardinality violation and raises an error. */
+final case class Merge(
+    target: TableRef,
+    source: Relation,
+    on: Expr,
+    actions: Seq[MergeAction]) extends Statement
+
+sealed trait MergeAction { def cond: Option[Expr] }
+final case class MergeUpdate(cond: Option[Expr], set: Seq[(ColRef, Expr)]) extends MergeAction
+final case class MergeDelete(cond: Option[Expr]) extends MergeAction
+final case class MergeInsert(cond: Option[Expr], columns: Option[Seq[String]],
+                             values: Seq[Expr]) extends MergeAction
+
 // ---------------------------------------------------------------------------
 // Queries
 // ---------------------------------------------------------------------------
 
 sealed trait QueryExpr extends Statement
+
+/** WITH name AS (query), … body — common table expressions (beyond-reference
+  * extension). CTEs are scoped to the statement and may reference earlier
+  * CTEs in the same list. Translation inlines each use (same policy as
+  * Spark SQL's default CTE inlining — Catalyst may still reuse the subplan
+  * via exchange/subquery reuse). */
+final case class With(ctes: Seq[(String, QueryExpr)], body: QueryExpr) extends QueryExpr
 
 final case class Select(
     distinct: Boolean,
@@ -88,7 +113,11 @@ final case class Select(
     where: Option[Expr],
     groupBy: Option[GroupBy],
     orderBy: Seq[SortKey],
-    limit: Option[Limit]) extends QueryExpr
+    limit: Option[Limit],
+    // QUALIFY <pred>: filter on analytic/window results after projection
+    // (Snowflake/DuckDB semantics: runs after window functions, before
+    // DISTINCT/ORDER BY). Beyond-reference extension.
+    qualify: Option[Expr] = None) extends QueryExpr
 
 /** UNION/EXCEPT/INTERSECT [ALL] — flinkdsl/parser.scala:35-40. Unlike the
   * reference we keep (and honor) the ALL flag. */
@@ -121,11 +150,14 @@ object Projection {
   }
 }
 
-/** `cube` (WITH CUBE — all key combinations, not just prefixes) is a
-  * beyond-reference extension; the reference grammar has only WITH ROLLUP
-  * (flinkdsl/parser.scala:258-262). */
+/** `cube` (WITH CUBE — all key combinations, not just prefixes) and
+  * `sets` (GROUP BY GROUPING SETS ((a,b),(a),())) are beyond-reference
+  * extensions; the reference grammar has only WITH ROLLUP
+  * (flinkdsl/parser.scala:258-262). When `sets` is present, `exprs` holds
+  * the distinct union of all set members (the grouping columns). */
 final case class GroupBy(exprs: Seq[Expr], rollup: Boolean, having: Option[Expr],
-                         cube: Boolean = false)
+                         cube: Boolean = false,
+                         sets: Option[Seq[Seq[Expr]]] = None)
 
 final case class SortKey(expr: Expr, ascending: Boolean)
 
@@ -277,4 +309,34 @@ object Expr {
       case (acc, FuncCall(n, _, _)) => acc || isAgg(n.toLowerCase)
       case (acc, _)                 => acc
     }
+
+  /** Bottom-up rewrite: children first, then `f` on the rebuilt node (nodes
+    * `f` doesn't cover pass through unchanged). Subqueries are NOT entered —
+    * they have their own name scope. */
+  def transform(e: Expr)(f: PartialFunction[Expr, Expr]): Expr = {
+    def go(x: Expr): Expr = {
+      val rebuilt = x match {
+        case Arith(op, l, r)       => Arith(op, go(l), go(r))
+        case Neg(c)                => Neg(go(c))
+        case BitNot(c)             => BitNot(go(c))
+        case FuncCall(n, as, d)    => FuncCall(n, as.map(go), d)
+        case WindowFn(fn, pb, ob)  =>
+          WindowFn(go(fn).asInstanceOf[FuncCall], pb.map(go),
+            ob.map(k => k.copy(expr = go(k.expr))))
+        case CaseWhen(bs, o)       =>
+          CaseWhen(bs.map { case (c, v) => (go(c), go(v)) }, o.map(go))
+        case Cmp(op, l, r)         => Cmp(op, go(l), go(r))
+        case And(l, r)             => And(go(l), go(r))
+        case Or(l, r)              => Or(go(l), go(r))
+        case Not(c)                => Not(go(c))
+        case Between(a, lo, hi, n) => Between(go(a), go(lo), go(hi), n)
+        case Like(a, p, n)         => Like(go(a), go(p), n)
+        case IsNull(a, n)          => IsNull(go(a), n)
+        case InList(a, l, n)       => InList(go(a), l.map(go), n)
+        case other                 => other
+      }
+      f.applyOrElse(rebuilt, identity[Expr])
+    }
+    go(e)
+  }
 }

@@ -43,21 +43,45 @@ object Pretty {
       s"delete from ${ts.map(rel).mkString(", ")}" +
         where.fold("")(w => s" where ${expr(w)}")
     case Explain(q) => s"explain ${query(q)}"
+    case Merge(t, src, on, actions) =>
+      val acts = actions.map {
+        case MergeUpdate(c, set) =>
+          s"when matched${c.fold("")(x => s" and ${expr(x)}")} then update set " +
+            set.map { case (cr, e) => s"${cr.sqlName} = ${expr(e)}" }.mkString(", ")
+        case MergeDelete(c) =>
+          s"when matched${c.fold("")(x => s" and ${expr(x)}")} then delete"
+        case MergeInsert(c, cols, vs) =>
+          s"when not matched${c.fold("")(x => s" and ${expr(x)}")} then insert" +
+            cols.fold("")(cs => s" (${cs.mkString(", ")})") +
+            s" values (${vs.map(expr).mkString(", ")})"
+      }.mkString(" ")
+      s"merge into ${rel(t)} using ${rel(src)} on ${expr(on)} $acts"
   }
 
   def query(q: QueryExpr): String = q match {
-    case Select(distinct, proj, from, where, groupBy, orderBy, limit) =>
+    case With(ctes, body) =>
+      val cs = ctes.map { case (n, cq) => s"$n as (${query(cq)})" }.mkString(", ")
+      s"with $cs ${query(body)}"
+    case Select(distinct, proj, from, where, groupBy, orderBy, limit, qualify) =>
       val d = if (distinct) "distinct " else ""
       val p = proj.map(pr => pr.alias.fold(expr(pr.expr))(a => s"${expr(pr.expr)} as $a"))
         .mkString(", ")
       val f = from.fold("")(r => s" from ${rel(r)}")
       val w = where.fold("")(e => s" where ${expr(e)}")
       val g = groupBy.fold("") { gb =>
-        s" group by ${gb.exprs.map(expr).mkString(", ")}" +
-          (if (gb.rollup) " with rollup" else if (gb.cube) " with cube" else "") +
-          gb.having.fold("")(h => s" having ${expr(h)}")
+        gb.sets match {
+          case Some(ss) =>
+            val sets = ss.map(s => s"(${s.map(expr).mkString(", ")})").mkString(", ")
+            s" group by grouping sets ($sets)" +
+              gb.having.fold("")(h => s" having ${expr(h)}")
+          case None =>
+            s" group by ${gb.exprs.map(expr).mkString(", ")}" +
+              (if (gb.rollup) " with rollup" else if (gb.cube) " with cube" else "") +
+              gb.having.fold("")(h => s" having ${expr(h)}")
+        }
       }
-      s"select $d$p$f$w$g${order(orderBy)}${lim(limit)}"
+      val ql = qualify.fold("")(e => s" qualify ${expr(e)}")
+      s"select $d$p$f$w$g$ql${order(orderBy)}${lim(limit)}"
     case SetOp(l, op, all, r, orderBy, limit) =>
       val o = op match {
         case Union => "union"; case Except => "except"; case Intersect => "intersect"

@@ -41,7 +41,7 @@ object SqlParser extends RegexParsers with PackratParsers {
     "join", "inner", "left", "right", "full", "outer", "cross", "on",
     "using", "union", "except", "intersect", "all", "distinct", "create",
     "insert", "into", "values", "update", "set", "delete", "asc", "desc",
-    "collate", "for", "rollup", "with")
+    "collate", "for", "rollup", "with", "qualify")
 
   private def kw(w: String): Parser[String] =
     (s"""(?i)\\Q$w\\E\\b""").r ^^ (_.toLowerCase(java.util.Locale.ROOT))
@@ -89,17 +89,28 @@ object SqlParser extends RegexParsers with PackratParsers {
 
   lazy val stmt: PackratParser[Statement] =
     createSchemaStmt | createStreamStmt | insertStmt | updateStmt |
-    deleteStmt | explainStmt | query
+    deleteStmt | mergeStmt | explainStmt | query
 
   lazy val explainStmt: PackratParser[Statement] =
     kw("explain") ~> query ^^ Explain.apply
 
   // ----- queries -----------------------------------------------------------
 
+  /** [WITH ctes] set-op query — the WITH list scopes over the whole query
+    * (including its trailing ORDER BY/LIMIT). */
+  lazy val query: PackratParser[QueryExpr] =
+    opt(kw("with") ~> rep1sep(cteDef, ",")) ~ setQuery ^^ {
+      case None ~ q       => q
+      case Some(ctes) ~ q => With(ctes, q)
+    }
+
+  lazy val cteDef: PackratParser[(String, QueryExpr)] =
+    ident ~ (kw("as") ~> "(" ~> query <~ ")") ^^ { case n ~ q => (n, q) }
+
   /** selectCore (UNION|EXCEPT|INTERSECT [ALL] selectCore)* [order by][limit]
     * — trailing ORDER BY/LIMIT bind to the whole set operation, per SQL (and
     * flinkdsl/ast.scala:163-167's SetStatement carrying its own orderBy). */
-  lazy val query: PackratParser[QueryExpr] = {
+  lazy val setQuery: PackratParser[QueryExpr] = {
     val op: Parser[(SetOpKind, Boolean)] =
       (kw("union") ^^^ Union | kw("except") ^^^ Except |
        kw("intersect") ^^^ Intersect) ~ opt(kw("all")) ^^ {
@@ -138,9 +149,10 @@ object SqlParser extends RegexParsers with PackratParsers {
     kw("select") ~> opt(kw("distinct")) ~ rep1sep(projection, ",") ~
       opt(kw("from") ~> fromRelations) ~
       opt(kw("where") ~> predicate) ~
-      opt(groupByClause) ^^ {
-        case d ~ proj ~ from ~ where ~ gb =>
-          Select(d.isDefined, proj, from, where, gb, Nil, None)
+      opt(groupByClause) ~
+      opt(kw("qualify") ~> predicate) ^^ {
+        case d ~ proj ~ from ~ where ~ gb ~ qual =>
+          Select(d.isDefined, proj, from, where, gb, Nil, None, qual)
       }
 
   lazy val projection: PackratParser[Projection] =
@@ -207,12 +219,20 @@ object SqlParser extends RegexParsers with PackratParsers {
 
   // ----- clauses -----------------------------------------------------------
 
-  lazy val groupByClause: PackratParser[GroupBy] =
+  lazy val groupByClause: PackratParser[GroupBy] = {
+    // one grouping set: `(a, b)`, `(a)` or `()` (the grand total)
+    val gset: Parser[Seq[Expr]] = "(" ~> repsep(expr, ",") <~ ")"
+    kw("group") ~> kw("by") ~> kw("grouping") ~> kw("sets") ~>
+      ("(" ~> rep1sep(gset, ",") <~ ")") ~ opt(kw("having") ~> predicate) ^^ {
+        case ss ~ h =>
+          GroupBy(ss.flatten.distinct, rollup = false, h, sets = Some(ss))
+      } |
     kw("group") ~> kw("by") ~> rep1sep(expr, ",") ~
       opt(kw("with") ~> (kw("rollup") | kw("cube"))) ~ opt(kw("having") ~> predicate) ^^ {
         case es ~ r ~ h =>
           GroupBy(es, r.contains("rollup"), h, cube = r.contains("cube"))
       }
+  }
 
   lazy val orderByClause: PackratParser[Seq[SortKey]] =
     kw("order") ~> kw("by") ~> rep1sep(sortKey, ",")
@@ -399,4 +419,30 @@ object SqlParser extends RegexParsers with PackratParsers {
 
   lazy val tableOnlyRef: PackratParser[TableRef] =
     ident ~ opt(opt(kw("as")) ~> ident) ^^ { case n ~ a => TableRef(n, a, None) }
+
+  /** MERGE INTO t [AS a] USING src ON pred (WHEN [NOT] MATCHED [AND c] THEN …)+ */
+  lazy val mergeStmt: PackratParser[Statement] =
+    kw("merge") ~> kw("into") ~> tableOnlyRef ~ (kw("using") ~> primaryRelation) ~
+      (kw("on") ~> predicate) ~ rep1(mergeAction) ^^ {
+        case t ~ src ~ cond ~ as => Merge(t, src, cond, as)
+      }
+
+  lazy val mergeAction: PackratParser[MergeAction] = {
+    val setClause = (colRef <~ "=") ~ expr ^^ { case c ~ e => (c, e) }
+    val matched =
+      (kw("when") ~> kw("matched") ~> opt(kw("and") ~> predicate) <~ kw("then")) ~
+        ((kw("update") ~> kw("set") ~> rep1sep(setClause, ",")) ^^ (s =>
+          (c: Option[Expr]) => MergeUpdate(c, s)) |
+         kw("delete") ^^^ ((c: Option[Expr]) => MergeDelete(c))) ^^ {
+          case c ~ f => f(c)
+        }
+    val notMatched =
+      (kw("when") ~> kw("not") ~> kw("matched") ~> opt(kw("and") ~> predicate) <~
+        kw("then") <~ kw("insert")) ~
+        opt("(" ~> rep1sep(ident, ",") <~ ")") ~
+        (kw("values") ~> "(" ~> rep1sep(expr, ",") <~ ")") ^^ {
+          case c ~ cols ~ vs => MergeInsert(c, cols, vs)
+        }
+    matched | notMatched
+  }
 }

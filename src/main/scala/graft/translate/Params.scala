@@ -36,6 +36,13 @@ object Params {
         Update(ts, set.map { case (c, e) => (c, expr(e)) }, w.map(expr),
           ob.map(k => k.copy(expr = expr(k.expr))), lim.map(limit))
       case Delete(ts, w) => Delete(ts, w.map(expr))
+      case Merge(t, src, on, actions) =>
+        Merge(t, relation(src), expr(on), actions.map {
+          case MergeUpdate(c, set) =>
+            MergeUpdate(c.map(expr), set.map { case (cr, e) => (cr, expr(e)) })
+          case MergeDelete(c)         => MergeDelete(c.map(expr))
+          case MergeInsert(c, cs, vs) => MergeInsert(c.map(expr), cs, vs.map(expr))
+        })
       case CreateStream(n, sch, src) => CreateStream(n, sch, src.map {
         case DerivedSource(q) => DerivedSource(query(q))
         case other            => other
@@ -45,21 +52,26 @@ object Params {
 
     def query(q: QueryExpr): QueryExpr = q match {
       case s: Select => select(s)
+      case With(ctes, body) =>
+        // textual order: CTE bodies first, then the main query
+        With(ctes.map { case (n, cq) => (n, query(cq)) }, query(body))
       case SetOp(l, op, all, r, ob, lim) =>
         SetOp(query(l), op, all, query(r),
           ob.map(k => k.copy(expr = expr(k.expr))), lim.map(limit))
     }
 
-    private def select(s: Select): Select = Select(
-      s.distinct,
-      s.projection.map(p => p.copy(expr = expr(p.expr))),
-      s.from.map(relation),
-      s.where.map(expr),
+    private def select(s: Select): Select = s.copy(
+      projection = s.projection.map(p => p.copy(expr = expr(p.expr))),
+      from = s.from.map(relation),
+      where = s.where.map(expr),
       // .copy, not positional construction: new GroupBy fields (e.g. cube)
       // must survive binding untouched
-      s.groupBy.map(g => g.copy(exprs = g.exprs.map(expr), having = g.having.map(expr))),
-      s.orderBy.map(k => k.copy(expr = expr(k.expr))),
-      s.limit.map(limit))
+      groupBy = s.groupBy.map(g => g.copy(exprs = g.exprs.map(expr),
+        having = g.having.map(expr),
+        sets = g.sets.map(_.map(_.map(expr))))),
+      qualify = s.qualify.map(expr),
+      orderBy = s.orderBy.map(k => k.copy(expr = expr(k.expr))),
+      limit = s.limit.map(limit))
 
     private def limit(l: Limit): Limit =
       Limit(expr(l.n), l.offset.map(expr))

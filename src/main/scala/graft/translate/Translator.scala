@@ -35,7 +35,22 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   // queries
   // ------------------------------------------------------------------
 
+  // CTE scope: WITH-bound names shadow catalog relations for the extent of
+  // the statement; each query() on a With saves/restores it, so sibling and
+  // nested WITH lists cannot leak. Single-threaded per statement (a
+  // Translator instance is created per GraftSession.execute call).
+  private var cteScope: Map[String, DataFrame] = Map.empty
+
   def query(q: QueryExpr): DataFrame = q match {
+    case With(ctes, body) =>
+      val saved = cteScope
+      try {
+        ctes.foreach { case (n, cq) =>
+          // later CTEs see earlier ones (standard WITH scoping)
+          cteScope = cteScope + (n.toLowerCase(java.util.Locale.ROOT) -> query(cq))
+        }
+        query(body)
+      } finally cteScope = saved
     case s: Select => select(s)
     case SetOp(l, op, all, r, orderBy, limit) =>
       val ld = query(l)
@@ -85,15 +100,30 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     applyLimit(out, s.limit)
   }
 
-  /** Non-aggregating SELECT: projection (+DISTINCT/ORDER BY/LIMIT). */
+  /** QUALIFY predicate with projection-alias refs redirected to the
+    * internal `__pN` columns (same alias-first policy as ORDER BY). */
+  private def qualifyOnWide(s: Select, p: Expr): Expr =
+    Expr.transform(p) { case c @ ColRef(None, _) =>
+      aliasTarget(s, c).map(i => ColRef(None, s"__p$i")).getOrElse(c)
+    }
+
+  /** Materialize a (possibly window-function-bearing) predicate as a column
+    * and filter on it — Spark rejects window functions inside Filter. */
+  private def filterViaColumn(df: DataFrame, pred: Column): DataFrame =
+    df.withColumn("__q", pred).filter(col("__q")).drop("__q")
+
+  /** Non-aggregating SELECT: projection (+QUALIFY/DISTINCT/ORDER BY/LIMIT). */
   private def plainProject(df: DataFrame, s: Select): DataFrame = {
     val hasStar = s.projection.exists(_.expr.isInstanceOf[Star])
     if (hasStar) {
-      val projected = df.select(s.projection.map(p => p.expr match {
+      val projected0 = df.select(s.projection.map(p => p.expr match {
         case Star(None)    => col("*")
         case Star(Some(q)) => col(s"$q.*")
         case e             => expr(e).as(p.outputName)
       }): _*)
+      // QUALIFY: star output keeps the input columns, so the predicate
+      // resolves directly against the projection
+      val projected = s.qualify.fold(projected0)(p => filterViaColumn(projected0, expr(p)))
       if (s.orderBy.isEmpty || s.distinct) projected
       else {
         // sort AFTER projection when every key resolves against the output
@@ -104,7 +134,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
           case ColRef(None, n) => outCols.contains(n)
           case _               => false
         })
-        if (allResolvable)
+        if (allResolvable || s.qualify.isDefined)
           projected.orderBy(s.orderBy.map(k => sortOnOutput(projected, k)): _*)
         else
           df.orderBy(s.orderBy.map(k => sortCol(expr(k.expr), k)): _*)
@@ -115,10 +145,12 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
             }): _*)
       }
     } else {
-      // project to unique internal names, sort (keys may reference either an
-      // output alias or any input column — both remain visible), then trim.
+      // project to unique internal names, qualify + sort (keys/predicates may
+      // reference either an output alias or any input column — both remain
+      // visible on the wide frame), then trim.
       val internal = s.projection.zipWithIndex.map { case (p, i) => expr(p.expr).as(s"__p$i") }
       var wide = df.select(col("*") +: internal: _*)
+      s.qualify.foreach { p => wide = filterViaColumn(wide, expr(qualifyOnWide(s, p))) }
       if (s.orderBy.nonEmpty && !s.distinct) {
         val keys = s.orderBy.map { k =>
           val c = aliasTarget(s, k.expr).map(i => col(s"__p$i")).getOrElse(expr(k.expr))
@@ -160,10 +192,14 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
 
     val aggCols = projCols ++ havingCol ++ orderCols
     val grouped =
-      if (gb.exists(g => g.rollup || g.cube)) {
+      if (gb.exists(g => g.rollup || g.cube || g.sets.isDefined)) {
         if (rel.implicitKeys.nonEmpty)
-          throw new GraftAnalysisException("ROLLUP/CUBE over a windowed stream is not supported")
-        if (gb.exists(_.cube)) df.cube(keys: _*) else df.rollup(keys: _*)
+          throw new GraftAnalysisException(
+            "ROLLUP/CUBE/GROUPING SETS over a windowed stream is not supported")
+        gb.flatMap(_.sets) match {
+          case Some(ss) => df.groupingSets(ss.map(_.map(expr)), keys: _*)
+          case None => if (gb.exists(_.cube)) df.cube(keys: _*) else df.rollup(keys: _*)
+        }
       } else df.groupBy(keys: _*)
     var out = grouped.agg(aggCols.head, aggCols.tail: _*)
 
@@ -174,6 +210,9 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       }
     }
     if (havingCol.nonEmpty) out = out.filter(col("__h"))
+    // QUALIFY after aggregation: window functions over the aggregated
+    // output; refs to projection aliases redirect to the internal columns
+    s.qualify.foreach { p => out = filterViaColumn(out, expr(qualifyOnWide(s, p))) }
     if (s.orderBy.nonEmpty) {
       val sortKeys = s.orderBy.zipWithIndex.map { case (k, i) =>
         val c = aliasTarget(s, k.expr).map(j => col(s"__p$j")).getOrElse(col(s"__o$i"))
@@ -233,7 +272,8 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
 
   def relation(r: Relation): RelPlan = r match {
     case t @ TableRef(name, _, window) =>
-      val base = catalog.relation(name)
+      val base = cteScope.getOrElse(name.toLowerCase(java.util.Locale.ROOT),
+        catalog.relation(name))
       val (wdf, keys, exprKeys, postAgg) =
         window.map(applyWindowFull(base, _)).getOrElse((base, Nil, Nil, Map.empty[String, String]))
       val aliased = wdf.alias(t.refName)

@@ -312,4 +312,89 @@ class EngineSpec extends AnyFunSuite {
     val ast2 = graft.parser.SqlParser.parse(printed).toOption.get
     assert(ast2 == ast1, s"round-trip changed AST: $printed")
   }
+
+  test("WITH: CTEs chain, shadow catalog names, and restore scope") {
+    // later CTEs see earlier ones
+    val got = g.sql(
+      "with a as (select n_regionkey as k from nation where n_nationkey < 10), " +
+      "b as (select k, count(*) as n from a group by k) " +
+      "select k, n from b order by k").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val want = g.catalog.relation("nation").filter(col("n_nationkey") < 10)
+      .groupBy(col("n_regionkey").as("k")).count()
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq)
+    // a CTE named like a catalog table shadows it — only inside the statement
+    val shadowed = g.sql(
+      "with nation as (select 1 as one) select count(*) as n from nation")
+      .collect().head.getLong(0)
+    assert(shadowed == 1L)
+    assert(g.sql("select count(*) as n from nation").collect().head.getLong(0) == 25L)
+  }
+
+  test("QUALIFY filters on window results (plain, input-col, and agg forms)") {
+    // predicate over an inline window fn referencing input columns
+    val top1 = g.sql(
+      "select o_custkey as ck, o_orderkey as k from orders where o_custkey < 10 " +
+      "qualify row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey) = 1 " +
+      "order by ck")
+    import org.apache.spark.sql.expressions.{Window => W}
+    val want = g.catalog.relation("orders").filter(col("o_custkey") < 10)
+      .withColumn("rn", row_number().over(
+        W.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("ck"), col("o_orderkey").as("k")).orderBy("ck")
+    assert(top1.collect().toSeq == want.collect().toSeq)
+    // qualify over an aggregated output (rank groups by their aggregate)
+    val topGroups = g.sql(
+      "select l_returnflag as f, count(*) as n from lineitem group by l_returnflag " +
+      "qualify row_number() over (order by n desc) <= 2 order by f")
+    assert(topGroups.collect().length == 2)
+  }
+
+  test("GROUPING SETS equals the union of its member GROUP BYs") {
+    val got = g.sql(
+      "select l_returnflag as f, l_linestatus as s, count(*) as n from lineitem " +
+      "group by grouping sets ((l_returnflag, l_linestatus), (l_linestatus), ()) " +
+      "order by f, s")
+    val byBoth = li.groupBy(col("l_returnflag").as("f"), col("l_linestatus").as("s")).count()
+    val byS = li.groupBy(col("l_linestatus").as("s")).count()
+      .select(lit(null).cast("string").as("f"), col("s"), col("count"))
+    val total = li.agg(count(lit(1)).as("count"))
+      .select(lit(null).cast("string").as("f"), lit(null).cast("string").as("s"), col("count"))
+    val want = byBoth.select(col("f"), col("s"), col("count"))
+      .unionByName(byS).unionByName(total)
+      .orderBy(col("f"), col("s"))
+    assert(got.collect().toSeq.map(_.toSeq) == want.collect().toSeq.map(_.toSeq))
+  }
+
+  test("MERGE: action order, cardinality check, and insert alignment") {
+    g.sql("create stream ms_t (k long, v double, tag string)")
+    g.sql("insert into ms_t values (1, 10.0, 'a'), (2, 20.0, 'b'), (3, 30.0, 'c')")
+    // delete listed FIRST wins over the later update for v < 15
+    g.sql("create stream ms_s (k long, nv double)")
+    g.sql("insert into ms_s values (1, 5.0), (2, 200.0), (4, 40.0)")
+    g.sql(
+      "merge into ms_t as t using ms_s as s on t.k = s.k " +
+      "when matched and s.nv < 10 then delete " +
+      "when matched then update set v = s.nv " +
+      "when not matched then insert (k, v) values (s.k, s.nv)")
+    val rows = g.sql("select k, v, tag from ms_t order by k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), if (r.isNullAt(2)) null else r.getString(2)))
+    // k=1 deleted (nv<10), k=2 updated, k=3 untouched, k=4 inserted (tag null)
+    assert(rows.toSeq == Seq((2L, 200.0, "b"), (3L, 30.0, "c"), (4L, 40.0, null)))
+    // a second merge matching one target row twice must raise
+    g.sql("create stream ms_dup (k long)")
+    g.sql("insert into ms_dup values (2), (2)")
+    val e = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("merge into ms_t as t using ms_dup as s on t.k = s.k " +
+        "when matched then update set v = 0.0")
+    }
+    assert(e.getMessage.contains("cardinality"))
+    // unknown column in SET is a clear error
+    val e2 = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("merge into ms_t as t using ms_s as s on t.k = s.k " +
+        "when matched then update set nope = 1")
+    }
+    assert(e2.getMessage.contains("nope"))
+  }
 }

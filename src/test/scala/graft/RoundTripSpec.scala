@@ -41,7 +41,16 @@ class RoundTripSpec extends AnyFunSuite {
     "select -a as na, ~b as nb, a & b as ab, a | b as ob, a ^ b as xb, a << 2 as sl, a >> 1 as sr from t",
     "select (select max(x) from u) as mx from t",
     "select w_start from s [size 1 h on ts watermark 10 min partitioned on k] group by w_start",
-    "explain select a from t where b > 1"
+    "explain select a from t where b > 1",
+    // round-2 extensions: CTEs, QUALIFY, GROUPING SETS, MERGE
+    "with x as (select 1 as a), y as (select a from x) select a from y",
+    "with x as (select a from t) select a from x union select b from u order by a",
+    "select a, b from t qualify (row_number() over (partition by a order by b) <= 2)",
+    "select a, count(*) as n from t group by grouping sets ((a, b), (b), ()) having (count(*) > 1)",
+    "merge into t as x using s on (x.k = s.k) when matched and (s.v < 0) then delete " +
+      "when matched then update set v = (s.v + 1), w = 2 " +
+      "when not matched then insert (k, v) values (s.k, 0)",
+    "merge into t using (select k from u) as s on (t.k = s.k) when not matched then insert values (s.k)"
   )
 
   test("parse . print . parse == parse over the corpus") {
