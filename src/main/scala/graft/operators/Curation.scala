@@ -1,14 +1,24 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation pipeline — the composition the M4
   * operators exist for: exact-dedup → quality filter → token budgeting.
-  * Each stage is an oracle-checkable relational step (one groupBy + one
-  * join + narrow projections), so the whole pipeline is a single Catalyst
-  * plan: scan once, shuffle twice (dedup key, final stats), no driver
-  * round-trips.
+  *
+  * Single-pass plan (the 100 TB shape): ONE scan, TWO shuffles, ZERO joins —
+  *  1. dedup via `row_number() over (partition by text order by doc_id) = 1`
+  *     (one full-row shuffle on the dedup key; a groupBy+semi-join dedup
+  *     would shuffle the corpus twice and, composed with the stats pass,
+  *     re-execute per plan reference);
+  *  2. char-level stats (fused one-pass CharClassStats) ride along the token
+  *     explode as `first()` aggregates, so token- and char-level statistics
+  *     come out of the same per-doc hash aggregation (map-side partial:
+  *     the shuffle carries one row per doc);
+  *  3. quality filter + per-language budget is a final narrow agg.
+  * Every stage mirrors TextAnalysis.stats/quality exactly (same ROUND(…, 6)
+  * components), so the DuckDB oracle for x15 stays valid.
   */
 object Curation {
 
@@ -18,17 +28,37 @@ object Curation {
     * 3. report per-language surviving doc count and token budget.
     * Output: (lang, n_docs, n_tokens) sorted by lang. */
   def curate(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
-    val deduped = Dedup.exact(docs, Seq("text"), "doc_id")
-    // ONE stats pass (the token explode+agg is the expensive stage); the
-    // quality score derives from the stats columns — same rounded
-    // components as TextAnalysis.quality, so the oracle mirror holds.
-    val st = TextAnalysis.stats(deduped, "text", "doc_id")
-    val quality = TextAnalysis.qualityFromStats(col("__len"),
-      col("mean_tok_len"), col("stopword_ratio"), col("digit_ratio"))
-    deduped.select(col("doc_id"), col("lang"),
-        length(col("text")).cast("double").as("__len"))
-      .join(st, "doc_id")
-      .where(quality >= minQuality)
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val winners = docs
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+    // fused [len, digits, alphas, whitespace] scan + blank flag, computed
+    // once per doc BEFORE the explode and carried through it
+    val base = winners.select(col("doc_id"), col("lang"),
+      graft.expr.CharClassStats(col("text")).as("__cs"),
+      (length(trim(col("text"))) === 0).as("__blank"),
+      explode(split(trim(col("text")), "\\s+")).as("__tok"))
+    val agg = base
+      .groupBy(col("doc_id"))
+      .agg(first(col("lang")).as("lang"),
+        first(col("__cs")).as("__cs"),
+        first(col("__blank")).as("__blank"),
+        count(lit(1)).as("__n"),
+        sum(ceil(length(col("__tok")).cast("double") / 4.0).cast("long")).as("__est"),
+        sum(when(lower(col("__tok")).isin(TextAnalysis.stopwords.map(lit(_)): _*), 1L)
+          .otherwise(0L)).as("__sw"))
+    // the ROUND(.., 6) component values TextAnalysis.stats emits — identical
+    // inputs to the shared quality blend, so thresholds cannot diverge
+    val len = col("__cs")(0).cast("double")
+    val digitRatio = round(when(col("__cs")(0) === 0, 0.0)
+      .otherwise(col("__cs")(1).cast("double") / col("__cs")(0)), 6)
+    val meanTokLen = round(when(col("__blank"), 0.0)
+      .otherwise((col("__cs")(0) - col("__cs")(3)).cast("double") / col("__n")), 6)
+    val swRatio = round(when(col("__blank"), 0.0)
+      .otherwise(col("__sw").cast("double") / col("__n")), 6)
+    val quality = TextAnalysis.qualityFromStats(len, meanTokLen, swRatio, digitRatio)
+    val tokenEst = when(col("__blank"), 0L).otherwise(col("__est"))
+    agg.select(col("lang"), tokenEst.as("token_est"), quality.as("__q"))
+      .where(col("__q") >= minQuality)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("token_est")).as("n_tokens"))
       .orderBy(col("lang"))

@@ -40,7 +40,7 @@ object TextAnalysis {
       .otherwise(length(regexp_replace(text, "\\s", "")).cast("double") / n)
   }
 
-  private val stopwords = Seq(
+  private[operators] val stopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "was", "for", "on", "with", "as", "at", "by", "be", "this")
 
