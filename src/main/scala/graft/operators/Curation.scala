@@ -32,27 +32,35 @@ object Curation {
     val winners = docs
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
     // fused [len, digits, alphas, whitespace] scan + blank flag, computed
-    // once per doc BEFORE the explode and carried through it
-    val base = winners.select(col("doc_id"), col("lang"),
-      graft.expr.CharClassStats(col("text")).as("__cs"),
-      (length(trim(col("text"))) === 0).as("__blank"),
+    // once per doc BEFORE the explode (codegen CSE evaluates CharClassStats
+    // once per row despite the four extractions) and carried through it
+    val cs = graft.expr.CharClassStats(col("text"))
+    val pre = winners.select(col("doc_id"), col("lang"),
+      cs.getItem(0).as("__c0"), cs.getItem(1).as("__c1"),
+      cs.getItem(2).as("__c2"), cs.getItem(3).as("__c3"),
+      (length(trim(col("text"))) === 0).as("__blank"), col("text"))
+    val base = pre.select(col("doc_id"), col("lang"), col("__c0"), col("__c1"),
+      col("__c2"), col("__c3"), col("__blank"),
       explode(split(trim(col("text")), "\\s+")).as("__tok"))
+    // doc-constant columns ride in the GROUP KEY, not the agg buffer: a
+    // first()-style carry of a string/array makes the buffer non-mutable
+    // and silently degrades HashAggregate to SortAggregate (a full sort of
+    // every exploded token row — measured 5x slower); keys have no such
+    // restriction, and doc_id already determines them
     val agg = base
-      .groupBy(col("doc_id"))
-      .agg(first(col("lang")).as("lang"),
-        first(col("__cs")).as("__cs"),
-        first(col("__blank")).as("__blank"),
-        count(lit(1)).as("__n"),
+      .groupBy(col("doc_id"), col("lang"), col("__c0"), col("__c1"),
+        col("__c2"), col("__c3"), col("__blank"))
+      .agg(count(lit(1)).as("__n"),
         sum(ceil(length(col("__tok")).cast("double") / 4.0).cast("long")).as("__est"),
         sum(when(lower(col("__tok")).isin(TextAnalysis.stopwords.map(lit(_)): _*), 1L)
           .otherwise(0L)).as("__sw"))
     // the ROUND(.., 6) component values TextAnalysis.stats emits — identical
     // inputs to the shared quality blend, so thresholds cannot diverge
-    val len = col("__cs")(0).cast("double")
-    val digitRatio = round(when(col("__cs")(0) === 0, 0.0)
-      .otherwise(col("__cs")(1).cast("double") / col("__cs")(0)), 6)
+    val len = col("__c0").cast("double")
+    val digitRatio = round(when(col("__c0") === 0, 0.0)
+      .otherwise(col("__c1").cast("double") / col("__c0")), 6)
     val meanTokLen = round(when(col("__blank"), 0.0)
-      .otherwise((col("__cs")(0) - col("__cs")(3)).cast("double") / col("__n")), 6)
+      .otherwise((col("__c0") - col("__c3")).cast("double") / col("__n")), 6)
     val swRatio = round(when(col("__blank"), 0.0)
       .otherwise(col("__sw").cast("double") / col("__n")), 6)
     val quality = TextAnalysis.qualityFromStats(len, meanTokLen, swRatio, digitRatio)

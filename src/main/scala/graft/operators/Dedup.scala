@@ -82,7 +82,7 @@ object Dedup {
   def shingleRows(df: DataFrame, textCol: String, idCol: String,
                   w: Int = 3): DataFrame = {
     val norm = trim(lower(col(textCol)))
-    val withWords = Par.widen(df).select(col(idCol).as("id"), split(norm, "\\s+").as("__ws"))
+    val withWords = Par.widen(df, idCol).select(col(idCol).as("id"), split(norm, "\\s+").as("__ws"))
     val full = withWords
       .where(size(col("__ws")) >= w)
       .select(col("id"),
@@ -185,7 +185,7 @@ object Dedup {
     * rationale as [[minhashSignatures]]): one ±1 sum per bit as 64
     * codegen'd aggregates, then the bit-pack as a plain projection. */
   def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = Par.widen(df).select(col(idCol).as("id"),
+    val toks = Par.widen(df, idCol).select(col(idCol).as("id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
     val aggs = (0 until 64).map(i =>
@@ -261,7 +261,7 @@ object Dedup {
                        minCos: Double = 0.4, tables: Int = 4, bits: Int = 4,
                        seed: Long = 42L): DataFrame = {
     val bk = explode(Similarity.hyperplaneBuckets(col(vecCol), tables, bits, seed))
-    val b = Par.widen(emb).select(col(idCol).as("id"), col(vecCol).as("v"), bk.as("bucket"))
+    val b = Par.widen(emb, idCol).select(col(idCol).as("id"), col(vecCol).as("v"), bk.as("bucket"))
     val l = b.select(col("bucket"), col("id").as("ida"), col("v").as("va"))
     val r = b.select(col("bucket"), col("id").as("idb"), col("v").as("vb"))
     l.join(r, Seq("bucket")).where(col("ida") < col("idb"))

@@ -27,7 +27,7 @@ object Multimodal {
   /** Deterministic synthetic media table derived from `documents` —
     * payload = utf8 bytes of the text (a stand-in for image bytes). */
   def synthesize(docs: DataFrame): DataFrame =
-    Par.widen(docs).select(
+    Par.widen(docs, "doc_id").select(
       col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("payload"),
       when(col("doc_id") % 3 === 0, "image/png")

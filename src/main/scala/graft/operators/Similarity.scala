@@ -96,7 +96,7 @@ object Similarity {
                             vecCol: String = "embedding",
                             idCol: String = "vec_id"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
-    val scored = Par.widen(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val scored = Par.widen(corpus, idCol).select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .join(q, col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("cos"))
     val topk = udaf(new TopK(k))
@@ -118,7 +118,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
-    val scored = Par.widen(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val scored = Par.widen(corpus, idCol).select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .join(q, col("qid") =!= col("vec_id")) // exclude self-match
       .select(col("qid"), col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("cos"))
     topKPerGroup(scored, k)
@@ -131,7 +131,7 @@ object Similarity {
               tables: Int = 4, bits: Int = 4, vecCol: String = "embedding",
               idCol: String = "vec_id", seed: Long = 42L): DataFrame = {
     val bk = (c: Column) => explode(hyperplaneBuckets(c, tables, bits, seed))
-    val cb = Par.widen(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("v"), bk(col(vecCol)).as("b"))
+    val cb = Par.widen(corpus, idCol).select(col(idCol).as("vec_id"), col(vecCol).as("v"), bk(col(vecCol)).as("b"))
     val qb = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), bk(col(vecCol)).as("b")))
     val scored = cb.join(qb, "b").where(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), col("v"), col("qv")).distinct()
@@ -156,7 +156,7 @@ object Similarity {
       .orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val wcorpus = Par.widen(corpus)
+    val wcorpus = Par.widen(corpus, idCol)
     for (_ <- 0 until iters) {
       val assigned = wcorpus.select(col(vecCol).as("v"),
         nearestCentroid(col(vecCol), centroids).as("c"))
@@ -203,7 +203,7 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val centroids = trainIvfCentroids(corpus, nlist, iters, vecCol, idCol)
-    val indexed = Par.widen(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+    val indexed = Par.widen(corpus, idCol).select(col(idCol).as("vec_id"), col(vecCol).as("v"),
       nearestCentroid(col(vecCol), centroids).as("c"))
     val probes = broadcast(queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"),

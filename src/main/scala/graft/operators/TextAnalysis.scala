@@ -152,7 +152,7 @@ object TextAnalysis {
     * hits, per-language profile hits — all codegen'd sums over one
     * explode. */
   private def tokenStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = Par.widen(df).select(col(idCol),
+    val toks = Par.widen(df, idCol).select(col(idCol),
         explode(split(trim(col(textCol)), "\\s+")).as("__tok"))
       .select(col(idCol), col("__tok"), lower(col("__tok")).as("__ltok"))
     val langAggs = langProfiles.zipWithIndex.map { case ((_, words), i) =>
@@ -208,7 +208,7 @@ object TextAnalysis {
     * fully expressible in ANSI SQL, so it is oracle-checked. */
   def tfidf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val n = df.count() // corpus size: one count job, a scalar — not a collect of rows
-    val toks = Par.widen(df).select(col(idCol).as("id"),
+    val toks = Par.widen(df, idCol).select(col(idCol).as("id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .where(col("term") =!= "")
     val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -225,7 +225,7 @@ object TextAnalysis {
   def fingerprintDF(df: DataFrame, textCol: String, idCol: String,
                     k: Int = 8): DataFrame = {
     val t = col(textCol)
-    val grams = Par.widen(df).select(col(idCol),
+    val grams = Par.widen(df, idCol).select(col(idCol),
         explode(sequence(lit(1), greatest(length(t) - (k - 1), lit(1)))).as("__pos"), t.as("__t"))
       .select(col(idCol), xxhash64(expr(s"substring(__t, __pos, $k)")).as("__g"))
     grams.groupBy(col(idCol)).agg(min(col("__g")).as("fp"))
