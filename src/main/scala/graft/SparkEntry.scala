@@ -250,6 +250,23 @@ object SparkEntry {
       "select l_returnflag as f, l_linestatus as s, count(*) as n, round(sum(l_quantity), 2) as qty " +
       "from lineitem group by grouping sets ((l_returnflag, l_linestatus), (l_linestatus), ()) " +
       "order by f, s")),
+    // ---- scalar library breadth: date/time extraction, string functions,
+    // math, COALESCE, explicit CAST — all through the dialect's Registry
+    // passthrough (reference P7: unknown names type as Any and pass
+    // through; ours resolve against Spark's full built-in library) ----
+    "q41_scalar_breadth" -> ((s, d) => g(s, d).sql(
+      "select o_orderkey as k, " +
+      "year(o_orderdate) as y, month(o_orderdate) as m, day(o_orderdate) as d, " +
+      "date_trunc('month', o_orderdate) as mo, " +
+      "length(o_orderpriority) as lp, " +
+      "replace(o_orderpriority, '-', '_') as rp, " +
+      "concat(o_orderstatus, '_', o_orderpriority) as cc, " +
+      "cast(floor(o_totalprice) as long) as tp_l, " +
+      "coalesce(null, o_orderstatus) as co, " +
+      "round(sqrt(o_totalprice), 6) as sq, round(ln(o_totalprice), 6) as lg, " +
+      "cast(floor(o_totalprice / 1000) as long) as fl, " +
+      "cast(ceil(o_totalprice / 1000) as long) as ce " +
+      "from orders where o_orderkey < 200 order by k")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -423,6 +440,20 @@ object SparkEntry {
       ("SELECT l_returnflag AS f, l_linestatus AS s, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty " +
        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ()) " +
        "ORDER BY f NULLS FIRST, s NULLS FIRST"),
+    "q41_scalar_breadth" ->
+      ("SELECT o_orderkey AS k, " +
+       "CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS m, " +
+       "CAST(day(o_orderdate) AS INTEGER) AS d, " +
+       "date_trunc('month', o_orderdate) AS mo, " +
+       "CAST(length(o_orderpriority) AS INTEGER) AS lp, " +
+       "replace(o_orderpriority, '-', '_') AS rp, " +
+       "concat(o_orderstatus, '_', o_orderpriority) AS cc, " +
+       "CAST(FLOOR(o_totalprice) AS BIGINT) AS tp_l, " +
+       "COALESCE(NULL, o_orderstatus) AS co, " +
+       "ROUND(sqrt(o_totalprice), 6) AS sq, ROUND(ln(o_totalprice), 6) AS lg, " +
+       "CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS fl, " +
+       "CAST(CEIL(o_totalprice / 1000) AS BIGINT) AS ce " +
+       "FROM orders WHERE o_orderkey < 200 ORDER BY k"),
     "q32_session_window" ->
       ("WITH x AS (SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
        "f AS (SELECT *, CASE WHEN LAG(us) OVER (PARTITION BY event_type ORDER BY us) IS NULL " +

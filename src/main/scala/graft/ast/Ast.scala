@@ -259,6 +259,11 @@ final case class WindowFn(
 /** `?` positional parameter — fsql/Ast.scala:164. */
 final case class Input() extends Expr
 
+/** CAST(e AS type) — beyond-reference extension (the reference has no cast
+  * syntax; its typer coerces implicitly). Type names are the DDL type
+  * vocabulary (long/int/double/string/boolean/timestamp/array<…>). */
+final case class Cast(e: Expr, dataType: String) extends Expr
+
 final case class ScalarSubquery(query: QueryExpr) extends Expr
 
 // --- predicates -----------------------------------------------------------
@@ -300,6 +305,7 @@ object Expr {
     case IsNull(a, _)         => Seq(a)
     case InList(a, l, _)      => a +: l
     case InSubquery(a, _, _)  => Seq(a)
+    case Cast(a, _)           => Seq(a)
     case _                    => Nil
   }
 
@@ -333,6 +339,7 @@ object Expr {
         case Like(a, p, n)         => Like(go(a), go(p), n)
         case IsNull(a, n)          => IsNull(go(a), n)
         case InList(a, l, n)       => InList(go(a), l.map(go), n)
+        case Cast(a, t)            => Cast(go(a), t)
         case other                 => other
       }
       f.applyOrElse(rebuilt, identity[Expr])

@@ -165,6 +165,7 @@ object Pretty {
         else "").filter(_.nonEmpty)
       s"${expr(f)} over (${parts.mkString(" ")})"
     case Input()              => "?"
+    case Cast(e, t)           => s"cast(${expr(e)} as $t)"
     case ScalarSubquery(q)    => s"(${query(q)})"
     case Cmp(op, l, r)        => s"(${expr(l)} $op ${expr(r)})"
     case And(l, r)            => s"(${expr(l)} and ${expr(r)})"

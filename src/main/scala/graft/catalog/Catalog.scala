@@ -70,6 +70,12 @@ final class Catalog {
   def toStructField(f: FieldDef): StructField =
     StructField(f.name, toDataType(f.dataType), f.nullable)
 
+  def toDataType(name: String): DataType = Catalog.toDataType(name)
+}
+
+object Catalog {
+  /** FSQL/DDL type names → Spark types — shared by field definitions and
+    * the dialect's CAST(e AS type). */
   def toDataType(name: String): DataType = name.toLowerCase(java.util.Locale.ROOT) match {
     case "int" | "integer"            => IntegerType
     case "string" | "varchar" | "text" => StringType

@@ -320,6 +320,7 @@ object SqlParser extends RegexParsers with PackratParsers {
 
   lazy val atom: PackratParser[Expr] =
     caseExpr |
+    castExpr |
     funcCall |
     literal |
     "?" ^^^ Input() |
@@ -352,6 +353,12 @@ object SqlParser extends RegexParsers with PackratParsers {
 
   lazy val funcArg: PackratParser[Expr] =
     "*" ^^^ Star(None) | predicate
+
+  /** CAST(e AS type) — type vocabulary shared with DDL field definitions. */
+  lazy val castExpr: PackratParser[Expr] =
+    (("(?i)\\Qcast\\E\\b".r ~ "(") ~> predicate) ~ (kw("as") ~> dataTypeName) <~ ")" ^^ {
+      case e ~ t => Cast(e, t)
+    }
 
   lazy val caseExpr: PackratParser[Expr] =
     kw("case") ~> rep1(whenBranch) ~ opt(kw("else") ~> expr) <~ kw("end") ^^ {

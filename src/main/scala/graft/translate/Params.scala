@@ -101,6 +101,7 @@ object Params {
       case Or(l, r)              => Or(expr(l), expr(r))
       case Not(c)                => Not(expr(c))
       case Between(x, lo, hi, n) => Between(expr(x), expr(lo), expr(hi), n)
+      case Cast(x, t)            => Cast(expr(x), t)
       case Like(x, p, n)         => Like(expr(x), expr(p), n)
       case IsNull(x, n)          => IsNull(expr(x), n)
       case InList(x, l, n)       => InList(expr(x), l.map(expr), n)

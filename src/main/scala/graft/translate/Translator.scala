@@ -641,6 +641,10 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       throw new GraftAnalysisException(
         "unbound ? parameter — pass positional args to GraftSession.sql(sql, args*)")
 
+    // CAST(e AS type): the DDL type vocabulary (Catalog.toDataType), so the
+    // same names work in field definitions and casts
+    case Cast(e, t) => expr(e).cast(graft.catalog.Catalog.toDataType(t))
+
     // Uncorrelated scalar subquery: lowered to Catalyst's own ScalarSubquery
     // node (lazy — nothing executes until the enclosing query runs, so
     // EXPLAIN / schemaOf stay plan-only; Spark enforces the <=1-row and

@@ -367,6 +367,20 @@ class EngineSpec extends AnyFunSuite {
     assert(got.collect().toSeq.map(_.toSeq) == want.collect().toSeq.map(_.toSeq))
   }
 
+  test("CAST uses the DDL type vocabulary") {
+    val r = g.sql(
+      "select cast(o_totalprice as long) as l, cast(o_orderkey as string) as s, " +
+      "cast(o_totalprice as int) as i from orders where o_orderkey = 1").collect().head
+    val want = g.catalog.relation("orders").filter(col("o_orderkey") === 1)
+      .select(col("o_totalprice").cast("long"), col("o_orderkey").cast("string"),
+        col("o_totalprice").cast("int")).collect().head
+    assert(r == want)
+    val e = intercept[Exception] {
+      g.sql("select cast(o_orderkey as nosuchtype) as x from orders")
+    }
+    assert(e.getMessage.contains("unknown data type"))
+  }
+
   test("MERGE: action order, cardinality check, and insert alignment") {
     g.sql("create stream ms_t (k long, v double, tag string)")
     g.sql("insert into ms_t values (1, 10.0, 'a'), (2, 20.0, 'b'), (3, 30.0, 'c')")

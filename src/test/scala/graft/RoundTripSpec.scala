@@ -50,7 +50,8 @@ class RoundTripSpec extends AnyFunSuite {
     "merge into t as x using s on (x.k = s.k) when matched and (s.v < 0) then delete " +
       "when matched then update set v = (s.v + 1), w = 2 " +
       "when not matched then insert (k, v) values (s.k, 0)",
-    "merge into t using (select k from u) as s on (t.k = s.k) when not matched then insert values (s.k)"
+    "merge into t using (select k from u) as s on (t.k = s.k) when not matched then insert values (s.k)",
+    "select cast(a as long) as al, cast(b as array<double>) as bd, cast((a + 1) as string) as s from t"
   )
 
   test("parse . print . parse == parse over the corpus") {
