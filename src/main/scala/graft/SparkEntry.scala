@@ -267,6 +267,17 @@ object SparkEntry {
       "cast(floor(o_totalprice / 1000) as long) as fl, " +
       "cast(ceil(o_totalprice / 1000) as long) as ce " +
       "from orders where o_orderkey < 200 order by k")),
+    // ---- ANSI sugar: `||` concat, simple CASE, GROUP BY/ORDER BY
+    // ordinals — beyond-reference SQL completeness ----
+    "q42_ansi_sugar" -> ((s, d) => g(s, d).sql(
+      "select o_orderstatus || '_' || o_orderpriority as tag, " +
+      "case o_orderstatus when 'F' then 'finished' when 'O' then 'open' else 'other' end as st, " +
+      "count(*) as n from orders group by 1, 2 order by 1, 2")),
+    // ---- explicit NULLS FIRST/LAST (outer join nulls sorted last) ----
+    "q43_nulls_last" -> ((s, d) => g(s, d).sql(
+      "select n.n_name as nation, c.c_custkey as ck from customer c " +
+      "right join nation n on c.c_nationkey = n.n_nationkey and c.c_acctbal > 9998 " +
+      "order by nation, ck nulls last")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -440,6 +451,14 @@ object SparkEntry {
       ("SELECT l_returnflag AS f, l_linestatus AS s, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty " +
        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ()) " +
        "ORDER BY f NULLS FIRST, s NULLS FIRST"),
+    "q42_ansi_sugar" ->
+      ("SELECT o_orderstatus || '_' || o_orderpriority AS tag, " +
+       "CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open' ELSE 'other' END AS st, " +
+       "COUNT(*) AS n FROM orders GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q43_nulls_last" ->
+      ("SELECT n.n_name AS nation, c.c_custkey AS ck FROM customer c " +
+       "RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9998 " +
+       "ORDER BY nation, ck NULLS LAST"),
     "q41_scalar_breadth" ->
       ("SELECT o_orderkey AS k, " +
        "CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS m, " +

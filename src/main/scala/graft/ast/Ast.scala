@@ -159,7 +159,12 @@ final case class GroupBy(exprs: Seq[Expr], rollup: Boolean, having: Option[Expr]
                          cube: Boolean = false,
                          sets: Option[Seq[Seq[Expr]]] = None)
 
-final case class SortKey(expr: Expr, ascending: Boolean)
+/** `nullsFirst`: None = engine default (Spark: NULLS FIRST on ASC, NULLS
+  * LAST on DESC); explicit `NULLS FIRST`/`LAST` overrides (beyond-reference
+  * extension — DuckDB defaults differ, so cross-engine queries want it
+  * explicit). */
+final case class SortKey(expr: Expr, ascending: Boolean,
+                         nullsFirst: Option[Boolean] = None)
 
 /** LIMIT n [OFFSET m] — both `?`-parameterizable (flinkdsl/parser.scala:266). */
 final case class Limit(n: Expr, offset: Option[Expr])
@@ -243,7 +248,11 @@ final case class BitNot(child: Expr) extends Expr
   * reference parses-and-drops (flinkdsl/parser.scala:210) but we implement. */
 final case class FuncCall(name: String, args: Seq[Expr], distinct: Boolean = false) extends Expr
 
-final case class CaseWhen(branches: Seq[(Expr, Expr)], otherwise: Option[Expr]) extends Expr
+/** Searched CASE (`case when p then v …`) or, with `subject` set, simple
+  * CASE (`case x when v1 then r1 …` — branch conditions are equality
+  * comparisons against the subject). */
+final case class CaseWhen(branches: Seq[(Expr, Expr)], otherwise: Option[Expr],
+                          subject: Option[Expr] = None) extends Expr
 
 /** `fn(args) OVER (PARTITION BY … ORDER BY …)` — analytic/window function.
   * Beyond-reference extension (SURVEY §2.7 notes the reference has no
@@ -291,7 +300,7 @@ object Expr {
     case Neg(c)               => Seq(c)
     case BitNot(c)            => Seq(c)
     case FuncCall(_, as, _)   => as
-    case CaseWhen(bs, o)      => bs.flatMap(b => Seq(b._1, b._2)) ++ o.toSeq
+    case CaseWhen(bs, o, subj) => subj.toSeq ++ bs.flatMap(b => Seq(b._1, b._2)) ++ o.toSeq
     // NOTE: children are the fn's ARGS, not the fn node itself —
     // `sum(x) over (…)` is per-row analytic, not a grouping aggregate, so
     // hasAggregate must not see the inner FuncCall.
@@ -329,8 +338,8 @@ object Expr {
         case WindowFn(fn, pb, ob)  =>
           WindowFn(go(fn).asInstanceOf[FuncCall], pb.map(go),
             ob.map(k => k.copy(expr = go(k.expr))))
-        case CaseWhen(bs, o)       =>
-          CaseWhen(bs.map { case (c, v) => (go(c), go(v)) }, o.map(go))
+        case CaseWhen(bs, o, subj) =>
+          CaseWhen(bs.map { case (c, v) => (go(c), go(v)) }, o.map(go), subj.map(go))
         case Cmp(op, l, r)         => Cmp(op, go(l), go(r))
         case And(l, r)             => And(go(l), go(r))
         case Or(l, r)              => Or(go(l), go(r))

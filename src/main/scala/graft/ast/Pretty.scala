@@ -97,10 +97,12 @@ object Pretty {
       s"${operand(l)} $o$a ${operand(r)}${order(orderBy)}${lim(limit)}"
   }
 
+  private def sortKey(k: SortKey): String =
+    expr(k.expr) + (if (k.ascending) "" else " desc") +
+      k.nullsFirst.fold("")(f => if (f) " nulls first" else " nulls last")
+
   private def order(keys: Seq[SortKey]): String =
-    if (keys.isEmpty) ""
-    else " order by " + keys.map(k =>
-      s"${expr(k.expr)}${if (k.ascending) "" else " desc"}").mkString(", ")
+    if (keys.isEmpty) "" else " order by " + keys.map(sortKey).mkString(", ")
 
   private def lim(l: Option[Limit]): String =
     l.fold("")(x => s" limit ${expr(x.n)}" + x.offset.fold("")(o => s" offset ${expr(o)}"))
@@ -154,14 +156,14 @@ object Pretty {
     case FuncCall(n, args, d) =>
       val dd = if (d) "distinct " else ""
       s"$n($dd${args.map(expr).mkString(", ")})"
-    case CaseWhen(bs, o) =>
-      "case " + bs.map { case (c, v) => s"when ${expr(c)} then ${expr(v)}" }.mkString(" ") +
+    case CaseWhen(bs, o, subj) =>
+      "case " + subj.fold("")(x => s"${expr(x)} ") +
+        bs.map { case (c, v) => s"when ${expr(c)} then ${expr(v)}" }.mkString(" ") +
         o.fold("")(x => s" else ${expr(x)}") + " end"
     case WindowFn(f, pb, ob) =>
       val parts = Seq(
         if (pb.nonEmpty) s"partition by ${pb.map(expr).mkString(", ")}" else "",
-        if (ob.nonEmpty)
-          "order by " + ob.map(k => expr(k.expr) + (if (k.ascending) "" else " desc")).mkString(", ")
+        if (ob.nonEmpty) "order by " + ob.map(sortKey).mkString(", ")
         else "").filter(_.nonEmpty)
       s"${expr(f)} over (${parts.mkString(" ")})"
     case Input()              => "?"

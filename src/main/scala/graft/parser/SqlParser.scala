@@ -238,9 +238,11 @@ object SqlParser extends RegexParsers with PackratParsers {
     kw("order") ~> kw("by") ~> rep1sep(sortKey, ",")
 
   lazy val sortKey: PackratParser[SortKey] =
-    expr ~ opt(kw("collate") ~> ident) ~ opt(kws("asc", "desc")) ^^ {
-      case e ~ _ ~ d => SortKey(e, !d.contains("desc"))
-    }
+    expr ~ opt(kw("collate") ~> ident) ~ opt(kws("asc", "desc")) ~
+      opt(kw("nulls") ~> kws("first", "last")) ^^ {
+        case e ~ _ ~ d ~ nf =>
+          SortKey(e, !d.contains("desc"), nf.map(_ == "first"))
+      }
 
   lazy val limitClause: PackratParser[Limit] =
     kw("limit") ~> (numericLit | "?" ^^^ Input()) ~
@@ -286,7 +288,13 @@ object SqlParser extends RegexParsers with PackratParsers {
 
   // ----- scalar expressions ------------------------------------------------
 
-  lazy val expr: PackratParser[Expr] = bitOrExpr
+  /** `||` is string concatenation (ANSI), binding looser than arithmetic
+    * and bitwise ops. (A single `|` stays bitwise-or: its rep item only
+    * commits when an operand follows, so `a || b` falls through here.) */
+  lazy val expr: PackratParser[Expr] =
+    bitOrExpr ~ rep("||" ~> bitOrExpr) ^^ {
+      case h ~ t => t.foldLeft(h)((l, r) => Arith("||", l, r))
+    }
 
   lazy val bitOrExpr: PackratParser[Expr] =
     bitAndExpr ~ rep(("|" | "^") ~ bitAndExpr) ^^ {
@@ -360,9 +368,11 @@ object SqlParser extends RegexParsers with PackratParsers {
       case e ~ t => Cast(e, t)
     }
 
+  /** Searched (`case when p then v`) or simple (`case x when v then r`)
+    * CASE — `when` is reserved, so the subject parse cannot swallow it. */
   lazy val caseExpr: PackratParser[Expr] =
-    kw("case") ~> rep1(whenBranch) ~ opt(kw("else") ~> expr) <~ kw("end") ^^ {
-      case bs ~ e => CaseWhen(bs, e)
+    kw("case") ~> opt(expr) ~ rep1(whenBranch) ~ opt(kw("else") ~> expr) <~ kw("end") ^^ {
+      case subj ~ bs ~ e => CaseWhen(bs, e, subj)
     }
 
   lazy val whenBranch: PackratParser[(Expr, Expr)] =

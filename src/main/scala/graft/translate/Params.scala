@@ -94,7 +94,10 @@ object Params {
       case WindowFn(f, pb, ob)   =>
         WindowFn(expr(f).asInstanceOf[FuncCall], pb.map(expr),
           ob.map(k => k.copy(expr = expr(k.expr))))
-      case CaseWhen(bs, o)       => CaseWhen(bs.map { case (c, v) => (expr(c), expr(v)) }, o.map(expr))
+      case CaseWhen(bs, o, subj) =>
+        // textual order: subject first, then branches, then ELSE
+        val s2 = subj.map(expr)
+        CaseWhen(bs.map { case (c, v) => (expr(c), expr(v)) }, o.map(expr), s2)
       case ScalarSubquery(q)     => ScalarSubquery(query(q))
       case Cmp(op, l, r)         => Cmp(op, expr(l), expr(r))
       case And(l, r)             => And(expr(l), expr(r))

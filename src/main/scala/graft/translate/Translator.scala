@@ -168,8 +168,9 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   private def aggregate(df: DataFrame, rel: RelPlan, s: Select): DataFrame = {
     val gb = s.groupBy
     // explicit GROUP BY keys naming post-agg columns (session w_start/
-    // w_end) are implied by the struct grouping key — drop them here
-    val explicitKeys = gb.map(_.exprs
+    // w_end) are implied by the struct grouping key — drop them here.
+    // Ordinal keys (GROUP BY 1) dereference to the projection expression.
+    val explicitKeys = gb.map(_.exprs.map(derefOrdinal(s, _))
       .filterNot(e => postAggTarget(rel, e).isDefined).map(expr)).getOrElse(Nil)
     // implicit window keys first (FSQL: aggregation is always per-window)
     val keys = dedupeCols(rel.implicitKeys ++ explicitKeys)
@@ -197,7 +198,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
           throw new GraftAnalysisException(
             "ROLLUP/CUBE/GROUPING SETS over a windowed stream is not supported")
         gb.flatMap(_.sets) match {
-          case Some(ss) => df.groupingSets(ss.map(_.map(expr)), keys: _*)
+          case Some(ss) => df.groupingSets(ss.map(_.map(e => expr(derefOrdinal(s, e)))), keys: _*)
           case None => if (gb.exists(_.cube)) df.cube(keys: _*) else df.rollup(keys: _*)
         }
       } else df.groupBy(keys: _*)
@@ -232,18 +233,38 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     case _               => None
   }
 
-  /** Index of the projection whose output alias a bare column ref names. */
+  /** Index of the projection a sort/group key names — either by output
+    * alias or by 1-based ordinal (`ORDER BY 2`, `GROUP BY 1` — ANSI). */
   private def aliasTarget(s: Select, e: Expr): Option[Int] = e match {
     case ColRef(None, n) =>
       val i = s.projection.indexWhere(_.outputName.equalsIgnoreCase(n))
       if (i >= 0) Some(i) else None
+    case Lit(n: Long) if n >= 1 && n <= s.projection.length => Some((n - 1).toInt)
     case _ => None
   }
 
-  private def sortCol(c: Column, k: SortKey): Column = if (k.ascending) c.asc else c.desc
+  /** GROUP BY keys given as ordinals dereference to the projection's
+    * expression (ANSI `GROUP BY 1`). */
+  private def derefOrdinal(s: Select, e: Expr): Expr = e match {
+    case Lit(n: Long) if n >= 1 && n <= s.projection.length =>
+      s.projection((n - 1).toInt).expr
+    case other => other
+  }
+
+  private def sortCol(c: Column, k: SortKey): Column = (k.ascending, k.nullsFirst) match {
+    case (true, None)         => c.asc              // Spark default: nulls first
+    case (true, Some(true))   => c.asc_nulls_first
+    case (true, Some(false))  => c.asc_nulls_last
+    case (false, None)        => c.desc             // Spark default: nulls last
+    case (false, Some(true))  => c.desc_nulls_first
+    case (false, Some(false)) => c.desc_nulls_last
+  }
 
   private def sortOnOutput(df: DataFrame, k: SortKey): Column = k.expr match {
     case ColRef(None, n) => sortCol(df(n), k)
+    // ORDER BY <ordinal> (1-based projection position, ANSI)
+    case Lit(n: Long) if n >= 1 && n <= df.columns.length =>
+      sortCol(df(df.columns((n - 1).toInt)), k)
     case e               => sortCol(expr(e), k)
   }
 
@@ -618,6 +639,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     case Arith("^", l, r)  => expr(l).bitwiseXOR(expr(r))
     case Arith("<<", l, r) => call_function("shiftleft", expr(l), expr(r))
     case Arith(">>", l, r) => call_function("shiftright", expr(l), expr(r))
+    case Arith("||", l, r) => concat(expr(l), expr(r)) // ANSI string concat
     case Arith(op, _, _)   => throw new GraftAnalysisException(s"unknown operator: $op")
 
     case Neg(c)    => -expr(c)
@@ -630,10 +652,15 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       }
       Registry.build(n, cols, distinct)
 
-    case CaseWhen(branches, otherwise) =>
-      val first = when(expr(branches.head._1), expr(branches.head._2))
+    case CaseWhen(branches, otherwise, subject) =>
+      // simple CASE (`case x when v …`) compares the subject for equality
+      val cond: Expr => Column = subject match {
+        case None    => expr
+        case Some(x) => val sc = expr(x); (b: Expr) => sc === expr(b)
+      }
+      val first = when(cond(branches.head._1), expr(branches.head._2))
       val chained = branches.tail.foldLeft(first) { case (acc, (c, v)) =>
-        acc.when(expr(c), expr(v))
+        acc.when(cond(c), expr(v))
       }
       otherwise.fold(chained)(o => chained.otherwise(expr(o)))
 

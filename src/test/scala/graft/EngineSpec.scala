@@ -367,6 +367,39 @@ class EngineSpec extends AnyFunSuite {
     assert(got.collect().toSeq.map(_.toSeq) == want.collect().toSeq.map(_.toSeq))
   }
 
+  test("ANSI sugar: ||, simple CASE, ordinals, NULLS FIRST/LAST") {
+    // || chains and mixes with non-strings (Spark concat casts)
+    val t = g.sql("select o_orderstatus || '_' || o_orderpriority as tag from orders where o_orderkey = 1")
+      .collect().head.getString(0)
+    val w = g.catalog.relation("orders").filter(col("o_orderkey") === 1)
+      .select(concat(col("o_orderstatus"), lit("_"), col("o_orderpriority"))).collect().head.getString(0)
+    assert(t == w)
+    // simple CASE = equality chain against the subject
+    val sc = g.sql(
+      "select case n_regionkey when 0 then 'zero' when 1 then 'one' else 'many' end as c " +
+      "from nation order by n_nationkey limit 5").collect().map(_.getString(0))
+    val sw = g.catalog.relation("nation").orderBy("n_nationkey").limit(5)
+      .select(when(col("n_regionkey") === 0, "zero").when(col("n_regionkey") === 1, "one")
+        .otherwise("many")).collect().map(_.getString(0))
+    assert(sc.toSeq == sw.toSeq)
+    // GROUP BY 1 / ORDER BY 2 ordinals
+    val ord = g.sql("select l_returnflag as f, count(*) as n from lineitem group by 1 order by 2 desc, 1")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ordW = li.groupBy(col("l_returnflag").as("f")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("f")).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(ord.toSeq == ordW.toSeq)
+    // NULLS LAST on an outer-join column flips Spark's default
+    val nl = g.sql(
+      "select n.n_name as nation, c.c_custkey as ck from customer c " +
+      "right join nation n on c.c_nationkey = n.n_nationkey and c.c_acctbal > 9999 " +
+      "order by nation, ck nulls last").collect()
+    val perNation = nl.groupBy(_.getString(0))
+    perNation.values.foreach { rows =>
+      val nullIdx = rows.indexWhere(_.isNullAt(1))
+      if (nullIdx >= 0) assert(rows.drop(nullIdx).forall(_.isNullAt(1)), "nulls must sort last")
+    }
+  }
+
   test("CAST uses the DDL type vocabulary") {
     val r = g.sql(
       "select cast(o_totalprice as long) as l, cast(o_orderkey as string) as s, " +

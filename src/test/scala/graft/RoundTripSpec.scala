@@ -51,7 +51,10 @@ class RoundTripSpec extends AnyFunSuite {
       "when matched then update set v = (s.v + 1), w = 2 " +
       "when not matched then insert (k, v) values (s.k, 0)",
     "merge into t using (select k from u) as s on (t.k = s.k) when not matched then insert values (s.k)",
-    "select cast(a as long) as al, cast(b as array<double>) as bd, cast((a + 1) as string) as s from t"
+    "select cast(a as long) as al, cast(b as array<double>) as bd, cast((a + 1) as string) as s from t",
+    "select (a || b) as ab, case x when 1 then 'a' when 2 then 'b' else 'c' end as c from t",
+    "select a from t order by a desc nulls last, b nulls first",
+    "select a, count(*) as n from t group by 1 order by 2 desc"
   )
 
   test("parse . print . parse == parse over the corpus") {
