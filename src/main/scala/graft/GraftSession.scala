@@ -242,6 +242,38 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       catalog.createSchema(name, fields, parent)
       spark.emptyDataFrame
 
+    // ---- session introspection + lifecycle (beyond-reference utilities) ----
+    case ShowRelations(streamsOnly) =>
+      import spark.implicits._
+      catalog.relationNames
+        .map(n => (n, if (catalog.isStream(n)) "stream" else "table"))
+        .filter { case (_, kind) => !streamsOnly || kind == "stream" }
+        .toDF("name", "kind")
+
+    case Describe(rel) =>
+      if (!catalog.hasRelation(rel))
+        throw new GraftAnalysisException(s"DESCRIBE unknown relation: $rel")
+      import spark.implicits._
+      catalog.relation(rel).schema.fields.toSeq
+        .map(f => (f.name, f.dataType.simpleString, f.nullable))
+        .toDF("column", "type", "nullable")
+
+    case DropRelation(name, ifExists) =>
+      if (!catalog.hasRelation(name)) {
+        if (!ifExists)
+          throw new GraftAnalysisException(s"DROP: unknown table or stream: $name")
+      } else {
+        releaseSnapshots(name)
+        catalog.dropRelation(name)
+      }
+      spark.emptyDataFrame
+
+    case DropSchema(name, ifExists) =>
+      if (!catalog.hasSchema(name) && !ifExists)
+        throw new GraftAnalysisException(s"DROP SCHEMA: unknown schema: $name")
+      catalog.dropSchema(name)
+      spark.emptyDataFrame
+
     case CreateStream(name, schemaRef, source) =>
       releaseSnapshots(name) // re-registering a relation frees its caches
       val schema = catalog.resolveSchema(schemaRef)

@@ -87,6 +87,14 @@ final case class Merge(
     on: Expr,
     actions: Seq[MergeAction]) extends Statement
 
+/** SHOW TABLES / SHOW STREAMS / DESCRIBE rel / DROP STREAM|SCHEMA name —
+  * session introspection + lifecycle (beyond-reference utilities; the
+  * reference's SimpleCatalog stub had no surface at all). */
+final case class ShowRelations(streamsOnly: Boolean) extends Statement
+final case class Describe(relation: String) extends Statement
+final case class DropRelation(name: String, ifExists: Boolean) extends Statement
+final case class DropSchema(name: String, ifExists: Boolean) extends Statement
+
 sealed trait MergeAction { def cond: Option[Expr] }
 final case class MergeUpdate(cond: Option[Expr], set: Seq[(ColRef, Expr)]) extends MergeAction
 final case class MergeDelete(cond: Option[Expr]) extends MergeAction

@@ -43,6 +43,10 @@ object Pretty {
       s"delete from ${ts.map(rel).mkString(", ")}" +
         where.fold("")(w => s" where ${expr(w)}")
     case Explain(q) => s"explain ${query(q)}"
+    case ShowRelations(streamsOnly) => if (streamsOnly) "show streams" else "show tables"
+    case Describe(r)                => s"describe $r"
+    case DropRelation(n, ie)        => s"drop stream${if (ie) " if exists" else ""} $n"
+    case DropSchema(n, ie)          => s"drop schema${if (ie) " if exists" else ""} $n"
     case Merge(t, src, on, actions) =>
       val acts = actions.map {
         case MergeUpdate(c, set) =>

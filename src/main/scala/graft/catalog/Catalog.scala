@@ -62,6 +62,15 @@ final class Catalog {
   def hasRelation(name: String): Boolean = relations.contains(norm(name))
   def relationNames: Seq[String] = relations.keys.toSeq.sorted
 
+  def hasSchema(name: String): Boolean = schemas.contains(norm(name))
+
+  def dropRelation(name: String): Unit = {
+    relations.remove(norm(name))
+    streamNames.remove(norm(name))
+  }
+
+  def dropSchema(name: String): Unit = schemas.remove(norm(name))
+
   private def norm(s: String) = s.toLowerCase(java.util.Locale.ROOT)
 
   // --- FSQL type names → Spark types (fsql/parser.scala:355 + the wider

@@ -89,7 +89,24 @@ object SqlParser extends RegexParsers with PackratParsers {
 
   lazy val stmt: PackratParser[Statement] =
     createSchemaStmt | createStreamStmt | insertStmt | updateStmt |
-    deleteStmt | mergeStmt | explainStmt | query
+    deleteStmt | mergeStmt | explainStmt | showStmt | describeStmt |
+    dropStmt | query
+
+  lazy val showStmt: PackratParser[Statement] =
+    kw("show") ~> (kw("streams") ^^^ ShowRelations(streamsOnly = true) |
+                   kw("tables") ^^^ ShowRelations(streamsOnly = false))
+
+  lazy val describeStmt: PackratParser[Statement] =
+    (kw("describe") | kw("desc")) ~> ident ^^ Describe.apply
+
+  lazy val dropStmt: PackratParser[Statement] =
+    kw("drop") ~> (kw("stream") | kw("table")) ~>
+      opt(kw("if") ~> kw("exists")) ~ ident ^^ {
+        case ie ~ n => DropRelation(n, ie.isDefined)
+      } |
+    kw("drop") ~> kw("schema") ~> opt(kw("if") ~> kw("exists")) ~ ident ^^ {
+      case ie ~ n => DropSchema(n, ie.isDefined)
+    }
 
   lazy val explainStmt: PackratParser[Statement] =
     kw("explain") ~> query ^^ Explain.apply

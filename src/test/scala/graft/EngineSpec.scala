@@ -414,6 +414,23 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown data type"))
   }
 
+  test("SHOW TABLES / DESCRIBE / DROP lifecycle") {
+    g.sql("create stream lc_s (a long, b string)")
+    val names = g.sql("show tables").collect().map(_.getString(0))
+    assert(names.contains("lc_s") && names.contains("lineitem"))
+    val desc = g.sql("describe lc_s").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(desc.toSeq == Seq(("a", "bigint"), ("b", "string")))
+    g.sql("drop stream lc_s")
+    assert(!g.sql("show tables").collect().map(_.getString(0)).contains("lc_s"))
+    // idempotent with IF EXISTS, error without
+    g.sql("drop stream if exists lc_s")
+    val e = intercept[graft.translate.GraftAnalysisException] { g.sql("drop stream lc_s") }
+    assert(e.getMessage.contains("unknown"))
+    g.sql("create schema lc_sch (x long)")
+    g.sql("drop schema lc_sch")
+    intercept[graft.translate.GraftAnalysisException] { g.sql("drop schema lc_sch") }
+  }
+
   test("MERGE: action order, cardinality check, and insert alignment") {
     g.sql("create stream ms_t (k long, v double, tag string)")
     g.sql("insert into ms_t values (1, 10.0, 'a'), (2, 20.0, 'b'), (3, 30.0, 'c')")
