@@ -313,6 +313,11 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
             one.select(r.zip(colsInOrder).map { case (c, n) => c.as(n) }: _*)
           }.reduce(_.unionByName(_))
       }
+      if (incoming0.isStreaming)
+        throw new GraftAnalysisException(
+          s"INSERT INTO $table from a live streaming source is not supported " +
+            "through the batch surface; drive the stream with writeStream " +
+            "(see graft.streaming) or stage it through a file/memory sink")
       // W7/S6: `insert into stream[window] …` — the window spec
       // materializes w_start/w_end (or w_id) on the incoming rows before
       // alignment, so a target declaring those columns receives bucketed
@@ -445,6 +450,11 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         case _ => throw new GraftAnalysisException(
           "MERGE source must be a table or a derived table (no window specs)")
       }
+      if (base.isStreaming || srcBase.isStreaming)
+        throw new GraftAnalysisException(
+          s"MERGE INTO $name: target and source must be batch relations " +
+            "(the cardinality check and the copy-on-write snapshot are not " +
+            "defined on unbounded streams)")
       val tgt = base.withColumn("__rid", monotonically_increasing_id()).alias(tAlias)
       val src = srcBase.withColumn("__m", lit(1)).alias(srcAlias)
       val cond = t.expr(on)

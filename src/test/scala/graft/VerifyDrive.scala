@@ -55,5 +55,32 @@ object VerifyDrive {
     show("explain", "explain select count(*) as n from lineitem where l_quantity > 40")
     println("=== expr DSL: " + g.expr("l_quantity.sum as total"))
     println("=== schemaOf: " + g.schemaOf("select l_orderkey as k, l_quantity/2 as h from lineitem"))
+    // round-2 surfaces
+    show("cte", "with big as (select o_custkey as ck, count(*) as n from orders group by o_custkey) " +
+      "select ck, n from big where n >= 5 order by ck limit 3")
+    show("qualify", "select o_custkey as ck, o_orderkey as k from orders where o_custkey < 5 " +
+      "qualify row_number() over (partition by o_custkey order by o_totalprice desc) = 1 order by ck")
+    show("grouping sets", "select l_returnflag as f, l_linestatus as s, count(*) as n from lineitem " +
+      "group by grouping sets ((l_returnflag), (l_linestatus)) order by f nulls first, s nulls first limit 4")
+    show("cast + sugar", "select cast(o_totalprice as long) as t, o_orderstatus || '!' as st, " +
+      "case o_orderstatus when 'F' then 1 else 0 end as fo from orders order by o_orderkey limit 2")
+    println("=== merge lifecycle:")
+    g.sqlScript(
+      """create stream drv_m (k long, v double);
+        |insert into drv_m values (1, 10.0), (2, 20.0);
+        |merge into drv_m as t using (select o_orderkey as k, o_totalprice as p from orders where o_orderkey < 4) as s
+        |  on t.k = s.k
+        |  when matched then update set v = s.p
+        |  when not matched then insert (k, v) values (s.k, s.p)""".stripMargin)
+    g.sql("select k, round(v, 2) as v from drv_m order by k").show()
+    show("show tables", "show tables")
+    show("describe", "describe drv_m")
+    show("drop", "drop stream drv_m")
+    show("probe: describe after drop", "describe drv_m")
+    show("probe: merge cardinality", {
+      g.sqlScript("create stream drv_t2 (k long, v long); insert into drv_t2 values (1, 0); " +
+        "create stream drv_d (k long); insert into drv_d values (1), (1)")
+      "merge into drv_t2 as t using drv_d as s on t.k = s.k when matched then update set v = 9"
+    })
   }
 }
