@@ -278,6 +278,13 @@ object SparkEntry {
       "select n.n_name as nation, c.c_custkey as ck from customer c " +
       "right join nation n on c.c_nationkey = n.n_nationkey and c.c_acctbal > 9998 " +
       "order by nation, ck nulls last")),
+    // ---- correlated scalar subqueries (decorrelated to per-key aggregate
+    // left joins; COUNT's empty group yields 0 — the COUNT-bug correction) ----
+    "q44_correlated_scalar" -> ((s, d) => g(s, d).sql(
+      "select n_name as nation, " +
+      "(select count(*) from customer c where c.c_nationkey = n.n_nationkey and c.c_acctbal > 5000) as nc, " +
+      "(select round(max(c_acctbal), 2) from customer c2 where c2.c_nationkey = n.n_nationkey) as mx " +
+      "from nation n order by nation")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -451,6 +458,11 @@ object SparkEntry {
       ("SELECT l_returnflag AS f, l_linestatus AS s, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty " +
        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ()) " +
        "ORDER BY f NULLS FIRST, s NULLS FIRST"),
+    "q44_correlated_scalar" ->
+      ("SELECT n_name AS nation, " +
+       "(SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 5000) AS nc, " +
+       "(SELECT ROUND(MAX(c_acctbal), 2) FROM customer c2 WHERE c2.c_nationkey = n.n_nationkey) AS mx " +
+       "FROM nation n ORDER BY nation"),
     "q42_ansi_sugar" ->
       ("SELECT o_orderstatus || '_' || o_orderpriority AS tag, " +
        "CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open' ELSE 'other' END AS st, " +

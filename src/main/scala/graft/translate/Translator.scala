@@ -71,9 +71,10 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   // SELECT
   // ------------------------------------------------------------------
 
-  private def select(s: Select): DataFrame = {
-    val rel = s.from.map(relation).getOrElse(RelPlan(dual, Nil, windowed = false))
-    var df = rel.df
+  private def select(s0: Select): DataFrame = {
+    val rel = s0.from.map(relation).getOrElse(RelPlan(dual, Nil, windowed = false))
+    val (df0, s) = decorrelateScalars(rel.df, s0)
+    var df = df0
 
     // WHERE: split conjuncts; IN-subquery / EXISTS become semi/anti joins
     // (Catalyst's own decorrelation path, SURVEY §2.8 Q3).
@@ -98,6 +99,103 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       if (s.orderBy.nonEmpty) out = out.orderBy(s.orderBy.map(sortOnOutput(out, _)): _*)
     }
     applyLimit(out, s.limit)
+  }
+
+  /** Decorrelate equality-correlated aggregate scalar subqueries into left
+    * joins (`where p > (select avg(p) from o where o.k = t.k)` becomes a
+    * per-key aggregate left-joined on the correlation key). Classic manual
+    * decorrelation — the same rewrite Catalyst's own subquery planner does
+    * for spark.sql, re-done here because our translator builds (eagerly
+    * analyzed) DataFrames, which cannot hold unresolved outer references.
+    * Returns the (possibly joined) frame plus the Select with each such
+    * subquery replaced by a reference to the joined value column.
+    *
+    * Supported shape: single-table FROM, aggregate projection, WHERE made
+    * of AND-conjuncts where every outer-referencing conjunct is an
+    * `inner = outer` equality; empty groups yield NULL (or 0 for the
+    * top-level COUNT — the standard COUNT-bug correction). Anything else
+    * raises a clear error. Uncorrelated subqueries pass through untouched
+    * (they lower to Catalyst ScalarSubquery). */
+  private def decorrelateScalars(df0: DataFrame, s: Select): (DataFrame, Select) = {
+    var df = df0
+    var counter = 0
+    def innerInfo(sel: Select): Option[(RelPlan, Set[String], Set[String])] = sel.from match {
+      case Some(t: TableRef) if t.window.isEmpty =>
+        val rp = relation(t)
+        Some((rp, Set(t.refName.toLowerCase), rp.df.columns.map(_.toLowerCase).toSet))
+      case Some(dr: DerivedRel) if dr.window.isEmpty =>
+        val rp = relation(dr)
+        Some((rp, Set(dr.alias.toLowerCase), rp.df.columns.map(_.toLowerCase).toSet))
+      case _ => None
+    }
+    def hasOuter(e: Expr, quals: Set[String], cols: Set[String]): Boolean =
+      Expr.fold(e, false) {
+        case (acc, ColRef(Some(q), _)) => acc || !quals(q.toLowerCase)
+        case (acc, ColRef(None, n))    => acc || !cols(n.toLowerCase)
+        case (acc, _)                  => acc
+      }
+    def rw(e: Expr): Expr = Expr.transform(e) {
+      case sq @ ScalarSubquery(sel: Select)
+          if sel.groupBy.isEmpty && sel.orderBy.isEmpty && sel.limit.isEmpty &&
+             sel.projection.length == 1 && !sel.distinct && sel.qualify.isEmpty =>
+        innerInfo(sel) match {
+          case None => sq
+          case Some((rp, quals, cols)) =>
+            val conjs = sel.where.map(splitAnd).getOrElse(Nil)
+            val projOuter = hasOuter(sel.projection.head.expr, quals, cols)
+            if (!conjs.exists(hasOuter(_, quals, cols)) && !projOuter) sq // uncorrelated
+            else {
+              if (projOuter)
+                throw new GraftAnalysisException(
+                  "correlated scalar subquery: outer references are only " +
+                    "supported in WHERE equality conjuncts")
+              if (!Expr.hasAggregate(sel.projection.head.expr, Registry.isAggregate))
+                throw new GraftAnalysisException(
+                  "correlated scalar subquery must aggregate, e.g. " +
+                    "(select max(x) from u where u.k = t.k)")
+              val (corr0, plain) = conjs.partition(hasOuter(_, quals, cols))
+              val corr = corr0.map {
+                case Cmp("=", l, r) =>
+                  val lo = hasOuter(l, quals, cols)
+                  val ro = hasOuter(r, quals, cols)
+                  if (lo && !ro) (r, l)      // (innerExpr, outerExpr)
+                  else if (ro && !lo) (l, r)
+                  else throw new GraftAnalysisException(
+                    "correlated scalar subquery: each correlated conjunct " +
+                      "must compare an inner expression to an outer one")
+                case other => throw new GraftAnalysisException(
+                  "correlated scalar subquery: only equality correlation is " +
+                    s"supported, got: ${graft.ast.Pretty.expr(other)}")
+              }
+              val name = s"__sq$counter"; counter += 1
+              var inner = rp.df
+              if (plain.nonEmpty) inner = inner.filter(plain.map(expr).reduce(_ && _))
+              val keyCols = corr.zipWithIndex.map { case ((ie, _), i) =>
+                expr(ie).as(s"${name}_k$i")
+              }
+              val grouped = inner.groupBy(keyCols: _*)
+                .agg(expr(sel.projection.head.expr).as(name))
+              val cond = corr.zipWithIndex.map { case ((_, oe), i) =>
+                expr(oe) === grouped(s"${name}_k$i")
+              }.reduce(_ && _)
+              df = df.join(grouped, cond, "left_outer")
+              corr.indices.foreach(i => df = df.drop(grouped(s"${name}_k$i")))
+              val ref = ColRef(None, name)
+              sel.projection.head.expr match {
+                // COUNT bug: an empty group is 0, not NULL
+                case FuncCall("count", _, _) => FuncCall("coalesce", Seq(ref, Lit(0L)))
+                case _                       => ref
+              }
+            }
+        }
+    }
+    val s2 = s.copy(
+      projection = s.projection.map(p => p.copy(expr = rw(p.expr))),
+      where = s.where.map(rw),
+      groupBy = s.groupBy.map(g => g.copy(having = g.having.map(rw))),
+      qualify = s.qualify.map(rw),
+      orderBy = s.orderBy.map(k => k.copy(expr = rw(k.expr))))
+    (df, s2)
   }
 
   /** QUALIFY predicate with projection-alias refs redirected to the
@@ -676,7 +774,8 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     // node (lazy — nothing executes until the enclosing query runs, so
     // EXPLAIN / schemaOf stay plan-only; Spark enforces the <=1-row and
     // single-column contracts itself, and the optimizer can reuse the
-    // subquery result across the plan).
+    // subquery result across the plan). Correlated scalar subqueries never
+    // reach here — select() decorrelates them into left joins first.
     case ScalarSubquery(q) =>
       val sub = query(q)
       require(sub.columns.length == 1,

@@ -414,6 +414,36 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown data type"))
   }
 
+  test("correlated scalar subqueries decorrelate (incl. the COUNT bug)") {
+    // projection-position, impossible filter → every group empty → count 0
+    val zero = g.sql(
+      "select n_nationkey as k, (select count(*) from customer c " +
+      "where c.c_nationkey = n.n_nationkey and c.c_acctbal > 99999999) as nc " +
+      "from nation n order by k limit 3").collect().map(_.getLong(1))
+    assert(zero.toSeq == Seq(0L, 0L, 0L), "empty correlated COUNT group must be 0, not NULL")
+    // WHERE-position equality correlation vs a hand-built join
+    val got = g.sql(
+      "select c_custkey as ck from customer c where c_acctbal > " +
+      "(select avg(c_acctbal) from customer c2 where c2.c_nationkey = c.c_nationkey) order by ck")
+      .collect().map(_.getLong(0))
+    val cust = g.catalog.relation("customer")
+    val avgByNation = cust.groupBy(col("c_nationkey").as("nk"))
+      .agg(avg(col("c_acctbal")).as("a"))
+    val want = cust.join(avgByNation, col("c_nationkey") === col("nk"))
+      .where(col("c_acctbal") > col("a"))
+      .select(col("c_custkey")).orderBy("c_custkey").collect().map(_.getLong(0))
+    assert(got.toSeq == want.toSeq)
+    // non-aggregate and non-equality correlation are clear errors
+    val e1 = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("select (select c_name from customer c where c.c_nationkey = n.n_nationkey) as x from nation n")
+    }
+    assert(e1.getMessage.contains("aggregate"))
+    val e2 = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("select (select max(c_acctbal) from customer c where c.c_nationkey > n.n_nationkey) as x from nation n")
+    }
+    assert(e2.getMessage.contains("equality"))
+  }
+
   test("SHOW TABLES / DESCRIBE / DROP lifecycle") {
     g.sql("create stream lc_s (a long, b string)")
     val names = g.sql("show tables").collect().map(_.getString(0))
