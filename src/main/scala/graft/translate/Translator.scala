@@ -213,11 +213,18 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   /** Non-aggregating SELECT: projection (+QUALIFY/DISTINCT/ORDER BY/LIMIT). */
   private def plainProject(df: DataFrame, s: Select): DataFrame = {
     val hasStar = s.projection.exists(_.expr.isInstanceOf[Star])
+    // an unqualified * must not expose internal decorrelation columns
+    // (`__sqN`, joined in by decorrelateScalars for the WHERE clause)
+    def starCols: Seq[Column] = {
+      val visible = df.columns.filterNot(_.startsWith("__sq"))
+      if (visible.length == df.columns.length) Seq(col("*"))
+      else visible.toSeq.map(col)
+    }
     if (hasStar) {
-      val projected0 = df.select(s.projection.map(p => p.expr match {
-        case Star(None)    => col("*")
-        case Star(Some(q)) => col(s"$q.*")
-        case e             => expr(e).as(p.outputName)
+      val projected0 = df.select(s.projection.flatMap(p => p.expr match {
+        case Star(None)    => starCols
+        case Star(Some(q)) => Seq(col(s"$q.*"))
+        case e             => Seq(expr(e).as(p.outputName))
       }): _*)
       // QUALIFY: star output keeps the input columns, so the predicate
       // resolves directly against the projection
@@ -236,10 +243,10 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
           projected.orderBy(s.orderBy.map(k => sortOnOutput(projected, k)): _*)
         else
           df.orderBy(s.orderBy.map(k => sortCol(expr(k.expr), k)): _*)
-            .select(s.projection.map(p => p.expr match {
-              case Star(None)    => col("*")
-              case Star(Some(q)) => col(s"$q.*")
-              case e             => expr(e).as(p.outputName)
+            .select(s.projection.flatMap(p => p.expr match {
+              case Star(None)    => starCols
+              case Star(Some(q)) => Seq(col(s"$q.*"))
+              case e             => Seq(expr(e).as(p.outputName))
             }): _*)
       }
     } else {

@@ -163,4 +163,14 @@ class RegressionSpec extends AnyFunSuite {
       .collect().head.getInt(0)
     assert(v == 2)
   }
+
+  test("SELECT * with a correlated WHERE subquery hides internal columns") {
+    val g = TestSpark.session
+    val df = g.sql(
+      "select * from nation n where n_nationkey < " +
+      "(select count(*) from customer c where c.c_nationkey = n.n_nationkey) * 100")
+    assert(!df.columns.exists(_.startsWith("__sq")),
+      s"internal decorrelation columns leaked: ${df.columns.mkString(",")}")
+    assert(df.columns.toSeq == g.catalog.relation("nation").columns.toSeq)
+  }
 }
