@@ -258,7 +258,7 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         .map(f => (f.name, f.dataType.simpleString, f.nullable))
         .toDF("column", "type", "nullable")
 
-    case DropRelation(name, ifExists) =>
+    case DropRelation(name, ifExists, _) =>
       if (!catalog.hasRelation(name)) {
         if (!ifExists)
           throw new GraftAnalysisException(s"DROP: unknown table or stream: $name")

@@ -92,7 +92,10 @@ final case class Merge(
   * reference's SimpleCatalog stub had no surface at all). */
 final case class ShowRelations(streamsOnly: Boolean) extends Statement
 final case class Describe(relation: String) extends Statement
-final case class DropRelation(name: String, ifExists: Boolean) extends Statement
+/** `table` records which keyword was parsed (execution is identical —
+  * the catalog holds one relation namespace); pretty-printing keeps it. */
+final case class DropRelation(name: String, ifExists: Boolean,
+                              table: Boolean = false) extends Statement
 final case class DropSchema(name: String, ifExists: Boolean) extends Statement
 
 sealed trait MergeAction { def cond: Option[Expr] }
@@ -334,8 +337,9 @@ object Expr {
     }
 
   /** Bottom-up rewrite: children first, then `f` on the rebuilt node (nodes
-    * `f` doesn't cover pass through unchanged). Subqueries are NOT entered —
-    * they have their own name scope. */
+    * `f` doesn't cover pass through unchanged). Subquery BODIES are NOT
+    * entered — they have their own name scope — but outer-scope positions
+    * (e.g. the tested expression of `x IN (subquery)`) are. */
   def transform(e: Expr)(f: PartialFunction[Expr, Expr]): Expr = {
     def go(x: Expr): Expr = {
       val rebuilt = x match {
@@ -344,8 +348,12 @@ object Expr {
         case BitNot(c)             => BitNot(go(c))
         case FuncCall(n, as, d)    => FuncCall(n, as.map(go), d)
         case WindowFn(fn, pb, ob)  =>
-          WindowFn(go(fn).asInstanceOf[FuncCall], pb.map(go),
-            ob.map(k => k.copy(expr = go(k.expr))))
+          val fn2 = go(fn) match {
+            case fc: FuncCall => fc
+            case other => throw new IllegalArgumentException(
+              s"cannot rewrite a window function call into ${other.getClass.getSimpleName}")
+          }
+          WindowFn(fn2, pb.map(go), ob.map(k => k.copy(expr = go(k.expr))))
         case CaseWhen(bs, o, subj) =>
           CaseWhen(bs.map { case (c, v) => (go(c), go(v)) }, o.map(go), subj.map(go))
         case Cmp(op, l, r)         => Cmp(op, go(l), go(r))
@@ -356,6 +364,7 @@ object Expr {
         case Like(a, p, n)         => Like(go(a), go(p), n)
         case IsNull(a, n)          => IsNull(go(a), n)
         case InList(a, l, n)       => InList(go(a), l.map(go), n)
+        case InSubquery(a, q, n)   => InSubquery(go(a), q, n) // scrutinee is outer scope
         case Cast(a, t)            => Cast(go(a), t)
         case other                 => other
       }

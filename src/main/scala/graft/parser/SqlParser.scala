@@ -100,9 +100,9 @@ object SqlParser extends RegexParsers with PackratParsers {
     (kw("describe") | kw("desc")) ~> ident ^^ Describe.apply
 
   lazy val dropStmt: PackratParser[Statement] =
-    kw("drop") ~> (kw("stream") | kw("table")) ~>
+    kw("drop") ~> (kw("stream") | kw("table")) ~
       opt(kw("if") ~> kw("exists")) ~ ident ^^ {
-        case ie ~ n => DropRelation(n, ie.isDefined)
+        case kind ~ ie ~ n => DropRelation(n, ie.isDefined, table = kind == "table")
       } |
     kw("drop") ~> kw("schema") ~> opt(kw("if") ~> kw("exists")) ~ ident ^^ {
       case ie ~ n => DropSchema(n, ie.isDefined)

@@ -43,6 +43,10 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
 
   def query(q: QueryExpr): DataFrame = q match {
     case With(ctes, body) =>
+      val dup = ctes.groupBy(_._1.toLowerCase(java.util.Locale.ROOT))
+        .collectFirst { case (n, vs) if vs.length > 1 => n }
+      dup.foreach(n => throw new GraftAnalysisException(
+        s"WITH: duplicate CTE name `$n`"))
       val saved = cteScope
       try {
         ctes.foreach { case (n, cq) =>
@@ -173,19 +177,30 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
               val keyCols = corr.zipWithIndex.map { case ((ie, _), i) =>
                 expr(ie).as(s"${name}_k$i")
               }
+              // Split the projection into its bare aggregates (computed in
+              // the grouped frame) and the wrapping expression (evaluated
+              // AFTER the left join, over possibly-absent groups). This is
+              // what makes `100 - count(*)` yield 100 for an empty group:
+              // each count ref coalesces to 0 post-join (the COUNT bug),
+              // other aggregates stay NULL, and the wrapper applies to
+              // those values — exactly ANSI semantics.
+              val aggCols = scala.collection.mutable.Buffer.empty[Column]
+              val replacement = Expr.transform(sel.projection.head.expr) {
+                case fc @ FuncCall(fname, _, _) if Registry.isAggregate(fname) =>
+                  val an = s"${name}_a${aggCols.length}"
+                  aggCols += expr(fc).as(an)
+                  if (fname.toLowerCase == "count")
+                    FuncCall("coalesce", Seq(ColRef(None, an), Lit(0L)))
+                  else ColRef(None, an)
+              }
               val grouped = inner.groupBy(keyCols: _*)
-                .agg(expr(sel.projection.head.expr).as(name))
+                .agg(aggCols.head, aggCols.tail.toSeq: _*)
               val cond = corr.zipWithIndex.map { case ((_, oe), i) =>
                 expr(oe) === grouped(s"${name}_k$i")
               }.reduce(_ && _)
               df = df.join(grouped, cond, "left_outer")
               corr.indices.foreach(i => df = df.drop(grouped(s"${name}_k$i")))
-              val ref = ColRef(None, name)
-              sel.projection.head.expr match {
-                // COUNT bug: an empty group is 0, not NULL
-                case FuncCall("count", _, _) => FuncCall("coalesce", Seq(ref, Lit(0L)))
-                case _                       => ref
-              }
+              replacement
             }
         }
     }
@@ -237,6 +252,9 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         val outCols = projected.columns.toSet
         val allResolvable = s.orderBy.forall(k => k.expr match {
           case ColRef(None, n) => outCols.contains(n)
+          // ordinals always resolve on the output (sortOnOutput raises a
+          // clear error when out of range — never a silent constant sort)
+          case Lit(_: Long)    => true
           case _               => false
         })
         if (allResolvable || s.qualify.isDefined)
@@ -339,19 +357,28 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   }
 
   /** Index of the projection a sort/group key names — either by output
-    * alias or by 1-based ordinal (`ORDER BY 2`, `GROUP BY 1` — ANSI). */
+    * alias or by 1-based ordinal (`ORDER BY 2`, `GROUP BY 1` — ANSI).
+    * Out-of-range ordinals error (ANSI/Spark SQL behavior), they never
+    * degrade to a constant key. */
   private def aliasTarget(s: Select, e: Expr): Option[Int] = e match {
     case ColRef(None, n) =>
       val i = s.projection.indexWhere(_.outputName.equalsIgnoreCase(n))
       if (i >= 0) Some(i) else None
-    case Lit(n: Long) if n >= 1 && n <= s.projection.length => Some((n - 1).toInt)
+    case Lit(n: Long) =>
+      if (n < 1 || n > s.projection.length)
+        throw new GraftAnalysisException(
+          s"ORDER BY position $n is not in the select list (1..${s.projection.length})")
+      Some((n - 1).toInt)
     case _ => None
   }
 
   /** GROUP BY keys given as ordinals dereference to the projection's
     * expression (ANSI `GROUP BY 1`). */
   private def derefOrdinal(s: Select, e: Expr): Expr = e match {
-    case Lit(n: Long) if n >= 1 && n <= s.projection.length =>
+    case Lit(n: Long) =>
+      if (n < 1 || n > s.projection.length)
+        throw new GraftAnalysisException(
+          s"GROUP BY position $n is not in the select list (1..${s.projection.length})")
       s.projection((n - 1).toInt).expr
     case other => other
   }
@@ -367,8 +394,12 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
 
   private def sortOnOutput(df: DataFrame, k: SortKey): Column = k.expr match {
     case ColRef(None, n) => sortCol(df(n), k)
-    // ORDER BY <ordinal> (1-based projection position, ANSI)
-    case Lit(n: Long) if n >= 1 && n <= df.columns.length =>
+    // ORDER BY <ordinal> (1-based projection position, ANSI); out-of-range
+    // is an error, not a silent constant sort
+    case Lit(n: Long) =>
+      if (n < 1 || n > df.columns.length)
+        throw new GraftAnalysisException(
+          s"ORDER BY position $n is not in the select list (1..${df.columns.length})")
       sortCol(df(df.columns((n - 1).toInt)), k)
     case e               => sortCol(expr(e), k)
   }

@@ -164,6 +164,36 @@ class RegressionSpec extends AnyFunSuite {
     assert(v == 2)
   }
 
+  test("review batch 3: ordinals, wrapped-count decorrelation, CTE dups, drop kind") {
+    val g = TestSpark.session
+    // SELECT * with an ORDER BY ordinal must actually sort
+    val star = g.sql("select * from region order by 1 desc").collect().map(_.getInt(0))
+    assert(star.toSeq == star.toSeq.sorted.reverse && star.length > 1)
+    // out-of-range ordinals are clear errors, not constant sorts/groups
+    val e1 = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("select r_regionkey as k from region order by 7").collect()
+    }
+    assert(e1.getMessage.contains("position 7"))
+    val e2 = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("select r_regionkey as k, count(*) as n from region group by 5").collect()
+    }
+    assert(e2.getMessage.contains("position 5"))
+    // an expression WRAPPING count still sees 0 for an empty group
+    val wrapped = g.sql(
+      "select n_nationkey as k, (select 100 - count(*) from customer c " +
+      "where c.c_nationkey = n.n_nationkey and c.c_acctbal > 99999999) as x " +
+      "from nation n order by k limit 2").collect().map(_.getLong(1))
+    assert(wrapped.toSeq == Seq(100L, 100L), s"wrapped COUNT over empty group: ${wrapped.toSeq}")
+    // duplicate CTE names are rejected
+    val e3 = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("with x as (select 1 as a), x as (select 2 as a) select a from x")
+    }
+    assert(e3.getMessage.contains("duplicate"))
+    // DROP TABLE keeps its keyword through the pretty-printer
+    val ast = graft.parser.SqlParser.parse("drop table if exists t1").toOption.get
+    assert(graft.ast.Pretty.print(ast) == "drop table if exists t1")
+  }
+
   test("SELECT * with a correlated WHERE subquery hides internal columns") {
     val g = TestSpark.session
     val df = g.sql(
