@@ -191,6 +191,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: keep-first per key, watermark-bounded state") {
+    import graft.streaming.{Dedup => SDedup}
+    // unbounded-state exact dedup: duplicate keys across batches dropped
+    val in = MemoryStream[(Long, String)](spark)
+    val deduped = SDedup.exact(in.toDF().toDF("k", "v"), Seq("k"))
+    val q = Sinks.memory(deduped, "dd_out", OutputMode.Append())
+    try {
+      in.addData((1L, "a"), (2L, "b"), (1L, "a2"))
+      q.processAllAvailable()
+      in.addData((2L, "b2"), (3L, "c"))
+      q.processAllAvailable()
+      val keys = spark.table("dd_out").collect().map(_.getLong(0)).sorted
+      assert(keys.toSeq == Seq(1L, 2L, 3L), "one row per key across batches")
+    } finally q.stop()
+
+    // watermark-bounded dedup: duplicate within the delay dropped, state
+    // evicted after the watermark passes
+    val in2 = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val deduped2 = SDedup.withinWatermark(
+      in2.toDF().toDF("k", "ts"), Seq("k"), "ts", "10 minutes")
+    val q2 = Sinks.memory(deduped2, "dd_wm_out", OutputMode.Append())
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      in2.addData((1L, ts(1, 0)), (1L, ts(1, 5)))   // dup within delay
+      q2.processAllAvailable()
+      in2.addData((9L, ts(3, 0)))                   // advances watermark far past key 1
+      q2.processAllAvailable()
+      in2.addData((1L, ts(3, 1)))                   // key 1 state evicted → re-admitted
+      q2.processAllAvailable()
+      val rows = spark.table("dd_wm_out").collect().map(_.getLong(0))
+      assert(rows.count(_ == 1L) == 2, s"key 1 once per watermark era: ${rows.toSeq}")
+      assert(rows.count(_ == 9L) == 1)
+    } finally q2.stop()
+  }
+
   test("streaming GraftSession: file stream source reads and aggregates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toFile
     val f = new java.io.File(dir, "in.csv")
