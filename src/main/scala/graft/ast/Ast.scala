@@ -200,6 +200,13 @@ final case class DerivedRel(
     alias: String,
     window: Option[WindowSpec]) extends Relation
 
+/** `rel sample (N percent) [seed K]` — Bernoulli row sampling
+  * (beyond-reference extension; training-data pipelines subsample
+  * constantly). Seeded for reproducibility; per-partition independent, so
+  * it scales with no shuffle. */
+final case class SampleRel(rel: Relation, percent: Double,
+                           seed: Option[Long]) extends Relation
+
 final case class JoinRel(
     left: Relation,
     right: Relation,

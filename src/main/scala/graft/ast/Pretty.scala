@@ -113,6 +113,9 @@ object Pretty {
     l.fold("")(x => s" limit ${expr(x.n)}" + x.offset.fold("")(o => s" offset ${expr(o)}"))
 
   def rel(r: Relation): String = r match {
+    case SampleRel(base, pct, seed) =>
+      val p = if (pct == pct.floor) pct.toLong.toString else pct.toString
+      s"${rel(base)} sample ($p percent)${seed.fold("")(s => s" seed $s")}"
     case TableRef(n, alias, w) =>
       s"$n${w.fold("")(windowSpec)}${alias.fold("")(a => s" as $a")}"
     case DerivedRel(q, alias, w) =>

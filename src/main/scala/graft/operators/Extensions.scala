@@ -81,7 +81,27 @@ object Extensions {
         .orderBy(col("qid"), col("cos").desc, col("vec_id"))
     }),
     // ---- end-to-end curation pipeline (dedup → quality → token budget) ----
-    "x15_curation" -> ((s, d) => Curation.curate(docs(s, d), minQuality = 0.5))
+    "x15_curation" -> ((s, d) => Curation.curate(docs(s, d), minQuality = 0.5)),
+    // ---- sampling: dialect TABLESAMPLE (tolerance flag — Bernoulli draws
+    // differ across engines, the FLAG is deterministic) ----
+    "x18_sample_dialect" -> ((s, d) =>
+      GraftSession.forDir(s, d).sql(
+        "select case when s.n > 0.07 * t.n and s.n < 0.13 * t.n then 1 else 0 end as ok " +
+        "from (select count(*) as n from lineitem sample (10 percent) seed 42) as s " +
+        "cross join (select count(*) as n from lineitem) as t")),
+    // ---- deterministic train/test split: every row lands in one of the
+    // two splits and the test fraction is near the requested 10% — both
+    // engine-checkable as flags, one narrow pass ----
+    "x19_split_by_hash" -> ((s, d) => {
+      val split = Sampling.splitByHash(docs(s, d), "doc_id", testPercent = 10)
+      val testN = sum(when(col("split") === "test", 1L).otherwise(0L))
+      split.agg(
+        (count_distinct(col("split")) <= 2 &&
+          sum(when(col("split").isin("test", "train"), 1L).otherwise(0L)) === count(lit(1)))
+          .cast("int").as("covers_all"),
+        (testN * 100 > count(lit(1)) * 2 && testN * 100 < count(lit(1)) * 20)
+          .cast("int").as("test_in_range"))
+    })
   )
 
   /** DuckDB lambda syntax for the stopword-hit count used twice below. */
@@ -157,7 +177,10 @@ object Extensions {
         "FROM tf JOIN dfreq USING (term) CROSS JOIN n WHERE id < 20 ORDER BY id, term"),
       "x14_mm_frames" -> (
         "SELECT doc_id AS media_id, CAST(LEAST(4, octet_length(encode(text))) AS BIGINT) AS n_frames " +
-        "FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY media_id")
+        "FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY media_id"),
+      "x18_sample_dialect" -> "SELECT CAST(1 AS BIGINT) AS ok",
+      "x19_split_by_hash" ->
+        "SELECT CAST(1 AS INTEGER) AS covers_all, CAST(1 AS INTEGER) AS test_in_range"
     )
   }
 }

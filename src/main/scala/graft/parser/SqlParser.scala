@@ -41,7 +41,7 @@ object SqlParser extends RegexParsers with PackratParsers {
     "join", "inner", "left", "right", "full", "outer", "cross", "on",
     "using", "union", "except", "intersect", "all", "distinct", "create",
     "insert", "into", "values", "update", "set", "delete", "asc", "desc",
-    "collate", "for", "rollup", "with", "qualify")
+    "collate", "for", "rollup", "with", "qualify", "sample")
 
   private def kw(w: String): Parser[String] =
     (s"""(?i)\\Q$w\\E\\b""").r ^^ (_.toLowerCase(java.util.Locale.ROOT))
@@ -207,13 +207,26 @@ object SqlParser extends RegexParsers with PackratParsers {
     }
   }
 
-  lazy val primaryRelation: PackratParser[Relation] =
-    ("(" ~> query <~ ")") ~ opt(kw("as")) ~ ident ~ opt(windowSpec) ^^ {
-      case q ~ _ ~ a ~ w => DerivedRel(q, a, w)
-    } |
-    ident ~ opt(windowSpec) ~ opt(opt(kw("as")) ~> ident) ^^ {
-      case n ~ w ~ a => TableRef(n, a, w)
+  lazy val primaryRelation: PackratParser[Relation] = {
+    val base: PackratParser[Relation] =
+      ("(" ~> query <~ ")") ~ opt(kw("as")) ~ ident ~ opt(windowSpec) ^^ {
+        case q ~ _ ~ a ~ w => DerivedRel(q, a, w)
+      } |
+      ident ~ opt(windowSpec) ~ opt(opt(kw("as")) ~> ident) ^^ {
+        case n ~ w ~ a => TableRef(n, a, w)
+      }
+    val sample: PackratParser[(Double, Option[Long])] =
+      kw("sample") ~> "(" ~> numericLit ~ (kw("percent") <~ ")") ~
+        opt(kw("seed") ~> """\d+""".r) ^^ {
+          case Lit(v) ~ _ ~ s =>
+            val pct = v match { case l: Long => l.toDouble; case d: Double => d }
+            (pct, s.map(_.toLong))
+        }
+    base ~ opt(sample) ^^ {
+      case r ~ None            => r
+      case r ~ Some((pct, sd)) => SampleRel(r, pct, sd)
     }
+  }
 
   // ----- streaming window spec (fsql/parser.scala:163-176) -----------------
 

@@ -443,6 +443,18 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       val aliased = wdf.alias(alias)
       RelPlan(aliased, keys.map(aliased(_)) ++ exprKeys, window.isDefined, postAgg)
 
+    case SampleRel(rel0, pct, seed) =>
+      if (pct < 0 || pct > 100)
+        throw new GraftAnalysisException(s"sample percent must be in [0, 100], got $pct")
+      val p = relation(rel0)
+      // Bernoulli sample: narrow per-partition filter, no shuffle; seeded
+      // for run-to-run reproducibility
+      val sampled = seed match {
+        case Some(sd) => p.df.sample(pct / 100.0, sd)
+        case None     => p.df.sample(pct / 100.0)
+      }
+      p.copy(df = sampled)
+
     case JoinRel(l, r, kind, cond) =>
       val lp = relation(l)
       val rp = relation(r)

@@ -227,4 +227,34 @@ class OperatorsSpec extends AnyFunSuite {
     // frame payloads are binary slices
     assert(frames.schema("frame").dataType.typeName == "binary")
   }
+
+  test("sampling: bernoulli tolerance, stratified fractions, hash-split determinism") {
+    val g = TestSpark.session
+    val docs = g.catalog.relation("documents")
+    val total = docs.count()
+    // seeded bernoulli lands near the requested fraction
+    val n = Sampling.bernoulli(docs, 0.2, seed = 7L).count()
+    assert(n > total * 0.1 && n < total * 0.3, s"bernoulli 20% gave $n of $total")
+    // stratified: kept fractions follow the per-stratum request
+    val fr: Map[Any, Double] = Map("en" -> 0.5, "de" -> 0.0)
+    val strat = Sampling.stratified(docs, "lang", fr, seed = 7L)
+    val got = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("de"), "stratum with fraction 0 must vanish")
+    val enTotal = docs.filter(col("lang") === "en").count()
+    assert(got.getOrElse("en", 0L) > enTotal * 0.3 && got.getOrElse("en", 0L) < enTotal * 0.7)
+    // hash split: deterministic across invocations, disjoint, complete
+    val s1 = Sampling.splitByHash(docs, "doc_id", 10).select("doc_id", "split")
+    val s2 = Sampling.splitByHash(docs, "doc_id", 10).select("doc_id", "split")
+    assert(s1.except(s2).count() == 0 && s2.except(s1).count() == 0, "split must be deterministic")
+    val counts = s1.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == total)
+    assert(counts.getOrElse("test", 0L) > 0 && counts("test") < total / 5)
+    // dialect TABLESAMPLE parses, samples, and round-trips
+    val dn = g.sql("select count(*) as n from documents sample (50 percent) seed 3").collect().head.getLong(0)
+    assert(dn > total * 0.35 && dn < total * 0.65)
+    val ast = graft.parser.SqlParser.parse("select a from t sample (10 percent) seed 42 where a > 1").toOption.get
+    val printed = graft.ast.Pretty.print(ast)
+    assert(graft.parser.SqlParser.parse(printed).toOption.get == ast, printed)
+  }
 }
