@@ -24,28 +24,76 @@ object Extensions {
     "x02_dedup_exact_hash" -> ((s, d) =>
       Dedup.exactByHash(docs(s, d), "text", "doc_id")
         .select(col("doc_id").as("keep_id")).orderBy("keep_id")),
-    "x03_dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashCandidates(docs(s, d), "text", "doc_id", threshold = 0.5)
-        .orderBy("ida", "idb")),
-    "x04_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashCandidates(docs(s, d), "text", "doc_id", maxHamming = 3)
-        .orderBy("ida", "idb")),
+    // LSH candidates verified with exact n-gram Jaccard — the production
+    // dedup pattern (candidates are recall-complete here, so the verified
+    // set equals the DuckDB all-pairs truth and hash-matches it).
+    "x03_dedup_minhash_lsh" -> ((s, d) => {
+      val cands = Dedup.minhashCandidates(docs(s, d), "text", "doc_id", threshold = 0.5)
+        .select(col("ida"), col("idb"))
+      Dedup.ngramJaccard(cands, docs(s, d), "text", "doc_id")
+        .where(col("jaccard") >= 0.7).orderBy("ida", "idb")
+    }),
+    // SimHash measures a different similarity than Jaccard, so candidates
+    // can't equal a DuckDB-computable truth set; the gate checks the
+    // deterministic contract instead: pairs are ordered, within the Hamming
+    // budget, and mostly true near-dups (verified by exact n-gram Jaccard).
+    "x04_dedup_simhash" -> ((s, d) => {
+      val cands = Dedup.simhashCandidates(docs(s, d), "text", "doc_id", maxHamming = 3)
+      val verified = Dedup.ngramJaccard(
+        cands.select(col("ida"), col("idb")), docs(s, d), "text", "doc_id")
+      cands.join(verified, Seq("ida", "idb")).agg(
+        coalesce(max(col("hamming")) <= 3, lit(true)).cast("int").as("all_within"),
+        coalesce(sum(when(col("ida") < col("idb"), 1).otherwise(0)) === count(lit(1)),
+          lit(true)).cast("int").as("ordered_pairs"),
+        coalesce(sum(when(col("jaccard") >= 0.5, 1).otherwise(0)) * 10 >= count(lit(1)) * 7,
+          lit(true)).cast("int").as("precision_ok"))
+    }),
     "x05_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.nearDuplicates(docs(s, d), "text", "doc_id", threshold = 0.8)
         .orderBy("ida", "idb")),
-    "x06_dedup_embed_cosine" -> ((s, d) =>
-      Dedup.embeddingNearDup(emb(s, d), "embedding", "vec_id", minCos = 0.4)
-        .orderBy("ida", "idb")),
+    // Sign-LSH bucket candidates over the FULL corpus; correctness flags are
+    // computed on a bounded sub-universe (vec_id < 500) so the verification
+    // join stays O(500^2) at any scale factor. n_true_pairs is recomputed
+    // independently by DuckDB — a cross-engine check of the cosine math.
+    "x06_dedup_embed_cosine" -> ((s, d) => {
+      val e = emb(s, d)
+      val cands = Dedup.embeddingNearDup(e, "embedding", "vec_id", minCos = 0.4)
+        .where(col("ida") < 500 && col("idb") < 500)
+        .select(col("ida"), col("idb"), lit(1).as("c"))
+      val sub = e.where(col("vec_id") < 500)
+      val l = sub.select(col("vec_id").as("ida"), col("embedding").as("va"))
+      val r = sub.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+      val truth = l.join(r, col("ida") < col("idb"))
+        .where(Similarity.cosine(col("va"), col("vb")) >= 0.4)
+        .select(col("ida"), col("idb"), lit(1).as("t"))
+      cands.join(truth, Seq("ida", "idb"), "full_outer").agg(
+        sum(col("t")).cast("bigint").as("n_true_pairs"),
+        (sum(when(col("t").isNull, 1).otherwise(0)) === 0).cast("int").as("subset_ok"),
+        (sum(when(col("c").isNotNull && col("t").isNotNull, 1).otherwise(0)) * 10 >=
+          sum(col("t")) * 3).cast("int").as("recall_ok"))
+    }),
     // ---- similarity search ----
     "x07_sim_brute_topk" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), k = 5)
         .orderBy(col("qid"), col("cos").desc, col("vec_id"))
     }),
+    // ANN results aren't DuckDB-reproducible (seeded hyperplanes); the gate
+    // checks the deterministic contract: full k per query, cosines bounded,
+    // and recall against the exact brute-force top-k above a floor.
     "x08_sim_lsh_topk" -> ((s, d) => {
       val e = emb(s, d)
-      Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5)
-        .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+      val q = e.where(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("qid"), col("vec_id"), lit(1).as("b"))
+      val lsh = Similarity.lshTopK(e, q, k = 5)
+        .select(col("qid"), col("vec_id"), col("cos"), lit(1).as("l"))
+      lsh.join(brute, Seq("qid", "vec_id"), "full_outer").agg(
+        (sum(when(col("l").isNotNull && col("b").isNotNull, 1).otherwise(0)) * 4 >=
+          sum(col("b"))).cast("int").as("recall_ok"),
+        (sum(col("l")) === count_distinct(when(col("l").isNotNull, col("qid"))) * 5)
+          .cast("int").as("k_complete"),
+        (max(abs(col("cos"))) <= 1.0000001).cast("int").as("cos_bounded"))
     }),
     // ---- text analysis ----
     "x09_text_stats" -> ((s, d) =>
@@ -59,9 +107,21 @@ object Extensions {
         .join(TextAnalysis.langIdDF(docs(s, d), "text", "doc_id"), "doc_id")
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
         .orderBy("lang", "predicted")),
-    "x12_text_fingerprint" -> ((s, d) =>
-      TextAnalysis.fingerprintDF(docs(s, d), "text", "doc_id")
-        .orderBy("doc_id")),
+    // xxhash64 fingerprints aren't DuckDB-computable; the gate checks the
+    // functional contract (exactly one fingerprint per doc, identical texts
+    // share a fingerprint) against DuckDB-recomputed corpus counts.
+    "x12_text_fingerprint" -> ((s, d) => {
+      val fp = TextAnalysis.fingerprintDF(docs(s, d), "text", "doc_id")
+      docs(s, d).select(col("doc_id"), col("text")).join(fp, "doc_id")
+        .groupBy(col("text"))
+        .agg(count_distinct(col("fp")).as("nfp"), count(lit(1)).as("ndoc"))
+        .agg(
+          count(lit(1)).as("n_distinct_texts"),
+          sum(col("ndoc")).as("n_docs"),
+          (max(col("nfp")) === 1).cast("int").as("fp_fn_of_text"),
+          (sum(when(col("nfp") >= 1, 1).otherwise(0)) === count(lit(1)))
+            .cast("int").as("fp_present"))
+    }),
     // ---- multimodal ----
     "x13_mm_decode" -> ((s, d) =>
       Multimodal.decode(Multimodal.synthesize(docs(s, d))).toDF()
@@ -77,8 +137,17 @@ object Extensions {
         .where(col("id") < 20).orderBy("id", "term")),
     "x16_sim_ivf_topk" -> ((s, d) => {
       val e = emb(s, d)
-      Similarity.ivfTopK(e, e.where(col("vec_id") < 10), k = 5, iters = 1)
-        .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+      val q = e.where(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("qid"), col("vec_id"), lit(1).as("b"))
+      val ivf = Similarity.ivfTopK(e, q, k = 5, iters = 1)
+        .select(col("qid"), col("vec_id"), col("cos"), lit(1).as("l"))
+      ivf.join(brute, Seq("qid", "vec_id"), "full_outer").agg(
+        (sum(when(col("l").isNotNull && col("b").isNotNull, 1).otherwise(0)) * 10 >=
+          sum(col("b")) * 7).cast("int").as("recall_ok"),
+        (sum(col("l")) === count_distinct(when(col("l").isNotNull, col("qid"))) * 5)
+          .cast("int").as("k_complete"),
+        (max(abs(col("cos"))) <= 1.0000001).cast("int").as("cos_bounded"))
     }),
     // ---- end-to-end curation pipeline (dedup → quality → token budget) ----
     "x15_curation" -> ((s, d) => Curation.curate(docs(s, d), minQuality = 0.5)),
@@ -113,6 +182,34 @@ object Extensions {
   private def duckStopHits(t: String) =
     s"len(list_filter(regexp_split_to_array(lower(trim($t)), '\\s+'), x -> list_contains($swList, x)))"
 
+  /** DuckDB all-pairs exact word-3-gram Jaccard (list-comprehension
+    * shingles mirror [[Dedup.shingleRows]]: lower/trim, split on \s+,
+    * short docs collapse to the whole text, set semantics). */
+  private def duckJaccardTruth(thr: Double): String = {
+    val j = "CAST(len(list_intersect(a.grams,b.grams)) AS DOUBLE)/len(list_distinct(a.grams || b.grams))"
+    "WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+    "g AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws,' ')] " +
+    "ELSE list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) END AS grams FROM d) " +
+    s"SELECT a.doc_id AS ida, b.doc_id AS idb, ROUND($j, 4) AS jaccard " +
+    s"FROM g a JOIN g b ON a.doc_id < b.doc_id WHERE $j >= $thr ORDER BY ida, idb"
+  }
+
+  /** DuckDB reimplementation of the stopword-profile argmax language ID —
+    * a full cross-engine oracle of [[TextAnalysis.langIdDF]]. */
+  private def duckLangId: String = {
+    val ps = TextAnalysis.langProfiles
+    val hits = ps.zipWithIndex.map { case ((_, ws), i) =>
+      s"SUM(CASE WHEN lower(tok) IN (${ws.map(w => s"'$w'").mkString(",")}) THEN 1 ELSE 0 END) AS l$i"
+    }.mkString(", ")
+    val g = ps.indices.map(i => s"l$i").mkString("greatest(", ",", ")")
+    val cases = ps.zipWithIndex.map { case ((l, _), i) => s"WHEN l$i = $g THEN '$l'" }.mkString(" ")
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents), " +
+    s"h AS (SELECT doc_id, $hits FROM toks GROUP BY doc_id), " +
+    s"pred AS (SELECT doc_id, CASE WHEN $g = 0 THEN 'und' $cases END AS predicted FROM h) " +
+    "SELECT d.lang, p.predicted, count(*) AS n FROM documents d JOIN pred p USING (doc_id) " +
+    "GROUP BY 1, 2 ORDER BY 1, 2"
+  }
+
   def oracles: Map[String, String] = {
     val t = "text"
     val nTok = duckTokCount(t)
@@ -133,7 +230,28 @@ object Extensions {
         "SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY text ORDER BY keep_id",
       "x02_dedup_exact_hash" ->
         "SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY text ORDER BY keep_id",
-      // x03..x06, x08, x12: xxhash64-seeded / approximate → rows-only check
+      // x03/x05: LSH candidates + exact-Jaccard verification equal the
+      // DuckDB all-pairs truth (recall-complete at the gate corpus)
+      "x03_dedup_minhash_lsh" -> duckJaccardTruth(0.7),
+      "x05_dedup_ngram_jaccard" -> duckJaccardTruth(0.8),
+      "x04_dedup_simhash" -> (
+        "SELECT CAST(1 AS INTEGER) AS all_within, CAST(1 AS INTEGER) AS ordered_pairs, " +
+        "CAST(1 AS INTEGER) AS precision_ok"),
+      "x06_dedup_embed_cosine" -> (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500) " +
+        "SELECT count(*) AS n_true_pairs, CAST(1 AS INTEGER) AS subset_ok, CAST(1 AS INTEGER) AS recall_ok " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        "WHERE list_dot_product(a.v,b.v)/(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v))) >= 0.4"),
+      "x08_sim_lsh_topk" -> (
+        "SELECT CAST(1 AS INTEGER) AS recall_ok, CAST(1 AS INTEGER) AS k_complete, " +
+        "CAST(1 AS INTEGER) AS cos_bounded"),
+      "x16_sim_ivf_topk" -> (
+        "SELECT CAST(1 AS INTEGER) AS recall_ok, CAST(1 AS INTEGER) AS k_complete, " +
+        "CAST(1 AS INTEGER) AS cos_bounded"),
+      "x11_text_langid" -> duckLangId,
+      "x12_text_fingerprint" -> (
+        "SELECT count(DISTINCT text) AS n_distinct_texts, count(*) AS n_docs, " +
+        "CAST(1 AS INTEGER) AS fp_fn_of_text, CAST(1 AS INTEGER) AS fp_present FROM documents"),
       "x07_sim_brute_topk" -> (
         "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10), " +
         "s AS (SELECT q.qid, e.vec_id, " +
