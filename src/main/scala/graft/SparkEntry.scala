@@ -285,6 +285,23 @@ object SparkEntry {
       "(select count(*) from customer c where c.c_nationkey = n.n_nationkey and c.c_acctbal > 5000) as nc, " +
       "(select round(max(c_acctbal), 2) from customer c2 where c2.c_nationkey = n.n_nationkey) as mx " +
       "from nation n order by nation")),
+    // ---- VALUES relation (inline literal table; broadcast-join fodder) ----
+    "q45_values_rel" -> ((s, d) => g(s, d).sql(
+      "select t.a as a, t.b as b, n.n_name as nation " +
+      "from (values (0, 'x'), (1, 'y'), (1, 'z')) as t(a, b) " +
+      "join nation n on n.n_regionkey = t.a where n.n_nationkey < 10 " +
+      "order by a, b, nation")),
+    // ---- UDTF surface (§2.10): DuckDB-style select-position unnest →
+    // Spark explode generator (row expansion stays a narrow operation) ----
+    "q46_unnest" -> ((s, d) => g(s, d).sql(
+      "select doc_id, tok from " +
+      "(select doc_id, unnest(split(text, ' ')) as tok from documents) as u " +
+      "where tok like 'q%' order by doc_id, tok")),
+    // ---- nested array functions: collect_set → sort_array → array_join
+    // (deterministic set aggregation, fully codegen-composable) ----
+    "q47_array_agg" -> ((s, d) => g(s, d).sql(
+      "select l_returnflag as f, array_join(sort_array(collect_set(l_linestatus)), ',') as ss " +
+      "from lineitem group by l_returnflag order by f")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -485,6 +502,18 @@ object SparkEntry {
        "CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS fl, " +
        "CAST(CEIL(o_totalprice / 1000) AS BIGINT) AS ce " +
        "FROM orders WHERE o_orderkey < 200 ORDER BY k"),
+    "q45_values_rel" ->
+      ("SELECT CAST(t.a AS BIGINT) AS a, t.b AS b, n.n_name AS nation " +
+       "FROM (VALUES (0, 'x'), (1, 'y'), (1, 'z')) t(a, b) " +
+       "JOIN nation n ON n.n_regionkey = t.a WHERE n.n_nationkey < 10 " +
+       "ORDER BY a, b, nation"),
+    "q46_unnest" ->
+      ("SELECT doc_id, tok FROM " +
+       "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u " +
+       "WHERE tok LIKE 'q%' ORDER BY doc_id, tok"),
+    "q47_array_agg" ->
+      ("SELECT l_returnflag AS f, array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS ss " +
+       "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "q32_session_window" ->
       ("WITH x AS (SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
        "f AS (SELECT *, CASE WHEN LAG(us) OVER (PARTITION BY event_type ORDER BY us) IS NULL " +

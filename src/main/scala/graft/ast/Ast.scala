@@ -200,6 +200,12 @@ final case class DerivedRel(
     alias: String,
     window: Option[WindowSpec]) extends Relation
 
+/** `(values (…), (…)) as t(c1, c2)` — inline literal relation (ANSI
+  * VALUES list; beyond-reference extension). Column names default to
+  * col1..colN when the alias carries no column list. */
+final case class ValuesRel(rows: Seq[Seq[Expr]], alias: String,
+                           cols: Option[Seq[String]]) extends Relation
+
 /** `rel sample (N percent) [seed K]` — Bernoulli row sampling
   * (beyond-reference extension; training-data pipelines subsample
   * constantly). Seeded for reproducibility; per-partition independent, so

@@ -116,6 +116,9 @@ object Pretty {
     case SampleRel(base, pct, seed) =>
       val p = if (pct == pct.floor) pct.toLong.toString else pct.toString
       s"${rel(base)} sample ($p percent)${seed.fold("")(s => s" seed $s")}"
+    case ValuesRel(rows, alias, cols) =>
+      val rs = rows.map(r => r.map(expr).mkString("(", ", ", ")")).mkString(", ")
+      s"(values $rs) as $alias${cols.fold("")(_.mkString("(", ", ", ")"))}"
     case TableRef(n, alias, w) =>
       s"$n${w.fold("")(windowSpec)}${alias.fold("")(a => s" as $a")}"
     case DerivedRel(q, alias, w) =>

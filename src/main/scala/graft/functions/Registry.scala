@@ -73,6 +73,9 @@ object Registry {
         require(args.length == 2 || args.length == 3, s"$n expects 2 or 3 args")
         if (args.length == 3) args.head.substr(args(1), args(2))
         else call_function("substring", args: _*)
+      // ----- generators (UDTF surface §2.10): DuckDB-style select-position
+      // unnest — one generator per SELECT, enforced by Spark's analyzer -----
+      case "unnest" => arity(n, args, 1); explode(args.head)
       // ----- passthrough: Spark's full built-in library (reference P7:
       // unknown function names parse and pass through) -----
       case other => call_function(other, args: _*)

@@ -209,6 +209,10 @@ object SqlParser extends RegexParsers with PackratParsers {
 
   lazy val primaryRelation: PackratParser[Relation] = {
     val base: PackratParser[Relation] =
+      ("(" ~> kw("values") ~> rep1sep("(" ~> rep1sep(expr, ",") <~ ")", ",") <~ ")") ~
+        (opt(kw("as")) ~> ident) ~ opt("(" ~> rep1sep(ident, ",") <~ ")") ^^ {
+          case rows ~ a ~ cs => ValuesRel(rows, a, cs)
+        } |
       ("(" ~> query <~ ")") ~ opt(kw("as")) ~ ident ~ opt(windowSpec) ^^ {
         case q ~ _ ~ a ~ w => DerivedRel(q, a, w)
       } |

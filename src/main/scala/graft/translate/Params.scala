@@ -79,6 +79,7 @@ object Params {
     private def relation(r: Relation): Relation = r match {
       case t: TableRef => t
       case SampleRel(b, p, s)   => SampleRel(relation(b), p, s)
+      case ValuesRel(rows, a, cs) => ValuesRel(rows.map(_.map(expr)), a, cs)
       case DerivedRel(q, a, w)  => DerivedRel(query(q), a, w)
       case JoinRel(l, rr, k, c) => JoinRel(relation(l), relation(rr), k, c.map {
         case On(p)  => On(expr(p))

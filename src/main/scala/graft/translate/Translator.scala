@@ -443,6 +443,25 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       val aliased = wdf.alias(alias)
       RelPlan(aliased, keys.map(aliased(_)) ++ exprKeys, window.isDefined, postAgg)
 
+    case ValuesRel(rows, alias, cols) =>
+      val width = rows.head.length
+      rows.zipWithIndex.foreach { case (r, i) =>
+        if (r.length != width)
+          throw new GraftAnalysisException(
+            s"VALUES row ${i + 1} has ${r.length} expressions, expected $width")
+      }
+      val names = cols.getOrElse((1 to width).map(i => s"col$i"))
+      if (names.length != width)
+        throw new GraftAnalysisException(
+          s"VALUES alias declares ${names.length} columns for $width expressions")
+      // one row = one projection over range(1); rows union lazily (a literal
+      // relation is tiny by construction — broadcast-join fodder)
+      val one = spark.range(1)
+      val df = rows.map(r =>
+        one.select(r.zip(names).map { case (e, nm) => expr(e).as(nm) }: _*))
+        .reduce(_.unionByName(_))
+      RelPlan(df.alias(alias), Nil, windowed = false)
+
     case SampleRel(rel0, pct, seed) =>
       if (pct < 0 || pct > 100)
         throw new GraftAnalysisException(s"sample percent must be in [0, 100], got $pct")

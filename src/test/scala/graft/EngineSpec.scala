@@ -491,4 +491,33 @@ class EngineSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("nope"))
   }
+
+  test("VALUES relation: literal rows, default col names, joins, errors") {
+    val r = g.sql("select a, b from (values (1, 'x'), (2, 'y')) as t(a, b) order by a")
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(r.toSeq == Seq((1L, "x"), (2L, "y")))
+    // default column names col1..colN
+    assert(g.sql("select col1, col2 from (values (1, 2)) as v").columns.toSeq
+      == Seq("col1", "col2"))
+    // joinable against catalog relations
+    val j = g.sql("select n.n_name as nm from (values (0), (1)) as v " +
+      "join nation n on n.n_regionkey = v.col1")
+    assert(j.count() > 0)
+    // arity violations are clear analysis errors
+    val e1 = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("select * from (values (1, 2), (3)) as t(a, b)")
+    }
+    assert(e1.getMessage.contains("row 2"))
+    val e2 = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("select * from (values (1, 2)) as t(a)")
+    }
+    assert(e2.getMessage.contains("declares"))
+  }
+
+  test("unnest explodes array values per row") {
+    val r = g.sql("select a, unnest(split(s, ' ')) as w " +
+      "from (values (1, 'x y'), (2, 'z')) as t(a, s) order by a, w")
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(r.toSeq == Seq((1L, "x"), (1L, "y"), (2L, "z")))
+  }
 }

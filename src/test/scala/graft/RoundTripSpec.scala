@@ -54,7 +54,12 @@ class RoundTripSpec extends AnyFunSuite {
     "select cast(a as long) as al, cast(b as array<double>) as bd, cast((a + 1) as string) as s from t",
     "select (a || b) as ab, case x when 1 then 'a' when 2 then 'b' else 'c' end as c from t",
     "select a from t order by a desc nulls last, b nulls first",
-    "select a, count(*) as n from t group by 1 order by 2 desc"
+    "select a, count(*) as n from t group by 1 order by 2 desc",
+    // VALUES relation, sample clause, unnest generator
+    "select a, b from (values (1, 'x'), (2, 'y')) as t(a, b) order by a",
+    "select n from (values (1), (2)) as v join t on t.k = v.col1",
+    "select a from t sample (10 percent) seed 42 where a > 1",
+    "select doc_id, unnest(split(text, ' ')) as tok from documents"
   )
 
   test("parse . print . parse == parse over the corpus") {
