@@ -28,8 +28,10 @@ object Extensions {
     // dedup pattern (candidates are recall-complete here, so the verified
     // set equals the DuckDB all-pairs truth and hash-matches it).
     "x03_dedup_minhash_lsh" -> ((s, d) => {
+      // checkpoint the (tiny) pair set: ngramJaccard references it three
+      // times; without this the whole LSH pipeline re-executes per reference
       val cands = Dedup.minhashCandidates(docs(s, d), "text", "doc_id", threshold = 0.5)
-        .select(col("ida"), col("idb"))
+        .select(col("ida"), col("idb")).localCheckpoint()
       Dedup.ngramJaccard(cands, docs(s, d), "text", "doc_id")
         .where(col("jaccard") >= 0.7).orderBy("ida", "idb")
     }),
@@ -38,7 +40,9 @@ object Extensions {
     // deterministic contract instead: pairs are ordered, within the Hamming
     // budget, and mostly true near-dups (verified by exact n-gram Jaccard).
     "x04_dedup_simhash" -> ((s, d) => {
+      // checkpoint: referenced once directly and three times via ngramJaccard
       val cands = Dedup.simhashCandidates(docs(s, d), "text", "doc_id", maxHamming = 3)
+        .localCheckpoint()
       val verified = Dedup.ngramJaccard(
         cands.select(col("ida"), col("idb")), docs(s, d), "text", "doc_id")
       cands.join(verified, Seq("ida", "idb")).agg(
