@@ -302,6 +302,21 @@ object SparkEntry {
     "q47_array_agg" -> ((s, d) => g(s, d).sql(
       "select l_returnflag as f, array_join(sort_array(collect_set(l_linestatus)), ',') as ss " +
       "from lineitem group by l_returnflag order by f")),
+    // ---- explicit window frames: ROWS/RANGE BETWEEN (rolling windows,
+    // running extrema, partition-last — identical bounds in DuckDB) ----
+    "q48_window_frames" -> ((s, d) => g(s, d).sql(
+      "select o_custkey as ck, o_orderkey as k, " +
+      "round(sum(o_totalprice) over (partition by o_custkey order by o_orderkey " +
+      "rows between 2 preceding and current row), 2) as roll3, " +
+      "round(min(o_totalprice) over (partition by o_custkey order by o_orderkey " +
+      "rows between unbounded preceding and current row), 2) as rmin, " +
+      "round(max(o_totalprice) over (partition by o_custkey order by o_orderkey " +
+      "rows between current row and unbounded following), 2) as fmax, " +
+      "last_value(o_orderkey) over (partition by o_custkey order by o_orderkey " +
+      "rows between unbounded preceding and unbounded following) as lastk, " +
+      "count(*) over (partition by o_custkey order by o_orderkey " +
+      "range between 1000 preceding and current row) as nearby " +
+      "from orders where o_custkey < 100 order by ck, k")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -502,6 +517,19 @@ object SparkEntry {
        "CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS fl, " +
        "CAST(CEIL(o_totalprice / 1000) AS BIGINT) AS ce " +
        "FROM orders WHERE o_orderkey < 200 ORDER BY k"),
+    "q48_window_frames" ->
+      ("SELECT o_custkey AS ck, o_orderkey AS k, " +
+       "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+       "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS roll3, " +
+       "ROUND(MIN(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS rmin, " +
+       "ROUND(MAX(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+       "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 2) AS fmax, " +
+       "last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lastk, " +
+       "COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+       "RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS nearby " +
+       "FROM orders WHERE o_custkey < 100 ORDER BY ck, k"),
     "q45_values_rel" ->
       ("SELECT CAST(t.a AS BIGINT) AS a, t.b AS b, n.n_name AS nation " +
        "FROM (VALUES (0, 'x'), (1, 'y'), (1, 'z')) t(a, b) " +

@@ -155,7 +155,7 @@ object Projection {
     case Lit(_)            => "<constant>"
     case _: CaseWhen       => "case"
     case FuncCall(n, _, _) => n
-    case WindowFn(f, _, _) => f.name
+    case WindowFn(f, _, _, _) => f.name
     case _: Input          => "?"
     case _                 => "expr"
   }
@@ -278,16 +278,24 @@ final case class FuncCall(name: String, args: Seq[Expr], distinct: Boolean = fal
 final case class CaseWhen(branches: Seq[(Expr, Expr)], otherwise: Option[Expr],
                           subject: Option[Expr] = None) extends Expr
 
-/** `fn(args) OVER (PARTITION BY … ORDER BY …)` — analytic/window function.
-  * Beyond-reference extension (SURVEY §2.7 notes the reference has no
-  * OVER clause anywhere): ranking (row_number/rank/dense_rank/ntile),
-  * offset (lag/lead), and any aggregate over a partition frame. Frames use
-  * the SQL defaults (RANGE UNBOUNDED PRECEDING..CURRENT ROW with ORDER BY,
-  * whole partition without) — identical in Spark and DuckDB. */
+/** Explicit `ROWS/RANGE BETWEEN lo AND hi` window frame. Bounds use
+  * Spark's convention: Long.MinValue = UNBOUNDED PRECEDING, 0 = CURRENT
+  * ROW, Long.MaxValue = UNBOUNDED FOLLOWING, negative = N PRECEDING,
+  * positive = N FOLLOWING. */
+final case class WindowFrame(rows: Boolean, lo: Long, hi: Long)
+
+/** `fn(args) OVER (PARTITION BY … ORDER BY … [frame])` — analytic/window
+  * function. Beyond-reference extension (SURVEY §2.7 notes the reference
+  * has no OVER clause anywhere): ranking (row_number/rank/dense_rank/
+  * ntile), offset (lag/lead), and any aggregate over a partition frame.
+  * Without an explicit frame the SQL defaults apply (RANGE UNBOUNDED
+  * PRECEDING..CURRENT ROW with ORDER BY, whole partition without) —
+  * identical in Spark and DuckDB. */
 final case class WindowFn(
     fn: FuncCall,
     partitionBy: Seq[Expr],
-    orderBy: Seq[SortKey]) extends Expr
+    orderBy: Seq[SortKey],
+    frame: Option[WindowFrame] = None) extends Expr
 
 /** `?` positional parameter — fsql/Ast.scala:164. */
 final case class Input() extends Expr
@@ -328,7 +336,7 @@ object Expr {
     // NOTE: children are the fn's ARGS, not the fn node itself —
     // `sum(x) over (…)` is per-row analytic, not a grouping aggregate, so
     // hasAggregate must not see the inner FuncCall.
-    case WindowFn(f, pb, ob)  => f.args ++ pb ++ ob.map(_.expr)
+    case WindowFn(f, pb, ob, _) => f.args ++ pb ++ ob.map(_.expr)
     case Cmp(_, l, r)         => Seq(l, r)
     case And(l, r)            => Seq(l, r)
     case Or(l, r)             => Seq(l, r)
@@ -360,13 +368,13 @@ object Expr {
         case Neg(c)                => Neg(go(c))
         case BitNot(c)             => BitNot(go(c))
         case FuncCall(n, as, d)    => FuncCall(n, as.map(go), d)
-        case WindowFn(fn, pb, ob)  =>
+        case WindowFn(fn, pb, ob, fr) =>
           val fn2 = go(fn) match {
             case fc: FuncCall => fc
             case other => throw new IllegalArgumentException(
               s"cannot rewrite a window function call into ${other.getClass.getSimpleName}")
           }
-          WindowFn(fn2, pb.map(go), ob.map(k => k.copy(expr = go(k.expr))))
+          WindowFn(fn2, pb.map(go), ob.map(k => k.copy(expr = go(k.expr))), fr)
         case CaseWhen(bs, o, subj) =>
           CaseWhen(bs.map { case (c, v) => (go(c), go(v)) }, o.map(go), subj.map(go))
         case Cmp(op, l, r)         => Cmp(op, go(l), go(r))

@@ -171,11 +171,20 @@ object Pretty {
       "case " + subj.fold("")(x => s"${expr(x)} ") +
         bs.map { case (c, v) => s"when ${expr(c)} then ${expr(v)}" }.mkString(" ") +
         o.fold("")(x => s" else ${expr(x)}") + " end"
-    case WindowFn(f, pb, ob) =>
+    case WindowFn(f, pb, ob, fr) =>
+      def bound(n: Long): String = n match {
+        case Long.MinValue     => "unbounded preceding"
+        case Long.MaxValue     => "unbounded following"
+        case 0                 => "current row"
+        case x if x < 0        => s"${-x} preceding"
+        case x                 => s"$x following"
+      }
       val parts = Seq(
         if (pb.nonEmpty) s"partition by ${pb.map(expr).mkString(", ")}" else "",
-        if (ob.nonEmpty) "order by " + ob.map(sortKey).mkString(", ")
-        else "").filter(_.nonEmpty)
+        if (ob.nonEmpty) "order by " + ob.map(sortKey).mkString(", ") else "",
+        fr.fold("")(w =>
+          s"${if (w.rows) "rows" else "range"} between ${bound(w.lo)} and ${bound(w.hi)}")
+      ).filter(_.nonEmpty)
       s"${expr(f)} over (${parts.mkString(" ")})"
     case Input()              => "?"
     case Cast(e, t)           => s"cast(${expr(e)} as $t)"

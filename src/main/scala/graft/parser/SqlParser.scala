@@ -381,16 +381,31 @@ object SqlParser extends RegexParsers with PackratParsers {
     (ident <~ "(") ~ (opt(kw("distinct")) ~ repsep(funcArg, ",") <~ ")") ~ opt(overClause) ^^ {
       case n ~ (d ~ as) ~ over =>
         val f = FuncCall(n.toLowerCase(java.util.Locale.ROOT), as, d.isDefined)
-        over.fold(f: Expr) { case (pb, ob) => WindowFn(f, pb, ob) }
+        over.fold(f: Expr) { case (pb, ob, fr) => WindowFn(f, pb, ob, fr) }
     }
 
-  /** `OVER (PARTITION BY e, … ORDER BY k, …)` — analytic functions
-    * (beyond-reference extension; SQL-default frames only). */
-  lazy val overClause: PackratParser[(Seq[Expr], Seq[SortKey])] =
+  /** `ROWS|RANGE BETWEEN bound AND bound` — explicit window frame; bounds
+    * encode as Spark offsets (MinValue/MaxValue = unbounded, 0 = current). */
+  lazy val frameSpec: PackratParser[WindowFrame] = {
+    val bound: Parser[Long] =
+      kw("unbounded") ~> (kw("preceding") ^^^ Long.MinValue | kw("following") ^^^ Long.MaxValue) |
+      kw("current") ~> kw("row") ^^^ 0L |
+      """\d+""".r ~ (kw("preceding") ^^^ -1L | kw("following") ^^^ 1L) ^^ {
+        case n ~ sign => n.toLong * sign
+      }
+    ((kw("rows") ^^^ true) | (kw("range") ^^^ false)) ~
+      (kw("between") ~> bound) ~ (kw("and") ~> bound) ^^ {
+        case r ~ lo ~ hi => WindowFrame(r, lo, hi)
+      }
+  }
+
+  /** `OVER (PARTITION BY e, … ORDER BY k, … [frame])` — analytic functions
+    * (beyond-reference extension). */
+  lazy val overClause: PackratParser[(Seq[Expr], Seq[SortKey], Option[WindowFrame])] =
     kw("over") ~> "(" ~>
       opt(kw("partition") ~> kw("by") ~> rep1sep(expr, ",")) ~
-      opt(orderByClause) <~ ")" ^^ {
-        case pb ~ ob => (pb.getOrElse(Nil), ob.getOrElse(Nil))
+      opt(orderByClause) ~ opt(frameSpec) <~ ")" ^^ {
+        case pb ~ ob ~ fr => (pb.getOrElse(Nil), ob.getOrElse(Nil), fr)
       }
 
   lazy val funcArg: PackratParser[Expr] =

@@ -93,9 +93,9 @@ object Params {
       case Neg(c)                => Neg(expr(c))
       case BitNot(c)             => BitNot(expr(c))
       case FuncCall(n, as, d)    => FuncCall(n, as.map(expr), d)
-      case WindowFn(f, pb, ob)   =>
+      case WindowFn(f, pb, ob, fr) =>
         WindowFn(expr(f).asInstanceOf[FuncCall], pb.map(expr),
-          ob.map(k => k.copy(expr = expr(k.expr))))
+          ob.map(k => k.copy(expr = expr(k.expr))), fr)
       case CaseWhen(bs, o, subj) =>
         // textual order: subject first, then branches, then ELSE
         val s2 = subj.map(expr)

@@ -857,11 +857,21 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     // default frames, so results match DuckDB's OVER exactly). Ranking and
     // offset functions are only meaningful here, so they are dispatched
     // locally rather than through the scalar Registry.
-    case WindowFn(f, pb, ob) =>
+    case WindowFn(f, pb, ob, frame) =>
       val spec0 = Window.partitionBy(pb.map(expr): _*)
-      val spec =
+      val ordered =
         if (ob.isEmpty) spec0
         else spec0.orderBy(ob.map(k => sortCol(expr(k.expr), k)): _*)
+      val spec = frame match {
+        case None => ordered
+        case Some(fr) =>
+          if (ob.isEmpty)
+            throw new GraftAnalysisException(
+              s"${f.name}: an explicit window frame requires ORDER BY")
+          // Spark bound convention matches the AST encoding directly
+          if (fr.rows) ordered.rowsBetween(fr.lo, fr.hi)
+          else ordered.rangeBetween(fr.lo, fr.hi)
+      }
       def intArg(i: Int, default: Int): Int = f.args.lift(i) match {
         case Some(Lit(v: Long)) => v.toInt
         case Some(other) => throw new GraftAnalysisException(

@@ -514,6 +514,28 @@ class EngineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("declares"))
   }
 
+  test("explicit window frames: rolling sum, running min, range count") {
+    val got = g.sql(
+      "select k, t, " +
+      "sum(v) over (partition by k order by t rows between 1 preceding and current row) as r2, " +
+      "min(v) over (partition by k order by t rows between unbounded preceding and current row) as rmin, " +
+      "count(*) over (partition by k order by t range between 1 preceding and current row) as nc " +
+      "from (values (1, 10, 5.0), (1, 11, 3.0), (1, 13, 7.0), (2, 10, 1.0)) as x(k, t, v) " +
+      "order by k, t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 10L, 5.0, 5.0, 1L),   // first row: frame = itself
+      (1L, 11L, 8.0, 3.0, 2L),   // rows: 5+3; range 10..11 has both
+      (1L, 13L, 10.0, 3.0, 1L),  // rows: 3+7; range 12..13 only itself
+      (2L, 10L, 1.0, 1.0, 1L)))
+    // frame without ORDER BY is rejected
+    val e = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("select sum(v) over (partition by k rows between 1 preceding and current row) as r " +
+        "from (values (1, 2.0)) as x(k, v)")
+    }
+    assert(e.getMessage.contains("ORDER BY"))
+  }
+
   test("unnest explodes array values per row") {
     val r = g.sql("select a, unnest(split(s, ' ')) as w " +
       "from (values (1, 'x y'), (2, 'z')) as t(a, s) order by a, w")

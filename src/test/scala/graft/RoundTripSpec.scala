@@ -59,7 +59,12 @@ class RoundTripSpec extends AnyFunSuite {
     "select a, b from (values (1, 'x'), (2, 'y')) as t(a, b) order by a",
     "select n from (values (1), (2)) as v join t on t.k = v.col1",
     "select a from t sample (10 percent) seed 42 where a > 1",
-    "select doc_id, unnest(split(text, ' ')) as tok from documents"
+    "select doc_id, unnest(split(text, ' ')) as tok from documents",
+    // explicit window frames
+    "select sum(v) over (partition by k order by t rows between 2 preceding and current row) as r from t",
+    "select max(v) over (order by t rows between current row and unbounded following) as m from t",
+    "select count(*) over (order by t range between 10 preceding and 5 following) as n from t",
+    "select last_value(v) over (partition by k order by t rows between unbounded preceding and unbounded following) as l from t"
   )
 
   test("parse . print . parse == parse over the corpus") {
