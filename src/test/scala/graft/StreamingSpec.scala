@@ -226,6 +226,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("W6 streaming: stream-stream windowed join through the dialect") {
+    def writeCsv(lines: String*): java.io.File = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toFile
+      val w = new java.io.PrintWriter(new java.io.File(dir, "a.csv"))
+      lines.foreach(w.println); w.close(); dir
+    }
+    val d1 = writeCsv("2024-01-01T01:10:00,x,1.0", "2024-01-01T02:10:00,x,2.0")
+    val d2 = writeCsv("2024-01-01T01:20:00,x,5.0", "2024-01-01T03:00:00,x,9.0")
+    val g = new GraftSession(spark, streaming = true)
+    g.sql("create stream ssj1 (ts timestamp, k string, v double) source file('" + d1.getAbsolutePath + "')")
+    g.sql("create stream ssj2 (ts timestamp, k string, w double) source file('" + d2.getAbsolutePath + "')")
+    val j = g.sql(
+      "select a.k as k, a.v as v, b.w as w " +
+      "from ssj1 [size 1 h on ts] as a join ssj2 [size 1 h on ts] as b on a.k = b.k")
+    assert(j.isStreaming, "windowed join over two streams must stay a streaming plan")
+    val q = Sinks.memory(j, "ssj_out", OutputMode.Append())
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      // only the hour-1 pair is co-windowed; hour-2 a-row and hour-3 b-row
+      // have no partner in their buckets
+      assert(rows.toSeq == Seq(("x", 1.0, 5.0)))
+    } finally q.stop()
+  }
+
   test("streaming GraftSession: file stream source reads and aggregates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toFile
     val f = new java.io.File(dir, "in.csv")
