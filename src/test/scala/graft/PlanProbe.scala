@@ -43,9 +43,9 @@ object PlanProbe {
       g.sql("select c_custkey from customer c where exists (select 1 from orders o where o.o_custkey = c.c_custkey)"),
       Seq("LeftSemi"))
 
-    show("windowed join equi-join on bucket",
+    show("windowed join equi-join on bucket (hash-partitionable; broadcasts when small)",
       g.sql("select count(*) as n from events [size 1 h on ts] as e1 join events [size 1 h on ts] as e2 on e1.event_type = e2.event_type"),
-      Seq("SortMergeJoin", "w_start"))
+      Seq("HashJoin", "w_start"))
 
     val emb = g.catalog.relation("embeddings")
     show("brute topk: broadcast queries, codegen cosine",
@@ -56,5 +56,23 @@ object PlanProbe {
     show("text stats scan prunes columns",
       operators.TextAnalysis.stats(docs, "text", "doc_id"),
       Seq("ReadSchema: struct<doc_id:bigint,text:string>"))
+
+    show("VALUES relation joins as broadcast (literal side tiny by construction)",
+      g.sql("select n.n_name as nm from (values (0), (1)) as v " +
+        "join nation n on n.n_regionkey = v.col1"),
+      Seq("BroadcastHashJoin"))
+
+    show("unnest lowers to Generate explode with pruned scan (no shuffle)",
+      g.sql("select doc_id, unnest(split(text, ' ')) as tok from documents"),
+      Seq("Generate explode", "ReadSchema: struct<doc_id:bigint,text:string>"))
+
+    show("window frame runs in one Window node over one sort",
+      g.sql("select sum(o_totalprice) over (partition by o_custkey order by o_orderkey " +
+        "rows between 2 preceding and current row) as r from orders"),
+      Seq("Window", "specifiedwindowframe(RowFrame, -2, currentrow$())"))
+
+    show("sample clause is a narrow Sample operator over the scan",
+      g.sql("select count(*) as n from lineitem sample (10 percent) seed 42"),
+      Seq("Sample 0.0, 0.1"))
   }
 }
