@@ -317,6 +317,14 @@ object SparkEntry {
       "count(*) over (partition by o_custkey order by o_orderkey " +
       "range between 1000 preceding and current row) as nearby " +
       "from orders where o_custkey < 100 order by ck, k")),
+    // ---- INTERVAL literals + timestamp/date arithmetic and typed
+    // literals (time-series staples; identical surface syntax in DuckDB) ----
+    "q49_interval_arith" -> ((s, d) => g(s, d).sql(
+      "select event_id as id, ts, ts + interval 1 day as next_day, " +
+      "ts - interval 30 minute as earlier, " +
+      "case when ts + interval 2 hour > timestamp '2024-01-15 00:00:00' then 1 else 0 end as flg, " +
+      "date '2024-03-01' + interval 1 day as d2 " +
+      "from events where event_id < 100 order by id")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -517,6 +525,14 @@ object SparkEntry {
        "CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS fl, " +
        "CAST(CEIL(o_totalprice / 1000) AS BIGINT) AS ce " +
        "FROM orders WHERE o_orderkey < 200 ORDER BY k"),
+    "q49_interval_arith" ->
+      ("SELECT event_id AS id, CAST(ts AS TIMESTAMP) AS ts, " +
+       "CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS next_day, " +
+       "CAST(ts AS TIMESTAMP) - INTERVAL 30 MINUTE AS earlier, " +
+       "CASE WHEN CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR > TIMESTAMP '2024-01-15 00:00:00' " +
+       "THEN 1 ELSE 0 END AS flg, " +
+       "DATE '2024-03-01' + INTERVAL 1 DAY AS d2 " +
+       "FROM events WHERE event_id < 100 ORDER BY id"),
     "q48_window_frames" ->
       ("SELECT o_custkey AS ck, o_orderkey AS k, " +
        "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +

@@ -297,6 +297,11 @@ final case class WindowFn(
     orderBy: Seq[SortKey],
     frame: Option[WindowFrame] = None) extends Expr
 
+/** `INTERVAL n unit` literal (beyond-reference extension) — timestamp
+  * arithmetic for time-series/windowing pipelines. Units second..year;
+  * lowers to Spark make_dt_interval / make_ym_interval. */
+final case class IntervalLit(value: Long, unit: String) extends Expr
+
 /** `?` positional parameter — fsql/Ast.scala:164. */
 final case class Input() extends Expr
 

@@ -157,6 +157,7 @@ object Pretty {
     case ColRef(q, n)  => q.fold(n)(x => s"$x.$n")
     case Star(None)    => "*"
     case Star(Some(q)) => s"$q.*"
+    case IntervalLit(v, u)    => s"interval $v $u"
     case Lit(null)            => "null"
     case Lit(s: String)       => "'" + s.replace("'", "''") + "'"
     case Lit(b: Boolean)      => b.toString

@@ -370,7 +370,16 @@ object SqlParser extends RegexParsers with PackratParsers {
     "(" ~> query <~ ")" ^^ ScalarSubquery.apply |
     "(" ~> predicate <~ ")"
 
+  /** Interval units accept singular and plural ANSI names. */
+  lazy val intervalUnit: Parser[String] =
+    kws("seconds", "second", "minutes", "minute", "hours", "hour",
+        "days", "day", "months", "month", "years", "year") ^^ (_.stripSuffix("s"))
+
   lazy val literal: PackratParser[Expr] =
+    kw("interval") ~> """\d+""".r ~ intervalUnit ^^ { case n ~ u => IntervalLit(n.toLong, u) } |
+    // typed literals desugar to CAST — round-trips via Pretty's cast form
+    kw("timestamp") ~> stringLit ^^ (s => Cast(Lit(s), "timestamp")) |
+    kw("date") ~> stringLit ^^ (s => Cast(Lit(s), "date")) |
     numericLit |
     stringLit ^^ (s => Lit(s)) |
     kw("true") ^^^ Lit(true) |

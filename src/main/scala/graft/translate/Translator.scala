@@ -795,6 +795,20 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     case Lit(null)          => lit(null)
     case Lit(v)             => lit(v)
 
+    // INTERVAL literal → native interval value (codegen arithmetic with
+    // timestamps/dates; no string parsing at runtime)
+    case IntervalLit(v, unit) =>
+      val z = lit(0)
+      unit match {
+        case "second" => call_function("make_dt_interval", z, z, z, lit(v))
+        case "minute" => call_function("make_dt_interval", z, z, lit(v))
+        case "hour"   => call_function("make_dt_interval", z, lit(v))
+        case "day"    => call_function("make_dt_interval", lit(v))
+        case "month"  => call_function("make_ym_interval", z, lit(v))
+        case "year"   => call_function("make_ym_interval", lit(v))
+        case other => throw new GraftAnalysisException(s"unknown interval unit: $other")
+      }
+
     // `/` always yields nullable Double — reference flinkdsl/typer.scala_:243
     case Arith("/", l, r)  => expr(l).cast("double") / expr(r).cast("double")
     case Arith("+", l, r)  => expr(l) + expr(r)

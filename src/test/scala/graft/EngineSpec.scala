@@ -536,6 +536,23 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ORDER BY"))
   }
 
+  test("interval arithmetic and typed literals") {
+    val r = g.sql(
+      "select timestamp '2024-01-01 10:00:00' + interval 90 minute as a, " +
+      "timestamp '2024-01-01 10:00:00' - interval 2 hour as b, " +
+      "date '2024-02-28' + interval 1 day as c, " +
+      "timestamp '2024-01-31 00:00:00' + interval 1 month as d").collect().head
+    assert(r.getTimestamp(0).toString == "2024-01-01 11:30:00.0")
+    assert(r.getTimestamp(1).toString == "2024-01-01 08:00:00.0")
+    assert(r.getTimestamp(2).toString == "2024-02-29 00:00:00.0") // leap year
+    assert(r.getTimestamp(3).toString == "2024-02-29 00:00:00.0") // month-end clamp
+    // comparisons against typed literals filter correctly
+    val n = g.sql("select count(*) as n from events where ts < timestamp '2024-01-02 00:00:00'")
+      .collect().head.getLong(0)
+    val total = g.catalog.relation("events").count()
+    assert(n > 0 && n < total)
+  }
+
   test("unnest explodes array values per row") {
     val r = g.sql("select a, unnest(split(s, ' ')) as w " +
       "from (values (1, 'x y'), (2, 'z')) as t(a, s) order by a, w")
