@@ -43,6 +43,14 @@ object VerifyDrive {
     println(bj.queryExecution.executedPlan.toString.linesIterator.filter(l => l.contains("Exchange") || l.contains("SortMergeJoin") || l.contains("Scan")).take(6).mkString("\n"))
     bj.show()
     show("vec functions in dialect", "select vec_id as k, round(vec_cosine(embedding, embedding), 4) as c from embeddings order by k limit 2")
+    // round-2 surface: VALUES, unnest, frames, intervals, sample
+    show("values relation", "select t.a as a, t.b as b from (values (1, 'x'), (2, 'y')) as t(a, b) order by a")
+    show("unnest", "select doc_id, unnest(split(text, ' ')) as tok from documents order by doc_id limit 4")
+    show("window frame", "select o_orderkey as k, sum(o_totalprice) over (order by o_orderkey rows between 1 preceding and current row) as r from orders order by k limit 3")
+    show("interval arithmetic", "select ts + interval 1 day as d from events order by d limit 2")
+    show("sample", "select count(*) as n from lineitem sample (50 percent) seed 7")
+    show("probe: VALUES arity", "select * from (values (1, 2), (3)) as t(a, b)")
+    show("probe: frame without ORDER BY", "select sum(o_totalprice) over (partition by o_custkey rows between 1 preceding and current row) as r from orders")
     println("=== pretty-print round-trip: " + {
       val q = "select w_start, count(*) as n from events [session 30 min on ts partitioned on event_type] group by w_start"
       val ast = graft.parser.SqlParser.parse(q).toOption.get
