@@ -162,6 +162,32 @@ object Extensions {
         "select case when s.n > 0.07 * t.n and s.n < 0.13 * t.n then 1 else 0 end as ok " +
         "from (select count(*) as n from lineitem sample (10 percent) seed 42) as s " +
         "cross join (select count(*) as n from lineitem) as t")),
+    // ---- benchmark decontamination: training docs sharing word 3-grams
+    // with the held-out slice (exact, DuckDB-recomputable) ----
+    "x20_decontaminate" -> ((s, d) => {
+      val dd = docs(s, d)
+      Decontaminate.overlap(
+        dd.where(col("doc_id") % 97 =!= 0),
+        dd.where(col("doc_id") % 97 === 0),
+        "text", "doc_id", w = 3).orderBy("id")
+    }),
+    // ---- PII redaction: emails/IPs/long digit runs → typed placeholders
+    // (synthetic PII injected deterministically so the operator has work) ----
+    "x21_pii_redact" -> ((s, d) => {
+      val injected = concat(col("text"),
+        when(col("doc_id") % 50 === 0,
+          lit(" contact john.doe@example.com or 192.168.1.77 or call 5551234567"))
+          .otherwise(lit("")))
+      docs(s, d)
+        .select(col("doc_id"), injected.as("orig"),
+          TextAnalysis.redactPII(injected).as("redacted"))
+        .where(col("redacted") =!= col("orig"))
+        .select(col("doc_id"), col("redacted"))
+        .orderBy("doc_id")
+    }),
+    // ---- repetition / type-token signals (Gopher-style quality filters) ----
+    "x22_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(docs(s, d), "text", "doc_id").orderBy("doc_id")),
     // ---- deterministic train/test split: every row lands in one of the
     // two splits and the test fraction is near the requested 10% — both
     // engine-checkable as flags, one narrow pass ----
@@ -300,6 +326,27 @@ object Extensions {
       "x14_mm_frames" -> (
         "SELECT doc_id AS media_id, CAST(LEAST(4, octet_length(encode(text))) AS BIGINT) AS n_frames " +
         "FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY media_id"),
+      "x20_decontaminate" -> (
+        "WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws,' ')] " +
+        "ELSE list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) END AS grams FROM d), " +
+        "b AS (SELECT DISTINCT unnest(grams) AS sh FROM g WHERE doc_id % 97 = 0), " +
+        "t AS (SELECT doc_id, unnest(grams) AS sh FROM g WHERE doc_id % 97 <> 0) " +
+        "SELECT t.doc_id AS id, CAST(count(*) AS BIGINT) AS hits FROM t JOIN b USING (sh) " +
+        "GROUP BY 1 ORDER BY id"),
+      "x21_pii_redact" -> (
+        "WITH inj AS (SELECT doc_id, text || CASE WHEN doc_id % 50 = 0 " +
+        "THEN ' contact john.doe@example.com or 192.168.1.77 or call 5551234567' ELSE '' END AS orig FROM documents), " +
+        "r AS (SELECT doc_id, orig, regexp_replace(regexp_replace(regexp_replace(orig, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
+        "'\\b\\d{7,15}\\b', '<NUM>', 'g') AS redacted FROM inj) " +
+        "SELECT doc_id, redacted FROM r WHERE redacted <> orig ORDER BY doc_id"),
+      "x22_repetition" -> (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+        "t2 AS (SELECT doc_id, tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2) " +
+        "SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE)/SUM(c), 6) AS rep_ratio, " +
+        "ROUND(CAST(COUNT(*) AS DOUBLE)/SUM(c), 6) AS ttr FROM t2 GROUP BY 1 ORDER BY 1"),
       "x18_sample_dialect" -> "SELECT CAST(1 AS BIGINT) AS ok",
       "x19_split_by_hash" ->
         "SELECT CAST(1 AS INTEGER) AS covers_all, CAST(1 AS INTEGER) AS test_in_range"

@@ -201,6 +201,38 @@ object TextAnalysis {
     agg.select(col(idCol), ordered.as("predicted"))
   }
 
+  // ------------------------------------------------------------------
+  // PII redaction + repetition signals (training-pipeline staples)
+  // ------------------------------------------------------------------
+
+  /** Redact common PII patterns to typed placeholders: emails → <EMAIL>,
+    * IPv4 → <IP>, long digit runs (phone-ish, 7+) → <NUM>. Pure
+    * regexp_replace chain — codegen'd, linear, no shuffle. Patterns are
+    * RE2-compatible so the DuckDB oracle applies the identical regexes. */
+  def redactPII(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\b\\d{7,15}\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ipv4, "<IP>"),
+      phone, "<NUM>")
+  }
+
+  /** Per-document repetition signals (Gopher/C4-style quality filters):
+    * `rep_ratio` = share of the most frequent token, `ttr` = type-token
+    * ratio (distinct/total). One explode + two codegen'd aggregations. */
+  def repetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = Par.widen(df, idCol).select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
+      .where(col("__tok") =!= "")
+    val perTok = toks.groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+    perTok.groupBy(col(idCol)).agg(
+        round(max(col("__c")).cast("double") / sum(col("__c")), 6).as("rep_ratio"),
+        round(count(lit(1)).cast("double") / sum(col("__c")), 6).as("ttr"))
+  }
+
   /** TF-IDF over whitespace tokens (lowercased), the classic smooth-idf
     * formulation: tf = term count in doc, idf = ln((N+1)/(df+1)) + 1.
     * Output: (id, term, tf, tfidf). Two codegen'd aggregations (one by

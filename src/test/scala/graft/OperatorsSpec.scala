@@ -228,6 +228,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.schema("frame").dataType.typeName == "binary")
   }
 
+  test("decontamination flags exactly the overlapping docs") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),        // shares 'alpha beta gamma' with bench
+      (2L, "one two three four"),            // no overlap
+      (3L, "x y z alpha beta gamma")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val flagged = Decontaminate.overlap(train, bench, "text", "doc_id", w = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(1L, 3L))
+    // each shares exactly one distinct shingle: 'alpha beta gamma'
+    assert(flagged(1L) == 1L && flagged(3L) == 1L)
+    val clean = Decontaminate.clean(train, bench, "text", "doc_id", w = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L))
+  }
+
+  test("PII redaction replaces emails, IPs, digit runs; idempotent") {
+    val d = Seq(
+      (1L, "mail a.b@x.org now"),
+      (2L, "server 10.0.0.1 port"),
+      (3L, "call 5551234567 today"),
+      (4L, "clean text only")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextAnalysis.redactPII(col("text")).as("t"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "mail <EMAIL> now")
+    assert(r(2L) == "server <IP> port")
+    assert(r(3L) == "call <NUM> today")
+    assert(r(4L) == "clean text only")
+    // applying twice changes nothing (placeholders aren't PII-shaped)
+    val twice = d.select(TextAnalysis.redactPII(TextAnalysis.redactPII(col("text"))).as("t"))
+      .collect().map(_.getString(0)).toSet
+    assert(twice == r.values.toSet)
+  }
+
+  test("repetition signals: rep_ratio and type-token ratio") {
+    val d = Seq((1L, "a a a b"), (2L, "w x y z")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(1L) == (0.75, 0.5))  // 'a' 3/4; 2 distinct / 4
+    assert(r(2L) == (0.25, 1.0))
+  }
+
   test("sampling: bernoulli tolerance, stratified fractions, hash-split determinism") {
     val g = TestSpark.session
     val docs = g.catalog.relation("documents")
