@@ -94,4 +94,36 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: round-2 syntax round-trips through the pretty-printer") {
+    val frame = for {
+      lo <- Gen.oneOf("unbounded preceding", "current row", "3 preceding")
+      hi <- Gen.oneOf("current row", "unbounded following", "2 following")
+      kind <- Gen.oneOf("rows", "range")
+    } yield s"select sum(v) over (partition by k order by t $kind between $lo and $hi) as r from t"
+    val interval = for {
+      n <- Gen.choose(1, 48)
+      u <- Gen.oneOf("second", "minute", "hour", "day", "month", "year")
+      op <- Gen.oneOf("+", "-")
+    } yield s"select (ts $op interval $n $u) as x from events"
+    val sampleQ = for {
+      p <- Gen.choose(1, 99)
+      seed <- Gen.option(Gen.choose(0, 1000))
+    } yield s"select a from t sample ($p percent)${seed.fold("")(s => s" seed $s")}"
+    val values = for {
+      n <- Gen.choose(1, 4)
+    } yield s"select a from (values ${(1 to n).map(i => s"($i, 'v$i')").mkString(", ")}) as t(a, b)"
+    val gens = Seq(frame, interval, sampleQ, values)
+    for (g <- gens; sql <- samples(g, 10).distinct) {
+      graft.parser.SqlParser.parse(sql) match {
+        case Left(err) => fail(s"parse failed for: $sql — $err")
+        case Right(ast) =>
+          val printed = graft.ast.Pretty.print(ast)
+          graft.parser.SqlParser.parse(printed) match {
+            case Right(ast2) => assert(ast2 == ast, s"round-trip changed AST: $sql -> $printed")
+            case Left(err)   => fail(s"printed form does not parse: $printed — $err")
+          }
+      }
+    }
+  }
 }
