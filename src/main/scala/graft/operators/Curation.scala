@@ -71,4 +71,25 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("token_est")).as("n_tokens"))
       .orderBy(col("lang"))
   }
+
+  /** Sequence packing: assign each document to a fixed token-budget bin
+    * (the pretraining batch-assembly step). Deterministic running-sum
+    * binning — bin = floor(tokens-before-this-doc / budget) within a
+    * shard, docs ordered by `idCol`.
+    *
+    * Scale: packing is per-SHARD (`shards` hash buckets of the id), so the
+    * running-sum window parallelizes across shards instead of forcing one
+    * global sort; each shard packs independently (the standard practice —
+    * training shards are independent files anyway). Output adds
+    * (shard, bin). */
+  def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
+                    budget: Long, shards: Int = 8): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val shard = pmod(col(idCol), lit(shards.toLong))
+    val w = Window.partitionBy(shard).orderBy(col(idCol))
+    val before = coalesce(
+      sum(col(tokenCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    docs.withColumn("shard", shard)
+      .withColumn("bin", floor(before / budget).cast("long"))
+  }
 }

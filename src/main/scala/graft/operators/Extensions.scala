@@ -153,6 +153,16 @@ object Extensions {
           .cast("int").as("k_complete"),
         (max(abs(col("cos"))) <= 1.0000001).cast("int").as("cos_bounded"))
     }),
+    // ---- sequence packing: docs → fixed token-budget bins, per shard ----
+    "x23_pack_sequences" -> ((s, d) => {
+      val toks = when(length(trim(col("text"))) === 0, 0L)
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+      val dd = docs(s, d).select(col("doc_id"), toks.as("toks"))
+      Curation.packSequences(dd, "doc_id", "toks", budget = 500, shards = 8)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .orderBy("shard", "bin")
+    }),
     // ---- end-to-end curation pipeline (dedup → quality → token budget) ----
     "x15_curation" -> ((s, d) => Curation.curate(docs(s, d), minQuality = 0.5)),
     // ---- sampling: dialect TABLESAMPLE (tolerance flag — Bernoulli draws
@@ -326,6 +336,14 @@ object Extensions {
       "x14_mm_frames" -> (
         "SELECT doc_id AS media_id, CAST(LEAST(4, octet_length(encode(text))) AS BIGINT) AS n_frames " +
         "FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY media_id"),
+      "x23_pack_sequences" -> (
+        "WITH d AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks FROM documents), " +
+        "p AS (SELECT doc_id % 8 AS shard, toks, " +
+        "COALESCE(SUM(toks) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM d) " +
+        "SELECT shard, CAST(bef AS BIGINT) // 500 AS bin, count(*) AS n_docs, " +
+        "CAST(SUM(toks) AS BIGINT) AS n_tokens FROM p GROUP BY 1, 2 ORDER BY 1, 2"),
       "x20_decontaminate" -> (
         "WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), " +
         "g AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws,' ')] " +

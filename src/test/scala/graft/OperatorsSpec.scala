@@ -270,6 +270,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(2L) == (0.25, 1.0))
   }
 
+  test("sequence packing bins by running token sum within shards") {
+    val d = Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)).toDF("doc_id", "toks")
+    val p = Curation.packSequences(d, "doc_id", "toks", budget = 6, shards = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap // doc_id -> bin
+    // running sums before each doc: 0,3,6,9,12 -> bins 0,0,1,1,2
+    assert(p == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // sharded: each shard packs independently and deterministically
+    val sharded = Curation.packSequences(d, "doc_id", "toks", budget = 6, shards = 2)
+    val again = Curation.packSequences(d, "doc_id", "toks", budget = 6, shards = 2)
+    assert(sharded.collect().toSeq == again.collect().toSeq)
+    assert(sharded.select("shard").distinct().count() == 2)
+  }
+
   test("sampling: bernoulli tolerance, stratified fractions, hash-split determinism") {
     val g = TestSpark.session
     val docs = g.catalog.relation("documents")
