@@ -325,6 +325,13 @@ object SparkEntry {
       "case when ts + interval 2 hour > timestamp '2024-01-15 00:00:00' then 1 else 0 end as flg, " +
       "date '2024-03-01' + interval 1 day as d2 " +
       "from events where event_id < 100 order by id")),
+    // ---- ANSI FILTER (WHERE …) aggregates + EXTRACT(field FROM e) ----
+    "q50_filter_extract" -> ((s, d) => g(s, d).sql(
+      "select o_orderstatus as st, extract(year from o_orderdate) as y, " +
+      "count(*) filter (where o_totalprice > 100000) as n_big, " +
+      "round(sum(o_totalprice) filter (where o_orderpriority like '1%'), 2) as urgent_sum, " +
+      "count(*) as n " +
+      "from orders group by o_orderstatus, extract(year from o_orderdate) order by st, y")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -525,6 +532,11 @@ object SparkEntry {
        "CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS fl, " +
        "CAST(CEIL(o_totalprice / 1000) AS BIGINT) AS ce " +
        "FROM orders WHERE o_orderkey < 200 ORDER BY k"),
+    "q50_filter_extract" ->
+      ("SELECT o_orderstatus AS st, CAST(extract(year FROM o_orderdate) AS INTEGER) AS y, " +
+       "count(*) FILTER (WHERE o_totalprice > 100000) AS n_big, " +
+       "ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority LIKE '1%'), 2) AS urgent_sum, " +
+       "count(*) AS n FROM orders GROUP BY 1, 2 ORDER BY st, y"),
     "q49_interval_arith" ->
       ("SELECT event_id AS id, CAST(ts AS TIMESTAMP) AS ts, " +
        "CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS next_day, " +

@@ -363,6 +363,7 @@ object SqlParser extends RegexParsers with PackratParsers {
   lazy val atom: PackratParser[Expr] =
     caseExpr |
     castExpr |
+    extractExpr |
     funcCall |
     literal |
     "?" ^^^ Input() |
@@ -386,11 +387,33 @@ object SqlParser extends RegexParsers with PackratParsers {
     kw("false") ^^^ Lit(false) |
     kw("null") ^^^ Lit(null)
 
+  /** `fn(args) [FILTER (WHERE p)] [OVER (…)]`. FILTER desugars at parse
+    * time to the ANSI-equivalent conditional argument — `count(*) FILTER
+    * (WHERE p)` → `count(case when p then 1 end)`, `agg(x) FILTER (WHERE
+    * p)` → `agg(case when p then x end)` — exact semantics because
+    * aggregates skip NULLs. */
   lazy val funcCall: PackratParser[Expr] =
-    (ident <~ "(") ~ (opt(kw("distinct")) ~ repsep(funcArg, ",") <~ ")") ~ opt(overClause) ^^ {
-      case n ~ (d ~ as) ~ over =>
-        val f = FuncCall(n.toLowerCase(java.util.Locale.ROOT), as, d.isDefined)
+    (ident <~ "(") ~ (opt(kw("distinct")) ~ repsep(funcArg, ",") <~ ")") ~
+      opt(kw("filter") ~> "(" ~> kw("where") ~> predicate <~ ")") ~ opt(overClause) ^^ {
+      case n ~ (d ~ as) ~ flt ~ over =>
+        val args = flt match {
+          case None => as
+          case Some(p) => as match {
+            case Seq() | Seq(Star(None)) => Seq(CaseWhen(Seq((p, Lit(1L))), None, None))
+            case Seq(one)                => Seq(CaseWhen(Seq((p, one)), None, None))
+            case _ => throw new IllegalArgumentException(
+              "FILTER (WHERE …) is supported for zero- and one-argument aggregates")
+          }
+        }
+        val f = FuncCall(n.toLowerCase(java.util.Locale.ROOT), args, d.isDefined)
         over.fold(f: Expr) { case (pb, ob, fr) => WindowFn(f, pb, ob, fr) }
+    }
+
+  /** `EXTRACT(field FROM e)` — desugars to the named field function
+    * (year/month/day/hour/minute/second …), resolved via the Registry. */
+  lazy val extractExpr: PackratParser[Expr] =
+    (("(?i)\\Qextract\\E\\b".r ~ "(") ~> ident) ~ (kw("from") ~> predicate) <~ ")" ^^ {
+      case field ~ e => FuncCall(field.toLowerCase(java.util.Locale.ROOT), Seq(e))
     }
 
   /** `ROWS|RANGE BETWEEN bound AND bound` — explicit window frame; bounds

@@ -553,6 +553,22 @@ class EngineSpec extends AnyFunSuite {
     assert(n > 0 && n < total)
   }
 
+  test("FILTER (WHERE ...) aggregates and EXTRACT desugar correctly") {
+    val r = g.sql(
+      "select count(*) filter (where v > 1) as big, " +
+      "sum(v) filter (where k = 'a') as sa, count(*) as n " +
+      "from (values ('a', 1), ('a', 2), ('b', 3)) as t(k, v)").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L && r.getLong(2) == 3L)
+    // FILTER with no matching rows yields NULL for sum, 0 for count
+    val r2 = g.sql("select sum(v) filter (where v > 99) as s, " +
+      "count(*) filter (where v > 99) as c from (values (1)) as t(v)").collect().head
+    assert(r2.isNullAt(0) && r2.getLong(1) == 0L)
+    val ex = g.sql("select extract(year from timestamp '2024-03-05 10:11:12') as y, " +
+      "extract(month from timestamp '2024-03-05 10:11:12') as m, " +
+      "extract(hour from timestamp '2024-03-05 10:11:12') as h").collect().head
+    assert((ex.getInt(0), ex.getInt(1), ex.getInt(2)) == ((2024, 3, 10)))
+  }
+
   test("unnest explodes array values per row") {
     val r = g.sql("select a, unnest(split(s, ' ')) as w " +
       "from (values (1, 'x y'), (2, 'z')) as t(a, s) order by a, w")
