@@ -77,19 +77,25 @@ object Curation {
     * binning — bin = floor(tokens-before-this-doc / budget) within a
     * shard, docs ordered by `idCol`.
     *
-    * Scale: packing is per-SHARD (`shards` hash buckets of the id), so the
-    * running-sum window parallelizes across shards instead of forcing one
-    * global sort; each shard packs independently (the standard practice —
-    * training shards are independent files anyway). Output adds
-    * (shard, bin). */
+    * Scale: packing is per-SHARD (`shard` expression), so the running-sum
+    * window parallelizes across shards instead of forcing one global sort;
+    * each shard packs independently (the standard practice — training
+    * shards are independent files anyway). Output adds (shard, bin). */
   def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
-                    budget: Long, shards: Int = 8): DataFrame = {
+                    budget: Long, shard: org.apache.spark.sql.Column): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val shard = pmod(col(idCol), lit(shards.toLong))
     val w = Window.partitionBy(shard).orderBy(col(idCol))
     val before = coalesce(
       sum(col(tokenCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
     docs.withColumn("shard", shard)
       .withColumn("bin", floor(before / budget).cast("long"))
   }
+
+  /** [[packSequences]] sharded by a content hash of the id — works for any
+    * id type (string keys included) and stays uniform when numeric ids are
+    * block-allocated per source (where a plain modulo would skew shards). */
+  def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
+                    budget: Long, shards: Int): DataFrame =
+    packSequences(docs, idCol, tokenCol, budget,
+      pmod(xxhash64(col(idCol)), lit(shards.toLong)))
 }

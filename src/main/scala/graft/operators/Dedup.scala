@@ -231,9 +231,12 @@ object Dedup {
     pairs
       .join(g.select(col("id").as("ida"), col("__grams").as("ga")), "ida")
       .join(g.select(col("id").as("idb"), col("__grams").as("gb")), "idb")
+      // RAW ratio — thresholds downstream must compare the exact value
+      // (rounding before filtering would disagree with an oracle that
+      // filters unrounded at the boundary); round only for display
       .select(col("ida"), col("idb"),
-        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))), 4).as("jaccard"))
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb")))).as("jaccard"))
   }
 
   /** End-to-end near-dup pipeline: MinHash-LSH candidates verified with
@@ -248,6 +251,7 @@ object Dedup {
       .select(col("ida"), col("idb")).localCheckpoint()
     ngramJaccard(cands, docs, textCol, idCol)
       .where(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   // ------------------------------------------------------------------
@@ -266,8 +270,11 @@ object Dedup {
     val r = b.select(col("bucket"), col("id").as("idb"), col("v").as("vb"))
     l.join(r, Seq("bucket")).where(col("ida") < col("idb"))
       .select(col("ida"), col("idb"), col("va"), col("vb")).distinct()
+      // filter on the RAW cosine (a rounded filter would disagree with an
+      // unrounded-threshold oracle at the boundary); round only for display
       .select(col("ida"), col("idb"),
-        round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
-      .where(col("cos") >= minCos)
+        Similarity.cosine(col("va"), col("vb")).as("__cos"))
+      .where(col("__cos") >= minCos)
+      .select(col("ida"), col("idb"), round(col("__cos"), 4).as("cos"))
   }
 }

@@ -33,7 +33,9 @@ object Extensions {
       val cands = Dedup.minhashCandidates(docs(s, d), "text", "doc_id", threshold = 0.5)
         .select(col("ida"), col("idb")).localCheckpoint()
       Dedup.ngramJaccard(cands, docs(s, d), "text", "doc_id")
-        .where(col("jaccard") >= 0.7).orderBy("ida", "idb")
+        .where(col("jaccard") >= 0.7)
+        .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("ida", "idb")
     }),
     // SimHash measures a different similarity than Jaccard, so candidates
     // can't equal a DuckDB-computable truth set; the gate checks the
@@ -95,7 +97,9 @@ object Extensions {
       lsh.join(brute, Seq("qid", "vec_id"), "full_outer").agg(
         (sum(when(col("l").isNotNull && col("b").isNotNull, 1).otherwise(0)) * 4 >=
           sum(col("b"))).cast("int").as("recall_ok"),
-        (sum(col("l")) === count_distinct(when(col("l").isNotNull, col("qid"))) * 5)
+        // ALL queries (brute side always has every qid): an index returning
+        // nothing for one query must fail this, not vacuously pass
+        (sum(col("l")) === count_distinct(col("qid")) * 5)
           .cast("int").as("k_complete"),
         (max(abs(col("cos"))) <= 1.0000001).cast("int").as("cos_bounded"))
     }),
@@ -149,7 +153,7 @@ object Extensions {
       ivf.join(brute, Seq("qid", "vec_id"), "full_outer").agg(
         (sum(when(col("l").isNotNull && col("b").isNotNull, 1).otherwise(0)) * 10 >=
           sum(col("b")) * 7).cast("int").as("recall_ok"),
-        (sum(col("l")) === count_distinct(when(col("l").isNotNull, col("qid"))) * 5)
+        (sum(col("l")) === count_distinct(col("qid")) * 5)
           .cast("int").as("k_complete"),
         (max(abs(col("cos"))) <= 1.0000001).cast("int").as("cos_bounded"))
     }),
@@ -158,7 +162,10 @@ object Extensions {
       val toks = when(length(trim(col("text"))) === 0, 0L)
         .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
       val dd = docs(s, d).select(col("doc_id"), toks.as("toks"))
-      Curation.packSequences(dd, "doc_id", "toks", budget = 500, shards = 8)
+      // explicit modulo shard so DuckDB can recompute it; production path
+      // is the hash-shard overload (works for string ids, skew-free)
+      Curation.packSequences(dd, "doc_id", "toks", budget = 500,
+        shard = pmod(col("doc_id"), lit(8L)))
         .groupBy(col("shard"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
         .orderBy("shard", "bin")

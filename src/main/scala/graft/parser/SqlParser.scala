@@ -396,16 +396,23 @@ object SqlParser extends RegexParsers with PackratParsers {
     (ident <~ "(") ~ (opt(kw("distinct")) ~ repsep(funcArg, ",") <~ ")") ~
       opt(kw("filter") ~> "(" ~> kw("where") ~> predicate <~ ")") ~ opt(overClause) ^^ {
       case n ~ (d ~ as) ~ flt ~ over =>
+        val lower = n.toLowerCase(java.util.Locale.ROOT)
         val args = flt match {
           case None => as
-          case Some(p) => as match {
-            case Seq() | Seq(Star(None)) => Seq(CaseWhen(Seq((p, Lit(1L))), None, None))
-            case Seq(one)                => Seq(CaseWhen(Seq((p, one)), None, None))
-            case _ => throw new IllegalArgumentException(
-              "FILTER (WHERE …) is supported for zero- and one-argument aggregates")
-          }
+          case Some(p) =>
+            // the CASE desugar is only exact for NULL-skipping aggregates;
+            // first/last/any_value keep NULLs and would silently mis-answer
+            if (Set("first", "last", "first_value", "last_value", "any_value")(lower))
+              throw new IllegalArgumentException(
+                s"FILTER (WHERE …) is not supported for $lower (not NULL-skipping)")
+            as match {
+              case Seq() | Seq(Star(None)) => Seq(CaseWhen(Seq((p, Lit(1L))), None, None))
+              case Seq(one)                => Seq(CaseWhen(Seq((p, one)), None, None))
+              case _ => throw new IllegalArgumentException(
+                "FILTER (WHERE …) is supported for zero- and one-argument aggregates")
+            }
         }
-        val f = FuncCall(n.toLowerCase(java.util.Locale.ROOT), args, d.isDefined)
+        val f = FuncCall(lower, args, d.isDefined)
         over.fold(f: Expr) { case (pb, ob, fr) => WindowFn(f, pb, ob, fr) }
     }
 

@@ -454,12 +454,14 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       if (names.length != width)
         throw new GraftAnalysisException(
           s"VALUES alias declares ${names.length} columns for $width expressions")
-      // one row = one projection over range(1); rows union lazily (a literal
-      // relation is tiny by construction — broadcast-join fodder)
-      val one = spark.range(1)
-      val df = rows.map(r =>
-        one.select(r.zip(names).map { case (e, nm) => expr(e).as(nm) }: _*))
-        .reduce(_.unionByName(_))
+      // ONE plan node: explode an array of row structs over range(1) —
+      // a linear unionByName chain would add one scan leg per row and make
+      // Catalyst analysis cost grow with the literal count
+      val rowStructs = rows.map(r =>
+        struct(r.zip(names).map { case (e, nm) => expr(e).as(nm) }: _*))
+      val df = spark.range(1)
+        .select(explode(array(rowStructs: _*)).as("__row"))
+        .select(names.map(nm => col("__row").getField(nm).as(nm)): _*)
       RelPlan(df.alias(alias), Nil, windowed = false)
 
     case SampleRel(rel0, pct, seed) =>

@@ -567,6 +567,15 @@ class EngineSpec extends AnyFunSuite {
       "extract(month from timestamp '2024-03-05 10:11:12') as m, " +
       "extract(hour from timestamp '2024-03-05 10:11:12') as h").collect().head
     assert((ex.getInt(0), ex.getInt(1), ex.getInt(2)) == ((2024, 3, 10)))
+    // FILTER on non-NULL-skipping or multi-arg aggregates is a clean parse error
+    val e1 = intercept[GraftParseException] {
+      g.sql("select first(v) filter (where v > 1) as f from (values (1)) as t(v)")
+    }
+    assert(e1.getMessage.contains("NULL-skipping"))
+    val e2 = intercept[GraftParseException] {
+      g.sql("select corr(a, b) filter (where a > 0) as c from (values (1, 2)) as t(a, b)")
+    }
+    assert(e2.getMessage.contains("one-argument"))
   }
 
   test("unnest explodes array values per row") {

@@ -276,11 +276,19 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap // doc_id -> bin
     // running sums before each doc: 0,3,6,9,12 -> bins 0,0,1,1,2
     assert(p == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
-    // sharded: each shard packs independently and deterministically
-    val sharded = Curation.packSequences(d, "doc_id", "toks", budget = 6, shards = 2)
-    val again = Curation.packSequences(d, "doc_id", "toks", budget = 6, shards = 2)
+    // hash-sharded: deterministic across invocations, works on string ids
+    val sd = Seq(("a", 3L), ("b", 3L), ("c", 3L), ("d", 3L)).toDF("doc_id", "toks")
+    val sharded = Curation.packSequences(sd, "doc_id", "toks", budget = 6, shards = 2)
+    val again = Curation.packSequences(sd, "doc_id", "toks", budget = 6, shards = 2)
     assert(sharded.collect().toSeq == again.collect().toSeq)
-    assert(sharded.select("shard").distinct().count() == 2)
+    assert(sharded.select("shard").distinct().count() >= 1)
+    // explicit shard expression: per-shard bins restart at 0
+    val ex = Curation.packSequences(d, "doc_id", "toks", budget = 6,
+      shard = pmod(col("doc_id"), lit(2L)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // shard 0: docs 0,2,4 (before 0,3,6 -> bins 0,0,1); shard 1: docs 1,3
+    assert(ex == Map(0L -> ((0L, 0L)), 2L -> ((0L, 0L)), 4L -> ((0L, 1L)),
+      1L -> ((1L, 0L)), 3L -> ((1L, 0L))))
   }
 
   test("sampling: bernoulli tolerance, stratified fractions, hash-split determinism") {
