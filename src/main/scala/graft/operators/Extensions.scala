@@ -157,6 +157,10 @@ object Extensions {
           .cast("int").as("k_complete"),
         (max(abs(col("cos"))) <= 1.0000001).cast("int").as("cos_bounded"))
     }),
+    // ---- document chunking: overlapping token windows (embedding prep) ----
+    "x24_chunk" -> ((s, d) =>
+      TextAnalysis.chunk(docs(s, d), "text", "doc_id", chunkSize = 10, overlap = 2)
+        .orderBy("doc_id", "chunk_id")),
     // ---- sequence packing: docs → fixed token-budget bins, per shard ----
     "x23_pack_sequences" -> ((s, d) => {
       val toks = when(length(trim(col("text"))) === 0, 0L)
@@ -343,6 +347,11 @@ object Extensions {
       "x14_mm_frames" -> (
         "SELECT doc_id AS media_id, CAST(LEAST(4, octet_length(encode(text))) AS BIGINT) AS n_frames " +
         "FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY media_id"),
+      "x24_chunk" -> (
+        "WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+        "c AS (SELECT doc_id, unnest(range(0, CAST(CEIL(CAST(GREATEST(len(ws) - 2, 1) AS DOUBLE) / 8) AS BIGINT))) AS chunk_id, ws FROM d) " +
+        "SELECT doc_id, chunk_id, array_to_string(ws[chunk_id*8+1 : chunk_id*8+10], ' ') AS chunk " +
+        "FROM c ORDER BY doc_id, chunk_id"),
       "x23_pack_sequences" -> (
         "WITH d AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 " +
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks FROM documents), " +

@@ -233,6 +233,29 @@ object TextAnalysis {
         round(count(lit(1)).cast("double") / sum(col("__c")), 6).as("ttr"))
   }
 
+  /** Split documents into overlapping token-window chunks (the embedding/
+    * retrieval-pipeline staple). Chunk i covers tokens
+    * [i*stride+1, i*stride+chunkSize] (stride = chunkSize - overlap);
+    * chunk count = ceil(max(nTokens - overlap, 1) / stride), so every token
+    * is covered and the last chunk may run short. One narrow explode —
+    * codegen'd, shuffle-free, linear at any corpus size. */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+            chunkSize: Int = 200, overlap: Int = 50): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      "need chunkSize > overlap >= 0")
+    val stride = chunkSize - overlap
+    val nChunks = ceil(greatest(size(col("__ws")) - overlap, lit(1)).cast("double") / stride)
+      .cast("long")
+    Par.widen(df, idCol)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__ws"))
+      .select(col(idCol),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"), col("__ws"))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("__ws"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)))
+          .as("chunk"))
+  }
+
   /** TF-IDF over whitespace tokens (lowercased), the classic smooth-idf
     * formulation: tf = term count in doc, idf = ln((N+1)/(df+1)) + 1.
     * Output: (id, term, tf, tfidf). Two codegen'd aggregations (one by

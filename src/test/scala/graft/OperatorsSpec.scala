@@ -270,6 +270,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(2L) == (0.25, 1.0))
   }
 
+  test("chunking: overlapping windows cover all tokens, last chunk short") {
+    val d = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
+    val c = TextAnalysis.chunk(d, "text", "doc_id", chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // doc 1: 10 tokens, stride 3, ceil(9/3)=3 chunks
+    assert(c((1L, 0L)) == "a b c d")
+    assert(c((1L, 1L)) == "d e f g")
+    assert(c((1L, 2L)) == "g h i j")
+    // doc 2: 2 tokens -> one short chunk
+    assert(c((2L, 0L)) == "x y")
+    assert(c.size == 4)
+    // consecutive chunks overlap by exactly `overlap` tokens
+    assert(c((1L, 0L)).split(" ").last == c((1L, 1L)).split(" ").head)
+  }
+
   test("sequence packing bins by running token sum within shards") {
     val d = Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)).toDF("doc_id", "toks")
     val p = Curation.packSequences(d, "doc_id", "toks", budget = 6, shards = 1)
