@@ -157,6 +157,20 @@ object Extensions {
           .cast("int").as("k_complete"),
         (max(abs(col("cos"))) <= 1.0000001).cast("int").as("cos_bounded"))
     }),
+    // ---- AS-OF join: latest reference row at-or-before each event
+    // (union + one keyed window — no range-join pair blowup) ----
+    "x25_asof_join" -> ((s, d) => {
+      val ev = GraftSession.forDir(s, d).catalog.relation("events")
+      val ref = ev.where(col("event_id") % 10 === 0)
+        .select(col("event_type"), col("ts"),
+          col("event_id").as("ref_id"), col("value").as("ref_value"))
+      val lhs = ev.where(col("event_id") % 10 =!= 0)
+        .select(col("event_id"), col("event_type"), col("ts"))
+      AsOf.join(lhs, ref, Seq("event_type"), "ts")
+        .select(col("event_id"), col("ref_id"),
+          round(col("ref_value"), 4).as("ref_value"))
+        .orderBy("event_id")
+    }),
     // ---- document chunking: overlapping token windows (embedding prep) ----
     "x24_chunk" -> ((s, d) =>
       TextAnalysis.chunk(docs(s, d), "text", "doc_id", chunkSize = 10, overlap = 2)
@@ -347,6 +361,13 @@ object Extensions {
       "x14_mm_frames" -> (
         "SELECT doc_id AS media_id, CAST(LEAST(4, octet_length(encode(text))) AS BIGINT) AS n_frames " +
         "FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY media_id"),
+      "x25_asof_join" -> (
+        "WITH r AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id AS ref_id, value AS ref_value " +
+        "FROM events WHERE event_id % 10 = 0), " +
+        "l AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_id % 10 <> 0) " +
+        "SELECT l.event_id, r.ref_id, ROUND(r.ref_value, 4) AS ref_value " +
+        "FROM l ASOF LEFT JOIN r ON l.event_type = r.event_type AND l.ts >= r.ts " +
+        "ORDER BY l.event_id"),
       "x24_chunk" -> (
         "WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
         "c AS (SELECT doc_id, unnest(range(0, CAST(CEIL(CAST(GREATEST(len(ws) - 2, 1) AS DOUBLE) / 8) AS BIGINT))) AS chunk_id, ws FROM d) " +

@@ -270,6 +270,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(2L) == (0.25, 1.0))
   }
 
+  test("asof join: latest at-or-before match per key, left semantics") {
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("B", 15L, 9.0)
+    ).toDF("sym", "t", "px")
+    val trades = Seq(
+      ("A", 5L, 100L),   // before any quote -> null
+      ("A", 10L, 101L),  // same instant -> matches px=1.0 (inclusive)
+      ("A", 19L, 102L),  // -> px=1.0
+      ("A", 25L, 103L),  // -> px=2.0
+      ("B", 30L, 104L),  // -> px=9.0
+      ("C", 7L, 105L)    // key with no quotes -> null
+    ).toDF("sym", "t", "qty")
+    val j = AsOf.join(trades, quotes, Seq("sym"), "t")
+      .collect().map(r => r.getLong(2) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(j == Map(100L -> None, 101L -> Some(1.0), 102L -> Some(1.0),
+      103L -> Some(2.0), 104L -> Some(9.0), 105L -> None))
+    // payload name clash is rejected clearly
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(trades, quotes.withColumnRenamed("px", "qty"), Seq("sym"), "t")
+    }
+    assert(e.getMessage.contains("clash"))
+  }
+
   test("chunking: overlapping windows cover all tokens, last chunk short") {
     val d = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
     val c = TextAnalysis.chunk(d, "text", "doc_id", chunkSize = 4, overlap = 1)
