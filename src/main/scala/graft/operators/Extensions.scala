@@ -139,6 +139,18 @@ object Extensions {
       Multimodal.sampleFrames(Multimodal.synthesize(docs(s, d)))
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id")),
+    // feature extraction: payload → unit-norm embedding column, verified by
+    // contract flags (dimension, L2 norm) + DuckDB-recomputed media count
+    "x26_mm_features" -> ((s, d) => {
+      val f = Multimodal.features(Multimodal.synthesize(docs(s, d)), dim = 16).toDF()
+      val nrm = graft.expr.VectorOps.dot(col("feature"), col("feature"))
+      f.agg(
+        count(lit(1)).as("n_media"),
+        (sum(when(size(col("feature")) === 16, 1).otherwise(0)) === count(lit(1)))
+          .cast("int").as("dim_ok"),
+        (sum(when(abs(nrm - 1.0) < 1e-3 || nrm === 0.0, 1).otherwise(0)) === count(lit(1)))
+          .cast("int").as("norm_ok"))
+    }),
     // tf-idf restricted to a doc slice so the gate output stays bounded
     "x17_text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidf(docs(s, d), "text", "doc_id")
@@ -361,6 +373,9 @@ object Extensions {
       "x14_mm_frames" -> (
         "SELECT doc_id AS media_id, CAST(LEAST(4, octet_length(encode(text))) AS BIGINT) AS n_frames " +
         "FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY media_id"),
+      "x26_mm_features" -> (
+        "SELECT count(*) AS n_media, CAST(1 AS INTEGER) AS dim_ok, " +
+        "CAST(1 AS INTEGER) AS norm_ok FROM documents"),
       "x25_asof_join" -> (
         "WITH r AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id AS ref_id, value AS ref_value " +
         "FROM events WHERE event_id % 10 = 0), " +

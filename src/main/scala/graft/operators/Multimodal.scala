@@ -83,6 +83,33 @@ object Multimodal {
         expr(s"substring(payload, frame_no * __stride + 1, $frameBytes)").as("frame"))
   }
 
+  final case class Featured(media_id: Long, feature: Array[Float])
+
+  /** STUB feature extraction: payload → `dim`-dimensional L2-normalized
+    * byte-histogram vector (a real kernel would run a vision/audio model
+    * here). Same batch shape as [[decode]]: mapPartitions so model/session
+    * init amortizes per partition; output is a typed `Array[Float]` column
+    * ready for the Similarity/Dedup embedding operators. Empty payloads
+    * yield the zero vector. */
+  def features(media: DataFrame, dim: Int = 16): Dataset[Featured] = {
+    require(dim > 0, "dim must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition model init would go here
+        it.map { case (id, payload) =>
+          val hist = new Array[Float](dim)
+          if (payload != null)
+            payload.foreach(b => hist(java.lang.Byte.toUnsignedInt(b) % dim) += 1f)
+          val norm = math.sqrt(hist.map(x => x.toDouble * x).sum)
+          val out = if (norm == 0) hist else hist.map(x => (x / norm).toFloat)
+          Featured(id, out)
+        }
+      }
+  }
+
   /** "Resize" stub: metadata-level transform (target dims recorded, the
     * pixel kernel would run in the decode batch). */
   def resizePlan(decoded: DataFrame, maxSide: Int): DataFrame = {

@@ -270,6 +270,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(2L) == (0.25, 1.0))
   }
 
+  test("multimodal feature extraction: histogram features, unit norm") {
+    val d = Seq((1L, "aaaa"), (2L, "")).toDF("doc_id", "text")
+    val f = Multimodal.features(Multimodal.synthesize(d), dim = 4)
+      .collect().map(x => x.media_id -> x.feature).toMap
+    // "aaaa" = 4 bytes of 0x61 = 97; 97 % 4 = 1 -> all mass in slot 1, unit norm
+    assert(f(1L).toSeq == Seq(0f, 1f, 0f, 0f))
+    // empty payload -> zero vector, no NaNs
+    assert(f(2L).toSeq == Seq(0f, 0f, 0f, 0f))
+    // features feed the embedding operators directly
+    val df = Multimodal.features(Multimodal.synthesize(docs), dim = 8).toDF()
+    val n = df.where(graft.expr.VectorOps.dot(col("feature"), col("feature")) > 0.5).count()
+    assert(n > 0)
+  }
+
   test("asof join: latest at-or-before match per key, left semantics") {
     val quotes = Seq(
       ("A", 10L, 1.0), ("A", 20L, 2.0), ("B", 15L, 9.0)
