@@ -168,7 +168,11 @@ object Projection {
   * the distinct union of all set members (the grouping columns). */
 final case class GroupBy(exprs: Seq[Expr], rollup: Boolean, having: Option[Expr],
                          cube: Boolean = false,
-                         sets: Option[Seq[Seq[Expr]]] = None)
+                         sets: Option[Seq[Seq[Expr]]] = None,
+                         // GROUP BY ALL (DuckDB-style): keys = every
+                         // projection with no aggregate; resolved at
+                         // translation time
+                         all: Boolean = false)
 
 /** `nullsFirst`: None = engine default (Spark: NULLS FIRST on ASC, NULLS
   * LAST on DESC); explicit `NULLS FIRST`/`LAST` overrides (beyond-reference

@@ -74,7 +74,9 @@ object Pretty {
       val f = from.fold("")(r => s" from ${rel(r)}")
       val w = where.fold("")(e => s" where ${expr(e)}")
       val g = groupBy.fold("") { gb =>
-        gb.sets match {
+        if (gb.all)
+          " group by all" + gb.having.fold("")(h => s" having ${expr(h)}")
+        else gb.sets match {
           case Some(ss) =>
             val sets = ss.map(s => s"(${s.map(expr).mkString(", ")})").mkString(", ")
             s" group by grouping sets ($sets)" +

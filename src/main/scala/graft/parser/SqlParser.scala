@@ -256,6 +256,8 @@ object SqlParser extends RegexParsers with PackratParsers {
   lazy val groupByClause: PackratParser[GroupBy] = {
     // one grouping set: `(a, b)`, `(a)` or `()` (the grand total)
     val gset: Parser[Seq[Expr]] = "(" ~> repsep(expr, ",") <~ ")"
+    kw("group") ~> kw("by") ~> kw("all") ~> opt(kw("having") ~> predicate) ^^ (h =>
+      GroupBy(Nil, rollup = false, h, all = true)) |
     kw("group") ~> kw("by") ~> kw("grouping") ~> kw("sets") ~>
       ("(" ~> rep1sep(gset, ",") <~ ")") ~ opt(kw("having") ~> predicate) ^^ {
         case ss ~ h =>

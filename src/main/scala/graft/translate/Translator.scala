@@ -91,7 +91,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     }
 
     val groupExprs = s.groupBy.map(_.exprs).getOrElse(Nil)
-    val isAgg = groupExprs.nonEmpty ||
+    val isAgg = groupExprs.nonEmpty || s.groupBy.exists(_.all) ||
       s.projection.exists(p => Expr.hasAggregate(p.expr, Registry.isAggregate))
 
     var out =
@@ -289,7 +289,22 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
 
   /** Aggregating SELECT: groupBy/rollup + agg, HAVING, ORDER BY, trim. */
   private def aggregate(df: DataFrame, rel: RelPlan, s: Select): DataFrame = {
-    val gb = s.groupBy
+    // GROUP BY ALL: keys = every projection expression containing no
+    // aggregate (DuckDB semantics), resolved here where the registry knows
+    // which names aggregate
+    val gb = s.groupBy.map { g =>
+      if (!g.all) g
+      else {
+        if (s.projection.exists(_.expr.isInstanceOf[Star]))
+          throw new GraftAnalysisException("GROUP BY ALL is not valid with SELECT *")
+        val keys = s.projection.map(_.expr)
+          .filterNot(e => Expr.hasAggregate(e, graft.functions.Registry.isAggregate))
+        if (keys.isEmpty)
+          throw new GraftAnalysisException(
+            "GROUP BY ALL found no non-aggregate projection to group by")
+        g.copy(exprs = keys)
+      }
+    }
     // explicit GROUP BY keys naming post-agg columns (session w_start/
     // w_end) are implied by the struct grouping key — drop them here.
     // Ordinal keys (GROUP BY 1) dereference to the projection expression.

@@ -578,6 +578,24 @@ class EngineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("one-argument"))
   }
 
+  test("GROUP BY ALL infers keys from aggregate-free projections") {
+    val got = g.sql("select l_returnflag as f, l_linestatus as s2, count(*) as n " +
+      "from lineitem group by all")
+    val want = g.sql("select l_returnflag as f, l_linestatus as s2, count(*) as n " +
+      "from lineitem group by l_returnflag, l_linestatus")
+    assertSame(got, want)
+    // expression keys (not just bare columns) participate
+    val e1 = g.sql("select upper(l_returnflag) as uf, count(*) as n from lineitem group by all")
+    val e2 = g.sql("select upper(l_returnflag) as uf, count(*) as n from lineitem group by upper(l_returnflag)")
+    assertSame(e1, e2)
+    // HAVING composes; star is rejected
+    assert(g.sql("select l_returnflag as f, count(*) as n from lineitem group by all having count(*) > 100000").count() == 0)
+    val err = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("select * from lineitem group by all")
+    }
+    assert(err.getMessage.contains("SELECT *"))
+  }
+
   test("unnest explodes array values per row") {
     val r = g.sql("select a, unnest(split(s, ' ')) as w " +
       "from (values (1, 'x y'), (2, 'z')) as t(a, s) order by a, w")

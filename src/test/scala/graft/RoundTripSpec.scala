@@ -65,6 +65,7 @@ class RoundTripSpec extends AnyFunSuite {
     "select max(v) over (order by t rows between current row and unbounded following) as m from t",
     "select count(*) over (order by t range between 10 preceding and 5 following) as n from t",
     "select last_value(v) over (partition by k order by t rows between unbounded preceding and unbounded following) as l from t",
+    "select a, count(*) as n from t group by all having (count(*) > 1)",
     // interval / typed literals
     "select (ts + interval 1 day) as nd, (ts - interval 30 minute) as e from events",
     "select (ts + interval 2 year) as y, cast('2024-01-01 00:00:00' as timestamp) as t0, cast('2024-03-01' as date) as d0 from events"
