@@ -270,6 +270,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(2L) == (0.25, 1.0))
   }
 
+  test("ngramJaccard emits the raw ratio (regression: no pre-filter rounding)") {
+    val pairs = Seq((1L, 2L)).toDF("ida", "idb")
+    // w=3 grams: {a b c, b c d} vs {a b c, b c e} -> intersection 1, union 3
+    val d = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val j = Dedup.ngramJaccard(pairs, d, "text", "doc_id")
+      .collect().head.getDouble(2)
+    // the raw 1/3, not the display-rounded 0.3333 — thresholds downstream
+    // must see the exact value or they diverge from unrounded oracles
+    assert(math.abs(j - 1.0 / 3.0) < 1e-15, s"got $j")
+  }
+
   test("multimodal feature extraction: histogram features, unit norm") {
     val d = Seq((1L, "aaaa"), (2L, "")).toDF("doc_id", "text")
     val f = Multimodal.features(Multimodal.synthesize(d), dim = 4)
