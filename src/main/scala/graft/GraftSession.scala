@@ -250,6 +250,13 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         .filter { case (_, kind) => !streamsOnly || kind == "stream" }
         .toDF("name", "kind")
 
+    case DescribeQuery(q) =>
+      // plan-only: schema from the analyzed plan, no jobs run
+      import spark.implicits._
+      translator.query(q).schema.fields.toSeq
+        .map(f => (f.name, f.dataType.simpleString, f.nullable))
+        .toDF("column", "type", "nullable")
+
     case Describe(rel) =>
       if (!catalog.hasRelation(rel))
         throw new GraftAnalysisException(s"DESCRIBE unknown relation: $rel")

@@ -92,6 +92,8 @@ final case class Merge(
   * reference's SimpleCatalog stub had no surface at all). */
 final case class ShowRelations(streamsOnly: Boolean) extends Statement
 final case class Describe(relation: String) extends Statement
+/** `DESCRIBE (SELECT …)` — output schema of a query, plan-only (no jobs). */
+final case class DescribeQuery(query: QueryExpr) extends Statement
 /** `table` records which keyword was parsed (execution is identical —
   * the catalog holds one relation namespace); pretty-printing keeps it. */
 final case class DropRelation(name: String, ifExists: Boolean,

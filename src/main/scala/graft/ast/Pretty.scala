@@ -45,6 +45,7 @@ object Pretty {
     case Explain(q) => s"explain ${query(q)}"
     case ShowRelations(streamsOnly) => if (streamsOnly) "show streams" else "show tables"
     case Describe(r)                => s"describe $r"
+    case DescribeQuery(q)           => s"describe (${query(q)})"
     case DropRelation(n, ie, tbl)   =>
       s"drop ${if (tbl) "table" else "stream"}${if (ie) " if exists" else ""} $n"
     case DropSchema(n, ie)          => s"drop schema${if (ie) " if exists" else ""} $n"

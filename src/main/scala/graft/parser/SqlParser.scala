@@ -97,6 +97,7 @@ object SqlParser extends RegexParsers with PackratParsers {
                    kw("tables") ^^^ ShowRelations(streamsOnly = false))
 
   lazy val describeStmt: PackratParser[Statement] =
+    (kw("describe") | kw("desc")) ~> "(" ~> query <~ ")" ^^ DescribeQuery.apply |
     (kw("describe") | kw("desc")) ~> ident ^^ Describe.apply
 
   lazy val dropStmt: PackratParser[Statement] =

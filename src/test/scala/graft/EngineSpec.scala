@@ -444,6 +444,13 @@ class EngineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("equality"))
   }
 
+  test("DESCRIBE (query) reports the output schema plan-only") {
+    val rows = g.sql("describe (select l_orderkey + 1 as k, upper(l_returnflag) as f, " +
+      "l_quantity / 2 as h from lineitem)")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("k", "bigint"), ("f", "string"), ("h", "double")))
+  }
+
   test("SHOW TABLES / DESCRIBE / DROP lifecycle") {
     g.sql("create stream lc_s (a long, b string)")
     val names = g.sql("show tables").collect().map(_.getString(0))
