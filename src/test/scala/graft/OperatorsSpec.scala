@@ -270,6 +270,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(2L) == (0.25, 1.0))
   }
 
+  test("operators compose: chunk -> features -> near-dup -> pack, one pipeline") {
+    val chunks = TextAnalysis.chunk(docs, "text", "doc_id", chunkSize = 20, overlap = 5)
+      .withColumn("cid", col("doc_id") * 1000 + col("chunk_id"))
+    // chunk payloads → embedding column → LSH near-dup candidates
+    val media = chunks.select(col("cid").as("media_id"),
+      encode(col("chunk"), "UTF-8").as("payload"))
+    val feats = Multimodal.features(media, dim = 16).toDF()
+      .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+    val nd = Dedup.embeddingNearDup(feats, "embedding", "vec_id", minCos = 0.999)
+    // overlapping chunks of the same doc share most bytes → near-dups exist
+    assert(nd.count() > 0)
+    // chunk token counts → budget-packed bins; per-bin total never exceeds
+    // budget + one chunk (the running-sum bound)
+    val toks = chunks.select(col("cid"),
+      size(split(col("chunk"), " ")).cast("long").as("toks"))
+    val packed = Curation.packSequences(toks, "cid", "toks", budget = 100, shards = 4)
+    val over = packed.groupBy(col("shard"), col("bin"))
+      .agg(sum(col("toks")).as("t")).where(col("t") > 100 + 20).count()
+    assert(over == 0)
+  }
+
   test("ngramJaccard emits the raw ratio (regression: no pre-filter rounding)") {
     val pairs = Seq((1L, 2L)).toDF("ida", "idb")
     // w=3 grams: {a b c, b c d} vs {a b c, b c e} -> intersection 1, union 3
