@@ -332,10 +332,10 @@ object SparkEntry {
       "round(sum(o_totalprice) filter (where o_orderpriority like '1%'), 2) as urgent_sum, " +
       "count(*) as n " +
       "from orders group by o_orderstatus, extract(year from o_orderdate) order by st, y")),
-    // ---- GROUP BY ALL (keys inferred from aggregate-free projections) ----
+    // ---- GROUP BY ALL + ORDER BY ALL (keys inferred; DuckDB ergonomics) ----
     "q51_group_by_all" -> ((s, d) => g(s, d).sql(
       "select l_returnflag as f, l_linestatus as s2, count(*) as n, " +
-      "round(sum(l_quantity), 2) as qty from lineitem group by all order by f, s2")),
+      "round(sum(l_quantity), 2) as qty from lineitem group by all order by all")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -538,7 +538,7 @@ object SparkEntry {
        "FROM orders WHERE o_orderkey < 200 ORDER BY k"),
     "q51_group_by_all" ->
       ("SELECT l_returnflag AS f, l_linestatus AS s2, count(*) AS n, " +
-       "ROUND(SUM(l_quantity), 2) AS qty FROM lineitem GROUP BY ALL ORDER BY f, s2"),
+       "ROUND(SUM(l_quantity), 2) AS qty FROM lineitem GROUP BY ALL ORDER BY ALL"),
     "q50_filter_extract" ->
       ("SELECT o_orderstatus AS st, CAST(extract(year FROM o_orderdate) AS INTEGER) AS y, " +
        "count(*) FILTER (WHERE o_totalprice > 100000) AS n_big, " +

@@ -148,7 +148,28 @@ object SqlParser extends RegexParsers with PackratParsers {
   lazy val queryOperand: PackratParser[QueryExpr] =
     selectStmt ^^ (s => s: QueryExpr) | "(" ~> query <~ ")"
 
-  private def attachTail(q: QueryExpr, ob: Seq[SortKey], lim: Option[Limit]): QueryExpr =
+  /** Expand the ORDER BY ALL sentinel into ordinals 1..N over the query's
+    * projection (left operand for set ops) — ordinals then resolve on
+    * every translation path like any user-written `ORDER BY 1, 2`. */
+  private def expandOrderAll(q: QueryExpr, ob: Seq[SortKey]): Seq[SortKey] = ob match {
+    case Seq(SortKey(Star(None), asc, nf)) =>
+      def width(x: QueryExpr): Option[Int] = x match {
+        case s: Select if !s.projection.exists(_.expr.isInstanceOf[Star]) =>
+          Some(s.projection.length)
+        case s: SetOp => width(s.left)
+        case w: With  => width(w.body)
+        case _        => None
+      }
+      width(q) match {
+        case Some(n) => (1 to n).map(i => SortKey(Lit(i.toLong), asc, nf))
+        case None => throw new IllegalArgumentException(
+          "ORDER BY ALL requires an explicit projection (not SELECT *)")
+      }
+    case other => other
+  }
+
+  private def attachTail(q: QueryExpr, ob0: Seq[SortKey], lim: Option[Limit]): QueryExpr = {
+    val ob = expandOrderAll(q, ob0)
     (q, ob, lim) match {
       case (_, Nil, None)                       => q
       case (s: Select, _, _) if s.orderBy.isEmpty && s.limit.isEmpty =>
@@ -161,6 +182,7 @@ object SqlParser extends RegexParsers with PackratParsers {
         throw new IllegalArgumentException(
           "ORDER BY/LIMIT applied to a subquery that already has them")
     }
+  }
 
   /** A single SELECT without trailing ORDER BY/LIMIT (owned by `query`). */
   lazy val selectStmt: PackratParser[Select] =
@@ -271,7 +293,13 @@ object SqlParser extends RegexParsers with PackratParsers {
       }
   }
 
+  /** `ORDER BY ALL [ASC|DESC]` (DuckDB ergonomics) parses to a Star
+    * sentinel; [[attachTail]] expands it to ordinals over the projection. */
   lazy val orderByClause: PackratParser[Seq[SortKey]] =
+    kw("order") ~> kw("by") ~> kw("all") ~> opt(kws("asc", "desc")) ~
+      opt(kw("nulls") ~> kws("first", "last")) ^^ {
+        case d ~ nf => Seq(SortKey(Star(None), !d.contains("desc"), nf.map(_ == "first")))
+      } |
     kw("order") ~> kw("by") ~> rep1sep(sortKey, ",")
 
   lazy val sortKey: PackratParser[SortKey] =

@@ -585,6 +585,21 @@ class EngineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("one-argument"))
   }
 
+  test("ORDER BY ALL expands to ordinals over the projection") {
+    val got = g.sql("select n_regionkey as r, n_name as nm from nation order by all")
+      .collect().map(x => (x.get(0), x.getString(1)))
+    val want = g.sql("select n_regionkey as r, n_name as nm from nation order by 1, 2")
+      .collect().map(x => (x.get(0), x.getString(1)))
+    assert(got.toSeq == want.toSeq)
+    // DESC applies to every key; works after set ops too
+    val d = g.sql("select n_regionkey as r from nation union select r_regionkey from region order by all desc")
+      .collect().map(_.get(0).toString.toLong)
+    assert(d.toSeq == d.toSeq.sorted.reverse)
+    // star projection is rejected with a clear parse error
+    val e = intercept[GraftParseException] { g.sql("select * from nation order by all") }
+    assert(e.getMessage.contains("explicit projection"))
+  }
+
   test("GROUP BY ALL infers keys from aggregate-free projections") {
     val got = g.sql("select l_returnflag as f, l_linestatus as s2, count(*) as n " +
       "from lineitem group by all")
