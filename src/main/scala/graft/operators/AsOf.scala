@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructField
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** AS-OF join — for each left row, the most recent right row with
   * right.time <= left.time on the same keys (LEFT semantics: unmatched
@@ -35,25 +35,35 @@ object AsOf {
     def typed(df: DataFrame, name: String): StructField =
       df.schema(df.columns.indexOf(name))
 
-    // tagged union with the union schema; absent columns are typed nulls
+    // SQL join predicates are null-rejecting: right rows with a NULL key or
+    // NULL time can never match — drop them up front (a NULL-keyed left row
+    // then forms a right-free partition and keeps NULL payload).
+    val rightClean = (keys :+ timeCol).foldLeft(right)((df, c) =>
+      df.where(col(c).isNotNull))
+
+    // The whole right payload travels as ONE struct, so the window picks the
+    // complete latest right ROW — per-column fills would resurrect older
+    // values for columns that are NULL on the latest row and stitch together
+    // a row that never existed.
+    val payloadType = StructType(payload.map(c => typed(right, c)))
     val lSide = left.select(
       (keys :+ timeCol).map(col) ++
-        leftOnly.map(col) ++
-        payload.map(c => lit(null).cast(typed(right, c).dataType).as(c)) :+
+        leftOnly.map(col) :+
+        lit(null).cast(payloadType).as("__pay") :+
         lit(1).as("__tag"): _*)
-    val rSide = right.select(
+    val rSide = rightClean.select(
       (keys :+ timeCol).map(col) ++
-        leftOnly.map(c => lit(null).cast(typed(left, c).dataType).as(c)) ++
-        payload.map(col) :+
+        leftOnly.map(c => lit(null).cast(typed(left, c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("__pay") :+
         lit(0).as("__tag"): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(lSide.unionByName(rSide)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val filled = lSide.unionByName(rSide)
+      .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
     filled.where(col("__tag") === 1)
-      .select(left.columns.map(col) ++ payload.map(col): _*)
+      .select(left.columns.map(col) ++
+        payload.map(c => col("__pay").getField(c).as(c)): _*)
   }
 }

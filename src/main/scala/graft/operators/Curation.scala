@@ -95,7 +95,7 @@ object Curation {
     * id type (string keys included) and stays uniform when numeric ids are
     * block-allocated per source (where a plain modulo would skew shards). */
   def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
-                    budget: Long, shards: Int): DataFrame =
+                    budget: Long, shards: Int = 8): DataFrame =
     packSequences(docs, idCol, tokenCol, budget,
       pmod(xxhash64(col(idCol)), lit(shards.toLong)))
 }

@@ -47,6 +47,9 @@ object Params {
         case DerivedSource(q) => DerivedSource(query(q))
         case other            => other
       })
+      // plan-only wrappers still carry bindable ? parameters in their query
+      case Explain(q)       => Explain(query(q))
+      case DescribeQuery(q) => DescribeQuery(query(q))
       case other => other
     }
 

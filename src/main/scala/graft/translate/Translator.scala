@@ -297,12 +297,22 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       else {
         if (s.projection.exists(_.expr.isInstanceOf[Star]))
           throw new GraftAnalysisException("GROUP BY ALL is not valid with SELECT *")
-        val keys = s.projection.map(_.expr)
+        def hasWindowFn(e: Expr): Boolean =
+          Expr.fold(e, false) { case (acc, x) => acc || x.isInstanceOf[WindowFn] }
+        if (s.projection.exists(p => hasWindowFn(p.expr)))
+          throw new GraftAnalysisException(
+            "GROUP BY ALL cannot infer keys from a window-function projection; " +
+              "name the grouping columns explicitly")
+        val nonAgg = s.projection.map(_.expr)
           .filterNot(e => Expr.hasAggregate(e, graft.functions.Registry.isAggregate))
-        if (keys.isEmpty)
+        if (nonAgg.isEmpty)
           throw new GraftAnalysisException(
             "GROUP BY ALL found no non-aggregate projection to group by")
-        g.copy(exprs = keys)
+        // constants group everything into one group AND would misparse as
+        // GROUP BY ordinals downstream — drop them from the inferred keys
+        // (empty result = a global aggregate, which is exactly DuckDB's
+        // answer for constant-only non-aggregate projections)
+        g.copy(exprs = nonAgg.filterNot(_.isInstanceOf[Lit]))
       }
     }
     // explicit GROUP BY keys naming post-agg columns (session w_start/

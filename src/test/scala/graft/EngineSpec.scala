@@ -600,6 +600,22 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("explicit projection"))
   }
 
+  test("GROUP BY ALL: constant projections and DESCRIBE/EXPLAIN params (regression)") {
+    // a literal projection is a constant, not a GROUP BY ordinal
+    val r = g.sql("select 2 as version, count(*) as n from region group by all").collect()
+    assert(r.length == 1 && r.head.getLong(0) == 2L && r.head.getLong(1) == 5L)
+    // window-function projections cannot be inferred keys — clear error
+    val e = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("select l_returnflag as f, count(*) as n, " +
+        "row_number() over (order by l_returnflag) as r from lineitem group by all")
+    }
+    assert(e.getMessage.contains("window-function"))
+    // ? parameters bind inside DESCRIBE (query) and EXPLAIN
+    val d = g.sql("describe (select l_orderkey as k from lineitem where l_quantity > ?)", 10)
+    assert(d.collect().map(_.getString(0)).toSeq == Seq("k"))
+    assert(g.sql("explain select count(*) as n from lineitem where l_quantity > ?", 10).count() == 1)
+  }
+
   test("GROUP BY ALL infers keys from aggregate-free projections") {
     val got = g.sql("select l_returnflag as f, l_linestatus as s2, count(*) as n " +
       "from lineitem group by all")

@@ -316,6 +316,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("asof join: whole-row payload, null-rejecting keys (regression)") {
+    // latest quote has sz=NULL: the match must NOT resurrect sz from an
+    // older row — the payload is the complete latest right ROW
+    val quotes = Seq(
+      ("A", 5L, Some(0.5), Some(7L)),
+      ("A", 10L, Some(1.0), None)
+    ).toDF("sym", "t", "px", "sz")
+    val trades = Seq(("A", 12L, 100L)).toDF("sym", "t", "qty")
+    val r = AsOf.join(trades, quotes, Seq("sym"), "t").collect().head
+    assert(r.getDouble(3) == 1.0 && r.isNullAt(4), s"got $r")
+    // NULL join keys / NULL times never match (SQL null-rejecting predicates)
+    val q2 = Seq((Option.empty[String], 5L, 1.0), (Some("B"), 5L, 2.0))
+      .toDF("sym", "t", "px")
+    val t2 = Seq((Option.empty[String], 9L, 1L), (Some("B"), 9L, 2L))
+      .toDF("sym", "t", "qty")
+    val j2 = AsOf.join(t2, q2, Seq("sym"), "t")
+      .collect().map(x => x.getLong(2) -> (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    assert(j2 == Map(1L -> None, 2L -> Some(2.0)))
+  }
+
   test("asof join: latest at-or-before match per key, left semantics") {
     val quotes = Seq(
       ("A", 10L, 1.0), ("A", 20L, 2.0), ("B", 15L, 9.0)
