@@ -49,7 +49,8 @@ object VerifyDrive {
     show("window frame", "select o_orderkey as k, sum(o_totalprice) over (order by o_orderkey rows between 1 preceding and current row) as r from orders order by k limit 3")
     show("interval arithmetic", "select ts + interval 1 day as d from events order by d limit 2")
     show("sample", "select count(*) as n from lineitem sample (50 percent) seed 7")
-    show("group by all", "select l_returnflag as f, count(*) as n from lineitem group by all order by f")
+    show("group by all", "select l_returnflag as f, count(*) as n from lineitem group by all order by all")
+    show("describe query", "describe (select l_orderkey + 1 as k, upper(l_returnflag) as f from lineitem where l_quantity > ?)", 10)
     show("filter + extract", "select count(*) filter (where l_quantity > 45) as nq, extract(year from l_shipdate) as y from lineitem group by all order by y limit 3")
     show("probe: VALUES arity", "select * from (values (1, 2), (3)) as t(a, b)")
     show("probe: FILTER on first()", "select first(l_quantity) filter (where l_orderkey > 0) as f from lineitem")
