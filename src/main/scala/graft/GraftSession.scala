@@ -104,28 +104,30 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     last
   }
 
-  /** Walk `text` calling `f(char, active)`; `active` is false inside
-    * string literals and inside `-- …\n` / `/* … */` comments (the same
-    * comment forms the parser's whiteSpace regex skips). An apostrophe or
-    * `;`/`?` inside a comment must not affect statement splitting or
-    * positional-arg assignment. */
-  private def scanSql(text: String)(f: (Char, Boolean) => Unit): Unit = {
+  /** Walk `text` calling `f(char, active, inString)`; `active` is false
+    * inside string literals and inside `-- …\n` / `/* … */` comments (the
+    * same comment forms the parser's whiteSpace regex skips). `inString`
+    * distinguishes the two inactive states: a string-literal body is real
+    * statement content, a comment body is not — an apostrophe in a
+    * comment (`-- that's all`) must not make a comment-only piece look
+    * like a statement. */
+  private def scanSql(text: String)(f: (Char, Boolean, Boolean) => Unit): Unit = {
     var i = 0; val n = text.length
     var inStr = false; var inLine = false; var inBlock = false
     while (i < n) {
       val c = text.charAt(i)
-      if (inLine) { if (c == '\n') inLine = false; f(c, false) }
+      if (inLine) { if (c == '\n') inLine = false; f(c, false, false) }
       else if (inBlock) {
         if (c == '*' && i + 1 < n && text.charAt(i + 1) == '/') {
-          f(c, false); f('/', false); i += 1; inBlock = false
-        } else f(c, false)
+          f(c, false, false); f('/', false, false); i += 1; inBlock = false
+        } else f(c, false, false)
       }
-      else if (inStr) { if (c == '\'') inStr = false; f(c, false) }
+      else if (inStr) { if (c == '\'') inStr = false; f(c, false, true) }
       else c match {
-        case '-' if i + 1 < n && text.charAt(i + 1) == '-' => inLine = true; f(c, false)
-        case '/' if i + 1 < n && text.charAt(i + 1) == '*' => inBlock = true; f(c, false)
-        case '\'' => inStr = true; f(c, false)
-        case other => f(other, true)
+        case '-' if i + 1 < n && text.charAt(i + 1) == '-' => inLine = true; f(c, false, false)
+        case '/' if i + 1 < n && text.charAt(i + 1) == '*' => inBlock = true; f(c, false, false)
+        case '\'' => inStr = true; f(c, false, true)
+        case other => f(other, true, false)
       }
       i += 1
     }
@@ -135,7 +137,7 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     * "who?" or a commented `-- ?` is data, not a parameter). */
   private def countParams(s: String): Int = {
     var n = 0
-    scanSql(s) { (c, active) => if (active && c == '?') n += 1 }
+    scanSql(s) { (c, active, _) => if (active && c == '?') n += 1 }
     n
   }
 
@@ -147,14 +149,14 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       if (content) out += cur.toString
       cur.clear(); content = false
     }
-    scanSql(text) { (c, active) =>
+    scanSql(text) { (c, active, inString) =>
       if (active && c == ';') flush()
       else {
         cur += c
-        // active non-whitespace marks real content; a piece that is only
-        // comments/whitespace is dropped, not sent to the parser
-        if (active && !c.isWhitespace) content = true
-        else if (!active && c == '\'') content = true // string literal body
+        // active non-whitespace and string-literal bodies mark real
+        // content; a piece that is only comments/whitespace is dropped,
+        // not sent to the parser
+        if ((active && !c.isWhitespace) || inString) content = true
       }
     }
     flush()
@@ -265,11 +267,20 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         .map(f => (f.name, f.dataType.simpleString, f.nullable))
         .toDF("column", "type", "nullable")
 
-    case DropRelation(name, ifExists, _) =>
+    case DropRelation(name, ifExists, table) =>
       if (!catalog.hasRelation(name)) {
         if (!ifExists)
           throw new GraftAnalysisException(s"DROP: unknown table or stream: $name")
       } else {
+        // the parsed keyword must match the relation's declared kind —
+        // `drop table s` silently removing a stream would mask typos
+        // across the two namespaces
+        if (catalog.isDeclaredStream(name) && table)
+          throw new GraftAnalysisException(
+            s"DROP TABLE: $name is a stream (use DROP STREAM $name)")
+        if (!catalog.isDeclaredStream(name) && !table)
+          throw new GraftAnalysisException(
+            s"DROP STREAM: $name is a table (use DROP TABLE $name)")
         releaseSnapshots(name)
         catalog.dropRelation(name)
       }
@@ -283,6 +294,7 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
 
     case CreateStream(name, schemaRef, source) =>
       releaseSnapshots(name) // re-registering a relation frees its caches
+      catalog.markDeclaredStream(name)
       val schema = catalog.resolveSchema(schemaRef)
       source match {
         case None =>

@@ -19,6 +19,10 @@ final class Catalog {
   private val schemas = mutable.Map.empty[String, StructType]
   private val relations = mutable.Map.empty[String, () => DataFrame]
   private val streamNames = mutable.Set.empty[String]
+  // declared via CREATE STREAM, independent of whether the source is an
+  // actually-streaming DataFrame (a file/derived-source stream executes as
+  // batch); DROP TABLE/STREAM kind checks use this, not streaming-ness
+  private val declaredStreams = mutable.Set.empty[String]
 
   // --- schemas -------------------------------------------------------------
 
@@ -59,6 +63,10 @@ final class Catalog {
       s"unknown table or stream: $name (known: ${relations.keys.toSeq.sorted.mkString(", ")})"))()
 
   def isStream(name: String): Boolean = streamNames(norm(name))
+
+  def markDeclaredStream(name: String): Unit = declaredStreams += norm(name)
+  def isDeclaredStream(name: String): Boolean =
+    declaredStreams(norm(name)) || streamNames(norm(name))
   def hasRelation(name: String): Boolean = relations.contains(norm(name))
   def relationNames: Seq[String] = relations.keys.toSeq.sorted
 
@@ -67,6 +75,7 @@ final class Catalog {
   def dropRelation(name: String): Unit = {
     relations.remove(norm(name))
     streamNames.remove(norm(name))
+    declaredStreams.remove(norm(name))
   }
 
   def dropSchema(name: String): Unit = schemas.remove(norm(name))

@@ -57,8 +57,23 @@ object AsOf {
         struct(payload.map(col): _*).as("__pay") :+
         lit(0).as("__tag"): _*)
 
+    // Deterministic tiebreak when multiple right rows share (key, time):
+    // order by the payload struct itself (field-wise comparison) so the
+    // greatest payload wins reproducibly — without it, last() picks
+    // whichever duplicate the shuffle happened to sort last and the join
+    // can flake across runs. Structs containing maps are not orderable in
+    // Spark; fall back to a stable 64-bit hash of the payload there.
+    def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
+    val tie =
+      if (containsMap(payloadType)) xxhash64(col("__pay")).asc_nulls_last
+      else col("__pay").asc_nulls_last
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol), col("__tag"))
+      .orderBy(col(timeCol), col("__tag"), tie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lSide.unionByName(rSide)
       .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))

@@ -474,7 +474,11 @@ object SqlParser extends RegexParsers with PackratParsers {
   lazy val overClause: PackratParser[(Seq[Expr], Seq[SortKey], Option[WindowFrame])] =
     kw("over") ~> "(" ~>
       opt(kw("partition") ~> kw("by") ~> rep1sep(expr, ",")) ~
-      opt(orderByClause) ~ opt(frameSpec) <~ ")" ^^ {
+      // plain sort keys only: ORDER BY ALL is a projection-ordinal
+      // shorthand; inside a window spec there is no projection to expand
+      // against, so the sentinel must not flow through here
+      opt(kw("order") ~> kw("by") ~> rep1sep(sortKey, ",")) ~
+      opt(frameSpec) <~ ")" ^^ {
         case pb ~ ob ~ fr => (pb.getOrElse(Nil), ob.getOrElse(Nil), fr)
       }
 

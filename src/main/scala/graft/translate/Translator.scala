@@ -204,12 +204,35 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
             }
         }
     }
+    // The rewrite plants `__sqN_aJ` columns in the PRE-aggregation frame.
+    // In an aggregating SELECT, post-aggregation clauses (projection,
+    // HAVING, QUALIFY, ORDER BY) can't reference them — Spark would fail
+    // analysis with a confusing internal-name error — so detect that shape
+    // up front and name it. WHERE runs pre-aggregation and stays supported.
+    val aggregating = s.groupBy.nonEmpty ||
+      s.projection.exists(p => Expr.hasAggregate(p.expr, Registry.isAggregate))
+    def isCorrelated(sel: Select): Boolean = innerInfo(sel) match {
+      case None => false
+      case Some((_, quals, cols)) =>
+        sel.where.map(splitAnd).getOrElse(Nil).exists(hasOuter(_, quals, cols)) ||
+          hasOuter(sel.projection.head.expr, quals, cols)
+    }
+    def guard(clause: String)(e: Expr): Expr =
+      if (!aggregating) rw(e)
+      else Expr.transform(e) {
+        case ScalarSubquery(sel: Select)
+            if sel.projection.length == 1 && isCorrelated(sel) =>
+          throw new GraftAnalysisException(
+            s"correlated scalar subquery in the $clause of an aggregating " +
+              "SELECT is not supported — compute it in a derived table/CTE " +
+              "and join, or move the condition into WHERE")
+      }
     val s2 = s.copy(
-      projection = s.projection.map(p => p.copy(expr = rw(p.expr))),
+      projection = s.projection.map(p => p.copy(expr = guard("projection")(p.expr))),
       where = s.where.map(rw),
-      groupBy = s.groupBy.map(g => g.copy(having = g.having.map(rw))),
-      qualify = s.qualify.map(rw),
-      orderBy = s.orderBy.map(k => k.copy(expr = rw(k.expr))))
+      groupBy = s.groupBy.map(g => g.copy(having = g.having.map(guard("HAVING")))),
+      qualify = s.qualify.map(guard("QUALIFY")),
+      orderBy = s.orderBy.map(k => k.copy(expr = guard("ORDER BY")(k.expr))))
     (df, s2)
   }
 

@@ -203,4 +203,74 @@ class RegressionSpec extends AnyFunSuite {
       s"internal decorrelation columns leaked: ${df.columns.mkString(",")}")
     assert(df.columns.toSeq == g.catalog.relation("nation").columns.toSeq)
   }
+
+  // ---- round-3 ADVICE fixes ------------------------------------------------
+
+  test("sqlScript: trailing comment with an apostrophe is not a statement") {
+    val out = g.sqlScript(
+      "select count(*) as n from region; -- that's all\n")
+    assert(out.collect().head.getLong(0) == 5L)
+    // and a block comment with a quote char, alone after the ;
+    val out2 = g.sqlScript("select 1 as a; /* don't parse me */")
+    assert(out2.collect().head.getLong(0) == 1L)
+  }
+
+  test("correlated scalar subquery in an aggregating SELECT raises clearly") {
+    val e = intercept[graft.translate.GraftAnalysisException] {
+      g.sql(
+        "select n_regionkey, count(*) as n, " +
+        "(select max(c_acctbal) from customer c where c.c_nationkey = n.n_nationkey) as m " +
+        "from nation n group by n_regionkey")
+    }
+    assert(e.getMessage.contains("aggregating"), e.getMessage)
+    val e2 = intercept[graft.translate.GraftAnalysisException] {
+      g.sql(
+        "select n_regionkey, count(*) as n from nation n group by n_regionkey " +
+        "having count(*) > (select count(*) from customer c where c.c_nationkey = n.n_regionkey)")
+    }
+    assert(e2.getMessage.contains("aggregating"), e2.getMessage)
+    // WHERE stays supported in an aggregating SELECT (pre-aggregation)
+    val ok = g.sql(
+      "select n_regionkey, count(*) as n from nation n " +
+      "where n_nationkey <= (select count(*) from customer c where c.c_nationkey = n.n_nationkey) " +
+      "group by n_regionkey")
+    assert(ok.count() >= 0)
+  }
+
+  test("OVER (ORDER BY ALL) is rejected at parse time, not in Catalyst") {
+    val r = graft.parser.SqlParser.parse(
+      "select rank() over (order by all) as r from region")
+    assert(r.toOption.isEmpty, "ORDER BY ALL must not parse inside OVER()")
+  }
+
+  test("asof join breaks duplicate right timestamps deterministically") {
+    val left = Seq((1, 10L, "L")).toDF("k", "t", "lv")
+    // two right rows at the identical (key, time) with different payloads
+    val right = Seq((1, 10L, "a", 1.0), (1, 10L, "b", 2.0))
+      .toDF("k", "t", "rv", "rx")
+    val outs = (1 to 3).map { i =>
+      val r = graft.operators.AsOf.join(
+        left, right.repartition(i + 1), Seq("k"), "t")
+      val row = r.collect().head
+      (row.getAs[String]("rv"), row.getAs[Double]("rx"))
+    }
+    assert(outs.distinct.size == 1, s"nondeterministic asof tiebreak: $outs")
+    // documented rule: the greatest payload struct wins
+    assert(outs.head == ("b", 2.0))
+  }
+
+  test("DROP TABLE/STREAM kind must match the relation's declared kind") {
+    g.sql("create stream r3s (a int) as (select 1 as a)")
+    val e = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("drop table r3s")
+    }
+    assert(e.getMessage.contains("is a stream"), e.getMessage)
+    g.sql("drop stream r3s") // matching kind works
+    assert(!g.catalog.hasRelation("r3s"))
+    val e2 = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("drop stream region")
+    }
+    assert(e2.getMessage.contains("is a table"), e2.getMessage)
+    assert(g.catalog.hasRelation("region"))
+  }
 }
