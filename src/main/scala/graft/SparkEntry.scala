@@ -336,6 +336,39 @@ object SparkEntry {
     "q51_group_by_all" -> ((s, d) => g(s, d).sql(
       "select l_returnflag as f, l_linestatus as s2, count(*) as n, " +
       "round(sum(l_quantity), 2) as qty from lineitem group by all order by all")),
+    // ---- quantified comparisons: op ANY / op ALL (subquery) — lowered
+    // to semi/anti joins like IN/EXISTS, ANSI NULL + empty-set semantics ----
+    "q52_quantified" -> ((s, d) => g(s, d).sql(
+      "select o_orderkey as k, o_totalprice as p from orders " +
+      "where o_totalprice >= all (select o_totalprice from orders where o_custkey = 1) " +
+      "and o_totalprice > any (select o_totalprice from orders where o_custkey = 2) " +
+      "and o_orderkey = any (select o_orderkey from orders where o_orderstatus = 'F') " +
+      "order by k")),
+    // ---- IS [NOT] DISTINCT FROM: null-safe comparison (Spark `<=>`) ----
+    "q53_distinct_from" -> ((s, d) => g(s, d).sql(
+      "select c.c_custkey as ck, o.o_orderkey as ok, " +
+      "cast((o.o_orderstatus is not distinct from 'F') as int) as isf " +
+      "from customer c left join orders o on c.c_custkey = o.o_custkey and o.o_totalprice > 350000 " +
+      "where o.o_orderkey is distinct from 42 and c.c_custkey < 500 " +
+      "order by ck, ok")),
+    // ---- analytic-function breadth: ntile / lag+default / lead /
+    // percent_rank / cume_dist (same names + semantics in DuckDB) ----
+    "q54_window_breadth" -> ((s, d) => g(s, d).sql(
+      "select o_orderkey as k, " +
+      "ntile(4) over (partition by o_orderstatus order by o_totalprice, o_orderkey) as q4, " +
+      "lag(o_totalprice, 1, 0.0) over (partition by o_orderstatus order by o_totalprice, o_orderkey) as prevp, " +
+      "lead(o_orderkey) over (partition by o_orderstatus order by o_totalprice, o_orderkey) as nxt, " +
+      "round(percent_rank() over (partition by o_orderstatus order by o_totalprice, o_orderkey), 6) as pr, " +
+      "round(cume_dist() over (partition by o_orderstatus order by o_totalprice, o_orderkey), 6) as cd " +
+      "from orders where o_orderkey < 1000 order by k")),
+    // ---- string-function breadth through the Registry passthrough ----
+    "q55_string_breadth" -> ((s, d) => g(s, d).sql(
+      "select p_partkey as k, lpad(p_name, 12, '*') as lp, rpad(p_brand, 12, '.') as rp, " +
+      "left(p_name, 5) as l5, right(p_name, 4) as r4, repeat(p_brand, 2) as rep, " +
+      "reverse(p_type) as rev, split_part(p_type, ' ', 1) as sp, " +
+      "cast(instr(p_name, 'a') as long) as pos, " +
+      "cast(levenshtein(p_brand, p_type) as long) as lev, md5(p_name) as h " +
+      "from part where p_partkey < 50 order by k")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -539,6 +572,34 @@ object SparkEntry {
     "q51_group_by_all" ->
       ("SELECT l_returnflag AS f, l_linestatus AS s2, count(*) AS n, " +
        "ROUND(SUM(l_quantity), 2) AS qty FROM lineitem GROUP BY ALL ORDER BY ALL"),
+    "q52_quantified" ->
+      ("SELECT o_orderkey AS k, o_totalprice AS p FROM orders " +
+       "WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders WHERE o_custkey = 1) " +
+       "AND o_totalprice > ANY (SELECT o_totalprice FROM orders WHERE o_custkey = 2) " +
+       "AND o_orderkey = ANY (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') " +
+       "ORDER BY k"),
+    "q53_distinct_from" ->
+      ("SELECT c.c_custkey AS ck, o.o_orderkey AS ok, " +
+       "CAST((o.o_orderstatus IS NOT DISTINCT FROM 'F') AS INTEGER) AS isf " +
+       "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 350000 " +
+       "WHERE o.o_orderkey IS DISTINCT FROM 42 AND c.c_custkey < 500 " +
+       "ORDER BY ck, ok NULLS FIRST"),
+    "q54_window_breadth" ->
+      ("SELECT o_orderkey AS k, " +
+       "CAST(ntile(4) OVER w AS INTEGER) AS q4, " +
+       "lag(o_totalprice, 1, 0.0) OVER w AS prevp, " +
+       "lead(o_orderkey) OVER w AS nxt, " +
+       "ROUND(percent_rank() OVER w, 6) AS pr, " +
+       "ROUND(cume_dist() OVER w, 6) AS cd " +
+       "FROM orders WHERE o_orderkey < 1000 " +
+       "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) ORDER BY k"),
+    "q55_string_breadth" ->
+      ("SELECT p_partkey AS k, lpad(p_name, 12, '*') AS lp, rpad(p_brand, 12, '.') AS rp, " +
+       "left(p_name, 5) AS l5, right(p_name, 4) AS r4, repeat(p_brand, 2) AS rep, " +
+       "reverse(p_type) AS rev, split_part(p_type, ' ', 1) AS sp, " +
+       "CAST(instr(p_name, 'a') AS BIGINT) AS pos, " +
+       "CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev, md5(p_name) AS h " +
+       "FROM part WHERE p_partkey < 50 ORDER BY k"),
     "q50_filter_extract" ->
       ("SELECT o_orderstatus AS st, CAST(extract(year FROM o_orderdate) AS INTEGER) AS y, " +
        "count(*) FILTER (WHERE o_totalprice > 100000) AS n_big, " +

@@ -330,6 +330,13 @@ final case class IsNull(e: Expr, negated: Boolean) extends Expr
 final case class InList(e: Expr, list: Seq[Expr], negated: Boolean) extends Expr
 final case class InSubquery(e: Expr, query: QueryExpr, negated: Boolean) extends Expr
 final case class Exists(query: QueryExpr, negated: Boolean) extends Expr
+/** `e op ANY/SOME/ALL (subquery)` — quantified comparison (ANSI; beyond the
+  * reference's F5/F6 subquery predicates). Lowers to semi/anti joins as a
+  * WHERE conjunct, like IN/EXISTS. `all=false` covers ANY and SOME. */
+final case class QuantifiedCmp(op: String, e: Expr, query: QueryExpr,
+                               all: Boolean) extends Expr
+/** `a IS [NOT] DISTINCT FROM b` — null-safe comparison (Spark `<=>`). */
+final case class DistinctFrom(left: Expr, right: Expr, negated: Boolean) extends Expr
 
 object Expr {
   /** Walk an expression tree (children-first not needed; pre-order). */
@@ -357,6 +364,8 @@ object Expr {
     case IsNull(a, _)         => Seq(a)
     case InList(a, l, _)      => a +: l
     case InSubquery(a, _, _)  => Seq(a)
+    case QuantifiedCmp(_, a, _, _) => Seq(a)
+    case DistinctFrom(l, r, _) => Seq(l, r)
     case Cast(a, _)           => Seq(a)
     case _                    => Nil
   }
@@ -397,6 +406,8 @@ object Expr {
         case IsNull(a, n)          => IsNull(go(a), n)
         case InList(a, l, n)       => InList(go(a), l.map(go), n)
         case InSubquery(a, q, n)   => InSubquery(go(a), q, n) // scrutinee is outer scope
+        case QuantifiedCmp(op, a, q, all) => QuantifiedCmp(op, go(a), q, all)
+        case DistinctFrom(l, r, n) => DistinctFrom(go(l), go(r), n)
         case Cast(a, t)            => Cast(go(a), t)
         case other                 => other
       }

@@ -207,5 +207,9 @@ object Pretty {
       s"(${expr(a)} ${if (neg) "not " else ""}in (${query(q)}))"
     case Exists(q, neg)       =>
       s"(${if (neg) "not " else ""}exists (${query(q)}))"
+    case QuantifiedCmp(op, a, q, all) =>
+      s"(${expr(a)} $op ${if (all) "all" else "any"} (${query(q)}))"
+    case DistinctFrom(l, r, neg) =>
+      s"(${expr(l)} is ${if (neg) "not " else ""}distinct from ${expr(r)})"
   }
 }

@@ -331,7 +331,15 @@ object SqlParser extends RegexParsers with PackratParsers {
   lazy val comparison: PackratParser[Expr] = {
     val cmpOp: Parser[String] = "<>" ^^^ "!=" | "!=" | "<=" | ">=" | "=" | "<" | ">"
     val suffix: PackratParser[Expr => Expr] =
+      // quantified comparison must try before the plain one: `> all (…)`
+      // would otherwise parse `(…)` as a scalar subquery term
+      cmpOp ~ kws("all", "any", "some") ~ ("(" ~> query <~ ")") ^^ {
+        case op ~ quant ~ q => (l: Expr) => QuantifiedCmp(op, l, q, quant == "all")
+      } |
       cmpOp ~ expr ^^ { case op ~ r => (l: Expr) => Cmp(op, l, r) } |
+      kw("is") ~> opt(kw("not")) ~ (kw("distinct") ~> kw("from") ~> expr) ^^ {
+        case n ~ r => (l: Expr) => DistinctFrom(l, r, n.isDefined)
+      } |
       kw("is") ~> opt(kw("not")) <~ kw("null") ^^ (n => (l: Expr) => IsNull(l, n.isDefined)) |
       opt(kw("not")) ~ (kw("between") ~> expr) ~ (kw("and") ~> expr) ^^ {
         case n ~ lo ~ hi => (l: Expr) => Between(l, lo, hi, n.isDefined)
@@ -424,7 +432,9 @@ object SqlParser extends RegexParsers with PackratParsers {
     * p)` → `agg(case when p then x end)` — exact semantics because
     * aggregates skip NULLs. */
   lazy val funcCall: PackratParser[Expr] =
-    (ident <~ "(") ~ (opt(kw("distinct")) ~ repsep(funcArg, ",") <~ ")") ~
+    // `left`/`right` are reserved (join types) but are also ANSI string
+    // functions; a following "(" disambiguates — joins never parse here
+    ((ident | kw("left") | kw("right")) <~ "(") ~ (opt(kw("distinct")) ~ repsep(funcArg, ",") <~ ")") ~
       opt(kw("filter") ~> "(" ~> kw("where") ~> predicate <~ ")") ~ opt(overClause) ^^ {
       case n ~ (d ~ as) ~ flt ~ over =>
         val lower = n.toLowerCase(java.util.Locale.ROOT)

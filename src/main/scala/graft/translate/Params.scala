@@ -115,6 +115,8 @@ object Params {
       case InList(x, l, n)       => InList(expr(x), l.map(expr), n)
       case InSubquery(x, q, n)   => InSubquery(expr(x), query(q), n)
       case Exists(q, n)          => Exists(query(q), n)
+      case QuantifiedCmp(op, x, q, all) => QuantifiedCmp(op, expr(x), query(q), all)
+      case DistinctFrom(l, r, n) => DistinctFrom(expr(l), expr(r), n)
       case other                 => other
     }
   }

@@ -786,9 +786,20 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
 
   /** Push NOT down over subquery predicates so conjunct handling sees
     * Exists/InSubquery at the top of the conjunct. */
+  private def negateCmpOp(op: String): String = op match {
+    case "="  => "!="
+    case "!=" => "="
+    case "<"  => ">="
+    case ">"  => "<="
+    case "<=" => ">"
+    case ">=" => "<"
+  }
+
   private def normalizeNot(e: Expr): Expr = e match {
     case Not(Exists(q, n))           => Exists(q, !n)
     case Not(InSubquery(x, q, n))    => InSubquery(x, q, !n)
+    // De Morgan over the quantifier: NOT (x op ALL S) ≡ x ¬op ANY S
+    case Not(QuantifiedCmp(op, x, q, all)) => QuantifiedCmp(negateCmpOp(op), x, q, !all)
     case Not(Not(x))                 => normalizeNot(x)
     case And(l, r)                   => And(normalizeNot(l), normalizeNot(r))
     case other                       => other
@@ -796,9 +807,10 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
 
   private def containsSubqueryPred(e: Expr): Boolean =
     Expr.fold(e, false) {
-      case (acc, _: Exists)      => true
-      case (acc, _: InSubquery)  => true
-      case (acc, _)              => acc
+      case (acc, _: Exists)        => true
+      case (acc, _: InSubquery)    => true
+      case (acc, _: QuantifiedCmp) => true
+      case (acc, _)                => acc
     }
 
   private def applySubqueryPredicate(df: DataFrame, p: Expr): DataFrame = p match {
@@ -828,6 +840,33 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       val joined = withKey.join(subVal, withKey("__in_key") === subVal("__in_val"),
         if (negated) "left_anti" else "left_semi")
       joined.drop("__in_key")
+    case QuantifiedCmp(op, e, q, all) =>
+      val sub = query(q)
+      require(sub.columns.length == 1,
+        "quantified comparison (ANY/ALL) requires a single-column subquery")
+      val withKey = df.withColumn("__qc_key", expr(e))
+      val subVal = sub.select(sub(sub.columns.head).as("__qc_val"))
+      def cmp(l: Column, r: Column): Column = op match {
+        case "="  => l === r
+        case "!=" => l =!= r
+        case "<"  => l < r
+        case ">"  => l > r
+        case "<=" => l <= r
+        case ">=" => l >= r
+      }
+      val c = cmp(withKey("__qc_key"), subVal("__qc_val"))
+      val joined =
+        if (!all)
+          // ANY/SOME: at least one TRUE comparison — semi join on the
+          // comparison itself (UNKNOWN rows don't match, per ANSI)
+          withKey.join(subVal, c, "left_semi")
+        else
+          // ALL: drop rows with any FALSE **or UNKNOWN** comparison; an
+          // empty subquery keeps every row (ANSI: vacuous TRUE). The
+          // IS NULL arm makes a NULL element or NULL scrutinee filter
+          // the row, exactly like `NOT IN` with NULLs.
+          withKey.join(subVal, c.isNull || !c, "left_anti")
+      joined.drop("__qc_key")
     case other =>
       throw new GraftAnalysisException(
         s"IN/EXISTS subqueries are only supported as top-level AND-conjuncts of WHERE: $other")
@@ -1000,8 +1039,13 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       val in = expr(x).isin(list.map(expr): _*)
       if (neg) !in else in
 
-    case _: InSubquery | _: Exists =>
+    // null-safe comparison: IS NOT DISTINCT FROM is Spark's `<=>`
+    case DistinctFrom(l, r, negated) =>
+      val c = expr(l) <=> expr(r)
+      if (negated) c else !c
+
+    case _: InSubquery | _: Exists | _: QuantifiedCmp =>
       throw new GraftAnalysisException(
-        "IN/EXISTS subqueries are only supported in WHERE as AND-conjuncts")
+        "IN/EXISTS/ANY/ALL subqueries are only supported in WHERE as AND-conjuncts")
   }
 }

@@ -640,4 +640,53 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getString(1)))
     assert(r.toSeq == Seq((1L, "x"), (1L, "y"), (2L, "z")))
   }
+
+  test("quantified comparisons: ANSI empty-set and NULL semantics") {
+    // empty subquery: `op ALL` is vacuously TRUE, `op ANY` is FALSE
+    assert(g.sql("select count(*) as n from region " +
+      "where r_regionkey > all (select n_regionkey from nation where n_regionkey < 0)")
+      .collect().head.getLong(0) == 5L)
+    assert(g.sql("select count(*) as n from region " +
+      "where r_regionkey > any (select n_regionkey from nation where n_regionkey < 0)")
+      .collect().head.getLong(0) == 0L)
+    // a NULL element poisons ALL (like NOT IN) but not a satisfied ANY
+    assert(g.sql("select count(*) as n from region " +
+      "where r_regionkey >= all (select case when a > 1 then null else a end " +
+      "from (values (0), (2)) as t(a))").collect().head.getLong(0) == 0L)
+    assert(g.sql("select count(*) as n from region " +
+      "where r_regionkey >= any (select case when a > 1 then null else a end " +
+      "from (values (0), (2)) as t(a))").collect().head.getLong(0) == 5L)
+    // `<> ALL` ≡ NOT IN; `= ANY` ≡ IN
+    val notIn = g.sql("select r_regionkey as k from region " +
+      "where r_regionkey not in (select n_regionkey from nation where n_regionkey < 2) order by k")
+    val neAll = g.sql("select r_regionkey as k from region " +
+      "where r_regionkey <> all (select n_regionkey from nation where n_regionkey < 2) order by k")
+    assertSame(neAll, notIn)
+    // NOT flips the quantifier (De Morgan): not(> any) ≡ <= all
+    val a = g.sql("select r_regionkey as k from region " +
+      "where not (r_regionkey > any (select n_regionkey from nation where n_regionkey >= 3)) order by k")
+    val b = g.sql("select r_regionkey as k from region " +
+      "where r_regionkey <= all (select n_regionkey from nation where n_regionkey >= 3) order by k")
+    assertSame(a, b)
+    // round-trips through the pretty-printer
+    val q = "select r_regionkey as k from region where r_regionkey > all (select n_regionkey from nation)"
+    val ast1 = graft.parser.SqlParser.parse(q).toOption.get
+    val ast2 = graft.parser.SqlParser.parse(graft.ast.Pretty.print(ast1)).toOption.get
+    assert(ast1 == ast2)
+  }
+
+  test("IS [NOT] DISTINCT FROM is the null-safe comparison") {
+    val r = g.sql(
+      "select a, b, cast((a is distinct from b) as int) as d, " +
+      "cast((a is not distinct from b) as int) as nd " +
+      "from (values (1, 1), (1, 2), (null, 1), (null, null)) as t(a, b) " +
+      "order by a nulls first, b nulls first")
+      .collect().map(x => (x.getInt(2), x.getInt(3)))
+    // rows sorted: (null,null)→same, (null,1)→distinct, (1,1)→same, (1,2)→distinct
+    assert(r.toSeq == Seq((0, 1), (1, 0), (0, 1), (1, 0)), s"got ${r.toSeq}")
+    val q = "select 1 as x from region where r_name is not distinct from 'EUROPE'"
+    val ast1 = graft.parser.SqlParser.parse(q).toOption.get
+    val ast2 = graft.parser.SqlParser.parse(graft.ast.Pretty.print(ast1)).toOption.get
+    assert(ast1 == ast2)
+  }
 }
