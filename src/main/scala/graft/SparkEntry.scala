@@ -369,6 +369,14 @@ object SparkEntry {
       "cast(instr(p_name, 'a') as long) as pos, " +
       "cast(levenshtein(p_brand, p_type) as long) as lev, md5(p_name) as h " +
       "from part where p_partkey < 50 order by k")),
+    // ---- WITH RECURSIVE: driver-coordinated fixpoint (semi-naive,
+    // delta-only iterations; UNION dedup makes cyclic graphs converge) ----
+    "q56_recursive_cte" -> ((s, d) => g(s, d).sql(
+      "with recursive reach as (" +
+      "select n_nationkey as k from nation where n_nationkey < 2 " +
+      "union select (k * 7 + 3) % 25 as k from reach) " +
+      "select r.k as k, n.n_name as name from reach r " +
+      "join nation n on n.n_nationkey = r.k order by k")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -572,6 +580,12 @@ object SparkEntry {
     "q51_group_by_all" ->
       ("SELECT l_returnflag AS f, l_linestatus AS s2, count(*) AS n, " +
        "ROUND(SUM(l_quantity), 2) AS qty FROM lineitem GROUP BY ALL ORDER BY ALL"),
+    "q56_recursive_cte" ->
+      ("WITH RECURSIVE reach AS (" +
+       "SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 2 " +
+       "UNION SELECT (k * 7 + 3) % 25 AS k FROM reach) " +
+       "SELECT r.k AS k, n.n_name AS name FROM reach r " +
+       "JOIN nation n ON n.n_nationkey = r.k ORDER BY k"),
     "q52_quantified" ->
       ("SELECT o_orderkey AS k, o_totalprice AS p FROM orders " +
        "WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders WHERE o_custkey = 1) " +

@@ -116,8 +116,15 @@ sealed trait QueryExpr extends Statement
   * extension). CTEs are scoped to the statement and may reference earlier
   * CTEs in the same list. Translation inlines each use (same policy as
   * Spark SQL's default CTE inlining — Catalyst may still reuse the subplan
-  * via exchange/subquery reuse). */
-final case class With(ctes: Seq[(String, QueryExpr)], body: QueryExpr) extends QueryExpr
+  * via exchange/subquery reuse).
+  *
+  * `recursive`: WITH RECURSIVE — a self-referencing CTE must be
+  * `anchor UNION [ALL] step`; it evaluates as a driver-coordinated
+  * fixpoint loop (Spark has no fixpoint operator): each iteration binds
+  * the CTE name to the previous delta, UNION dedups against everything
+  * seen (cycle-safe), UNION ALL stops when a step yields no rows. */
+final case class With(ctes: Seq[(String, QueryExpr)], body: QueryExpr,
+                      recursive: Boolean = false) extends QueryExpr
 
 final case class Select(
     distinct: Boolean,

@@ -65,9 +65,9 @@ object Pretty {
   }
 
   def query(q: QueryExpr): String = q match {
-    case With(ctes, body) =>
+    case With(ctes, body, rec) =>
       val cs = ctes.map { case (n, cq) => s"$n as (${query(cq)})" }.mkString(", ")
-      s"with $cs ${query(body)}"
+      s"with ${if (rec) "recursive " else ""}$cs ${query(body)}"
     case Select(distinct, proj, from, where, groupBy, orderBy, limit, qualify) =>
       val d = if (distinct) "distinct " else ""
       val p = proj.map(pr => pr.alias.fold(expr(pr.expr))(a => s"${expr(pr.expr)} as $a"))

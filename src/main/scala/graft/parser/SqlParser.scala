@@ -117,9 +117,9 @@ object SqlParser extends RegexParsers with PackratParsers {
   /** [WITH ctes] set-op query — the WITH list scopes over the whole query
     * (including its trailing ORDER BY/LIMIT). */
   lazy val query: PackratParser[QueryExpr] =
-    opt(kw("with") ~> rep1sep(cteDef, ",")) ~ setQuery ^^ {
-      case None ~ q       => q
-      case Some(ctes) ~ q => With(ctes, q)
+    opt(kw("with") ~> opt(kw("recursive")) ~ rep1sep(cteDef, ",")) ~ setQuery ^^ {
+      case None ~ q              => q
+      case Some(rec ~ ctes) ~ q  => With(ctes, q, recursive = rec.isDefined)
     }
 
   lazy val cteDef: PackratParser[(String, QueryExpr)] =

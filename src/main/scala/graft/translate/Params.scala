@@ -55,9 +55,9 @@ object Params {
 
     def query(q: QueryExpr): QueryExpr = q match {
       case s: Select => select(s)
-      case With(ctes, body) =>
+      case With(ctes, body, rec) =>
         // textual order: CTE bodies first, then the main query
-        With(ctes.map { case (n, cq) => (n, query(cq)) }, query(body))
+        With(ctes.map { case (n, cq) => (n, query(cq)) }, query(body), rec)
       case SetOp(l, op, all, r, ob, lim) =>
         SetOp(query(l), op, all, query(r),
           ob.map(k => k.copy(expr = expr(k.expr))), lim.map(limit))

@@ -42,7 +42,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   private var cteScope: Map[String, DataFrame] = Map.empty
 
   def query(q: QueryExpr): DataFrame = q match {
-    case With(ctes, body) =>
+    case With(ctes, body, recursive) =>
       val dup = ctes.groupBy(_._1.toLowerCase(java.util.Locale.ROOT))
         .collectFirst { case (n, vs) if vs.length > 1 => n }
       dup.foreach(n => throw new GraftAnalysisException(
@@ -51,7 +51,10 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       try {
         ctes.foreach { case (n, cq) =>
           // later CTEs see earlier ones (standard WITH scoping)
-          cteScope = cteScope + (n.toLowerCase(java.util.Locale.ROOT) -> query(cq))
+          val df =
+            if (recursive && referencesRel(cq, n)) recursiveCte(n, cq)
+            else query(cq)
+          cteScope = cteScope + (n.toLowerCase(java.util.Locale.ROOT) -> df)
         }
         query(body)
       } finally cteScope = saved
@@ -69,6 +72,87 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       if (orderBy.nonEmpty) out = out.orderBy(orderBy.map(sortOnOutput(out, _)): _*)
       out = applyLimit(out, limit)
       out
+  }
+
+  // ------------------------------------------------------------------
+  // WITH RECURSIVE — driver-coordinated fixpoint
+  // ------------------------------------------------------------------
+
+  /** Does any FROM clause or subquery inside `q` reference relation `name`? */
+  private def referencesRel(q: QueryExpr, name: String): Boolean = {
+    val key = name.toLowerCase(java.util.Locale.ROOT)
+    def inRel(r: Relation): Boolean = r match {
+      case t: TableRef      => t.name.toLowerCase(java.util.Locale.ROOT) == key
+      case d: DerivedRel    => inQuery(d.query)
+      case v: ValuesRel     => false
+      case s: SampleRel     => inRel(s.rel)
+      case j: JoinRel       => inRel(j.left) || inRel(j.right)
+    }
+    def inExpr(e: Expr): Boolean = Expr.fold(e, false) {
+      case (acc, ScalarSubquery(sq))      => acc || inQuery(sq)
+      case (acc, InSubquery(_, sq, _))    => acc || inQuery(sq)
+      case (acc, Exists(sq, _))           => acc || inQuery(sq)
+      case (acc, QuantifiedCmp(_, _, sq, _)) => acc || inQuery(sq)
+      case (acc, _)                       => acc
+    }
+    def inQuery(qq: QueryExpr): Boolean = qq match {
+      case With(cs, b, _) =>
+        // an inner CTE of the same name shadows the outer one
+        val shadowed = cs.exists(_._1.toLowerCase(java.util.Locale.ROOT) == key)
+        cs.exists(c => inQuery(c._2)) || (!shadowed && inQuery(b))
+      case SetOp(l, _, _, r, ob, _) =>
+        inQuery(l) || inQuery(r) || ob.exists(k => inExpr(k.expr))
+      case s: Select =>
+        s.from.exists(inRel) ||
+          s.projection.exists(p => inExpr(p.expr)) ||
+          s.where.exists(inExpr) ||
+          s.groupBy.exists(g => g.exprs.exists(inExpr) || g.having.exists(inExpr)) ||
+          s.qualify.exists(inExpr) ||
+          s.orderBy.exists(k => inExpr(k.expr))
+    }
+    inQuery(q)
+  }
+
+  /** Evaluate a self-referencing CTE as a fixpoint loop. Shape must be
+    * `anchor UNION [ALL] step` with no trailing ORDER BY/LIMIT.
+    *
+    * Scale notes: each iteration is one distributed job over the previous
+    * DELTA only (standard semi-naive evaluation); deltas are
+    * localCheckpoint()ed so lineage stays flat at any depth. UNION dedups
+    * the step against everything seen — cycle-safe closure; UNION ALL
+    * terminates when a step yields no rows (depth-bounded recursions). */
+  private def recursiveCte(name: String, cq: QueryExpr): DataFrame = cq match {
+    case SetOp(anchor, Union, all, step, ob, lim) if ob.isEmpty && lim.isEmpty =>
+      if (referencesRel(anchor, name))
+        throw new GraftAnalysisException(
+          s"WITH RECURSIVE $name: the anchor (first) branch must not reference $name")
+      val maxIter = 200
+      val key = name.toLowerCase(java.util.Locale.ROOT)
+      val saved = cteScope
+      try {
+        val anchored = { val a = query(anchor); (if (all) a else a.distinct()) }
+          .localCheckpoint()
+        // accumulated result = union of checkpointed deltas (no recompute)
+        val parts = scala.collection.mutable.Buffer[DataFrame](anchored)
+        var delta = anchored
+        var i = 0
+        while (!delta.isEmpty) {
+          i += 1
+          if (i > maxIter) throw new GraftAnalysisException(
+            s"WITH RECURSIVE $name did not converge within $maxIter iterations " +
+              "(UNION ALL recursion must be depth-bounded by its WHERE clause)")
+          cteScope = saved + (key -> delta)
+          val fresh = query(step)
+          delta = (if (all) fresh else fresh.except(parts.reduce(_ union _)))
+            .localCheckpoint()
+          if (!delta.isEmpty) parts += delta
+        }
+        parts.reduce(_ union _)
+      } finally cteScope = saved
+    case _ =>
+      throw new GraftAnalysisException(
+        s"WITH RECURSIVE $name must have the shape `anchor UNION [ALL] step` " +
+          "(no ORDER BY/LIMIT on the set operation)")
   }
 
   // ------------------------------------------------------------------

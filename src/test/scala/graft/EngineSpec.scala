@@ -675,6 +675,42 @@ class EngineSpec extends AnyFunSuite {
     assert(ast1 == ast2)
   }
 
+  test("WITH RECURSIVE: depth-bounded UNION ALL and cycle-safe UNION") {
+    // UNION ALL: classic counter recursion, stops via the WHERE bound
+    val seq = g.sql(
+      "with recursive t as (select 1 as n union all select n + 1 as n from t where n < 6) " +
+      "select n from t order by n").collect().map(_.getLong(0))
+    assert(seq.toSeq == (1L to 6L))
+    // UNION: functional-graph closure with cycles — dedup makes it converge
+    val reach = g.sql(
+      "with recursive r as (select 0 as k union select (k * 7 + 3) % 25 as k from r) " +
+      "select k from r order by k").collect().map(_.getLong(0)).toSeq
+    // 0 → 3 → 24 → 21 → 0 … : the orbit of 0 under k↦(7k+3) mod 25
+    assert(reach == Seq(0L, 3L, 21L, 24L), s"got $reach")
+    // a recursive CTE can feed a downstream join, and non-recursive CTEs
+    // coexist in the same RECURSIVE list
+    val n = g.sql(
+      "with recursive lim as (select 2 as mx), " +
+      "t as (select 0 as d union all select d + 1 as d from t where d < (select mx from lim)) " +
+      "select count(*) as n from t").collect().head.getLong(0)
+    assert(n == 3L)
+    // anchor referencing itself is rejected with a clear error
+    val e = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("with recursive t as (select n from t union all select 1 as n) select n from t")
+    }
+    assert(e.getMessage.contains("anchor"), e.getMessage)
+    // non-convergent UNION ALL recursion hits the iteration guard
+    val e2 = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("with recursive t as (select 1 as n union all select n from t) " +
+        "select count(*) as n from t")
+    }
+    assert(e2.getMessage.contains("converge"), e2.getMessage)
+    // round-trips through the pretty-printer
+    val q = "with recursive t as (select 1 as n union all select n + 1 as n from t where n < 3) select n from t"
+    val ast1 = graft.parser.SqlParser.parse(q).toOption.get
+    assert(graft.parser.SqlParser.parse(graft.ast.Pretty.print(ast1)).toOption.get == ast1)
+  }
+
   test("IS [NOT] DISTINCT FROM is the null-safe comparison") {
     val r = g.sql(
       "select a, b, cast((a is distinct from b) as int) as d, " +
