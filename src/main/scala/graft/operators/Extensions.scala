@@ -57,6 +57,14 @@ object Extensions {
     "x05_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.nearDuplicates(docs(s, d), "text", "doc_id", threshold = 0.8)
         .orderBy("ida", "idb")),
+    // Pair output → per-doc CLUSTER assignment (min-label propagation over
+    // the verified near-dup graph); DuckDB recomputes the same components
+    // with a recursive transitive closure over the exact-Jaccard pairs.
+    "x27_cluster_dedup" -> ((s, d) => {
+      val pairs = Dedup.nearDuplicates(docs(s, d), "text", "doc_id", threshold = 0.8)
+        .select(col("ida"), col("idb")).localCheckpoint()
+      Components.connectedComponents(pairs).orderBy("id")
+    }),
     // Sign-LSH bucket candidates over the FULL corpus; correctness flags are
     // computed on a bounded sub-universe (vec_id < 500) so the verification
     // join stays O(500^2) at any scale factor. n_true_pairs is recomputed
@@ -235,6 +243,10 @@ object Extensions {
     // ---- repetition / type-token signals (Gopher-style quality filters) ----
     "x22_repetition" -> ((s, d) =>
       TextAnalysis.repetition(docs(s, d), "text", "doc_id").orderBy("doc_id")),
+    // ---- corpus vocabulary: top-k tokens by frequency (tokenizer-building
+    // / contamination-eyeballing staple; ties broken by token text) ----
+    "x28_vocab_topk" -> ((s, d) =>
+      TextAnalysis.vocab(docs(s, d), "text", "doc_id", k = 30)),
     // ---- deterministic train/test split: every row lands in one of the
     // two splits and the test fraction is near the requested 10% — both
     // engine-checkable as flags, one narrow pass ----
@@ -259,17 +271,32 @@ object Extensions {
   private def duckStopHits(t: String) =
     s"len(list_filter(regexp_split_to_array(lower(trim($t)), '\\s+'), x -> list_contains($swList, x)))"
 
-  /** DuckDB all-pairs exact word-3-gram Jaccard (list-comprehension
-    * shingles mirror [[Dedup.shingleRows]]: lower/trim, split on \s+,
-    * short docs collapse to the whole text, set semantics). */
-  private def duckJaccardTruth(thr: Double): String = {
-    val j = "CAST(len(list_intersect(a.grams,b.grams)) AS DOUBLE)/len(list_distinct(a.grams || b.grams))"
-    "WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+  /** Shared CTE prefix for the DuckDB all-pairs exact word-3-gram Jaccard
+    * (list-comprehension shingles mirror [[Dedup.shingleRows]]: lower/trim,
+    * split on \s+, short docs collapse to the whole text, set semantics). */
+  private val duckJaccardExpr =
+    "CAST(len(list_intersect(a.grams,b.grams)) AS DOUBLE)/len(list_distinct(a.grams || b.grams))"
+  private val duckGramCtes =
+    "d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), " +
     "g AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws,' ')] " +
-    "ELSE list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) END AS grams FROM d) " +
-    s"SELECT a.doc_id AS ida, b.doc_id AS idb, ROUND($j, 4) AS jaccard " +
-    s"FROM g a JOIN g b ON a.doc_id < b.doc_id WHERE $j >= $thr ORDER BY ida, idb"
-  }
+    "ELSE list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) END AS grams FROM d)"
+
+  private def duckJaccardTruth(thr: Double): String =
+    s"WITH $duckGramCtes " +
+    s"SELECT a.doc_id AS ida, b.doc_id AS idb, ROUND($duckJaccardExpr, 4) AS jaccard " +
+    s"FROM g a JOIN g b ON a.doc_id < b.doc_id WHERE $duckJaccardExpr >= $thr ORDER BY ida, idb"
+
+  /** Connected components of the exact-Jaccard pair graph via recursive
+    * transitive closure (small at the gate corpus; the engine side runs
+    * the distributed min-label loop instead). */
+  private def duckComponentsTruth(thr: Double): String =
+    s"WITH RECURSIVE $duckGramCtes, " +
+    s"p AS (SELECT a.doc_id AS ida, b.doc_id AS idb FROM g a JOIN g b " +
+    s"ON a.doc_id < b.doc_id WHERE $duckJaccardExpr >= $thr), " +
+    "e AS (SELECT ida AS s, idb AS t FROM p UNION SELECT idb, ida FROM p), " +
+    "walk AS (SELECT s AS id, t AS reach FROM e UNION SELECT s, s FROM e " +
+    "UNION SELECT w.id, e2.t FROM walk w JOIN e e2 ON w.reach = e2.s) " +
+    "SELECT id, MIN(reach) AS comp FROM walk GROUP BY id ORDER BY id"
 
   /** DuckDB reimplementation of the stopword-profile argmax language ID —
     * a full cross-engine oracle of [[TextAnalysis.langIdDF]]. */
@@ -311,6 +338,11 @@ object Extensions {
       // DuckDB all-pairs truth (recall-complete at the gate corpus)
       "x03_dedup_minhash_lsh" -> duckJaccardTruth(0.7),
       "x05_dedup_ngram_jaccard" -> duckJaccardTruth(0.8),
+      "x27_cluster_dedup" -> duckComponentsTruth(0.8),
+      "x28_vocab_topk" -> (
+        "SELECT tok AS term, count(*) AS n FROM (SELECT unnest(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents) " +
+        "WHERE tok <> '' GROUP BY tok ORDER BY n DESC, term LIMIT 30"),
       "x04_dedup_simhash" -> (
         "SELECT CAST(1 AS INTEGER) AS all_within, CAST(1 AS INTEGER) AS ordered_pairs, " +
         "CAST(1 AS INTEGER) AS precision_ok"),

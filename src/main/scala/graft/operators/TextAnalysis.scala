@@ -220,6 +220,20 @@ object TextAnalysis {
       phone, "<NUM>")
   }
 
+  /** Corpus-level vocabulary: the `k` most frequent tokens with counts
+    * (tokenization identical to [[tfidf]]/[[repetition]]: lower, trim,
+    * split on \s+, drop empties). Ties broken by token text so the cut is
+    * deterministic. One explode + one partial-aggregated groupBy, then a
+    * TakeOrdered(k) — the full token table never sorts globally, so the
+    * cost at 100 TB is the aggregation shuffle only. */
+  def vocab(df: DataFrame, textCol: String, idCol: String, k: Int = 100): DataFrame =
+    Par.widen(df, idCol)
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+
   /** Per-document repetition signals (Gopher/C4-style quality filters):
     * `rep_ratio` = share of the most frequent token, `ttr` = type-token
     * ratio (distinct/total). One explode + two codegen'd aggregations. */

@@ -424,4 +424,40 @@ class OperatorsSpec extends AnyFunSuite {
     val printed = graft.ast.Pretty.print(ast)
     assert(graft.parser.SqlParser.parse(printed).toOption.get == ast, printed)
   }
+
+  test("connected components: chains, cycles, separate clusters, dedup") {
+    // two components: a 4-chain {1,2,3,4} and a triangle {10,11,12}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("ida", "idb")
+    val comp = Components.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), s"got $comp")
+    // representatives: one row per cluster with its size
+    val reps = Components.representatives(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(1L -> 4L, 10L -> 3L), s"got $reps")
+    // dedupByCluster keeps the min-id rep and every unpaired row
+    val d = (1L to 12L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val kept = Components.dedupByCluster(d, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 6L, 7L, 8L, 9L, 10L), s"got $kept")
+    // order-insensitive: reversed pair columns give the same labels
+    val rev = pairs.select(col("idb").as("ida"), col("ida").as("idb"))
+    val comp2 = Components.connectedComponents(rev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp2 == comp)
+  }
+
+  test("vocab: corpus top-k token counts with deterministic ties") {
+    val d = Seq((1L, "a b b c"), (2L, "B a  a"), (3L, "")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocab(d, "text", "doc_id", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // a:3, b:3 (case-folded), c:1 → top-2 ties broken by token text
+    assert(v.toSeq == Seq(("a", 3L), ("b", 3L)), s"got ${v.toSeq}")
+    // real corpus: monotone counts, k rows
+    val top = TextAnalysis.vocab(docs, "text", "doc_id", k = 10)
+      .collect().map(_.getLong(1))
+    assert(top.length == 10 && top.toSeq == top.sorted(Ordering[Long].reverse).toSeq)
+  }
 }
