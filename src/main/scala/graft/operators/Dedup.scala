@@ -198,7 +198,10 @@ object Dedup {
 
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 3): DataFrame = {
-    val withSig = simhashSignatures(df, textCol, idCol)
+    // materialize once (rows × 16 bytes): both sides of the bucket
+    // self-join read the signatures, and the two sides alias differently
+    // so exchange reuse cannot deduplicate the agg subtree on its own
+    val withSig = simhashSignatures(df, textCol, idCol).localCheckpoint()
     val chunked = withSig.select(col("id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk"),
@@ -226,8 +229,11 @@ object Dedup {
     val wanted = pairs.select(col("ida").as(idCol))
       .union(pairs.select(col("idb").as(idCol))).distinct()
     val needed = docs.join(wanted, Seq(idCol), "left_semi")
+    // materialized once: referenced by BOTH pair-side joins below, which
+    // would otherwise each re-run the shingle + collect_set pipeline
     val g = shingleRows(needed, textCol, idCol, n)
       .groupBy(col("id")).agg(collect_set(col("sh")).as("__grams"))
+      .localCheckpoint()
     pairs
       .join(g.select(col("id").as("ida"), col("__grams").as("ga")), "ida")
       .join(g.select(col("id").as("idb"), col("__grams").as("gb")), "idb")
@@ -265,7 +271,9 @@ object Dedup {
                        minCos: Double = 0.4, tables: Int = 4, bits: Int = 4,
                        seed: Long = 42L): DataFrame = {
     val bk = explode(Similarity.hyperplaneBuckets(col(vecCol), tables, bits, seed))
+    // materialized once — both self-join sides read the bucketed vectors
     val b = Par.widen(emb, idCol).select(col(idCol).as("id"), col(vecCol).as("v"), bk.as("bucket"))
+      .localCheckpoint()
     val l = b.select(col("bucket"), col("id").as("ida"), col("v").as("va"))
     val r = b.select(col("bucket"), col("id").as("idb"), col("v").as("vb"))
     l.join(r, Seq("bucket")).where(col("ida") < col("idb"))
