@@ -377,6 +377,31 @@ object SparkEntry {
       "union select (k * 7 + 3) % 25 as k from reach) " +
       "select r.k as k, n.n_name as name from reach r " +
       "join nation n on n.n_nationkey = r.k order by k")),
+    // ---- NULL-handling scalar breadth: NULLIF / IFNULL / GREATEST /
+    // LEAST (same names + semantics in DuckDB) ----
+    "q57_null_fns" -> ((s, d) => g(s, d).sql(
+      "select o_orderkey as k, " +
+      "nullif(o_orderstatus, 'F') as nf, " +
+      "ifnull(nullif(o_orderstatus, 'F'), 'was_f') as inf, " +
+      "greatest(o_totalprice, 100000.0) as g, " +
+      "least(o_totalprice, cast(o_orderkey as double)) as l, " +
+      "coalesce(nullif(o_orderpriority, o_orderpriority), o_orderstatus) as co " +
+      "from orders where o_orderkey < 300 order by k")),
+    // ---- PIVOT: long → wide with an explicit value list (static plan,
+    // one codegen'd aggregate per value; no distinct-discovery scan) ----
+    "q58_pivot" -> ((s, d) => g(s, d).sql(
+      "select * from (select o_orderpriority as pr, o_orderstatus as st, o_totalprice as p from orders) as t " +
+      "pivot (round(sum(p), 2) for st in ('F' as f, 'O' as o, 'P' as pp)) " +
+      "order by pr")),
+    // ---- ASOF [LEFT] JOIN dialect surface (lowers to operators.AsOf:
+    // union + ONE keyed shuffle + running window, no range-join blowup) ----
+    "q59_asof_dialect" -> ((s, d) => g(s, d).sql(
+      "select event_id, ref_id, round(ref_value, 4) as rv " +
+      "from (select event_id, event_type, ts from events where event_id % 10 <> 0) as l " +
+      "asof left join (select event_type, ts, event_id as ref_id, value as ref_value " +
+      "from events where event_id % 10 = 0) as r " +
+      "on l.event_type = r.event_type and l.ts >= r.ts " +
+      "order by event_id")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -586,6 +611,27 @@ object SparkEntry {
        "UNION SELECT (k * 7 + 3) % 25 AS k FROM reach) " +
        "SELECT r.k AS k, n.n_name AS name FROM reach r " +
        "JOIN nation n ON n.n_nationkey = r.k ORDER BY k"),
+    "q58_pivot" ->
+      ("SELECT pr, ROUND(SUM(CASE WHEN st = 'F' THEN p END), 2) AS f, " +
+       "ROUND(SUM(CASE WHEN st = 'O' THEN p END), 2) AS o, " +
+       "ROUND(SUM(CASE WHEN st = 'P' THEN p END), 2) AS pp " +
+       "FROM (SELECT o_orderpriority AS pr, o_orderstatus AS st, o_totalprice AS p FROM orders) " +
+       "GROUP BY pr ORDER BY pr"),
+    "q59_asof_dialect" ->
+      ("WITH l AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_id % 10 <> 0), " +
+       "r AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id AS ref_id, value AS ref_value " +
+       "FROM events WHERE event_id % 10 = 0) " +
+       "SELECT l.event_id, r.ref_id, ROUND(r.ref_value, 4) AS rv " +
+       "FROM l ASOF LEFT JOIN r ON l.event_type = r.event_type AND l.ts >= r.ts " +
+       "ORDER BY l.event_id"),
+    "q57_null_fns" ->
+      ("SELECT o_orderkey AS k, " +
+       "nullif(o_orderstatus, 'F') AS nf, " +
+       "ifnull(nullif(o_orderstatus, 'F'), 'was_f') AS inf, " +
+       "greatest(o_totalprice, 100000.0) AS g, " +
+       "least(o_totalprice, CAST(o_orderkey AS DOUBLE)) AS l, " +
+       "coalesce(nullif(o_orderpriority, o_orderpriority), o_orderstatus) AS co " +
+       "FROM orders WHERE o_orderkey < 300 ORDER BY k"),
     "q52_quantified" ->
       ("SELECT o_orderkey AS k, o_totalprice AS p FROM orders " +
        "WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders WHERE o_custkey = 1) " +

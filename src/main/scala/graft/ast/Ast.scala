@@ -226,6 +226,15 @@ final case class ValuesRel(rows: Seq[Seq[Expr]], alias: String,
 final case class SampleRel(rel: Relation, percent: Double,
                            seed: Option[Long]) extends Relation
 
+/** `rel PIVOT (agg FOR col IN (v [AS name], …))` — Spark-SQL-style pivot
+  * (beyond-reference extension; wide feature matrices). Groups implicitly
+  * on every column not named in the aggregate or the pivot column, one
+  * output column per IN value. Values must be literals (the explicit
+  * value list is what keeps the plan static — no driver-side distinct
+  * scan to discover columns). */
+final case class PivotRel(rel: Relation, agg: FuncCall, pivotCol: ColRef,
+                          values: Seq[(Expr, Option[String])]) extends Relation
+
 final case class JoinRel(
     left: Relation,
     right: Relation,
@@ -238,6 +247,12 @@ case object LeftJoin extends JoinKind
 case object RightJoin extends JoinKind
 case object FullJoin extends JoinKind
 case object CrossJoin extends JoinKind
+/** `ASOF [LEFT] JOIN … ON keys = … AND l.t >= r.t` — for each left row,
+  * the single latest right row at-or-before its time on the same keys
+  * (DuckDB-compatible surface; beyond-reference extension). LEFT keeps
+  * unmatched left rows with NULL payload; plain ASOF drops them. Lowers
+  * to operators.AsOf.join — one keyed shuffle, no range-join blowup. */
+final case class AsofJoin(leftOuter: Boolean) extends JoinKind
 
 sealed trait JoinCondition
 final case class On(predicate: Expr) extends JoinCondition

@@ -119,6 +119,10 @@ object Pretty {
     case SampleRel(base, pct, seed) =>
       val p = if (pct == pct.floor) pct.toLong.toString else pct.toString
       s"${rel(base)} sample ($p percent)${seed.fold("")(s => s" seed $s")}"
+    case PivotRel(base, agg, c, vs) =>
+      val values = vs.map { case (v, a) =>
+        expr(v) + a.fold("")(n => s" as $n") }.mkString(", ")
+      s"${rel(base)} pivot (${expr(agg)} for ${expr(c)} in ($values))"
     case ValuesRel(rows, alias, cols) =>
       val rs = rows.map(r => r.map(expr).mkString("(", ", ", ")")).mkString(", ")
       s"(values $rs) as $alias${cols.fold("")(_.mkString("(", ", ", ")"))}"
@@ -133,6 +137,7 @@ object Pretty {
         case RightJoin => "right join"
         case FullJoin  => "full outer join"
         case CrossJoin => "cross join"
+        case AsofJoin(lo) => if (lo) "asof left join" else "asof join"
       }
       val c = cond match {
         case None             => ""

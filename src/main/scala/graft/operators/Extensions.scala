@@ -247,6 +247,23 @@ object Extensions {
     // / contamination-eyeballing staple; ties broken by token text) ----
     "x28_vocab_topk" -> ((s, d) =>
       TextAnalysis.vocab(docs(s, d), "text", "doc_id", k = 30)),
+    // ---- stratified (per-class) sampling: seeded Bernoulli per stratum
+    // via sampleBy — class rebalancing. Draws differ across engines, so
+    // the gate checks deterministic FLAGS: only requested strata survive,
+    // per-stratum keep-rates near the requested fractions ----
+    "x29_stratified_sample" -> ((s, d) => {
+      val base = docs(s, d)
+      val kept = Sampling.stratified(base, "lang",
+        Map[Any, Double]("en" -> 0.5, "de" -> 0.25), seed = 42L)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+      val tot = base.groupBy("lang").agg(count(lit(1)).as("t"))
+      kept.join(tot, "lang").agg(
+        (count(lit(1)) === 2).cast("int").as("only_named_strata"),
+        (sum(when(col("lang") === "en" && col("n") > col("t") * 0.3 &&
+          col("n") < col("t") * 0.7, 1).otherwise(0)) === 1).cast("int").as("en_in_range"),
+        (sum(when(col("lang") === "de" && col("n") > col("t") * 0.05 &&
+          col("n") < col("t") * 0.5, 1).otherwise(0)) === 1).cast("int").as("de_in_range"))
+    }),
     // ---- deterministic train/test split: every row lands in one of the
     // two splits and the test fraction is near the requested 10% — both
     // engine-checkable as flags, one narrow pass ----
@@ -450,6 +467,9 @@ object Extensions {
         "SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE)/SUM(c), 6) AS rep_ratio, " +
         "ROUND(CAST(COUNT(*) AS DOUBLE)/SUM(c), 6) AS ttr FROM t2 GROUP BY 1 ORDER BY 1"),
       "x18_sample_dialect" -> "SELECT CAST(1 AS BIGINT) AS ok",
+      "x29_stratified_sample" -> (
+        "SELECT CAST(1 AS INTEGER) AS only_named_strata, " +
+        "CAST(1 AS INTEGER) AS en_in_range, CAST(1 AS INTEGER) AS de_in_range"),
       "x19_split_by_hash" ->
         "SELECT CAST(1 AS INTEGER) AS covers_all, CAST(1 AS INTEGER) AS test_in_range"
     )

@@ -41,7 +41,7 @@ object SqlParser extends RegexParsers with PackratParsers {
     "join", "inner", "left", "right", "full", "outer", "cross", "on",
     "using", "union", "except", "intersect", "all", "distinct", "create",
     "insert", "into", "values", "update", "set", "delete", "asc", "desc",
-    "collate", "for", "rollup", "with", "qualify", "sample")
+    "collate", "for", "rollup", "with", "qualify", "sample", "pivot", "asof")
 
   private def kw(w: String): Parser[String] =
     (s"""(?i)\\Q$w\\E\\b""").r ^^ (_.toLowerCase(java.util.Locale.ROOT))
@@ -215,6 +215,7 @@ object SqlParser extends RegexParsers with PackratParsers {
 
   lazy val joinPart: PackratParser[JoinPart] = {
     val kind: Parser[JoinKind] =
+      kw("asof") ~> opt(kw("left")) <~ kw("join") ^^ (l => AsofJoin(l.isDefined)) |
       kw("cross") ~ kw("join") ^^^ CrossJoin |
       kw("inner") ~ kw("join") ^^^ InnerJoin |
       kw("left") ~ opt(kw("outer")) ~ kw("join") ^^^ LeftJoin |
@@ -249,9 +250,20 @@ object SqlParser extends RegexParsers with PackratParsers {
             val pct = v match { case l: Long => l.toDouble; case d: Double => d }
             (pct, s.map(_.toLong))
         }
-    base ~ opt(sample) ^^ {
-      case r ~ None            => r
-      case r ~ Some((pct, sd)) => SampleRel(r, pct, sd)
+    // `PIVOT (agg FOR col IN (v [as name], …))` — explicit literal values
+    val pivotVal: Parser[(Expr, Option[String])] =
+      expr ~ opt(opt(kw("as")) ~> ident) ^^ { case v ~ a => (v, a) }
+    val pivot: PackratParser[Relation => Relation] =
+      kw("pivot") ~> "(" ~> funcCall ~ (kw("for") ~> colRef) ~
+        (kw("in") ~> "(" ~> rep1sep(pivotVal, ",") <~ ")") <~ ")" ^^ {
+          case (f: FuncCall) ~ c ~ vs => (r: Relation) => PivotRel(r, f, c, vs)
+          case other ~ _ ~ _ => throw new IllegalArgumentException(
+            s"PIVOT requires an aggregate call, got $other")
+        }
+    base ~ opt(sample) ~ opt(pivot) ^^ {
+      case r ~ s ~ p =>
+        val sampled = s.fold(r) { case (pct, sd) => SampleRel(r, pct, sd) }
+        p.fold(sampled)(f => f(sampled))
     }
   }
 

@@ -82,6 +82,9 @@ object Params {
     private def relation(r: Relation): Relation = r match {
       case t: TableRef => t
       case SampleRel(b, p, s)   => SampleRel(relation(b), p, s)
+      case PivotRel(b, agg, c, vs) =>
+        PivotRel(relation(b), expr(agg).asInstanceOf[FuncCall], c,
+          vs.map { case (v, a) => (expr(v), a) })
       case ValuesRel(rows, a, cs) => ValuesRel(rows.map(_.map(expr)), a, cs)
       case DerivedRel(q, a, w)  => DerivedRel(query(q), a, w)
       case JoinRel(l, rr, k, c) => JoinRel(relation(l), relation(rr), k, c.map {

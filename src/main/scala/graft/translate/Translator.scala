@@ -86,6 +86,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       case d: DerivedRel    => inQuery(d.query)
       case v: ValuesRel     => false
       case s: SampleRel     => inRel(s.rel)
+      case pv: PivotRel     => inRel(pv.rel)
       case j: JoinRel       => inRel(j.left) || inRel(j.right)
     }
     def inExpr(e: Expr): Boolean = Expr.fold(e, false) {
@@ -596,6 +597,34 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         .select(names.map(nm => col("__row").getField(nm).as(nm)): _*)
       RelPlan(df.alias(alias), Nil, windowed = false)
 
+    case PivotRel(rel0, agg, pcol, values) =>
+      val p = relation(rel0)
+      if (p.windowed)
+        throw new GraftAnalysisException("PIVOT cannot follow a window spec")
+      // implicit grouping = every column not consumed by the aggregate or
+      // the pivot column (Spark SQL PIVOT semantics)
+      val argCols = agg.args.flatMap(a => Expr.fold(a, Seq.empty[String]) {
+        case (acc, ColRef(_, n)) => acc :+ n.toLowerCase(java.util.Locale.ROOT)
+        case (acc, _)            => acc
+      }).toSet
+      val exclude = argCols + pcol.name.toLowerCase(java.util.Locale.ROOT)
+      val groupCols = p.df.columns.filterNot(c =>
+        exclude(c.toLowerCase(java.util.Locale.ROOT)))
+      val vals = values.map {
+        case (Lit(v), _) if v != null => v
+        case (other, _) => throw new GraftAnalysisException(
+          s"PIVOT IN values must be non-null literals, got: ${graft.ast.Pretty.expr(other)}")
+      }
+      // the explicit value list keeps the plan static — one codegen'd
+      // aggregate per value, no distinct-scan of the pivot column
+      var out = p.df.groupBy(groupCols.map(col): _*)
+        .pivot(pcol.name, vals).agg(expr(agg))
+      values.foreach {
+        case (Lit(v), Some(alias)) => out = out.withColumnRenamed(String.valueOf(v), alias)
+        case _ =>
+      }
+      RelPlan(out, Nil, windowed = false)
+
     case SampleRel(rel0, pct, seed) =>
       if (pct < 0 || pct > 100)
         throw new GraftAnalysisException(s"sample percent must be in [0, 100], got $pct")
@@ -607,6 +636,68 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         case None     => p.df.sample(pct / 100.0)
       }
       p.copy(df = sampled)
+
+    case JoinRel(l, r, AsofJoin(leftOuter), cond) =>
+      val lp = relation(l)
+      val rp = relation(r)
+      if (lp.windowed || rp.windowed)
+        throw new GraftAnalysisException("ASOF JOIN cannot take window specs")
+      val rAlias = (r match {
+        case t: TableRef   => Some(t.refName)
+        case d: DerivedRel => Some(d.alias)
+        case _             => None
+      }).getOrElse(throw new GraftAnalysisException(
+        "ASOF JOIN: the right side must be a named table or aliased subquery"))
+      val pred = cond match {
+        case Some(On(p)) => p
+        case _ => throw new GraftAnalysisException(
+          "ASOF JOIN requires ON key-equalities AND one l.t >= r.t time condition")
+      }
+      def isRight(c: ColRef): Boolean =
+        c.qualifier.exists(_.equalsIgnoreCase(rAlias))
+      def sides(a: Expr, b: Expr, what: String): (ColRef, ColRef) = (a, b) match {
+        case (ca: ColRef, cb: ColRef) if isRight(cb) && !isRight(ca) => (ca, cb)
+        case (ca: ColRef, cb: ColRef) if isRight(ca) && !isRight(cb) => (cb, ca)
+        case _ => throw new GraftAnalysisException(
+          s"ASOF JOIN $what must compare a left column to a right column " +
+            s"(qualify with the right side's name `$rAlias`): " +
+            s"${graft.ast.Pretty.expr(Cmp("=", a, b))}")
+      }
+      var keyPairs = Seq.empty[(String, String)]   // (leftName, rightName)
+      var timePair: Option[(String, String)] = None
+      splitAnd(pred).foreach {
+        case Cmp("=", a, b) => keyPairs :+= { val (lc, rc) = sides(a, b, "key"); (lc.name, rc.name) }
+        case Cmp(">=", a, b) =>
+          val (lc, rc) = sides(a, b, "time condition")
+          // the left ref must sit on the >= side: latest right AT-OR-BEFORE
+          if (!isRight(a.asInstanceOf[ColRef]))
+            timePair = Some((lc.name, rc.name))
+          else throw new GraftAnalysisException(
+            "ASOF JOIN time condition must be left.t >= right.t (latest at-or-before)")
+        case Cmp("<=", a, b) =>
+          val (lc, rc) = sides(a, b, "time condition")
+          if (isRight(a.asInstanceOf[ColRef]))
+            timePair = Some((lc.name, rc.name))
+          else throw new GraftAnalysisException(
+            "ASOF JOIN time condition must be left.t >= right.t (latest at-or-before)")
+        case other => throw new GraftAnalysisException(
+          "ASOF JOIN ON supports only key equalities and one >= time condition, got: " +
+            graft.ast.Pretty.expr(other))
+      }
+      val (lTime, rTime) = timePair.getOrElse(throw new GraftAnalysisException(
+        "ASOF JOIN needs exactly one l.t >= r.t time condition"))
+      // align right-side names with left's, add a match marker for the
+      // inner variant, and drop the alias wrappers (AsOf rebuilds the rows)
+      var rdf = rp.df.withColumn("__asof_m", lit(1))
+      (keyPairs :+ ((lTime, rTime))).foreach { case (ln, rn) =>
+        if (ln != rn) rdf = rdf.withColumnRenamed(rn, ln)
+      }
+      val joined = graft.operators.AsOf.join(
+        lp.df, rdf, keyPairs.map(_._1), lTime)
+      val out =
+        if (leftOuter) joined.drop("__asof_m")
+        else joined.where(col("__asof_m") === 1).drop("__asof_m")
+      RelPlan(out, Nil, windowed = false)
 
     case JoinRel(l, r, kind, cond) =>
       val lp = relation(l)
@@ -651,6 +742,8 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     case RightJoin => "right_outer"
     case FullJoin  => "full_outer"
     case CrossJoin => "cross"
+    case _: AsofJoin => throw new GraftAnalysisException(
+      "ASOF JOIN is handled by its own translation path") // unreachable
   }
 
   /** FSQL time-unit name → microseconds (fsql/parser.scala:356). */

@@ -711,6 +711,63 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.parser.SqlParser.parse(graft.ast.Pretty.print(ast1)).toOption.get == ast1)
   }
 
+  test("PIVOT: long to wide with explicit values, aliases, implicit grouping") {
+    val r = g.sql(
+      "select * from (values (1, 'a', 10.0), (1, 'b', 2.0), (2, 'a', 5.0)) as t(k, c, v) " +
+      "pivot (sum(v) for c in ('a' as va, 'b' as vb)) order by k")
+    assert(r.columns.toSeq == Seq("k", "va", "vb"))
+    val rows = r.collect().map(x => (x.getLong(0), x.get(1), x.get(2)))
+    assert(rows.toSeq == Seq((1L, 10.0, 2.0), (2L, 5.0, null)), s"got ${rows.toSeq}")
+    // unnamed values keep the value text as the column name
+    val r2 = g.sql(
+      "select * from (values (1, 'a', 10.0)) as t(k, c, v) pivot (count(v) for c in ('a'))")
+    assert(r2.columns.toSeq == Seq("k", "a"))
+    // non-literal IN values are rejected clearly
+    val e = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("select * from (values (1, 'a', 1.0)) as t(k, c, v) pivot (sum(v) for c in (k))")
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+    // round-trips through the pretty-printer
+    val q = "select * from t pivot (sum(v) for c in ('a' as va, 'b')) order by k"
+    val ast1 = graft.parser.SqlParser.parse(q).toOption.get
+    assert(graft.parser.SqlParser.parse(graft.ast.Pretty.print(ast1)).toOption.get == ast1)
+  }
+
+  test("ASOF JOIN dialect: left and inner variants, error paths") {
+    g.sql("create stream asof_l (k int, t long, lv string) as " +
+      "(select * from (values (1, 10, 'x'), (1, 3, 'y'), (2, 5, 'z')) as v(k, t, lv))")
+    g.sql("create stream asof_r (k int, t long, rv string) as " +
+      "(select * from (values (1, 4, 'r4'), (1, 10, 'r10')) as v(k, t, rv))")
+    // LEFT: latest right at-or-before; unmatched keys keep NULL payload
+    val left = g.sql(
+      "select k, t, rv from asof_l as l asof left join asof_r as r " +
+      "on l.k = r.k and l.t >= r.t order by k, t")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(left.toSeq == Seq((1L, 3L, null), (1L, 10L, "r10"), (2L, 5L, null)),
+      s"got ${left.toSeq}")
+    // INNER: unmatched rows drop
+    val inner = g.sql(
+      "select k, t, rv from asof_l as l asof join asof_r as r " +
+      "on l.k = r.k and l.t >= r.t order by k, t")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(inner.toSeq == Seq((1L, 10L, "r10")), s"got ${inner.toSeq}")
+    // reversed time condition is rejected with a clear message
+    val e = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("select k from asof_l as l asof join asof_r as r on l.k = r.k and r.t >= l.t")
+    }
+    assert(e.getMessage.contains("at-or-before"), e.getMessage)
+    // missing time condition
+    val e2 = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("select k from asof_l as l asof join asof_r as r on l.k = r.k")
+    }
+    assert(e2.getMessage.contains("time condition"), e2.getMessage)
+    g.sql("drop stream asof_l"); g.sql("drop stream asof_r")
+    // round-trips through the pretty-printer
+    val q = "select a from l asof left join r on l.k = r.k and l.t >= r.t"
+    val ast1 = graft.parser.SqlParser.parse(q).toOption.get
+    assert(graft.parser.SqlParser.parse(graft.ast.Pretty.print(ast1)).toOption.get == ast1)
+  }
+
   test("IS [NOT] DISTINCT FROM is the null-safe comparison") {
     val r = g.sql(
       "select a, b, cast((a is distinct from b) as int) as d, " +
