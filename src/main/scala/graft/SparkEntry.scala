@@ -402,6 +402,11 @@ object SparkEntry {
       "from events where event_id % 10 = 0) as r " +
       "on l.event_type = r.event_type and l.ts >= r.ts " +
       "order by event_id")),
+    // ---- UNPIVOT: wide → long (narrow per-row expansion, no shuffle) ----
+    "q60_unpivot" -> ((s, d) => g(s, d).sql(
+      "select * from (select p_partkey as k, cast(p_size as double) as size, " +
+      "p_retailprice as price from part where p_partkey < 30) as t " +
+      "unpivot (val for metric in (size, price)) order by k, metric")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -624,6 +629,12 @@ object SparkEntry {
        "SELECT l.event_id, r.ref_id, ROUND(r.ref_value, 4) AS rv " +
        "FROM l ASOF LEFT JOIN r ON l.event_type = r.event_type AND l.ts >= r.ts " +
        "ORDER BY l.event_id"),
+    "q60_unpivot" ->
+      ("WITH t AS (SELECT p_partkey AS k, CAST(p_size AS DOUBLE) AS size, " +
+       "p_retailprice AS price FROM part WHERE p_partkey < 30) " +
+       "SELECT k, 'size' AS metric, size AS val FROM t " +
+       "UNION ALL SELECT k, 'price' AS metric, price AS val FROM t " +
+       "ORDER BY k, metric"),
     "q57_null_fns" ->
       ("SELECT o_orderkey AS k, " +
        "nullif(o_orderstatus, 'F') AS nf, " +

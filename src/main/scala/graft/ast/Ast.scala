@@ -235,6 +235,11 @@ final case class SampleRel(rel: Relation, percent: Double,
 final case class PivotRel(rel: Relation, agg: FuncCall, pivotCol: ColRef,
                           values: Seq[(Expr, Option[String])]) extends Relation
 
+/** `rel UNPIVOT (valCol FOR nameCol IN (c1, c2, …))` — wide → long
+  * (Spark `Dataset.unpivot`; a narrow per-row expansion, no shuffle). */
+final case class UnpivotRel(rel: Relation, valCol: String, nameCol: String,
+                            cols: Seq[String]) extends Relation
+
 final case class JoinRel(
     left: Relation,
     right: Relation,

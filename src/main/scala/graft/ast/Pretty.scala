@@ -123,6 +123,8 @@ object Pretty {
       val values = vs.map { case (v, a) =>
         expr(v) + a.fold("")(n => s" as $n") }.mkString(", ")
       s"${rel(base)} pivot (${expr(agg)} for ${expr(c)} in ($values))"
+    case UnpivotRel(base, v, n, cs) =>
+      s"${rel(base)} unpivot ($v for $n in (${cs.mkString(", ")}))"
     case ValuesRel(rows, alias, cols) =>
       val rs = rows.map(r => r.map(expr).mkString("(", ", ", ")")).mkString(", ")
       s"(values $rs) as $alias${cols.fold("")(_.mkString("(", ", ", ")"))}"

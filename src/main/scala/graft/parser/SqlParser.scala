@@ -41,7 +41,8 @@ object SqlParser extends RegexParsers with PackratParsers {
     "join", "inner", "left", "right", "full", "outer", "cross", "on",
     "using", "union", "except", "intersect", "all", "distinct", "create",
     "insert", "into", "values", "update", "set", "delete", "asc", "desc",
-    "collate", "for", "rollup", "with", "qualify", "sample", "pivot", "asof")
+    "collate", "for", "rollup", "with", "qualify", "sample", "pivot",
+    "unpivot", "asof")
 
   private def kw(w: String): Parser[String] =
     (s"""(?i)\\Q$w\\E\\b""").r ^^ (_.toLowerCase(java.util.Locale.ROOT))
@@ -260,7 +261,13 @@ object SqlParser extends RegexParsers with PackratParsers {
           case other ~ _ ~ _ => throw new IllegalArgumentException(
             s"PIVOT requires an aggregate call, got $other")
         }
-    base ~ opt(sample) ~ opt(pivot) ^^ {
+    // `UNPIVOT (valCol FOR nameCol IN (c1, c2, …))` — wide → long
+    val unpivot: PackratParser[Relation => Relation] =
+      kw("unpivot") ~> "(" ~> ident ~ (kw("for") ~> ident) ~
+        (kw("in") ~> "(" ~> rep1sep(ident, ",") <~ ")") <~ ")" ^^ {
+          case v ~ n ~ cs => (r: Relation) => UnpivotRel(r, v, n, cs)
+        }
+    base ~ opt(sample) ~ opt(pivot | unpivot) ^^ {
       case r ~ s ~ p =>
         val sampled = s.fold(r) { case (pct, sd) => SampleRel(r, pct, sd) }
         p.fold(sampled)(f => f(sampled))

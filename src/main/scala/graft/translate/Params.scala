@@ -85,6 +85,7 @@ object Params {
       case PivotRel(b, agg, c, vs) =>
         PivotRel(relation(b), expr(agg).asInstanceOf[FuncCall], c,
           vs.map { case (v, a) => (expr(v), a) })
+      case UnpivotRel(b, v, n, cs) => UnpivotRel(relation(b), v, n, cs)
       case ValuesRel(rows, a, cs) => ValuesRel(rows.map(_.map(expr)), a, cs)
       case DerivedRel(q, a, w)  => DerivedRel(query(q), a, w)
       case JoinRel(l, rr, k, c) => JoinRel(relation(l), relation(rr), k, c.map {

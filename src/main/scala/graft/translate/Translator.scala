@@ -87,6 +87,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       case v: ValuesRel     => false
       case s: SampleRel     => inRel(s.rel)
       case pv: PivotRel     => inRel(pv.rel)
+      case uv: UnpivotRel   => inRel(uv.rel)
       case j: JoinRel       => inRel(j.left) || inRel(j.right)
     }
     def inExpr(e: Expr): Boolean = Expr.fold(e, false) {
@@ -624,6 +625,21 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         case _ =>
       }
       RelPlan(out, Nil, windowed = false)
+
+    case UnpivotRel(rel0, valCol, nameCol, cols) =>
+      val p = relation(rel0)
+      if (p.windowed)
+        throw new GraftAnalysisException("UNPIVOT cannot follow a window spec")
+      val have = p.df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      cols.find(c => !have(c.toLowerCase(java.util.Locale.ROOT))).foreach(c =>
+        throw new GraftAnalysisException(s"UNPIVOT: unknown column: $c"))
+      val unpivotCols = cols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val ids = p.df.columns.filterNot(c =>
+        unpivotCols(c.toLowerCase(java.util.Locale.ROOT)))
+      // narrow per-row expansion (no shuffle); value columns are cast to
+      // their least common type by Spark, mismatches raise analysis errors
+      RelPlan(p.df.unpivot(ids.map(col), cols.map(col).toArray, nameCol, valCol),
+        Nil, windowed = false)
 
     case SampleRel(rel0, pct, seed) =>
       if (pct < 0 || pct > 100)

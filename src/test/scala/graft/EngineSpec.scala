@@ -768,6 +768,24 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.parser.SqlParser.parse(graft.ast.Pretty.print(ast1)).toOption.get == ast1)
   }
 
+  test("UNPIVOT: wide to long keeps id columns and row count × values") {
+    val r = g.sql(
+      "select * from (values (1, 10.0, 20.0), (2, 30.0, 40.0)) as t(k, a, b) " +
+      "unpivot (v for m in (a, b)) order by k, m")
+    assert(r.columns.toSeq == Seq("k", "m", "v"))
+    val rows = r.collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, "a", 10.0), (1L, "b", 20.0), (2L, "a", 30.0), (2L, "b", 40.0)))
+    // unknown column raises clearly
+    val e = intercept[graft.translate.GraftAnalysisException] {
+      g.sql("select * from (values (1, 2.0)) as t(k, a) unpivot (v for m in (zz))")
+    }
+    assert(e.getMessage.contains("unknown column"), e.getMessage)
+    // round-trips through the pretty-printer
+    val q = "select * from t unpivot (v for m in (a, b)) order by k"
+    val ast1 = graft.parser.SqlParser.parse(q).toOption.get
+    assert(graft.parser.SqlParser.parse(graft.ast.Pretty.print(ast1)).toOption.get == ast1)
+  }
+
   test("IS [NOT] DISTINCT FROM is the null-safe comparison") {
     val r = g.sql(
       "select a, b, cast((a is distinct from b) as int) as d, " +
