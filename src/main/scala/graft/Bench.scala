@@ -70,6 +70,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ > 0).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"agg":"min","queries":$qs,"sf":${q(sfDir)}}""")
+    // The driver keeps only the LAST ~2000 chars of output; with 90 queries
+    // the full line above is ~4 KB, so its head (and the "{"metric"...`
+    // opener) falls outside the window and the driver parses nothing.
+    // Emit a compact summary line LAST — slowest queries only, 3-decimal
+    // values — guaranteed to sit complete inside the tail window. Both
+    // lines carry the same total, so either parse is correct.
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val slowest = results.toSeq.sortBy(-_._2).take(15)
+      .map { case (k, v) => s"${q(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    val nFailed = results.values.count(_ < 0)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":2,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"queries":$slowest,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }
