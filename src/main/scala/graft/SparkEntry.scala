@@ -407,6 +407,71 @@ object SparkEntry {
       "select * from (select p_partkey as k, cast(p_size as double) as size, " +
       "p_retailprice as price from part where p_partkey < 30) as t " +
       "unpivot (val for metric in (size, price)) order by k, metric")),
+    // ---- DISTINCT ON (Postgres/DuckDB): one row per key tuple, picked by
+    // ORDER BY — lowers to a row_number window filter, no self-join ----
+    "q61_distinct_on" -> ((s, d) => g(s, d).sql(
+      "select distinct on (o_custkey % 100) o_custkey % 100 as bucket, " +
+      "o_orderkey, o_totalprice " +
+      "from orders order by o_custkey % 100, o_totalprice desc, o_orderkey")),
+    // ---- star modifiers: * EXCLUDE / REPLACE (DuckDB ergonomics for wide
+    // frames — projection still prunes at the scan) ----
+    "q62_star_modifiers" -> ((s, d) => g(s, d).sql(
+      "select * exclude (o_orderdate, o_orderpriority) " +
+      "replace (upper(o_orderstatus) as o_orderstatus) " +
+      "from orders where o_orderkey < 50 order by o_orderkey")),
+    // ---- explicit SEMI / ANTI JOIN (filtering joins as first-class
+    // syntax; plans as broadcast/shuffled hash semi join) ----
+    "q63_semi_anti" -> ((s, d) => g(s, d).sql(
+      "select 'semi' as k, count(*) as n from lineitem " +
+      "semi join part on l_partkey = p_partkey and p_size > 40 " +
+      "union all " +
+      "select 'anti' as k, count(*) as n from lineitem " +
+      "anti join part on l_partkey = p_partkey and p_size > 40 " +
+      "order by k")),
+    // ---- NATURAL JOIN: equi-join on all shared column names, resolved
+    // against both schemas at translation time ----
+    "q64_natural_join" -> ((s, d) => g(s, d).sql(
+      "select r_name, count(*) as n from nation " +
+      "natural join (select r_regionkey as n_regionkey, r_name from region) as r " +
+      "group by r_name order by r_name")),
+    // ---- array breadth: [literals], 1-based subscripts, split /
+    // array_contains / size / sort_array over derived arrays ----
+    "q65_array_breadth" -> ((s, d) => g(s, d).sql(
+      "select o_orderkey as k, split(o_orderpriority, '-')[1] as code, " +
+      "size(split(o_orderpriority, '-')) as nparts, " +
+      "array_contains(split(o_orderpriority, '-'), 'URGENT') as urgent, " +
+      "[10, 20, 30][3] as third " +
+      "from orders where o_orderkey < 100 order by k")),
+    // ---- TRY_CAST: NULL on invalid input (vs ANSI CAST's runtime error) ----
+    "q66_try_cast" -> ((s, d) => g(s, d).sql(
+      "select o_orderkey as k, try_cast(o_orderpriority as int) as bad, " +
+      "try_cast(cast(o_orderkey as string) as long) as good, " +
+      "try_cast(o_orderdate as date) as dt " +
+      "from orders where o_orderkey < 30 order by k")),
+    // ---- IGNORE NULLS in offset/value window functions (gap-filling /
+    // last-observation-carried-forward — a time-series staple) ----
+    "q67_ignore_nulls" -> ((s, d) => g(s, d).sql(
+      "select o_orderkey as k, " +
+      "last_value(case when o_orderkey % 7 = 0 then o_totalprice end) ignore nulls " +
+      "over (order by o_orderkey rows between unbounded preceding and current row) as locf, " +
+      "lag(case when o_orderkey % 5 = 0 then o_orderkey end, 1) ignore nulls " +
+      "over (order by o_orderkey) as prev5 " +
+      "from orders where o_orderkey < 200 order by k")),
+    // ---- GROUPING() / GROUPING_ID() on rollup frames: distinguish "NULL
+    // because subtotal" from "NULL data" ----
+    "q68_grouping_fn" -> ((s, d) => g(s, d).sql(
+      "select coalesce(o_orderstatus, 'ALL') as st, " +
+      "cast(grouping(o_orderstatus) as int) as gflag, count(*) as n, " +
+      "round(min(o_totalprice), 2) as lo, round(max(o_totalprice), 2) as hi " +
+      "from orders group by o_orderstatus with rollup order by gflag, st")),
+    // ---- WITHIN GROUP ordered-set aggregates: percentile_cont (exact,
+    // interpolated) + deterministic ordered string_agg ----
+    "q69_within_group" -> ((s, d) => g(s, d).sql(
+      "select n_regionkey as k, " +
+      "string_agg(n_name, '|') within group (order by n_name) as names, " +
+      "string_agg(n_name, ',') within group (order by n_name desc) as rnames, " +
+      "percentile_cont(0.5) within group (order by n_nationkey) as med " +
+      "from nation group by n_regionkey order by k")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -643,6 +708,56 @@ object SparkEntry {
        "least(o_totalprice, CAST(o_orderkey AS DOUBLE)) AS l, " +
        "coalesce(nullif(o_orderpriority, o_orderpriority), o_orderstatus) AS co " +
        "FROM orders WHERE o_orderkey < 300 ORDER BY k"),
+    "q61_distinct_on" ->
+      ("SELECT DISTINCT ON (o_custkey % 100) o_custkey % 100 AS bucket, " +
+       "o_orderkey, o_totalprice " +
+       "FROM orders ORDER BY o_custkey % 100, o_totalprice DESC, o_orderkey"),
+    "q62_star_modifiers" ->
+      ("SELECT * EXCLUDE (o_orderdate, o_orderpriority) " +
+       "REPLACE (upper(o_orderstatus) AS o_orderstatus) " +
+       "FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey"),
+    // EXISTS spelling keeps the oracle independent of DuckDB's own
+    // SEMI/ANTI JOIN syntax — same semantics by definition
+    "q63_semi_anti" ->
+      ("SELECT 'semi' AS k, count(*) AS n FROM lineitem WHERE EXISTS " +
+       "(SELECT 1 FROM part WHERE l_partkey = p_partkey AND p_size > 40) " +
+       "UNION ALL " +
+       "SELECT 'anti' AS k, count(*) AS n FROM lineitem WHERE NOT EXISTS " +
+       "(SELECT 1 FROM part WHERE l_partkey = p_partkey AND p_size > 40) " +
+       "ORDER BY k"),
+    "q64_natural_join" ->
+      ("SELECT r_name, count(*) AS n FROM nation " +
+       "JOIN (SELECT r_regionkey AS n_regionkey, r_name FROM region) r USING (n_regionkey) " +
+       "GROUP BY r_name ORDER BY r_name"),
+    "q65_array_breadth" ->
+      ("SELECT o_orderkey AS k, string_split(o_orderpriority, '-')[1] AS code, " +
+       "CAST(len(string_split(o_orderpriority, '-')) AS INTEGER) AS nparts, " +
+       "list_contains(string_split(o_orderpriority, '-'), 'URGENT') AS urgent, " +
+       "CAST([10, 20, 30][3] AS BIGINT) AS third " +
+       "FROM orders WHERE o_orderkey < 100 ORDER BY k"),
+    "q66_try_cast" ->
+      ("SELECT o_orderkey AS k, TRY_CAST(o_orderpriority AS INTEGER) AS bad, " +
+       "TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS good, " +
+       "TRY_CAST(o_orderdate AS DATE) AS dt " +
+       "FROM orders WHERE o_orderkey < 30 ORDER BY k"),
+    "q67_ignore_nulls" ->
+      ("SELECT o_orderkey AS k, " +
+       "last_value(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice END IGNORE NULLS) " +
+       "OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf, " +
+       "lag(CASE WHEN o_orderkey % 5 = 0 THEN o_orderkey END, 1 IGNORE NULLS) " +
+       "OVER (ORDER BY o_orderkey) AS prev5 " +
+       "FROM orders WHERE o_orderkey < 200 ORDER BY k"),
+    "q68_grouping_fn" ->
+      ("SELECT coalesce(o_orderstatus, 'ALL') AS st, " +
+       "CAST(grouping(o_orderstatus) AS INTEGER) AS gflag, count(*) AS n, " +
+       "ROUND(min(o_totalprice), 2) AS lo, ROUND(max(o_totalprice), 2) AS hi " +
+       "FROM orders GROUP BY ROLLUP(o_orderstatus) ORDER BY gflag, st"),
+    "q69_within_group" ->
+      ("SELECT n_regionkey AS k, " +
+       "string_agg(n_name, '|' ORDER BY n_name) AS names, " +
+       "string_agg(n_name, ',' ORDER BY n_name DESC) AS rnames, " +
+       "quantile_cont(n_nationkey, 0.5) AS med " +
+       "FROM nation GROUP BY n_regionkey ORDER BY k"),
     "q52_quantified" ->
       ("SELECT o_orderkey AS k, o_totalprice AS p FROM orders " +
        "WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders WHERE o_custkey = 1) " +

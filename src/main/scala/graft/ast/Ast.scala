@@ -137,7 +137,11 @@ final case class Select(
     // QUALIFY <pred>: filter on analytic/window results after projection
     // (Snowflake/DuckDB semantics: runs after window functions, before
     // DISTINCT/ORDER BY). Beyond-reference extension.
-    qualify: Option[Expr] = None) extends QueryExpr
+    qualify: Option[Expr] = None,
+    // DISTINCT ON (k, …) — Postgres/DuckDB: keep ONE row per key tuple,
+    // chosen by the query's ORDER BY (first row per key). Evaluated after
+    // QUALIFY, before ORDER BY/LIMIT. Empty = plain DISTINCT semantics.
+    distinctOn: Seq[Expr] = Nil) extends QueryExpr
 
 /** UNION/EXCEPT/INTERSECT [ALL] — flinkdsl/parser.scala:35-40. Unlike the
   * reference we keep (and honor) the ALL flag. */
@@ -164,7 +168,7 @@ object Projection {
     case Lit(_)            => "<constant>"
     case _: CaseWhen       => "case"
     case FuncCall(n, _, _) => n
-    case WindowFn(f, _, _, _) => f.name
+    case w: WindowFn       => w.fn.name
     case _: Input          => "?"
     case _                 => "expr"
   }
@@ -258,10 +262,19 @@ case object CrossJoin extends JoinKind
   * unmatched left rows with NULL payload; plain ASOF drops them. Lowers
   * to operators.AsOf.join — one keyed shuffle, no range-join blowup. */
 final case class AsofJoin(leftOuter: Boolean) extends JoinKind
+/** `[LEFT] SEMI JOIN` / `[LEFT] ANTI JOIN` — DuckDB/Spark-SQL explicit
+  * filtering joins (beyond-reference extension): keep left rows with (semi)
+  * or without (anti) a match; right columns never project. Same plan the
+  * WHERE [NOT] EXISTS rewrite produces, surfaced as first-class syntax. */
+case object SemiJoin extends JoinKind
+case object AntiJoin extends JoinKind
 
 sealed trait JoinCondition
 final case class On(predicate: Expr) extends JoinCondition
 final case class Using(columns: Seq[String]) extends JoinCondition
+/** `NATURAL JOIN` — equi-join on all same-named columns, resolved at
+  * translation time against both sides' schemas (error when none). */
+case object Natural extends JoinCondition
 
 // ---------------------------------------------------------------------------
 // Streaming windows — fsql/Ast.scala:132-136
@@ -292,6 +305,14 @@ final case class ColRef(qualifier: Option[String], name: String) extends Expr {
   def sqlName: String = qualifier.fold(name)(q => s"$q.$name")
 }
 final case class Star(qualifier: Option[String]) extends Expr
+
+/** `* EXCLUDE (a, b) REPLACE (expr AS name, …)` — DuckDB star modifiers
+  * (beyond-reference extension). EXCLUDE drops named columns from the
+  * expansion; REPLACE substitutes an expression for a column while keeping
+  * its position and name. Wide training tables make both ergonomically
+  * essential (`SELECT * EXCLUDE (raw_bytes)` over a 200-column frame). */
+final case class StarMod(qualifier: Option[String], exclude: Seq[String],
+                         replace: Seq[(Expr, String)]) extends Expr
 
 /** Literal: Long, Double, String, Boolean or null (fsql/parser.scala:361-371;
   * integer literals → Long, decimal → Double, flinkdsl/parser.scala:163). */
@@ -328,7 +349,10 @@ final case class WindowFn(
     fn: FuncCall,
     partitionBy: Seq[Expr],
     orderBy: Seq[SortKey],
-    frame: Option[WindowFrame] = None) extends Expr
+    frame: Option[WindowFrame] = None,
+    // `fn(x) IGNORE NULLS OVER (…)` — skip NULLs in offset/value window
+    // functions (lag/lead/first_value/last_value/nth_value/any_value)
+    ignoreNulls: Boolean = false) extends Expr
 
 /** `INTERVAL n unit` literal (beyond-reference extension) — timestamp
   * arithmetic for time-series/windowing pipelines. Units second..year;
@@ -340,8 +364,10 @@ final case class Input() extends Expr
 
 /** CAST(e AS type) — beyond-reference extension (the reference has no cast
   * syntax; its typer coerces implicitly). Type names are the DDL type
-  * vocabulary (long/int/double/string/boolean/timestamp/array<…>). */
-final case class Cast(e: Expr, dataType: String) extends Expr
+  * vocabulary (long/int/double/string/boolean/timestamp/array<…>).
+  * `safe`: TRY_CAST — invalid input yields NULL instead of an error
+  * (essential under ANSI mode, where plain CAST fails the job). */
+final case class Cast(e: Expr, dataType: String, safe: Boolean = false) extends Expr
 
 final case class ScalarSubquery(query: QueryExpr) extends Expr
 
@@ -381,7 +407,8 @@ object Expr {
     // NOTE: children are the fn's ARGS, not the fn node itself —
     // `sum(x) over (…)` is per-row analytic, not a grouping aggregate, so
     // hasAggregate must not see the inner FuncCall.
-    case WindowFn(f, pb, ob, _) => f.args ++ pb ++ ob.map(_.expr)
+    case WindowFn(f, pb, ob, _, _) => f.args ++ pb ++ ob.map(_.expr)
+    case StarMod(_, _, repl)  => repl.map(_._1)
     case Cmp(_, l, r)         => Seq(l, r)
     case And(l, r)            => Seq(l, r)
     case Or(l, r)             => Seq(l, r)
@@ -393,7 +420,7 @@ object Expr {
     case InSubquery(a, _, _)  => Seq(a)
     case QuantifiedCmp(_, a, _, _) => Seq(a)
     case DistinctFrom(l, r, _) => Seq(l, r)
-    case Cast(a, _)           => Seq(a)
+    case c: Cast              => Seq(c.e)
     case _                    => Nil
   }
 
@@ -415,13 +442,16 @@ object Expr {
         case Neg(c)                => Neg(go(c))
         case BitNot(c)             => BitNot(go(c))
         case FuncCall(n, as, d)    => FuncCall(n, as.map(go), d)
-        case WindowFn(fn, pb, ob, fr) =>
+        case w @ WindowFn(fn, pb, ob, _, _) =>
           val fn2 = go(fn) match {
             case fc: FuncCall => fc
             case other => throw new IllegalArgumentException(
               s"cannot rewrite a window function call into ${other.getClass.getSimpleName}")
           }
-          WindowFn(fn2, pb.map(go), ob.map(k => k.copy(expr = go(k.expr))), fr)
+          w.copy(fn = fn2, partitionBy = pb.map(go),
+            orderBy = ob.map(k => k.copy(expr = go(k.expr))))
+        case sm @ StarMod(_, _, repl) =>
+          sm.copy(replace = repl.map { case (e, n) => (go(e), n) })
         case CaseWhen(bs, o, subj) =>
           CaseWhen(bs.map { case (c, v) => (go(c), go(v)) }, o.map(go), subj.map(go))
         case Cmp(op, l, r)         => Cmp(op, go(l), go(r))
@@ -435,7 +465,7 @@ object Expr {
         case InSubquery(a, q, n)   => InSubquery(go(a), q, n) // scrutinee is outer scope
         case QuantifiedCmp(op, a, q, all) => QuantifiedCmp(op, go(a), q, all)
         case DistinctFrom(l, r, n) => DistinctFrom(go(l), go(r), n)
-        case Cast(a, t)            => Cast(go(a), t)
+        case c: Cast               => c.copy(e = go(c.e))
         case other                 => other
       }
       f.applyOrElse(rebuilt, identity[Expr])

@@ -68,8 +68,11 @@ object Pretty {
     case With(ctes, body, rec) =>
       val cs = ctes.map { case (n, cq) => s"$n as (${query(cq)})" }.mkString(", ")
       s"with ${if (rec) "recursive " else ""}$cs ${query(body)}"
-    case Select(distinct, proj, from, where, groupBy, orderBy, limit, qualify) =>
-      val d = if (distinct) "distinct " else ""
+    case Select(distinct, proj, from, where, groupBy, orderBy, limit, qualify, distinctOn) =>
+      val d =
+        if (distinctOn.nonEmpty) s"distinct on (${distinctOn.map(expr).mkString(", ")}) "
+        else if (distinct) "distinct "
+        else ""
       val p = proj.map(pr => pr.alias.fold(expr(pr.expr))(a => s"${expr(pr.expr)} as $a"))
         .mkString(", ")
       val f = from.fold("")(r => s" from ${rel(r)}")
@@ -139,14 +142,18 @@ object Pretty {
         case RightJoin => "right join"
         case FullJoin  => "full outer join"
         case CrossJoin => "cross join"
+        case SemiJoin  => "semi join"
+        case AntiJoin  => "anti join"
         case AsofJoin(lo) => if (lo) "asof left join" else "asof join"
       }
       val c = cond match {
         case None             => ""
         case Some(On(p))      => s" on ${expr(p)}"
         case Some(Using(cs))  => s" using (${cs.mkString(", ")})"
+        case Some(Natural)    => ""
       }
-      s"${rel(l)} $k ${rel(rr)}$c"
+      val nat = if (cond.contains(Natural)) "natural " else ""
+      s"${rel(l)} $nat$k ${rel(rr)}$c"
   }
 
   def windowSpec(w: WindowSpec): String = {
@@ -167,6 +174,12 @@ object Pretty {
     case ColRef(q, n)  => q.fold(n)(x => s"$x.$n")
     case Star(None)    => "*"
     case Star(Some(q)) => s"$q.*"
+    case StarMod(q, ex, re) =>
+      q.fold("*")(x => s"$x.*") +
+        (if (ex.nonEmpty) s" exclude (${ex.mkString(", ")})" else "") +
+        (if (re.nonEmpty)
+          s" replace (${re.map { case (e, n) => s"${expr(e)} as $n" }.mkString(", ")})"
+        else "")
     case IntervalLit(v, u)    => s"interval $v $u"
     case Lit(null)            => "null"
     case Lit(s: String)       => "'" + s.replace("'", "''") + "'"
@@ -182,7 +195,7 @@ object Pretty {
       "case " + subj.fold("")(x => s"${expr(x)} ") +
         bs.map { case (c, v) => s"when ${expr(c)} then ${expr(v)}" }.mkString(" ") +
         o.fold("")(x => s" else ${expr(x)}") + " end"
-    case WindowFn(f, pb, ob, fr) =>
+    case WindowFn(f, pb, ob, fr, ign) =>
       def bound(n: Long): String = n match {
         case Long.MinValue     => "unbounded preceding"
         case Long.MaxValue     => "unbounded following"
@@ -196,9 +209,9 @@ object Pretty {
         fr.fold("")(w =>
           s"${if (w.rows) "rows" else "range"} between ${bound(w.lo)} and ${bound(w.hi)}")
       ).filter(_.nonEmpty)
-      s"${expr(f)} over (${parts.mkString(" ")})"
+      s"${expr(f)}${if (ign) " ignore nulls" else ""} over (${parts.mkString(" ")})"
     case Input()              => "?"
-    case Cast(e, t)           => s"cast(${expr(e)} as $t)"
+    case Cast(e, t, safe)     => s"${if (safe) "try_cast" else "cast"}(${expr(e)} as $t)"
     case ScalarSubquery(q)    => s"(${query(q)})"
     case Cmp(op, l, r)        => s"(${expr(l)} $op ${expr(r)})"
     case And(l, r)            => s"(${expr(l)} and ${expr(r)})"

@@ -26,7 +26,14 @@ object Registry {
     "first", "last", "collect_list", "collect_set", "approx_count_distinct",
     "percentile_approx", "corr", "covar_samp", "covar_pop", "skewness",
     "kurtosis", "any_value", "mode", "median", "count_if", "bool_and",
-    "bool_or", "array_agg", "string_agg", "listagg", "group_concat")
+    "bool_or", "array_agg", "string_agg", "listagg", "group_concat",
+    "percentile",
+    // grouping metadata functions are only legal inside the aggregate list
+    // of a ROLLUP/CUBE/GROUPING SETS query — routing them through the
+    // aggregate path puts them exactly there
+    "grouping", "grouping_id",
+    // internal: WITHIN GROUP (ORDER BY k)-desugared string_agg/listagg
+    "__string_agg_ord")
 
   private val extraScalar = scala.collection.concurrent.TrieMap.empty[String, Builder]
   private val extraAggregate = scala.collection.concurrent.TrieMap.empty[String, Builder]
@@ -66,6 +73,22 @@ object Registry {
       case "max"               => arity(n, args, 1); max(args.head)
       // ----- scalars the reference names (flinkdsl/typer.scala_:284-293,
       // ExpressionParser.scala:79-113) -----
+      // WITHIN GROUP string_agg/listagg, desugared by the parser to
+      // (value, sep, orderKey, ascending). Deterministic at any parallelism:
+      // collect_list's arrival order is arbitrary, so sort the collected
+      // (key, value) structs — array_sort on structs orders by field 1 then
+      // field 2 — and only then concatenate. One ordinary hash aggregate,
+      // no extra shuffle or window.
+      case "__string_agg_ord" =>
+        arity(n, args, 4)
+        val Seq(v, sep, key, asc) = args
+        val pairs = array_sort(collect_list(struct(key.as("k"), v.cast("string").as("v"))))
+        val ordered = when(asc, pairs).otherwise(reverse(pairs))
+        // call_function: the array_join overloads take the delimiter as a
+        // Scala String, but here it arrives as a (literal) Column
+        call_function("array_join", transform(ordered, s => s.getField("v")), sep.cast("string"))
+      case "grouping"    => arity(n, args, 1); grouping(args.head)
+      case "grouping_id" => grouping_id(args: _*)
       case "abs"       => arity(n, args, 1); abs(args.head)
       case "lower"     => arity(n, args, 1); lower(args.head)
       case "upper"     => arity(n, args, 1); upper(args.head)

@@ -42,7 +42,7 @@ object SqlParser extends RegexParsers with PackratParsers {
     "using", "union", "except", "intersect", "all", "distinct", "create",
     "insert", "into", "values", "update", "set", "delete", "asc", "desc",
     "collate", "for", "rollup", "with", "qualify", "sample", "pivot",
-    "unpivot", "asof")
+    "unpivot", "asof", "semi", "anti", "natural")
 
   private def kw(w: String): Parser[String] =
     (s"""(?i)\\Q$w\\E\\b""").r ^^ (_.toLowerCase(java.util.Locale.ROOT))
@@ -155,7 +155,8 @@ object SqlParser extends RegexParsers with PackratParsers {
   private def expandOrderAll(q: QueryExpr, ob: Seq[SortKey]): Seq[SortKey] = ob match {
     case Seq(SortKey(Star(None), asc, nf)) =>
       def width(x: QueryExpr): Option[Int] = x match {
-        case s: Select if !s.projection.exists(_.expr.isInstanceOf[Star]) =>
+        case s: Select if !s.projection.exists(p =>
+            p.expr.isInstanceOf[Star] || p.expr.isInstanceOf[StarMod]) =>
           Some(s.projection.length)
         case s: SetOp => width(s.left)
         case w: With  => width(w.body)
@@ -185,20 +186,39 @@ object SqlParser extends RegexParsers with PackratParsers {
     }
   }
 
-  /** A single SELECT without trailing ORDER BY/LIMIT (owned by `query`). */
+  /** A single SELECT without trailing ORDER BY/LIMIT (owned by `query`).
+    * `DISTINCT ON (k, …)` (Postgres/DuckDB) keeps the first row per key
+    * tuple in ORDER BY order. */
   lazy val selectStmt: PackratParser[Select] =
-    kw("select") ~> opt(kw("distinct")) ~ rep1sep(projection, ",") ~
+    kw("select") ~> opt(kw("distinct") ~> opt(kw("on") ~> "(" ~> rep1sep(expr, ",") <~ ")")) ~
+      rep1sep(projection, ",") ~
       opt(kw("from") ~> fromRelations) ~
       opt(kw("where") ~> predicate) ~
       opt(groupByClause) ~
       opt(kw("qualify") ~> predicate) ^^ {
         case d ~ proj ~ from ~ where ~ gb ~ qual =>
-          Select(d.isDefined, proj, from, where, gb, Nil, None, qual)
+          Select(d.isDefined, proj, from, where, gb, Nil, None, qual,
+            distinctOn = d.flatten.getOrElse(Nil))
       }
 
+  /** DuckDB star modifiers: `* EXCLUDE (a, b) REPLACE (e AS c, …)` —
+    * contextual keywords (EXCLUDE/REPLACE stay usable as identifiers). */
+  private lazy val starMods: PackratParser[(Seq[String], Seq[(Expr, String)])] = {
+    val exclude: Parser[Seq[String]] =
+      kw("exclude") ~> ("(" ~> rep1sep(ident, ",") <~ ")" | ident ^^ (Seq(_)))
+    val replace: Parser[Seq[(Expr, String)]] =
+      kw("replace") ~> "(" ~> rep1sep(expr ~ (kw("as") ~> ident) ^^ {
+        case e ~ n => (e, n)
+      }, ",") <~ ")"
+    opt(exclude) ~ opt(replace) ^^ { case ex ~ re => (ex.getOrElse(Nil), re.getOrElse(Nil)) }
+  }
+
+  private def starExpr(q: Option[String], mods: (Seq[String], Seq[(Expr, String)])): Expr =
+    if (mods._1.isEmpty && mods._2.isEmpty) Star(q) else StarMod(q, mods._1, mods._2)
+
   lazy val projection: PackratParser[Projection] =
-    (ident <~ "." <~ "*") ^^ (q => Projection(Star(Some(q)), None)) |
-    "*" ^^^ Projection(Star(None), None) |
+    (ident <~ "." <~ "*") ~ starMods ^^ { case q ~ m => Projection(starExpr(Some(q), m), None) } |
+    "*" ~> starMods ^^ (m => Projection(starExpr(None, m), None)) |
     expr ~ opt(opt(kw("as")) ~> ident) ^^ { case e ~ a => Projection(e, a) }
 
   // ----- FROM / joins ------------------------------------------------------
@@ -219,6 +239,9 @@ object SqlParser extends RegexParsers with PackratParsers {
       kw("asof") ~> opt(kw("left")) <~ kw("join") ^^ (l => AsofJoin(l.isDefined)) |
       kw("cross") ~ kw("join") ^^^ CrossJoin |
       kw("inner") ~ kw("join") ^^^ InnerJoin |
+      // `[LEFT] SEMI/ANTI JOIN` (DuckDB + Spark SQL spellings)
+      opt(kw("left")) ~ kw("semi") ~ kw("join") ^^^ SemiJoin |
+      opt(kw("left")) ~ kw("anti") ~ kw("join") ^^^ AntiJoin |
       kw("left") ~ opt(kw("outer")) ~ kw("join") ^^^ LeftJoin |
       kw("right") ~ opt(kw("outer")) ~ kw("join") ^^^ RightJoin |
       kw("full") ~ opt(kw("outer")) ~ kw("join") ^^^ FullJoin |
@@ -227,6 +250,13 @@ object SqlParser extends RegexParsers with PackratParsers {
       kw("on") ~> predicate ^^ On.apply |
       kw("using") ~> ("(" ~> rep1sep(ident, ",") <~ ")") ^^ Using.apply |
       kw("using") ~> ident ^^ (c => Using(Seq(c)))
+    // NATURAL [INNER|LEFT [OUTER]] JOIN — condition is implied (all
+    // same-named columns); an explicit ON/USING is a contradiction
+    kw("natural") ~> (kw("inner") ~ kw("join") ^^^ InnerJoin |
+                      kw("left") ~ opt(kw("outer")) ~ kw("join") ^^^ LeftJoin |
+                      kw("join") ^^^ InnerJoin) ~ primaryRelation ^^ {
+      case k ~ r => (l: Relation) => JoinRel(l, r, k, Some(Natural))
+    } |
     kind ~ primaryRelation ~ opt(cond) ^^ {
       case k ~ r ~ c => (l: Relation) => JoinRel(l, r, k, c)
     }
@@ -416,7 +446,19 @@ object SqlParser extends RegexParsers with PackratParsers {
   lazy val unaryExpr: PackratParser[Expr] =
     "-" ~> unaryExpr ^^ Neg.apply |
     "~" ~> unaryExpr ^^ BitNot.apply |
-    atom
+    postfixExpr
+
+  /** Subscript `e[i]` → element_at (1-based, matching DuckDB list indexing;
+    * also works for map keys). Binds tighter than unary operators. Integer
+    * literal indexes cast to INT — element_at requires it, and our numeric
+    * literals parse as Long. */
+  lazy val postfixExpr: PackratParser[Expr] =
+    atom ~ rep("[" ~> expr <~ "]") ^^ {
+      case a ~ idx => idx.foldLeft(a) { (b, i) =>
+        val ix = i match { case Lit(v: Long) => Cast(Lit(v), "int"); case other => other }
+        FuncCall("element_at", Seq(b, ix))
+      }
+    }
 
   lazy val atom: PackratParser[Expr] =
     caseExpr |
@@ -424,6 +466,8 @@ object SqlParser extends RegexParsers with PackratParsers {
     extractExpr |
     funcCall |
     literal |
+    // `[e1, e2, …]` — DuckDB-style list literal → array(...)
+    "[" ~> repsep(expr, ",") <~ "]" ^^ (es => FuncCall("array", es)) |
     "?" ^^^ Input() |
     colRef |
     "(" ~> query <~ ")" ^^ ScalarSubquery.apply |
@@ -454,26 +498,72 @@ object SqlParser extends RegexParsers with PackratParsers {
     // `left`/`right` are reserved (join types) but are also ANSI string
     // functions; a following "(" disambiguates — joins never parse here
     ((ident | kw("left") | kw("right")) <~ "(") ~ (opt(kw("distinct")) ~ repsep(funcArg, ",") <~ ")") ~
+      opt(kws("ignore", "respect") <~ kw("nulls")) ~
+      opt(kw("within") ~> kw("group") ~> "(" ~> kw("order") ~> kw("by") ~> sortKey <~ ")") ~
       opt(kw("filter") ~> "(" ~> kw("where") ~> predicate <~ ")") ~ opt(overClause) ^^ {
-      case n ~ (d ~ as) ~ flt ~ over =>
-        val lower = n.toLowerCase(java.util.Locale.ROOT)
+      case n ~ (d ~ as) ~ nulls ~ within ~ flt ~ over =>
+        val lower0 = n.toLowerCase(java.util.Locale.ROOT)
+        // WITHIN GROUP (ORDER BY k) — ordered-set aggregates, desugared at
+        // parse time (ANSI surface; DuckDB-compatible):
+        //   percentile_cont(p) within group (order by k)      → percentile(k, p)
+        //   percentile_cont(p) within group (order by k desc) → percentile(k, 1-p)
+        //   string_agg/listagg(x[, sep]) within group (order by k [desc])
+        //     → internal order-aware aggregate (deterministic concat)
+        val (lower, as2) = within match {
+          case None => (lower0, as)
+          case Some(k) =>
+            if (k.nullsFirst.isDefined)
+              throw new IllegalArgumentException(
+                "WITHIN GROUP (ORDER BY … NULLS FIRST/LAST) is not supported")
+            lower0 match {
+              case "percentile_cont" => as match {
+                case Seq(Lit(p)) =>
+                  val pd = p match {
+                    case d: Double => d
+                    case l: Long   => l.toDouble
+                    case _ => throw new IllegalArgumentException(
+                      "percentile_cont expects a numeric literal fraction")
+                  }
+                  ("percentile", Seq(k.expr, Lit(if (k.ascending) pd else 1.0 - pd)))
+                case _ => throw new IllegalArgumentException(
+                  "percentile_cont expects one literal fraction argument")
+              }
+              case "string_agg" | "listagg" =>
+                val sep = as.lift(1).getOrElse(Lit(","))
+                as.headOption match {
+                  case Some(v) =>
+                    ("__string_agg_ord", Seq(v, sep, k.expr, Lit(k.ascending)))
+                  case None => throw new IllegalArgumentException(
+                    s"$lower0 expects a value argument")
+                }
+              case other => throw new IllegalArgumentException(
+                s"WITHIN GROUP is supported for percentile_cont/string_agg/listagg, not $other")
+            }
+        }
         val args = flt match {
-          case None => as
+          case None => as2
           case Some(p) =>
             // the CASE desugar is only exact for NULL-skipping aggregates;
             // first/last/any_value keep NULLs and would silently mis-answer
             if (Set("first", "last", "first_value", "last_value", "any_value")(lower))
               throw new IllegalArgumentException(
                 s"FILTER (WHERE …) is not supported for $lower (not NULL-skipping)")
-            as match {
+            as2 match {
               case Seq() | Seq(Star(None)) => Seq(CaseWhen(Seq((p, Lit(1L))), None, None))
               case Seq(one)                => Seq(CaseWhen(Seq((p, one)), None, None))
               case _ => throw new IllegalArgumentException(
                 "FILTER (WHERE …) is supported for zero- and one-argument aggregates")
             }
         }
+        val ignoreN = nulls.contains("ignore")
         val f = FuncCall(lower, args, d.isDefined)
-        over.fold(f: Expr) { case (pb, ob, fr) => WindowFn(f, pb, ob, fr) }
+        over match {
+          case Some((pb, ob, fr)) => WindowFn(f, pb, ob, fr, ignoreNulls = ignoreN)
+          case None =>
+            if (ignoreN) throw new IllegalArgumentException(
+              "IGNORE NULLS requires an OVER clause (window functions only)")
+            f
+        }
     }
 
   /** `EXTRACT(field FROM e)` — desugars to the named field function
@@ -514,8 +604,12 @@ object SqlParser extends RegexParsers with PackratParsers {
   lazy val funcArg: PackratParser[Expr] =
     "*" ^^^ Star(None) | predicate
 
-  /** CAST(e AS type) — type vocabulary shared with DDL field definitions. */
+  /** CAST / TRY_CAST (e AS type) — type vocabulary shared with DDL field
+    * definitions; TRY_CAST yields NULL on invalid input instead of erroring. */
   lazy val castExpr: PackratParser[Expr] =
+    (("(?i)\\Qtry_cast\\E\\b".r ~ "(") ~> predicate) ~ (kw("as") ~> dataTypeName) <~ ")" ^^ {
+      case e ~ t => Cast(e, t, safe = true)
+    } |
     (("(?i)\\Qcast\\E\\b".r ~ "(") ~> predicate) ~ (kw("as") ~> dataTypeName) <~ ")" ^^ {
       case e ~ t => Cast(e, t)
     }

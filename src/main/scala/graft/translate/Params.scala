@@ -64,6 +64,9 @@ object Params {
     }
 
     private def select(s: Select): Select = s.copy(
+      // DISTINCT ON keys precede the projection in the SQL text, so they
+      // must consume ? arguments first (named args evaluate in call order)
+      distinctOn = s.distinctOn.map(expr),
       projection = s.projection.map(p => p.copy(expr = expr(p.expr))),
       from = s.from.map(relation),
       where = s.where.map(expr),
@@ -90,7 +93,7 @@ object Params {
       case DerivedRel(q, a, w)  => DerivedRel(query(q), a, w)
       case JoinRel(l, rr, k, c) => JoinRel(relation(l), relation(rr), k, c.map {
         case On(p)  => On(expr(p))
-        case u: Using => u
+        case other  => other // USING / NATURAL carry no expressions
       })
     }
 
@@ -100,9 +103,9 @@ object Params {
       case Neg(c)                => Neg(expr(c))
       case BitNot(c)             => BitNot(expr(c))
       case FuncCall(n, as, d)    => FuncCall(n, as.map(expr), d)
-      case WindowFn(f, pb, ob, fr) =>
-        WindowFn(expr(f).asInstanceOf[FuncCall], pb.map(expr),
-          ob.map(k => k.copy(expr = expr(k.expr))), fr)
+      case w: WindowFn =>
+        w.copy(fn = expr(w.fn).asInstanceOf[FuncCall], partitionBy = w.partitionBy.map(expr),
+          orderBy = w.orderBy.map(k => k.copy(expr = expr(k.expr))))
       case CaseWhen(bs, o, subj) =>
         // textual order: subject first, then branches, then ELSE
         val s2 = subj.map(expr)
@@ -113,7 +116,7 @@ object Params {
       case Or(l, r)              => Or(expr(l), expr(r))
       case Not(c)                => Not(expr(c))
       case Between(x, lo, hi, n) => Between(expr(x), expr(lo), expr(hi), n)
-      case Cast(x, t)            => Cast(expr(x), t)
+      case c: Cast               => c.copy(e = expr(c.e))
       case Like(x, p, n)         => Like(expr(x), expr(p), n)
       case IsNull(x, n)          => IsNull(expr(x), n)
       case InList(x, l, n)       => InList(expr(x), l.map(expr), n)

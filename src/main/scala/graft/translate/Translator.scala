@@ -110,6 +110,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
           s.where.exists(inExpr) ||
           s.groupBy.exists(g => g.exprs.exists(inExpr) || g.having.exists(inExpr)) ||
           s.qualify.exists(inExpr) ||
+          s.distinctOn.exists(inExpr) ||
           s.orderBy.exists(k => inExpr(k.expr))
     }
     inQuery(q)
@@ -184,7 +185,9 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       if (isAgg) aggregate(df, rel, s)
       else plainProject(df, s)
 
-    if (s.distinct) {
+    // plain DISTINCT only — DISTINCT ON keeps one row per key via a window
+    // filter inside plainProject (it must see pre-projection columns)
+    if (s.distinct && s.distinctOn.isEmpty) {
       out = out.distinct()
       if (s.orderBy.nonEmpty) out = out.orderBy(s.orderBy.map(sortOnOutput(out, _)): _*)
     }
@@ -334,9 +337,55 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   private def filterViaColumn(df: DataFrame, pred: Column): DataFrame =
     df.withColumn("__q", pred).filter(col("__q")).drop("__q")
 
+  /** Expand `* EXCLUDE (…) REPLACE (e AS c, …)` against the frame's actual
+    * schema: drop excluded columns, substitute replaced ones in place
+    * (keeping position and name — DuckDB semantics). Unknown names error. */
+  private def expandStarMod(df: DataFrame, sm: StarMod): Seq[Column] = {
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val base: Seq[String] = sm.qualifier match {
+      case None    => df.columns.filterNot(_.startsWith("__sq")).toSeq
+      // plan-only expansion of the qualified star to enumerate q's columns
+      case Some(q) => df.select(col(s"$q.*")).columns.toSeq
+    }
+    val have = base.map(lower).toSet
+    (sm.exclude ++ sm.replace.map(_._2)).foreach { c =>
+      if (!have(lower(c)))
+        throw new GraftAnalysisException(
+          s"star modifier names unknown column: $c (have: ${base.mkString(", ")})")
+    }
+    val exSet = sm.exclude.map(lower).toSet
+    val replMap = sm.replace.map { case (e, c) => lower(c) -> e }.toMap
+    base.filterNot(c => exSet(lower(c))).map { c =>
+      replMap.get(lower(c)) match {
+        case Some(e) => expr(e).as(c)
+        case None    => sm.qualifier.fold(col(c))(q => col(s"$q.$c"))
+      }
+    }
+  }
+
+  /** Keep ONE row per DISTINCT ON key tuple: row_number over the key
+    * partition in the query's ORDER BY order (keys themselves when absent —
+    * arbitrary but stable pick, same contract as DuckDB), filter to 1. */
+  private def applyDistinctOn(frame: DataFrame, s: Select,
+                              key: Expr => Column, ord: SortKey => Column): DataFrame = {
+    if (s.distinctOn.isEmpty) frame
+    else {
+      val keys = s.distinctOn.map(key)
+      val order =
+        if (s.orderBy.nonEmpty) s.orderBy.map(ord)
+        else keys
+      filterViaColumn(frame,
+        row_number().over(Window.partitionBy(keys: _*).orderBy(order: _*)) === 1)
+    }
+  }
+
   /** Non-aggregating SELECT: projection (+QUALIFY/DISTINCT/ORDER BY/LIMIT). */
   private def plainProject(df: DataFrame, s: Select): DataFrame = {
-    val hasStar = s.projection.exists(_.expr.isInstanceOf[Star])
+    val hasStar = s.projection.exists(p =>
+      p.expr.isInstanceOf[Star] || p.expr.isInstanceOf[StarMod])
+    // plain DISTINCT dedups whole rows post-projection (handled by the
+    // caller); DISTINCT ON is handled here and must suppress that path
+    val plainDistinct = s.distinct && s.distinctOn.isEmpty
     // an unqualified * must not expose internal decorrelation columns
     // (`__sqN`, joined in by decorrelateScalars for the WHERE clause)
     def starCols: Seq[Column] = {
@@ -348,12 +397,15 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       val projected0 = df.select(s.projection.flatMap(p => p.expr match {
         case Star(None)    => starCols
         case Star(Some(q)) => Seq(col(s"$q.*"))
+        case sm: StarMod   => expandStarMod(df, sm)
         case e             => Seq(expr(e).as(p.outputName))
       }): _*)
       // QUALIFY: star output keeps the input columns, so the predicate
       // resolves directly against the projection
-      val projected = s.qualify.fold(projected0)(p => filterViaColumn(projected0, expr(p)))
-      if (s.orderBy.isEmpty || s.distinct) projected
+      val projected1 = s.qualify.fold(projected0)(p => filterViaColumn(projected0, expr(p)))
+      val projected = applyDistinctOn(projected1, s,
+        e => expr(e), k => sortCol(expr(k.expr), k))
+      if (s.orderBy.isEmpty || plainDistinct) projected
       else {
         // sort AFTER projection when every key resolves against the output
         // (covers `select *, x+1 as q2 ... order by q2`); otherwise sort the
@@ -366,13 +418,14 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
           case Lit(_: Long)    => true
           case _               => false
         })
-        if (allResolvable || s.qualify.isDefined)
+        if (allResolvable || s.qualify.isDefined || s.distinctOn.nonEmpty)
           projected.orderBy(s.orderBy.map(k => sortOnOutput(projected, k)): _*)
         else
           df.orderBy(s.orderBy.map(k => sortCol(expr(k.expr), k)): _*)
             .select(s.projection.flatMap(p => p.expr match {
               case Star(None)    => starCols
               case Star(Some(q)) => Seq(col(s"$q.*"))
+              case sm: StarMod   => expandStarMod(df, sm)
               case e             => Seq(expr(e).as(p.outputName))
             }): _*)
       }
@@ -383,7 +436,13 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       val internal = s.projection.zipWithIndex.map { case (p, i) => expr(p.expr).as(s"__p$i") }
       var wide = df.select(col("*") +: internal: _*)
       s.qualify.foreach { p => wide = filterViaColumn(wide, expr(qualifyOnWide(s, p))) }
-      if (s.orderBy.nonEmpty && !s.distinct) {
+      // DISTINCT ON over the wide frame: keys/order resolve alias-first
+      // (same policy as QUALIFY and ORDER BY)
+      wide = applyDistinctOn(wide, s,
+        e => expr(qualifyOnWide(s, e)),
+        k => sortCol(aliasTarget(s, k.expr).map(i => col(s"__p$i"))
+          .getOrElse(expr(k.expr)), k))
+      if (s.orderBy.nonEmpty && !plainDistinct) {
         val keys = s.orderBy.map { k =>
           val c = aliasTarget(s, k.expr).map(i => col(s"__p$i")).getOrElse(expr(k.expr))
           sortCol(c, k)
@@ -398,13 +457,17 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
 
   /** Aggregating SELECT: groupBy/rollup + agg, HAVING, ORDER BY, trim. */
   private def aggregate(df: DataFrame, rel: RelPlan, s: Select): DataFrame = {
+    if (s.distinctOn.nonEmpty)
+      throw new GraftAnalysisException(
+        "DISTINCT ON is not supported with GROUP BY / aggregates — " +
+          "aggregate in a derived table first")
     // GROUP BY ALL: keys = every projection expression containing no
     // aggregate (DuckDB semantics), resolved here where the registry knows
     // which names aggregate
     val gb = s.groupBy.map { g =>
       if (!g.all) g
       else {
-        if (s.projection.exists(_.expr.isInstanceOf[Star]))
+        if (s.projection.exists(p => p.expr.isInstanceOf[Star] || p.expr.isInstanceOf[StarMod]))
           throw new GraftAnalysisException("GROUP BY ALL is not valid with SELECT *")
         def hasWindowFn(e: Expr): Boolean =
           Expr.fold(e, false) { case (acc, x) => acc || x.isInstanceOf[WindowFn] }
@@ -433,7 +496,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     val keys = dedupeCols(rel.implicitKeys ++ explicitKeys)
 
     val projCols = s.projection.zipWithIndex.map {
-      case (Projection(Star(_), _), i) =>
+      case (Projection(Star(_) | StarMod(_, _, _), _), i) =>
         throw new GraftAnalysisException("SELECT * is not valid with GROUP BY / aggregates")
       // post-agg columns (streaming session w_start/w_end): placeholder in
       // the agg, overwritten from the grouped struct afterwards
@@ -728,6 +791,18 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         else None
 
       val joined = cond match {
+        case Some(Natural) =>
+          // NATURAL JOIN: equi-join on every same-named column pair,
+          // resolved against both schemas here (not at runtime)
+          if (windowEq.isDefined)
+            throw new GraftAnalysisException("NATURAL JOIN cannot take window specs")
+          val rNames = rp.df.columns.map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
+          val common = lp.df.columns.filter(c =>
+            rNames.contains(c.toLowerCase(java.util.Locale.ROOT))).toSeq
+          if (common.isEmpty)
+            throw new GraftAnalysisException(
+              "NATURAL JOIN: the two sides share no column names")
+          lp.df.join(rp.df, common, joinName(kind))
         case Some(On(p)) =>
           val userCond = expr(p)
           lp.df.join(rp.df, windowEq.fold(userCond)(_ && userCond), joinName(kind))
@@ -758,6 +833,10 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     case RightJoin => "right_outer"
     case FullJoin  => "full_outer"
     case CrossJoin => "cross"
+    // filtering joins: left rows with(out) a match; right side never
+    // projects — Catalyst plans these as broadcast/shuffled hash semi joins
+    case SemiJoin  => "left_semi"
+    case AntiJoin  => "left_anti"
     case _: AsofJoin => throw new GraftAnalysisException(
       "ASOF JOIN is handled by its own translation path") // unreachable
   }
@@ -1132,8 +1211,11 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         "unbound ? parameter — pass positional args to GraftSession.sql(sql, args*)")
 
     // CAST(e AS type): the DDL type vocabulary (Catalog.toDataType), so the
-    // same names work in field definitions and casts
-    case Cast(e, t) => expr(e).cast(graft.catalog.Catalog.toDataType(t))
+    // same names work in field definitions and casts. TRY_CAST → NULL on
+    // invalid input (vs an error under ANSI mode).
+    case Cast(e, t, safe) =>
+      val dt = graft.catalog.Catalog.toDataType(t)
+      if (safe) expr(e).try_cast(dt) else expr(e).cast(dt)
 
     // Uncorrelated scalar subquery: lowered to Catalyst's own ScalarSubquery
     // node (lazy — nothing executes until the enclosing query runs, so
@@ -1153,7 +1235,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     // default frames, so results match DuckDB's OVER exactly). Ranking and
     // offset functions are only meaningful here, so they are dispatched
     // locally rather than through the scalar Registry.
-    case WindowFn(f, pb, ob, frame) =>
+    case WindowFn(f, pb, ob, frame, ignoreNulls) =>
       val spec0 = Window.partitionBy(pb.map(expr): _*)
       val ordered =
         if (ob.isEmpty) spec0
@@ -1189,20 +1271,27 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
             case Lit(v) => v
             case other  => throw new GraftAnalysisException(
               s"lag default must be a literal, got $other")
-          }.orNull)
+          }.orNull, ignoreNulls)
         case "lead" =>
           needOrder()
           lead(expr(f.args.head), intArg(1, 1), f.args.lift(2).map {
             case Lit(v) => v
             case other  => throw new GraftAnalysisException(
               s"lead default must be a literal, got $other")
-          }.orNull)
-        case "first_value"  => needOrder(); first(expr(f.args.head))
-        case "last_value"   => needOrder(); last(expr(f.args.head))
-        case _ => Registry.build(f.name, f.args.map {
-          case Star(_) => lit(1)
-          case a       => expr(a)
-        }, f.distinct)
+          }.orNull, ignoreNulls)
+        case "first_value"  => needOrder(); first(expr(f.args.head), ignoreNulls)
+        case "last_value"   => needOrder(); last(expr(f.args.head), ignoreNulls)
+        case "any_value" if ignoreNulls => first(expr(f.args.head), ignoreNulls = true)
+        case "nth_value" =>
+          needOrder(); nth_value(expr(f.args.head), intArg(1, 1), ignoreNulls)
+        case other =>
+          if (ignoreNulls)
+            throw new GraftAnalysisException(
+              s"IGNORE NULLS is not supported for $other (offset/value window functions only)")
+          Registry.build(f.name, f.args.map {
+            case Star(_) => lit(1)
+            case a       => expr(a)
+          }, f.distinct)
       }
       base.over(spec)
 

@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+
+/** Behavioral specs for the round-3 dialect additions: DISTINCT ON, star
+  * EXCLUDE/REPLACE, SEMI/ANTI/NATURAL joins, TRY_CAST, IGNORE NULLS window
+  * variants, GROUPING(), WITHIN GROUP ordered-set aggregates, array
+  * literals + 1-based subscripts. */
+class DialectR3Spec extends AnyFunSuite {
+  private def g = TestSpark.session
+
+  test("DISTINCT ON keeps exactly one row per key in ORDER BY order") {
+    val rows = g.sql(
+      "select distinct on (n_regionkey) n_regionkey as k, n_name as n " +
+      "from nation order by n_regionkey, n_name").collect()
+    assert(rows.length == 5)
+    // first name per region in ascending name order
+    assert(rows.map(_.getString(1)).forall(_ != null))
+    val manual = g.sql(
+      "select n_regionkey as k, min2 as n from (select n_regionkey, n_name, " +
+      "row_number() over (partition by n_regionkey order by n_name) as rn, " +
+      "n_name as min2 from nation) as t where rn = 1 order by k").collect()
+    assert(rows.toSeq == manual.toSeq)
+  }
+
+  test("DISTINCT ON with aggregation raises a clear error") {
+    val e = intercept[Exception](g.sql(
+      "select distinct on (n_regionkey) n_regionkey, count(*) as n " +
+      "from nation group by n_regionkey").collect())
+    assert(e.getMessage.contains("DISTINCT ON"))
+  }
+
+  test("star EXCLUDE drops and REPLACE substitutes in place") {
+    val df = g.sql("select * exclude (n_nationkey) replace (lower(n_name) as n_name) " +
+      "from nation order by n_name limit 1")
+    assert(df.columns.toSeq == Seq("n_name", "n_regionkey"))
+    assert(df.collect().head.getString(0) == "nation_0")
+  }
+
+  test("star modifier on unknown column errors with the schema in hand") {
+    val e = intercept[Exception](g.sql("select * exclude (nope) from nation"))
+    assert(e.getMessage.contains("unknown column"))
+  }
+
+  test("SEMI JOIN keeps matching left rows only, right never projects") {
+    val df = g.sql(
+      "select n_name from nation semi join region " +
+      "on n_regionkey = r_regionkey and r_name = 'ASIA' order by n_name")
+    assert(df.columns.toSeq == Seq("n_name"))
+    assert(df.count() == 5)
+    // equivalent to WHERE EXISTS
+    val ex = g.sql(
+      "select n_name from nation where exists (select 1 from region " +
+      "where n_regionkey = r_regionkey and r_name = 'ASIA') order by n_name")
+    assert(df.collect().toSeq == ex.collect().toSeq)
+  }
+
+  test("ANTI JOIN is the complement of SEMI JOIN") {
+    val semi = g.sql("select count(*) as n from nation semi join region on n_regionkey = r_regionkey and r_name = 'ASIA'").collect().head.getLong(0)
+    val anti = g.sql("select count(*) as n from nation anti join region on n_regionkey = r_regionkey and r_name = 'ASIA'").collect().head.getLong(0)
+    assert(semi + anti == 25)
+  }
+
+  test("NATURAL JOIN binds all shared columns; none shared errors") {
+    val n = g.sql(
+      "select count(*) as n from nation natural join " +
+      "(select r_regionkey as n_regionkey, r_name from region) as r")
+      .collect().head.getLong(0)
+    assert(n == 25)
+    val e = intercept[Exception](g.sql(
+      "select * from (select 1 as a) x natural join (select 2 as b) y").collect())
+    assert(e.getMessage.contains("share no column"))
+  }
+
+  test("TRY_CAST yields NULL on invalid input where CAST would error") {
+    val r = g.sql("select try_cast('x' as int) as a, try_cast('7' as int) as b").collect().head
+    assert(r.isNullAt(0) && r.getInt(1) == 7)
+  }
+
+  test("IGNORE NULLS carries the last non-null observation forward") {
+    val rows = g.sql(
+      "select n_nationkey as k, last_value(case when n_nationkey % 3 = 0 then n_nationkey end) " +
+      "ignore nulls over (order by n_nationkey rows between unbounded preceding and current row) as l " +
+      "from nation order by k limit 5").collect()
+    assert(rows.map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSeq ==
+      Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("IGNORE NULLS without OVER is a parse error") {
+    val e = intercept[Exception](g.sql("select last_value(n_name) ignore nulls from nation"))
+    assert(e.getMessage.contains("OVER"))
+  }
+
+  test("IGNORE NULLS on a non-offset window function errors") {
+    val e = intercept[Exception](g.sql(
+      "select sum(n_nationkey) ignore nulls over (order by n_nationkey) as s from nation").collect())
+    assert(e.getMessage.contains("IGNORE NULLS"))
+  }
+
+  test("GROUPING() distinguishes subtotal NULLs from data NULLs") {
+    val rows = g.sql(
+      "select cast(grouping(n_regionkey) as int) as gf, count(*) as n " +
+      "from nation group by n_regionkey with rollup order by gf, n").collect()
+    assert(rows.count(_.getInt(0) == 0) == 5)
+    assert(rows.filter(_.getInt(0) == 1).map(_.getLong(1)).toSeq == Seq(25L))
+  }
+
+  test("WITHIN GROUP string_agg is deterministic in the given order") {
+    val r = g.sql(
+      "select string_agg(r_name, '|') within group (order by r_name) as s from region")
+      .collect().head.getString(0)
+    assert(r == "AFRICA|AMERICA|ASIA|EUROPE|MIDDLE EAST")
+    val rd = g.sql(
+      "select string_agg(r_name, '|') within group (order by r_name desc) as s from region")
+      .collect().head.getString(0)
+    assert(rd == "MIDDLE EAST|EUROPE|ASIA|AMERICA|AFRICA")
+  }
+
+  test("WITHIN GROUP percentile_cont interpolates; DESC flips the fraction") {
+    val m = g.sql(
+      "select percentile_cont(0.5) within group (order by n_nationkey) as m from nation")
+      .collect().head.getDouble(0)
+    assert(m == 12.0)
+    val q = g.sql(
+      "select percentile_cont(0.25) within group (order by n_nationkey desc) as m from nation")
+      .collect().head.getDouble(0)
+    assert(q == 18.0) // 75th ascending
+  }
+
+  test("array literal, 1-based subscript and array functions") {
+    val r = g.sql("select [10, 20, 30][2] as a, size([1, 2]) as n, " +
+      "array_contains(['x', 'y'], 'y') as has").collect().head
+    assert(r.getLong(0) == 20L && r.getInt(1) == 2 && r.getBoolean(2))
+  }
+
+  test("DISTINCT ON binds ? parameters in textual order") {
+    val rows = g.sql(
+      "select distinct on (n_regionkey % ?) n_regionkey % ? as k, n_name from nation " +
+      "order by n_regionkey % ?, n_name", 2L, 2L, 2L).collect()
+    assert(rows.length == 2)
+  }
+}

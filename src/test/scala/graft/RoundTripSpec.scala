@@ -68,7 +68,22 @@ class RoundTripSpec extends AnyFunSuite {
     "select a, count(*) as n from t group by all having (count(*) > 1)",
     // interval / typed literals
     "select (ts + interval 1 day) as nd, (ts - interval 30 minute) as e from events",
-    "select (ts + interval 2 year) as y, cast('2024-01-01 00:00:00' as timestamp) as t0, cast('2024-03-01' as date) as d0 from events"
+    "select (ts + interval 2 year) as y, cast('2024-01-01 00:00:00' as timestamp) as t0, cast('2024-03-01' as date) as d0 from events",
+    // round-3 dialect: DISTINCT ON, star modifiers, filtering/natural
+    // joins, TRY_CAST, IGNORE NULLS, WITHIN GROUP, array literals
+    "select distinct on (k) k, v from t order by k, v desc",
+    "select * exclude (a, b) replace ((v + 1) as v) from t",
+    "select t.* exclude (a) from t",
+    "select a from t semi join u on (t.k = u.k)",
+    "select a from t anti join u using (k)",
+    "select a from t natural join u",
+    "select a from t natural left join u",
+    "select try_cast(a as int) as b, cast(a as long) as c from t",
+    "select last_value(v) ignore nulls over (order by t2) as l from t",
+    "select lag(v, 1) ignore nulls over (partition by k order by t2) as p from t",
+    "select percentile_cont(0.5) within group (order by v) as med from t",
+    "select string_agg(v, '|') within group (order by v desc) as s2 from t group by k",
+    "select element_at(array(1, 2), cast(2 as int)) as x, array('a', 'b') as ar from t"
   )
 
   test("parse . print . parse == parse over the corpus") {

@@ -94,5 +94,21 @@ object VerifyDrive {
         "create stream drv_d (k long); insert into drv_d values (1), (1)")
       "merge into drv_t2 as t using drv_d as s on t.k = s.k when matched then update set v = 9"
     })
+    // round-3 surfaces
+    show("distinct on", "select distinct on (n_regionkey) n_regionkey as k, n_name from nation order by n_regionkey, n_name")
+    show("star modifiers", "select * exclude (n_nationkey) replace (lower(n_name) as n_name) from nation order by n_name limit 2")
+    show("semi/anti join", "select 'semi' as j, count(*) as n from nation semi join region on n_regionkey = r_regionkey " +
+      "union all select 'anti' as j, count(*) as n from nation anti join region on n_regionkey = r_regionkey order by j")
+    show("natural join", "select count(*) as n from nation natural join (select r_regionkey as n_regionkey, r_name from region) as r")
+    show("try_cast", "select try_cast('x' as int) as bad, try_cast('7' as int) as good")
+    show("ignore nulls", "select n_nationkey as k, last_value(case when n_nationkey % 3 = 0 then n_nationkey end) ignore nulls " +
+      "over (order by n_nationkey) as locf from nation order by k limit 4")
+    show("within group", "select string_agg(r_name, '|') within group (order by r_name) as names, " +
+      "percentile_cont(0.5) within group (order by r_regionkey) as med from region")
+    show("grouping()", "select coalesce(n_name, 'ALL') as n2, cast(grouping(n_name) as int) as gf, count(*) as c " +
+      "from nation where n_regionkey = 0 group by n_name with rollup order by gf, n2 limit 3")
+    show("array breadth", "select [1, 2, 3][2] as second, array_contains(split('a-b', '-'), 'b') as hasb")
+    show("probe: distinct on + group by", "select distinct on (n_name) n_name, count(*) as n from nation group by n_name")
+    show("probe: ignore nulls without over", "select last_value(n_name) ignore nulls from nation")
   }
 }
