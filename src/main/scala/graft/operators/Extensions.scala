@@ -264,6 +264,61 @@ object Extensions {
         (sum(when(col("lang") === "de" && col("n") > col("t") * 0.05 &&
           col("n") < col("t") * 0.5, 1).otherwise(0)) === 1).cast("int").as("de_in_range"))
     }),
+    // ---- per-source caps (domain caps): keep the first N docs per source
+    // — the standard guard against one domain dominating a crawl. Exact
+    // DuckDB oracle (same row_number semantics) ----
+    "x30_source_cap" -> ((s, d) =>
+      Sampling.capPerGroup(docs(s, d), "source", cap = 10, orderCol = "doc_id")
+        .select(col("doc_id"), col("source")).orderBy("doc_id")),
+    // ---- weighted corpus mixture: content-addressed per-source keep
+    // probabilities (training-mixture building). Hash membership is not
+    // DuckDB-computable → deterministic FLAGS: only listed sources
+    // survive, per-source keep-rates in wide binomial bounds, and the
+    // draw is reproducible (two runs agree row-for-row) ----
+    "x31_mixture" -> ((s, d) => {
+      val base = docs(s, d)
+      def run = Sampling.mixture(base, "source", "doc_id",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1), seed = 7L)
+      val a = run.select(col("doc_id"), col("source"))
+      val b = run.select(col("doc_id").as("doc_id2"))
+      val tot = base.groupBy("source").agg(count(lit(1)).as("t"))
+      val kept = a.groupBy("source").agg(count(lit(1)).as("n"))
+      val rates = kept.join(tot, "source")
+      val rejoined = a.join(b, col("doc_id") === col("doc_id2"), "full_outer")
+      val determinism = rejoined.agg(
+        (sum(when(col("doc_id").isNull || col("doc_id2").isNull, 1).otherwise(0)) === 0)
+          .cast("int").as("reproducible"))
+      val flags = rates.agg(
+        (count(lit(1)) === 3).cast("int").as("only_listed"),
+        (sum(when(col("source") === "src0" && col("n") === col("t"), 1).otherwise(0)) === 1)
+          .cast("int").as("w1_keeps_all"),
+        (sum(when(col("source") === "src1" && col("n") * 10 > col("t") * 2 &&
+          col("n") * 10 < col("t") * 8, 1).otherwise(0)) === 1).cast("int").as("w50_in_range"),
+        (sum(when(col("source") === "src2" && col("n") * 10 < col("t") * 4, 1).otherwise(0)) === 1)
+          .cast("int").as("w10_low"))
+      flags.crossJoin(determinism)
+    }),
+    // ---- deterministic global shuffle: content-addressed permutation for
+    // training-order randomization. pos is a 0..n-1 permutation (exact
+    // n recomputed by DuckDB) and reproducible across runs ----
+    "x32_global_shuffle" -> ((s, d) => {
+      val base = docs(s, d)
+      def run = Sampling.deterministicShuffle(base, "doc_id", seed = 3L)
+      val a = run.select(col("doc_id"), col("pos"))
+      val b = run.select(col("doc_id").as("id2"), col("pos").as("pos2"))
+      val other = Sampling.deterministicShuffle(base, "doc_id", seed = 4L)
+        .select(col("doc_id").as("id3"), col("pos").as("pos3"))
+      a.join(b, col("doc_id") === col("id2"))
+        .join(other, col("doc_id") === col("id3"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (min(col("pos")) === 0 && max(col("pos")) === count(lit(1)) - 1 &&
+            count_distinct(col("pos")) === count(lit(1))).cast("int").as("perm_ok"),
+          (sum(when(col("pos") === col("pos2"), 1).otherwise(0)) === count(lit(1)))
+            .cast("int").as("reproducible"),
+          (sum(when(col("pos") =!= col("pos3"), 1).otherwise(0)) > 0)
+            .cast("int").as("seed_changes_order"))
+    }),
     // ---- deterministic train/test split: every row lands in one of the
     // two splits and the test fraction is near the requested 10% — both
     // engine-checkable as flags, one narrow pass ----
@@ -471,7 +526,19 @@ object Extensions {
         "SELECT CAST(1 AS INTEGER) AS only_named_strata, " +
         "CAST(1 AS INTEGER) AS en_in_range, CAST(1 AS INTEGER) AS de_in_range"),
       "x19_split_by_hash" ->
-        "SELECT CAST(1 AS INTEGER) AS covers_all, CAST(1 AS INTEGER) AS test_in_range"
+        "SELECT CAST(1 AS INTEGER) AS covers_all, CAST(1 AS INTEGER) AS test_in_range",
+      "x30_source_cap" -> (
+        "SELECT doc_id, source FROM (SELECT doc_id, source, " +
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents) " +
+        "WHERE rn <= 10 ORDER BY doc_id"),
+      "x31_mixture" -> (
+        "SELECT CAST(1 AS INTEGER) AS only_listed, CAST(1 AS INTEGER) AS w1_keeps_all, " +
+        "CAST(1 AS INTEGER) AS w50_in_range, CAST(1 AS INTEGER) AS w10_low, " +
+        "CAST(1 AS INTEGER) AS reproducible"),
+      "x32_global_shuffle" -> (
+        "SELECT count(*) AS n_rows, CAST(1 AS INTEGER) AS perm_ok, " +
+        "CAST(1 AS INTEGER) AS reproducible, CAST(1 AS INTEGER) AS seed_changes_order " +
+        "FROM documents")
     )
   }
 }

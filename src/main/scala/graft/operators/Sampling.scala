@@ -41,4 +41,58 @@ object Sampling {
     df.withColumn("split",
       when(hashBucket(col(keyCol), seed) < testPercent, "test").otherwise("train"))
   }
+
+  /** Cap rows per group (per-domain/per-source caps — the RefinedWeb/C4
+    * trick against one domain dominating a crawl): keep the first `cap`
+    * rows of each `groupCol` value in `orderCol` order (ties broken by
+    * `orderCol` itself being unique, or deterministically by value).
+    *
+    * Scale: one hash shuffle on the group key; per-group state in the
+    * window is a single counter. Hot groups (the reason this operator
+    * exists) land on one partition each — for truly pathological skew,
+    * pre-filter with an approximate count or salt, but at cap ≈ 10³-10⁶
+    * rows per group the partition stays bounded by construction. */
+  def capPerGroup(df: DataFrame, groupCol: String, cap: Int,
+                  orderCol: String): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cap).drop("__rn")
+  }
+
+  /** Weighted corpus mixture: keep each row of source s with probability
+    * `weights(s)` (sources absent from the map drop entirely). Membership
+    * is content-addressed (xxhash64 of the key), NOT random: the same row
+    * keeps or drops identically across runs, partitionings and cluster
+    * sizes — re-running a 100 TB mixture job is a no-op diff. This is the
+    * deterministic down-sampling half of training-mixture building; use
+    * UNION ALL of per-corpus mixtures for multi-corpus blends. */
+  def mixture(df: DataFrame, sourceCol: String, keyCol: String,
+              weights: Map[String, Double], seed: Long = 0L): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w <= 1), "weights in [0,1]")
+    val million = 1000000L
+    // per-source threshold over a 10^6 hash space; seed offsets the space
+    // so different mixtures draw independent subsets
+    val thr = weights.foldLeft(lit(-1L)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit((w * million).toLong)).otherwise(acc)
+    }
+    df.where(pmod(xxhash64(col(keyCol), lit(seed)), lit(million)) < thr)
+  }
+
+  /** Deterministic global shuffle: a stable pseudo-random permutation
+    * `pos` ∈ [0, n) ordered by xxhash64(key, seed) — how training data is
+    * order-randomized without RNG state (re-runs give byte-identical
+    * shards; changing `seed` gives an independent permutation).
+    *
+    * Scale: one global sort (range partitioning). That is the inherent
+    * cost of a total order; at 100 TB prefer writing the hash column and
+    * range-partitioning the WRITE (`df.repartitionByRange(shuffle_key)`)
+    * so no single reducer sees the full order. The `pos` column (zip of
+    * the sorted order) is what sequence-packing and shard-slicing key on. */
+  def deterministicShuffle(df: DataFrame, keyCol: String, seed: Long = 0L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(xxhash64(col(keyCol), lit(seed)), col(keyCol))
+    df.withColumn("pos", row_number().over(w).cast("long") - 1)
+  }
 }

@@ -425,6 +425,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(graft.parser.SqlParser.parse(printed).toOption.get == ast, printed)
   }
 
+  test("per-group caps keep the first N rows per group in order") {
+    val g = TestSpark.session
+    val docs = g.catalog.relation("documents")
+    val capped = Sampling.capPerGroup(docs, "source", cap = 3, orderCol = "doc_id")
+    val per = capped.groupBy("source").count().collect().map(_.getLong(1))
+    assert(per.forall(_ <= 3), "no group may exceed the cap")
+    // kept rows are exactly the 3 smallest doc_ids of each source
+    val expected = docs.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .where(col("rn") <= 3).select("doc_id")
+    assert(capped.select("doc_id").except(expected).count() == 0)
+    assert(expected.except(capped.select("doc_id")).count() == 0)
+  }
+
+  test("mixture: weight-1 keeps all, weight-0 none, membership reproducible") {
+    val g = TestSpark.session
+    val docs = g.catalog.relation("documents")
+    val m = Sampling.mixture(docs, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.4, "src2" -> 0.0), seed = 1L)
+    val per = m.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src0 = docs.where(col("source") === "src0").count()
+    assert(per.keySet.subsetOf(Set("src0", "src1")), "unlisted/zero-weight sources must vanish")
+    assert(per("src0") == src0, "weight 1.0 keeps every row")
+    val again = Sampling.mixture(docs, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.4, "src2" -> 0.0), seed = 1L)
+    assert(m.select("doc_id").except(again.select("doc_id")).count() == 0)
+    assert(again.select("doc_id").except(m.select("doc_id")).count() == 0)
+  }
+
+  test("deterministic shuffle: 0..n-1 permutation, seed-dependent, reproducible") {
+    val g = TestSpark.session
+    val docs = g.catalog.relation("documents").limit(200)
+    val n = docs.count()
+    val p1 = Sampling.deterministicShuffle(docs, "doc_id", seed = 5L)
+    assert(p1.agg(org.apache.spark.sql.functions.countDistinct(col("pos"))).collect().head.getLong(0) == n)
+    assert(p1.agg(org.apache.spark.sql.functions.min(col("pos"))).collect().head.getLong(0) == 0L)
+    assert(p1.agg(org.apache.spark.sql.functions.max(col("pos"))).collect().head.getLong(0) == n - 1)
+    val p2 = Sampling.deterministicShuffle(docs, "doc_id", seed = 5L)
+    assert(p1.select("doc_id", "pos").except(p2.select("doc_id", "pos")).count() == 0)
+    val p3 = Sampling.deterministicShuffle(docs, "doc_id", seed = 6L)
+    val moved = p1.select(col("doc_id"), col("pos"))
+      .join(p3.select(col("doc_id"), col("pos").as("pos3")), "doc_id")
+      .where(col("pos") =!= col("pos3")).count()
+    assert(moved > 0, "a different seed must give a different permutation")
+  }
+
   test("connected components: chains, cycles, separate clusters, dedup") {
     // two components: a 4-chain {1,2,3,4} and a triangle {10,11,12}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
