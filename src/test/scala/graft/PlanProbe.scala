@@ -74,5 +74,32 @@ object PlanProbe {
     show("sample clause is a narrow Sample operator over the scan",
       g.sql("select count(*) as n from lineitem sample (10 percent) seed 42"),
       Seq("Sample 0.0, 0.1"))
+
+    // ---- round 3 ----
+    show("star EXCLUDE prunes the excluded column at the scan",
+      g.sql("select * exclude (text) from documents where doc_id < 10"),
+      Seq("ReadSchema: struct<doc_id:bigint,lang:string,source:string,n_chars:bigint>"))
+
+    show("explicit SEMI JOIN plans as broadcast hash left-semi",
+      g.sql("select n_name from nation semi join region on n_regionkey = r_regionkey"),
+      Seq("BroadcastHashJoin", "LeftSemi"))
+
+    show("DISTINCT ON is one exchange + one window (no self-join)",
+      g.sql("select distinct on (o_custkey) o_custkey, o_orderkey from orders " +
+        "order by o_custkey, o_totalprice desc"),
+      Seq("Window", "row_number"))
+
+    show("ordered string_agg stays one hash aggregate (no window, no extra exchange)",
+      g.sql("select n_regionkey as k, string_agg(n_name, '|') within group (order by n_name) as s " +
+        "from nation group by n_regionkey"),
+      Seq("ObjectHashAggregate", "partial_collect_list"))
+
+    show("mixture is a narrow filter over the scan (zero shuffle)",
+      operators.Sampling.mixture(docs, "source", "doc_id", Map("src0" -> 0.5), 1L),
+      Seq("PushedFilters", "xxhash64"))
+
+    show("per-source cap: single hash exchange on the group key",
+      operators.Sampling.capPerGroup(docs, "source", 10, "doc_id"),
+      Seq("hashpartitioning(source", "row_number"))
   }
 }
