@@ -472,6 +472,23 @@ object SparkEntry {
       "string_agg(n_name, ',') within group (order by n_name desc) as rnames, " +
       "percentile_cont(0.5) within group (order by n_nationkey) as med " +
       "from nation group by n_regionkey order by k")),
+    // ---- LATERAL join: top-N-per-group via a correlated derived table
+    // (Dataset.lateralJoin + .outer() refs; Catalyst decorrelates, so the
+    // inner ORDER BY/LIMIT applies per outer row) ----
+    "q70_lateral" -> ((s, d) => g(s, d).sql(
+      "select c.c_custkey as ck, o.o_orderkey as ok, o.o_totalprice as p " +
+      "from customer c join lateral (select o_orderkey, o_totalprice from orders " +
+      "where o_custkey = c.c_custkey order by o_totalprice desc, o_orderkey limit 2) as o on true " +
+      "where c.c_custkey < 200 order by ck, p desc, ok")),
+    // ---- EXISTS as a scalar expression (projection / CASE / OR — beyond
+    // the WHERE-conjunct semi-join path) ----
+    "q71_exists_expr" -> ((s, d) => g(s, d).sql(
+      "select n_nationkey as k, " +
+      "exists (select 1 from customer c where c.c_nationkey = n.n_nationkey " +
+      "and c.c_acctbal > 5000) as has_rich, " +
+      "case when exists (select 1 from customer c2 where c2.c_nationkey = n.n_nationkey " +
+      "and c2.c_acctbal < 100) then 'low' else 'none' end as low_tag " +
+      "from nation n order by k")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -758,6 +775,18 @@ object SparkEntry {
        "string_agg(n_name, ',' ORDER BY n_name DESC) AS rnames, " +
        "quantile_cont(n_nationkey, 0.5) AS med " +
        "FROM nation GROUP BY n_regionkey ORDER BY k"),
+    "q70_lateral" ->
+      ("SELECT c.c_custkey AS ck, o.o_orderkey AS ok, o.o_totalprice AS p " +
+       "FROM customer c JOIN LATERAL (SELECT o_orderkey, o_totalprice FROM orders " +
+       "WHERE o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) AS o ON true " +
+       "WHERE c.c_custkey < 200 ORDER BY ck, p DESC, ok"),
+    "q71_exists_expr" ->
+      ("SELECT n_nationkey AS k, " +
+       "EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey " +
+       "AND c.c_acctbal > 5000) AS has_rich, " +
+       "CASE WHEN EXISTS (SELECT 1 FROM customer c2 WHERE c2.c_nationkey = n.n_nationkey " +
+       "AND c2.c_acctbal < 100) THEN 'low' ELSE 'none' END AS low_tag " +
+       "FROM nation n ORDER BY k"),
     "q52_quantified" ->
       ("SELECT o_orderkey AS k, o_totalprice AS p FROM orders " +
        "WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders WHERE o_custkey = 1) " +

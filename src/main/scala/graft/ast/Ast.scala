@@ -217,6 +217,13 @@ final case class DerivedRel(
     alias: String,
     window: Option[WindowSpec]) extends Relation
 
+/** `[CROSS|LEFT] JOIN LATERAL (select …) AS name [ON pred]` — a derived
+  * table that may reference columns of relations to its left (top-N-per-
+  * group, per-row lookups). Lowers to `Dataset.lateralJoin` with
+  * `.outer()`-marked references; Catalyst decorrelates (DomainJoin), so
+  * ORDER BY/LIMIT inside apply PER OUTER ROW. Beyond-reference extension. */
+final case class LateralRel(query: QueryExpr, alias: String) extends Relation
+
 /** `(values (…), (…)) as t(c1, c2)` — inline literal relation (ANSI
   * VALUES list; beyond-reference extension). Column names default to
   * col1..colN when the alias carries no column list. */

@@ -135,6 +135,8 @@ object Pretty {
       s"$n${w.fold("")(windowSpec)}${alias.fold("")(a => s" as $a")}"
     case DerivedRel(q, alias, w) =>
       s"(${query(q)})${w.fold("")(windowSpec)} as $alias"
+    case LateralRel(q, alias) =>
+      s"lateral (${query(q)}) as $alias"
     case JoinRel(l, rr, kind, cond) =>
       val k = kind match {
         case InnerJoin => "join"

@@ -42,7 +42,7 @@ object SqlParser extends RegexParsers with PackratParsers {
     "using", "union", "except", "intersect", "all", "distinct", "create",
     "insert", "into", "values", "update", "set", "delete", "asc", "desc",
     "collate", "for", "rollup", "with", "qualify", "sample", "pivot",
-    "unpivot", "asof", "semi", "anti", "natural")
+    "unpivot", "asof", "semi", "anti", "natural", "lateral")
 
   private def kw(w: String): Parser[String] =
     (s"""(?i)\\Q$w\\E\\b""").r ^^ (_.toLowerCase(java.util.Locale.ROOT))
@@ -219,7 +219,9 @@ object SqlParser extends RegexParsers with PackratParsers {
   lazy val projection: PackratParser[Projection] =
     (ident <~ "." <~ "*") ~ starMods ^^ { case q ~ m => Projection(starExpr(Some(q), m), None) } |
     "*" ~> starMods ^^ (m => Projection(starExpr(None, m), None)) |
-    expr ~ opt(opt(kw("as")) ~> ident) ^^ { case e ~ a => Projection(e, a) }
+    // full predicate grammar: boolean projections (`a > 2 AS flag`,
+    // `EXISTS (…) AS has_match`) are ordinary columns
+    predicate ~ opt(opt(kw("as")) ~> ident) ^^ { case e ~ a => Projection(e, a) }
 
   // ----- FROM / joins ------------------------------------------------------
 
@@ -264,6 +266,9 @@ object SqlParser extends RegexParsers with PackratParsers {
 
   lazy val primaryRelation: PackratParser[Relation] = {
     val base: PackratParser[Relation] =
+      kw("lateral") ~> ("(" ~> query <~ ")") ~ (opt(kw("as")) ~> ident) ^^ {
+        case q ~ a => LateralRel(q, a)
+      } |
       ("(" ~> kw("values") ~> rep1sep("(" ~> rep1sep(expr, ",") <~ ")", ",") <~ ")") ~
         (opt(kw("as")) ~> ident) ~ opt("(" ~> rep1sep(ident, ",") <~ ")") ^^ {
           case rows ~ a ~ cs => ValuesRel(rows, a, cs)

@@ -41,6 +41,37 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   // Translator instance is created per GraftSession.execute call).
   private var cteScope: Map[String, DataFrame] = Map.empty
 
+  // Correlation scope (LATERAL / correlated subqueries via the native
+  // Dataset subquery API). `scopeQuals` accumulates the FROM aliases of
+  // every enclosing SELECT; `outerMarkQuals` is the subset that must turn
+  // a qualified ColRef into `col(...).outer()` — it is only populated
+  // while translating the BODY of a lateral/correlated subquery, so the
+  // enclosing query's own references stay ordinary. An inner alias that
+  // shadows an outer one binds inner-first only when left unqualified;
+  // qualify uniquely to disambiguate (documented limitation).
+  private var scopeQuals: Set[String] = Set.empty
+  private var outerMarkQuals: Set[String] = Set.empty
+
+  /** All referenceable aliases/names introduced by a FROM relation. */
+  private def relQuals(r: Relation): Set[String] = r match {
+    case t: TableRef    => Set(t.refName.toLowerCase(java.util.Locale.ROOT))
+    case d: DerivedRel  => Set(d.alias.toLowerCase(java.util.Locale.ROOT))
+    case l: LateralRel  => Set(l.alias.toLowerCase(java.util.Locale.ROOT))
+    case v: ValuesRel   => Set(v.alias.toLowerCase(java.util.Locale.ROOT))
+    case s: SampleRel   => relQuals(s.rel)
+    case p: PivotRel    => relQuals(p.rel)
+    case u: UnpivotRel  => relQuals(u.rel)
+    case j: JoinRel     => relQuals(j.left) ++ relQuals(j.right)
+  }
+
+  /** Translate a subquery body with the given outer aliases marked for
+    * `.outer()` reference (restores the previous marking on exit). */
+  private def withOuterQuals[A](quals: Set[String])(body: => A): A = {
+    val saved = outerMarkQuals
+    outerMarkQuals = outerMarkQuals ++ quals
+    try body finally outerMarkQuals = saved
+  }
+
   def query(q: QueryExpr): DataFrame = q match {
     case With(ctes, body, recursive) =>
       val dup = ctes.groupBy(_._1.toLowerCase(java.util.Locale.ROOT))
@@ -84,6 +115,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     def inRel(r: Relation): Boolean = r match {
       case t: TableRef      => t.name.toLowerCase(java.util.Locale.ROOT) == key
       case d: DerivedRel    => inQuery(d.query)
+      case lr: LateralRel   => inQuery(lr.query)
       case v: ValuesRel     => false
       case s: SampleRel     => inRel(s.rel)
       case pv: PivotRel     => inRel(pv.rel)
@@ -164,6 +196,14 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
 
   private def select(s0: Select): DataFrame = {
     val rel = s0.from.map(relation).getOrElse(RelPlan(dual, Nil, windowed = false))
+    // this SELECT's aliases become visible as outer references to any
+    // correlated subquery translated inside its clauses
+    val savedScope = scopeQuals
+    scopeQuals = scopeQuals ++ s0.from.map(relQuals).getOrElse(Set.empty)
+    try selectBody(rel, s0) finally scopeQuals = savedScope
+  }
+
+  private def selectBody(rel: RelPlan, s0: Select): DataFrame = {
     val (df0, s) = decorrelateScalars(rel.df, s0)
     var df = df0
 
@@ -238,58 +278,57 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
             val projOuter = hasOuter(sel.projection.head.expr, quals, cols)
             if (!conjs.exists(hasOuter(_, quals, cols)) && !projOuter) sq // uncorrelated
             else {
-              if (projOuter)
-                throw new GraftAnalysisException(
-                  "correlated scalar subquery: outer references are only " +
-                    "supported in WHERE equality conjuncts")
-              if (!Expr.hasAggregate(sel.projection.head.expr, Registry.isAggregate))
-                throw new GraftAnalysisException(
-                  "correlated scalar subquery must aggregate, e.g. " +
-                    "(select max(x) from u where u.k = t.k)")
               val (corr0, plain) = conjs.partition(hasOuter(_, quals, cols))
-              val corr = corr0.map {
-                case Cmp("=", l, r) =>
-                  val lo = hasOuter(l, quals, cols)
-                  val ro = hasOuter(r, quals, cols)
-                  if (lo && !ro) (r, l)      // (innerExpr, outerExpr)
-                  else if (ro && !lo) (l, r)
-                  else throw new GraftAnalysisException(
-                    "correlated scalar subquery: each correlated conjunct " +
-                      "must compare an inner expression to an outer one")
-                case other => throw new GraftAnalysisException(
-                  "correlated scalar subquery: only equality correlation is " +
-                    s"supported, got: ${graft.ast.Pretty.expr(other)}")
+              // Shapes outside this rewrite (outer refs in the projection,
+              // non-equality correlation) fall through untouched: expr()
+              // translates them with `.outer()`-marked references and the
+              // native .scalar() subquery, and Catalyst decorrelates.
+              // (Global aggregates build via select() — see aggregate() —
+              // which is what makes that path analyzable.)
+              val equalityShape = !projOuter &&
+                Expr.hasAggregate(sel.projection.head.expr, Registry.isAggregate) &&
+                corr0.forall {
+                  case Cmp("=", l, r) =>
+                    hasOuter(l, quals, cols) != hasOuter(r, quals, cols)
+                  case _ => false
+                }
+              if (!equalityShape) sq
+              else {
+                val corr = corr0.collect {
+                  case Cmp("=", l, r) =>
+                    if (hasOuter(l, quals, cols)) (r, l) else (l, r) // (inner, outer)
+                }
+                val name = s"__sq$counter"; counter += 1
+                var inner = rp.df
+                if (plain.nonEmpty) inner = inner.filter(plain.map(expr).reduce(_ && _))
+                val keyCols = corr.zipWithIndex.map { case ((ie, _), i) =>
+                  expr(ie).as(s"${name}_k$i")
+                }
+                // Split the projection into its bare aggregates (computed in
+                // the grouped frame) and the wrapping expression (evaluated
+                // AFTER the left join, over possibly-absent groups). This is
+                // what makes `100 - count(*)` yield 100 for an empty group:
+                // each count ref coalesces to 0 post-join (the COUNT bug),
+                // other aggregates stay NULL, and the wrapper applies to
+                // those values — exactly ANSI semantics.
+                val aggCols = scala.collection.mutable.Buffer.empty[Column]
+                val replacement = Expr.transform(sel.projection.head.expr) {
+                  case fc @ FuncCall(fname, _, _) if Registry.isAggregate(fname) =>
+                    val an = s"${name}_a${aggCols.length}"
+                    aggCols += expr(fc).as(an)
+                    if (fname.toLowerCase == "count")
+                      FuncCall("coalesce", Seq(ColRef(None, an), Lit(0L)))
+                    else ColRef(None, an)
+                }
+                val grouped = inner.groupBy(keyCols: _*)
+                  .agg(aggCols.head, aggCols.tail.toSeq: _*)
+                val cond = corr.zipWithIndex.map { case ((_, oe), i) =>
+                  expr(oe) === grouped(s"${name}_k$i")
+                }.reduce(_ && _)
+                df = df.join(grouped, cond, "left_outer")
+                corr.indices.foreach(i => df = df.drop(grouped(s"${name}_k$i")))
+                replacement
               }
-              val name = s"__sq$counter"; counter += 1
-              var inner = rp.df
-              if (plain.nonEmpty) inner = inner.filter(plain.map(expr).reduce(_ && _))
-              val keyCols = corr.zipWithIndex.map { case ((ie, _), i) =>
-                expr(ie).as(s"${name}_k$i")
-              }
-              // Split the projection into its bare aggregates (computed in
-              // the grouped frame) and the wrapping expression (evaluated
-              // AFTER the left join, over possibly-absent groups). This is
-              // what makes `100 - count(*)` yield 100 for an empty group:
-              // each count ref coalesces to 0 post-join (the COUNT bug),
-              // other aggregates stay NULL, and the wrapper applies to
-              // those values — exactly ANSI semantics.
-              val aggCols = scala.collection.mutable.Buffer.empty[Column]
-              val replacement = Expr.transform(sel.projection.head.expr) {
-                case fc @ FuncCall(fname, _, _) if Registry.isAggregate(fname) =>
-                  val an = s"${name}_a${aggCols.length}"
-                  aggCols += expr(fc).as(an)
-                  if (fname.toLowerCase == "count")
-                    FuncCall("coalesce", Seq(ColRef(None, an), Lit(0L)))
-                  else ColRef(None, an)
-              }
-              val grouped = inner.groupBy(keyCols: _*)
-                .agg(aggCols.head, aggCols.tail.toSeq: _*)
-              val cond = corr.zipWithIndex.map { case ((_, oe), i) =>
-                expr(oe) === grouped(s"${name}_k$i")
-              }.reduce(_ && _)
-              df = df.join(grouped, cond, "left_outer")
-              corr.indices.foreach(i => df = df.drop(grouped(s"${name}_k$i")))
-              replacement
             }
         }
     }
@@ -512,17 +551,24 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     }
 
     val aggCols = projCols ++ havingCol ++ orderCols
-    val grouped =
+    // Global aggregation goes through select(), not groupBy().agg():
+    // identical Aggregate plan, but select() tolerates lazy `.outer()`
+    // references in the child while RelationalGroupedDataset.agg resolves
+    // eagerly and fails — this is what makes `max(x)` subqueries usable
+    // inside LATERAL joins and correlated scalar positions (Spark 4.1
+    // classic-mode behavior, verified).
+    var out =
       if (gb.exists(g => g.rollup || g.cube || g.sets.isDefined)) {
         if (rel.implicitKeys.nonEmpty)
           throw new GraftAnalysisException(
             "ROLLUP/CUBE/GROUPING SETS over a windowed stream is not supported")
-        gb.flatMap(_.sets) match {
+        val grouped = gb.flatMap(_.sets) match {
           case Some(ss) => df.groupingSets(ss.map(_.map(e => expr(derefOrdinal(s, e)))), keys: _*)
           case None => if (gb.exists(_.cube)) df.cube(keys: _*) else df.rollup(keys: _*)
         }
-      } else df.groupBy(keys: _*)
-    var out = grouped.agg(aggCols.head, aggCols.tail: _*)
+        grouped.agg(aggCols.head, aggCols.tail: _*)
+      } else if (keys.isEmpty) df.select(aggCols: _*)
+      else df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
 
     // overwrite post-agg placeholders from the grouped struct
     s.projection.zipWithIndex.foreach { case (p, i) =>
@@ -715,6 +761,29 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         case None     => p.df.sample(pct / 100.0)
       }
       p.copy(df = sampled)
+
+    // standalone `FROM lateral (q) s` — no left side, plain derived table
+    case LateralRel(q, alias) =>
+      RelPlan(query(q).alias(alias), Nil, windowed = false)
+
+    case JoinRel(l, lat: LateralRel, kind, cond) =>
+      val lp = relation(l)
+      if (lp.windowed)
+        throw new GraftAnalysisException("LATERAL cannot follow a window spec")
+      // translate the subquery with the left side's aliases marked as
+      // outer references; Catalyst decorrelates the resulting plan
+      // (DomainJoin), so ORDER BY/LIMIT inside apply per outer row
+      val sub = withOuterQuals(relQuals(l))(query(lat.query)).alias(lat.alias)
+      val joined = (kind, cond) match {
+        case (CrossJoin | InnerJoin, None) => lp.df.lateralJoin(sub)
+        case (InnerJoin, Some(On(p)))      => lp.df.lateralJoin(sub, expr(p), "inner")
+        case (LeftJoin, Some(On(p)))       => lp.df.lateralJoin(sub, expr(p), "left")
+        case (LeftJoin, None)              => lp.df.lateralJoin(sub, lit(true), "left")
+        case (k, _) =>
+          throw new GraftAnalysisException(
+            s"LATERAL supports [CROSS|INNER|LEFT] JOIN with an optional ON predicate, got $k")
+      }
+      RelPlan(joined, lp.implicitKeys, lp.windowed)
 
     case JoinRel(l, r, AsofJoin(leftOuter), cond) =>
       val lp = relation(l)
@@ -1077,13 +1146,15 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     case other                       => other
   }
 
-  private def containsSubqueryPred(e: Expr): Boolean =
-    Expr.fold(e, false) {
-      case (acc, _: Exists)        => true
-      case (acc, _: InSubquery)    => true
-      case (acc, _: QuantifiedCmp) => true
-      case (acc, _)                => acc
-    }
+  /** Route a WHERE conjunct to the semi/anti-join path only when the
+    * subquery predicate IS the conjunct (possibly under NOT, normalized
+    * away earlier). A subquery pred NESTED deeper (inside OR, CASE, a
+    * comparison) goes through the expression path instead — Exists lowers
+    * to the native exists() column there; IN/ANY/ALL raise a clear error. */
+  private def containsSubqueryPred(e: Expr): Boolean = e match {
+    case _: Exists | _: InSubquery | _: QuantifiedCmp => true
+    case _ => false
+  }
 
   private def applySubqueryPredicate(df: DataFrame, p: Expr): DataFrame = p match {
     case Exists(q, negated) =>
@@ -1150,7 +1221,11 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
 
   def expr(e: Expr): Column = e match {
     case ColRef(None, n)    => col(n)
-    case ColRef(Some(q), n) => col(s"$q.$n")
+    // inside a lateral/correlated subquery body, references qualified with
+    // an ENCLOSING query's alias resolve against the outer plan
+    case ColRef(Some(q), n) =>
+      if (outerMarkQuals(q.toLowerCase(java.util.Locale.ROOT))) col(s"$q.$n").outer()
+      else col(s"$q.$n")
     case Star(None)         => col("*")
     case Star(Some(q))      => col(s"$q.*")
     case Lit(null)          => lit(null)
@@ -1217,19 +1292,33 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       val dt = graft.catalog.Catalog.toDataType(t)
       if (safe) expr(e).try_cast(dt) else expr(e).cast(dt)
 
-    // Uncorrelated scalar subquery: lowered to Catalyst's own ScalarSubquery
-    // node (lazy — nothing executes until the enclosing query runs, so
-    // EXPLAIN / schemaOf stay plan-only; Spark enforces the <=1-row and
-    // single-column contracts itself, and the optimizer can reuse the
-    // subquery result across the plan). Correlated scalar subqueries never
-    // reach here — select() decorrelates them into left joins first.
+    // Scalar subquery → the native Dataset.scalar() subquery column (lazy —
+    // nothing executes until the enclosing query runs, so EXPLAIN /
+    // schemaOf stay plan-only; Spark enforces the <=1-row and
+    // single-column contracts itself). Equality-correlated aggregate
+    // subqueries were already rewritten to left joins by
+    // decorrelateScalars; other correlated shapes (non-equality
+    // correlation, outer refs in the subquery projection) translate here
+    // with enclosing aliases marked `.outer()` and Catalyst decorrelates.
     case ScalarSubquery(q) =>
-      val sub = query(q)
-      require(sub.columns.length == 1,
-        "scalar subquery must return a single column")
-      org.apache.spark.sql.GraftBridge.column(
-        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
-          sub.queryExecution.analyzed))
+      val sub = withOuterQuals(scopeQuals)(query(q))
+      // the single-column arity check needs the subquery's schema, and
+      // `.columns` analyzes the plan STANDALONE — a correlated subquery's
+      // `.outer()` refs only resolve inside the enclosing query, so skip
+      // the early check there (Spark enforces the same contract at
+      // enclosing-plan analysis)
+      val arity = try Some(sub.columns.length) catch { case _: Exception => None }
+      arity.foreach(n => require(n == 1, "scalar subquery must return a single column"))
+      sub.scalar()
+
+    // EXISTS in expression position (projection, OR branches, CASE …) —
+    // the native Dataset.exists() predicate column. Top-level WHERE
+    // conjuncts never reach here: they lower to semi/anti joins in
+    // applySubqueryPredicate (explicit plan control).
+    case Exists(q, negated) =>
+      val sub = withOuterQuals(scopeQuals)(query(q))
+      val c = sub.exists()
+      if (negated) !c else c
 
     // Analytic function over a partition frame (beyond-reference; SQL
     // default frames, so results match DuckDB's OVER exactly). Ranking and
@@ -1326,8 +1415,13 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       val c = expr(l) <=> expr(r)
       if (negated) c else !c
 
-    case _: InSubquery | _: Exists | _: QuantifiedCmp =>
+    case _: InSubquery | _: QuantifiedCmp =>
       throw new GraftAnalysisException(
-        "IN/EXISTS/ANY/ALL subqueries are only supported in WHERE as AND-conjuncts")
+        "IN/ANY/ALL subqueries are only supported in WHERE as AND-conjuncts " +
+          "(EXISTS works in any expression position)")
+
+    case _: StarMod =>
+      throw new GraftAnalysisException(
+        "star modifiers (* EXCLUDE/REPLACE) are only valid as top-level projections")
   }
 }

@@ -134,6 +134,67 @@ class DialectR3Spec extends AnyFunSuite {
     assert(r.getLong(0) == 20L && r.getInt(1) == 2 && r.getBoolean(2))
   }
 
+  test("LATERAL join: inner ORDER BY/LIMIT applies per outer row") {
+    val rows = g.sql(
+      "select n.n_regionkey as rk, t.nk from nation n " +
+      "join lateral (select n_nationkey as nk from nation n2 " +
+      "where n2.n_regionkey = n.n_regionkey order by n_nationkey desc limit 1) as t on true " +
+      "where n.n_nationkey < 5 order by rk").collect()
+    // each of the 5 outer rows gets ITS region's max nationkey
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val rk = r.getAs[Number](0).longValue
+      assert(r.getAs[Number](1).longValue == 20 + rk) // max key per region in testdata
+    }
+  }
+
+  test("LEFT JOIN LATERAL keeps unmatched outer rows with NULLs") {
+    val rows = g.sql(
+      "select n.n_nationkey as k, t.ck from nation n " +
+      "left join lateral (select c_custkey as ck from customer c " +
+      "where c.c_nationkey = n.n_nationkey and c.c_acctbal > 99999999 " +
+      "order by c_custkey limit 1) as t " +
+      "order by k").collect()
+    assert(rows.length == 25 && rows.forall(_.isNullAt(1)))
+  }
+
+  test("CROSS JOIN LATERAL with a correlated global aggregate") {
+    val rows = g.sql(
+      "select n.n_nationkey as k, t.cnt from nation n " +
+      "cross join lateral (select count(*) as cnt from customer c " +
+      "where c.c_nationkey = n.n_nationkey) as t order by k").collect()
+    val manual = g.sql(
+      "select n_nationkey as k, (select count(*) from customer c " +
+      "where c.c_nationkey = n.n_nationkey) as cnt from nation n order by k").collect()
+    assert(rows.map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSeq ==
+      manual.map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSeq)
+  }
+
+  test("EXISTS works in projection, CASE, and OR positions") {
+    val flags = g.sql(
+      "select n_nationkey as k, exists (select 1 from customer c " +
+      "where c.c_nationkey = n.n_nationkey and c.c_acctbal > 9000) as rich " +
+      "from nation n order by k").collect()
+    assert(flags.length == 25)
+    assert(flags.exists(_.getBoolean(1)) && flags.exists(!_.getBoolean(1)))
+    val orCount = g.sql(
+      "select count(*) as n from nation n where n_nationkey = 0 or exists " +
+      "(select 1 from customer c where c.c_nationkey = n.n_nationkey and c.c_acctbal > 9500)")
+      .collect().head.getLong(0)
+    val manual = g.sql(
+      "select count(*) as n from (select n_nationkey, exists (select 1 from customer c " +
+      "where c.c_nationkey = n.n_nationkey and c.c_acctbal > 9500) as e from nation n) as t " +
+      "where n_nationkey = 0 or e").collect().head.getLong(0)
+    assert(orCount == manual)
+  }
+
+  test("non-equality correlated scalar subquery runs via the native path") {
+    val rows = g.sql(
+      "select r_regionkey as k, (select min(n_name) from nation n " +
+      "where n.n_regionkey >= r.r_regionkey) as first_name from region r order by k").collect()
+    assert(rows.length == 5 && rows.forall(!_.isNullAt(1)))
+  }
+
   test("DISTINCT ON binds ? parameters in textual order") {
     val rows = g.sql(
       "select distinct on (n_regionkey % ?) n_regionkey % ? as k, n_name from nation " +

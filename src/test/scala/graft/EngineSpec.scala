@@ -433,15 +433,27 @@ class EngineSpec extends AnyFunSuite {
       .where(col("c_acctbal") > col("a"))
       .select(col("c_custkey")).orderBy("c_custkey").collect().map(_.getLong(0))
     assert(got.toSeq == want.toSeq)
-    // non-aggregate and non-equality correlation are clear errors
-    val e1 = intercept[graft.translate.GraftAnalysisException] {
-      g.sql("select (select c_name from customer c where c.c_nationkey = n.n_nationkey) as x from nation n")
+    // NON-equality correlation takes the native .scalar() path (round 3):
+    // Catalyst decorrelates it, results match a manual window computation
+    val ne = g.sql(
+      "select n_nationkey as k, (select max(c_acctbal) from customer c " +
+      "where c.c_nationkey > n.n_nationkey) as x from nation n order by k")
+      .collect().map(r => (r.getAs[Number](0).longValue, Option(r.getAs[Number](1)).map(_.doubleValue)))
+    val nat = g.catalog.relation("nation")
+    val wantNe = nat.select(col("n_nationkey")).collect().map(_.getAs[Number](0).longValue)
+      .sorted.map { k =>
+        val mx = cust.where(col("c_nationkey") > k).agg(max(col("c_acctbal")))
+          .collect().head
+        (k, if (mx.isNullAt(0)) None else Some(mx.getDouble(0)))
+      }
+    assert(ne.toSeq == wantNe.toSeq)
+    // a correlated NON-aggregate scalar subquery violates the <=1-row
+    // contract at runtime (Spark enforces it inside the decorrelated plan)
+    val e1 = intercept[Exception] {
+      g.sql("select (select c_name from customer c where c.c_nationkey = n.n_nationkey) as x from nation n").collect()
     }
-    assert(e1.getMessage.contains("aggregate"))
-    val e2 = intercept[graft.translate.GraftAnalysisException] {
-      g.sql("select (select max(c_acctbal) from customer c where c.c_nationkey > n.n_nationkey) as x from nation n")
-    }
-    assert(e2.getMessage.contains("equality"))
+    assert(e1.getMessage.contains("More than one row") ||
+      e1.getMessage.contains("SCALAR_SUBQUERY_TOO_MANY_ROWS"))
   }
 
   test("DESCRIBE (query) reports the output schema plan-only") {

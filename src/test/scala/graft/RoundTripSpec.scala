@@ -83,7 +83,13 @@ class RoundTripSpec extends AnyFunSuite {
     "select lag(v, 1) ignore nulls over (partition by k order by t2) as p from t",
     "select percentile_cont(0.5) within group (order by v) as med from t",
     "select string_agg(v, '|') within group (order by v desc) as s2 from t group by k",
-    "select element_at(array(1, 2), cast(2 as int)) as x, array('a', 'b') as ar from t"
+    "select element_at(array(1, 2), cast(2 as int)) as x, array('a', 'b') as ar from t",
+    // LATERAL + expression-position EXISTS
+    "select a from t join lateral (select b from u where (u.k = t.k) order by b desc limit 2) as s2 on true",
+    "select a from t left join lateral (select max(b) as m from u where (u.k = t.k)) as s2",
+    "select a from t cross join lateral (select b from u where (u.k = t.k)) as s2",
+    "select (exists (select 1 from u where (u.k = t.k))) as f from t",
+    "select a from lateral (select 1 as a) as s2"
   )
 
   test("parse . print . parse == parse over the corpus") {
