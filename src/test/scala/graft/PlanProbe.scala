@@ -101,5 +101,16 @@ object PlanProbe {
     show("per-source cap: single hash exchange on the group key",
       operators.Sampling.capPerGroup(docs, "source", 10, "doc_id"),
       Seq("hashpartitioning(source", "row_number"))
+
+    show("lateral top-N decorrelates to a window filter, not a per-row loop",
+      g.sql("select c.c_custkey as ck, o.o_orderkey from customer c " +
+        "join lateral (select o_orderkey from orders " +
+        "where o_custkey = c.c_custkey order by o_totalprice desc limit 2) as o on true"),
+      Seq("Window", "row_number"))
+
+    show("exists-in-projection plans as a single left semi-ish join (no per-row subquery)",
+      g.sql("select c_custkey, exists (select 1 from orders o " +
+        "where o.o_custkey = c.c_custkey) as has from customer c"),
+      Seq("Join ExistenceJoin"))
   }
 }

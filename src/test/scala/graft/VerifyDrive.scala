@@ -110,5 +110,16 @@ object VerifyDrive {
     show("array breadth", "select [1, 2, 3][2] as second, array_contains(split('a-b', '-'), 'b') as hasb")
     show("probe: distinct on + group by", "select distinct on (n_name) n_name, count(*) as n from nation group by n_name")
     show("probe: ignore nulls without over", "select last_value(n_name) ignore nulls from nation")
+    show("lateral top-1 per group", "select n.n_name, t.ck, t.bal from nation n " +
+      "join lateral (select c_custkey as ck, c_acctbal as bal from customer c " +
+      "where c.c_nationkey = n.n_nationkey order by c_acctbal desc, c_custkey limit 1) as t on true " +
+      "order by n.n_name limit 4")
+    show("left join lateral", "select n.n_nationkey as k, t.ck from nation n " +
+      "left join lateral (select c_custkey as ck from customer c " +
+      "where c.c_nationkey = n.n_nationkey and c.c_acctbal > 99999999 limit 1) as t order by k limit 3")
+    show("exists in projection", "select n_nationkey as k, exists (select 1 from customer c " +
+      "where c.c_nationkey = n.n_nationkey and c.c_acctbal > 9000) as rich from nation n order by k limit 4")
+    show("non-equality corr scalar", "select r_regionkey as k, (select min(n_name) from nation n " +
+      "where n.n_regionkey >= r.r_regionkey) as nm from region r order by k limit 3")
   }
 }
