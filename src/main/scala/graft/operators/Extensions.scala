@@ -319,6 +319,12 @@ object Extensions {
           (sum(when(col("pos") =!= col("pos3"), 1).otherwise(0)) > 0)
             .cast("int").as("seed_changes_order"))
     }),
+    // ---- bigram LM quality score (KenLM-perplexity pattern, self-trained
+    // on the corpus): mean smoothed conditional log-prob per doc. Fully
+    // ANSI-expressible → exact DuckDB oracle ----
+    "x33_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramScore(docs(s, d), "text", "doc_id")
+        .orderBy("id")),
     // ---- deterministic train/test split: every row lands in one of the
     // two splits and the test fraction is near the requested 10% — both
     // engine-checkable as flags, one narrow pass ----
@@ -538,7 +544,20 @@ object Extensions {
       "x32_global_shuffle" -> (
         "SELECT count(*) AS n_rows, CAST(1 AS INTEGER) AS perm_ok, " +
         "CAST(1 AS INTEGER) AS reproducible, CAST(1 AS INTEGER) AS seed_changes_order " +
-        "FROM documents")
+        "FROM documents"),
+      "x33_bigram_lm" -> (
+        "WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+        "bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (SELECT doc_id, " +
+        "unnest([struct_pack(w1 := ws[i], w2 := ws[i+1]) for i in range(1, len(ws))]) AS b " +
+        "FROM d WHERE len(ws) >= 2)), " +
+        "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1), " +
+        "v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(ws) AS tok FROM d) WHERE tok <> ''), " +
+        "s AS (SELECT bg.doc_id, count(*) AS n_bigrams, " +
+        "ROUND(avg(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS lm_score " +
+        "FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v GROUP BY 1) " +
+        "SELECT d2.doc_id AS id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.lm_score " +
+        "FROM documents d2 LEFT JOIN s ON s.doc_id = d2.doc_id ORDER BY id")
     )
   }
 }

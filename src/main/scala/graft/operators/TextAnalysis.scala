@@ -288,6 +288,53 @@ object TextAnalysis {
         round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6).as("tfidf"))
   }
 
+  /** Bigram language-model quality score (the KenLM-perplexity pattern,
+    * self-trained on the corpus): per doc, the mean add-k-smoothed
+    * conditional log-probability of its word bigrams,
+    *
+    *   score(d) = avg over bigrams (w1,w2) of
+    *              ln( (C(w1,w2) + k) / (C(w1,·) + k·V) )
+    *
+    * where C(w1,w2) = corpus bigram count, C(w1,·) = count of bigrams
+    * starting with w1, V = corpus vocabulary size. Low scores flag
+    * incoherent/boilerplate text (Gopher/CCNet-style filtering signal).
+    *
+    * Scale: bigram generation is a narrow explode over the split-once
+    * token array (shuffle-free, SCALE.md round-2 lesson); the model is
+    * two hash aggregations; scoring joins doc-bigrams to the bigram
+    * table on (w1,w2) — hash-partitionable, AQE-skewable — and the V
+    * scalar broadcasts. Docs with <2 tokens score NULL (0 bigrams).
+    * Output: (id, n_bigrams, lm_score). */
+  def bigramScore(df: DataFrame, textCol: String, idCol: String,
+                  k: Double = 0.5): DataFrame = {
+    val ws = split(lower(trim(col(textCol))), "\\s+")
+    val base = Par.widen(df, idCol)
+      .select(col(idCol).as("id"), ws.as("__ws"))
+    // consecutive pairs: one narrow explode, tokens stay in their scan
+    // partition (no window/lead shuffle)
+    val bg = base.where(size(col("__ws")) >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), size(col("__ws")) - 1),
+        i => struct(element_at(col("__ws"), i).as("w1"),
+                    element_at(col("__ws"), i + 1).as("w2")))).as("__b"))
+      .select(col("id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocabSize = base
+      .select(explode(col("__ws")).as("tok")).where(col("tok") =!= "")
+      .agg(count_distinct(col("tok")).as("v"))
+    val scored = bg
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocabSize))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c2") + k) / (col("c1") + col("v") * k))), 6).as("lm_score"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_score"))
+  }
+
   /** Rolling-hash fingerprint at scale: min over all k-gram xxhash64
     * values (= min of the winnowing window minima), via explode +
     * codegen'd min aggregation. Blank/short docs hash their whole text. */

@@ -473,6 +473,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(moved > 0, "a different seed must give a different permutation")
   }
 
+  test("bigram LM score: frequent-bigram docs score higher; short docs NULL") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),     // only the corpus's dominant bigrams
+      (2L, "a b q z a b"),     // two rare bigrams mixed in
+      (3L, "x"),               // single token: no bigrams
+      (4L, "")                 // empty: no bigrams
+    ).toDF("doc_id", "text")
+    val scored = TextAnalysis.bigramScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(scored(1L)._1 == 5 && scored(2L)._1 == 5)
+    assert(scored(3L) == ((0L, None)) && scored(4L) == ((0L, None)))
+    // doc 1 repeats corpus-frequent bigrams, doc 2 contains rare ones
+    assert(scored(1L)._2.get > scored(2L)._2.get)
+    // hand-check doc 1: corpus C(a,b)=5, C(a,·)=5; C(b,a)=2, C(b,·)=3;
+    // V = {a,b,q,z,x} = 5 → 3 ab-terms + 2 ba-terms averaged
+    val ab = math.log((5 + 0.5) / (5 + 2.5))
+    val ba = math.log((2 + 0.5) / (3 + 2.5))
+    val expected1 = math.rint(((3 * ab + 2 * ba) / 5) * 1e6) / 1e6
+    assert(math.abs(scored(1L)._2.get - expected1) < 1e-9)
+  }
+
   test("connected components: chains, cycles, separate clusters, dedup") {
     // two components: a 4-chain {1,2,3,4} and a triangle {10,11,12}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
