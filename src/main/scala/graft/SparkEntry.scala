@@ -489,6 +489,23 @@ object SparkEntry {
       "case when exists (select 1 from customer c2 where c2.c_nationkey = n.n_nationkey " +
       "and c2.c_acctbal < 100) then 'low' else 'none' end as low_tag " +
       "from nation n order by k")),
+    // ---- table functions in FROM: range (end-exclusive) /
+    // generate_series (end-inclusive) → spark.range (parallel Range node,
+    // not a literal list) ----
+    "q72_table_fns" -> ((s, d) => g(s, d).sql(
+      "select r.range as k, g.generate_series as s2, r.range * g.generate_series as prod " +
+      "from range(1, 6) as r cross join generate_series(0, 20, 5) as g " +
+      "order by k, s2")),
+    // ---- named WINDOW clause: one spec, many functions (parse-time
+    // expansion — the plan is identical to inline OVER) ----
+    "q73_window_clause" -> ((s, d) => g(s, d).sql(
+      "select o_orderkey as k, " +
+      "cast(row_number() over w as long) as rn, " +
+      "round(sum(o_totalprice) over w, 2) as running, " +
+      "round(lag(o_totalprice, 1, 0.0) over w, 2) as prev " +
+      "from orders where o_orderkey < 300 " +
+      "window w as (partition by o_orderstatus order by o_orderkey) " +
+      "order by k")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -787,6 +804,18 @@ object SparkEntry {
        "CASE WHEN EXISTS (SELECT 1 FROM customer c2 WHERE c2.c_nationkey = n.n_nationkey " +
        "AND c2.c_acctbal < 100) THEN 'low' ELSE 'none' END AS low_tag " +
        "FROM nation n ORDER BY k"),
+    "q72_table_fns" ->
+      ("SELECT r.range AS k, g.generate_series AS s2, r.range * g.generate_series AS prod " +
+       "FROM range(1, 6) r CROSS JOIN generate_series(0, 20, 5) g " +
+       "ORDER BY k, s2"),
+    "q73_window_clause" ->
+      ("SELECT o_orderkey AS k, " +
+       "row_number() OVER w AS rn, " +
+       "ROUND(sum(o_totalprice) OVER w, 2) AS running, " +
+       "ROUND(lag(o_totalprice, 1, 0.0) OVER w, 2) AS prev " +
+       "FROM orders WHERE o_orderkey < 300 " +
+       "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey) " +
+       "ORDER BY k"),
     "q52_quantified" ->
       ("SELECT o_orderkey AS k, o_totalprice AS p FROM orders " +
        "WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders WHERE o_custkey = 1) " +

@@ -224,6 +224,15 @@ final case class DerivedRel(
   * ORDER BY/LIMIT inside apply PER OUTER ROW. Beyond-reference extension. */
 final case class LateralRel(query: QueryExpr, alias: String) extends Relation
 
+/** Table function in FROM: `range(a, b [, step])` (end-exclusive) and
+  * `generate_series(a, b [, step])` (end-inclusive) — DuckDB-compatible
+  * numeric series sources, lowering to `spark.range` (a parallel,
+  * partition-splittable Range node — not a literal list). */
+final case class TableFnRel(name: String, args: Seq[Expr],
+                            alias: Option[String]) extends Relation {
+  def refName: String = alias.getOrElse(name)
+}
+
 /** `(values (…), (…)) as t(c1, c2)` — inline literal relation (ANSI
   * VALUES list; beyond-reference extension). Column names default to
   * col1..colN when the alias carries no column list. */
@@ -359,7 +368,10 @@ final case class WindowFn(
     frame: Option[WindowFrame] = None,
     // `fn(x) IGNORE NULLS OVER (…)` — skip NULLs in offset/value window
     // functions (lag/lead/first_value/last_value/nth_value/any_value)
-    ignoreNulls: Boolean = false) extends Expr
+    ignoreNulls: Boolean = false,
+    // `fn() OVER w` — reference to a named window from the WINDOW clause;
+    // resolved (expanded) at parse time, never survives into translation
+    ref: Option[String] = None) extends Expr
 
 /** `INTERVAL n unit` literal (beyond-reference extension) — timestamp
   * arithmetic for time-series/windowing pipelines. Units second..year;
@@ -414,7 +426,7 @@ object Expr {
     // NOTE: children are the fn's ARGS, not the fn node itself —
     // `sum(x) over (…)` is per-row analytic, not a grouping aggregate, so
     // hasAggregate must not see the inner FuncCall.
-    case WindowFn(f, pb, ob, _, _) => f.args ++ pb ++ ob.map(_.expr)
+    case w: WindowFn => w.fn.args ++ w.partitionBy ++ w.orderBy.map(_.expr)
     case StarMod(_, _, repl)  => repl.map(_._1)
     case Cmp(_, l, r)         => Seq(l, r)
     case And(l, r)            => Seq(l, r)
@@ -449,14 +461,14 @@ object Expr {
         case Neg(c)                => Neg(go(c))
         case BitNot(c)             => BitNot(go(c))
         case FuncCall(n, as, d)    => FuncCall(n, as.map(go), d)
-        case w @ WindowFn(fn, pb, ob, _, _) =>
-          val fn2 = go(fn) match {
+        case w: WindowFn =>
+          val fn2 = go(w.fn) match {
             case fc: FuncCall => fc
             case other => throw new IllegalArgumentException(
               s"cannot rewrite a window function call into ${other.getClass.getSimpleName}")
           }
-          w.copy(fn = fn2, partitionBy = pb.map(go),
-            orderBy = ob.map(k => k.copy(expr = go(k.expr))))
+          w.copy(fn = fn2, partitionBy = w.partitionBy.map(go),
+            orderBy = w.orderBy.map(k => k.copy(expr = go(k.expr))))
         case sm @ StarMod(_, _, repl) =>
           sm.copy(replace = repl.map { case (e, n) => (go(e), n) })
         case CaseWhen(bs, o, subj) =>

@@ -137,6 +137,8 @@ object Pretty {
       s"(${query(q)})${w.fold("")(windowSpec)} as $alias"
     case LateralRel(q, alias) =>
       s"lateral (${query(q)}) as $alias"
+    case TableFnRel(n, args, alias) =>
+      s"$n(${args.map(expr).mkString(", ")})${alias.fold("")(a => s" as $a")}"
     case JoinRel(l, rr, kind, cond) =>
       val k = kind match {
         case InnerJoin => "join"
@@ -197,7 +199,7 @@ object Pretty {
       "case " + subj.fold("")(x => s"${expr(x)} ") +
         bs.map { case (c, v) => s"when ${expr(c)} then ${expr(v)}" }.mkString(" ") +
         o.fold("")(x => s" else ${expr(x)}") + " end"
-    case WindowFn(f, pb, ob, fr, ign) =>
+    case WindowFn(f, pb, ob, fr, ign, ref) =>
       def bound(n: Long): String = n match {
         case Long.MinValue     => "unbounded preceding"
         case Long.MaxValue     => "unbounded following"
@@ -211,7 +213,8 @@ object Pretty {
         fr.fold("")(w =>
           s"${if (w.rows) "rows" else "range"} between ${bound(w.lo)} and ${bound(w.hi)}")
       ).filter(_.nonEmpty)
-      s"${expr(f)}${if (ign) " ignore nulls" else ""} over (${parts.mkString(" ")})"
+      val spec = ref.getOrElse(s"(${parts.mkString(" ")})")
+      s"${expr(f)}${if (ign) " ignore nulls" else ""} over $spec"
     case Input()              => "?"
     case Cast(e, t, safe)     => s"${if (safe) "try_cast" else "cast"}(${expr(e)} as $t)"
     case ScalarSubquery(q)    => s"(${query(q)})"

@@ -42,7 +42,10 @@ object SqlParser extends RegexParsers with PackratParsers {
     "using", "union", "except", "intersect", "all", "distinct", "create",
     "insert", "into", "values", "update", "set", "delete", "asc", "desc",
     "collate", "for", "rollup", "with", "qualify", "sample", "pivot",
-    "unpivot", "asof", "semi", "anti", "natural", "lateral")
+    "unpivot", "asof", "semi", "anti", "natural", "lateral",
+    // ANSI reserves WINDOW; as a table alias it would swallow the WINDOW
+    // clause (opt(alias) is possessive — no backtracking past it)
+    "window")
 
   private def kw(w: String): Parser[String] =
     (s"""(?i)\\Q$w\\E\\b""").r ^^ (_.toLowerCase(java.util.Locale.ROOT))
@@ -188,18 +191,43 @@ object SqlParser extends RegexParsers with PackratParsers {
 
   /** A single SELECT without trailing ORDER BY/LIMIT (owned by `query`).
     * `DISTINCT ON (k, …)` (Postgres/DuckDB) keeps the first row per key
-    * tuple in ORDER BY order. */
+    * tuple in ORDER BY order. A trailing `WINDOW w AS (…), …` clause
+    * names window specs; `OVER w` references expand here at parse time. */
   lazy val selectStmt: PackratParser[Select] =
     kw("select") ~> opt(kw("distinct") ~> opt(kw("on") ~> "(" ~> rep1sep(expr, ",") <~ ")")) ~
       rep1sep(projection, ",") ~
       opt(kw("from") ~> fromRelations) ~
       opt(kw("where") ~> predicate) ~
       opt(groupByClause) ~
-      opt(kw("qualify") ~> predicate) ^^ {
-        case d ~ proj ~ from ~ where ~ gb ~ qual =>
-          Select(d.isDefined, proj, from, where, gb, Nil, None, qual,
+      opt(kw("qualify") ~> predicate) ~
+      opt(kw("window") ~> rep1sep(
+        ident ~ (kw("as") ~> "(" ~> overBody <~ ")") ^^ { case n ~ w => (n, w) }, ",")) ^^ {
+        case d ~ proj ~ from ~ where ~ gb ~ qual ~ wins =>
+          val s = Select(d.isDefined, proj, from, where, gb, Nil, None, qual,
             distinctOn = d.flatten.getOrElse(Nil))
+          expandNamedWindows(s, wins.getOrElse(Nil))
       }
+
+  /** Expand `OVER w` references against the WINDOW clause. Unresolved
+    * refs are left in place — NOT an error here: semantic actions run on
+    * parse paths that later backtrack (e.g. `window` briefly mis-parsed
+    * as a table alias), so throwing would abort a parse that the correct
+    * path completes. The translator reports leftover refs clearly. */
+  private def expandNamedWindows(
+      s: Select, wins: Seq[(String, (Seq[Expr], Seq[SortKey], Option[WindowFrame]))]): Select = {
+    val byName = wins.map { case (n, w) => n.toLowerCase(java.util.Locale.ROOT) -> w }.toMap
+    if (wins.size != byName.size)
+      throw new IllegalArgumentException("WINDOW clause: duplicate window name")
+    def fix(e: Expr): Expr = Expr.transform(e) {
+      case w @ WindowFn(_, _, _, _, _, Some(name))
+          if byName.contains(name.toLowerCase(java.util.Locale.ROOT)) =>
+        val (pb, ob, fr) = byName(name.toLowerCase(java.util.Locale.ROOT))
+        w.copy(partitionBy = pb, orderBy = ob, frame = fr, ref = None)
+    }
+    s.copy(projection = s.projection.map(p => p.copy(expr = fix(p.expr))),
+      qualify = s.qualify.map(fix),
+      distinctOn = s.distinctOn.map(fix))
+  }
 
   /** DuckDB star modifiers: `* EXCLUDE (a, b) REPLACE (e AS c, …)` —
     * contextual keywords (EXCLUDE/REPLACE stay usable as identifiers). */
@@ -269,6 +297,11 @@ object SqlParser extends RegexParsers with PackratParsers {
       kw("lateral") ~> ("(" ~> query <~ ")") ~ (opt(kw("as")) ~> ident) ^^ {
         case q ~ a => LateralRel(q, a)
       } |
+      // table functions: range(…) / generate_series(…) in FROM
+      ident.filter(n => Set("range", "generate_series")(n.toLowerCase(java.util.Locale.ROOT))) ~
+        ("(" ~> rep1sep(expr, ",") <~ ")") ~ opt(opt(kw("as")) ~> ident) ^^ {
+          case n ~ as ~ a => TableFnRel(n.toLowerCase(java.util.Locale.ROOT), as, a)
+        } |
       ("(" ~> kw("values") ~> rep1sep("(" ~> rep1sep(expr, ",") <~ ")", ",") <~ ")") ~
         (opt(kw("as")) ~> ident) ~ opt("(" ~> rep1sep(ident, ",") <~ ")") ^^ {
           case rows ~ a ~ cs => ValuesRel(rows, a, cs)
@@ -563,7 +596,9 @@ object SqlParser extends RegexParsers with PackratParsers {
         val ignoreN = nulls.contains("ignore")
         val f = FuncCall(lower, args, d.isDefined)
         over match {
-          case Some((pb, ob, fr)) => WindowFn(f, pb, ob, fr, ignoreNulls = ignoreN)
+          case Some(Left((pb, ob, fr))) => WindowFn(f, pb, ob, fr, ignoreNulls = ignoreN)
+          case Some(Right(name)) =>
+            WindowFn(f, Nil, Nil, None, ignoreNulls = ignoreN, ref = Some(name))
           case None =>
             if (ignoreN) throw new IllegalArgumentException(
               "IGNORE NULLS requires an OVER clause (window functions only)")
@@ -593,18 +628,23 @@ object SqlParser extends RegexParsers with PackratParsers {
       }
   }
 
-  /** `OVER (PARTITION BY e, … ORDER BY k, … [frame])` — analytic functions
-    * (beyond-reference extension). */
-  lazy val overClause: PackratParser[(Seq[Expr], Seq[SortKey], Option[WindowFrame])] =
-    kw("over") ~> "(" ~>
-      opt(kw("partition") ~> kw("by") ~> rep1sep(expr, ",")) ~
+  /** The body of a window specification: `PARTITION BY e, … ORDER BY k, …
+    * [frame]` (shared by OVER (…) and the named WINDOW clause). */
+  lazy val overBody: PackratParser[(Seq[Expr], Seq[SortKey], Option[WindowFrame])] =
+    opt(kw("partition") ~> kw("by") ~> rep1sep(expr, ",")) ~
       // plain sort keys only: ORDER BY ALL is a projection-ordinal
       // shorthand; inside a window spec there is no projection to expand
       // against, so the sentinel must not flow through here
       opt(kw("order") ~> kw("by") ~> rep1sep(sortKey, ",")) ~
-      opt(frameSpec) <~ ")" ^^ {
+      opt(frameSpec) ^^ {
         case pb ~ ob ~ fr => (pb.getOrElse(Nil), ob.getOrElse(Nil), fr)
       }
+
+  /** `OVER (…)` inline spec, or `OVER w` naming a WINDOW-clause entry
+    * (Right = the name, expanded by [[expandNamedWindows]]). */
+  lazy val overClause: PackratParser[Either[(Seq[Expr], Seq[SortKey], Option[WindowFrame]), String]] =
+    kw("over") ~> ("(" ~> overBody <~ ")") ^^ (Left(_)) |
+    kw("over") ~> ident ^^ (Right(_))
 
   lazy val funcArg: PackratParser[Expr] =
     "*" ^^^ Star(None) | predicate

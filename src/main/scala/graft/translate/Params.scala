@@ -92,6 +92,7 @@ object Params {
       case ValuesRel(rows, a, cs) => ValuesRel(rows.map(_.map(expr)), a, cs)
       case DerivedRel(q, a, w)  => DerivedRel(query(q), a, w)
       case LateralRel(q, a)     => LateralRel(query(q), a)
+      case TableFnRel(n, as, a) => TableFnRel(n, as.map(expr), a)
       case JoinRel(l, rr, k, c) => JoinRel(relation(l), relation(rr), k, c.map {
         case On(p)  => On(expr(p))
         case other  => other // USING / NATURAL carry no expressions

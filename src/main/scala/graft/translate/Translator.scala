@@ -58,6 +58,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     case d: DerivedRel  => Set(d.alias.toLowerCase(java.util.Locale.ROOT))
     case l: LateralRel  => Set(l.alias.toLowerCase(java.util.Locale.ROOT))
     case v: ValuesRel   => Set(v.alias.toLowerCase(java.util.Locale.ROOT))
+    case f: TableFnRel  => Set(f.refName.toLowerCase(java.util.Locale.ROOT))
     case s: SampleRel   => relQuals(s.rel)
     case p: PivotRel    => relQuals(p.rel)
     case u: UnpivotRel  => relQuals(u.rel)
@@ -116,6 +117,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       case t: TableRef      => t.name.toLowerCase(java.util.Locale.ROOT) == key
       case d: DerivedRel    => inQuery(d.query)
       case lr: LateralRel   => inQuery(lr.query)
+      case _: TableFnRel    => false
       case v: ValuesRel     => false
       case s: SampleRel     => inRel(s.rel)
       case pv: PivotRel     => inRel(pv.rel)
@@ -766,6 +768,28 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     case LateralRel(q, alias) =>
       RelPlan(query(q).alias(alias), Nil, windowed = false)
 
+    // numeric series sources → spark.range: a parallel Range node that
+    // splits across executors (NOT a literal array — a 10^9-row series is
+    // still a one-line plan with full parallelism)
+    case tf @ TableFnRel(name, args, _) =>
+      def lv(e: Expr): Long = e match {
+        case Lit(v: Long)      => v
+        case Neg(Lit(v: Long)) => -v
+        case other => throw new GraftAnalysisException(
+          s"$name expects literal integer arguments, got ${graft.ast.Pretty.expr(other)}")
+      }
+      val (start, endRaw, step) = args.map(lv) match {
+        case Seq(n)       => (0L, n, 1L)
+        case Seq(a, b)    => (a, b, 1L)
+        case Seq(a, b, s) => (a, b, s)
+        case _ => throw new GraftAnalysisException(s"$name takes 1-3 arguments")
+      }
+      if (step == 0) throw new GraftAnalysisException(s"$name: step must be non-zero")
+      // range is end-EXCLUSIVE, generate_series end-INCLUSIVE (DuckDB)
+      val end = if (name == "generate_series") endRaw + (if (step > 0) 1 else -1) else endRaw
+      val df = spark.range(start, end, step).toDF(name)
+      RelPlan(df.alias(tf.refName), Nil, windowed = false)
+
     case JoinRel(l, lat: LateralRel, kind, cond) =>
       val lp = relation(l)
       if (lp.windowed)
@@ -1324,7 +1348,10 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     // default frames, so results match DuckDB's OVER exactly). Ranking and
     // offset functions are only meaningful here, so they are dispatched
     // locally rather than through the scalar Registry.
-    case WindowFn(f, pb, ob, frame, ignoreNulls) =>
+    case WindowFn(_, _, _, _, _, Some(name)) =>
+      throw new GraftAnalysisException(
+        s"OVER $name: no such window in the WINDOW clause") // parse expands refs
+    case WindowFn(f, pb, ob, frame, ignoreNulls, None) =>
       val spec0 = Window.partitionBy(pb.map(expr): _*)
       val ordered =
         if (ob.isEmpty) spec0

@@ -195,6 +195,33 @@ class DialectR3Spec extends AnyFunSuite {
     assert(rows.length == 5 && rows.forall(!_.isNullAt(1)))
   }
 
+  test("table functions: range is end-exclusive, generate_series inclusive") {
+    val r = g.sql("select range as k from range(1, 4) order by k").collect().map(_.getLong(0))
+    assert(r.toSeq == Seq(1L, 2L, 3L))
+    val gs = g.sql("select generate_series as k from generate_series(1, 4) order by k")
+      .collect().map(_.getLong(0))
+    assert(gs.toSeq == Seq(1L, 2L, 3L, 4L))
+    val down = g.sql("select generate_series as k from generate_series(5, 1, -2) order by k desc")
+      .collect().map(_.getLong(0))
+    assert(down.toSeq == Seq(5L, 3L, 1L))
+    // joins like any relation
+    val n = g.sql("select count(*) as n from nation join range(3) as r " +
+      "on n_regionkey = r.range").collect().head.getLong(0)
+    assert(n == 15) // regions 0,1,2 × 5 nations each
+  }
+
+  test("named WINDOW clause expands to the same plan as inline OVER") {
+    val a = g.sql("select n_nationkey as k, cast(row_number() over w as long) as rn " +
+      "from nation window w as (partition by n_regionkey order by n_nationkey) order by k").collect()
+    val b = g.sql("select n_nationkey as k, cast(row_number() over " +
+      "(partition by n_regionkey order by n_nationkey) as long) as rn " +
+      "from nation order by k").collect()
+    assert(a.toSeq == b.toSeq)
+    val e = intercept[Exception](g.sql(
+      "select row_number() over nope as rn from nation window w as (order by n_nationkey)"))
+    assert(e.getMessage.contains("no such window"))
+  }
+
   test("DISTINCT ON binds ? parameters in textual order") {
     val rows = g.sql(
       "select distinct on (n_regionkey % ?) n_regionkey % ? as k, n_name from nation " +

@@ -89,7 +89,11 @@ class RoundTripSpec extends AnyFunSuite {
     "select a from t left join lateral (select max(b) as m from u where (u.k = t.k)) as s2",
     "select a from t cross join lateral (select b from u where (u.k = t.k)) as s2",
     "select (exists (select 1 from u where (u.k = t.k))) as f from t",
-    "select a from lateral (select 1 as a) as s2"
+    "select a from lateral (select 1 as a) as s2",
+    // table functions in FROM
+    "select range as k from range(1, 6) as r",
+    "select generate_series as g from generate_series(0, 20, 5)",
+    "select r.range as k from range(3) as r join t on (t.k = r.range)"
   )
 
   test("parse . print . parse == parse over the corpus") {
