@@ -506,6 +506,21 @@ object SparkEntry {
       "from orders where o_orderkey < 300 " +
       "window w as (partition by o_orderstatus order by o_orderkey) " +
       "order by k")),
+    // ---- ANSI function-style ROLLUP(a, b) grouping (same plan as the
+    // WITH ROLLUP trailer) + GROUPING disambiguation ----
+    "q74_rollup_fn" -> ((s, d) => g(s, d).sql(
+      "select coalesce(l_returnflag, 'ALL') as f, coalesce(l_linestatus, 'ALL') as s2, " +
+      "cast(grouping(l_returnflag) as int) * 2 + cast(grouping(l_linestatus) as int) as g, " +
+      "count(*) as n from lineitem " +
+      "group by rollup(l_returnflag, l_linestatus) order by g, f, s2")),
+    // ---- ordered aggregates (inline ORDER BY) + SIMILAR TO whole-string
+    // regex matching ----
+    "q75_ordered_agg" -> ((s, d) => g(s, d).sql(
+      "select n_regionkey as k, " +
+      "array_join(array_agg(n_name order by n_name desc), '|') as names, " +
+      "string_agg(n_name, ',' order by n_nationkey) as by_key, " +
+      "sum(case when n_name similar to 'NATION_1[0-9]' then 1 else 0 end) as teens " +
+      "from nation group by n_regionkey order by k")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -816,6 +831,17 @@ object SparkEntry {
        "FROM orders WHERE o_orderkey < 300 " +
        "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey) " +
        "ORDER BY k"),
+    "q74_rollup_fn" ->
+      ("SELECT coalesce(l_returnflag, 'ALL') AS f, coalesce(l_linestatus, 'ALL') AS s2, " +
+       "CAST(grouping(l_returnflag) AS INTEGER) * 2 + CAST(grouping(l_linestatus) AS INTEGER) AS g, " +
+       "count(*) AS n FROM lineitem " +
+       "GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY g, f, s2"),
+    "q75_ordered_agg" ->
+      ("SELECT n_regionkey AS k, " +
+       "array_to_string(array_agg(n_name ORDER BY n_name DESC), '|') AS names, " +
+       "string_agg(n_name, ',' ORDER BY n_nationkey) AS by_key, " +
+       "CAST(sum(CASE WHEN n_name SIMILAR TO 'NATION_1[0-9]' THEN 1 ELSE 0 END) AS BIGINT) AS teens " +
+       "FROM nation GROUP BY n_regionkey ORDER BY k"),
     "q52_quantified" ->
       ("SELECT o_orderkey AS k, o_totalprice AS p FROM orders " +
        "WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders WHERE o_custkey = 1) " +

@@ -32,8 +32,8 @@ object Registry {
     // of a ROLLUP/CUBE/GROUPING SETS query — routing them through the
     // aggregate path puts them exactly there
     "grouping", "grouping_id",
-    // internal: WITHIN GROUP (ORDER BY k)-desugared string_agg/listagg
-    "__string_agg_ord")
+    // internal: WITHIN GROUP / inline-ORDER-BY desugared ordered aggregates
+    "__string_agg_ord", "__array_agg_ord")
 
   private val extraScalar = scala.collection.concurrent.TrieMap.empty[String, Builder]
   private val extraAggregate = scala.collection.concurrent.TrieMap.empty[String, Builder]
@@ -87,6 +87,13 @@ object Registry {
         // call_function: the array_join overloads take the delimiter as a
         // Scala String, but here it arrives as a (literal) Column
         call_function("array_join", transform(ordered, s => s.getField("v")), sep.cast("string"))
+      // ordered array_agg — same sorted-struct shape, element type kept
+      case "__array_agg_ord" =>
+        arity(n, args, 3)
+        val Seq(v, key, asc) = args
+        val pairs = array_sort(collect_list(struct(key.as("k"), v.as("v"))))
+        val ordered = when(asc, pairs).otherwise(reverse(pairs))
+        transform(ordered, s => s.getField("v"))
       case "grouping"    => arity(n, args, 1); grouping(args.head)
       case "grouping_id" => grouping_id(args: _*)
       case "abs"       => arity(n, args, 1); abs(args.head)

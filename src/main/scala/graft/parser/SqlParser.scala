@@ -373,6 +373,16 @@ object SqlParser extends RegexParsers with PackratParsers {
         case ss ~ h =>
           GroupBy(ss.flatten.distinct, rollup = false, h, sets = Some(ss))
       } |
+    // ANSI function-style ROLLUP(a, b) / CUBE(a, b) — same semantics as
+    // the MySQL-style `a, b WITH ROLLUP/CUBE` trailer below
+    kw("group") ~> kw("by") ~> kw("rollup") ~> ("(" ~> rep1sep(expr, ",") <~ ")") ~
+      opt(kw("having") ~> predicate) ^^ {
+        case es ~ h => GroupBy(es, rollup = true, h)
+      } |
+    kw("group") ~> kw("by") ~> kw("cube") ~> ("(" ~> rep1sep(expr, ",") <~ ")") ~
+      opt(kw("having") ~> predicate) ^^ {
+        case es ~ h => GroupBy(es, rollup = false, h, cube = true)
+      } |
     kw("group") ~> kw("by") ~> rep1sep(expr, ",") ~
       opt(kw("with") ~> (kw("rollup") | kw("cube"))) ~ opt(kw("having") ~> predicate) ^^ {
         case es ~ r ~ h =>
@@ -433,6 +443,15 @@ object SqlParser extends RegexParsers with PackratParsers {
       } |
       opt(kw("not")) ~ (kw("like") ~> expr) ^^ {
         case n ~ p => (l: Expr) => Like(l, p, n.isDefined)
+      } |
+      // `e SIMILAR TO regex` — ANSI whole-string regex match; desugars to
+      // rlike with the pattern anchored (`^(?:pat)$`), since rlike is a
+      // partial match. Works for dynamic patterns via string concat.
+      opt(kw("not")) ~ (kw("similar") ~> kw("to") ~> expr) ^^ {
+        case n ~ p => (l: Expr) =>
+          val anchored = Arith("||", Arith("||", Lit("^(?:"), p), Lit(")$"))
+          val m = FuncCall("rlike", Seq(l, anchored))
+          if (n.isDefined) Not(m) else m
       } |
       opt(kw("not")) ~ (kw("in") ~> "(" ~> query <~ ")") ^^ {
         case n ~ q => (l: Expr) => InSubquery(l, q, n.isDefined)
@@ -535,12 +554,38 @@ object SqlParser extends RegexParsers with PackratParsers {
   lazy val funcCall: PackratParser[Expr] =
     // `left`/`right` are reserved (join types) but are also ANSI string
     // functions; a following "(" disambiguates — joins never parse here
-    ((ident | kw("left") | kw("right")) <~ "(") ~ (opt(kw("distinct")) ~ repsep(funcArg, ",") <~ ")") ~
+    ((ident | kw("left") | kw("right")) <~ "(") ~
+      (opt(kw("distinct")) ~ repsep(funcArg, ",") ~
+        opt(kw("order") ~> kw("by") ~> sortKey) <~ ")") ~
       opt(kws("ignore", "respect") <~ kw("nulls")) ~
       opt(kw("within") ~> kw("group") ~> "(" ~> kw("order") ~> kw("by") ~> sortKey <~ ")") ~
       opt(kw("filter") ~> "(" ~> kw("where") ~> predicate <~ ")") ~ opt(overClause) ^^ {
-      case n ~ (d ~ as) ~ nulls ~ within ~ flt ~ over =>
-        val lower0 = n.toLowerCase(java.util.Locale.ROOT)
+      case n ~ (d ~ as0 ~ aggOrd) ~ nulls ~ within ~ flt ~ over =>
+        val lower00 = n.toLowerCase(java.util.Locale.ROOT)
+        // `agg(x ORDER BY k)` — DuckDB-style inline ordered aggregate
+        // (same desugar targets as WITHIN GROUP)
+        val (lower0, as) = aggOrd match {
+          case None => (lower00, as0)
+          case Some(k) =>
+            if (within.isDefined)
+              throw new IllegalArgumentException(
+                "use either agg(... ORDER BY ...) or WITHIN GROUP, not both")
+            if (k.nullsFirst.isDefined)
+              throw new IllegalArgumentException(
+                "ordered aggregates do not support NULLS FIRST/LAST")
+            if (as0.isEmpty)
+              throw new IllegalArgumentException(s"$lower00 expects a value argument")
+            lower00 match {
+              case "string_agg" | "listagg" | "group_concat" =>
+                val sep = as0.lift(1).getOrElse(Lit(","))
+                ("__string_agg_ord", Seq(as0.head, sep, k.expr, Lit(k.ascending)))
+              case "array_agg" | "collect_list" =>
+                ("__array_agg_ord", Seq(as0.head, k.expr, Lit(k.ascending)))
+              case other => throw new IllegalArgumentException(
+                s"agg(... ORDER BY ...) is supported for array_agg/collect_list/" +
+                  s"string_agg/listagg, not $other")
+            }
+        }
         // WITHIN GROUP (ORDER BY k) — ordered-set aggregates, desugared at
         // parse time (ANSI surface; DuckDB-compatible):
         //   percentile_cont(p) within group (order by k)      → percentile(k, p)

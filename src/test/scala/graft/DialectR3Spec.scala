@@ -222,6 +222,41 @@ class DialectR3Spec extends AnyFunSuite {
     assert(e.getMessage.contains("no such window"))
   }
 
+  test("GROUP BY ROLLUP(a, b) matches the WITH ROLLUP trailer") {
+    val a = g.sql("select n_regionkey as k, count(*) as n from nation " +
+      "group by rollup(n_regionkey) order by k nulls last").collect()
+    val b = g.sql("select n_regionkey as k, count(*) as n from nation " +
+      "group by n_regionkey with rollup order by k nulls last").collect()
+    assert(a.toSeq == b.toSeq && a.length == 6)
+    val c = g.sql("select count(*) as n from region group by cube(r_regionkey, r_name)")
+      .collect()
+    assert(c.length == 5 + 5 + 5 + 1) // (a,b), (a), (b), ()
+  }
+
+  test("ordered aggregates keep the requested order at any parallelism") {
+    val arr = g.sql("select array_join(array_agg(r_name order by r_name desc), '|') as s2 from region")
+      .collect().head.getString(0)
+    assert(arr == "MIDDLE EAST|EUROPE|ASIA|AMERICA|AFRICA")
+    // order key different from the value: names ordered by region key
+    val byKey = g.sql("select string_agg(r_name, ',' order by r_regionkey desc) as s2 from region")
+      .collect().head.getString(0)
+    assert(byKey == "MIDDLE EAST,EUROPE,ASIA,AMERICA,AFRICA")
+    val e = intercept[Exception](g.sql("select sum(r_regionkey order by r_name) as x from region"))
+    assert(e.getMessage.contains("ORDER BY"))
+  }
+
+  test("SIMILAR TO anchors the whole string") {
+    val r = g.sql("select count(*) as n from nation where n_name similar to 'NATION_1'")
+      .collect().head.getLong(0)
+    assert(r == 1) // NATION_1 only — NATION_10..19 do not match (anchored)
+    val r2 = g.sql("select count(*) as n from nation where n_name similar to 'NATION_1[0-9]'")
+      .collect().head.getLong(0)
+    assert(r2 == 10)
+    val r3 = g.sql("select count(*) as n from nation where n_name not similar to 'NATION_.*'")
+      .collect().head.getLong(0)
+    assert(r3 == 0)
+  }
+
   test("DISTINCT ON binds ? parameters in textual order") {
     val rows = g.sql(
       "select distinct on (n_regionkey % ?) n_regionkey % ? as k, n_name from nation " +
