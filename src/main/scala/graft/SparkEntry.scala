@@ -237,7 +237,7 @@ object SparkEntry {
     "q38_cte" -> ((s, d) => g(s, d).sql(
       "with big as (select o_custkey as ck, count(*) as n from orders group by o_custkey), " +
       "named as (select b.ck, b.n, c.c_acctbal as bal from big b join customer c on b.ck = c.c_custkey) " +
-      "select ck, n, round(bal, 2) as bal from named where n >= 30 order by ck")),
+      "select ck, n, round(bal, 2) as bal from named where n >= 15 order by ck")),
     // ---- QUALIFY — beyond-reference extension (keep-top-k per key, the
     // canonical training-data curation idiom) ----
     "q39_qualify" -> ((s, d) => g(s, d).sql(
@@ -684,7 +684,7 @@ object SparkEntry {
     "q38_cte" ->
       ("WITH big AS (SELECT o_custkey AS ck, COUNT(*) AS n FROM orders GROUP BY o_custkey), " +
        "named AS (SELECT b.ck, b.n, c.c_acctbal AS bal FROM big b JOIN customer c ON b.ck = c.c_custkey) " +
-       "SELECT ck, n, ROUND(bal, 2) AS bal FROM named WHERE n >= 30 ORDER BY ck"),
+       "SELECT ck, n, ROUND(bal, 2) AS bal FROM named WHERE n >= 15 ORDER BY ck"),
     "q39_qualify" ->
       ("SELECT o_custkey AS ck, o_orderkey AS k, o_totalprice AS p FROM orders " +
        "WHERE o_custkey < 100 " +
