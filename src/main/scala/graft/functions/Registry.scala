@@ -106,6 +106,16 @@ object Registry {
       // ----- generators (UDTF surface §2.10): DuckDB-style select-position
       // unnest — one generator per SELECT, enforced by Spark's analyzer -----
       case "unnest" => arity(n, args, 1); explode(args.head)
+      // DISTINCT variants with real Spark counterparts; anything else
+      // must error rather than silently dropping the DISTINCT flag
+      case "string_agg" | "listagg" | "group_concat" if distinct =>
+        require(args.length == 1 || args.length == 2, s"$n expects 1 or 2 args")
+        if (args.length == 2) string_agg_distinct(args.head, args(1))
+        else string_agg_distinct(args.head)
+      case "array_agg" | "collect_list" if distinct =>
+        arity(n, args, 1); collect_set(args.head)
+      case other if distinct =>
+        throw new IllegalArgumentException(s"DISTINCT is not supported for $other")
       // ----- passthrough: Spark's full built-in library (reference P7:
       // unknown function names parse and pass through) -----
       case other => call_function(other, args: _*)

@@ -575,6 +575,10 @@ object SqlParser extends RegexParsers with PackratParsers {
                 "ordered aggregates do not support NULLS FIRST/LAST")
             if (as0.isEmpty)
               throw new IllegalArgumentException(s"$lower00 expects a value argument")
+            if (d.isDefined)
+              throw new IllegalArgumentException(
+                s"$lower00(DISTINCT ... ORDER BY ...) is not supported — " +
+                  "deduplicate in a subquery first")
             lower00 match {
               case "string_agg" | "listagg" | "group_concat" =>
                 val sep = as0.lift(1).getOrElse(Lit(","))

@@ -245,6 +245,26 @@ class DialectR3Spec extends AnyFunSuite {
     assert(e.getMessage.contains("ORDER BY"))
   }
 
+  test("DISTINCT aggregates: real variants work, silent drops are errors") {
+    // string_agg(distinct): each value once (order unspecified → compare as sets)
+    val sa = g.sql("select string_agg(distinct n_regionkey, '|') as s2 from nation")
+      .collect().head.getString(0).split('|').map(_.toLong).toSet
+    assert(sa == Set(0L, 1L, 2L, 3L, 4L))
+    val ag = g.sql("select array_agg(distinct n_regionkey) as a from nation")
+      .collect().head.getSeq[Long](0).toSet
+    assert(ag == Set(0L, 1L, 2L, 3L, 4L))
+    // min(distinct) ≡ min — allowed
+    assert(g.sql("select min(distinct n_regionkey) as m from nation")
+      .collect().head.getAs[Number](0).longValue == 0L)
+    // silently dropping DISTINCT would be a wrong answer — must error
+    val e = intercept[Exception](g.sql(
+      "select stddev(distinct n_regionkey) as s2 from nation").collect())
+    assert(e.getMessage.contains("DISTINCT"))
+    val e2 = intercept[Exception](g.sql(
+      "select array_agg(distinct n_name order by n_name) as a from nation"))
+    assert(e2.getMessage.contains("DISTINCT"))
+  }
+
   test("SIMILAR TO anchors the whole string") {
     val r = g.sql("select count(*) as n from nation where n_name similar to 'NATION_1'")
       .collect().head.getLong(0)
