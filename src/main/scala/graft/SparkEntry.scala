@@ -521,6 +521,11 @@ object SparkEntry {
       "string_agg(n_name, ',' order by n_nationkey) as by_key, " +
       "sum(case when n_name similar to 'NATION_1[0-9]' then 1 else 0 end) as teens " +
       "from nation group by n_regionkey order by k")),
+    // ---- COLUMNS('regex') projection expansion (DuckDB wide-table
+    // ergonomics): the wrapper applies per matched column ----
+    "q76_columns_regex" -> ((s, d) => g(s, d).sql(
+      "select l_returnflag as f, min(columns('^l_(quantity|extendedprice|tax)$')) " +
+      "from lineitem group by l_returnflag order by f")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -842,6 +847,9 @@ object SparkEntry {
        "string_agg(n_name, ',' ORDER BY n_nationkey) AS by_key, " +
        "CAST(sum(CASE WHEN n_name SIMILAR TO 'NATION_1[0-9]' THEN 1 ELSE 0 END) AS BIGINT) AS teens " +
        "FROM nation GROUP BY n_regionkey ORDER BY k"),
+    "q76_columns_regex" ->
+      ("SELECT l_returnflag AS f, min(COLUMNS('^l_(quantity|extendedprice|tax)$')) " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY f"),
     "q52_quantified" ->
       ("SELECT o_orderkey AS k, o_totalprice AS p FROM orders " +
        "WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders WHERE o_custkey = 1) " +

@@ -205,8 +205,50 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     try selectBody(rel, s0) finally scopeQuals = savedScope
   }
 
+  /** Expand `COLUMNS('regex')` projections (DuckDB wide-table ergonomics)
+    * against the frame's schema: one output per matching column (partial
+    * regex match, like DuckDB/RE2 — anchor with ^$ for exact). A wrapping
+    * expression applies per column — `min(columns('l_.*'))` becomes one
+    * min per matched column, each named after the column. */
+  private def expandColumnsRegex(df: DataFrame, s: Select): Select = {
+    def hits(e: Expr): Int = Expr.fold(e, 0) {
+      case (n, FuncCall("columns", _, _)) => n + 1
+      case (n, _)                         => n
+    }
+    if (!s.projection.exists(p => hits(p.expr) > 0)) s
+    else s.copy(projection = s.projection.flatMap { p =>
+      hits(p.expr) match {
+        case 0 => Seq(p)
+        case 1 =>
+          val pat = Expr.fold(p.expr, Option.empty[String]) {
+            case (_, FuncCall("columns", Seq(Lit(x: String)), _)) => Some(x)
+            case (acc, _) => acc
+          }.getOrElse(throw new GraftAnalysisException(
+            "columns(...) expects one string-literal regex argument"))
+          if (p.alias.isDefined)
+            throw new GraftAnalysisException(
+              "columns(...) expands to the matched column names — it cannot take an alias")
+          val rx = java.util.regex.Pattern.compile(pat)
+          val matched = df.columns.filterNot(_.startsWith("__sq"))
+            .filter(c => rx.matcher(c).find())
+          if (matched.isEmpty)
+            throw new GraftAnalysisException(
+              s"columns('$pat') matched no columns (have: ${df.columns.mkString(", ")})")
+          matched.toSeq.map { c =>
+            Projection(Expr.transform(p.expr) {
+              case FuncCall("columns", _, _) => ColRef(None, c)
+            }, Some(c))
+          }
+        case _ => throw new GraftAnalysisException(
+          "at most one columns(...) per projection expression")
+      }
+    })
+  }
+
   private def selectBody(rel: RelPlan, s0: Select): DataFrame = {
-    val (df0, s) = decorrelateScalars(rel.df, s0)
+    val (df1, s1) = decorrelateScalars(rel.df, s0)
+    val s = expandColumnsRegex(df1, s1)
+    val df0 = df1
     var df = df0
 
     // WHERE: split conjuncts; IN-subquery / EXISTS become semi/anti joins

@@ -277,6 +277,21 @@ class DialectR3Spec extends AnyFunSuite {
     assert(r3 == 0)
   }
 
+  test("COLUMNS('regex') expands per matching column, wrapper applies to each") {
+    val bare = g.sql("select columns('^n_') from nation limit 1")
+    assert(bare.columns.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    // partial match like DuckDB: 'regionkey' hits n_regionkey
+    val part = g.sql("select columns('regionkey') from nation limit 1")
+    assert(part.columns.toSeq == Seq("n_regionkey"))
+    val agg = g.sql("select min(columns('^(n_nationkey|n_regionkey)$')) from nation")
+    assert(agg.columns.toSeq == Seq("n_nationkey", "n_regionkey"))
+    assert(agg.collect().head.getAs[Number](0).longValue == 0L)
+    val e = intercept[Exception](g.sql("select columns('zzz') from nation"))
+    assert(e.getMessage.contains("matched no columns"))
+    val e2 = intercept[Exception](g.sql("select columns('^n_') as x from nation"))
+    assert(e2.getMessage.contains("alias"))
+  }
+
   test("DISTINCT ON binds ? parameters in textual order") {
     val rows = g.sql(
       "select distinct on (n_regionkey % ?) n_regionkey % ? as k, n_name from nation " +
