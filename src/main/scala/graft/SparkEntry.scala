@@ -526,6 +526,13 @@ object SparkEntry {
     "q76_columns_regex" -> ((s, d) => g(s, d).sql(
       "select l_returnflag as f, min(columns('^l_(quantity|extendedprice|tax)$')) " +
       "from lineitem group by l_returnflag order by f")),
+    // ---- NON-equality correlated scalar subquery: the native .scalar()
+    // path (Catalyst decorrelation), cross-checked against DuckDB ----
+    "q77_corr_scalar_native" -> ((s, d) => g(s, d).sql(
+      "select r_regionkey as k, " +
+      "(select max(n_name) from nation n where n.n_regionkey >= r.r_regionkey) as last_name, " +
+      "(select count(*) from nation n2 where n2.n_regionkey > r.r_regionkey) as higher " +
+      "from region r order by k")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -850,6 +857,11 @@ object SparkEntry {
     "q76_columns_regex" ->
       ("SELECT l_returnflag AS f, min(COLUMNS('^l_(quantity|extendedprice|tax)$')) " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY f"),
+    "q77_corr_scalar_native" ->
+      ("SELECT r_regionkey AS k, " +
+       "(SELECT max(n_name) FROM nation n WHERE n.n_regionkey >= r.r_regionkey) AS last_name, " +
+       "(SELECT count(*) FROM nation n2 WHERE n2.n_regionkey > r.r_regionkey) AS higher " +
+       "FROM region r ORDER BY k"),
     "q52_quantified" ->
       ("SELECT o_orderkey AS k, o_totalprice AS p FROM orders " +
        "WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders WHERE o_custkey = 1) " +
