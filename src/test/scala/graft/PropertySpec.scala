@@ -126,4 +126,39 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: capPerGroup bounds every group and keeps a subset") {
+    for ((nGroups, cap) <- samples(Gen.zip(Gen.choose(1, 5), Gen.choose(1, 7)), 5).distinct) {
+      val df = (1 to 80).map(i => (i.toLong, s"g${i % nGroups}")).toDF("id", "grp")
+      val capped = graft.operators.Sampling.capPerGroup(df, "grp", cap, "id")
+      val per = capped.groupBy("grp").count().collect().map(_.getLong(1))
+      assert(per.forall(_ <= cap), s"cap=$cap violated")
+      assert(capped.except(df).count() == 0, "capPerGroup invented rows")
+      val expectTotal = (0 until nGroups).map(g =>
+        math.min(cap, (1 to 80).count(_ % nGroups == g))).sum
+      assert(capped.count() == expectTotal)
+    }
+  }
+
+  test("property: mixture keep-sets are monotone in the weight") {
+    // same key + seed ⇒ hash < w·10^6 is monotone: a higher weight keeps a
+    // strict superset — the property that makes mixture re-weighting an
+    // incremental diff instead of a reshuffle
+    val df = (1 to 300).map(i => (i.toLong, "src")).toDF("id", "src")
+    for (Seq(w1, w2) <- samples(Gen.zip(Gen.choose(1, 9), Gen.choose(1, 9)), 6)
+           .map { case (a, b) => Seq(a / 10.0, b / 10.0).sorted }.distinct) {
+      val lo = graft.operators.Sampling.mixture(df, "src", "id", Map("src" -> w1), seed = 9L)
+      val hi = graft.operators.Sampling.mixture(df, "src", "id", Map("src" -> w2), seed = 9L)
+      assert(lo.except(hi).count() == 0, s"w=$w1 kept a row that w=$w2 dropped")
+    }
+  }
+
+  test("property: deterministicShuffle is a 0..n-1 permutation at any size") {
+    for (n <- samples(Gen.choose(1, 120), 5).distinct) {
+      val df = (1 to n).map(_.toLong).toDF("id")
+      val p = graft.operators.Sampling.deterministicShuffle(df, "id", seed = 2L)
+      val ps = p.select("pos").collect().map(_.getLong(0)).sorted
+      assert(ps.toSeq == (0L until n.toLong).toSeq, s"n=$n not a permutation")
+    }
+  }
 }
