@@ -533,6 +533,15 @@ object SparkEntry {
       "(select max(n_name) from nation n where n.n_regionkey >= r.r_regionkey) as last_name, " +
       "(select count(*) from nation n2 where n2.n_regionkey > r.r_regionkey) as higher " +
       "from region r order by k")),
+    // ---- lambda higher-order functions over arrays: transform / filter /
+    // aggregate with `x -> …` syntax (array pipelines without UDFs) ----
+    "q78_lambdas" -> ((s, d) => g(s, d).sql(
+      "select o_orderkey as k, " +
+      "array_join(transform(split(o_orderpriority, '-'), x -> lower(x)), '|') as low, " +
+      "size(filter(split(o_orderpriority, '-'), x -> length(x) > 4)) as nlong, " +
+      "aggregate([1, 2, 3, 4], cast(0 as long), (acc, x) -> acc + x) as total, " +
+      "array_join(zip_with(['a', 'b'], ['x', 'y'], (l, r) -> l || r), ',') as zipped " +
+      "from orders where o_orderkey < 100 order by k")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -862,6 +871,13 @@ object SparkEntry {
        "(SELECT max(n_name) FROM nation n WHERE n.n_regionkey >= r.r_regionkey) AS last_name, " +
        "(SELECT count(*) FROM nation n2 WHERE n2.n_regionkey > r.r_regionkey) AS higher " +
        "FROM region r ORDER BY k"),
+    "q78_lambdas" ->
+      ("SELECT o_orderkey AS k, " +
+       "array_to_string(list_transform(string_split(o_orderpriority, '-'), x -> lower(x)), '|') AS low, " +
+       "CAST(len(list_filter(string_split(o_orderpriority, '-'), x -> length(x) > 4)) AS INTEGER) AS nlong, " +
+       "CAST(list_reduce([0, 1, 2, 3, 4], (acc, x) -> acc + x) AS BIGINT) AS total, " +
+       "'ax,by' AS zipped " + // constant inputs → constant zip, cross-checks the shape
+       "FROM orders WHERE o_orderkey < 100 ORDER BY k"),
     "q52_quantified" ->
       ("SELECT o_orderkey AS k, o_totalprice AS p FROM orders " +
        "WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders WHERE o_custkey = 1) " +

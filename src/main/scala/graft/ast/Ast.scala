@@ -381,6 +381,12 @@ final case class IntervalLit(value: Long, unit: String) extends Expr
 /** `?` positional parameter — fsql/Ast.scala:164. */
 final case class Input() extends Expr
 
+/** `x -> body` / `(x, y) -> body` — lambda argument to a higher-order
+  * array function (transform/filter/forall/array_exists/aggregate/
+  * zip_with). Params shadow outer columns inside the body. Only valid
+  * as a direct function argument. */
+final case class Lambda(params: Seq[String], body: Expr) extends Expr
+
 /** CAST(e AS type) — beyond-reference extension (the reference has no cast
   * syntax; its typer coerces implicitly). Type names are the DDL type
   * vocabulary (long/int/double/string/boolean/timestamp/array<…>).
@@ -428,6 +434,7 @@ object Expr {
     // hasAggregate must not see the inner FuncCall.
     case w: WindowFn => w.fn.args ++ w.partitionBy ++ w.orderBy.map(_.expr)
     case StarMod(_, _, repl)  => repl.map(_._1)
+    case Lambda(_, b)         => Seq(b)
     case Cmp(_, l, r)         => Seq(l, r)
     case And(l, r)            => Seq(l, r)
     case Or(l, r)             => Seq(l, r)
@@ -471,6 +478,7 @@ object Expr {
             orderBy = w.orderBy.map(k => k.copy(expr = go(k.expr))))
         case sm @ StarMod(_, _, repl) =>
           sm.copy(replace = repl.map { case (e, n) => (go(e), n) })
+        case l: Lambda             => l.copy(body = go(l.body))
         case CaseWhen(bs, o, subj) =>
           CaseWhen(bs.map { case (c, v) => (go(c), go(v)) }, o.map(go), subj.map(go))
         case Cmp(op, l, r)         => Cmp(op, go(l), go(r))

@@ -216,6 +216,9 @@ object Pretty {
       val spec = ref.getOrElse(s"(${parts.mkString(" ")})")
       s"${expr(f)}${if (ign) " ignore nulls" else ""} over $spec"
     case Input()              => "?"
+    case Lambda(ps, b) =>
+      val head = if (ps.length == 1) ps.head else ps.mkString("(", ", ", ")")
+      s"$head -> ${expr(b)}"
     case Cast(e, t, safe)     => s"${if (safe) "try_cast" else "cast"}(${expr(e)} as $t)"
     case ScalarSubquery(q)    => s"(${query(q)})"
     case Cmp(op, l, r)        => s"(${expr(l)} $op ${expr(r)})"

@@ -695,8 +695,16 @@ object SqlParser extends RegexParsers with PackratParsers {
     kw("over") ~> ("(" ~> overBody <~ ")") ^^ (Left(_)) |
     kw("over") ~> ident ^^ (Right(_))
 
+  /** `x -> body` / `(x, y) -> body` — lambda arguments to higher-order
+    * array functions. Tried before `predicate`, which would otherwise
+    * consume the parameter name and stop at `->`. */
+  lazy val lambdaArg: PackratParser[Expr] =
+    ("(" ~> rep1sep(ident, ",") <~ ")" | ident ^^ (Seq(_))) ~ ("->" ~> predicate) ^^ {
+      case ps ~ b => Lambda(ps, b)
+    }
+
   lazy val funcArg: PackratParser[Expr] =
-    "*" ^^^ Star(None) | predicate
+    "*" ^^^ Star(None) | lambdaArg | predicate
 
   /** CAST / TRY_CAST (e AS type) — type vocabulary shared with DDL field
     * definitions; TRY_CAST yields NULL on invalid input instead of erroring. */

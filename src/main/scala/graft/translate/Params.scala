@@ -119,6 +119,7 @@ object Params {
       case Not(c)                => Not(expr(c))
       case Between(x, lo, hi, n) => Between(expr(x), expr(lo), expr(hi), n)
       case c: Cast               => c.copy(e = expr(c.e))
+      case l: Lambda             => l.copy(body = expr(l.body))
       case Like(x, p, n)         => Like(expr(x), expr(p), n)
       case IsNull(x, n)          => IsNull(expr(x), n)
       case InList(x, l, n)       => InList(expr(x), l.map(expr), n)

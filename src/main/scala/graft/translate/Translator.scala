@@ -1285,7 +1285,64 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   // scalar expressions
   // ------------------------------------------------------------------
 
+  // lambda parameters in scope while translating a HOF lambda body
+  // (innermost binding wins — params shadow outer columns)
+  private var lambdaScope: Map[String, Column] = Map.empty
+
+  /** Bind a [[Lambda]]'s body with its parameters mapped to the Columns
+    * Spark's higher-order function supplies. */
+  private def bindLambda(l: Lambda, cols: Seq[Column]): Column = {
+    if (l.params.length != cols.length)
+      throw new GraftAnalysisException(
+        s"lambda expects ${cols.length} parameter(s) here, got ${l.params.length}")
+    val saved = lambdaScope
+    lambdaScope = lambdaScope ++ l.params.map(_.toLowerCase(java.util.Locale.ROOT)).zip(cols)
+    try expr(l.body) finally lambdaScope = saved
+  }
+
+  /** Higher-order array functions with lambda arguments → the native
+    * `functions` builders (the only way to construct LambdaFunction plans
+    * from the DataFrame API). NOTE these evaluate as CodegenFallback
+    * (SCALE.md) — fine over per-row arrays, not for corpus-length loops. */
+  private def hofCall(name: String, args: Seq[Expr]): Column = {
+    def l(i: Int): Lambda = args.lift(i) match {
+      case Some(lm: Lambda) => lm
+      case other => throw new GraftAnalysisException(
+        s"$name: argument ${i + 1} must be a lambda, got ${other.map(graft.ast.Pretty.expr)}")
+    }
+    def c(i: Int): Column = args.lift(i) match {
+      case Some(lm: Lambda) => throw new GraftAnalysisException(
+        s"$name: argument ${i + 1} must not be a lambda")
+      case Some(e) => expr(e)
+      case None => throw new GraftAnalysisException(s"$name: missing argument ${i + 1}")
+    }
+    def fn1(lm: Lambda): Column => Column = x => bindLambda(lm, Seq(x))
+    def fn2(lm: Lambda): (Column, Column) => Column = (x, y) => bindLambda(lm, Seq(x, y))
+    name match {
+      case "transform" =>
+        if (l(1).params.length == 2) transform(c(0), fn2(l(1))) else transform(c(0), fn1(l(1)))
+      case "filter" | "list_filter" | "array_filter" =>
+        if (l(1).params.length == 2) filter(c(0), fn2(l(1))) else filter(c(0), fn1(l(1)))
+      case "forall" | "array_forall"      => forall(c(0), fn1(l(1)))
+      case "array_exists" | "list_exists" => exists(c(0), fn1(l(1)))
+      case "zip_with"                     => zip_with(c(0), c(1), fn2(l(2)))
+      case "aggregate" | "reduce" | "list_reduce" =>
+        // our private aggregate(df, rel, s) shadows functions.aggregate
+        if (args.length >= 4)
+          org.apache.spark.sql.functions.aggregate(c(0), c(1), fn2(l(2)), fn1(l(3)))
+        else org.apache.spark.sql.functions.aggregate(c(0), c(1), fn2(l(2)))
+      case "map_filter"    => map_filter(c(0), fn2(l(1)))
+      case "transform_keys"   => transform_keys(c(0), fn2(l(1)))
+      case "transform_values" => transform_values(c(0), fn2(l(1)))
+      case other => throw new GraftAnalysisException(
+        s"$other does not take lambda arguments (supported: transform/filter/" +
+          "forall/array_exists/aggregate/zip_with/map_filter/transform_keys/transform_values)")
+    }
+  }
+
   def expr(e: Expr): Column = e match {
+    case ColRef(None, n) if lambdaScope.contains(n.toLowerCase(java.util.Locale.ROOT)) =>
+      lambdaScope(n.toLowerCase(java.util.Locale.ROOT))
     case ColRef(None, n)    => col(n)
     // inside a lateral/correlated subquery body, references qualified with
     // an ENCLOSING query's alias resolve against the outer plan
@@ -1328,12 +1385,20 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     case Neg(c)    => -expr(c)
     case BitNot(c) => bitwise_not(expr(c))
 
+    case FuncCall(n, args, distinct) if args.exists(_.isInstanceOf[Lambda]) =>
+      hofCall(n.toLowerCase(java.util.Locale.ROOT), args)
+
     case FuncCall(n, args, distinct) =>
       val cols = args.map {
         case Star(_) => lit(1) // count(*) ≡ count(1)
         case a       => expr(a)
       }
       Registry.build(n, cols, distinct)
+
+    case _: Lambda =>
+      throw new GraftAnalysisException(
+        "a lambda (x -> …) is only valid as an argument to transform/filter/" +
+          "forall/array_exists/aggregate/zip_with")
 
     case CaseWhen(branches, otherwise, subject) =>
       // simple CASE (`case x when v …`) compares the subject for equality

@@ -292,6 +292,33 @@ class DialectR3Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("alias"))
   }
 
+  test("lambda HOFs: transform/filter/aggregate/zip_with/forall") {
+    val r = g.sql(
+      "select transform([1, 2, 3], x -> x * 10) as t2, " +
+      "filter([1, 2, 3, 4], x -> x % 2 = 0) as ev, " +
+      "aggregate([1, 2, 3], cast(100 as long), (acc, x) -> acc + x) as agg, " +
+      "zip_with([1, 2], [10, 20], (a, b) -> a + b) as z, " +
+      "forall([2, 4], x -> x % 2 = 0) as allev, " +
+      "array_exists([1, 3], x -> x > 2) as any2").collect().head
+    assert(r.getSeq[Long](0) == Seq(10L, 20L, 30L))
+    assert(r.getSeq[Long](1) == Seq(2L, 4L))
+    assert(r.getLong(2) == 106L)
+    assert(r.getSeq[Long](3) == Seq(11L, 22L))
+    assert(r.getBoolean(4) && r.getBoolean(5))
+  }
+
+  test("lambda params shadow columns; outer columns stay visible in body") {
+    val rows = g.sql(
+      "select n_nationkey as k, " +
+      "transform([1, 2], x -> x + n_regionkey) as shifted " +
+      "from nation where n_nationkey < 2 order by k").collect()
+    assert(rows(0).getSeq[Long](1) == Seq(1L, 2L))  // region 0
+    assert(rows(1).getSeq[Long](1) == Seq(2L, 3L))  // region 1
+    // a lambda outside a HOF argument errors clearly
+    val e = intercept[Exception](g.sql("select upper(x -> x) as b from nation"))
+    assert(e.getMessage.contains("lambda"))
+  }
+
   test("DISTINCT ON binds ? parameters in textual order") {
     val rows = g.sql(
       "select distinct on (n_regionkey % ?) n_regionkey % ? as k, n_name from nation " +

@@ -93,7 +93,11 @@ class RoundTripSpec extends AnyFunSuite {
     // table functions in FROM
     "select range as k from range(1, 6) as r",
     "select generate_series as g from generate_series(0, 20, 5)",
-    "select r.range as k from range(3) as r join t on (t.k = r.range)"
+    "select r.range as k from range(3) as r join t on (t.k = r.range)",
+    // lambda higher-order functions
+    "select transform(a, x -> (x + 1)) as t2 from t",
+    "select aggregate(a, cast(0 as long), (acc, x) -> (acc + x)) as s2 from t",
+    "select filter(a, x -> (x > 2)) as f from t"
   )
 
   test("parse . print . parse == parse over the corpus") {
