@@ -226,6 +226,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("content-addressed curation ops run on live streams (narrow filters)") {
+    // mixture and splitByHash are pure filters/projections of the key —
+    // no state, no shuffle — so the same operators curate streams as-is;
+    // content addressing means a row keeps the SAME fate in batch and in
+    // streaming replays (exactly-once friendly).
+    val in = MemoryStream[(Long, String)](spark)
+    val mixed = graft.operators.Sampling.mixture(
+      in.toDF().toDF("doc_id", "src"), "src", "doc_id",
+      Map("keepall" -> 1.0, "half" -> 0.5), seed = 7L)
+    val split = graft.operators.Sampling.splitByHash(mixed, "doc_id", testPercent = 10)
+    val q = Sinks.memory(split, "mix_out", OutputMode.Append())
+    try {
+      val rows = (1L to 100L).map(i => (i, if (i % 2 == 0) "keepall" else "half")) ++
+        (101L to 110L).map(i => (i, "dropme"))
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("mix_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(got.count(_._2 == "keepall") == 50, "weight-1.0 source keeps every row")
+      assert(!got.exists(_._2 == "dropme"), "unlisted source vanishes")
+      val halfN = got.count(_._2 == "half")
+      assert(halfN > 10 && halfN < 40, s"weight-0.5 in binomial range, got $halfN")
+      // batch replay of the same data = identical membership AND split
+      val batch = graft.operators.Sampling.splitByHash(
+        graft.operators.Sampling.mixture(
+          rows.toDF("doc_id", "src"), "src", "doc_id",
+          Map("keepall" -> 1.0, "half" -> 0.5), seed = 7L),
+        "doc_id", testPercent = 10)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(got.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq,
+        "stream and batch agree row-for-row (content addressing)")
+    } finally q.stop()
+  }
+
   test("W6 streaming: stream-stream windowed join through the dialect") {
     def writeCsv(lines: String*): java.io.File = {
       val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toFile
