@@ -542,6 +542,15 @@ object SparkEntry {
       "aggregate([1, 2, 3, 4], cast(0 as long), (acc, x) -> acc + x) as total, " +
       "array_join(zip_with(['a', 'b'], ['x', 'y'], (l, r) -> l || r), ',') as zipped " +
       "from orders where o_orderkey < 100 order by k")),
+    // ---- map breadth: literals, subscript lookup, keys/values,
+    // cardinality (typed metadata columns for multimodal rows) ----
+    "q79_map_breadth" -> ((s, d) => g(s, d).sql(
+      "select o_orderkey as k, " +
+      "map('lo', o_orderkey, 'hi', o_orderkey * 2)['hi'] as hi, " +
+      "cast(size(map('a', 1, 'b', 2)) as int) as n, " +
+      "array_join(sort_array(map_keys(map('a', 1, 'b', 2))), ',') as ks, " +
+      "array_join(transform(sort_array(map_values(map('x', 3, 'y', 4))), v -> cast(v as string)), ',') as vs " +
+      "from orders where o_orderkey < 50 order by k")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -871,6 +880,13 @@ object SparkEntry {
        "(SELECT max(n_name) FROM nation n WHERE n.n_regionkey >= r.r_regionkey) AS last_name, " +
        "(SELECT count(*) FROM nation n2 WHERE n2.n_regionkey > r.r_regionkey) AS higher " +
        "FROM region r ORDER BY k"),
+    "q79_map_breadth" ->
+      ("SELECT o_orderkey AS k, " +
+       "map(['lo', 'hi'], [o_orderkey, o_orderkey * 2])['hi'][1] AS hi, " +
+       "CAST(cardinality(map(['a', 'b'], [1, 2])) AS INTEGER) AS n, " +
+       "array_to_string(list_sort(map_keys(map(['a', 'b'], [1, 2]))), ',') AS ks, " +
+       "array_to_string(list_transform(list_sort(map_values(map(['x', 'y'], [3, 4]))), v -> CAST(v AS VARCHAR)), ',') AS vs " +
+       "FROM orders WHERE o_orderkey < 50 ORDER BY k"),
     "q78_lambdas" ->
       ("SELECT o_orderkey AS k, " +
        "array_to_string(list_transform(string_split(o_orderpriority, '-'), x -> lower(x)), '|') AS low, " +
