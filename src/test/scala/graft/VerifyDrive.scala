@@ -121,5 +121,15 @@ object VerifyDrive {
       "where c.c_nationkey = n.n_nationkey and c.c_acctbal > 9000) as rich from nation n order by k limit 4")
     show("non-equality corr scalar", "select r_regionkey as k, (select min(n_name) from nation n " +
       "where n.n_regionkey >= r.r_regionkey) as nm from region r order by k limit 3")
+    show("table functions", "select range as k, range * range as sq from range(1, 5) order by k")
+    show("named window clause", "select n_nationkey as k, cast(rank() over w as long) as r2 from nation " +
+      "window w as (partition by n_regionkey order by n_name) order by k limit 4")
+    show("lambdas", "select transform([1, 2, 3], x -> x * n_regionkey) as scaled " +
+      "from nation where n_nationkey = 5")
+    show("columns regex", "select min(columns('^n_(nationkey|regionkey)$')) from nation")
+    show("map breadth", "select map('a', 1, 'b', 2)['b'] as v, size(map('a', 1)) as n")
+    show("ordered agg", "select string_agg(r_name, '|' ) within group (order by r_name desc) as s2 from region")
+    show("probe: lambda outside HOF", "select upper(x -> x) as bad from nation")
+    show("probe: columns no match", "select columns('^zz') from nation")
   }
 }
