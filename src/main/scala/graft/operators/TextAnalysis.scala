@@ -319,7 +319,10 @@ object TextAnalysis {
                     element_at(col("__ws"), i + 1).as("w2")))).as("__b"))
       .select(col("id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // context counts derive from the bigram table — C(w1,·) = Σ_w2 C(w1,w2)
+    // — so the corpus-sized bigram stream shuffles ONCE (for c2); the c1
+    // aggregation shuffles only the distinct-bigram table
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vocabSize = base
       .select(explode(col("__ws")).as("tok")).where(col("tok") =!= "")
       .agg(count_distinct(col("tok")).as("v"))
