@@ -1388,6 +1388,12 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     case FuncCall(n, args, distinct) if args.exists(_.isInstanceOf[Lambda]) =>
       hofCall(n.toLowerCase(java.util.Locale.ROOT), args)
 
+    // expandColumnsRegex rewrites every SELECT-list occurrence before
+    // translation — one reaching here sits in WHERE/GROUP BY/ORDER BY
+    case FuncCall("columns", _, _) =>
+      throw new GraftAnalysisException(
+        "COLUMNS('regex') is only valid in the SELECT list")
+
     case FuncCall(n, args, distinct) =>
       val cols = args.map {
         case Star(_) => lit(1) // count(*) ≡ count(1)

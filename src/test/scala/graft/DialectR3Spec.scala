@@ -319,6 +319,24 @@ class DialectR3Spec extends AnyFunSuite {
     assert(e.getMessage.contains("lambda"))
   }
 
+  test("round-3 edge interplay: distinct-on ordering, star-mod distinct, lambda in WHERE") {
+    // DISTINCT ON picks by a NON-key ORDER BY (looser than Postgres, like DuckDB)
+    val top = g.sql("select distinct on (n_regionkey) n_regionkey as k, n_name " +
+      "from nation order by n_regionkey, n_name desc").collect()
+    assert(top.length == 5 && top.forall(_.getString(1).nonEmpty))
+    // DISTINCT composes with star modifiers (dedup after expansion)
+    val d = g.sql("select distinct * exclude (n_nationkey, n_name) from nation").collect()
+    assert(d.length == 5)
+    // lambdas work in WHERE predicates
+    val n = g.sql("select count(*) as n from nation " +
+      "where forall([n_regionkey], x -> x < 3)").collect().head.getLong(0)
+    assert(n == 15)
+    // COLUMNS outside the SELECT list errors clearly
+    val e = intercept[Exception](g.sql(
+      "select n_name from nation where columns('^n_') = 1").collect())
+    assert(e.getMessage.contains("SELECT list"))
+  }
+
   test("DISTINCT ON binds ? parameters in textual order") {
     val rows = g.sql(
       "select distinct on (n_regionkey % ?) n_regionkey % ? as k, n_name from nation " +
