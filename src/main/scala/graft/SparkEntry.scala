@@ -551,6 +551,17 @@ object SparkEntry {
       "array_join(sort_array(map_keys(map('a', 1, 'b', 2))), ',') as ks, " +
       "array_join(transform(sort_array(map_values(map('x', 3, 'y', 4))), v -> cast(v as string)), ',') as vs " +
       "from orders where o_orderkey < 50 order by k")),
+    // ---- temporal formatting/calendar breadth (cross-engine despite
+    // different function vocabularies — the oracle recomputes each) ----
+    "q80_temporal" -> ((s, d) => g(s, d).sql(
+      "select o_orderkey as k, " +
+      "date_format(o_orderdate, 'yyyy-MM') as ym, " +
+      "cast(dayofweek(o_orderdate) as int) as dw, " +
+      "cast(last_day(o_orderdate) as date) as ld, " +
+      "cast(datediff(cast(o_orderdate as date), date '1995-01-01') as int) as dd, " +
+      "cast(quarter(o_orderdate) as int) as q, " +
+      "cast(weekofyear(o_orderdate) as int) as wk " +
+      "from orders where o_orderkey < 100 order by k")),
     // ---- P12: fluent expression DSL (ExpressionParser.scala parity) ----
     "q31_expr_dsl" -> ((s, d) => {
       val e = g(s, d)
@@ -880,6 +891,15 @@ object SparkEntry {
        "(SELECT max(n_name) FROM nation n WHERE n.n_regionkey >= r.r_regionkey) AS last_name, " +
        "(SELECT count(*) FROM nation n2 WHERE n2.n_regionkey > r.r_regionkey) AS higher " +
        "FROM region r ORDER BY k"),
+    "q80_temporal" ->
+      ("SELECT o_orderkey AS k, " +
+       "strftime(o_orderdate, '%Y-%m') AS ym, " +
+       "CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dw, " +
+       "CAST(last_day(o_orderdate) AS DATE) AS ld, " +
+       "CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS dd, " +
+       "CAST(quarter(o_orderdate) AS INTEGER) AS q, " +
+       "CAST(weekofyear(o_orderdate) AS INTEGER) AS wk " +
+       "FROM orders WHERE o_orderkey < 100 ORDER BY k"),
     "q79_map_breadth" ->
       ("SELECT o_orderkey AS k, " +
        "map(['lo', 'hi'], [o_orderkey, o_orderkey * 2])['hi'][1] AS hi, " +
