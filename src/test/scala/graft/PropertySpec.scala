@@ -127,6 +127,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: round-3 syntax round-trips through the pretty-printer") {
+    val distinctOn = for {
+      k <- Gen.oneOf("k", "src", "(k % 4)")
+      ord <- Gen.oneOf("k", "v desc", "k, v")
+    } yield s"select distinct on ($k) k, v from t order by $ord"
+    val joins = for {
+      j <- Gen.oneOf("semi join", "anti join", "natural join", "natural left join")
+      cond <- Gen.oneOf(" on (t.k = u.k)", " using (k)", "")
+    } yield {
+      val c = if (j.startsWith("natural")) "" else cond
+      s"select a from t $j u$c"
+    }
+    val lateral = for {
+      kind <- Gen.oneOf("join", "left join", "cross join")
+      lim <- Gen.choose(1, 9)
+      on <- Gen.oneOf(true, false)
+    } yield {
+      val cond = if (kind == "cross join" || !on) "" else " on true"
+      s"select a from t $kind lateral (select b from u where (u.k = t.k) limit $lim) as s2$cond"
+    }
+    val lambdas = for {
+      hof <- Gen.oneOf("transform", "filter", "forall")
+      op <- Gen.oneOf("+", "*")
+      v <- Gen.choose(1, 20)
+    } yield s"select $hof(arr, x -> (x $op $v)) as r from t"
+    val ordered = for {
+      f <- Gen.oneOf("array_agg", "string_agg", "collect_list")
+      d <- Gen.oneOf("", " desc")
+    } yield
+      if (f == "string_agg") s"select string_agg(v, ',') within group (order by k$d) as s2 from t"
+      else s"select $f(v order by k$d) as s2 from t group by g"
+    for (g <- Seq(distinctOn, joins, lateral, lambdas, ordered); sql <- samples(g, 8).distinct) {
+      graft.parser.SqlParser.parse(sql) match {
+        case Left(err) => fail(s"parse failed for: $sql — $err")
+        case Right(ast) =>
+          val printed = graft.ast.Pretty.print(ast)
+          graft.parser.SqlParser.parse(printed) match {
+            case Right(ast2) => assert(ast2 == ast, s"round-trip changed AST: $sql -> $printed")
+            case Left(err)   => fail(s"printed form does not parse: $printed — $err")
+          }
+      }
+    }
+  }
+
   test("property: capPerGroup bounds every group and keeps a subset") {
     for ((nGroups, cap) <- samples(Gen.zip(Gen.choose(1, 5), Gen.choose(1, 7)), 5).distinct) {
       val df = (1 to 80).map(i => (i.toLong, s"g${i % nGroups}")).toDF("id", "grp")
