@@ -260,6 +260,57 @@ object Dedup {
       .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Incremental dedup — drop rows of `incoming` that duplicate `corpus`
+    * exactly (same text) or approximately (word-shingle Jaccard ≥
+    * `threshold`, candidates via cross-corpus MinHash-LSH banding). The
+    * production daily-batch-vs-index shape: each new crawl dedups against
+    * the historical index, and the index participates only as 8-byte text
+    * hashes and k-long signatures — never as documents.
+    *
+    * Scale: exact pass = one hash anti-join (64-bit xxhash64; collisions
+    * ~2^-64, same contract as [[exactByHash]]). Near pass = band-bucket
+    * join of batch buckets against corpus buckets (candidates bounded by
+    * bucket size, never |batch|×|corpus|), exact shingle verification on
+    * the candidate pairs only, one anti-join back. Corpus signatures are
+    * recomputed here; at scale persist them once and join (they are
+    * k×8 bytes/doc — the low-TB "index" for a 100 TB corpus).
+    *
+    * Ids must be unique across BOTH frames (standard corpus ids). */
+  def againstCorpus(incoming: DataFrame, corpus: DataFrame, textCol: String,
+                    idCol: String, threshold: Double = 0.8, k: Int = 64,
+                    bands: Int = 16, shingleW: Int = 3, seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, "bands must divide signature length")
+    val r = k / bands
+    // 1) exact text duplicates: hash anti-join (the corpus side shuffles
+    // 8-byte hashes, not documents)
+    val corpusHashes = corpus.select(xxhash64(col(textCol)).as("__ch")).distinct()
+    val afterExact = incoming
+      .join(corpusHashes, xxhash64(col(textCol)) === col("__ch"), "left_anti")
+    // 2) near-dup candidates: same banding as minhashCandidates, but the
+    // bucket join pairs BATCH ids against CORPUS ids only
+    def buckets(df: DataFrame, side: String) =
+      minhashSignatures(df, textCol, idCol, k, shingleW, seed)
+        .select(col("id"),
+          explode(transform(sequence(lit(0), lit(bands - 1)),
+            b => struct(b.as("band"),
+              xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bh"))))
+            .as("bucket"))
+        .select(col("id").as(side), col("bucket.band").as("band"),
+          col("bucket.bh").as("bh"))
+    val cands = buckets(afterExact, "ida")
+      .join(buckets(corpus, "idb"), Seq("band", "bh"))
+      .select(col("ida"), col("idb")).distinct()
+      .localCheckpoint() // tiny; referenced by both sides of the verify join
+    // 3) exact shingle-Jaccard verification over the candidates only
+    // (cost scales with candidates, not the corpus)
+    val docsBoth = afterExact.select(col(idCol).as("__vid"), col(textCol).as("__vt"))
+      .union(corpus.select(col(idCol).as("__vid"), col(textCol).as("__vt")))
+    val verified = ngramJaccard(cands, docsBoth, "__vt", "__vid", shingleW)
+      .where(col("jaccard") >= threshold)
+    val dupIds = verified.select(col("ida").as(idCol)).distinct()
+    afterExact.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------------
   // embedding cosine near-dup
   // ------------------------------------------------------------------

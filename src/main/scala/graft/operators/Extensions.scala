@@ -319,6 +319,18 @@ object Extensions {
           (sum(when(col("pos") =!= col("pos3"), 1).otherwise(0)) > 0)
             .cast("int").as("seed_changes_order"))
     }),
+    // ---- incremental dedup: a "new batch" (odd ids) deduped against the
+    // "historical corpus" (even ids) — exact text + near-dup (LSH
+    // candidates, exact-Jaccard verified). Oracle = DuckDB all-pairs
+    // truth over the batch×corpus cross (recall-complete at gate scale) ----
+    "x34_incremental_dedup" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.againstCorpus(
+        dd.where(col("doc_id") % 2 === 1),
+        dd.where(col("doc_id") % 2 === 0),
+        "text", "doc_id", threshold = 0.8)
+        .select(col("doc_id").as("keep_id")).orderBy("keep_id")
+    }),
     // ---- bigram LM quality score (KenLM-perplexity pattern, self-trained
     // on the corpus): mean smoothed conditional log-prob per doc. Fully
     // ANSI-expressible → exact DuckDB oracle ----
@@ -545,6 +557,16 @@ object Extensions {
         "SELECT count(*) AS n_rows, CAST(1 AS INTEGER) AS perm_ok, " +
         "CAST(1 AS INTEGER) AS reproducible, CAST(1 AS INTEGER) AS seed_changes_order " +
         "FROM documents"),
+      "x34_incremental_dedup" -> (
+        s"WITH $duckGramCtes, " +
+        "ex AS (SELECT n.doc_id FROM documents n " +
+        "JOIN (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0) o USING (text) " +
+        "WHERE n.doc_id % 2 = 1), " +
+        s"near AS (SELECT DISTINCT a.doc_id FROM g a JOIN g b " +
+        s"ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND $duckJaccardExpr >= 0.8) " +
+        "SELECT doc_id AS keep_id FROM documents WHERE doc_id % 2 = 1 " +
+        "AND doc_id NOT IN (SELECT doc_id FROM ex) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM near) ORDER BY keep_id"),
       "x33_bigram_lm" -> (
         "WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), " +
         "bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (SELECT doc_id, " +

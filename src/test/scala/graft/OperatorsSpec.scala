@@ -497,6 +497,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(scored(1L)._2.get - expected1) < 1e-9)
   }
 
+  test("incremental dedup: exact and near corpus duplicates dropped, fresh docs kept") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "completely different historical content about spark plans")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),     // exact dup
+      (2L, "the quick brown fox jumps over the lazy dog today"),       // near dup (1 word)
+      (3L, "an entirely fresh document with novel vocabulary inside"), // fresh
+      (4L, "completely different historical content about spark plans") // exact dup
+    ).toDF("doc_id", "text")
+    val kept = Dedup.againstCorpus(incoming, corpus, "text", "doc_id", threshold = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(3L), s"expected only the fresh doc, got ${kept.toSeq}")
+    // disjoint batch: everything survives
+    val all = Dedup.againstCorpus(
+      Seq((9L, "zebra xylophone quantum")).toDF("doc_id", "text"),
+      corpus, "text", "doc_id").select("doc_id").collect().map(_.getLong(0))
+    assert(all.toSeq == Seq(9L))
+  }
+
   test("connected components: chains, cycles, separate clusters, dedup") {
     // two components: a 4-chain {1,2,3,4} and a triangle {10,11,12}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
