@@ -86,6 +86,22 @@ object Extensions {
         (sum(when(col("c").isNotNull && col("t").isNotNull, 1).otherwise(0)) * 10 >=
           sum(col("t")) * 3).cast("int").as("recall_ok"))
     }),
+    // ---- semantic dedup (SemDeDup composition): exact-cosine pair graph
+    // → connected components → one representative per cluster + size.
+    // Bounded to vec_id < 500 so the all-pairs truth stays O(500²) at any
+    // scale factor; the unbounded scale path swaps the exact pair source
+    // for embeddingNearDup's LSH candidates (gated separately by x06) ----
+    "x35_semantic_dedup" -> ((s, d) => {
+      val e = emb(s, d).where(col("vec_id") < 500)
+      val l = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+      val r = e.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+      val pairs = l.join(r, col("ida") < col("idb"))
+        .where(Similarity.cosine(col("va"), col("vb")) >= 0.4)
+        .select(col("ida"), col("idb")).localCheckpoint()
+      Components.connectedComponents(pairs)
+        .groupBy(col("comp").as("keep_id")).agg(count(lit(1)).as("cluster_size"))
+        .orderBy("keep_id")
+    }),
     // ---- similarity search ----
     "x07_sim_brute_topk" -> ((s, d) => {
       val e = emb(s, d)
@@ -557,6 +573,18 @@ object Extensions {
         "SELECT count(*) AS n_rows, CAST(1 AS INTEGER) AS perm_ok, " +
         "CAST(1 AS INTEGER) AS reproducible, CAST(1 AS INTEGER) AS seed_changes_order " +
         "FROM documents"),
+      "x35_semantic_dedup" -> (
+        "WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+        "FROM embeddings WHERE vec_id < 500), " +
+        "p AS (SELECT a.vec_id AS ida, b.vec_id AS idb FROM e a JOIN e b " +
+        "ON a.vec_id < b.vec_id WHERE " +
+        "list_dot_product(a.v,b.v)/(sqrt(list_dot_product(a.v,a.v))*sqrt(list_dot_product(b.v,b.v))) >= 0.4), " +
+        "ed AS (SELECT ida AS s, idb AS t FROM p UNION SELECT idb, ida FROM p), " +
+        "walk AS (SELECT s AS id, t AS reach FROM ed UNION SELECT s, s FROM ed " +
+        "UNION SELECT w.id, e2.t FROM walk w JOIN ed e2 ON w.reach = e2.s), " +
+        "comp AS (SELECT id, MIN(reach) AS comp FROM walk GROUP BY id) " +
+        "SELECT comp AS keep_id, count(*) AS cluster_size FROM comp " +
+        "GROUP BY comp ORDER BY keep_id"),
       "x34_incremental_dedup" -> (
         s"WITH $duckGramCtes, " +
         "ex AS (SELECT n.doc_id FROM documents n " +
