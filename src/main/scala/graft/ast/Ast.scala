@@ -141,7 +141,13 @@ final case class Select(
     // DISTINCT ON (k, …) — Postgres/DuckDB: keep ONE row per key tuple,
     // chosen by the query's ORDER BY (first row per key). Evaluated after
     // QUALIFY, before ORDER BY/LIMIT. Empty = plain DISTINCT semantics.
-    distinctOn: Seq[Expr] = Nil) extends QueryExpr
+    distinctOn: Seq[Expr] = Nil,
+    // `WINDOW w AS (…)` specs: name → (PARTITION BY, ORDER BY, frame).
+    // Kept on the node so clauses attached AFTER the SELECT parses (the
+    // trailing ORDER BY, owned by the enclosing query parser) can still
+    // expand `OVER w` refs; always consumed at parse time.
+    namedWindows: Seq[(String, (Seq[Expr], Seq[SortKey], Option[WindowFrame]))] = Nil)
+  extends QueryExpr
 
 /** UNION/EXCEPT/INTERSECT [ALL] — flinkdsl/parser.scala:35-40. Unlike the
   * reference we keep (and honor) the ALL flag. */

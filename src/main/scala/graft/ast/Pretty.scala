@@ -68,7 +68,7 @@ object Pretty {
     case With(ctes, body, rec) =>
       val cs = ctes.map { case (n, cq) => s"$n as (${query(cq)})" }.mkString(", ")
       s"with ${if (rec) "recursive " else ""}$cs ${query(body)}"
-    case Select(distinct, proj, from, where, groupBy, orderBy, limit, qualify, distinctOn) =>
+    case Select(distinct, proj, from, where, groupBy, orderBy, limit, qualify, distinctOn, _) =>
       val d =
         if (distinctOn.nonEmpty) s"distinct on (${distinctOn.map(expr).mkString(", ")}) "
         else if (distinct) "distinct "

@@ -51,6 +51,22 @@ object Registry {
   private def arity(name: String, args: Seq[Column], n: Int): Unit =
     require(args.length == n, s"$name expects $n argument(s), got ${args.length}")
 
+  /** `array_sort` comparator for ORDER BY k DESC ordered aggregates: key
+    * descending (nulls last), value ASCENDING on key ties — `reverse(sort)`
+    * would invert the tie-break too, diverging from SQL engines that keep a
+    * stable ascending tie order in both directions. */
+  private def descKeyAscValue(l: Column, r: Column): Column = {
+    val lk = l.getField("k"); val rk = r.getField("k")
+    val lv = l.getField("v"); val rv = r.getField("v")
+    when(lk.isNull && rk.isNull,
+        when(lv < rv, -1).when(lv > rv, 1).otherwise(0))
+      .when(lk.isNull, 1)
+      .when(rk.isNull, -1)
+      .when(lk > rk, -1)
+      .when(lk < rk, 1)
+      .otherwise(when(lv < rv, -1).when(lv > rv, 1).otherwise(0))
+  }
+
   /** Build a Column for `name(args)`; `distinct` only meaningful for
     * aggregates (count/sum/avg distinct). */
   def build(name: String, args: Seq[Column], distinct: Boolean = false): Column = {
@@ -82,8 +98,9 @@ object Registry {
       case "__string_agg_ord" =>
         arity(n, args, 4)
         val Seq(v, sep, key, asc) = args
-        val pairs = array_sort(collect_list(struct(key.as("k"), v.cast("string").as("v"))))
-        val ordered = when(asc, pairs).otherwise(reverse(pairs))
+        val collected = collect_list(struct(key.as("k"), v.cast("string").as("v")))
+        val ordered = when(asc, array_sort(collected))
+          .otherwise(array_sort(collected, descKeyAscValue))
         // call_function: the array_join overloads take the delimiter as a
         // Scala String, but here it arrives as a (literal) Column
         call_function("array_join", transform(ordered, s => s.getField("v")), sep.cast("string"))
@@ -91,8 +108,9 @@ object Registry {
       case "__array_agg_ord" =>
         arity(n, args, 3)
         val Seq(v, key, asc) = args
-        val pairs = array_sort(collect_list(struct(key.as("k"), v.as("v"))))
-        val ordered = when(asc, pairs).otherwise(reverse(pairs))
+        val collected = collect_list(struct(key.as("k"), v.as("v")))
+        val ordered = when(asc, array_sort(collected))
+          .otherwise(array_sort(collected, descKeyAscValue))
         transform(ordered, s => s.getField("v"))
       case "grouping"    => arity(n, args, 1); grouping(args.head)
       case "grouping_id" => grouping_id(args: _*)

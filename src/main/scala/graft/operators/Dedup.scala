@@ -275,10 +275,18 @@ object Dedup {
     * recomputed here; at scale persist them once and join (they are
     * k×8 bytes/doc — the low-TB "index" for a 100 TB corpus).
     *
-    * Ids must be unique across BOTH frames (standard corpus ids). */
+    * Ids must be unique across BOTH frames (standard corpus ids).
+    *
+    * `exactCandidates = true` swaps the LSH band-bucket candidate source
+    * for a shared-shingle inverted-index join: any pair with Jaccard > 0
+    * shares a shingle, so recall is exactly 1 — no banding miss even for
+    * pairs right at the threshold. Use when results must match an
+    * all-pairs oracle bit-for-bit (the gate); costlier on corpora with
+    * very common shingles, so the LSH default remains the scale path. */
   def againstCorpus(incoming: DataFrame, corpus: DataFrame, textCol: String,
                     idCol: String, threshold: Double = 0.8, k: Int = 64,
-                    bands: Int = 16, shingleW: Int = 3, seed: Long = 42L): DataFrame = {
+                    bands: Int = 16, shingleW: Int = 3, seed: Long = 42L,
+                    exactCandidates: Boolean = false): DataFrame = {
     require(k % bands == 0, "bands must divide signature length")
     val r = k / bands
     // 1) exact text duplicates: hash anti-join (the corpus side shuffles
@@ -297,8 +305,13 @@ object Dedup {
             .as("bucket"))
         .select(col("id").as(side), col("bucket.band").as("band"),
           col("bucket.bh").as("bh"))
-    val cands = buckets(afterExact, "ida")
-      .join(buckets(corpus, "idb"), Seq("band", "bh"))
+    def shingleIndex(df: DataFrame, side: String) =
+      shingleRows(df, textCol, idCol, shingleW)
+        .select(col("id").as(side), col("sh")).distinct()
+    val cands = (if (exactCandidates)
+        shingleIndex(afterExact, "ida").join(shingleIndex(corpus, "idb"), "sh")
+      else
+        buckets(afterExact, "ida").join(buckets(corpus, "idb"), Seq("band", "bh")))
       .select(col("ida"), col("idb")).distinct()
       .localCheckpoint() // tiny; referenced by both sides of the verify join
     // 3) exact shingle-Jaccard verification over the candidates only

@@ -336,15 +336,18 @@ object Extensions {
             .cast("int").as("seed_changes_order"))
     }),
     // ---- incremental dedup: a "new batch" (odd ids) deduped against the
-    // "historical corpus" (even ids) — exact text + near-dup (LSH
-    // candidates, exact-Jaccard verified). Oracle = DuckDB all-pairs
-    // truth over the batch×corpus cross (recall-complete at gate scale) ----
+    // "historical corpus" (even ids) — exact text + near-dup, exact-Jaccard
+    // verified. Oracle = DuckDB all-pairs truth over the batch×corpus
+    // cross, so the gate uses the shared-shingle exact candidate source
+    // (recall = 1 by construction — LSH banding could miss a pair sitting
+    // right at the threshold with ~2e-4 probability); production scale
+    // path keeps the default LSH banding ----
     "x34_incremental_dedup" -> ((s, d) => {
       val dd = docs(s, d)
       Dedup.againstCorpus(
         dd.where(col("doc_id") % 2 === 1),
         dd.where(col("doc_id") % 2 === 0),
-        "text", "doc_id", threshold = 0.8)
+        "text", "doc_id", threshold = 0.8, exactCandidates = true)
         .select(col("doc_id").as("keep_id")).orderBy("keep_id")
     }),
     // ---- bigram LM quality score (KenLM-perplexity pattern, self-trained

@@ -178,7 +178,7 @@ object SqlParser extends RegexParsers with PackratParsers {
     (q, ob, lim) match {
       case (_, Nil, None)                       => q
       case (s: Select, _, _) if s.orderBy.isEmpty && s.limit.isEmpty =>
-        s.copy(orderBy = ob, limit = lim)
+        s.copy(orderBy = expandNamedWindowsInSort(s, ob), limit = lim)
       case (s: SetOp, _, _) if s.orderBy.isEmpty && s.limit.isEmpty =>
         s.copy(orderBy = ob, limit = lim)
       case _ =>
@@ -226,8 +226,27 @@ object SqlParser extends RegexParsers with PackratParsers {
     }
     s.copy(projection = s.projection.map(p => p.copy(expr = fix(p.expr))),
       qualify = s.qualify.map(fix),
-      distinctOn = s.distinctOn.map(fix))
+      distinctOn = s.distinctOn.map(fix),
+      groupBy = s.groupBy.map(g => g.copy(having = g.having.map(fix))),
+      // the trailing ORDER BY is attached by the enclosing query parser
+      // (attachTail) — keep the specs on the node so it can expand too
+      namedWindows = wins)
   }
+
+  /** Expand `OVER w` refs in sort keys attached after the SELECT parsed. */
+  private def expandNamedWindowsInSort(s: Select, ob: Seq[SortKey]): Seq[SortKey] =
+    if (s.namedWindows.isEmpty) ob
+    else {
+      val byName = s.namedWindows.map { case (n, w) =>
+        n.toLowerCase(java.util.Locale.ROOT) -> w
+      }.toMap
+      ob.map(k => k.copy(expr = Expr.transform(k.expr) {
+        case w @ WindowFn(_, _, _, _, _, Some(name))
+            if byName.contains(name.toLowerCase(java.util.Locale.ROOT)) =>
+          val (pb, o, fr) = byName(name.toLowerCase(java.util.Locale.ROOT))
+          w.copy(partitionBy = pb, orderBy = o, frame = fr, ref = None)
+      }))
+    }
 
   /** DuckDB star modifiers: `* EXCLUDE (a, b) REPLACE (e AS c, …)` —
     * contextual keywords (EXCLUDE/REPLACE stay usable as identifiers). */

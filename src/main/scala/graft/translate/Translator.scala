@@ -47,8 +47,9 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   // a qualified ColRef into `col(...).outer()` — it is only populated
   // while translating the BODY of a lateral/correlated subquery, so the
   // enclosing query's own references stay ordinary. An inner alias that
-  // shadows an outer one binds inner-first only when left unqualified;
-  // qualify uniquely to disambiguate (documented limitation).
+  // shadows an outer one binds inner-first (standard SQL scoping): each
+  // SELECT subtracts its own FROM aliases from the outer-mark set while
+  // translating its clauses.
   private var scopeQuals: Set[String] = Set.empty
   private var outerMarkQuals: Set[String] = Set.empty
 
@@ -201,8 +202,17 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     // this SELECT's aliases become visible as outer references to any
     // correlated subquery translated inside its clauses
     val savedScope = scopeQuals
-    scopeQuals = scopeQuals ++ s0.from.map(relQuals).getOrElse(Set.empty)
-    try selectBody(rel, s0) finally scopeQuals = savedScope
+    val savedMark  = outerMarkQuals
+    val own = s0.from.map(relQuals).getOrElse(Set.empty)
+    scopeQuals = scopeQuals ++ own
+    // standard SQL scoping: an alias this SELECT itself introduces shadows
+    // any same-named enclosing alias, so qualified refs bind inner-first —
+    // only the enclosing aliases NOT redefined here stay `.outer()` marks.
+    // (the FROM clause itself was translated above, under the enclosing
+    // marks, so lateral subqueries inside FROM still see the outer scope)
+    outerMarkQuals = outerMarkQuals -- own
+    try selectBody(rel, s0)
+    finally { scopeQuals = savedScope; outerMarkQuals = savedMark }
   }
 
   /** Expand `COLUMNS('regex')` projections (DuckDB wide-table ergonomics)
@@ -503,14 +513,29 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         })
         if (allResolvable || s.qualify.isDefined || s.distinctOn.nonEmpty)
           projected.orderBy(s.orderBy.map(k => sortOnOutput(projected, k)): _*)
-        else
-          df.orderBy(s.orderBy.map(k => sortCol(expr(k.expr), k)): _*)
+        else {
+          // window-expression keys must be computed as columns before the
+          // sort (Spark rejects them inside Sort); projecting afterwards
+          // drops the hidden key columns again
+          var pre = df
+          var added = false
+          val keys = s.orderBy.zipWithIndex.map { case (k, i) =>
+            if (hasWindowFn(k.expr)) {
+              added = true
+              pre = pre.withColumn(s"__ow$i", expr(k.expr))
+              sortCol(col(s"__ow$i"), k)
+            } else sortCol(expr(k.expr), k)
+          }
+          pre.orderBy(keys: _*)
             .select(s.projection.flatMap(p => p.expr match {
-              case Star(None)    => starCols
+              case Star(None) =>
+                if (added) df.columns.filterNot(_.startsWith("__sq")).toSeq.map(col)
+                else starCols
               case Star(Some(q)) => Seq(col(s"$q.*"))
               case sm: StarMod   => expandStarMod(df, sm)
               case e             => Seq(expr(e).as(p.outputName))
             }): _*)
+        }
       }
     } else {
       // project to unique internal names, qualify + sort (keys/predicates may
@@ -526,9 +551,16 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         k => sortCol(aliasTarget(s, k.expr).map(i => col(s"__p$i"))
           .getOrElse(expr(k.expr)), k))
       if (s.orderBy.nonEmpty && !plainDistinct) {
-        val keys = s.orderBy.map { k =>
-          val c = aliasTarget(s, k.expr).map(i => col(s"__p$i")).getOrElse(expr(k.expr))
-          sortCol(c, k)
+        val keys = s.orderBy.zipWithIndex.map { case (k, i) =>
+          aliasTarget(s, k.expr) match {
+            case Some(j) => sortCol(col(s"__p$j"), k)
+            // Spark rejects window expressions directly inside Sort —
+            // compute them as hidden columns on the wide frame first
+            case None if hasWindowFn(k.expr) =>
+              wide = wide.withColumn(s"__ow$i", expr(k.expr))
+              sortCol(col(s"__ow$i"), k)
+            case None => sortCol(expr(k.expr), k)
+          }
         }
         wide = wide.orderBy(keys: _*)
       }
@@ -634,6 +666,12 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     out.select(s.projection.zipWithIndex.map { case (p, i) =>
       col(s"__p$i").as(p.outputName)
     }: _*)
+  }
+
+  /** Does the expression contain a window (OVER) function anywhere? */
+  private def hasWindowFn(e: Expr): Boolean = Expr.fold(e, false) {
+    case (_, _: WindowFn) => true
+    case (acc, _)         => acc
   }
 
   /** Struct path for a bare column ref that only exists post-aggregation
