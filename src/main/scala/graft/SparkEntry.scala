@@ -568,7 +568,55 @@ object SparkEntry {
       e.catalog.relation("lineitem")
         .filter(e.expr("l_quantity > 30 && l_discount <= 0.05"))
         .agg(rnd(e.expr("l_quantity.sum"), 2).as("total"))
-    })
+    }),
+    // ---- EXCEPT ALL / INTERSECT ALL (multiset set operations, round 4) ----
+    "q81_setop_all" -> ((s, d) => g(s, d).sql(
+      "(select n_regionkey as k from nation except all select r_regionkey as k from region) " +
+      "union all " +
+      "(select n_regionkey as k from nation where n_nationkey < 7 " +
+      "intersect all select n_regionkey as k from nation) order by k")),
+    // ---- regexp breadth: extract group / like / count / global replace ----
+    "q82_regexp" -> ((s, d) => g(s, d).sql(
+      "select doc_id, regexp_extract(text, '([a-z]+)', 1) as first_word, " +
+      "regexp_like(text, 'spark') as has_spark, " +
+      "cast(regexp_count(text, 'ta') as int) as n_ta, " +
+      "regexp_replace(substring(text, 1, 20), '[aeiou]', '_') as devowel " +
+      "from documents where doc_id < 50 order by doc_id")),
+    // ---- ANSI OFFSET … ROWS FETCH FIRST … ROWS ONLY ----
+    "q83_fetch_offset" -> ((s, d) => g(s, d).sql(
+      "select c_custkey as k, round(c_acctbal, 2) as b from customer " +
+      "order by c_acctbal desc, c_custkey offset 5 rows fetch first 10 rows only")),
+    // ---- math/bit breadth: power/exp/logs/sign/factorial/angles, bit
+    // population count, shifts, xor (the `^` operator is XOR here —
+    // DuckDB spells it xor(), its ^ is POWER) ----
+    "q84_math_bit" -> ((s, d) => g(s, d).sql(
+      "select l_orderkey as k, l_linenumber as ln, " +
+      "round(power(l_quantity, 2), 4) as p2, round(exp(l_discount), 6) as e1, " +
+      "round(log10(l_quantity), 6) as lg10, round(log2(l_quantity), 6) as lg2, " +
+      "cast(sign(l_quantity - 25) as int) as sg, " +
+      "cast(factorial(cast(l_linenumber as int)) as bigint) as fact, " +
+      "round(degrees(l_tax), 6) as deg, round(radians(l_quantity), 6) as rad, " +
+      "cast(bit_count(l_orderkey) as int) as bc, " +
+      "cast(shiftleft(l_linenumber, 3) as int) as shl, " +
+      "cast(shiftright(l_orderkey, 2) as bigint) as shr, " +
+      "cast(l_orderkey ^ 255 as bigint) as xr " +
+      "from lineitem where l_orderkey < 200 order by k, ln")),
+    // ---- JSON extraction over string JSON columns (metadata sidecars) ----
+    "q85_json" -> ((s, d) => g(s, d).sql(
+      "select k, json_extract(j, '$.name') as nm, " +
+      "cast(json_extract(j, '$.id') as bigint) as id_n, " +
+      "cast(json_array_length(json_extract(j, '$.tags')) as int) as ntags " +
+      "from (select r_regionkey as k, concat('{\"id\":', cast(r_regionkey as string), " +
+      "',\"name\":\"', r_name, '\",\"tags\":[1,2,', cast(r_regionkey as string), ']}') as j " +
+      "from region) as t order by k")),
+    // ---- string breadth beyond q55: translate/ascii/chr/strpos plus the
+    // contains/starts_with/ends_with predicates ----
+    "q86_string_fns2" -> ((s, d) => g(s, d).sql(
+      "select n_nationkey as k, translate(n_name, 'ni', 'NI') as tr, " +
+      "cast(ascii(n_name) as int) as ac, chr(65 + n_regionkey) as ch, " +
+      "cast(strpos(n_name, 'tion') as int) as sp, " +
+      "contains(n_name, 'ion_1') as has1, starts_with(n_name, 'nation') as sw, " +
+      "ends_with(n_name, '3') as ew from nation order by k"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -987,6 +1035,45 @@ object SparkEntry {
        "s AS (SELECT *, SUM(nf) OVER (PARTITION BY event_type ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
        "SELECT make_timestamp(MIN(us)) AS w_start, make_timestamp(MAX(us) + 1800000000) AS w_end, " +
        "event_type AS et, COUNT(*) AS n, ROUND(SUM(value), 4) AS v FROM s " +
-       "GROUP BY event_type, sid ORDER BY et, w_start")
+       "GROUP BY event_type, sid ORDER BY et, w_start"),
+    "q81_setop_all" ->
+      ("(SELECT n_regionkey AS k FROM nation EXCEPT ALL SELECT r_regionkey AS k FROM region) " +
+       "UNION ALL " +
+       "(SELECT n_regionkey AS k FROM nation WHERE n_nationkey < 7 " +
+       "INTERSECT ALL SELECT n_regionkey AS k FROM nation) ORDER BY k"),
+    "q82_regexp" ->
+      ("SELECT doc_id, regexp_extract(text, '([a-z]+)', 1) AS first_word, " +
+       "regexp_matches(text, 'spark') AS has_spark, " +
+       "CAST(len(regexp_extract_all(text, 'ta')) AS INTEGER) AS n_ta, " +
+       "regexp_replace(substring(text, 1, 20), '[aeiou]', '_', 'g') AS devowel " +
+       "FROM documents WHERE doc_id < 50 ORDER BY doc_id"),
+    "q83_fetch_offset" ->
+      ("SELECT c_custkey AS k, ROUND(c_acctbal, 2) AS b FROM customer " +
+       "ORDER BY c_acctbal DESC, c_custkey OFFSET 5 ROWS FETCH FIRST 10 ROWS ONLY"),
+    "q84_math_bit" ->
+      ("SELECT l_orderkey AS k, l_linenumber AS ln, " +
+       "ROUND(power(l_quantity, 2), 4) AS p2, ROUND(exp(l_discount), 6) AS e1, " +
+       "ROUND(log10(l_quantity), 6) AS lg10, ROUND(log2(l_quantity), 6) AS lg2, " +
+       "CAST(sign(l_quantity - 25) AS INTEGER) AS sg, " +
+       "CAST(factorial(CAST(l_linenumber AS INTEGER)) AS BIGINT) AS fact, " +
+       "ROUND(degrees(l_tax), 6) AS deg, ROUND(radians(l_quantity), 6) AS rad, " +
+       "CAST(bit_count(l_orderkey) AS INTEGER) AS bc, " +
+       "CAST(l_linenumber << 3 AS INTEGER) AS shl, " +
+       "CAST(l_orderkey >> 2 AS BIGINT) AS shr, " +
+       "CAST(xor(l_orderkey, 255) AS BIGINT) AS xr " +
+       "FROM lineitem WHERE l_orderkey < 200 ORDER BY k, ln"),
+    "q85_json" ->
+      ("SELECT k, json_extract_string(j, '$.name') AS nm, " +
+       "CAST(json_extract_string(j, '$.id') AS BIGINT) AS id_n, " +
+       "CAST(json_array_length(json_extract_string(j, '$.tags')) AS INTEGER) AS ntags " +
+       "FROM (SELECT r_regionkey AS k, '{\"id\":' || r_regionkey || " +
+       "',\"name\":\"' || r_name || '\",\"tags\":[1,2,' || r_regionkey || ']}' AS j " +
+       "FROM region) t ORDER BY k"),
+    "q86_string_fns2" ->
+      ("SELECT n_nationkey AS k, translate(n_name, 'ni', 'NI') AS tr, " +
+       "CAST(ascii(n_name) AS INTEGER) AS ac, chr(CAST(65 + n_regionkey AS INTEGER)) AS ch, " +
+       "CAST(strpos(n_name, 'tion') AS INTEGER) AS sp, " +
+       "contains(n_name, 'ion_1') AS has1, starts_with(n_name, 'nation') AS sw, " +
+       "ends_with(n_name, '3') AS ew FROM nation ORDER BY k")
   )
 }

@@ -201,7 +201,12 @@ final case class SortKey(expr: Expr, ascending: Boolean,
                          nullsFirst: Option[Boolean] = None)
 
 /** LIMIT n [OFFSET m] — both `?`-parameterizable (flinkdsl/parser.scala:266). */
-final case class Limit(n: Expr, offset: Option[Expr])
+/** LIMIT/OFFSET tail. `n = None` = no row cap (ANSI `OFFSET n ROWS` with
+  * no FETCH clause). */
+final case class Limit(n: Option[Expr], offset: Option[Expr])
+object Limit {
+  def apply(n: Expr, offset: Option[Expr]): Limit = Limit(Some(n), offset)
+}
 
 // ---------------------------------------------------------------------------
 // Relations (FROM clause)

@@ -124,6 +124,19 @@ object Registry {
       // ----- generators (UDTF surface §2.10): DuckDB-style select-position
       // unnest — one generator per SELECT, enforced by Spark's analyzer -----
       case "unnest" => arity(n, args, 1); explode(args.head)
+      // ----- DuckDB/Postgres-named scalars → Spark equivalents, so the
+      // same query text runs against both engines (dialect portability) ----
+      case "json_extract" =>
+        // extract-as-string semantics (DuckDB json_extract_string / ->>)
+        arity(n, args, 2); call_function("get_json_object", args: _*)
+      case "strpos" =>
+        arity(n, args, 2); call_function("instr", args: _*)
+      case "starts_with" =>
+        arity(n, args, 2); call_function("startswith", args: _*)
+      case "ends_with" =>
+        arity(n, args, 2); call_function("endswith", args: _*)
+      case "regexp_matches" =>
+        arity(n, args, 2); call_function("regexp_like", args: _*)
       // DISTINCT variants with real Spark counterparts; anything else
       // must error rather than silently dropping the DISTINCT flag
       case "string_agg" | "listagg" | "group_concat" if distinct =>

@@ -368,7 +368,35 @@ object Extensions {
           .cast("int").as("covers_all"),
         (testN * 100 > count(lit(1)) * 2 && testN * 100 < count(lit(1)) * 20)
           .cast("int").as("test_in_range"))
-    })
+    }),
+    // ---- duplicate-bigram fraction (the Gopher dup-n-gram repetition
+    // family; x22 covers unigram share + TTR) — exact DuckDB oracle ----
+    "x36_dup_ngrams" -> ((s, d) =>
+      TextAnalysis.dupNgramStats(docs(s, d), "text", "doc_id", n = 2)
+        .orderBy("id")),
+    // ---- cross-source contamination matrix: distinct shared 3-grams per
+    // source pair (leakage audit before mixing sources) ----
+    "x37_source_overlap" -> ((s, d) =>
+      TextAnalysis.crossGroupOverlap(docs(s, d), "text", "source", n = 3)
+        .orderBy("src_a", "src_b")),
+    // ---- one spherical-k-means hard-assignment step over the embedding
+    // table (IVF coarse-quantizer training primitive): per-label centroids,
+    // cosine argmax assignment, confusion counts ----
+    "x38_centroid_assign" -> ((s, d) =>
+      Similarity.centroidAssign(emb(s, d), "embedding", "vec_id", "label")
+        .orderBy("label", "assigned")),
+    // ---- per-source language-mix entropy (corpus composition report) —
+    // runs entirely through the graft SQL dialect ----
+    "x39_source_lang_entropy" -> ((s, d) =>
+      GraftSession.forDir(s, d).sql(
+        "with c as (select source, lang, count(*) as nl from documents " +
+        "group by source, lang), " +
+        "t as (select source, sum(nl) as n_docs from c group by source) " +
+        "select t.source as source, t.n_docs as n_docs, " +
+        "round(0 - sum((c.nl * 1.0 / t.n_docs) * ln(c.nl * 1.0 / t.n_docs)), 6) " +
+        "as lang_entropy " +
+        "from c join t on c.source = t.source " +
+        "group by t.source, t.n_docs order by source"))
   )
 
   /** DuckDB lambda syntax for the stopword-hit count used twice below. */
@@ -610,7 +638,49 @@ object Extensions {
         "ROUND(avg(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS lm_score " +
         "FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v GROUP BY 1) " +
         "SELECT d2.doc_id AS id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.lm_score " +
-        "FROM documents d2 LEFT JOIN s ON s.doc_id = d2.doc_id ORDER BY id")
+        "FROM documents d2 LEFT JOIN s ON s.doc_id = d2.doc_id ORDER BY id"),
+      // bigram mirror of shingleRows (w=2): lower/trim, \s+ split, short
+      // docs collapse to the whole text; occurrence counts kept (no
+      // list_distinct on grams) because dup_frac is about multiplicity
+      "x36_dup_ngrams" -> (
+        "WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(ws) >= 2 " +
+        "THEN list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1]) " +
+        "ELSE [array_to_string(ws, ' ')] END AS grams FROM d) " +
+        "SELECT doc_id AS id, CAST(len(grams) AS BIGINT) AS n_grams, " +
+        "CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct, " +
+        "ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) AS dup_frac " +
+        "FROM g ORDER BY id"),
+      "x37_source_overlap" -> (
+        "WITH d AS (SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM documents), " +
+        "s AS (SELECT DISTINCT source, unnest(CASE WHEN len(ws) >= 3 " +
+        "THEN list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) " +
+        "ELSE [array_to_string(ws, ' ')] END) AS sh FROM d) " +
+        "SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared " +
+        "FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+      // centroid dims are ROUND(avg, 6) and cosines ROUND(..., 6) on BOTH
+      // sides, so sum-order ulp noise in avg() cannot flip the argmax;
+      // dim 64 is the embeddings-table contract (TESTDATA.md)
+      "x38_centroid_assign" -> (
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "dims AS (SELECT label, i, ROUND(avg(v[i]), 6) AS m FROM e " +
+        "CROSS JOIN generate_series(1, 64) t(i) GROUP BY label, i), " +
+        "c AS (SELECT label AS clabel, list(m ORDER BY i) AS cv FROM dims GROUP BY label), " +
+        "scored AS (SELECT e.vec_id, e.label, c.clabel, " +
+        "ROUND(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos " +
+        "FROM e CROSS JOIN c), " +
+        "best AS (SELECT vec_id, label, clabel, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn FROM scored) " +
+        "SELECT label, clabel AS assigned, count(*) AS n FROM best WHERE rn = 1 " +
+        "GROUP BY label, clabel ORDER BY label, assigned"),
+      "x39_source_lang_entropy" -> (
+        "WITH c AS (SELECT source, lang, count(*) AS nl FROM documents GROUP BY source, lang), " +
+        "t AS (SELECT source, CAST(sum(nl) AS BIGINT) AS n_docs FROM c GROUP BY source) " +
+        "SELECT t.source AS source, t.n_docs AS n_docs, " +
+        "ROUND(0 - SUM((c.nl * 1.0 / t.n_docs) * LN(c.nl * 1.0 / t.n_docs)), 6) AS lang_entropy " +
+        "FROM c JOIN t ON c.source = t.source " +
+        "GROUP BY t.source, t.n_docs ORDER BY source")
     )
   }
 }

@@ -222,4 +222,43 @@ object Similarity {
       .select(col("qid"), explode(col("top")).as("e"))
       .select(col("qid"), col("e.vid").as("vec_id"), (-col("e.negCos")).as("cos"))
   }
+
+  /** One hard-assignment step of spherical k-means (the IVF coarse-
+    * quantizer training loop, and the embedding-clustering primitive
+    * behind SemDeDup-style curation): centroids = per-label mean vectors,
+    * then every vector is assigned to its highest-cosine centroid.
+    * Returns the (label, assigned, n) confusion counts.
+    *
+    * Determinism: centroid dimensions and cosines are rounded (6 dp)
+    * before the argmax, ties break toward the lowest centroid label — the
+    * result is reproducible across partitionings and cluster sizes.
+    *
+    * Scale: centroids are a k×dim table built with one hash aggregate
+    * over (label, dim) and BROADCAST to the assignment join — the vector
+    * corpus is scored in place with the codegen'd [[cosine]], never
+    * shuffled; only the k·|vectors| scored rows feed the per-vector
+    * argmax (bounded-window, keyed by vec id). */
+  def centroidAssign(emb: DataFrame, vecCol: String, idCol: String,
+                     labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Par.widen(emb, idCol).select(col(idCol).as("vec_id"),
+      col(labelCol).as("label"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dims = e.select(col("label").as("clabel"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("clabel"), col("pos")).agg(avg(col("x")).as("m"))
+    val cents = dims.groupBy(col("clabel"))
+      .agg(array_sort(collect_list(
+        struct(col("pos").as("k"), round(col("m"), 6).as("v")))).as("ps"))
+      .select(col("clabel"), transform(col("ps"), s => s.getField("v")).as("cv"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        round(cosine(col("v"), col("cv")), 6).as("cos"))
+    val best = scored.withColumn("__rn",
+        row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("clabel"))))
+      .where(col("__rn") === 1)
+    best.groupBy(col("label"), col("clabel").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -364,4 +364,40 @@ object TextAnalysis {
     val best = array_max(array(scored: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** Per-document duplicate word-n-gram fraction (the Gopher repetition
+    * signal family beyond [[repetition]]'s unigram share):
+    * `dup_frac = 1 - distinct_ngrams / total_ngrams`. One narrow shingle
+    * explode + a single hash aggregate — linear in corpus size, one
+    * shuffle on the document id. */
+  def dupNgramStats(df: DataFrame, textCol: String, idCol: String,
+                    n: Int = 2): DataFrame =
+    Dedup.shingleRows(df, textCol, idCol, n)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count_distinct(col("sh")).as("n_distinct"))
+      .select(col("id"), col("n_grams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6)
+          .as("dup_frac"))
+
+  /** Cross-group contamination matrix: for each pair of groups (data
+    * sources, crawl snapshots, benchmark vs corpus), the number of
+    * DISTINCT word n-grams both share. The leakage-audit companion to
+    * Decontaminate: run it across sources before mixing them.
+    *
+    * Scale: each side is reduced to its distinct (group, shingle) set
+    * first (bounded by vocabulary, not corpus size), so the join input and
+    * the per-shingle fan-out are capped at the number of groups — never
+    * |docs|². One shuffle on the shingle hash. */
+  def crossGroupOverlap(df: DataFrame, textCol: String, groupCol: String,
+                        n: Int = 3): DataFrame = {
+    // materialized once: both self-join sides read the distinct set
+    val s = Dedup.shingleRows(df, textCol, groupCol, n)
+      .distinct().localCheckpoint()
+    val a = s.select(col("id").as("src_a"), col("sh"))
+    val b = s.select(col("id").as("src_b"), col("sh"))
+    a.join(b, "sh").where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -425,11 +425,21 @@ object SqlParser extends RegexParsers with PackratParsers {
           SortKey(e, !d.contains("desc"), nf.map(_ == "first"))
       }
 
-  lazy val limitClause: PackratParser[Limit] =
-    kw("limit") ~> (numericLit | "?" ^^^ Input()) ~
-      opt(kw("offset") ~> (numericLit | "?" ^^^ Input())) ^^ {
-        case n ~ o => Limit(n, o)
-      }
+  /** `LIMIT n [OFFSET o]` plus the ANSI spelling `OFFSET n ROW[S]
+    * [FETCH {FIRST|NEXT} m ROW[S] ONLY]` (either part standalone). */
+  lazy val limitClause: PackratParser[Limit] = {
+    val num: Parser[Expr] = numericLit ^^ (l => l: Expr) | "?" ^^^ Input()
+    val rows = kws("row", "rows")
+    val fetch =
+      kw("fetch") ~> kws("first", "next") ~> num <~ opt(rows) <~ kw("only")
+    kw("limit") ~> num ~ opt(kw("offset") ~> num) ^^ {
+      case n ~ o => Limit(Some(n), o)
+    } |
+    (kw("offset") ~> num <~ opt(rows)) ~ opt(fetch) ^^ {
+      case o ~ f => Limit(f, Some(o))
+    } |
+    fetch ^^ (f => Limit(Some(f), None))
+  }
 
   // ----- predicates --------------------------------------------------------
 

@@ -732,7 +732,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   private def applyLimit(df: DataFrame, limit: Option[Limit]): DataFrame =
     limit.fold(df) { l =>
       val withOffset = l.offset.fold(df)(o => df.offset(litLong(o).toInt))
-      withOffset.limit(litLong(l.n).toInt)
+      l.n.fold(withOffset)(n => withOffset.limit(litLong(n).toInt))
     }
 
   private def litLong(e: Expr): Long = e match {

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Similarity, TextAnalysis}
+
+/** Behavioral specs for the round-4 additions: multiset set operations,
+  * ANSI OFFSET/FETCH, JSON extraction, portability-named string/regexp
+  * functions, and the new pipeline operators (duplicate-n-gram stats,
+  * cross-source overlap, centroid assignment). */
+class DialectR4Spec extends AnyFunSuite {
+  private def g = TestSpark.session
+
+  test("EXCEPT ALL keeps multiset counts; INTERSECT ALL bounded by both") {
+    // nation: 5 rows per regionkey; region: 1 per key → 4 copies survive
+    val ex = g.sql(
+      "select n_regionkey as k from nation except all " +
+      "select r_regionkey as k from region").collect()
+    assert(ex.length == 20)
+    assert(ex.groupBy(_.getAs[Number](0).longValue).forall(_._2.length == 4))
+    val in = g.sql(
+      "select n_regionkey as k from nation where n_nationkey < 7 " +
+      "intersect all select n_regionkey as k from nation").collect()
+    assert(in.length == 7)
+  }
+
+  test("OFFSET n ROWS FETCH FIRST m ROWS ONLY paginates like LIMIT/OFFSET") {
+    val ansi = g.sql(
+      "select n_nationkey as k from nation order by n_nationkey " +
+      "offset 5 rows fetch first 10 rows only").collect().map(_.getAs[Number](0).longValue)
+    val classic = g.sql(
+      "select n_nationkey as k from nation order by n_nationkey " +
+      "limit 10 offset 5").collect().map(_.getAs[Number](0).longValue)
+    assert(ansi.toSeq == classic.toSeq && ansi.length == 10 && ansi.head == 5)
+  }
+
+  test("bare OFFSET without FETCH drops the first n rows, keeps the rest") {
+    val r = g.sql(
+      "select n_nationkey as k from nation order by n_nationkey offset 20 rows")
+      .collect().map(_.getAs[Number](0).longValue)
+    assert(r.toSeq == (20L to 24L).toSeq)
+  }
+
+  test("json_extract reads nested paths and arrays as strings") {
+    val r = g.sql(
+      "select json_extract('{\"a\":{\"b\":7},\"t\":[1,2,3]}', '$.a.b') as b, " +
+      "cast(json_array_length(json_extract('{\"t\":[1,2,3]}', '$.t')) as int) as n")
+      .collect().head
+    assert(r.getString(0) == "7" && r.getInt(1) == 3)
+  }
+
+  test("portability names: strpos/starts_with/ends_with/regexp_matches") {
+    val r = g.sql(
+      "select cast(strpos('hello', 'll') as int) as sp, " +
+      "starts_with('hello', 'he') as sw, ends_with('hello', 'lo') as ew, " +
+      "regexp_matches('ab12', '[0-9]') as rm, " +
+      "cast(regexp_count('banana', 'an') as int) as rc").collect().head
+    assert(r.getInt(0) == 3 && r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getInt(4) == 2)
+  }
+
+  test("dupNgramStats counts duplicate bigrams exactly") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // "a b a b a" → bigrams [a b, b a, a b, b a]: 4 total, 2 distinct
+    val df = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, "solo")).toDF("doc_id", "text")
+    val r = TextAnalysis.dupNgramStats(df, "text", "doc_id", n = 2)
+      .orderBy("id").collect()
+    assert(r(0).getLong(1) == 4 && r(0).getLong(2) == 2 && r(0).getDouble(3) == 0.5)
+    assert(r(1).getLong(1) == 2 && r(1).getLong(2) == 2 && r(1).getDouble(3) == 0.0)
+    // short doc: one whole-text gram, no duplicates
+    assert(r(2).getLong(1) == 1 && r(2).getDouble(3) == 0.0)
+  }
+
+  test("crossGroupOverlap counts distinct shared shingles per group pair") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps", "sa"),
+      (2L, "the quick brown cat sits", "sb"),
+      (3L, "unrelated text entirely here", "sc"),
+      // duplicate shingles within one source must count ONCE
+      (4L, "the quick brown fox runs", "sb")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.crossGroupOverlap(df, "text", "source", n = 3)
+      .orderBy("src_a", "src_b").collect()
+    // sa∩sb share: "the quick brown" (from doc2) + "quick brown fox" (doc4)
+    assert(r.map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq ==
+      Seq(("sa", "sb", 2L)))
+  }
+
+  test("centroidAssign is diagonally dominant on separable labels") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // two well-separated clusters around orthogonal axes
+    val rows = (0 until 20).map { i =>
+      val lbl = i % 2
+      val base = if (lbl == 0) Array(1f, 0f, 0.1f * (i % 3)) else Array(0f, 1f, 0.05f * (i % 3))
+      (i.toLong, base, lbl)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidAssign(df, "embedding", "vec_id", "label")
+      .orderBy("label", "assigned").collect()
+    // every vector lands on its own label's centroid
+    assert(r.map(x => (x.getInt(0), x.getInt(1), x.getLong(2))).toSeq ==
+      Seq((0, 0, 10L), (1, 1, 10L)))
+  }
+}
