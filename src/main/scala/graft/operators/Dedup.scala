@@ -308,19 +308,36 @@ object Dedup {
     def shingleIndex(df: DataFrame, side: String) =
       shingleRows(df, textCol, idCol, shingleW)
         .select(col("id").as(side), col("sh")).distinct()
-    val cands = (if (exactCandidates)
-        shingleIndex(afterExact, "ida").join(shingleIndex(corpus, "idb"), "sh")
-      else
-        buckets(afterExact, "ida").join(buckets(corpus, "idb"), Seq("band", "bh")))
-      .select(col("ida"), col("idb")).distinct()
-      .localCheckpoint() // tiny; referenced by both sides of the verify join
-    // 3) exact shingle-Jaccard verification over the candidates only
-    // (cost scales with candidates, not the corpus)
-    val docsBoth = afterExact.select(col(idCol).as("__vid"), col(textCol).as("__vt"))
-      .union(corpus.select(col(idCol).as("__vid"), col(textCol).as("__vt")))
-    val verified = ngramJaccard(cands, docsBoth, "__vt", "__vid", shingleW)
-      .where(col("jaccard") >= threshold)
-    val dupIds = verified.select(col("ida").as(idCol)).distinct()
+    val dupIds =
+      if (exactCandidates) {
+        // inverted-index join over the SAME distinct gram sets the verify
+        // step would use: |A∩B| = shared count, |A∪B| = |A|+|B|-shared,
+        // so jaccard computes directly from counts — no array-intersect
+        // verification pass needed, and the DIVISION form keeps the
+        // boundary decision bit-identical to an oracle that divides
+        val ai = shingleIndex(afterExact, "ida")
+        val bi = shingleIndex(corpus, "idb")
+        val na = ai.groupBy(col("ida")).agg(count(lit(1)).as("__na"))
+        val nb = bi.groupBy(col("idb")).agg(count(lit(1)).as("__nb"))
+        ai.join(bi, "sh")
+          .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("__shared"))
+          .join(na, "ida").join(nb, "idb")
+          .where(col("__shared").cast("double") /
+            (col("__na") + col("__nb") - col("__shared")) >= threshold)
+          .select(col("ida").as(idCol)).distinct()
+      } else {
+        val cands = buckets(afterExact, "ida")
+          .join(buckets(corpus, "idb"), Seq("band", "bh"))
+          .select(col("ida"), col("idb")).distinct()
+          .localCheckpoint() // tiny; referenced by both sides of the verify join
+        // exact shingle-Jaccard verification over the candidates only
+        // (cost scales with candidates, not the corpus)
+        val docsBoth = afterExact.select(col(idCol).as("__vid"), col(textCol).as("__vt"))
+          .union(corpus.select(col(idCol).as("__vid"), col(textCol).as("__vt")))
+        ngramJaccard(cands, docsBoth, "__vt", "__vid", shingleW)
+          .where(col("jaccard") >= threshold)
+          .select(col("ida").as(idCol)).distinct()
+      }
     afterExact.join(dupIds, Seq(idCol), "left_anti")
   }
 
