@@ -616,7 +616,21 @@ object SparkEntry {
       "cast(ascii(n_name) as int) as ac, chr(65 + n_regionkey) as ch, " +
       "cast(strpos(n_name, 'tion') as int) as sp, " +
       "contains(n_name, 'ion_1') as has1, starts_with(n_name, 'nation') as sw, " +
-      "ends_with(n_name, '3') as ew from nation order by k"))
+      "ends_with(n_name, '3') as ew from nation order by k")),
+    // ---- ILIKE + LIKE … ESCAPE (pattern-match dialect variants) ----
+    "q87_like_variants" -> ((s, d) => g(s, d).sql(
+      "select v, v like '10!%' escape '!' as pct, v not like '1%' as np, " +
+      "v ilike 'AB%' as ci, v not ilike '%c' as nc " +
+      "from (values ('10%'), ('10x'), ('abc'), ('ABC')) as t(v) order by v")),
+    // ---- arg_min/arg_max (DuckDB names → min_by/max_by), exact median,
+    // count_if; the arg order key is made unique so ties can't flip ----
+    "q88_arg_stats" -> ((s, d) => g(s, d).sql(
+      "select l_returnflag as f, " +
+      "arg_min(l_orderkey, l_extendedprice * 1000000 + l_orderkey) as cheap_k, " +
+      "arg_max(l_orderkey, l_extendedprice * 1000000 + l_orderkey) as dear_k, " +
+      "round(median(l_extendedprice), 2) as med, " +
+      "cast(count_if(l_quantity > 25) as bigint) as nbig " +
+      "from lineitem group by l_returnflag order by f"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1074,6 +1088,17 @@ object SparkEntry {
        "CAST(ascii(n_name) AS INTEGER) AS ac, chr(CAST(65 + n_regionkey AS INTEGER)) AS ch, " +
        "CAST(strpos(n_name, 'tion') AS INTEGER) AS sp, " +
        "contains(n_name, 'ion_1') AS has1, starts_with(n_name, 'nation') AS sw, " +
-       "ends_with(n_name, '3') AS ew FROM nation ORDER BY k")
+       "ends_with(n_name, '3') AS ew FROM nation ORDER BY k"),
+    "q87_like_variants" ->
+      ("SELECT v, v LIKE '10!%' ESCAPE '!' AS pct, v NOT LIKE '1%' AS np, " +
+       "v ILIKE 'AB%' AS ci, v NOT ILIKE '%c' AS nc " +
+       "FROM (VALUES ('10%'), ('10x'), ('abc'), ('ABC')) t(v) ORDER BY v"),
+    "q88_arg_stats" ->
+      ("SELECT l_returnflag AS f, " +
+       "arg_min(l_orderkey, l_extendedprice * 1000000 + l_orderkey) AS cheap_k, " +
+       "arg_max(l_orderkey, l_extendedprice * 1000000 + l_orderkey) AS dear_k, " +
+       "ROUND(median(l_extendedprice), 2) AS med, " +
+       "CAST(count_if(l_quantity > 25) AS BIGINT) AS nbig " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY f")
   )
 }

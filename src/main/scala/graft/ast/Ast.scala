@@ -414,7 +414,11 @@ final case class And(left: Expr, right: Expr) extends Expr
 final case class Or(left: Expr, right: Expr) extends Expr
 final case class Not(child: Expr) extends Expr
 final case class Between(e: Expr, lo: Expr, hi: Expr, negated: Boolean) extends Expr
-final case class Like(e: Expr, pattern: Expr, negated: Boolean) extends Expr
+/** `[NOT] [I]LIKE pattern [ESCAPE ch]` — `ci` = ILIKE (case-insensitive,
+  * Postgres/DuckDB), `escape` = custom escape character. */
+final case class Like(e: Expr, pattern: Expr, negated: Boolean,
+                      ci: Boolean = false,
+                      escape: Option[Expr] = None) extends Expr
 final case class IsNull(e: Expr, negated: Boolean) extends Expr
 final case class InList(e: Expr, list: Seq[Expr], negated: Boolean) extends Expr
 final case class InSubquery(e: Expr, query: QueryExpr, negated: Boolean) extends Expr
@@ -451,7 +455,7 @@ object Expr {
     case Or(l, r)             => Seq(l, r)
     case Not(c)               => Seq(c)
     case Between(a, b, c, _)  => Seq(a, b, c)
-    case Like(a, b, _)        => Seq(a, b)
+    case Like(a, b, _, _, esc) => Seq(a, b) ++ esc
     case IsNull(a, _)         => Seq(a)
     case InList(a, l, _)      => a +: l
     case InSubquery(a, _, _)  => Seq(a)
@@ -497,7 +501,7 @@ object Expr {
         case Or(l, r)              => Or(go(l), go(r))
         case Not(c)                => Not(go(c))
         case Between(a, lo, hi, n) => Between(go(a), go(lo), go(hi), n)
-        case Like(a, p, n)         => Like(go(a), go(p), n)
+        case Like(a, p, n, ci, esc) => Like(go(a), go(p), n, ci, esc.map(go))
         case IsNull(a, n)          => IsNull(go(a), n)
         case InList(a, l, n)       => InList(go(a), l.map(go), n)
         case InSubquery(a, q, n)   => InSubquery(go(a), q, n) // scrutinee is outer scope

@@ -228,7 +228,9 @@ object Pretty {
     case Not(c)               => s"(not ${expr(c)})"
     case Between(a, lo, hi, neg) =>
       s"(${expr(a)} ${if (neg) "not " else ""}between ${expr(lo)} and ${expr(hi)})"
-    case Like(a, p, neg)      => s"(${expr(a)} ${if (neg) "not " else ""}like ${expr(p)})"
+    case Like(a, p, neg, ci, esc) =>
+      s"(${expr(a)} ${if (neg) "not " else ""}${if (ci) "ilike" else "like"} ${expr(p)}" +
+        esc.fold("")(e => s" escape ${expr(e)}") + ")"
     case IsNull(a, neg)       => s"(${expr(a)} is ${if (neg) "not " else ""}null)"
     case InList(a, l, neg)    =>
       s"(${expr(a)} ${if (neg) "not " else ""}in (${l.map(expr).mkString(", ")}))"

@@ -27,7 +27,7 @@ object Registry {
     "percentile_approx", "corr", "covar_samp", "covar_pop", "skewness",
     "kurtosis", "any_value", "mode", "median", "count_if", "bool_and",
     "bool_or", "array_agg", "string_agg", "listagg", "group_concat",
-    "percentile",
+    "percentile", "min_by", "max_by", "arg_min", "arg_max",
     // grouping metadata functions are only legal inside the aggregate list
     // of a ROLLUP/CUBE/GROUPING SETS query — routing them through the
     // aggregate path puts them exactly there
@@ -112,6 +112,10 @@ object Registry {
         val ordered = when(asc, array_sort(collected))
           .otherwise(array_sort(collected, descKeyAscValue))
         transform(ordered, s => s.getField("v"))
+      // DuckDB-named argmin/argmax → Spark min_by/max_by (same semantics:
+      // the value of arg 1 at the row where arg 2 is minimal/maximal)
+      case "arg_min" => arity(n, args, 2); min_by(args.head, args(1))
+      case "arg_max" => arity(n, args, 2); max_by(args.head, args(1))
       case "grouping"    => arity(n, args, 1); grouping(args.head)
       case "grouping_id" => grouping_id(args: _*)
       case "abs"       => arity(n, args, 1); abs(args.head)

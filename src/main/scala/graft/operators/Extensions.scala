@@ -396,7 +396,18 @@ object Extensions {
         "round(0 - sum((c.nl * 1.0 / t.n_docs) * ln(c.nl * 1.0 / t.n_docs)), 6) " +
         "as lang_entropy " +
         "from c join t on c.source = t.source " +
-        "group by t.source, t.n_docs order by source"))
+        "group by t.source, t.n_docs order by source")),
+    // ---- temperature-scaled mixture: p_g ∝ n_g^0.5 (multilingual-LM
+    // sampling rule), fully deterministic keep-list ----
+    "x40_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMix(docs(s, d), "lang", "doc_id",
+          frac = 0.3, temperature = 0.5)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+    // ---- content-defined chunking: md5-keyed boundaries, stable under
+    // edits (chunk-level dedup/storage primitive) ----
+    "x41_cdc_chunk" -> ((s, d) =>
+      TextAnalysis.cdcChunk(docs(s, d), "text", "doc_id")
+        .orderBy("id", "chunk_id"))
   )
 
   /** DuckDB lambda syntax for the stopword-hit count used twice below. */
@@ -680,7 +691,30 @@ object Extensions {
         "SELECT t.source AS source, t.n_docs AS n_docs, " +
         "ROUND(0 - SUM((c.nl * 1.0 / t.n_docs) * LN(c.nl * 1.0 / t.n_docs)), 6) AS lang_entropy " +
         "FROM c JOIN t ON c.source = t.source " +
-        "GROUP BY t.source, t.n_docs ORDER BY source")
+        "GROUP BY t.source, t.n_docs ORDER BY source"),
+      // mirrors Sampling.temperatureMix: ROUND(share, 6) before FLOOR on
+      // both sides so Σ n^T sum-order noise cannot flip a target
+      "x40_temperature_mix" -> (
+        "WITH c AS (SELECT lang, count(*) AS ng FROM documents GROUP BY lang), " +
+        "t AS (SELECT CAST(sum(ng) AS BIGINT) AS n, SUM(pow(CAST(ng AS DOUBLE), 0.5)) AS z FROM c), " +
+        "tg AS (SELECT lang, GREATEST(1, CAST(FLOOR(ROUND(0.3 * t.n * pow(CAST(ng AS DOUBLE), 0.5) / t.z, 6)) AS BIGINT)) AS target " +
+        "FROM c CROSS JOIN t), " +
+        "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM documents) " +
+        "SELECT r.doc_id AS doc_id, r.lang AS lang FROM r JOIN tg USING (lang) " +
+        "WHERE r.rn <= tg.target ORDER BY doc_id"),
+      // mirrors TextAnalysis.cdcChunk: trim + \s+ split, md5 first hex
+      // digit in {0,1} ends a chunk, chunk id = boundaries before the token
+      "x41_cdc_chunk" -> (
+        "WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), " +
+        "tk AS (SELECT doc_id, p.pos AS pos, p.tok AS tok FROM " +
+        "(SELECT doc_id, unnest([struct_pack(pos := i, tok := ws[i]) for i in range(1, len(ws)+1)]) AS p FROM d) " +
+        "WHERE p.tok <> ''), " +
+        "b AS (SELECT doc_id, pos, tok, CASE WHEN substring(md5(tok), 1, 1) IN ('0','1') THEN 1 ELSE 0 END AS ib FROM tk), " +
+        "ch AS (SELECT doc_id, pos, tok, " +
+        "CAST(SUM(ib) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) - ib AS BIGINT) AS chunk_id FROM b) " +
+        "SELECT doc_id AS id, chunk_id, CAST(count(*) AS BIGINT) AS n_toks, " +
+        "string_agg(tok, ' ' ORDER BY pos) AS chunk " +
+        "FROM ch GROUP BY doc_id, chunk_id ORDER BY id, chunk_id")
     )
   }
 }

@@ -95,4 +95,37 @@ object Sampling {
       .orderBy(xxhash64(col(keyCol), lit(seed)), col(keyCol))
     df.withColumn("pos", row_number().over(w).cast("long") - 1)
   }
+
+  /** Temperature-scaled mixture (the multilingual/multi-source sampling
+    * rule from multilingual-LM training: p_g ∝ n_g^T, T < 1 upsampling
+    * rare groups relative to their natural share). Keeps the first
+    * `floor(frac · N · n_g^T / Σ n^T)` rows of each group (min 1) in
+    * `orderCol` order — fully deterministic, no RNG.
+    *
+    * Scale: group counts are one hash aggregate (tiny — one row per
+    * group) broadcast back; the keep-filter is one windowed counter per
+    * group, same shape as [[capPerGroup]]. */
+  def temperatureMix(df: DataFrame, groupCol: String, orderCol: String,
+                     frac: Double, temperature: Double = 0.5): DataFrame = {
+    require(frac > 0 && frac <= 1, "frac in (0,1]")
+    require(temperature > 0, "temperature must be positive")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__ng"))
+    val totals = counts.agg(
+      sum(col("__ng")).as("__n"),
+      sum(pow(col("__ng").cast("double"), temperature)).as("__z"))
+    // the share is rounded (6 dp) before flooring so sum-order ulp noise
+    // in Σ n^T cannot flip a target across an integer boundary between
+    // runs (or against a recomputing oracle)
+    val targets = counts.crossJoin(broadcast(totals))
+      .select(col(groupCol),
+        greatest(lit(1L), floor(round(lit(frac) * col("__n") *
+          pow(col("__ng").cast("double"), temperature) / col("__z"), 6)).cast("long"))
+          .as("__target"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(targets), Seq(groupCol))
+      .where(col("__rn") <= col("__target"))
+      .drop("__rn", "__target")
+  }
 }

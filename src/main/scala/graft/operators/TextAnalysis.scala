@@ -380,6 +380,44 @@ object TextAnalysis {
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6)
           .as("dup_frac"))
 
+  /** Content-defined chunking (CDC): chunk boundaries fall where a token's
+    * content hash matches a boundary pattern (here: first hex digit of
+    * md5 in 0..boundaryDigits-1, i.e. boundary probability
+    * boundaryDigits/16), instead of at fixed offsets. Insertions shift
+    * fixed-size chunk grids globally; CDC boundaries re-synchronize after
+    * the edit, so chunk-level dedup/storage stays stable under edits —
+    * the rsync/backup-dedup trick applied to corpus text.
+    *
+    * md5 (not xxhash64) keys the boundary decision so the result is
+    * reproducible OUTSIDE Spark too (any engine with md5 recomputes it).
+    *
+    * Scale: one narrow posexplode + one windowed running sum per doc +
+    * one hash aggregate on (id, chunk) — all partitioned by document id,
+    * a single shuffle. Returns (id, chunk_id, n_toks, chunk). */
+  def cdcChunk(df: DataFrame, textCol: String, idCol: String,
+               boundaryDigits: Int = 2): DataFrame = {
+    require(boundaryDigits >= 1 && boundaryDigits <= 15,
+      "boundaryDigits in [1,15]")
+    val boundaryChars = "0123456789abcdef".take(boundaryDigits).map(_.toString)
+    val toks = Par.widen(df, idCol)
+      .select(col(idCol).as("id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .where(col("tok") =!= "")
+    val isBoundary = substring(md5(col("tok")), 1, 1).isin(boundaryChars: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    // a boundary token ENDS its chunk (content-defined cut AFTER the
+    // boundary, rsync-style): chunk id = number of boundaries BEFORE this
+    // token, so ids run 0..k contiguously within every document
+    val withChunk = toks.withColumn("chunk_id",
+      sum(isBoundary.cast("long")).over(w) - isBoundary.cast("long"))
+    withChunk.groupBy(col("id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("pos").as("k"), col("tok").as("v")))),
+          s => s.getField("v")), " ").as("chunk"))
+  }
+
   /** Cross-group contamination matrix: for each pair of groups (data
     * sources, crawl snapshots, benchmark vs corpus), the number of
     * DISTINCT word n-grams both share. The leakage-audit companion to

@@ -470,8 +470,13 @@ object SqlParser extends RegexParsers with PackratParsers {
       opt(kw("not")) ~ (kw("between") ~> expr) ~ (kw("and") ~> expr) ^^ {
         case n ~ lo ~ hi => (l: Expr) => Between(l, lo, hi, n.isDefined)
       } |
-      opt(kw("not")) ~ (kw("like") ~> expr) ^^ {
-        case n ~ p => (l: Expr) => Like(l, p, n.isDefined)
+      opt(kw("not")) ~ (kw("like") ~> expr) ~ opt(kw("escape") ~> expr) ^^ {
+        case n ~ p ~ esc => (l: Expr) => Like(l, p, n.isDefined, escape = esc)
+      } |
+      // ILIKE: case-insensitive LIKE (Postgres/DuckDB)
+      opt(kw("not")) ~ (kw("ilike") ~> expr) ~ opt(kw("escape") ~> expr) ^^ {
+        case n ~ p ~ esc =>
+          (l: Expr) => Like(l, p, n.isDefined, ci = true, escape = esc)
       } |
       // `e SIMILAR TO regex` — ANSI whole-string regex match; desugars to
       // rlike with the pattern anchored (`^(?:pat)$`), since rlike is a

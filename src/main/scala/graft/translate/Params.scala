@@ -120,7 +120,7 @@ object Params {
       case Between(x, lo, hi, n) => Between(expr(x), expr(lo), expr(hi), n)
       case c: Cast               => c.copy(e = expr(c.e))
       case l: Lambda             => l.copy(body = expr(l.body))
-      case Like(x, p, n)         => Like(expr(x), expr(p), n)
+      case Like(x, p, n, ci, esc) => Like(expr(x), expr(p), n, ci, esc.map(expr))
       case IsNull(x, n)          => IsNull(expr(x), n)
       case InList(x, l, n)       => InList(expr(x), l.map(expr), n)
       case InSubquery(x, q, n)   => InSubquery(expr(x), query(q), n)

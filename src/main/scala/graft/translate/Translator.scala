@@ -3,7 +3,7 @@ package graft.translate
 import graft.ast._
 import graft.catalog.Catalog
 import graft.functions.Registry
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1577,11 +1577,19 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     case Between(x, lo, hi, neg) =>
       val b = expr(x).between(expr(lo), expr(hi))
       if (neg) !b else b
-    case Like(x, Lit(p: String), neg) =>
-      val l = expr(x).like(p)
-      if (neg) !l else l
-    case Like(x, p, neg) =>
-      val l = call_function("like", expr(x), expr(p))
+    // LIKE/ILIKE with optional ESCAPE: built as the native Catalyst
+    // expressions (the registry's `like` entry takes no escape argument)
+    case Like(x, p, neg, ci, esc) =>
+      val escChar = esc match {
+        case None => '\\'
+        case Some(Lit(s: String)) if s.length == 1 => s.charAt(0)
+        case Some(other) => throw new GraftAnalysisException(
+          s"ESCAPE must be a single-character string literal, got $other")
+      }
+      val (le, re) = (GraftBridge.expression(expr(x)), GraftBridge.expression(expr(p)))
+      val l = GraftBridge.column(
+        if (ci) org.apache.spark.sql.catalyst.expressions.ILike(le, re, escChar)
+        else org.apache.spark.sql.catalyst.expressions.Like(le, re, escChar))
       if (neg) !l else l
     case IsNull(x, neg) => if (neg) expr(x).isNotNull else expr(x).isNull
     case InList(x, list, neg) =>

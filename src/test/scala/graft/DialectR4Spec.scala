@@ -87,6 +87,59 @@ class DialectR4Spec extends AnyFunSuite {
       Seq(("sa", "sb", 2L)))
   }
 
+  test("ILIKE is case-insensitive; LIKE ESCAPE makes wildcards literal") {
+    val r = g.sql(
+      "select 'ABC' ilike 'ab%' as a, 'ABC' like 'ab%' as b, " +
+      "'10%' like '10!%' escape '!' as c, '10x' like '10!%' escape '!' as d, " +
+      "'a_c' not ilike 'A!_C' escape '!' as e").collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2))
+    assert(!r.getBoolean(3) && !r.getBoolean(4))
+  }
+
+  test("arg_min/arg_max pick the value at the extreme of the order key") {
+    val r = g.sql(
+      "select arg_min(v, k) as lo, arg_max(v, k) as hi " +
+      "from (values (3, 'c'), (1, 'a'), (2, 'b')) as t(k, v)").collect().head
+    assert(r.getString(0) == "a" && r.getString(1) == "c")
+  }
+
+  test("temperatureMix keeps floor(frac*N*n^T/Z) per group, min 1, smallest keys") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // groups: a×16, b×4, c×1 → T=0.5 weights 4:2:1, frac=0.5, N=21
+    // z=7, targets: floor(10.5*4/7)=6, floor(10.5*2/7)=3, max(1, floor(1.5/7))=1
+    val df = ((1 to 16).map(i => (i.toLong, "a")) ++
+      (17 to 20).map(i => (i.toLong, "b")) ++ Seq((21L, "c")))
+      .toDF("doc_id", "grp")
+    val kept = graft.operators.Sampling
+      .temperatureMix(df, "grp", "doc_id", frac = 0.5, temperature = 0.5)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("doc_id"))).sorted
+    assert(kept.count(_._1 == "a") == 6 && kept.count(_._1 == "b") == 3 &&
+      kept.count(_._1 == "c") == 1)
+    // deterministic: the lowest doc_ids of each group
+    assert(kept.filter(_._1 == "a").map(_._2).toSeq == (1L to 6L))
+    assert(kept.filter(_._1 == "b").map(_._2).toSeq == (17L to 19L))
+  }
+
+  test("cdcChunk covers every token once, ids contiguous, boundary ends chunk") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val df = Seq((1L, text.trim), (2L, "tiny")).toDF("doc_id", "text")
+    val chunks = graft.operators.TextAnalysis.cdcChunk(df, "text", "doc_id")
+      .orderBy("id", "chunk_id").collect()
+    val doc1 = chunks.filter(_.getLong(0) == 1L)
+    // full coverage: token counts add to 30, reassembly = original text
+    assert(doc1.map(_.getLong(2)).sum == 30)
+    assert(doc1.map(_.getString(3)).mkString(" ") == text.trim)
+    // contiguous ids from 0
+    assert(doc1.map(_.getLong(1)).toSeq == doc1.indices.map(_.toLong))
+    // determinism: same text → same chunking (doc 2 vs a re-run)
+    val again = graft.operators.TextAnalysis.cdcChunk(df, "text", "doc_id")
+      .orderBy("id", "chunk_id").collect()
+    assert(chunks.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("centroidAssign is diagonally dominant on separable labels") {
     val s = TestSpark.spark
     import s.implicits._
