@@ -630,7 +630,17 @@ object SparkEntry {
       "arg_max(l_orderkey, l_extendedprice * 1000000 + l_orderkey) as dear_k, " +
       "round(median(l_extendedprice), 2) as med, " +
       "cast(count_if(l_quantity > 25) as bigint) as nbig " +
-      "from lineitem group by l_returnflag order by f"))
+      "from lineitem group by l_returnflag order by f")),
+    // ---- ANSI keyword-argument function syntax + :: cast shorthand
+    // (no double→int :: in the gate: DuckDB rounds, Spark truncates) ----
+    "q89_ansi_fn_syntax" -> ((s, d) => g(s, d).sql(
+      "select p_partkey as k, " +
+      "trim(both 'a' from p_name) as tb, trim(leading 'p' from p_type) as tl, " +
+      "trim(trailing '0' from p_brand) as tt, " +
+      "cast(position('a' in p_name) as int) as pos, " +
+      "substring(p_name from 3 for 4) as s1, substring(p_type from 5) as s2, " +
+      "p_partkey::string as ks, p_size::bigint as sz " +
+      "from part where p_partkey < 40 order by k"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1099,6 +1109,14 @@ object SparkEntry {
        "arg_max(l_orderkey, l_extendedprice * 1000000 + l_orderkey) AS dear_k, " +
        "ROUND(median(l_extendedprice), 2) AS med, " +
        "CAST(count_if(l_quantity > 25) AS BIGINT) AS nbig " +
-       "FROM lineitem GROUP BY l_returnflag ORDER BY f")
+       "FROM lineitem GROUP BY l_returnflag ORDER BY f"),
+    "q89_ansi_fn_syntax" ->
+      ("SELECT p_partkey AS k, " +
+       "trim(BOTH 'a' FROM p_name) AS tb, trim(LEADING 'p' FROM p_type) AS tl, " +
+       "trim(TRAILING '0' FROM p_brand) AS tt, " +
+       "CAST(position('a' IN p_name) AS INTEGER) AS pos, " +
+       "substring(p_name FROM 3 FOR 4) AS s1, substring(p_type FROM 5) AS s2, " +
+       "p_partkey::VARCHAR AS ks, p_size::BIGINT AS sz " +
+       "FROM part WHERE p_partkey < 40 ORDER BY k")
   )
 }

@@ -128,6 +128,19 @@ object Registry {
       // ----- generators (UDTF surface §2.10): DuckDB-style select-position
       // unnest — one generator per SELECT, enforced by Spark's analyzer -----
       case "unnest" => arity(n, args, 1); explode(args.head)
+      // ANSI `TRIM([BOTH|LEADING|TRAILING] chars FROM s)` — built on the
+      // native Catalyst trims (the registry's 2-arg entries are ambiguous
+      // about argument order across engines; these are not)
+      case "__trim_chars" | "__ltrim_chars" | "__rtrim_chars" =>
+        arity(n, args, 2)
+        import org.apache.spark.sql.catalyst.expressions.{StringTrim, StringTrimLeft, StringTrimRight}
+        val (src, chars) = (org.apache.spark.sql.GraftBridge.expression(args.head),
+          org.apache.spark.sql.GraftBridge.expression(args(1)))
+        org.apache.spark.sql.GraftBridge.column(n match {
+          case "__ltrim_chars" => StringTrimLeft(src, chars)
+          case "__rtrim_chars" => StringTrimRight(src, chars)
+          case _               => StringTrim(src, chars)
+        })
       // ----- DuckDB/Postgres-named scalars → Spark equivalents, so the
       // same query text runs against both engines (dialect portability) ----
       case "json_extract" =>

@@ -407,7 +407,19 @@ object Extensions {
     // edits (chunk-level dedup/storage primitive) ----
     "x41_cdc_chunk" -> ((s, d) =>
       TextAnalysis.cdcChunk(docs(s, d), "text", "doc_id")
-        .orderBy("id", "chunk_id"))
+        .orderBy("id", "chunk_id")),
+    // ---- time-interval join (Flink intervalJoin parity): bucketized
+    // batch plan, native stream-stream join in streaming ----
+    "x42_interval_join" -> ((s, d) => {
+      val ev = GraftSession.forDir(s, d).catalog.relation("events")
+      val l = ev.where(col("event_id") % 100 === 0)
+        .select(col("event_id").as("l_id"), col("event_type"), col("ts").as("l_ts"))
+      val r = ev.where(col("event_id") % 100 =!= 0)
+        .select(col("event_id").as("r_id"), col("event_type"), col("ts").as("r_ts"))
+      IntervalJoin.join(l, r, Seq("event_type"), "l_ts", "r_ts",
+          beforeUs = 1800000000L, afterUs = 0L)
+        .select(col("l_id"), col("r_id")).orderBy("l_id", "r_id")
+    })
   )
 
   /** DuckDB lambda syntax for the stopword-hit count used twice below. */
@@ -714,7 +726,16 @@ object Extensions {
         "CAST(SUM(ib) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) - ib AS BIGINT) AS chunk_id FROM b) " +
         "SELECT doc_id AS id, chunk_id, CAST(count(*) AS BIGINT) AS n_toks, " +
         "string_agg(tok, ' ' ORDER BY pos) AS chunk " +
-        "FROM ch GROUP BY doc_id, chunk_id ORDER BY id, chunk_id")
+        "FROM ch GROUP BY doc_id, chunk_id ORDER BY id, chunk_id"),
+      "x42_interval_join" -> (
+        "WITH l AS (SELECT event_id AS l_id, event_type, CAST(ts AS TIMESTAMP) AS l_ts " +
+        "FROM events WHERE event_id % 100 = 0), " +
+        "r AS (SELECT event_id AS r_id, event_type, CAST(ts AS TIMESTAMP) AS r_ts " +
+        "FROM events WHERE event_id % 100 <> 0) " +
+        "SELECT l.l_id AS l_id, r.r_id AS r_id FROM l JOIN r " +
+        "ON l.event_type = r.event_type " +
+        "AND r.r_ts BETWEEN l.l_ts - INTERVAL 30 MINUTE AND l.l_ts " +
+        "ORDER BY l_id, r_id")
     )
   }
 }

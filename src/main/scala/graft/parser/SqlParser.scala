@@ -540,21 +540,25 @@ object SqlParser extends RegexParsers with PackratParsers {
     postfixExpr
 
   /** Subscript `e[i]` → element_at (1-based, matching DuckDB list indexing;
-    * also works for map keys). Binds tighter than unary operators. Integer
-    * literal indexes cast to INT — element_at requires it, and our numeric
-    * literals parse as Long. */
-  lazy val postfixExpr: PackratParser[Expr] =
-    atom ~ rep("[" ~> expr <~ "]") ^^ {
-      case a ~ idx => idx.foldLeft(a) { (b, i) =>
-        val ix = i match { case Lit(v: Long) => Cast(Lit(v), "int"); case other => other }
-        FuncCall("element_at", Seq(b, ix))
-      }
+    * also works for map keys) and `e::type` Postgres/DuckDB cast shorthand.
+    * Both bind tighter than unary operators. Integer literal indexes cast
+    * to INT — element_at requires it, and our numeric literals parse as
+    * Long. */
+  lazy val postfixExpr: PackratParser[Expr] = {
+    val sub: Parser[Expr => Expr] = "[" ~> expr <~ "]" ^^ { i => (b: Expr) =>
+      val ix = i match { case Lit(v: Long) => Cast(Lit(v), "int"); case other => other }
+      FuncCall("element_at", Seq(b, ix))
     }
+    val cast: Parser[Expr => Expr] =
+      "::" ~> dataTypeName ^^ { t => (b: Expr) => Cast(b, t) }
+    atom ~ rep(sub | cast) ^^ { case a ~ fs => fs.foldLeft(a)((b, f) => f(b)) }
+  }
 
   lazy val atom: PackratParser[Expr] =
     caseExpr |
     castExpr |
     extractExpr |
+    ansiFnSyntax |
     funcCall |
     literal |
     // `[e1, e2, …]` — DuckDB-style list literal → array(...)
@@ -749,6 +753,34 @@ object SqlParser extends RegexParsers with PackratParsers {
     (("(?i)\\Qcast\\E\\b".r ~ "(") ~> predicate) ~ (kw("as") ~> dataTypeName) <~ ")" ^^ {
       case e ~ t => Cast(e, t)
     }
+
+  /** ANSI keyword-argument function spellings, desugared at parse time:
+    * `TRIM([BOTH|LEADING|TRAILING] [chars] FROM s)`, `POSITION(sub IN s)`,
+    * `SUBSTRING(s FROM i [FOR n])`. The plain call forms (`trim(s)`,
+    * `substring(s, i, n)`) still parse through [[funcCall]]. */
+  lazy val ansiFnSyntax: PackratParser[Expr] = {
+    val trimKw = "(?i)\\Qtrim\\E\\b".r ~ "("
+    (trimKw ~> opt(kws("both", "leading", "trailing")) ~ opt(expr) ~
+      (kw("from") ~> expr) <~ ")") ^^ { case mode ~ chars ~ src =>
+        val fn = mode.getOrElse("both") match {
+          case "leading"  => "ltrim"
+          case "trailing" => "rtrim"
+          case _          => "trim"
+        }
+        chars match {
+          case Some(c) => FuncCall(s"__${fn}_chars", Seq(src, c))
+          case None    => FuncCall(fn, Seq(src))
+        }
+      } |
+    ("(?i)\\Qposition\\E\\b".r ~ "(") ~> expr ~ (kw("in") ~> expr) <~ ")" ^^ {
+      case sub ~ str => FuncCall("instr", Seq(str, sub))
+    } |
+    ("(?i)\\Qsubstring\\E\\b".r ~ "(") ~> expr ~ (kw("from") ~> expr) ~
+      opt(kw("for") ~> expr) <~ ")" ^^ { case s ~ i ~ n =>
+        FuncCall("substring",
+          Seq(s, i, n.getOrElse(Cast(Lit(2147483647L), "int"))))
+      }
+  }
 
   /** Searched (`case when p then v`) or simple (`case x when v then r`)
     * CASE — `when` is reserved, so the subject parse cannot swallow it. */

@@ -140,6 +140,40 @@ class DialectR4Spec extends AnyFunSuite {
     assert(chunks.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("ANSI TRIM/POSITION/SUBSTRING keyword forms and :: casts") {
+    val r = g.sql(
+      "select trim(both 'x' from 'xxaxx') as t1, trim(leading 'x' from 'xxaxx') as t2, " +
+      "trim(trailing 'x' from 'xxaxx') as t3, trim(from ' a ') as t4, trim(' b ') as t5, " +
+      "position('ll' in 'hello') as p, substring('abcdef' from 2 for 3) as s1, " +
+      "substring('abcdef' from 4) as s2, '42'::int + 1 as c1, " +
+      "3.9::int as c2, 7::string as c3").collect().head
+    assert(r.getString(0) == "a" && r.getString(1) == "axx" && r.getString(2) == "xxa")
+    assert(r.getString(3) == "a" && r.getString(4) == "b")
+    assert(r.getAs[Number](5).intValue == 3)
+    assert(r.getString(6) == "bcd" && r.getString(7) == "def")
+    assert(r.getAs[Number](8).intValue == 43 && r.getAs[Number](9).intValue == 3 &&
+      r.getString(10) == "7")
+  }
+
+  test("IntervalJoin matches the naive key-join + range filter exactly") {
+    val s = TestSpark.spark
+    val ev = g.catalog.relation("events")
+    import org.apache.spark.sql.functions._
+    val l = ev.where(col("event_id") % 50 === 0)
+      .select(col("event_id").as("l_id"), col("event_type"), col("ts").as("l_ts"))
+    val r = ev.where(col("event_id") % 50 =!= 0)
+      .select(col("event_id").as("r_id"), col("event_type"), col("ts").as("r_ts"))
+    val fast = graft.operators.IntervalJoin
+      .join(l, r, Seq("event_type"), "l_ts", "r_ts", 1800000000L, 600000000L)
+      .select("l_id", "r_id").orderBy("l_id", "r_id").collect()
+    val naive = l.join(r, Seq("event_type"))
+      .where(unix_micros(col("r_ts")).between(
+        unix_micros(col("l_ts")) - 1800000000L,
+        unix_micros(col("l_ts")) + 600000000L))
+      .select("l_id", "r_id").orderBy("l_id", "r_id").collect()
+    assert(fast.nonEmpty && fast.toSeq == naive.toSeq)
+  }
+
   test("centroidAssign is diagonally dominant on separable labels") {
     val s = TestSpark.spark
     import s.implicits._

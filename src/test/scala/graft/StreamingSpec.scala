@@ -286,6 +286,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("IntervalJoin.streaming: live stream-stream join within the time bound") {
+    val inL = MemoryStream[(java.sql.Timestamp, String, Long)](spark)
+    val inR = MemoryStream[(java.sql.Timestamp, String, Long)](spark)
+    val l = inL.toDF().toDF("l_ts", "k", "l_id")
+    val r = inR.toDF().toDF("r_ts", "k", "r_id")
+    // r matches l when r_ts ∈ [l_ts - 10 min, l_ts]
+    val j = graft.operators.IntervalJoin.streaming(
+      l, r, Seq("k"), "l_ts", "r_ts",
+      beforeUs = 600000000L, afterUs = 0L, watermarkDelay = "0 seconds")
+    assert(j.isStreaming)
+    val q = Sinks.memory(j.select("l_id", "r_id"), "ivj_out", OutputMode.Append())
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 01:$m%02d:00")
+      inL.addData((ts(20), "x", 1L), (ts(40), "x", 2L))
+      inR.addData((ts(15), "x", 10L), // within 10 min of l1 only
+        (ts(35), "x", 11L),           // within 10 min of l2 only
+        (ts(25), "x", 12L),           // AFTER l1 (no match: after bound 0), before l2 by 15 min (out)
+        (ts(5), "y", 13L))            // wrong key
+      q.processAllAvailable()
+      val rows = spark.table("ivj_out").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted
+      assert(rows.toSeq == Seq((1L, 10L), (2L, 11L)))
+    } finally q.stop()
+  }
+
   test("streaming GraftSession: file stream source reads and aggregates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toFile
     val f = new java.io.File(dir, "in.csv")
