@@ -171,6 +171,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: round-4 syntax round-trips through the pretty-printer") {
+    val likes = for {
+      op <- Gen.oneOf("like", "ilike", "not like", "not ilike")
+      esc <- Gen.oneOf("", " escape '!'")
+    } yield s"select a from t where (v $op 'a!%b'$esc)"
+    val setops = for {
+      op <- Gen.oneOf("except all", "intersect all", "union all")
+    } yield s"select k from t $op select k from u order by k"
+    val fetchOffset = for {
+      o <- Gen.choose(1, 20)
+      f <- Gen.choose(1, 20)
+    } yield s"select k from t order by k limit $f offset $o"
+    for (g <- Seq(likes, setops, fetchOffset); sql <- samples(g, 8).distinct) {
+      graft.parser.SqlParser.parse(sql) match {
+        case Left(err) => fail(s"parse failed for: $sql — $err")
+        case Right(ast) =>
+          val printed = graft.ast.Pretty.print(ast)
+          graft.parser.SqlParser.parse(printed) match {
+            case Right(ast2) => assert(ast2 == ast, s"round-trip changed AST: $sql -> $printed")
+            case Left(err)   => fail(s"printed form does not parse: $printed — $err")
+          }
+      }
+    }
+  }
+
   test("property: capPerGroup bounds every group and keeps a subset") {
     for ((nGroups, cap) <- samples(Gen.zip(Gen.choose(1, 5), Gen.choose(1, 7)), 5).distinct) {
       val df = (1 to 80).map(i => (i.toLong, s"g${i % nGroups}")).toDF("id", "grp")
@@ -203,6 +228,72 @@ class PropertySpec extends AnyFunSuite {
       val p = graft.operators.Sampling.deterministicShuffle(df, "id", seed = 2L)
       val ps = p.select("pos").collect().map(_.getLong(0)).sorted
       assert(ps.toSeq == (0L until n.toLong).toSeq, s"n=$n not a permutation")
+    }
+  }
+
+  test("property: IntervalJoin equals the naive range join on random times") {
+    for ((n, beforeS, afterS) <- samples(
+        Gen.zip(Gen.choose(10, 60), Gen.choose(0, 300), Gen.choose(0, 300)), 5).distinct) {
+      val times = samples(Gen.choose(0, 36000), n * 2)
+      val l = times.take(n).zipWithIndex.map { case (t, i) =>
+        (new java.sql.Timestamp(1704067200000L + t * 1000L), s"k${i % 3}", i.toLong)
+      }.toDF("l_ts", "k", "l_id")
+      val r = times.drop(n).zipWithIndex.map { case (t, i) =>
+        (new java.sql.Timestamp(1704067200000L + t * 1000L), s"k${i % 3}", i.toLong)
+      }.toDF("r_ts", "k", "r_id")
+      val fast = graft.operators.IntervalJoin
+        .join(l, r, Seq("k"), "l_ts", "r_ts", beforeS * 1000000L, afterS * 1000000L)
+        .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+      val naive = l.join(r, Seq("k"))
+        .where(unix_micros(col("r_ts")).between(
+          unix_micros(col("l_ts")) - beforeS * 1000000L,
+          unix_micros(col("l_ts")) + afterS * 1000000L))
+        .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+      assert(fast.toSeq == naive.toSeq, s"n=$n before=$beforeS after=$afterS")
+    }
+  }
+
+  test("property: cdcChunk reassembles every document exactly") {
+    val wordPool = ('a' to 'z').map(_.toString * 2)
+    for (nDocs <- samples(Gen.choose(3, 12), 4).distinct) {
+      val docs = (1 to nDocs).map { i =>
+        val words = samples(Gen.oneOf(wordPool), 5 + i * 7)
+        (i.toLong, words.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val chunks = graft.operators.TextAnalysis.cdcChunk(df, "text", "doc_id")
+        .orderBy("id", "chunk_id").collect()
+      val rebuilt = chunks.groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(1)).map(_.getString(3)).mkString(" ")).toMap
+      docs.foreach { case (id, text) =>
+        assert(rebuilt(id) == text, s"doc $id reassembly mismatch")
+      }
+      // ids contiguous from 0 in every doc
+      chunks.groupBy(_.getLong(0)).foreach { case (id, cs) =>
+        assert(cs.map(_.getLong(1)).sorted.toSeq == cs.indices.map(_.toLong),
+          s"doc $id chunk ids not contiguous")
+      }
+    }
+  }
+
+  test("property: temperatureMix targets sum within frac·N ± #groups and respect n_g") {
+    for ((nGroups, frac) <- samples(
+        Gen.zip(Gen.choose(2, 6), Gen.choose(2, 9)), 5).distinct.map {
+        case (g, f) => (g, f / 10.0) }) {
+      val df = (1 to 120).map(i => (i.toLong, s"g${i % nGroups}")).toDF("id", "grp")
+      val kept = graft.operators.Sampling
+        .temperatureMix(df, "grp", "id", frac, temperature = 0.5)
+        .collect().map(r => r.getAs[String]("grp"))
+      val per = kept.groupBy(identity).view.mapValues(_.length).toMap
+      val sizes = (0 until nGroups).map(g => (1 to 120).count(_ % nGroups == g))
+      // every group appears (min 1) and never exceeds its population
+      (0 until nGroups).foreach { g =>
+        val k = per.getOrElse(s"g$g", 0)
+        assert(k >= 1 && k <= sizes(g), s"group g$g kept $k of ${sizes(g)}")
+      }
+      // floor() in each group drops < 1 row; min-1 adds at most 1 per group
+      assert(math.abs(kept.length - frac * 120) <= nGroups + 1,
+        s"total ${kept.length} vs target ${frac * 120}")
     }
   }
 }
