@@ -408,6 +408,29 @@ object Extensions {
     "x41_cdc_chunk" -> ((s, d) =>
       TextAnalysis.cdcChunk(docs(s, d), "text", "doc_id")
         .orderBy("id", "chunk_id")),
+    // ---- bloom pre-filter: broadcast-bits decontamination accelerator.
+    // The filter is hash-seeded (not DuckDB-recomputable) → contract
+    // gate: the DuckDB-exact true-match count, a no-false-negatives flag
+    // (every true match survives — guaranteed by construction), and an
+    // fp-bound flag (survivors ≤ truth + 1% + 10 at 20 bits/item) ----
+    "x43_bloom_prefilter" -> ((s, d) => {
+      val dd = docs(s, d)
+      val inc = dd.where(col("doc_id") % 2 === 1)
+      val corp = dd.where(col("doc_id") % 2 === 0)
+      val surv = Bloom.prefilter(inc, corp, "text")
+        .select(col("doc_id")).localCheckpoint()
+      val truth = inc.join(corp.select(col("text")).distinct(), Seq("text"), "left_semi")
+        .select(col("doc_id")).localCheckpoint()
+      val missed = truth.join(surv, Seq("doc_id"), "left_anti").count()
+      val nSurv = surv.count()
+      val nTruth = truth.count()
+      val nInc = inc.count()
+      import s.implicits._
+      Seq((nTruth,
+        if (missed == 0) 1 else 0,
+        if (nSurv <= nTruth + nInc / 100 + 10) 1 else 0))
+        .toDF("n_true_matches", "no_false_negatives", "fp_bounded")
+    }),
     // ---- time-interval join (Flink intervalJoin parity): bucketized
     // batch plan, native stream-stream join in streaming ----
     "x42_interval_join" -> ((s, d) => {
@@ -727,6 +750,10 @@ object Extensions {
         "SELECT doc_id AS id, chunk_id, CAST(count(*) AS BIGINT) AS n_toks, " +
         "string_agg(tok, ' ' ORDER BY pos) AS chunk " +
         "FROM ch GROUP BY doc_id, chunk_id ORDER BY id, chunk_id"),
+      "x43_bloom_prefilter" -> (
+        "SELECT CAST((SELECT count(*) FROM documents i WHERE i.doc_id % 2 = 1 " +
+        "AND i.text IN (SELECT text FROM documents WHERE doc_id % 2 = 0)) AS BIGINT) AS n_true_matches, " +
+        "CAST(1 AS INTEGER) AS no_false_negatives, CAST(1 AS INTEGER) AS fp_bounded"),
       "x42_interval_join" -> (
         "WITH l AS (SELECT event_id AS l_id, event_type, CAST(ts AS TIMESTAMP) AS l_ts " +
         "FROM events WHERE event_id % 100 = 0), " +

@@ -174,6 +174,20 @@ class DialectR4Spec extends AnyFunSuite {
     assert(fast.nonEmpty && fast.toSeq == naive.toSeq)
   }
 
+  test("Bloom.prefilter never drops a true match and filters the bulk") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val corpus = (1 to 50).map(i => (i.toLong, s"corpus document number $i")).toDF("id", "text")
+    val incoming = ((1 to 10).map(i => (100L + i, s"corpus document number $i")) ++
+      (1 to 200).map(i => (300L + i, s"fresh unseen text $i"))).toDF("id", "text")
+    val surv = graft.operators.Bloom.prefilter(incoming, corpus, "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // all 10 true matches survive (no false negatives, by construction)
+    assert((1 to 10).forall(i => surv.contains(100L + i)))
+    // at 20 bits/item almost all of the 200 fresh rows are filtered out
+    assert(surv.size < 30, s"expected heavy filtering, got ${surv.size} survivors")
+  }
+
   test("centroidAssign is diagonally dominant on separable labels") {
     val s = TestSpark.spark
     import s.implicits._

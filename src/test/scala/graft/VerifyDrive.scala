@@ -131,5 +131,16 @@ object VerifyDrive {
     show("ordered agg", "select string_agg(r_name, '|' ) within group (order by r_name desc) as s2 from region")
     show("probe: lambda outside HOF", "select upper(x -> x) as bad from nation")
     show("probe: columns no match", "select columns('^zz') from nation")
+    // round-4 surface
+    show("except all", "select n_regionkey as k from nation except all select r_regionkey as k from region order by k limit 4")
+    show("ansi offset/fetch", "select n_nationkey as k from nation order by k offset 20 rows fetch first 3 rows only")
+    show("ilike + escape", "select 'ABC' ilike 'ab%' as ci, '10%' like '10!%' escape '!' as esc")
+    show("json extraction", "select json_extract('{\"a\":{\"b\":7}}', '$.a.b') as b")
+    show("arg stats", "select arg_min(n_name, n_nationkey) as first_n, round(median(n_nationkey), 1) as med from nation")
+    show("ansi trim/position/substring", "select trim(both 'n' from n_name) as t, " +
+      "position('_' in n_name) as p, substring(n_name from 1 for 6) as s from nation order by n_nationkey limit 2")
+    show(":: cast chain", "select n_nationkey::string as s, ('4'||'2')::int + 0 as n from nation order by n_nationkey limit 1")
+    show("window in order by", "select n_name from nation window w as (order by n_name) order by row_number() over w desc limit 1")
+    show("probe: bad escape", "select 'x' like 'y' escape '!!'")
   }
 }
