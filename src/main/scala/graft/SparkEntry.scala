@@ -640,7 +640,23 @@ object SparkEntry {
       "cast(position('a' in p_name) as int) as pos, " +
       "substring(p_name from 3 for 4) as s1, substring(p_type from 5) as s2, " +
       "p_partkey::string as ks, p_size::bigint as sz " +
-      "from part where p_partkey < 40 order by k"))
+      "from part where p_partkey < 40 order by k")),
+    // ---- struct values + postfix field access (incl. nested chains) ----
+    "q90_struct" -> ((s, d) => g(s, d).sql(
+      "select n_nationkey as k, " +
+      "named_struct('id', n_nationkey, 'nm', n_name).nm as nm, " +
+      "named_struct('a', named_struct('b', n_regionkey)).a.b as ab " +
+      "from nation order by k limit 10")),
+    // ---- array set operations (sorted + stringified: Spark and DuckDB
+    // disagree on result ORDER, not membership) ----
+    "q91_array_setops" -> ((s, d) => g(s, d).sql(
+      "select l_orderkey as k, l_linenumber as ln, " +
+      "array_join(transform(sort_array(array_union(array(l_orderkey, 1), array(l_orderkey + 1))), v -> cast(v as string)), ',') as un, " +
+      "array_join(transform(sort_array(array_intersect(array(1, 2, l_linenumber), array(2, 3))), v -> cast(v as string)), ',') as it, " +
+      "array_join(transform(sort_array(array_except(array(1, 2, 3), array(l_linenumber))), v -> cast(v as string)), ',') as ex, " +
+      "cast(array_position(array(5, 6, 7), 6) as bigint) as pos, " +
+      "array_join(transform(sort_array(array_distinct(flatten(array(array(l_linenumber), array(1, 2))))), v -> cast(v as string)), ',') as fl " +
+      "from lineitem where l_orderkey < 100 order by k, ln"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1117,6 +1133,19 @@ object SparkEntry {
        "CAST(position('a' IN p_name) AS INTEGER) AS pos, " +
        "substring(p_name FROM 3 FOR 4) AS s1, substring(p_type FROM 5) AS s2, " +
        "p_partkey::VARCHAR AS ks, p_size::BIGINT AS sz " +
-       "FROM part WHERE p_partkey < 40 ORDER BY k")
+       "FROM part WHERE p_partkey < 40 ORDER BY k"),
+    "q90_struct" ->
+      ("SELECT n_nationkey AS k, " +
+       "struct_pack(id := n_nationkey, nm := n_name).nm AS nm, " +
+       "struct_pack(a := struct_pack(b := n_regionkey)).a.b AS ab " +
+       "FROM nation ORDER BY k LIMIT 10"),
+    "q91_array_setops" ->
+      ("SELECT l_orderkey AS k, l_linenumber AS ln, " +
+       "array_to_string(list_sort(list_distinct([l_orderkey, 1] || [l_orderkey + 1])), ',') AS un, " +
+       "array_to_string(list_sort(list_intersect([1, 2, l_linenumber], [2, 3])), ',') AS it, " +
+       "array_to_string(list_sort(list_filter([1, 2, 3], x -> NOT list_contains([l_linenumber], x))), ',') AS ex, " +
+       "CAST(list_position([5, 6, 7], 6) AS BIGINT) AS pos, " +
+       "array_to_string(list_sort(list_distinct(flatten([[l_linenumber], [1, 2]]))), ',') AS fl " +
+       "FROM lineitem WHERE l_orderkey < 100 ORDER BY k, ln")
   )
 }

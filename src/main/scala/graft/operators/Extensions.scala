@@ -408,6 +408,11 @@ object Extensions {
     "x41_cdc_chunk" -> ((s, d) =>
       TextAnalysis.cdcChunk(docs(s, d), "text", "doc_id")
         .orderBy("id", "chunk_id")),
+    // ---- exact-substring dedup detection (Lee et al.): per-doc count of
+    // 30-char spans copied verbatim elsewhere in the corpus ----
+    "x44_exact_substring" -> ((s, d) =>
+      TextAnalysis.sharedSubstrings(docs(s, d), "text", "doc_id", k = 30)
+        .orderBy("id")),
     // ---- bloom pre-filter: broadcast-bits decontamination accelerator.
     // The filter is hash-seeded (not DuckDB-recomputable) → contract
     // gate: the DuckDB-exact true-match count, a no-false-negatives flag
@@ -750,6 +755,17 @@ object Extensions {
         "SELECT doc_id AS id, chunk_id, CAST(count(*) AS BIGINT) AS n_toks, " +
         "string_agg(tok, ' ' ORDER BY pos) AS chunk " +
         "FROM ch GROUP BY doc_id, chunk_id ORDER BY id, chunk_id"),
+      // mirrors sharedSubstrings: lower/trim, every 30-char window,
+      // distinct per doc, shared = gram present in > 1 doc
+      "x44_exact_substring" -> (
+        "WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, unnest([substring(t, i, 30) for i in range(1, len(t) - 28)]) AS gram " +
+        "FROM d WHERE length(t) >= 30), " +
+        "c AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram), " +
+        "s AS (SELECT g.doc_id, count(*) AS n_shared FROM g JOIN c USING (gram) " +
+        "WHERE c.nd > 1 GROUP BY g.doc_id) " +
+        "SELECT d2.doc_id AS id, COALESCE(s.n_shared, 0) AS n_shared " +
+        "FROM documents d2 LEFT JOIN s USING (doc_id) ORDER BY id"),
       "x43_bloom_prefilter" -> (
         "SELECT CAST((SELECT count(*) FROM documents i WHERE i.doc_id % 2 = 1 " +
         "AND i.text IN (SELECT text FROM documents WHERE doc_id % 2 = 0)) AS BIGINT) AS n_true_matches, " +

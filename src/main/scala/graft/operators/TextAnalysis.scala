@@ -418,6 +418,36 @@ object TextAnalysis {
           s => s.getField("v")), " ").as("chunk"))
   }
 
+  /** Per-document count of character `k`-grams shared verbatim with at
+    * least one OTHER document — the detection half of exact-substring
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): a doc with n_shared > 0 contains a ≥k-char span
+    * copied somewhere else in the corpus.
+    *
+    * Scale: distinct (doc, gram) pairs bound the join input by content
+    * volume; the gram-frequency side aggregates map-side. For 100 TB,
+    * swap the raw substring key for its 8-byte hash (same plan shape —
+    * [[fingerprint]]'s char-gram hashing) and sample gram START positions
+    * (stride > 1) to trade recall for a proportional cost cut. */
+  def sharedSubstrings(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 30): DataFrame = {
+    val norm = lower(trim(col(textCol)))
+    val grams = Par.widen(df, idCol)
+      .select(col(idCol).as("id"), norm.as("__t"))
+      .where(length(col("__t")) >= k)
+      .select(col("id"),
+        explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("__p"),
+        col("__t"))
+      .select(col("id"), expr(s"substring(__t, __p, $k)").as("gram"))
+      .distinct()
+    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("__nd"))
+    val shared = grams.join(freq, "gram").where(col("__nd") > 1)
+      .groupBy(col("id")).agg(count(lit(1)).as("__ns"))
+    df.select(col(idCol).as("id"))
+      .join(shared, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__ns"), lit(0L)).as("n_shared"))
+  }
+
   /** Cross-group contamination matrix: for each pair of groups (data
     * sources, crawl snapshots, benchmark vs corpus), the number of
     * DISTINCT word n-grams both share. The leakage-audit companion to

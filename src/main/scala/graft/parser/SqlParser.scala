@@ -551,7 +551,12 @@ object SqlParser extends RegexParsers with PackratParsers {
     }
     val cast: Parser[Expr => Expr] =
       "::" ~> dataTypeName ^^ { t => (b: Expr) => Cast(b, t) }
-    atom ~ rep(sub | cast) ^^ { case a ~ fs => fs.foldLeft(a)((b, f) => f(b)) }
+    // struct field access on a non-identifier base (function results,
+    // subscripts — `named_struct('a', 1).a`, `arr[1].f`); plain `t.c`
+    // parses as a qualified ColRef in `atom` before this applies
+    val field: Parser[Expr => Expr] =
+      "." ~> ident ^^ { f => (b: Expr) => FuncCall("__get_field", Seq(b, Lit(f))) }
+    atom ~ rep(sub | cast | field) ^^ { case a ~ fs => fs.foldLeft(a)((b, f) => f(b)) }
   }
 
   lazy val atom: PackratParser[Expr] =

@@ -1426,6 +1426,11 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     case FuncCall(n, args, distinct) if args.exists(_.isInstanceOf[Lambda]) =>
       hofCall(n.toLowerCase(java.util.Locale.ROOT), args)
 
+    // struct field access `expr.field` (postfix-parsed; bare `t.c` stays a
+    // qualified column ref)
+    case FuncCall("__get_field", Seq(b, Lit(f: String)), _) =>
+      expr(b).getField(f)
+
     // expandColumnsRegex rewrites every SELECT-list occurrence before
     // translation — one reaching here sits in WHERE/GROUP BY/ORDER BY
     case FuncCall("columns", _, _) =>

@@ -174,6 +174,31 @@ class DialectR4Spec extends AnyFunSuite {
     assert(fast.nonEmpty && fast.toSeq == naive.toSeq)
   }
 
+  test("struct field access chains; bare t.c stays a column ref") {
+    val r = g.sql(
+      "select named_struct('x', 7, 'y', 'v').x as x, " +
+      "named_struct('a', named_struct('b', 42)).a.b as ab, " +
+      "[named_struct('p', 5)][1].p as arr_field, " +
+      "n.n_nationkey as k from nation as n order by k limit 1").collect().head
+    assert(r.getAs[Number](0).intValue == 7 && r.getAs[Number](1).intValue == 42)
+    assert(r.getAs[Number](2).intValue == 5 && r.getAs[Number](3).intValue == 0)
+  }
+
+  test("sharedSubstrings finds copied 30-char spans, zero for unique docs") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val span = "this exact thirty-plus character span is copied verbatim"
+    val df = Seq(
+      (1L, s"prefix one $span suffix alpha"),
+      (2L, s"other intro $span closing words"),
+      (3L, "completely unrelated text with no overlap whatsoever here")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.sharedSubstrings(df, "text", "doc_id", k = 30)
+      .orderBy("id").collect()
+    assert(r(0).getLong(1) > 0 && r(1).getLong(1) > 0, "copied span must be detected")
+    assert(r(2).getLong(1) == 0, "unique doc must have zero shared spans")
+  }
+
   test("Bloom.prefilter never drops a true match and filters the bulk") {
     val s = TestSpark.spark
     import s.implicits._
