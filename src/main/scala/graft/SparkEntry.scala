@@ -647,6 +647,25 @@ object SparkEntry {
       "named_struct('id', n_nationkey, 'nm', n_name).nm as nm, " +
       "named_struct('a', named_struct('b', n_regionkey)).a.b as ab " +
       "from nation order by k limit 10")),
+    // ---- bitwise + boolean aggregates ----
+    "q92_bit_bool_agg" -> ((s, d) => g(s, d).sql(
+      "select l_returnflag as f, " +
+      "cast(bit_and(l_linenumber) as int) as ba, " +
+      "cast(bit_or(l_linenumber) as int) as bo, " +
+      "cast(bit_xor(l_linenumber) as int) as bx, " +
+      "bool_and(l_quantity > 0) as ca, bool_or(l_discount > 0.09) as co " +
+      "from lineitem group by l_returnflag order by f")),
+    // ---- linear-regression aggregates (normalized outputs rounded:
+    // corr/slope/r2 are scale-free so 6 dp sits far above sum-order
+    // noise; intercept rounded coarser) ----
+    "q93_regr_agg" -> ((s, d) => g(s, d).sql(
+      "select o_orderstatus as st, " +
+      "round(corr(o_totalprice, o_custkey), 6) as c, " +
+      "round(regr_slope(o_totalprice, o_custkey), 6) as rs, " +
+      "round(regr_intercept(o_totalprice, o_custkey), 2) as ri, " +
+      "round(regr_r2(o_totalprice, o_custkey), 6) as r2, " +
+      "cast(regr_count(o_totalprice, o_custkey) as bigint) as rn " +
+      "from orders group by o_orderstatus order by st")),
     // ---- array set operations (sorted + stringified: Spark and DuckDB
     // disagree on result ORDER, not membership) ----
     "q91_array_setops" -> ((s, d) => g(s, d).sql(
@@ -1139,6 +1158,21 @@ object SparkEntry {
        "struct_pack(id := n_nationkey, nm := n_name).nm AS nm, " +
        "struct_pack(a := struct_pack(b := n_regionkey)).a.b AS ab " +
        "FROM nation ORDER BY k LIMIT 10"),
+    "q92_bit_bool_agg" ->
+      ("SELECT l_returnflag AS f, " +
+       "CAST(bit_and(l_linenumber) AS INTEGER) AS ba, " +
+       "CAST(bit_or(l_linenumber) AS INTEGER) AS bo, " +
+       "CAST(bit_xor(l_linenumber) AS INTEGER) AS bx, " +
+       "bool_and(l_quantity > 0) AS ca, bool_or(l_discount > 0.09) AS co " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY f"),
+    "q93_regr_agg" ->
+      ("SELECT o_orderstatus AS st, " +
+       "ROUND(corr(o_totalprice, o_custkey), 6) AS c, " +
+       "ROUND(regr_slope(o_totalprice, o_custkey), 6) AS rs, " +
+       "ROUND(regr_intercept(o_totalprice, o_custkey), 2) AS ri, " +
+       "ROUND(regr_r2(o_totalprice, o_custkey), 6) AS r2, " +
+       "CAST(regr_count(o_totalprice, o_custkey) AS BIGINT) AS rn " +
+       "FROM orders GROUP BY o_orderstatus ORDER BY st"),
     "q91_array_setops" ->
       ("SELECT l_orderkey AS k, l_linenumber AS ln, " +
        "array_to_string(list_sort(list_distinct([l_orderkey, 1] || [l_orderkey + 1])), ',') AS un, " +

@@ -28,6 +28,9 @@ object Registry {
     "kurtosis", "any_value", "mode", "median", "count_if", "bool_and",
     "bool_or", "array_agg", "string_agg", "listagg", "group_concat",
     "percentile", "min_by", "max_by", "arg_min", "arg_max",
+    "bit_and", "bit_or", "bit_xor",
+    "regr_slope", "regr_intercept", "regr_r2", "regr_count",
+    "regr_avgx", "regr_avgy", "regr_sxx", "regr_syy", "regr_sxy",
     // grouping metadata functions are only legal inside the aggregate list
     // of a ROLLUP/CUBE/GROUPING SETS query — routing them through the
     // aggregate path puts them exactly there
