@@ -112,5 +112,33 @@ object PlanProbe {
       g.sql("select c_custkey, exists (select 1 from orders o " +
         "where o.o_custkey = c.c_custkey) as has from customer c"),
       Seq("Join ExistenceJoin"))
+
+    // ---- round 4 ----
+    val events = g.catalog.relation("events")
+    show("interval join is a bucket equi-join, never a cartesian/range product",
+      operators.IntervalJoin.join(
+        events.select(org.apache.spark.sql.functions.col("event_id").as("l_id"),
+          org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("ts").as("l_ts")),
+        events.select(org.apache.spark.sql.functions.col("event_id").as("r_id"),
+          org.apache.spark.sql.functions.col("event_type").as("event_type"),
+          org.apache.spark.sql.functions.col("ts").as("r_ts"))
+          .withColumnRenamed("event_type", "event_type"),
+        Seq("event_type"), "l_ts", "r_ts", 1800000000L, 0L),
+      Seq("HashJoin", "__ib"))
+
+    show("bloom prefilter is a scalar subquery + narrow filter (no join, no shuffle on incoming)",
+      operators.Bloom.prefilter(docs.limit(100), docs, "text"),
+      Seq("Subquery", "might_contain"))
+
+    show("centroid assignment broadcasts centroids, top-1 short-circuits (WindowGroupLimit)",
+      operators.Similarity.centroidAssign(emb, "embedding", "vec_id", "label"),
+      Seq("Broadcast", "WindowGroupLimit"))
+
+    // the single exchange is Par.widen's repartition by doc_id; the window
+    // (partitioned on its alias `id`) and both aggregate phases reuse it
+    show("cdc chunking: one doc-keyed window + hash aggregate, no extra exchange",
+      operators.TextAnalysis.cdcChunk(docs, "text", "doc_id"),
+      Seq("Window", "hashpartitioning(doc_id"))
   }
 }
