@@ -675,7 +675,35 @@ object SparkEntry {
       "array_join(transform(sort_array(array_except(array(1, 2, 3), array(l_linenumber))), v -> cast(v as string)), ',') as ex, " +
       "cast(array_position(array(5, 6, 7), 6) as bigint) as pos, " +
       "array_join(transform(sort_array(array_distinct(flatten(array(array(l_linenumber), array(1, 2))))), v -> cast(v as string)), ',') as fl " +
-      "from lineitem where l_orderkey < 100 order by k, ln"))
+      "from lineitem where l_orderkey < 100 order by k, ln")),
+    // ---- UNION [ALL] BY NAME: name-aligned set union (absent cols NULL);
+    // the final distinct union collapses branch-3 rows back into branch-1's ----
+    "q94_union_by_name" -> ((s, d) => g(s, d).sql(
+      "select n_nationkey as k, n_name as nm from nation where n_nationkey < 4 " +
+      "union all by name " +
+      "select r_regionkey + 100 as k, r_name as nm, r_regionkey as extra from region " +
+      "union by name " +
+      "select n_nationkey as k, n_name as nm from nation where n_nationkey < 2 " +
+      "order by k")),
+    // ---- statistical aggregate breadth (samp/pop forms share exact
+    // textbook definitions across engines; rounded against sum-order noise) ----
+    "q95_stats_agg" -> ((s, d) => g(s, d).sql(
+      "select o_orderstatus as st, " +
+      "round(stddev_samp(o_totalprice), 4) as sds, " +
+      "round(stddev_pop(o_totalprice), 4) as sdp, " +
+      "round(var_samp(o_totalprice) / 1e6, 4) as vs, " +
+      "round(var_pop(o_totalprice) / 1e6, 4) as vp, " +
+      "round(covar_samp(o_totalprice, o_custkey) / 1e6, 4) as cs, " +
+      "round(covar_pop(o_totalprice, o_custkey) / 1e6, 4) as cp " +
+      "from orders group by o_orderstatus order by st")),
+    // ---- time-based RANGE frames: INTERVAL bounds over a timestamp key ----
+    "q96_range_interval" -> ((s, d) => g(s, d).sql(
+      "select event_id as k, " +
+      "count(*) over (partition by user_id order by ts " +
+      "range between interval 1 hour preceding and current row) as cnt, " +
+      "round(sum(value) over (partition by user_id order by ts " +
+      "range between interval 30 minute preceding and current row), 3) as sv " +
+      "from events where event_id < 2000 order by k"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1180,6 +1208,29 @@ object SparkEntry {
        "array_to_string(list_sort(list_filter([1, 2, 3], x -> NOT list_contains([l_linenumber], x))), ',') AS ex, " +
        "CAST(list_position([5, 6, 7], 6) AS BIGINT) AS pos, " +
        "array_to_string(list_sort(list_distinct(flatten([[l_linenumber], [1, 2]]))), ',') AS fl " +
-       "FROM lineitem WHERE l_orderkey < 100 ORDER BY k, ln")
+       "FROM lineitem WHERE l_orderkey < 100 ORDER BY k, ln"),
+    "q94_union_by_name" ->
+      ("SELECT n_nationkey AS k, n_name AS nm FROM nation WHERE n_nationkey < 4 " +
+       "UNION ALL BY NAME " +
+       "SELECT r_regionkey + 100 AS k, r_name AS nm, r_regionkey AS extra FROM region " +
+       "UNION BY NAME " +
+       "SELECT n_nationkey AS k, n_name AS nm FROM nation WHERE n_nationkey < 2 " +
+       "ORDER BY k"),
+    "q95_stats_agg" ->
+      ("SELECT o_orderstatus AS st, " +
+       "ROUND(stddev_samp(o_totalprice), 4) AS sds, " +
+       "ROUND(stddev_pop(o_totalprice), 4) AS sdp, " +
+       "ROUND(var_samp(o_totalprice) / 1e6, 4) AS vs, " +
+       "ROUND(var_pop(o_totalprice) / 1e6, 4) AS vp, " +
+       "ROUND(covar_samp(o_totalprice, o_custkey) / 1e6, 4) AS cs, " +
+       "ROUND(covar_pop(o_totalprice, o_custkey) / 1e6, 4) AS cp " +
+       "FROM orders GROUP BY o_orderstatus ORDER BY st"),
+    "q96_range_interval" ->
+      ("SELECT event_id AS k, " +
+       "count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) " +
+       "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS cnt, " +
+       "ROUND(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) " +
+       "RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW), 3) AS sv " +
+       "FROM events WHERE event_id < 2000 ORDER BY k")
   )
 }

@@ -150,14 +150,17 @@ final case class Select(
   extends QueryExpr
 
 /** UNION/EXCEPT/INTERSECT [ALL] — flinkdsl/parser.scala:35-40. Unlike the
-  * reference we keep (and honor) the ALL flag. */
+  * reference we keep (and honor) the ALL flag. `byName` is the DuckDB
+  * `UNION [ALL] BY NAME` extension: align columns by name (union of both
+  * schemas, absent columns NULL) instead of by position. */
 final case class SetOp(
     left: QueryExpr,
     op: SetOpKind,
     all: Boolean,
     right: QueryExpr,
     orderBy: Seq[SortKey],
-    limit: Option[Limit]) extends QueryExpr
+    limit: Option[Limit],
+    byName: Boolean = false) extends QueryExpr
 
 sealed trait SetOpKind
 case object Union extends SetOpKind
@@ -363,7 +366,13 @@ final case class CaseWhen(branches: Seq[(Expr, Expr)], otherwise: Option[Expr],
   * Spark's convention: Long.MinValue = UNBOUNDED PRECEDING, 0 = CURRENT
   * ROW, Long.MaxValue = UNBOUNDED FOLLOWING, negative = N PRECEDING,
   * positive = N FOLLOWING. */
-final case class WindowFrame(rows: Boolean, lo: Long, hi: Long)
+/** `intervalUs = true` marks a RANGE frame whose bounds came from
+  * day-time INTERVAL literals, encoded in epoch microseconds (the
+  * translator then orders the frame on unix_micros of the single
+  * timestamp sort key — a monotonic bijection, so peers and frame
+  * membership are identical to native timestamp RANGE). */
+final case class WindowFrame(
+    rows: Boolean, lo: Long, hi: Long, intervalUs: Boolean = false)
 
 /** `fn(args) OVER (PARTITION BY … ORDER BY … [frame])` — analytic/window
   * function. Beyond-reference extension (SURVEY §2.7 notes the reference

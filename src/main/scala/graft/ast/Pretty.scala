@@ -93,11 +93,11 @@ object Pretty {
       }
       val ql = qualify.fold("")(e => s" qualify ${expr(e)}")
       s"select $d$p$f$w$g$ql${order(orderBy)}${lim(limit)}"
-    case SetOp(l, op, all, r, orderBy, limit) =>
+    case SetOp(l, op, all, r, orderBy, limit, byName) =>
       val o = op match {
         case Union => "union"; case Except => "except"; case Intersect => "intersect"
       }
-      val a = if (all) " all" else ""
+      val a = (if (all) " all" else "") + (if (byName) " by name" else "")
       // operands that are themselves set ops or carry ORDER BY/LIMIT must be
       // parenthesized or the flat form re-parses left-associated / fails
       def operand(x: QueryExpr): String = x match {
@@ -208,11 +208,27 @@ object Pretty {
         case x if x < 0        => s"${-x} preceding"
         case x                 => s"$x following"
       }
+      // interval frames re-print µs offsets as the largest evenly-dividing
+      // day-time unit, so parse ∘ print = id
+      def ibound(n: Long): String = n match {
+        case Long.MinValue | Long.MaxValue | 0 => bound(n)
+        case x =>
+          val a = math.abs(x)
+          val (v, u) =
+            if (a % 86400000000L == 0) (a / 86400000000L, "day")
+            else if (a % 3600000000L == 0) (a / 3600000000L, "hour")
+            else if (a % 60000000L == 0) (a / 60000000L, "minute")
+            else (a / 1000000L, "second")
+          s"interval $v $u ${if (x < 0) "preceding" else "following"}"
+      }
       val parts = Seq(
         if (pb.nonEmpty) s"partition by ${pb.map(expr).mkString(", ")}" else "",
         if (ob.nonEmpty) "order by " + ob.map(sortKey).mkString(", ") else "",
         fr.fold("")(w =>
-          s"${if (w.rows) "rows" else "range"} between ${bound(w.lo)} and ${bound(w.hi)}")
+          if (w.intervalUs)
+            s"range between ${ibound(w.lo)} and ${ibound(w.hi)}"
+          else
+            s"${if (w.rows) "rows" else "range"} between ${bound(w.lo)} and ${bound(w.hi)}")
       ).filter(_.nonEmpty)
       val spec = ref.getOrElse(s"(${parts.mkString(" ")})")
       s"${expr(f)}${if (ign) " ignore nulls" else ""} over $spec"

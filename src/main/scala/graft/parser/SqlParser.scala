@@ -133,17 +133,23 @@ object SqlParser extends RegexParsers with PackratParsers {
     * — trailing ORDER BY/LIMIT bind to the whole set operation, per SQL (and
     * flinkdsl/ast.scala:163-167's SetStatement carrying its own orderBy). */
   lazy val setQuery: PackratParser[QueryExpr] = {
-    val op: Parser[(SetOpKind, Boolean)] =
+    val op: Parser[(SetOpKind, Boolean, Boolean)] =
       (kw("union") ^^^ Union | kw("except") ^^^ Except |
-       kw("intersect") ^^^ Intersect) ~ opt(kw("all")) ^^ {
-        case k ~ a => (k, a.isDefined)
+       kw("intersect") ^^^ Intersect) ~ opt(kw("all")) ~
+        opt(kw("by") ~ kw("name")) ^^ {
+        case k ~ a ~ bn =>
+          // BY NAME (DuckDB extension): only UNION aligns by name
+          if (bn.isDefined && k != Union)
+            throw new IllegalArgumentException(
+              "BY NAME is only supported on UNION [ALL]")
+          (k, a.isDefined, bn.isDefined)
       }
     queryOperand ~ rep(op ~ queryOperand) ~ opt(orderByClause) ~ opt(limitClause) <~
       opt(kw("for") ~ kw("update")) ^^ {
       case first ~ Nil ~ ob ~ lim => attachTail(first, ob.getOrElse(Nil), lim)
       case first ~ rest ~ ob ~ lim =>
         val chained = rest.foldLeft(first) {
-          case (l, (k, all) ~ r) => SetOp(l, k, all, r, Nil, None)
+          case (l, (k, all, byName) ~ r) => SetOp(l, k, all, r, Nil, None, byName)
         }
         attachTail(chained, ob.getOrElse(Nil), lim)
     }
@@ -708,15 +714,33 @@ object SqlParser extends RegexParsers with PackratParsers {
   /** `ROWS|RANGE BETWEEN bound AND bound` — explicit window frame; bounds
     * encode as Spark offsets (MinValue/MaxValue = unbounded, 0 = current). */
   lazy val frameSpec: PackratParser[WindowFrame] = {
-    val bound: Parser[Long] =
-      kw("unbounded") ~> (kw("preceding") ^^^ Long.MinValue | kw("following") ^^^ Long.MaxValue) |
-      kw("current") ~> kw("row") ^^^ 0L |
+    // (offset, cameFromInterval): interval bounds are fixed-width day-time
+    // units converted to epoch µs (months/years are variable-width and
+    // rejected up front — no silent 30-day approximations)
+    val usPerUnit = Map(
+      "second" -> 1000000L, "minute" -> 60000000L,
+      "hour" -> 3600000000L, "day" -> 86400000000L)
+    val bound: Parser[(Long, Boolean)] =
+      kw("unbounded") ~> (kw("preceding") ^^^ ((Long.MinValue, false)) |
+                          kw("following") ^^^ ((Long.MaxValue, false))) |
+      kw("current") ~> kw("row") ^^^ ((0L, false)) |
+      kw("interval") ~> """\d+""".r ~ intervalUnit ~
+        (kw("preceding") ^^^ -1L | kw("following") ^^^ 1L) ^^ {
+        case n ~ u ~ sign =>
+          val us = usPerUnit.getOrElse(u, throw new IllegalArgumentException(
+            s"RANGE INTERVAL frame: unit $u is variable-width; use second/minute/hour/day"))
+          (n.toLong * us * sign, true)
+      } |
       """\d+""".r ~ (kw("preceding") ^^^ -1L | kw("following") ^^^ 1L) ^^ {
-        case n ~ sign => n.toLong * sign
+        case n ~ sign => (n.toLong * sign, false)
       }
     ((kw("rows") ^^^ true) | (kw("range") ^^^ false)) ~
       (kw("between") ~> bound) ~ (kw("and") ~> bound) ^^ {
-        case r ~ lo ~ hi => WindowFrame(r, lo, hi)
+        case r ~ ((lo, loI)) ~ ((hi, hiI)) =>
+          if ((loI || hiI) && r)
+            throw new IllegalArgumentException(
+              "INTERVAL frame bounds require RANGE, not ROWS")
+          WindowFrame(r, lo, hi, intervalUs = loI || hiI)
       }
   }
 

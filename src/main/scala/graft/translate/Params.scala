@@ -58,9 +58,9 @@ object Params {
       case With(ctes, body, rec) =>
         // textual order: CTE bodies first, then the main query
         With(ctes.map { case (n, cq) => (n, query(cq)) }, query(body), rec)
-      case SetOp(l, op, all, r, ob, lim) =>
+      case SetOp(l, op, all, r, ob, lim, byName) =>
         SetOp(query(l), op, all, query(r),
-          ob.map(k => k.copy(expr = expr(k.expr))), lim.map(limit))
+          ob.map(k => k.copy(expr = expr(k.expr))), lim.map(limit), byName)
     }
 
     private def select(s: Select): Select = s.copy(

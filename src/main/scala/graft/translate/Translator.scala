@@ -92,12 +92,17 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         query(body)
       } finally cteScope = saved
     case s: Select => select(s)
-    case SetOp(l, op, all, r, orderBy, limit) =>
+    case SetOp(l, op, all, r, orderBy, limit, byName) =>
       val ld = query(l)
       val rd = query(r)
       var out = op match {
         // SQL set semantics: UNION dedups unless ALL (the reference parsed
         // the ALL flag and dropped it — flinkdsl/parser.scala:38; we honor it)
+        // BY NAME (DuckDB): align by column name, absent columns NULL —
+        // unionByName stays a zero-shuffle concat like positional union.
+        case Union if byName =>
+          val u = ld.unionByName(rd, allowMissingColumns = true)
+          if (all) u else u.distinct()
         case Union     => if (all) ld.union(rd) else ld.union(rd).distinct()
         case Except    => if (all) ld.exceptAll(rd) else ld.except(rd)
         case Intersect => if (all) ld.intersectAll(rd) else ld.intersect(rd)
@@ -137,7 +142,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         // an inner CTE of the same name shadows the outer one
         val shadowed = cs.exists(_._1.toLowerCase(java.util.Locale.ROOT) == key)
         cs.exists(c => inQuery(c._2)) || (!shadowed && inQuery(b))
-      case SetOp(l, _, _, r, ob, _) =>
+      case SetOp(l, _, _, r, ob, _, _) =>
         inQuery(l) || inQuery(r) || ob.exists(k => inExpr(k.expr))
       case s: Select =>
         s.from.exists(inRel) ||
@@ -160,7 +165,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     * the step against everything seen — cycle-safe closure; UNION ALL
     * terminates when a step yields no rows (depth-bounded recursions). */
   private def recursiveCte(name: String, cq: QueryExpr): DataFrame = cq match {
-    case SetOp(anchor, Union, all, step, ob, lim) if ob.isEmpty && lim.isEmpty =>
+    case SetOp(anchor, Union, all, step, ob, lim, _) if ob.isEmpty && lim.isEmpty =>
       if (referencesRel(anchor, name))
         throw new GraftAnalysisException(
           s"WITH RECURSIVE $name: the anchor (first) branch must not reference $name")
@@ -1518,8 +1523,21 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
           if (ob.isEmpty)
             throw new GraftAnalysisException(
               s"${f.name}: an explicit window frame requires ORDER BY")
+          if (fr.intervalUs) {
+            // timestamp RANGE frame: order on unix_micros(key) — a
+            // monotonic bijection of the timestamp, so ordering, peers and
+            // frame membership are unchanged — and apply the µs offsets.
+            // Stays a single native WindowExec; no extra shuffle.
+            if (ob.size != 1)
+              throw new GraftAnalysisException(
+                s"${f.name}: a RANGE INTERVAL frame requires exactly one ORDER BY key")
+            val k = ob.head
+            val onMicros = spec0.orderBy(
+              sortCol(call_function("unix_micros", expr(k.expr)), k))
+            onMicros.rangeBetween(fr.lo, fr.hi)
+          }
           // Spark bound convention matches the AST encoding directly
-          if (fr.rows) ordered.rowsBetween(fr.lo, fr.hi)
+          else if (fr.rows) ordered.rowsBetween(fr.lo, fr.hi)
           else ordered.rangeBetween(fr.lo, fr.hi)
       }
       def intArg(i: Int, default: Int): Int = f.args.lift(i) match {

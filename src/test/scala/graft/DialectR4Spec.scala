@@ -229,4 +229,53 @@ class DialectR4Spec extends AnyFunSuite {
     assert(r.map(x => (x.getInt(0), x.getInt(1), x.getLong(2))).toSeq ==
       Seq((0, 0, 10L), (1, 1, 10L)))
   }
+
+  test("UNION BY NAME aligns columns by name, NULL-fills, dedups without ALL") {
+    val rows = g.sql(
+      "select n_nationkey as k, n_name as nm from nation where n_nationkey < 2 " +
+      "union all by name " +
+      "select r_name as nm, r_regionkey + 100 as k, r_regionkey as extra from region " +
+      "where r_regionkey = 0 " +
+      "union by name " +
+      "select n_nationkey as k, n_name as nm from nation where n_nationkey < 1 " +
+      "order by k").collect()
+    // branch 3 duplicates a branch-1 row post-alignment → distinct removes it
+    assert(rows.length == 3)
+    assert(rows.map(_.schema.fieldNames.toSeq).head == Seq("k", "nm", "extra"))
+    assert(rows.take(2).forall(_.isNullAt(2)) &&
+      rows.last.getAs[Number](2).longValue == 0L)
+  }
+
+  test("BY NAME on EXCEPT/INTERSECT raises a clear error") {
+    val e = intercept[Exception] {
+      g.sql("select n_nationkey as k from nation except by name " +
+        "select r_regionkey as k from region").collect()
+    }
+    assert(e.getMessage.contains("BY NAME"))
+  }
+
+  test("RANGE INTERVAL frame equals the epoch-seconds numeric RANGE frame") {
+    val iv = g.sql(
+      "select event_id as k, sum(value) over (partition by user_id order by ts " +
+      "range between interval 1 hour preceding and current row) as sv " +
+      "from events order by k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val manual = g.sql(
+      "select event_id as k, sum(value) over (partition by user_id order by unix_seconds(ts) " +
+      "range between 3600 preceding and current row) as sv " +
+      "from events order by k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(iv.toSeq == manual.toSeq)
+  }
+
+  test("ROWS with INTERVAL bounds and multi-key RANGE INTERVAL are rejected") {
+    val e1 = intercept[Exception] {
+      g.sql("select sum(value) over (order by ts " +
+        "rows between interval 1 hour preceding and current row) as s from events").collect()
+    }
+    assert(e1.getMessage.contains("RANGE"))
+    val e2 = intercept[Exception] {
+      g.sql("select sum(value) over (order by ts, event_id " +
+        "range between interval 1 hour preceding and current row) as s from events").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("one order by key"))
+  }
 }

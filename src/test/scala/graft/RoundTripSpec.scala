@@ -97,7 +97,14 @@ class RoundTripSpec extends AnyFunSuite {
     // lambda higher-order functions
     "select transform(a, x -> (x + 1)) as t2 from t",
     "select aggregate(a, cast(0 as long), (acc, x) -> (acc + x)) as s2 from t",
-    "select filter(a, x -> (x > 2)) as f from t"
+    "select filter(a, x -> (x > 2)) as f from t",
+    // UNION BY NAME + interval RANGE frames (round 4)
+    "select a from t union all by name select b from u",
+    "select a from t union by name select b from u",
+    "select sum(a) over (partition by k order by ts " +
+      "range between interval 2 hour preceding and current row) as s2 from t",
+    "select count(a) over (order by ts " +
+      "range between interval 90 second preceding and interval 1 day following) as c from t"
   )
 
   test("parse . print . parse == parse over the corpus") {

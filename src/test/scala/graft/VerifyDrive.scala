@@ -141,6 +141,8 @@ object VerifyDrive {
       "position('_' in n_name) as p, substring(n_name from 1 for 6) as s from nation order by n_nationkey limit 2")
     show(":: cast chain", "select n_nationkey::string as s, ('4'||'2')::int + 0 as n from nation order by n_nationkey limit 1")
     show("window in order by", "select n_name from nation window w as (order by n_name) order by row_number() over w desc limit 1")
+    show("union by name", "select n_nationkey as k from nation where n_nationkey < 2 union all by name select r_name as nm, r_regionkey as k from region where r_regionkey = 0 order by k, nm")
+    show("range interval frame", "select event_id as k, count(*) over (partition by user_id order by ts range between interval 1 hour preceding and current row) as c from events order by k limit 3")
     show("probe: bad escape", "select 'x' like 'y' escape '!!'")
   }
 }
