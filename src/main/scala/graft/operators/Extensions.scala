@@ -447,6 +447,28 @@ object Extensions {
       IntervalJoin.join(l, r, Seq("event_type"), "l_ts", "r_ts",
           beforeUs = 1800000000L, afterUs = 0L)
         .select(col("l_id"), col("r_id")).orderBy("l_id", "r_id")
+    }),
+    // ---- int8 embedding quantization: adjacent-id pairs get an EXACT
+    // integer dot product (BIGINT hash-match; no float noise) plus the
+    // per-vector rescale factors ----
+    "x45_embed_quantize" -> ((s, d) => {
+      val q = Similarity.quantizeInt8(emb(s, d), "embedding", "vec_id")
+      val a = q.select(col("vec_id").as("id"), col("qvec").as("qa"), col("qscale").as("__sa"))
+      val b = q.select((col("vec_id") - 1).as("id"), col("qvec").as("qb"), col("qscale").as("__sb"))
+      a.join(b, "id").where(col("id") % 7 === 0)
+        .select(col("id"), Similarity.intDot(col("qa"), col("qb")).as("dotq"),
+          round(col("__sa"), 6).as("sa"), round(col("__sb"), 6).as("sb"))
+        .orderBy("id")
+    }),
+    // ---- fractional-epoch upsampling: src_i weighted 0.5/1.1/1.7/2.3 by
+    // i%4; the gate selector is a multiplicative hash DuckDB recomputes
+    // exactly (the library default is xxhash64) ----
+    "x46_epoch_upsample" -> ((s, d) => {
+      val weights = (0 until 20).map(i => s"src$i" -> (0.5 + (i % 4) * 0.6)).toMap
+      Sampling.epochExpand(docs(s, d), "source", "doc_id", weights,
+          selector = c => pmod(c * lit(2654435761L), lit(1000000L)))
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")
     })
   )
 
@@ -778,7 +800,31 @@ object Extensions {
         "SELECT l.l_id AS l_id, r.r_id AS r_id FROM l JOIN r " +
         "ON l.event_type = r.event_type " +
         "AND r.r_ts BETWEEN l.l_ts - INTERVAL 30 MINUTE AND l.l_ts " +
-        "ORDER BY l_id, r_id")
+        "ORDER BY l_id, r_id"),
+      // mirrors Similarity.quantizeInt8: scale = 127/max|v|, q =
+      // clamp(floor(v·s + 0.5), ±127) — floor(x+0.5) halves behave
+      // identically in both engines (round() would not); dot is exact
+      // integer arithmetic, dim 64 per TESTDATA.md
+      "x45_embed_quantize" -> (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e), " +
+        "q AS (SELECT vec_id, CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS s, " +
+        "list_transform(v, x -> GREATEST(-127, LEAST(127, CAST(FLOOR(x * " +
+        "(CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END) + 0.5) AS BIGINT)))) AS qv FROM m) " +
+        "SELECT a.vec_id AS id, " +
+        "CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dotq, " +
+        "ROUND(a.s, 6) AS sa, ROUND(b.s, 6) AS sb " +
+        "FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id % 7 = 0 ORDER BY id"),
+      // mirrors Sampling.epochExpand with the multiplicative-hash gate
+      // selector: copies = floor(e) + [hash(id) < frac(e)·1e6]
+      "x46_epoch_upsample" -> (
+        "WITH w AS (SELECT doc_id, source, " +
+        "0.5 + (CAST(substring(source, 4) AS INT) % 4) * 0.6 AS e FROM documents), " +
+        "c AS (SELECT doc_id, source, CAST(FLOOR(e) AS BIGINT) + " +
+        "CASE WHEN ((doc_id * 2654435761) % 1000000) < (e - FLOOR(e)) * 1000000.0 " +
+        "THEN 1 ELSE 0 END AS copies FROM w) " +
+        "SELECT doc_id, source, unnest(range(1, copies + 1)) AS epoch " +
+        "FROM c WHERE copies >= 1 ORDER BY doc_id, epoch")
     )
   }
 }

@@ -128,4 +128,35 @@ object Sampling {
       .where(col("__rn") <= col("__target"))
       .drop("__rn", "__target")
   }
+
+  /** Fractional-epoch upsampling: every row of group g appears
+    * `floor(e_g)` times, plus once more for a deterministic
+    * `frac(e_g)`-share of rows chosen by a content-addressed hash of the
+    * id — "2.3 epochs" = 2 full copies + a stable 30% third copy,
+    * reproducible across runs, partitionings and cluster sizes (the same
+    * content-addressing property as [[mixture]]). Adds an `epoch` column
+    * (1-based copy index) usable as a shuffle salt downstream; rows whose
+    * group has e < 1 and that miss the fractional draw are dropped.
+    * One narrow explode — no shuffle, no RNG.
+    *
+    * `selector` maps the id column to a uniform value in [0, 1e6); the
+    * default is xxhash64. Gates pass a multiplicative-hash selector that
+    * an external SQL engine recomputes exactly. */
+  def epochExpand(df: DataFrame, groupCol: String, idCol: String,
+                  epochs: Map[String, Double],
+                  selector: Column => Column =
+                    c => pmod(xxhash64(c, lit(42L)), lit(1000000L))): DataFrame = {
+    require(epochs.values.forall(_ >= 0), "epoch weights must be >= 0")
+    // unlisted groups default to one epoch (pass-through)
+    val e = epochs.foldLeft(lit(1.0)) { case (acc, (g, w)) =>
+      when(col(groupCol) === lit(g), lit(w)).otherwise(acc) }
+    val whole = floor(e).cast("long")
+    val frac = e - floor(e)
+    val extra = when(selector(col(idCol)).cast("double") < frac * 1000000.0, 1L)
+      .otherwise(0L)
+    val copies = whole + extra
+    df.withColumn("epoch",
+        explode(when(copies >= 1, sequence(lit(1L), copies))
+          .otherwise(array().cast("array<bigint>"))))
+  }
 }

@@ -261,4 +261,31 @@ object Similarity {
     best.groupBy(col("label"), col("clabel").as("assigned"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Symmetric max-abs int8 quantization of an embedding column — the
+    * memory-compression step before large-scale ANN (4× smaller than
+    * float32; integer dot products; at 100 TB the quantized corpus is
+    * what stays resident across executors). Per vector:
+    * `scale = 127 / max|v_i|`, `q_i = clamp(floor(v_i·scale + 0.5), ±127)`
+    * (floor(x+0.5) rather than round(): identical half-handling in every
+    * engine, so quantized values — and therefore integer dot products —
+    * are bit-exact reproducible). A quantized dot product rescales by
+    * `1/(scale_a·scale_b)`. Zero vectors quantize to all-zero, scale 0.
+    * One narrow projection, no shuffle; cost is per-element map work. */
+  def quantizeInt8(emb: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    def scaleOf(vv: Column): Column = {
+      val amax = array_max(transform(vv, x => abs(x)))
+      when(amax > 0, lit(127.0) / amax).otherwise(lit(0.0))
+    }
+    Par.widen(emb, idCol).select(
+      col(idCol),
+      transform(v, x => greatest(lit(-127L), least(lit(127L),
+        floor(x * scaleOf(v) + lit(0.5)).cast("long")))).as("qvec"),
+      scaleOf(v).as("qscale"))
+  }
+
+  /** Integer dot product of two quantized vectors (exact — BIGINT). */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 }

@@ -230,6 +230,16 @@ class DialectR4Spec extends AnyFunSuite {
       Seq((0, 0, 10L), (1, 1, 10L)))
   }
 
+  test("positional unnest composes from index-lambda transform + struct access") {
+    val r = g.sql(
+      "select k, u.i + 1 as pos, u.x as tok from " +
+      "(select n_nationkey as k, unnest(transform(split(n_name, '_'), " +
+      "(x, i) -> named_struct('i', i, 'x', x))) as u from nation " +
+      "where n_nationkey = 3) as q order by pos").collect()
+    assert(r.map(x => (x.getAs[Number](1).intValue, x.getString(2))).toSeq ==
+      Seq((1, "NATION"), (2, "3")))
+  }
+
   test("UNION BY NAME aligns columns by name, NULL-fills, dedups without ALL") {
     val rows = g.sql(
       "select n_nationkey as k, n_name as nm from nation where n_nationkey < 2 " +

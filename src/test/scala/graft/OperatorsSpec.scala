@@ -555,4 +555,52 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.getLong(1))
     assert(top.length == 10 && top.toSeq == top.sorted(Ordering[Long].reverse).toSeq)
   }
+
+  test("quantizeInt8: values clamp to ±127, max component hits ±127, zero vec → scale 0") {
+    val e = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0f, 0f, 0f)),
+      (3L, Array(2.0f, 1.0f, -0.5f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(e, "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getDouble(2))).toMap
+    // vec 1: amax=1.0 → scale 127; components 63.5→floor(64.0)=64? (0.5*127+0.5=64)
+    assert(q(1L)._1 == Seq(64L, -127L, 32L) && q(1L)._2 == 127.0)
+    assert(q(2L)._1 == Seq(0L, 0L, 0L) && q(2L)._2 == 0.0)
+    // vec 3: amax=2 → scale 63.5; 2*63.5+0.5 floored = 127
+    assert(q(3L)._1.max == 127L && q(3L)._1.forall(v => v >= -127 && v <= 127))
+    // reconstruction error ≤ 0.5/scale per component on the real table
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bad = Similarity.quantizeInt8(emb, "embedding", "vec_id")
+      .join(emb, "vec_id")
+      .where(col("qscale") > 0)
+      .select(exists(zip_with(col("qvec"),
+        col("embedding").cast("array<double>"),
+        (qv, x) => abs(qv / col("qscale") - x) > lit(0.5) / col("qscale") + lit(1e-9)),
+        b => b).as("bad"))
+      .where(col("bad")).count()
+    assert(bad == 0L)
+  }
+
+  test("epochExpand: whole copies exact, fractional share deterministic, unlisted = 1") {
+    val d = (0L until 100L).map(i =>
+      (i, if (i < 40) "a" else if (i < 80) "b" else "zzz")).toDF("doc_id", "source")
+    val out = Sampling.epochExpand(d, "source", "doc_id",
+      Map("a" -> 2.0, "b" -> 0.5)).cache()
+    val byGroup = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: exactly 2 copies each; zzz unlisted → exactly 1; b: 0.5 → subset
+    assert(byGroup("a") == 80L && byGroup("zzz") == 20L)
+    assert(byGroup.getOrElse("b", 0L) > 0L && byGroup("b") < 40L)
+    // epoch index contiguous from 1 per doc
+    val epochs = out.where(col("source") === "a").groupBy("doc_id")
+      .agg(sort_array(collect_list(col("epoch"))).as("es"))
+      .collect().map(_.getSeq[Long](1))
+    assert(epochs.forall(_ == Seq(1L, 2L)))
+    // reproducible: a second run selects the identical fractional subset
+    val again = Sampling.epochExpand(d, "source", "doc_id",
+      Map("a" -> 2.0, "b" -> 0.5))
+    assert(again.exceptAll(out).count() == 0 && out.exceptAll(again).count() == 0)
+    out.unpersist()
+  }
 }
