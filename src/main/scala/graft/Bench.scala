@@ -46,8 +46,16 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       if (ok) dt else -dt
     }
-    val pass1 = SparkEntry.queries.map { case (name, fn) => name -> once(name, fn) }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local profiling convenience: SPARK_GRAFT_ONLY=x44,x27 benches the
+    // matching-prefix subset (driver never sets it → full run)
+    val benchSet = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case None => SparkEntry.queries
+      case Some(s) =>
+        val pfx = s.split(",").toSeq
+        SparkEntry.queries.filter { case (n, _) => pfx.exists(n.startsWith) }
+    }
+    val pass1 = benchSet.map { case (name, fn) => name -> once(name, fn) }
+    val results = benchSet.map { case (name, fn) =>
       val first = pass1(name)
       // a failed query is not retried (its negative marker must survive);
       // and a transient pass-2 failure must not clobber a pass-1 success

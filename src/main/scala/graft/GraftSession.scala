@@ -244,6 +244,18 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       catalog.createSchema(name, fields, parent)
       spark.emptyDataFrame
 
+    case CreateTableAs(name, q) =>
+      // batch CTAS: register the derived plan LAZILY — downstream queries
+      // compose with it and Catalyst pushes filters/pruning through it
+      // (materialize explicitly with writeBucketed/cache when reuse is hot)
+      releaseSnapshots(name)
+      val df = translator.query(q)
+      if (df.isStreaming)
+        throw new GraftAnalysisException(
+          s"CREATE TABLE $name AS: the query is a live stream (use CREATE STREAM)")
+      catalog.registerTable(name, df)
+      spark.emptyDataFrame
+
     // ---- session introspection + lifecycle (beyond-reference utilities) ----
     case ShowRelations(streamsOnly) =>
       import spark.implicits._

@@ -696,6 +696,14 @@ object SparkEntry {
       "round(covar_samp(o_totalprice, o_custkey) / 1e6, 4) as cs, " +
       "round(covar_pop(o_totalprice, o_custkey) / 1e6, 4) as cp " +
       "from orders group by o_orderstatus order by st")),
+    // ---- CREATE TABLE AS (batch CTAS): the registered relation is a lazy
+    // plan downstream queries compose with (filters/pruning push through) ----
+    "q97_ctas" -> ((s, d) => g(s, d).sqlScript(
+      "create table big_cust as select c_custkey, c_acctbal, c_nationkey " +
+      "from customer where c_acctbal > 5000; " +
+      "select n.n_name as nation, count(*) as n, round(sum(b.c_acctbal), 2) as bal " +
+      "from big_cust b join nation n on b.c_nationkey = n.n_nationkey " +
+      "group by n.n_name order by nation")),
     // ---- time-based RANGE frames: INTERVAL bounds over a timestamp key ----
     "q96_range_interval" -> ((s, d) => g(s, d).sql(
       "select event_id as k, " +
@@ -1225,6 +1233,12 @@ object SparkEntry {
        "ROUND(covar_samp(o_totalprice, o_custkey) / 1e6, 4) AS cs, " +
        "ROUND(covar_pop(o_totalprice, o_custkey) / 1e6, 4) AS cp " +
        "FROM orders GROUP BY o_orderstatus ORDER BY st"),
+    "q97_ctas" ->
+      ("WITH big_cust AS (SELECT c_custkey, c_acctbal, c_nationkey " +
+       "FROM customer WHERE c_acctbal > 5000) " +
+       "SELECT n.n_name AS nation, count(*) AS n, ROUND(SUM(b.c_acctbal), 2) AS bal " +
+       "FROM big_cust b JOIN nation n ON b.c_nationkey = n.n_nationkey " +
+       "GROUP BY n.n_name ORDER BY nation"),
     "q96_range_interval" ->
       ("SELECT event_id AS k, " +
        "count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) " +

@@ -36,6 +36,12 @@ final case class CreateStream(
     schema: SchemaRef,
     source: Option[StreamSource]) extends Statement
 
+/** CREATE TABLE name AS query — batch CTAS (beyond-reference DDL
+  * completeness; CREATE STREAM … AS (q) covers the derived-stream form).
+  * The registered relation stays a lazy logical plan: downstream queries
+  * compose with it and Catalyst prunes/pushes through it. */
+final case class CreateTableAs(name: String, query: QueryExpr) extends Statement
+
 sealed trait SchemaRef
 final case class NamedSchema(name: String) extends SchemaRef
 final case class InlineSchema(fields: Seq[FieldDef]) extends SchemaRef

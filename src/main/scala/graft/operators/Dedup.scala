@@ -305,9 +305,12 @@ object Dedup {
             .as("bucket"))
         .select(col("id").as(side), col("bucket.band").as("band"),
           col("bucket.bh").as("bh"))
+    // shingles travel as xxhash64 longs (8 B vs whole n-gram strings in
+    // the distinct + join shuffles; equality up to 2^-64 collisions —
+    // the same contract as the exact-pass text hashes above)
     def shingleIndex(df: DataFrame, side: String) =
       shingleRows(df, textCol, idCol, shingleW)
-        .select(col("id").as(side), col("sh")).distinct()
+        .select(col("id").as(side), xxhash64(col("sh")).as("sh")).distinct()
     val dupIds =
       if (exactCandidates) {
         // inverted-index join over the SAME distinct gram sets the verify

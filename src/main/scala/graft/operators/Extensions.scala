@@ -460,6 +460,10 @@ object Extensions {
           round(col("__sa"), 6).as("sa"), round(col("__sb"), 6).as("sb"))
         .orderBy("id")
     }),
+    // ---- regex pre-tokenizer (GPT-2-style, RE2-compatible pattern):
+    // pre-token counts + tokenizer fertility per doc ----
+    "x47_pretokenize" -> ((s, d) =>
+      TextAnalysis.pretokenStats(docs(s, d), "text", "doc_id").orderBy("id")),
     // ---- fractional-epoch upsampling: src_i weighted 0.5/1.1/1.7/2.3 by
     // i%4; the gate selector is a multiplicative hash DuckDB recomputes
     // exactly (the library default is xxhash64) ----
@@ -815,6 +819,17 @@ object Extensions {
         "CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dotq, " +
         "ROUND(a.s, 6) AS sa, ROUND(b.s, 6) AS sb " +
         "FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id % 7 = 0 ORDER BY id"),
+      // mirrors TextAnalysis.pretokenStats: same RE2-safe pattern in both
+      // engines (alternation is leftmost-first in Java regex and RE2)
+      "x47_pretokenize" -> (
+        "SELECT doc_id AS id, " +
+        "CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_pretokens, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_words, " +
+        "ROUND(CASE WHEN length(trim(text)) = 0 THEN 0.0 " +
+        "ELSE CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS DOUBLE) " +
+        "/ len(regexp_split_to_array(trim(text), '\\s+')) END, 6) AS fertility " +
+        "FROM documents ORDER BY id"),
       // mirrors Sampling.epochExpand with the multiplicative-hash gate
       // selector: copies = floor(e) + [hash(id) < frac(e)·1e6]
       "x46_epoch_upsample" -> (

@@ -76,6 +76,34 @@ object TextAnalysis {
         lit(0L),
         (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long")))
 
+  /** GPT-2-style pre-tokenization pattern, restricted to RE2-compatible
+    * constructs (no lookahead — the original's `\s+(?!\S)` is dropped, so
+    * runs of extra whitespace are simply unmatched): a token is an
+    * optionally space-prefixed letter run, digit run, or punctuation run.
+    * Alternation is leftmost-first in both Java regex and RE2, so match
+    * counts are engine-portable. */
+  val PretokenPattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** Regex pre-tokenizer stats per doc: pre-token count (the budgeting
+    * number a real BPE vocabulary would subdivide), whitespace word
+    * count, and fertility = pretokens / words (the standard tokenizer
+    * cost metric — fertility near 1 on clean prose, higher on noisy or
+    * non-Latin text). One narrow codegen'd projection, no explode, no
+    * shuffle. */
+  def pretokenStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = trim(col(textCol))
+    val pre = size(regexp_extract_all(col(textCol), lit(PretokenPattern), lit(0)))
+      .cast("long")
+    val words = when(length(t) === 0, 0L)
+      .otherwise(size(split(t, "\\s+")).cast("long"))
+    Par.widen(df, idCol).select(
+      col(idCol).as("id"),
+      pre.as("n_pretokens"),
+      words.as("n_words"),
+      round(when(words === 0, lit(0.0))
+        .otherwise(pre.cast("double") / words.cast("double")), 6).as("fertility"))
+  }
+
   /** Winnowing-style document fingerprint (Schleimer et al., SIGMOD'03):
     * xxhash64 over character k-grams, minimum per sliding window of w,
     * distinct minima = the fingerprint set. Pure array expressions. */
@@ -432,16 +460,24 @@ object TextAnalysis {
   def sharedSubstrings(df: DataFrame, textCol: String, idCol: String,
                        k: Int = 30): DataFrame = {
     val norm = lower(trim(col(textCol)))
+    // grams travel as xxhash64 longs, never as 30-char strings: ~5× less
+    // shuffle volume, and hash equality ≡ string equality up to 64-bit
+    // collisions (expected n²/2⁶⁵ — ~10⁻⁶ at 10⁷ grams; at true 100 TB
+    // scale swap in a 128-bit hash before trusting per-doc counts).
     val grams = Par.widen(df, idCol)
       .select(col(idCol).as("id"), norm.as("__t"))
       .where(length(col("__t")) >= k)
       .select(col("id"),
         explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("__p"),
         col("__t"))
-      .select(col("id"), expr(s"substring(__t, __p, $k)").as("gram"))
+      .select(col("id"), xxhash64(expr(s"substring(__t, __p, $k)")).as("__gh"))
       .distinct()
-    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("__nd"))
-    val shared = grams.join(freq, "gram").where(col("__nd") > 1)
+    // single computation of the gram set: per-gram doc counts via one
+    // window over the gram hash (no second scan, no checkpoint, no join
+    // back) — then the per-doc reduce. Three narrow-row shuffles total.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__gh"))
+    val shared = grams.withColumn("__nd", count(lit(1)).over(w))
+      .where(col("__nd") > 1)
       .groupBy(col("id")).agg(count(lit(1)).as("__ns"))
     df.select(col(idCol).as("id"))
       .join(shared, Seq("id"), "left")
@@ -459,8 +495,11 @@ object TextAnalysis {
     * |docs|². One shuffle on the shingle hash. */
   def crossGroupOverlap(df: DataFrame, textCol: String, groupCol: String,
                         n: Int = 3): DataFrame = {
-    // materialized once: both self-join sides read the distinct set
+    // materialized once: both self-join sides read the distinct set;
+    // shingles travel as xxhash64 longs (8 B vs n-gram strings through
+    // the distinct + self-join; equality up to 2^-64 collisions)
     val s = Dedup.shingleRows(df, textCol, groupCol, n)
+      .select(col("id"), xxhash64(col("sh")).as("sh"))
       .distinct().localCheckpoint()
     val a = s.select(col("id").as("src_a"), col("sh"))
     val b = s.select(col("id").as("src_b"), col("sh"))

@@ -92,7 +92,7 @@ object SqlParser extends RegexParsers with PackratParsers {
     }
 
   lazy val stmt: PackratParser[Statement] =
-    createSchemaStmt | createStreamStmt | insertStmt | updateStmt |
+    createSchemaStmt | createStreamStmt | createTableStmt | insertStmt | updateStmt |
     deleteStmt | mergeStmt | explainStmt | showStmt | describeStmt |
     dropStmt | query
 
@@ -841,6 +841,11 @@ object SqlParser extends RegexParsers with PackratParsers {
   lazy val createStreamStmt: PackratParser[Statement] =
     kw("create") ~> kw("stream") ~> ident ~ schemaRef ~ opt(streamSource) ^^ {
       case n ~ s ~ src => CreateStream(n, s, src)
+    }
+
+  lazy val createTableStmt: PackratParser[Statement] =
+    kw("create") ~> kw("table") ~> ident ~ (kw("as") ~> query) ^^ {
+      case n ~ q => CreateTableAs(n, q)
     }
 
   lazy val schemaRef: PackratParser[SchemaRef] =

@@ -812,4 +812,28 @@ class EngineSpec extends AnyFunSuite {
     val ast2 = graft.parser.SqlParser.parse(graft.ast.Pretty.print(ast1)).toOption.get
     assert(ast1 == ast2)
   }
+
+  test("CREATE TABLE AS registers a lazy derived table; composable + droppable") {
+    g.sql("create table __ctas_t as select n_nationkey as k, n_regionkey as r " +
+      "from nation where n_nationkey < 10")
+    // composes with joins/aggregates like any relation
+    val n = g.sql("select count(*) as n from __ctas_t t join region x " +
+      "on t.r = x.r_regionkey").collect().head.getLong(0)
+    assert(n == 10L)
+    // visible in SHOW TABLES as a table; DROP TABLE removes it
+    val kinds = g.sql("show tables").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kinds.get("__ctas_t").contains("table"))
+    g.sql("drop table __ctas_t")
+    val e = intercept[Exception](g.sql("select * from __ctas_t").collect())
+    assert(e.getMessage.toLowerCase.contains("__ctas_t"))
+    // a streaming query behind CTAS is rejected with a clear error
+    g.sql("create schema __ctas_s (v int)")
+    g.sql("create stream __ctas_live __ctas_s source host ('localhost', 19999)")
+    val e2 = intercept[graft.translate.GraftAnalysisException](
+      g.sql("create table __ctas_bad as select v from __ctas_live"))
+    assert(e2.getMessage.contains("CREATE STREAM"))
+    g.sql("drop stream __ctas_live")
+    g.sql("drop schema __ctas_s")
+  }
 }

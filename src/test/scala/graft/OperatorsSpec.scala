@@ -556,6 +556,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top.length == 10 && top.toSeq == top.sorted(Ordering[Long].reverse).toSeq)
   }
 
+  test("pretokenStats: hand-computed pretoken counts and fertility") {
+    val d = Seq(
+      (1L, "Hello world"),          // 2 pretokens, 2 words
+      (2L, "it's 42%"),             // it / ' / s / _42 / % → 5 pretokens, 2 words
+      (3L, ""),                     // empty
+      (4L, "a  b")                  // double space: 'a' + ' b', 2 words
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.pretokenStats(d, "text", "doc_id")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((2L, 2L, 1.0)))
+    assert(r(2L) == ((5L, 2L, 2.5)))
+    assert(r(3L) == ((0L, 0L, 0.0)))
+    assert(r(4L) == ((2L, 2L, 1.0)))
+  }
+
   test("quantizeInt8: values clamp to ±127, max component hits ±127, zero vec → scale 0") {
     val e = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
