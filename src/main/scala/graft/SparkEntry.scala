@@ -704,6 +704,14 @@ object SparkEntry {
       "select n.n_name as nation, count(*) as n, round(sum(b.c_acctbal), 2) as bal " +
       "from big_cust b join nation n on b.c_nationkey = n.n_nationkey " +
       "group by n.n_name order by nation")),
+    // ---- DuckDB-style end-inclusive list slicing (open ends included) ----
+    "q98_slice" -> ((s, d) => g(s, d).sql(
+      "select p_partkey as k, " +
+      "array_join(split(p_name, ' ')[2:3], ',') as mid, " +
+      "array_join(split(p_name, ' ')[2:], ',') as tl, " +
+      "array_join(split(p_name, ' ')[:2], ',') as hd, " +
+      "array_join(transform([10, 20, 30, 40][2:3], v -> cast(v as string)), ',') as lits " +
+      "from part where p_partkey < 30 order by k")),
     // ---- time-based RANGE frames: INTERVAL bounds over a timestamp key ----
     "q96_range_interval" -> ((s, d) => g(s, d).sql(
       "select event_id as k, " +
@@ -1233,6 +1241,13 @@ object SparkEntry {
        "ROUND(covar_samp(o_totalprice, o_custkey) / 1e6, 4) AS cs, " +
        "ROUND(covar_pop(o_totalprice, o_custkey) / 1e6, 4) AS cp " +
        "FROM orders GROUP BY o_orderstatus ORDER BY st"),
+    "q98_slice" ->
+      ("SELECT p_partkey AS k, " +
+       "array_to_string(string_split(p_name, ' ')[2:3], ',') AS mid, " +
+       "array_to_string(string_split(p_name, ' ')[2:], ',') AS tl, " +
+       "array_to_string(string_split(p_name, ' ')[:2], ',') AS hd, " +
+       "array_to_string(list_transform([10, 20, 30, 40][2:3], v -> CAST(v AS VARCHAR)), ',') AS lits " +
+       "FROM part WHERE p_partkey < 30 ORDER BY k"),
     "q97_ctas" ->
       ("WITH big_cust AS (SELECT c_custkey, c_acctbal, c_nationkey " +
        "FROM customer WHERE c_acctbal > 5000) " +

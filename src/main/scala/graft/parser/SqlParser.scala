@@ -551,10 +551,26 @@ object SqlParser extends RegexParsers with PackratParsers {
     * to INT — element_at requires it, and our numeric literals parse as
     * Long. */
   lazy val postfixExpr: PackratParser[Expr] = {
-    val sub: Parser[Expr => Expr] = "[" ~> expr <~ "]" ^^ { i => (b: Expr) =>
-      val ix = i match { case Lit(v: Long) => Cast(Lit(v), "int"); case other => other }
-      FuncCall("element_at", Seq(b, ix))
+    def toIntIdx(e: Expr): Expr = e match {
+      case Lit(v: Long) => Cast(Lit(v), "int"); case other => other
     }
+    val sub: Parser[Expr => Expr] = "[" ~> expr <~ "]" ^^ { i => (b: Expr) =>
+      FuncCall("element_at", Seq(b, toIntIdx(i)))
+    }
+    // DuckDB-style 1-based END-INCLUSIVE list slicing `e[i:j]` (either
+    // bound optional) → Spark slice(e, i, j-i+1); open ends use 1 / the
+    // array size (slice truncates an over-long length, like DuckDB)
+    val slc: Parser[Expr => Expr] =
+      "[" ~> opt(expr) ~ (":" ~> opt(expr)) <~ "]" ^^ { case lo ~ hi => (b: Expr) =>
+        val loE = toIntIdx(lo.getOrElse(Lit(1L)))
+        val lenE = (lo, hi) match {
+          case (_, Some(h)) =>
+            Arith("+", Arith("-", toIntIdx(h), loE), Cast(Lit(1L), "int"))
+          case (Some(_), None) => FuncCall("size", Seq(b))
+          case (None, None)    => FuncCall("size", Seq(b))
+        }
+        FuncCall("slice", Seq(b, loE, lenE))
+      }
     val cast: Parser[Expr => Expr] =
       "::" ~> dataTypeName ^^ { t => (b: Expr) => Cast(b, t) }
     // struct field access on a non-identifier base (function results,
@@ -562,7 +578,8 @@ object SqlParser extends RegexParsers with PackratParsers {
     // parses as a qualified ColRef in `atom` before this applies
     val field: Parser[Expr => Expr] =
       "." ~> ident ^^ { f => (b: Expr) => FuncCall("__get_field", Seq(b, Lit(f))) }
-    atom ~ rep(sub | cast | field) ^^ { case a ~ fs => fs.foldLeft(a)((b, f) => f(b)) }
+    // slc first: `[i]` fails slc at the missing ':' and backtracks to sub
+    atom ~ rep(slc | sub | cast | field) ^^ { case a ~ fs => fs.foldLeft(a)((b, f) => f(b)) }
   }
 
   lazy val atom: PackratParser[Expr] =

@@ -230,6 +230,20 @@ class DialectR4Spec extends AnyFunSuite {
       Seq((0, 0, 10L), (1, 1, 10L)))
   }
 
+  test("list slicing is 1-based end-inclusive, truncates, open ends work") {
+    val r = g.sql(
+      "select array_join(transform([1,2,3,4,5][2:4], v -> cast(v as string)), ',') as a, " +
+      "array_join(transform([1,2,3][2:9], v -> cast(v as string)), ',') as b, " +
+      "array_join(transform([1,2,3][:2], v -> cast(v as string)), ',') as c, " +
+      "array_join(transform([1,2,3][2:], v -> cast(v as string)), ',') as d, " +
+      "cast([7,8,9][2] as int) as e").collect().head
+    assert(r.getString(0) == "2,3,4")
+    assert(r.getString(1) == "2,3")   // over-long slice truncates
+    assert(r.getString(2) == "1,2")
+    assert(r.getString(3) == "2,3")
+    assert(r.getInt(4) == 8)          // plain subscript unchanged
+  }
+
   test("positional unnest composes from index-lambda transform + struct access") {
     val r = g.sql(
       "select k, u.i + 1 as pos, u.x as tok from " +
