@@ -88,8 +88,8 @@ object TextAnalysis {
     * number a real BPE vocabulary would subdivide), whitespace word
     * count, and fertility = pretokens / words (the standard tokenizer
     * cost metric — fertility near 1 on clean prose, higher on noisy or
-    * non-Latin text). One narrow codegen'd projection, no explode, no
-    * shuffle. */
+    * non-Latin text). One codegen'd projection, no explode or aggregate;
+    * the only exchange is Par.widen's small-input guard (no-op at scale). */
   def pretokenStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = trim(col(textCol))
     val pre = size(regexp_extract_all(col(textCol), lit(PretokenPattern), lit(0)))

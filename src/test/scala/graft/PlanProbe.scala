@@ -140,5 +140,34 @@ object PlanProbe {
     show("cdc chunking: one doc-keyed window + hash aggregate, no extra exchange",
       operators.TextAnalysis.cdcChunk(docs, "text", "doc_id"),
       Seq("Window", "hashpartitioning(doc_id"))
+
+    show("union by name stays a zero-shuffle concat (Union node, no Exchange before it)",
+      g.sql("select n_nationkey as k, n_name as nm from nation " +
+        "union all by name select r_regionkey as k, r_name as nm, r_regionkey as x from region"),
+      Seq("Union"))
+
+    show("range-interval frame is ONE native WindowExec on unix_micros (no self-join)",
+      g.sql("select event_id as k, sum(value) over (partition by user_id order by ts " +
+        "range between interval 1 hour preceding and current row) as sv from events"),
+      Seq("Window", "specifiedwindowframe(RangeFrame"))
+
+    show("shared substrings: gram hashes (xxhash64) through window + aggregate, no string shuffle",
+      operators.TextAnalysis.sharedSubstrings(docs, "text", "doc_id"),
+      Seq("xxhash64", "Window"))
+
+    show("int8 quantization is a narrow projection (no Exchange at all)",
+      operators.Similarity.quantizeInt8(emb, "embedding", "vec_id"),
+      Seq("Project"))
+
+    // the only Exchange is Par.widen's small-input parallelism guard
+    // (a no-op at scale); the stats themselves are one codegen'd Project
+    show("pretokenizer is one projection over the scan (no aggregate, no join)",
+      operators.TextAnalysis.pretokenStats(docs, "text", "doc_id"),
+      Seq("Project", "regexp_extract_all"))
+
+    show("epoch expansion is a narrow generate (explode) with no Exchange",
+      operators.Sampling.epochExpand(docs, "source", "doc_id",
+        Map("src0" -> 2.5, "src1" -> 0.5)),
+      Seq("Generate explode"))
   }
 }

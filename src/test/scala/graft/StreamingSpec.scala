@@ -260,6 +260,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("epochExpand runs on live streams; batch replay agrees row-for-row") {
+    // the explode is stateless and the fractional draw content-addressed,
+    // so streaming ingest produces the same expansion as a batch rebuild
+    val in = MemoryStream[(Long, String)](spark)
+    val expanded = graft.operators.Sampling.epochExpand(
+      in.toDF().toDF("doc_id", "src"), "src", "doc_id",
+      Map("dbl" -> 2.0, "frac" -> 0.4))
+    val q = Sinks.memory(expanded, "epoch_out", OutputMode.Append())
+    try {
+      val rows = (1L to 50L).map(i => (i, if (i % 2 == 0) "dbl" else "frac"))
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("epoch_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(got.count(_._2 == "dbl") == 50, "2.0 epochs = every row twice")
+      val fracN = got.count(_._2 == "frac")
+      assert(fracN > 0 && fracN < 25, s"0.4 epochs keeps a strict subset, got $fracN")
+      val batch = graft.operators.Sampling.epochExpand(
+        rows.toDF("doc_id", "src"), "src", "doc_id",
+        Map("dbl" -> 2.0, "frac" -> 0.4))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(got.sortBy(x => (x._1, x._3)).toSeq == batch.sortBy(x => (x._1, x._3)).toSeq,
+        "stream and batch agree row-for-row")
+    } finally q.stop()
+  }
+
   test("W6 streaming: stream-stream windowed join through the dialect") {
     def writeCsv(lines: String*): java.io.File = {
       val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toFile
