@@ -245,6 +245,27 @@ object Dedup {
           size(array_union(col("ga"), col("gb")))).as("jaccard"))
   }
 
+  /** Character-level edit similarity for already-identified candidate
+    * pairs — the second-opinion verifier after shingle Jaccard (catches
+    * e.g. word-order shuffles that keep the same shingle set). Returns
+    * (ida, idb, lev, edit_sim) with `edit_sim = 1 − lev/max(|a|,|b|)`.
+    *
+    * Scale: Levenshtein is O(|a|·|b|) per pair — ONLY ever run it on a
+    * candidate set bounded by LSH/banding, never all pairs; texts are
+    * attached by two hash joins against the (small) pair list, so the
+    * corpus never self-joins. */
+  def editSimilarity(pairs: DataFrame, docs: DataFrame, textCol: String,
+                     idCol: String): DataFrame = {
+    val t = docs.select(col(idCol), lower(trim(col(textCol))).as("__t"))
+    pairs
+      .join(t.select(col(idCol).as("ida"), col("__t").as("__ta")), "ida")
+      .join(t.select(col(idCol).as("idb"), col("__t").as("__tb")), "idb")
+      .select(col("ida"), col("idb"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("lev"),
+        round(lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") /
+          greatest(length(col("__ta")), length(col("__tb"))), 6).as("edit_sim"))
+  }
+
   /** End-to-end near-dup pipeline: MinHash-LSH candidates verified with
     * exact n-gram Jaccard at `threshold`. */
   def nearDuplicates(docs: DataFrame, textCol: String, idCol: String,

@@ -460,6 +460,15 @@ object Extensions {
           round(col("__sa"), 6).as("sa"), round(col("__sb"), 6).as("sb"))
         .orderBy("id")
     }),
+    // ---- edit-distance second-opinion verification over the (bounded)
+    // near-dup pair set: O(n·m) Levenshtein only ever touches LSH-verified
+    // candidates, never all pairs ----
+    "x48_edit_similarity" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.nearDuplicates(dd, "text", "doc_id", threshold = 0.8)
+        .select(col("ida"), col("idb")).localCheckpoint()
+      Dedup.editSimilarity(pairs, dd, "text", "doc_id").orderBy("ida", "idb")
+    }),
     // ---- regex pre-tokenizer (GPT-2-style, RE2-compatible pattern):
     // pre-token counts + tokenizer fertility per doc ----
     "x47_pretokenize" -> ((s, d) =>
@@ -819,6 +828,19 @@ object Extensions {
         "CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dotq, " +
         "ROUND(a.s, 6) AS sa, ROUND(b.s, 6) AS sb " +
         "FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id % 7 = 0 ORDER BY id"),
+      // pair set = all-pairs exact Jaccard >= 0.8 (same truth as x27);
+      // levenshtein has identical unit-cost semantics in both engines
+      "x48_edit_similarity" -> (
+        s"WITH $duckGramCtes, " +
+        s"p AS (SELECT a.doc_id AS ida, b.doc_id AS idb FROM g a JOIN g b " +
+        s"ON a.doc_id < b.doc_id WHERE $duckJaccardExpr >= 0.8), " +
+        "t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents) " +
+        "SELECT p.ida AS ida, p.idb AS idb, " +
+        "CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS lev, " +
+        "ROUND(1.0 - CAST(levenshtein(ta.t, tb.t) AS DOUBLE) / " +
+        "GREATEST(length(ta.t), length(tb.t)), 6) AS edit_sim " +
+        "FROM p JOIN t ta ON ta.doc_id = p.ida JOIN t tb ON tb.doc_id = p.idb " +
+        "ORDER BY ida, idb"),
       // mirrors TextAnalysis.pretokenStats: same RE2-safe pattern in both
       // engines (alternation is leftmost-first in Java regex and RE2)
       "x47_pretokenize" -> (

@@ -556,6 +556,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top.length == 10 && top.toSeq == top.sorted(Ordering[Long].reverse).toSeq)
   }
 
+  test("editSimilarity: hand-computed distances over a candidate pair set") {
+    val d = Seq((1L, "kitten"), (2L, "Sitting"), (3L, "kitten")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("ida", "idb")
+    val r = Dedup.editSimilarity(pairs, d, "text", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getDouble(3)))
+      .toMap
+    // lower() folds S; classic kitten→sitting distance = 3, max len 7
+    assert(r((1L, 2L)) == ((3L, math.rint((1.0 - 3.0 / 7) * 1e6) / 1e6)))
+    assert(r((1L, 3L)) == ((0L, 1.0)))
+  }
+
   test("pretokenStats: hand-computed pretoken counts and fertility") {
     val d = Seq(
       (1L, "Hello world"),          // 2 pretokens, 2 words
