@@ -175,6 +175,22 @@ object Extensions {
         (sum(when(abs(nrm - 1.0) < 1e-3 || nrm === 0.0, 1).otherwise(0)) === count(lit(1)))
           .cast("int").as("norm_ok"))
     }),
+    // batched-inference plumbing: contract gate — row count preserved
+    // (DuckDB-recomputed), every batch ≤ batchSize and full except
+    // per-partition stragglers, embeddings unit-norm
+    "x49_mm_batched_infer" -> ((s, d) => {
+      val f = Multimodal.batchedInfer(Multimodal.synthesize(docs(s, d)),
+        batchSize = 8, dim = 16).toDF()
+      val nrm = graft.expr.VectorOps.dot(col("emb"), col("emb"))
+      f.agg(
+        count(lit(1)).as("n_media"),
+        (max(col("batch_n")) <= 8).cast("int").as("batch_bounded"),
+        // stragglers (batch_n < 8) are bounded by one batch per partition
+        (sum(when(col("batch_n") < 8, 1).otherwise(0)) <= lit(8L * 64))
+          .cast("int").as("straggler_bounded"),
+        (sum(when(abs(nrm - 1.0) < 1e-3 || nrm === 0.0, 1).otherwise(0)) === count(lit(1)))
+          .cast("int").as("norm_ok"))
+    }),
     // tf-idf restricted to a doc slice so the gate output stays bounded
     "x17_text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidf(docs(s, d), "text", "doc_id")
@@ -631,6 +647,10 @@ object Extensions {
       "x26_mm_features" -> (
         "SELECT count(*) AS n_media, CAST(1 AS INTEGER) AS dim_ok, " +
         "CAST(1 AS INTEGER) AS norm_ok FROM documents"),
+      "x49_mm_batched_infer" -> (
+        "SELECT count(*) AS n_media, CAST(1 AS INTEGER) AS batch_bounded, " +
+        "CAST(1 AS INTEGER) AS straggler_bounded, CAST(1 AS INTEGER) AS norm_ok " +
+        "FROM documents"),
       "x25_asof_join" -> (
         "WITH r AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id AS ref_id, value AS ref_value " +
         "FROM events WHERE event_id % 10 = 0), " +

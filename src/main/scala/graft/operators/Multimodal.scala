@@ -110,6 +110,43 @@ object Multimodal {
       }
   }
 
+  final case class Inferred(media_id: Long, emb: Array[Float], batch_n: Int)
+
+  /** Batched-inference plumbing: each partition's rows are grouped into
+    * fixed-size batches and the kernel runs once per BATCH — the shape a
+    * model server / GPU worker wants (the Scala analog of `mapInPandas`
+    * with a batch size; a real kernel would be one RPC/JNI call per
+    * batch). The stub kernel is the [[features]] byte histogram, computed
+    * batch-at-a-time; `batch_n` records each row's actual batch size so
+    * downstream can assert the shape (every batch full except ≤1 straggler
+    * per partition). Rows never leave their partition — no shuffle; model
+    * init amortizes per partition, kernel cost per batch. */
+  def batchedInfer(media: DataFrame, batchSize: Int = 8,
+                   dim: Int = 16): Dataset[Inferred] = {
+    require(batchSize > 0, "batchSize must be positive")
+    require(dim > 0, "dim must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition model/session init would go here
+        it.grouped(batchSize).flatMap { batch =>
+          // one kernel invocation per batch (stub: vectorized histogram)
+          val outs = batch.map { case (_, payload) =>
+            val hist = new Array[Float](dim)
+            if (payload != null)
+              payload.foreach(b => hist(java.lang.Byte.toUnsignedInt(b) % dim) += 1f)
+            val norm = math.sqrt(hist.map(x => x.toDouble * x).sum)
+            if (norm == 0) hist else hist.map(x => (x / norm).toFloat)
+          }
+          batch.lazyZip(outs).map { case ((id, _), emb) =>
+            Inferred(id, emb, batch.length)
+          }
+        }
+      }
+  }
+
   /** "Resize" stub: metadata-level transform (target dims recorded, the
     * pixel kernel would run in the decode batch). */
   def resizePlan(decoded: DataFrame, maxSide: Int): DataFrame = {

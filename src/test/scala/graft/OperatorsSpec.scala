@@ -556,6 +556,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top.length == 10 && top.toSeq == top.sorted(Ordering[Long].reverse).toSeq)
   }
 
+  test("batchedInfer: full batches except one straggler per partition, ids preserved") {
+    val media = Multimodal.synthesize(docs).repartition(3)
+    val out = Multimodal.batchedInfer(media, batchSize = 8, dim = 16).toDF().cache()
+    assert(out.count() == media.count(), "every row inferred exactly once")
+    // batch sizes: never above batchSize; stragglers (< 8) at most one
+    // batch's worth per partition
+    val sizes = out.groupBy("batch_n").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keys.forall(_ <= 8))
+    val stragglerRows = sizes.filter(_._1 < 8).values.sum
+    assert(stragglerRows <= 3 * 7, s"straggler rows bounded by partitions, got $stragglerRows")
+    // embeddings match the unbatched features kernel row-for-row
+    val feats = Multimodal.features(media, dim = 16).toDF()
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val embs = out.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(embs == feats, "batched kernel ≡ per-row kernel")
+    out.unpersist()
+  }
+
   test("editSimilarity: hand-computed distances over a candidate pair set") {
     val d = Seq((1L, "kitten"), (2L, "Sitting"), (3L, "kitten")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("ida", "idb")
