@@ -704,6 +704,13 @@ object SparkEntry {
       "select n.n_name as nation, count(*) as n, round(sum(b.c_acctbal), 2) as bal " +
       "from big_cust b join nation n on b.c_nationkey = n.n_nationkey " +
       "group by n.n_name order by nation")),
+    // ---- datetime constructors: field-wise date/timestamp assembly ----
+    "q99_datetime_ctor" -> ((s, d) => g(s, d).sql(
+      "select o_orderkey as k, " +
+      "make_date(2024, cast(o_orderkey % 12 + 1 as int), 15) as d, " +
+      "make_timestamp(2024, 3, cast(o_orderkey % 28 + 1 as int), 10, 30, 0) as t, " +
+      "make_date(2023, 2, 28) + interval 1 day as mar1 " +
+      "from orders where o_orderkey < 50 order by k")),
     // ---- DuckDB-style end-inclusive list slicing (open ends included) ----
     "q98_slice" -> ((s, d) => g(s, d).sql(
       "select p_partkey as k, " +
@@ -1241,6 +1248,12 @@ object SparkEntry {
        "ROUND(covar_samp(o_totalprice, o_custkey) / 1e6, 4) AS cs, " +
        "ROUND(covar_pop(o_totalprice, o_custkey) / 1e6, 4) AS cp " +
        "FROM orders GROUP BY o_orderstatus ORDER BY st"),
+    "q99_datetime_ctor" ->
+      ("SELECT o_orderkey AS k, " +
+       "make_date(2024, CAST(o_orderkey % 12 + 1 AS INT), 15) AS d, " +
+       "make_timestamp(2024, 3, CAST(o_orderkey % 28 + 1 AS INT), 10, 30, 0) AS t, " +
+       "CAST(make_date(2023, 2, 28) + INTERVAL 1 DAY AS DATE) AS mar1 " +
+       "FROM orders WHERE o_orderkey < 50 ORDER BY k"),
     "q98_slice" ->
       ("SELECT p_partkey AS k, " +
        "array_to_string(string_split(p_name, ' ')[2:3], ',') AS mid, " +
