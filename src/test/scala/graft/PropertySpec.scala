@@ -296,4 +296,40 @@ class PropertySpec extends AnyFunSuite {
         s"total ${kept.length} vs target ${frac * 120}")
     }
   }
+
+  test("property: int8-quantized dot recovers the true dot within the clamp bound") {
+    val vecGen = Gen.listOfN(8, Gen.choose(-5.0, 5.0)).map(_.map(_.toFloat).toArray)
+    val vecs = samples(Gen.zip(vecGen, vecGen), 8)
+    val df = vecs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i * 2L, a), (i * 2L + 1, b)) }.toDF("vec_id", "embedding")
+    val q = graft.operators.Similarity.quantizeInt8(df, "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getDouble(2))).toMap
+    vecs.zipWithIndex.foreach { case ((a, b), i) =>
+      val (qa, sa) = q(i * 2L); val (qb, sb) = q(i * 2L + 1)
+      if (sa > 0 && sb > 0) {
+        val recovered = qa.zip(qb).map { case (x, y) => x * y }.sum / (sa * sb)
+        val truth = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        // per-component error ≤ 0.5/scale → dot error ≤ Σ(|a_i|/2sb + |b_i|/2sa + 1/(4 sa sb))
+        val bound = a.map(math.abs(_)).sum / (2 * sb) +
+          b.map(math.abs(_)).sum / (2 * sa) + a.length / (4 * sa * sb)
+        assert(math.abs(recovered - truth) <= bound + 1e-9,
+          s"vec pair $i: |$recovered - $truth| > $bound")
+      }
+    }
+  }
+
+  test("property: epochExpand total matches floor+fraction arithmetic per group") {
+    for (eTenths <- samples(Gen.choose(0, 35), 6).distinct) {
+      val e = eTenths / 10.0
+      val df = (1L to 200L).map(i => (i, "g")).toDF("doc_id", "src")
+      val n = graft.operators.Sampling
+        .epochExpand(df, "src", "doc_id", Map("g" -> e)).count()
+      val lo = math.floor(e).toLong * 200
+      // fractional draw adds between 0 and 200 extra copies, centred on frac·200
+      assert(n >= lo && n <= lo + 200, s"e=$e n=$n")
+      val frac = e - math.floor(e)
+      if (frac > 0)
+        assert(math.abs((n - lo) - frac * 200) < 60, s"e=$e fractional share off: ${n - lo}")
+    }
+  }
 }
