@@ -704,6 +704,12 @@ object SparkEntry {
       "select n.n_name as nation, count(*) as n, round(sum(b.c_acctbal), 2) as bal " +
       "from big_cust b join nation n on b.c_nationkey = n.n_nationkey " +
       "group by n.n_name order by nation")),
+    // ---- ANSI FETCH FIRST n ROWS WITH TIES (rank-filter lowering;
+    // DuckDB 1.0 lacks the syntax, so the oracle recomputes via rank) ----
+    "q100_fetch_ties" -> ((s, d) => g(s, d).sql(
+      "select ck, pr from (select o_custkey as ck, o_orderpriority as pr " +
+      "from orders where o_custkey < 200 " +
+      "order by pr fetch first 10 rows with ties) as t order by ck, pr")),
     // ---- datetime constructors: field-wise date/timestamp assembly ----
     "q99_datetime_ctor" -> ((s, d) => g(s, d).sql(
       "select o_orderkey as k, " +
@@ -1248,6 +1254,10 @@ object SparkEntry {
        "ROUND(covar_samp(o_totalprice, o_custkey) / 1e6, 4) AS cs, " +
        "ROUND(covar_pop(o_totalprice, o_custkey) / 1e6, 4) AS cp " +
        "FROM orders GROUP BY o_orderstatus ORDER BY st"),
+    "q100_fetch_ties" ->
+      ("SELECT ck, pr FROM (SELECT o_custkey AS ck, o_orderpriority AS pr, " +
+       "rank() OVER (ORDER BY o_orderpriority) AS rk " +
+       "FROM orders WHERE o_custkey < 200) t WHERE rk <= 10 ORDER BY ck, pr"),
     "q99_datetime_ctor" ->
       ("SELECT o_orderkey AS k, " +
        "make_date(2024, CAST(o_orderkey % 12 + 1 AS INT), 15) AS d, " +

@@ -211,8 +211,10 @@ final case class SortKey(expr: Expr, ascending: Boolean,
 
 /** LIMIT n [OFFSET m] — both `?`-parameterizable (flinkdsl/parser.scala:266). */
 /** LIMIT/OFFSET tail. `n = None` = no row cap (ANSI `OFFSET n ROWS` with
-  * no FETCH clause). */
-final case class Limit(n: Option[Expr], offset: Option[Expr])
+  * no FETCH clause). `withTies` = ANSI/Postgres `FETCH FIRST n ROWS WITH
+  * TIES`: peers (by the ORDER BY keys) of the n-th row are included. */
+final case class Limit(n: Option[Expr], offset: Option[Expr],
+                       withTies: Boolean = false)
 object Limit {
   def apply(n: Expr, offset: Option[Expr]): Limit = Limit(Some(n), offset)
 }

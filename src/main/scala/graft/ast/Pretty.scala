@@ -116,8 +116,14 @@ object Pretty {
     if (keys.isEmpty) "" else " order by " + keys.map(sortKey).mkString(", ")
 
   private def lim(l: Option[Limit]): String =
-    l.fold("")(x => x.n.fold("")(n => s" limit ${expr(n)}") +
-      x.offset.fold("")(o => s" offset ${expr(o)}"))
+    l.fold("") { x =>
+      if (x.withTies)
+        x.offset.fold("")(o => s" offset ${expr(o)} rows") +
+          x.n.fold("")(n => s" fetch first ${expr(n)} rows with ties")
+      else
+        x.n.fold("")(n => s" limit ${expr(n)}") +
+          x.offset.fold("")(o => s" offset ${expr(o)}")
+    }
 
   def rel(r: Relation): String = r match {
     case SampleRel(base, pct, seed) =>

@@ -43,9 +43,10 @@ object SqlParser extends RegexParsers with PackratParsers {
     "insert", "into", "values", "update", "set", "delete", "asc", "desc",
     "collate", "for", "rollup", "with", "qualify", "sample", "pivot",
     "unpivot", "asof", "semi", "anti", "natural", "lateral",
-    // ANSI reserves WINDOW; as a table alias it would swallow the WINDOW
-    // clause (opt(alias) is possessive — no backtracking past it)
-    "window")
+    // ANSI reserves WINDOW and FETCH; as table aliases they would swallow
+    // the WINDOW clause / a no-ORDER-BY FETCH tail (opt(alias) is
+    // possessive — no backtracking past it)
+    "window", "fetch")
 
   private def kw(w: String): Parser[String] =
     (s"""(?i)\\Q$w\\E\\b""").r ^^ (_.toLowerCase(java.util.Locale.ROOT))
@@ -436,15 +437,20 @@ object SqlParser extends RegexParsers with PackratParsers {
   lazy val limitClause: PackratParser[Limit] = {
     val num: Parser[Expr] = numericLit ^^ (l => l: Expr) | "?" ^^^ Input()
     val rows = kws("row", "rows")
-    val fetch =
-      kw("fetch") ~> kws("first", "next") ~> num <~ opt(rows) <~ kw("only")
+    // (count, withTies): ONLY closes the fetch; WITH TIES keeps peers of
+    // the boundary row (translated to a rank filter over the ORDER BY)
+    val fetch: Parser[(Expr, Boolean)] =
+      kw("fetch") ~> kws("first", "next") ~> num ~
+        (opt(rows) ~> (kw("only") ^^^ false | kw("with") ~ kw("ties") ^^^ true)) ^^ {
+        case n ~ t => (n, t)
+      }
     kw("limit") ~> num ~ opt(kw("offset") ~> num) ^^ {
       case n ~ o => Limit(Some(n), o)
     } |
     (kw("offset") ~> num <~ opt(rows)) ~ opt(fetch) ^^ {
-      case o ~ f => Limit(f, Some(o))
+      case o ~ f => Limit(f.map(_._1), Some(o), f.exists(_._2))
     } |
-    fetch ^^ (f => Limit(Some(f), None))
+    fetch ^^ { case (n, t) => Limit(Some(n), None, t) }
   }
 
   // ----- predicates --------------------------------------------------------

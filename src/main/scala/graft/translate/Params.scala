@@ -80,7 +80,7 @@ object Params {
       limit = s.limit.map(limit))
 
     private def limit(l: Limit): Limit =
-      Limit(l.n.map(expr), l.offset.map(expr))
+      Limit(l.n.map(expr), l.offset.map(expr), l.withTies)
 
     private def relation(r: Relation): Relation = r match {
       case t: TableRef => t

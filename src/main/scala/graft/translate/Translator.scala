@@ -108,7 +108,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         case Intersect => if (all) ld.intersectAll(rd) else ld.intersect(rd)
       }
       if (orderBy.nonEmpty) out = out.orderBy(orderBy.map(sortOnOutput(out, _)): _*)
-      out = applyLimit(out, limit)
+      out = applyLimit(out, limit, orderBy)
       out
   }
 
@@ -202,7 +202,33 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   // SELECT
   // ------------------------------------------------------------------
 
-  private def select(s0: Select): DataFrame = {
+  /** ANSI `FETCH FIRST n ROWS WITH TIES` on a SELECT desugars to a QUALIFY
+    * rank filter over the same ORDER BY keys — reusing QUALIFY's alias-aware
+    * window resolution (keys may name projection aliases or input columns).
+    * QUALIFY runs before ORDER BY, so the final sort still applies. */
+  private def desugarFetchTies(s: Select): Select =
+    s.limit match {
+      case Some(l) if l.withTies =>
+        if (s.orderBy.isEmpty)
+          throw new GraftAnalysisException("FETCH … WITH TIES requires ORDER BY")
+        if (l.offset.nonEmpty)
+          throw new GraftAnalysisException(
+            "FETCH … WITH TIES combined with OFFSET is not supported")
+        if (s.distinct)
+          throw new GraftAnalysisException(
+            "FETCH … WITH TIES with DISTINCT is not supported — " +
+              "apply DISTINCT in a derived table first")
+        val n = l.n.getOrElse(
+          throw new GraftAnalysisException("FETCH … WITH TIES requires a row count"))
+        val cond: Expr = Cmp("<=",
+          WindowFn(FuncCall("rank", Nil), Nil, s.orderBy), n)
+        s.copy(qualify = Some(s.qualify.fold(cond)(q => And(q, cond))),
+          limit = None)
+      case _ => s
+    }
+
+  private def select(s00: Select): DataFrame = {
+    val s0 = desugarFetchTies(s00)
     val rel = s0.from.map(relation).getOrElse(RelPlan(dual, Nil, windowed = false))
     // this SELECT's aliases become visible as outer references to any
     // correlated subquery translated inside its clauses
@@ -290,7 +316,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       out = out.distinct()
       if (s.orderBy.nonEmpty) out = out.orderBy(s.orderBy.map(sortOnOutput(out, _)): _*)
     }
-    applyLimit(out, s.limit)
+    applyLimit(out, s.limit, s.orderBy)
   }
 
   /** Decorrelate equality-correlated aggregate scalar subqueries into left
@@ -734,10 +760,30 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     case e               => sortCol(expr(e), k)
   }
 
-  private def applyLimit(df: DataFrame, limit: Option[Limit]): DataFrame =
+  private def applyLimit(df: DataFrame, limit: Option[Limit],
+                         sortKeys: Seq[SortKey] = Nil): DataFrame =
     limit.fold(df) { l =>
-      val withOffset = l.offset.fold(df)(o => df.offset(litLong(o).toInt))
-      l.n.fold(withOffset)(n => withOffset.limit(litLong(n).toInt))
+      if (l.withTies) {
+        // ANSI FETCH … WITH TIES: keep peers (by the ORDER BY keys) of the
+        // boundary row — a rank filter over the same ordering. rank() needs
+        // a global window, but so does the global sort WITH TIES modifies;
+        // no new scalability cliff is introduced.
+        if (sortKeys.isEmpty)
+          throw new GraftAnalysisException("FETCH … WITH TIES requires ORDER BY")
+        if (l.offset.nonEmpty)
+          throw new GraftAnalysisException(
+            "FETCH … WITH TIES combined with OFFSET is not supported")
+        val n = litLong(l.n.getOrElse(
+          throw new GraftAnalysisException("FETCH … WITH TIES requires a row count")))
+        def keys(frame: DataFrame) = sortKeys.map(k => sortOnOutput(frame, k))
+        val w = Window.orderBy(keys(df): _*)
+        val filtered = df.withColumn("__graft_rk", rank().over(w))
+          .where(col("__graft_rk") <= n).drop("__graft_rk")
+        filtered.orderBy(keys(filtered): _*)
+      } else {
+        val withOffset = l.offset.fold(df)(o => df.offset(litLong(o).toInt))
+        l.n.fold(withOffset)(n => withOffset.limit(litLong(n).toInt))
+      }
     }
 
   private def litLong(e: Expr): Long = e match {

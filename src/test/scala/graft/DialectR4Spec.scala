@@ -230,6 +230,20 @@ class DialectR4Spec extends AnyFunSuite {
       Seq((0, 0, 10L), (1, 1, 10L)))
   }
 
+  test("FETCH WITH TIES keeps boundary peers; ONLY does not; errors without ORDER BY") {
+    // nation has 5 rows per regionkey: first 7 by regionkey = 5×key0 + 2×key1,
+    // WITH TIES extends to all 10 rows of keys 0 and 1
+    val ties = g.sql("select n_regionkey as r from nation " +
+      "order by n_regionkey fetch first 7 rows with ties").collect()
+    assert(ties.length == 10 && ties.forall(_.getAs[Number](0).longValue <= 1))
+    val only = g.sql("select n_regionkey as r from nation " +
+      "order by n_regionkey fetch first 7 rows only").collect()
+    assert(only.length == 7)
+    val e = intercept[Exception](g.sql(
+      "select n_regionkey as r from nation fetch first 3 rows with ties").collect())
+    assert(e.getMessage.contains("ORDER BY"))
+  }
+
   test("list slicing is 1-based end-inclusive, truncates, open ends work") {
     val r = g.sql(
       "select array_join(transform([1,2,3,4,5][2:4], v -> cast(v as string)), ',') as a, " +

@@ -98,6 +98,7 @@ class RoundTripSpec extends AnyFunSuite {
     "select transform(a, x -> (x + 1)) as t2 from t",
     "select aggregate(a, cast(0 as long), (acc, x) -> (acc + x)) as s2 from t",
     "select filter(a, x -> (x > 2)) as f from t",
+    "select a from t order by a fetch first 3 rows with ties",
     // UNION BY NAME + interval RANGE frames (round 4)
     "select a from t union all by name select b from u",
     "select a from t union by name select b from u",
