@@ -1335,9 +1335,32 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       // bare `col("a") === sub("a")` is AMBIGUOUS_REFERENCE.
       val withKey = df.withColumn("__in_key", expr(e))
       val subVal = sub.select(sub(sub.columns.head).as("__in_val"))
-      val joined = withKey.join(subVal, withKey("__in_key") === subVal("__in_val"),
-        if (negated) "left_anti" else "left_semi")
+      val joined =
+        if (!negated)
+          withKey.join(subVal, withKey("__in_key") === subVal("__in_val"), "left_semi")
+        else {
+          // ANSI tri-valued NOT IN without a nested-loop join: the
+          // equality anti join (hash/broadcast — scale-safe) removes TRUE
+          // matches; a broadcast 1-row summary of the subquery handles the
+          // UNKNOWN cases — a NULL element or NULL scrutinee makes NOT IN
+          // unknown (row filtered) unless the subquery is empty (vacuous
+          // TRUE keeps every row, NULL keys included).
+          val info = subVal.agg(
+            max(col("__in_val").isNull).as("__in_has_null"),
+            (count(lit(1)) > 0).as("__in_has_rows"))
+          withKey.join(subVal, withKey("__in_key") === subVal("__in_val"), "left_anti")
+            .join(broadcast(info), lit(true), "inner")
+            .where(!col("__in_has_rows") ||
+              (col("__in_key").isNotNull && !coalesce(col("__in_has_null"), lit(false))))
+            .drop("__in_has_null", "__in_has_rows")
+        }
       joined.drop("__in_key")
+    // `x = ANY (sub)` IS `x IN (sub)` and `x <> ALL (sub)` IS `x NOT IN
+    // (sub)` — route both through the IN path so the equality lowers to a
+    // hash/broadcast (anti-)join instead of the theta-join fallback below
+    // (which is a nested-loop for anything Catalyst can't hash).
+    case QuantifiedCmp("=", e, q, false)  => applySubqueryPredicate(df, InSubquery(e, q, negated = false))
+    case QuantifiedCmp("!=", e, q, true)  => applySubqueryPredicate(df, InSubquery(e, q, negated = true))
     case QuantifiedCmp(op, e, q, all) =>
       val sub = query(q)
       require(sub.columns.length == 1,

@@ -813,6 +813,37 @@ class EngineSpec extends AnyFunSuite {
     assert(ast1 == ast2)
   }
 
+  test("NOT IN is tri-valued: NULL elements and NULL keys per ANSI, no NLJ needed") {
+    def ks(sql: String): Seq[Long] =
+      g.sql(sql).collect().map(_.getAs[Number](0).longValue).sorted.toSeq
+    // plain case: non-null key not in non-null set
+    assert(ks("select k from (values (1), (2), (cast(null as int))) as t(k) " +
+      "where k not in (select v from (values (2), (5)) as s(v))") == Seq(1L))
+    // a NULL element in the subquery makes NOT IN unknown for every row
+    assert(ks("select k from (values (1), (2)) as t(k) " +
+      "where k not in (select v from (values (5), (cast(null as int))) as s(v))").isEmpty)
+    // empty subquery: vacuous TRUE keeps every row, NULL keys included
+    val empt = g.sql("select k from (values (1), (cast(null as int))) as t(k) " +
+      "where k not in (select v from (values (5)) as s(v) where v > 100)").collect()
+    assert(empt.length == 2)
+  }
+
+  test("<> ALL routes through the NOT IN hash path (no nested-loop join)") {
+    def ks(sql: String): Seq[Long] =
+      g.sql(sql).collect().map(_.getAs[Number](0).longValue).sorted.toSeq
+    assert(ks("select k from (values (1), (2), (cast(null as int))) as t(k) " +
+      "where k <> all (select v from (values (2), (5)) as s(v))") == Seq(1L))
+    assert(ks("select k from (values (1), (2)) as t(k) " +
+      "where k <> all (select v from (values (5), (cast(null as int))) as s(v))").isEmpty)
+    // the equality anti join must be a hash/broadcast join, not BNLJ on
+    // the whole comparison (1-row summary cross joins are fine)
+    val plan = g.sql("select c_custkey as ck from customer c " +
+      "where c_nationkey <> all (select n_nationkey from nation where n_regionkey = 0) " +
+      "order by ck").queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"))
+    assert(!plan.contains("BuildRight, LeftAnti, ((__qc_key"))
+  }
+
   test("CREATE TABLE AS registers a lazy derived table; composable + droppable") {
     g.sql("create table __ctas_t as select n_nationkey as k, n_regionkey as r " +
       "from nation where n_nationkey < 10")
