@@ -45,6 +45,43 @@ object Dedup {
     df.join(keep.select(col(idCol)), Seq(idCol), "left_semi")
   }
 
+  /** Line-level boilerplate removal (CCNet-style): a non-blank line that
+    * occurs in at least `minDocFreq` DISTINCT documents is boilerplate
+    * (site headers, nav bars, cookie banners) and is stripped from every
+    * document; the survivors are reassembled in original order. Returns
+    * the input columns plus `n_kept`, `n_removed`, `cleaned`.
+    *
+    * Scale (100 TB contract): three key-partitioned shuffles, no cross
+    * product — (1) distinct (doc, line) then a map-side-partial count per
+    * line; (2) hash anti join of the exploded lines against the hot-line
+    * set (small by construction — boilerplate is the repeated tail; AQE
+    * broadcasts it when it fits); (3) reassembly groupBy on the doc id.
+    * Blank lines are never counted (every doc has them; stripping them
+    * would mangle formatting). The reference defines no pipeline ops
+    * (SURVEY §7.2); semantics follow CCNet per-shard line dedup. */
+  def lineDedup(docs: DataFrame, textCol: String, idCol: String,
+                minDocFreq: Long): DataFrame = {
+    val lines = docs.select(col(idCol).as("__ld_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__ld_pos", "__ld_line")))
+    val hot = lines.where(trim(col("__ld_line")) =!= "")
+      .select(col("__ld_id"), col("__ld_line")).distinct()
+      .groupBy(col("__ld_line")).agg(count(lit(1)).as("__ld_df"))
+      .where(col("__ld_df") >= minDocFreq)
+      .select(col("__ld_line").as("__ld_hot"))
+    val kept = lines.join(hot, lines("__ld_line") === hot("__ld_hot"), "left_anti")
+    val reasm = kept.groupBy(col("__ld_id")).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__ld_pos"), col("__ld_line")))),
+          x => x.getField("__ld_line"))).as("cleaned"))
+    docs.join(reasm, col(idCol) === reasm("__ld_id"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("cleaned", coalesce(col("cleaned"), lit("")))
+      .withColumn("n_removed",
+        size(split(col(textCol), "\n")).cast("long") - col("n_kept"))
+      .drop("__ld_id")
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

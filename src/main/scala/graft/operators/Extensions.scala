@@ -191,6 +191,21 @@ object Extensions {
         (sum(when(abs(nrm - 1.0) < 1e-3 || nrm === 0.0, 1).otherwise(0)) === count(lit(1)))
           .cast("int").as("norm_ok"))
     }),
+    // ---- line-level boilerplate removal (CCNet-style). The synthetic
+    // docs are single-line, so the gate builds a multi-line corpus (regex
+    // splits every 8 words) and injects a per-source header + a global
+    // banner; lineDedup at df>=5 must strip exactly the injected lines
+    // (plus any 8-word line the tiny vocabulary genuinely repeats across
+    // >=5 docs) and reassemble the rest byte-exact, md5-checked ----
+    "x50_line_dedup" -> ((s, d) => {
+      val injected = docs(s, d).select(col("doc_id"),
+        concat(col("source"), lit(" | COMMON SITE HEADER\ncookie notice: accept all\n"),
+          regexp_replace(col("text"), "((?:\\S+ ){8})", "$1\n")).as("text"))
+      Dedup.lineDedup(injected, "text", "doc_id", minDocFreq = 5L)
+        .select(col("doc_id"), col("n_kept"), col("n_removed"),
+          md5(col("cleaned")).as("h"))
+        .orderBy("doc_id")
+    }),
     // tf-idf restricted to a doc slice so the gate output stays bounded
     "x17_text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidf(docs(s, d), "text", "doc_id")
@@ -651,6 +666,20 @@ object Extensions {
         "SELECT count(*) AS n_media, CAST(1 AS INTEGER) AS batch_bounded, " +
         "CAST(1 AS INTEGER) AS straggler_bounded, CAST(1 AS INTEGER) AS norm_ok " +
         "FROM documents"),
+      "x50_line_dedup" -> (
+        "WITH inj AS (SELECT doc_id, source || ' | COMMON SITE HEADER' || chr(10) || " +
+        "'cookie notice: accept all' || chr(10) || " +
+        "regexp_replace(text, '((?:\\S+ ){8})', '\\1' || chr(10), 'g') AS text FROM documents), " +
+        "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +
+        "unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos FROM inj), " +
+        "hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df FROM l " +
+        "WHERE trim(line) <> '' GROUP BY line) t WHERE df >= 5), " +
+        "kept AS (SELECT l.* FROM l ANTI JOIN hot USING (line)), " +
+        "r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "string_agg(line, chr(10) ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id) " +
+        "SELECT i.doc_id, COALESCE(r.n_kept, 0) AS n_kept, " +
+        "CAST(len(string_split(i.text, chr(10))) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed, " +
+        "md5(COALESCE(r.cleaned, '')) AS h FROM inj i LEFT JOIN r USING (doc_id) ORDER BY doc_id"),
       "x25_asof_join" -> (
         "WITH r AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id AS ref_id, value AS ref_value " +
         "FROM events WHERE event_id % 10 = 0), " +

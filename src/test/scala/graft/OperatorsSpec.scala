@@ -28,6 +28,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a == b && a <= docs.count())
   }
 
+  test("line dedup strips lines shared by >= minDocFreq docs, reassembles the rest in order") {
+    val d = Seq(
+      (1L, "HEADER\nalpha beta\n\ngamma"),
+      (2L, "HEADER\ndelta\nepsilon"),
+      (3L, "HEADER\nzeta"),
+      (4L, "HEADER"), // doc that is ALL boilerplate
+      (5L, "unique only")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, "text", "doc_id", minDocFreq = 3L)
+      .select("doc_id", "cleaned", "n_kept", "n_removed")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("alpha beta\n\ngamma", 3L, 1L))) // blank line preserved
+    assert(out(2L) == (("delta\nepsilon", 2L, 1L)))
+    assert(out(3L) == (("zeta", 1L, 1L)))
+    assert(out(4L) == (("", 0L, 1L)))
+    assert(out(5L) == (("unique only", 1L, 0L)))
+    // below threshold nothing is removed and reassembly is byte-exact
+    val rt = Dedup.lineDedup(d, "text", "doc_id", minDocFreq = 9L)
+    assert(rt.where(col("cleaned") =!= col("text")).count() == 0)
+  }
+
   test("minhash-LSH finds planted near-duplicates, skips distinct docs") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
     val nearDup = base.replace("lazy", "sleepy")
