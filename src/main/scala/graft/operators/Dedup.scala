@@ -60,14 +60,34 @@ object Dedup {
     * would mangle formatting). The reference defines no pipeline ops
     * (SURVEY §7.2); semantics follow CCNet per-shard line dedup. */
   def lineDedup(docs: DataFrame, textCol: String, idCol: String,
-                minDocFreq: Long): DataFrame = {
+                minDocFreq: Long, hashShuffle: Boolean = false): DataFrame = {
     val lines = docs.select(col(idCol).as("__ld_id"),
       posexplode(split(col(textCol), "\n")).as(Seq("__ld_pos", "__ld_line")))
-    val hot = lines.where(trim(col("__ld_line")) =!= "")
-      .select(col("__ld_id"), col("__ld_line")).distinct()
-      .groupBy(col("__ld_line")).agg(count(lit(1)).as("__ld_df"))
-      .where(col("__ld_df") >= minDocFreq)
-      .select(col("__ld_line").as("__ld_hot"))
+    val nonBlank = lines.where(trim(col("__ld_line")) =!= "")
+    // Exact per-line doc-frequency >= threshold. hashShuffle mode gets the
+    // same result in two phases: (1) df on xxhash64(line) — the wide
+    // shuffle carries 8-byte keys instead of full lines (10×+ narrower
+    // for prose); hash pooling can only INFLATE a count, so phase 1 is a
+    // lossless over-approximation of the hot set; (2) recount the true df
+    // of just the candidate lines (a small set — boilerplate is the
+    // repeated tail) after a broadcast semi join, which removes any
+    // collision-inflated candidate. Results are identical in both modes
+    // at any corpus size.
+    def dfAtLeast(src: DataFrame): DataFrame =
+      src.select(col("__ld_id"), col("__ld_line")).distinct()
+        .groupBy(col("__ld_line")).agg(count(lit(1)).as("__ld_df"))
+        .where(col("__ld_df") >= minDocFreq)
+        .select(col("__ld_line").as("__ld_hot"))
+    val hot =
+      if (hashShuffle) {
+        val hotHashes = nonBlank
+          .select(col("__ld_id"), xxhash64(col("__ld_line")).as("__ld_k")).distinct()
+          .groupBy(col("__ld_k")).agg(count(lit(1)).as("__ld_df"))
+          .where(col("__ld_df") >= minDocFreq)
+          .select(col("__ld_k"))
+        dfAtLeast(nonBlank.join(broadcast(hotHashes),
+          xxhash64(col("__ld_line")) === hotHashes("__ld_k"), "left_semi"))
+      } else dfAtLeast(nonBlank)
     val kept = lines.join(hot, lines("__ld_line") === hot("__ld_hot"), "left_anti")
     val reasm = kept.groupBy(col("__ld_id")).agg(
       count(lit(1)).as("n_kept"),

@@ -45,6 +45,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: lineDedup partitions every doc's lines into kept + hot, order-preserving") {
+    val lineGen = Gen.oneOf("COMMON", "shared header", "", "alpha", "beta gamma", "delta?")
+    val docGen = Gen.listOfN(6, lineGen).map(_.mkString("\n"))
+    for (df <- samples(Gen.choose(2L, 4L), 4).distinct) {
+      val docsDf = samples(docGen, 12).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = Dedup.lineDedup(docsDf, "text", "doc_id", minDocFreq = df).collect()
+      // the narrow-shuffle mode is exact: identical output
+      val hashed = Dedup.lineDedup(docsDf, "text", "doc_id", minDocFreq = df,
+        hashShuffle = true).collect()
+      assert(out.map(_.toSeq).sortBy(_.head.toString.toLong).toSeq ==
+        hashed.map(_.toSeq).sortBy(_.head.toString.toLong).toSeq)
+      // recompute hot lines naively on the driver
+      val corpus = docsDf.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val hot = corpus.values.flatMap(_.split("\n", -1).filter(_.trim.nonEmpty).distinct)
+        .groupBy(identity).collect { case (l, occ) if occ.size >= df => l }.toSet
+      for (r <- out) {
+        val orig = corpus(r.getAs[Long]("doc_id")).split("\n", -1).toSeq
+        val expect = orig.filterNot(hot)
+        assert(r.getAs[String]("cleaned") == expect.mkString("\n"))
+        assert(r.getAs[Long]("n_kept") == expect.length)
+        assert(r.getAs[Long]("n_removed") == orig.length - expect.length)
+      }
+    }
+  }
+
   test("property: salted join equals plain join on random key data") {
     for ((nKeys, buckets) <- samples(Gen.zip(Gen.choose(1, 6), Gen.choose(2, 9)), 6).distinct) {
       val left = (1 to 60).map(i => (i.toLong, s"k${i % nKeys}")).toDF("id", "k")
