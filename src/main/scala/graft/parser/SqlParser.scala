@@ -413,7 +413,9 @@ object SqlParser extends RegexParsers with PackratParsers {
       opt(kw("with") ~> (kw("rollup") | kw("cube"))) ~ opt(kw("having") ~> predicate) ^^ {
         case es ~ r ~ h =>
           GroupBy(es, r.contains("rollup"), h, cube = r.contains("cube"))
-      }
+      } |
+    // ANSI: HAVING without GROUP BY filters the implicit global aggregate
+    kw("having") ~> predicate ^^ (h => GroupBy(Nil, rollup = false, Some(h)))
   }
 
   /** `ORDER BY ALL [ASC|DESC]` (DuckDB ergonomics) parses to a Star
