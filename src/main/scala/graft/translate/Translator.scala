@@ -1362,32 +1362,59 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     case QuantifiedCmp("=", e, q, false)  => applySubqueryPredicate(df, InSubquery(e, q, negated = false))
     case QuantifiedCmp("!=", e, q, true)  => applySubqueryPredicate(df, InSubquery(e, q, negated = true))
     case QuantifiedCmp(op, e, q, all) =>
+      // Every remaining ANY/ALL form reduces to a 1-row scalar-subquery
+      // min/max/has-null/has-rows summary + a plain filter — an ordered
+      // comparison against every element only needs
+      // the extremes (`x > ALL S` ⇔ S empty ∨ x > max S; `x > ANY S` ⇔
+      // x > min S), `= ALL` needs min = max = x, and `<> ANY` needs
+      // min ≠ max ∨ x ≠ min. The ANSI UNKNOWN cases (NULL scrutinee,
+      // NULL element poisoning ALL) fold into the has-null/has-rows
+      // flags. No per-element theta join, so Catalyst never plans a
+      // BroadcastNestedLoopJoin here at any scale. (`= ANY` and
+      // `<> ALL` are membership tests — routed to hash joins above.)
       val sub = query(q)
       require(sub.columns.length == 1,
         "quantified comparison (ANY/ALL) requires a single-column subquery")
-      val withKey = df.withColumn("__qc_key", expr(e))
-      val subVal = sub.select(sub(sub.columns.head).as("__qc_val"))
-      def cmp(l: Column, r: Column): Column = op match {
-        case "="  => l === r
-        case "!=" => l =!= r
-        case "<"  => l < r
-        case ">"  => l > r
-        case "<=" => l <= r
-        case ">=" => l >= r
-      }
-      val c = cmp(withKey("__qc_key"), subVal("__qc_val"))
-      val joined =
-        if (!all)
-          // ANY/SOME: at least one TRUE comparison — semi join on the
-          // comparison itself (UNKNOWN rows don't match, per ANSI)
-          withKey.join(subVal, c, "left_semi")
-        else
-          // ALL: drop rows with any FALSE **or UNKNOWN** comparison; an
-          // empty subquery keeps every row (ANSI: vacuous TRUE). The
-          // IS NULL arm makes a NULL element or NULL scrutinee filter
-          // the row, exactly like `NOT IN` with NULLs.
-          withKey.join(subVal, c.isNull || !c, "left_anti")
-      joined.drop("__qc_key")
+      val v = sub(sub.columns.head)
+      // One scalar subquery (executed once, ReuseSubquery dedupes the
+      // repeated field refs) — a plain Filter over the outer relation,
+      // no join node at all. Global aggregation goes through `select`,
+      // not `agg`, for lazy analysis (see spark classic subquery notes).
+      val s = sub.select(struct(
+        min(v).as("mn"), max(v).as("mx"),
+        coalesce(max(v.isNull), lit(false)).as("has_null"),
+        (count(lit(1)) > 0).as("has_rows")).as("__qc_s")).scalar()
+      val x  = expr(e)
+      val mn = s.getField("mn"); val mx = s.getField("mx")
+      val keep =
+        if (all) {
+          // keep iff vacuous TRUE (empty S), else no FALSE and no
+          // UNKNOWN comparison: x non-null, no NULL element, and the
+          // extreme-value predicate holds.
+          val p = op match {
+            case ">"  => x > mx
+            case ">=" => x >= mx
+            case "<"  => x < mn
+            case "<=" => x <= mn
+            case "="  => mn === mx && x === mn
+          }
+          !s.getField("has_rows") ||
+            (x.isNotNull && !s.getField("has_null") && coalesce(p, lit(false)))
+        } else {
+          // ANY: at least one TRUE comparison against a non-NULL
+          // element. min/max are NULL when S has no non-NULL element,
+          // so `p` is NULL (→ filtered) exactly when required; same for
+          // a NULL scrutinee.
+          val p = op match {
+            case ">"  => x > mn
+            case ">=" => x >= mn
+            case "<"  => x < mx
+            case "<=" => x <= mx
+            case "!=" => x.isNotNull && (mn =!= mx || x =!= mn)
+          }
+          coalesce(p, lit(false))
+        }
+      df.where(keep)
     case other =>
       throw new GraftAnalysisException(
         s"IN/EXISTS subqueries are only supported as top-level AND-conjuncts of WHERE: $other")

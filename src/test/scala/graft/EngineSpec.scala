@@ -674,6 +674,25 @@ class EngineSpec extends AnyFunSuite {
     val neAll = g.sql("select r_regionkey as k from region " +
       "where r_regionkey <> all (select n_regionkey from nation where n_regionkey < 2) order by k")
     assertSame(neAll, notIn)
+    // `= ALL`: only TRUE when the subquery holds exactly one distinct
+    // non-NULL value equal to the scrutinee
+    assert(g.sql("select count(*) as n from region " +
+      "where r_regionkey = all (select n_regionkey from nation where n_regionkey = 2)")
+      .collect().head.getLong(0) == 1L)
+    assert(g.sql("select count(*) as n from region " +
+      "where r_regionkey = all (select n_regionkey from nation where n_regionkey in (1, 2))")
+      .collect().head.getLong(0) == 0L)
+    // `<> ANY`: TRUE unless the subquery is a single distinct value equal
+    // to the scrutinee; NULL scrutinee is UNKNOWN even with 2+ values
+    assert(g.sql("select count(*) as n from region " +
+      "where r_regionkey <> any (select n_regionkey from nation where n_regionkey in (1, 2))")
+      .collect().head.getLong(0) == 5L)
+    assert(g.sql("select count(*) as n from region " +
+      "where r_regionkey <> any (select n_regionkey from nation where n_regionkey = 2)")
+      .collect().head.getLong(0) == 4L)
+    assert(g.sql("select count(*) as n from (select cast(null as int) as z) t " +
+      "where z <> any (select n_regionkey from nation)")
+      .collect().head.getLong(0) == 0L)
     // NOT flips the quantifier (De Morgan): not(> any) ≡ <= all
     val a = g.sql("select r_regionkey as k from region " +
       "where not (r_regionkey > any (select n_regionkey from nation where n_regionkey >= 3)) order by k")
