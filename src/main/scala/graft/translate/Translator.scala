@@ -202,10 +202,14 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   // SELECT
   // ------------------------------------------------------------------
 
-  /** ANSI `FETCH FIRST n ROWS WITH TIES` on a SELECT desugars to a QUALIFY
-    * rank filter over the same ORDER BY keys — reusing QUALIFY's alias-aware
-    * window resolution (keys may name projection aliases or input columns).
-    * QUALIFY runs before ORDER BY, so the final sort still applies. */
+  /** ANSI `FETCH FIRST n ROWS WITH TIES` on a SELECT. When every ORDER BY
+    * key resolves against the projection output (alias or ordinal — the
+    * common case), the limit is left in place for [[applyLimit]]'s
+    * boundary-value lowering: a distributed top-n of the sort keys finds
+    * the n-th tuple, and a plain filter keeps its peers — no
+    * single-partition global window. Keys naming non-projected input
+    * columns fall back to the QUALIFY rank desugar (alias-aware window
+    * resolution; correct, but plans a global WindowExec). */
   private def desugarFetchTies(s: Select): Select =
     s.limit match {
       case Some(l) if l.withTies =>
@@ -220,10 +224,24 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
               "apply DISTINCT in a derived table first")
         val n = l.n.getOrElse(
           throw new GraftAnalysisException("FETCH … WITH TIES requires a row count"))
-        val cond: Expr = Cmp("<=",
-          WindowFn(FuncCall("rank", Nil), Nil, s.orderBy), n)
-        s.copy(qualify = Some(s.qualify.fold(cond)(q => And(q, cond))),
-          limit = None)
+        val outputResolvable =
+          !s.projection.exists(p => p.expr match {
+            case _: Star | _: StarMod => true
+            case FuncCall("columns", _, _) => true
+            case _ => false
+          }) &&
+          s.orderBy.forall(k => k.expr match {
+            case ColRef(None, c) => s.projection.exists(_.outputName == c)
+            case Lit(_: Long)    => true
+            case _               => false
+          })
+        if (outputResolvable) s
+        else {
+          val cond: Expr = Cmp("<=",
+            WindowFn(FuncCall("rank", Nil), Nil, s.orderBy), n)
+          s.copy(qualify = Some(s.qualify.fold(cond)(q => And(q, cond))),
+            limit = None)
+        }
       case _ => s
     }
 
@@ -748,26 +766,31 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     case (false, Some(false)) => c.desc_nulls_last
   }
 
-  private def sortOnOutput(df: DataFrame, k: SortKey): Column = k.expr match {
-    case ColRef(None, n) => sortCol(df(n), k)
+  private def sortValOnOutput(df: DataFrame, k: SortKey): Column = k.expr match {
+    case ColRef(None, n) => df(n)
     // ORDER BY <ordinal> (1-based projection position, ANSI); out-of-range
     // is an error, not a silent constant sort
     case Lit(n: Long) =>
       if (n < 1 || n > df.columns.length)
         throw new GraftAnalysisException(
           s"ORDER BY position $n is not in the select list (1..${df.columns.length})")
-      sortCol(df(df.columns((n - 1).toInt)), k)
-    case e               => sortCol(expr(e), k)
+      df(df.columns((n - 1).toInt))
+    case e               => expr(e)
   }
+
+  private def sortOnOutput(df: DataFrame, k: SortKey): Column =
+    sortCol(sortValOnOutput(df, k), k)
 
   private def applyLimit(df: DataFrame, limit: Option[Limit],
                          sortKeys: Seq[SortKey] = Nil): DataFrame =
     limit.fold(df) { l =>
       if (l.withTies) {
-        // ANSI FETCH … WITH TIES: keep peers (by the ORDER BY keys) of the
-        // boundary row — a rank filter over the same ordering. rank() needs
-        // a global window, but so does the global sort WITH TIES modifies;
-        // no new scalability cliff is introduced.
+        // ANSI FETCH … WITH TIES via boundary-value semantics: a
+        // distributed top-n over just the sort keys (TakeOrderedAndProject
+        // — narrow, no global window) finds the n-th key tuple; a reversed
+        // top-1 of those n extracts it as a scalar subquery; a plain filter
+        // keeps every row at-or-before it in sort order (ties included by
+        // construction). No single-partition WindowExec at any scale.
         if (sortKeys.isEmpty)
           throw new GraftAnalysisException("FETCH … WITH TIES requires ORDER BY")
         if (l.offset.nonEmpty)
@@ -775,11 +798,33 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
             "FETCH … WITH TIES combined with OFFSET is not supported")
         val n = litLong(l.n.getOrElse(
           throw new GraftAnalysisException("FETCH … WITH TIES requires a row count")))
-        def keys(frame: DataFrame) = sortKeys.map(k => sortOnOutput(frame, k))
-        val w = Window.orderBy(keys(df): _*)
-        val filtered = df.withColumn("__graft_rk", rank().over(w))
-          .where(col("__graft_rk") <= n).drop("__graft_rk")
-        filtered.orderBy(keys(filtered): _*)
+        val ks = sortKeys.zipWithIndex
+        val keyed = df.select(ks.map { case (k, i) =>
+          sortValOnOutput(df, k).as(s"__ft$i") }: _*)
+        val fwd = ks.map { case (k, i) => sortCol(col(s"__ft$i"), k) }
+        val rev = ks.map { case (k, i) => sortCol(col(s"__ft$i"),
+          k.copy(ascending = !k.ascending, nullsFirst = k.nullsFirst.map(!_))) }
+        val bound = keyed.orderBy(fwd: _*).limit(n.toInt)
+          .orderBy(rev: _*).limit(1)
+          .select(struct(ks.map { case (_, i) => col(s"__ft$i") }: _*).as("__ftb"))
+          .scalar()
+        // `a` strictly after boundary `b` under key k's direction + null
+        // placement; NULL comparisons resolve via the null-placement rule,
+        // never to UNKNOWN.
+        def strictlyAfter(a: Column, b: Column, k: SortKey): Column = {
+          val cmp = if (k.ascending) a > b else a < b
+          if (k.nullsFirst.getOrElse(k.ascending))
+            a.isNotNull && (b.isNull || cmp)
+          else (a.isNull && b.isNotNull) || coalesce(cmp, lit(false))
+        }
+        val after = ks.foldRight(lit(false)) { case ((k, i), rest) =>
+          val a = sortValOnOutput(df, k)
+          val b = bound.getField(s"__ft$i")
+          strictlyAfter(a, b, k) || (a <=> b && rest)
+        }
+        // NULL bound = empty boundary set (n=0 or empty input): keep nothing
+        val filtered = df.where(bound.isNotNull && !after)
+        filtered.orderBy(sortKeys.map(k => sortOnOutput(filtered, k)): _*)
       } else {
         val withOffset = l.offset.fold(df)(o => df.offset(litLong(o).toInt))
         l.n.fold(withOffset)(n => withOffset.limit(litLong(n).toInt))

@@ -27,6 +27,38 @@ class AdviceR5Spec extends AnyFunSuite {
     assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3, 4))
   }
 
+  // --- FETCH WITH TIES lowers to boundary filter, not a global window ----
+
+  test("FETCH WITH TIES plans no WindowExec when keys resolve on output") {
+    val df = g.sql("select o_custkey as ck, o_orderpriority as pr from orders " +
+      "where o_custkey < 200 order by pr fetch first 10 rows with ties")
+    val p = plan(df)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // semantics: every kept row's key <= the 10th-smallest key, all peers kept
+    val rows = df.collect()
+    assert(rows.length >= 10)
+    val boundary = rows.map(_.getString(1)).sorted.apply(9)
+    assert(rows.forall(_.getString(1) <= boundary))
+  }
+
+  test("WITH TIES boundary semantics: desc keys, multi-key, n >= rows, n = 0") {
+    // desc with ties at the boundary
+    val d = g.sql("select n_regionkey as r from nation " +
+      "order by n_regionkey desc fetch first 7 rows with ties").collect()
+    assert(d.length == 10 && d.forall(_.getAs[Number](0).longValue >= 3))
+    // two keys: boundary decided lexicographically
+    val m = g.sql("select n_regionkey as r, n_name as nm from nation " +
+      "order by n_regionkey, n_name fetch first 6 rows with ties").collect()
+    assert(m.length == 6)
+    // n >= row count keeps everything
+    assert(g.sql("select n_nationkey as k from nation " +
+      "order by k fetch first 999 rows with ties").count() == 25)
+    // n = 0 keeps nothing
+    assert(g.sql("select n_nationkey as k from nation " +
+      "order by k fetch first 0 rows with ties").count() == 0)
+  }
+
   test("= ALL and <> ANY also avoid nested-loop plans") {
     val df2 = g.sql(
       "select r_regionkey as k from region " +
