@@ -1306,12 +1306,36 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         } else {
           val orderCol = w.size.onField.map(f => col(f.name))
             .getOrElse(col(df.columns.head))
-          val win = if (partCols.nonEmpty)
-            Window.partitionBy(partCols.map(col): _*).orderBy(orderCol)
-          else Window.partitionBy().orderBy(orderCol)
-          val out = df.withColumn("w_id",
-            ((row_number().over(win) - 1) / n).cast("long"))
-          (out, Seq("w_id") ++ partCols)
+          if (partCols.nonEmpty) {
+            val win = Window.partitionBy(partCols.map(col): _*).orderBy(orderCol)
+            val out = df.withColumn("w_id",
+              ((row_number().over(win) - 1) / n).cast("long"))
+            (out, Seq("w_id") ++ partCols)
+          } else {
+            // Unkeyed batch count window without a single global sort:
+            // range-partition by the order column (distributed sort — equal
+            // keys stay co-located), number rows locally per partition, and
+            // add per-partition offsets from a tiny #partitions-row count
+            // aggregate. The only single-partition step (the offsets
+            // cumsum) runs over that aggregate, never the data; the range
+            // exchange feeds both branches once (ReuseExchange).
+            val sorted = df.repartitionByRange(orderCol.asc)
+              .withColumn("__cwp", spark_partition_id())
+            val offsets = sorted.groupBy(col("__cwp"))
+              .agg(count(lit(1)).as("__cwn"))
+              .withColumn("__cwo",
+                coalesce(sum(col("__cwn")).over(Window.orderBy(col("__cwp"))
+                  .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+              .drop("__cwn")
+            val localRn = row_number().over(
+              Window.partitionBy(col("__cwp")).orderBy(orderCol))
+            val out = sorted.withColumn("__cwr", localRn)
+              .join(broadcast(offsets), Seq("__cwp"))
+              .withColumn("w_id",
+                ((col("__cwo") + col("__cwr") - 1) / n).cast("long"))
+              .drop("__cwp", "__cwr", "__cwo")
+            (out, Seq("w_id"))
+          }
         }
     }
   }

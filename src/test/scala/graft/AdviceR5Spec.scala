@@ -59,6 +59,24 @@ class AdviceR5Spec extends AnyFunSuite {
       "order by k fetch first 0 rows with ties").count() == 0)
   }
 
+  // --- unkeyed batch count window: no single global sort over the data ---
+
+  test("unkeyed count window range-partitions; data window is per-partition") {
+    val df = g.sql("select w_id, count(*) as n " +
+      "from events [size 100 on event_id] group by w_id")
+    val p = plan(df)
+    assert(p.contains("rangepartitioning"), p)
+    // the data-level row numbering is partitioned (by __cwp), never global
+    assert(p.contains("hashpartitioning(__cwp"), p)
+    // chunk ids are contiguous 0..N-1 with exactly 100 rows each (last may
+    // be short): identical to the old global row_number semantics
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = rows.map(_._2).sum
+    assert(rows.map(_._1).toSeq == (0L until rows.length))
+    assert(rows.init.forall(_._2 == 100L))
+    assert(rows.last._2 == (if (total % 100 == 0) 100L else total % 100))
+  }
+
   test("= ALL and <> ANY also avoid nested-loop plans") {
     val df2 = g.sql(
       "select r_regionkey as k from region " +
