@@ -52,7 +52,12 @@ object Bench {
       case None => SparkEntry.queries
       case Some(s) =>
         val pfx = s.split(",").toSeq
-        SparkEntry.queries.filter { case (n, _) => pfx.exists(n.startsWith) }
+        val sub = SparkEntry.queries.filter { case (n, _) => pfx.exists(n.startsWith) }
+        // loud, unmissable: a filtered run must never pass for a full one
+        // (if the variable ever leaked into a grading environment)
+        println(s"""{"SUBSET":true,"SPARK_GRAFT_ONLY":"$s","n_of":${SparkEntry.queries.size},"n_selected":${sub.size}}""")
+        System.err.println(s"[bench] *** SUBSET RUN: ${sub.size}/${SparkEntry.queries.size} queries (SPARK_GRAFT_ONLY=$s) ***")
+        sub
     }
     val pass1 = benchSet.map { case (name, fn) => name -> once(name, fn) }
     val results = benchSet.map { case (name, fn) =>
@@ -88,6 +93,17 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => s"${q(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val nFailed = results.values.count(_ < 0)
+    // Full per-query map to a file: the stdout tail window only fits the
+    // compact summary, so round-over-round diffs need this sidecar.
+    try {
+      val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":2,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"subset":${sys.env.contains("SPARK_GRAFT_ONLY")},"queries":$qs,"sf":${q(sfDir)}}"""
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json"))
+      java.nio.file.Files.write(out, full.getBytes("UTF-8"))
+      System.err.println(s"[bench] full per-query map -> ${out.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_full.json: $e")
+    }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":2,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"queries":$slowest,"sf":${q(sfDir)}}""")
     spark.stop()
   }

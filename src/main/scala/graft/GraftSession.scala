@@ -247,7 +247,14 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     case CreateTableAs(name, q) =>
       // batch CTAS: register the derived plan LAZILY — downstream queries
       // compose with it and Catalyst pushes filters/pruning through it
-      // (materialize explicitly with writeBucketed/cache when reuse is hot)
+      // (materialize explicitly with writeBucketed/cache when reuse is hot).
+      // This still gives standard evaluate-once CTAS semantics w.r.t. this
+      // session's DML: UPDATE/DELETE/INSERT/MERGE are copy-on-write catalog
+      // re-registrations, and the plan captured here resolved its source
+      // relations at creation time — later re-registrations of those names
+      // can't reach it (locked by AdviceR5Spec). Only out-of-band rewrites
+      // of the underlying files would show through, as for any Spark
+      // external table.
       releaseSnapshots(name)
       val df = translator.query(q)
       if (df.isStreaming)

@@ -21,7 +21,13 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = only match {
       case None => SparkEntry.queries
-      case Some(pfx) => SparkEntry.queries.filter { case (n, _) => pfx.exists(n.startsWith) }
+      case Some(pfx) =>
+        val sub = SparkEntry.queries.filter { case (n, _) => pfx.exists(n.startsWith) }
+        // loud, unmissable: a filtered run must never pass for a full one
+        println(s"[verify] *** SUBSET RUN: ${sub.size}/${SparkEntry.queries.size} " +
+          s"queries (SPARK_GRAFT_ONLY=${pfx.mkString(",")}) ***")
+        System.err.println(s"[verify] *** SUBSET RUN: ${sub.size}/${SparkEntry.queries.size} queries ***")
+        sub
     }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -146,8 +146,12 @@ object Registry {
         })
       // ----- DuckDB/Postgres-named scalars → Spark equivalents, so the
       // same query text runs against both engines (dialect portability) ----
-      case "json_extract" =>
-        // extract-as-string semantics (DuckDB json_extract_string / ->>)
+      case "json_extract_string" | "json_extract" =>
+        // extract-as-string semantics (DuckDB json_extract_string / ->>:
+        // unquoted strings). NOTE deliberate divergence: DuckDB's
+        // json_extract returns QUOTED json text for string fields —
+        // get_json_object matches the ->> form; prefer the
+        // json_extract_string name in portable SQL.
         arity(n, args, 2); call_function("get_json_object", args: _*)
       case "strpos" =>
         arity(n, args, 2); call_function("instr", args: _*)

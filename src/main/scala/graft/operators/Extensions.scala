@@ -179,14 +179,17 @@ object Extensions {
     // (DuckDB-recomputed), every batch ≤ batchSize and full except
     // per-partition stragglers, embeddings unit-norm
     "x49_mm_batched_infer" -> ((s, d) => {
-      val f = Multimodal.batchedInfer(Multimodal.synthesize(docs(s, d)),
-        batchSize = 8, dim = 16).toDF()
+      val in = Multimodal.synthesize(docs(s, d))
+      // straggler bound must track the ACTUAL partition count (batchedInfer
+      // batches within input partitions), not assume a 64-partition session
+      val nParts = in.rdd.getNumPartitions.toLong
+      val f = Multimodal.batchedInfer(in, batchSize = 8, dim = 16).toDF()
       val nrm = graft.expr.VectorOps.dot(col("emb"), col("emb"))
       f.agg(
         count(lit(1)).as("n_media"),
         (max(col("batch_n")) <= 8).cast("int").as("batch_bounded"),
         // stragglers (batch_n < 8) are bounded by one batch per partition
-        (sum(when(col("batch_n") < 8, 1).otherwise(0)) <= lit(8L * 64))
+        (sum(when(col("batch_n") < 8, 1).otherwise(0)) <= lit(8L * nParts))
           .cast("int").as("straggler_bounded"),
         (sum(when(abs(nrm - 1.0) < 1e-3 || nrm === 0.0, 1).otherwise(0)) === count(lit(1)))
           .cast("int").as("norm_ok"))

@@ -39,9 +39,12 @@ object IntervalJoin {
     require(clash.isEmpty,
       s"right columns clash with left columns: ${clash.mkString(", ")}")
     val width = math.max(beforeUs + afterUs, 1L)
-    // floor division keeps bucket alignment correct for pre-epoch times too
+    // exact long floor division (subtract the non-negative pmod, then the
+    // numerator divides evenly — `div` is integral, no double rounding):
+    // correct for any epoch, unlike floor(double/width) which loses
+    // precision past 2^53 µs
     def bucket(us: org.apache.spark.sql.Column) =
-      floor(us.cast("double") / width).cast("long")
+      call_function("div", us - pmod(us, lit(width)), lit(width))
     // r matches l ⟺ l.time ∈ [r.time - after, r.time + before], so the
     // right row must appear in every bucket that interval touches
     val l = left.withColumn("__ib", bucket(unix_micros(col(lTime))))

@@ -77,6 +77,47 @@ class AdviceR5Spec extends AnyFunSuite {
     assert(rows.last._2 == (if (total % 100 == 0) 100L else total % 100))
   }
 
+  // --- CTAS is evaluate-once w.r.t. session DML on its sources -----------
+
+  test("CTAS contents are fixed at creation; later DML cannot change them") {
+    g.sql("create table ctas_src5 as select n_nationkey as k, n_name as v " +
+      "from nation where n_nationkey < 3")
+    g.sql("create table ctas_snap5 as select k, v from ctas_src5")
+    g.sql("update ctas_src5 set v = 'XX' where k = 1")
+    g.sql("delete from ctas_src5 where k = 2")
+    g.sql("insert into ctas_src5 values (99, 'new')")
+    val snap = g.sql("select k, v from ctas_snap5 order by k").collect()
+    assert(snap.map(r => (r.getAs[Number](0).longValue, r.getString(1))).toSeq ==
+      Seq((0L, "NATION_0"), (1L, "NATION_1"), (2L, "NATION_2")))
+    // the source itself did change
+    val src = g.sql("select k, v from ctas_src5 order by k").collect()
+    assert(src.map(r => (r.getAs[Number](0).longValue, r.getString(1))).toSeq ==
+      Seq((0L, "NATION_0"), (1L, "XX"), (99L, "new")))
+  }
+
+  test("json_extract_string is the named ->> form, aliasing json_extract") {
+    val r = g.sql("""select json_extract_string('{"a": "x"}', '$.a') as s1, """ +
+      """json_extract('{"a": "x"}', '$.a') as s2""").collect().head
+    assert(r.getString(0) == "x" && r.getString(1) == "x")
+  }
+
+  test("interval-join bucketing is exact long arithmetic (no double rounding)") {
+    import org.apache.spark.sql.functions._
+    val spark = g.spark
+    import spark.implicits._
+    // epoch µs beyond 2^53: year ~2540. floor(double/width) misplaces
+    // boundary rows; integral div must not.
+    val base = 18014398509481984L // 2^54 µs
+    val l = Seq((1L, base)).toDF("l_id", "lus")
+      .select(col("l_id"), timestamp_micros(col("lus")).as("l_ts"), lit("k").as("k"))
+    val r = Seq((10L, base - 1000000L), (11L, base + 1000000L))
+      .toDF("r_id", "rus")
+      .select(col("r_id"), timestamp_micros(col("rus")).as("r_ts"), lit("k").as("k"))
+    val j = graft.operators.IntervalJoin.join(l, r, Seq("k"), "l_ts", "r_ts",
+      beforeUs = 2000000L, afterUs = 2000000L)
+    assert(j.select("r_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L))
+  }
+
   test("= ALL and <> ANY also avoid nested-loop plans") {
     val df2 = g.sql(
       "select r_regionkey as k from region " +
