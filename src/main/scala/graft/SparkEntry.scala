@@ -710,6 +710,60 @@ object SparkEntry {
       "select ck, pr from (select o_custkey as ck, o_orderpriority as pr " +
       "from orders where o_custkey < 200 " +
       "order by pr fetch first 10 rows with ties) as t order by ck, pr")),
+    // ---- composite headline canaries (TPC-H shapes): multi-join + agg +
+    // subquery plans whose regressions single-operator micro gates miss ----
+    // Q3 shape: 3-way join, filter both fact sides, grouped revenue, top-n
+    "q101_shipping_priority" -> ((s, d) => g(s, d).sql(
+      "select l.l_orderkey as k, " +
+      "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as revenue, " +
+      "o.o_orderdate as od " +
+      "from customer c join orders o on c.c_custkey = o.o_custkey " +
+      "join lineitem l on l.l_orderkey = o.o_orderkey " +
+      "where c.c_mktsegment = 'BUILDING' " +
+      "and o.o_orderdate < timestamp '1998-01-01 00:00:00' " +
+      "and l.l_shipdate > timestamp '1997-06-30 00:00:00' " +
+      "group by l.l_orderkey, o.o_orderdate " +
+      "order by revenue desc, k limit 10")),
+    // Q5 shape: 6-way snowflake join through region, grouped by nation
+    "q102_local_supplier_volume" -> ((s, d) => g(s, d).sql(
+      "select n.n_name as nation, " +
+      "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as revenue " +
+      "from customer c " +
+      "join orders o on c.c_custkey = o.o_custkey " +
+      "join lineitem l on l.l_orderkey = o.o_orderkey " +
+      "join supplier s2 on l.l_suppkey = s2.s_suppkey and c.c_nationkey = s2.s_nationkey " +
+      "join nation n on s2.s_nationkey = n.n_nationkey " +
+      "join region r on n.n_regionkey = r.r_regionkey " +
+      "where r.r_name = 'ASIA' " +
+      "group by n.n_name order by revenue desc, nation")),
+    // Q10 shape: returned-item revenue per customer, 4-way join, top 20
+    "q103_returned_items" -> ((s, d) => g(s, d).sql(
+      "select c.c_custkey as ck, c.c_name as cn, n.n_name as nation, " +
+      "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as revenue " +
+      "from customer c join orders o on c.c_custkey = o.o_custkey " +
+      "join lineitem l on l.l_orderkey = o.o_orderkey " +
+      "join nation n on c.c_nationkey = n.n_nationkey " +
+      "where l.l_returnflag = 'R' " +
+      "group by c.c_custkey, c.c_name, n.n_name " +
+      "order by revenue desc, ck limit 20")),
+    // Q17 shape: correlated scalar AVG subquery gating a join
+    "q104_small_qty_revenue" -> ((s, d) => g(s, d).sql(
+      "select round(sum(l.l_extendedprice) / 7.0, 2) as avg_yearly, " +
+      "count(*) as n " +
+      "from lineitem l join part p on p.p_partkey = l.l_partkey " +
+      "where p.p_brand = 'Brand#23' " +
+      "and l.l_quantity < (select 0.3 * avg(l2.l_quantity) from lineitem l2 " +
+      "where l2.l_partkey = p.p_partkey)")),
+    // Q18 shape: IN over a grouped-HAVING subquery, 3-way join, top 20
+    "q105_large_volume_customers" -> ((s, d) => g(s, d).sql(
+      "select c.c_name as cn, o.o_orderkey as k, " +
+      "round(o.o_totalprice, 2) as tp, round(sum(l.l_quantity), 2) as qty " +
+      "from customer c join orders o on c.c_custkey = o.o_custkey " +
+      "join lineitem l on o.o_orderkey = l.l_orderkey " +
+      "where o.o_orderkey in (select l_orderkey from lineitem " +
+      "group by l_orderkey having sum(l_quantity) > 250) " +
+      "group by c.c_name, o.o_orderkey, o.o_totalprice " +
+      "order by tp desc, k limit 20")),
     // ---- datetime constructors: field-wise date/timestamp assembly ----
     "q99_datetime_ctor" -> ((s, d) => g(s, d).sql(
       "select o_orderkey as k, " +
@@ -1078,6 +1132,53 @@ object SparkEntry {
        "CAST(list_reduce([0, 1, 2, 3, 4], (acc, x) -> acc + x) AS BIGINT) AS total, " +
        "'ax,by' AS zipped " + // constant inputs → constant zip, cross-checks the shape
        "FROM orders WHERE o_orderkey < 100 ORDER BY k"),
+    "q101_shipping_priority" ->
+      ("SELECT l.l_orderkey AS k, " +
+       "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, " +
+       "CAST(o.o_orderdate AS TIMESTAMP) AS od " +
+       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+       "JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+       "WHERE c.c_mktsegment = 'BUILDING' " +
+       "AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+       "AND l.l_shipdate > TIMESTAMP '1997-06-30 00:00:00' " +
+       "GROUP BY l.l_orderkey, o.o_orderdate " +
+       "ORDER BY revenue DESC, k LIMIT 10"),
+    "q102_local_supplier_volume" ->
+      ("SELECT n.n_name AS nation, " +
+       "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue " +
+       "FROM customer c " +
+       "JOIN orders o ON c.c_custkey = o.o_custkey " +
+       "JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+       "JOIN supplier s2 ON l.l_suppkey = s2.s_suppkey AND c.c_nationkey = s2.s_nationkey " +
+       "JOIN nation n ON s2.s_nationkey = n.n_nationkey " +
+       "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+       "WHERE r.r_name = 'ASIA' " +
+       "GROUP BY n.n_name ORDER BY revenue DESC, nation"),
+    "q103_returned_items" ->
+      ("SELECT c.c_custkey AS ck, c.c_name AS cn, n.n_name AS nation, " +
+       "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue " +
+       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+       "JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+       "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+       "WHERE l.l_returnflag = 'R' " +
+       "GROUP BY c.c_custkey, c.c_name, n.n_name " +
+       "ORDER BY revenue DESC, ck LIMIT 20"),
+    "q104_small_qty_revenue" ->
+      ("SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly, " +
+       "COUNT(*) AS n " +
+       "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey " +
+       "WHERE p.p_brand = 'Brand#23' " +
+       "AND l.l_quantity < (SELECT 0.3 * AVG(l2.l_quantity) FROM lineitem l2 " +
+       "WHERE l2.l_partkey = p.p_partkey)"),
+    "q105_large_volume_customers" ->
+      ("SELECT c.c_name AS cn, o.o_orderkey AS k, " +
+       "ROUND(o.o_totalprice, 2) AS tp, ROUND(SUM(l.l_quantity), 2) AS qty " +
+       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+       "JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+       "WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem " +
+       "GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) " +
+       "GROUP BY c.c_name, o.o_orderkey, o.o_totalprice " +
+       "ORDER BY tp DESC, k LIMIT 20"),
     "q52_quantified" ->
       ("SELECT o_orderkey AS k, o_totalprice AS p FROM orders " +
        "WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders WHERE o_custkey = 1) " +
