@@ -208,8 +208,11 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     * `spark.read.jdbc` metadata. Registration is lazy by-name, so the
     * connection is only opened when the relation is planned. */
   def registerJdbc(name: String, url: String, table: String,
-                   props: java.util.Properties = new java.util.Properties()): this.type = {
+                   props: java.util.Properties = new java.util.Properties(),
+                   introspectConstraints: Boolean = false): this.type = {
     catalog.registerTable(name, spark.read.jdbc(url, table, props))
+    if (introspectConstraints)
+      jdbcMetaMap(name) = jdbcConstraints(url, table, props)
     this
   }
 
@@ -217,6 +220,50 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
   def jdbcSchema(url: String, table: String,
                  props: java.util.Properties = new java.util.Properties()): StructType =
     spark.read.jdbc(url, table, props).schema
+
+  private val jdbcMetaMap =
+    scala.collection.mutable.Map.empty[String, JdbcConstraints]
+
+  /** Constraint metadata captured by `registerJdbc(..,
+    * introspectConstraints = true)`, keyed by catalog name. */
+  def jdbcMeta(name: String): Option[JdbcConstraints] = jdbcMetaMap.get(name)
+
+  /** S8 constraint metadata (the reference read indices + foreign keys via
+    * SchemaCrawler, flinkdsl/database.scala:7-31): primary key, foreign
+    * keys, and unique indexes from standard `java.sql.DatabaseMetaData` —
+    * Spark has no FK analog, so this surfaces as an optional metadata map
+    * (SURVEY §2.1 S8) rather than catalog state. */
+  def jdbcConstraints(url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): JdbcConstraints = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val md = conn.getMetaData
+      // JDBC metadata lookups are case-exact; unquoted identifiers were
+      // folded to the store's own case at CREATE time, so retry folded
+      val candidates = Seq(table,
+        if (md.storesUpperCaseIdentifiers) table.toUpperCase else table.toLowerCase)
+      val t = candidates.distinct.find { tn =>
+        val rs = md.getColumns(null, null, tn, null)
+        try rs.next() finally rs.close()
+      }.getOrElse(throw new graft.translate.GraftAnalysisException(
+        s"JDBC table not found for constraint introspection: $table"))
+      def drain[A](rs: java.sql.ResultSet)(f: java.sql.ResultSet => A): List[A] =
+        try Iterator.continually(rs).takeWhile(_.next()).map(f).toList
+        finally rs.close()
+      val pk = drain(md.getPrimaryKeys(null, null, t))(r =>
+        (r.getShort("KEY_SEQ"), r.getString("COLUMN_NAME")))
+      val fks = drain(md.getImportedKeys(null, null, t))(r => JdbcForeignKey(
+        r.getString("FKCOLUMN_NAME"), r.getString("PKTABLE_NAME"),
+        r.getString("PKCOLUMN_NAME")))
+      val ix = drain(md.getIndexInfo(null, null, t, true, false))(r =>
+        (r.getString("INDEX_NAME"), r.getShort("ORDINAL_POSITION"),
+          r.getString("COLUMN_NAME"))).filter(_._1 != null)
+      JdbcConstraints(
+        pk.sortBy(_._1).map(_._2),
+        fks,
+        ix.groupBy(_._1).map { case (n, cs) => n -> cs.sortBy(_._2).map(_._3) })
+    } finally conn.close()
+  }
 
   def translator: Translator = new Translator(spark, catalog)
 
@@ -618,3 +665,13 @@ object GraftSession {
   }
   private val cache = scala.collection.mutable.Map.empty[(SparkSession, String), GraftSession]
 }
+
+/** One foreign-key edge: `column` references `refTable.refColumn`. */
+final case class JdbcForeignKey(column: String, refTable: String, refColumn: String)
+
+/** Constraint metadata of a JDBC table (S8): primary-key columns in key
+  * order, foreign-key edges, and unique indexes (name → columns). */
+final case class JdbcConstraints(
+    primaryKey: Seq[String],
+    foreignKeys: Seq[JdbcForeignKey],
+    uniqueIndexes: Map[String, Seq[String]])

@@ -131,6 +131,34 @@ class SurfaceSpec extends AnyFunSuite {
     assert(g.schemaOf("select id + 1 as k from people").fieldNames.toSeq == Seq("k"))
   }
 
+  test("S8 constraints: PK / FK / unique-index metadata from a live connection") {
+    val url = "jdbc:derby:memory:graftfk;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE dept (dept_id BIGINT PRIMARY KEY, dname VARCHAR(32) NOT NULL UNIQUE)")
+      st.execute("CREATE TABLE emp (emp_id BIGINT PRIMARY KEY, " +
+        "dept_id BIGINT REFERENCES dept(dept_id), ename VARCHAR(32))")
+      st.execute("INSERT INTO dept VALUES (1, 'eng'), (2, 'ops')")
+      st.execute("INSERT INTO emp VALUES (10, 1, 'ann'), (11, 2, 'bob')")
+      st.close()
+    } finally conn.close()
+
+    val g = new GraftSession(spark)
+    g.registerJdbc("emp", url, "emp", introspectConstraints = true)
+    val meta = g.jdbcMeta("emp").get
+    assert(meta.primaryKey.map(_.toLowerCase) == Seq("emp_id"))
+    assert(meta.foreignKeys.map(f => (f.column.toLowerCase,
+      f.refTable.toLowerCase, f.refColumn.toLowerCase)) ==
+      Seq(("dept_id", "dept", "dept_id")))
+    // direct introspection without registration; Derby folds names upper
+    val dept = g.jdbcConstraints(url, "dept")
+    assert(dept.primaryKey.map(_.toLowerCase) == Seq("dept_id"))
+    assert(dept.uniqueIndexes.values.exists(_.map(_.toLowerCase) == Seq("dname")))
+    // unregistered relations surface no metadata
+    assert(g.jdbcMeta("people_nope").isEmpty)
+  }
+
   test("W7/S6: insert into stream[window] buckets incoming rows") {
     val g = TestSpark.session
     g.sql("create stream q_w7_sink (w_start timestamp, w_end timestamp, ts timestamp, v double)")
