@@ -63,31 +63,8 @@ object Dedup {
                 minDocFreq: Long, hashShuffle: Boolean = false): DataFrame = {
     val lines = docs.select(col(idCol).as("__ld_id"),
       posexplode(split(col(textCol), "\n")).as(Seq("__ld_pos", "__ld_line")))
-    val nonBlank = lines.where(trim(col("__ld_line")) =!= "")
-    // Exact per-line doc-frequency >= threshold. hashShuffle mode gets the
-    // same result in two phases: (1) df on xxhash64(line) — the wide
-    // shuffle carries 8-byte keys instead of full lines (10×+ narrower
-    // for prose); hash pooling can only INFLATE a count, so phase 1 is a
-    // lossless over-approximation of the hot set; (2) recount the true df
-    // of just the candidate lines (a small set — boilerplate is the
-    // repeated tail) after a broadcast semi join, which removes any
-    // collision-inflated candidate. Results are identical in both modes
-    // at any corpus size.
-    def dfAtLeast(src: DataFrame): DataFrame =
-      src.select(col("__ld_id"), col("__ld_line")).distinct()
-        .groupBy(col("__ld_line")).agg(count(lit(1)).as("__ld_df"))
-        .where(col("__ld_df") >= minDocFreq)
-        .select(col("__ld_line").as("__ld_hot"))
-    val hot =
-      if (hashShuffle) {
-        val hotHashes = nonBlank
-          .select(col("__ld_id"), xxhash64(col("__ld_line")).as("__ld_k")).distinct()
-          .groupBy(col("__ld_k")).agg(count(lit(1)).as("__ld_df"))
-          .where(col("__ld_df") >= minDocFreq)
-          .select(col("__ld_k"))
-        dfAtLeast(nonBlank.join(broadcast(hotHashes),
-          xxhash64(col("__ld_line")) === hotHashes("__ld_k"), "left_semi"))
-      } else dfAtLeast(nonBlank)
+    val hot = hotLines(docs, textCol, idCol, minDocFreq, hashShuffle)
+      .select(col("line").as("__ld_hot"))
     val kept = lines.join(hot, lines("__ld_line") === hot("__ld_hot"), "left_anti")
     val reasm = kept.groupBy(col("__ld_id")).agg(
       count(lit(1)).as("n_kept"),
@@ -100,6 +77,60 @@ object Dedup {
       .withColumn("n_removed",
         size(split(col(textCol), "\n")).cast("long") - col("n_kept"))
       .drop("__ld_id")
+  }
+
+  /** Corpus-global hot (boilerplate) line set — non-blank lines appearing
+    * in >= `minDocFreq` distinct docs — as a one-column (`line`) frame.
+    * The precomputable "model" half of [[lineDedup]]. hashShuffle mode
+    * gets the same result in two phases: (1) doc-frequency on
+    * xxhash64(line) — the wide shuffle carries 8-byte keys instead of
+    * full lines (10×+ narrower for prose); hash pooling can only INFLATE
+    * a count, so phase 1 is a lossless over-approximation of the hot set;
+    * (2) recount the true df of just the candidate lines (small by
+    * construction — boilerplate is the repeated tail) after a broadcast
+    * semi join, which removes any collision-inflated candidate. Results
+    * are identical in both modes at any corpus size. */
+  def hotLines(docs: DataFrame, textCol: String, idCol: String,
+               minDocFreq: Long, hashShuffle: Boolean = false): DataFrame = {
+    val nonBlank = docs.select(col(idCol).as("__ld_id"),
+        explode(split(col(textCol), "\n")).as("__ld_line"))
+      .where(trim(col("__ld_line")) =!= "")
+    def dfAtLeast(src: DataFrame): DataFrame =
+      src.select(col("__ld_id"), col("__ld_line")).distinct()
+        .groupBy(col("__ld_line")).agg(count(lit(1)).as("__ld_df"))
+        .where(col("__ld_df") >= minDocFreq)
+        .select(col("__ld_line").as("line"))
+    if (hashShuffle) {
+      val hotHashes = nonBlank
+        .select(col("__ld_id"), xxhash64(col("__ld_line")).as("__ld_k")).distinct()
+        .groupBy(col("__ld_k")).agg(count(lit(1)).as("__ld_df"))
+        .where(col("__ld_df") >= minDocFreq)
+        .select(col("__ld_k"))
+      dfAtLeast(nonBlank.join(broadcast(hotHashes),
+        xxhash64(col("__ld_line")) === hotHashes("__ld_k"), "left_semi"))
+    } else dfAtLeast(nonBlank)
+  }
+
+  /** Apply a precomputed hot-line set ([[hotLines]]) to documents PER ROW
+    * — no explode, no grouping, no state: the hot set (small by
+    * construction) collapses to a single broadcast array row and each
+    * document filters its own lines with a codegen higher-order function.
+    * Streaming-safe (a stateless stream-static join), which is exactly how
+    * line dedup deploys on live ingest: the model refreshes offline, the
+    * stream curates row-at-a-time. Output contract matches [[lineDedup]]
+    * (`n_kept` / `cleaned` / `n_removed`; parity gated by x51). */
+  def applyLineDedup(docs: DataFrame, textCol: String, idCol: String,
+                     hot: DataFrame): DataFrame = {
+    val hotArr = broadcast(hot.agg(
+      sort_array(collect_list(hot(hot.columns.head))).as("__ld_hotarr")))
+    docs.join(hotArr, lit(true), "inner")
+      .withColumn("__ld_kept", filter(split(col(textCol), "\n"),
+        l => !array_contains(col("__ld_hotarr"), l)))
+      .withColumn("n_kept", size(col("__ld_kept")).cast("long"))
+      .withColumn("cleaned", concat_ws("\n", col("__ld_kept")))
+      .withColumn("n_removed",
+        size(split(col(textCol), "\n")).cast("long") - col("n_kept"))
+      .drop("__ld_kept", "__ld_hotarr")
   }
 
   // ------------------------------------------------------------------

@@ -209,6 +209,82 @@ object Extensions {
           md5(col("cleaned")).as("h"))
         .orderBy("doc_id")
     }),
+    // ---- streaming ≡ batch parity for line dedup: the hot-line model is
+    // precomputed (hotLines), then the SAME corpus replays through the
+    // per-row streaming filter (applyLineDedup over MemoryStream); flags
+    // assert md5-exact agreement with the two-pass batch lineDedup ----
+    "x51_line_dedup_stream" -> ((s, d) => {
+      import s.implicits._
+      val injected = docs(s, d).select(col("doc_id"),
+        concat(col("source"), lit(" | COMMON SITE HEADER\ncookie notice: accept all\n"),
+          regexp_replace(col("text"), "((?:\\S+ ){8})", "$1\n")).as("text"))
+      val batchOut = Dedup.lineDedup(injected, "text", "doc_id", minDocFreq = 5L)
+        .select(col("doc_id"), col("n_kept"), col("n_removed"),
+          md5(col("cleaned")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1)
+      val hot = Dedup.hotLines(injected, "text", "doc_id", minDocFreq = 5L)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](s)
+      val streamed = Dedup.applyLineDedup(
+          in.toDF().toDF("doc_id", "text"), "text", "doc_id", hot)
+        .select(col("doc_id"), col("n_kept"), col("n_removed"),
+          md5(col("cleaned")).as("h"))
+      val sink = "x51_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = streamed.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      val eq = try {
+        val rows = injected.select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+        in.addData(rows: _*)
+        q.processAllAvailable()
+        val got = s.table(sink).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+          .sortBy(_._1)
+        got.toSeq == batchOut.toSeq && got.nonEmpty
+      } finally q.stop()
+      Seq((batchOut.length.toLong, if (eq) 1 else 0))
+        .toDF("n_docs", "stream_matches_batch")
+    }),
+    // ---- streaming ≡ batch parity for the interval join: the same event
+    // subsets replay through IntervalJoin.streaming (native stream-stream
+    // join); the pair set must equal the bucketized batch plan's ----
+    "x52_interval_join_stream" -> ((s, d) => {
+      import s.implicits._
+      val ev = GraftSession.forDir(s, d).catalog.relation("events")
+      val l = ev.where(col("event_id") % 100 === 0)
+        .select(col("event_id").as("l_id"), col("event_type"), col("ts").as("l_ts"))
+      val r = ev.where(col("event_id") % 100 =!= 0)
+        .select(col("event_id").as("r_id"), col("event_type"), col("ts").as("r_ts"))
+      val batch = IntervalJoin.join(l, r, Seq("event_type"), "l_ts", "r_ts",
+          beforeUs = 1800000000L, afterUs = 0L)
+        .select(col("l_id"), col("r_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+      val inL = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, java.sql.Timestamp)](s)
+      val inR = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, java.sql.Timestamp)](s)
+      val js = IntervalJoin.streaming(
+        inL.toDF().toDF("l_id", "event_type", "l_ts"),
+        inR.toDF().toDF("r_id", "event_type", "r_ts"),
+        Seq("event_type"), "l_ts", "r_ts",
+        beforeUs = 1800000000L, afterUs = 0L, watermarkDelay = "0 seconds")
+      val sink = "x52_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = js.select(col("l_id"), col("r_id")).writeStream.format("memory")
+        .queryName(sink).outputMode("append").start()
+      val eq = try {
+        def feed(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(x => (x.getLong(0), x.getString(1), x.getTimestamp(2))).toIndexedSeq
+        inL.addData(feed(l): _*)
+        inR.addData(feed(r): _*)
+        q.processAllAvailable()
+        val got = s.table(sink).collect()
+          .map(x => (x.getLong(0), x.getLong(1))).sorted
+        got.toSeq == batch.toSeq && got.nonEmpty
+      } finally q.stop()
+      Seq((batch.length.toLong, if (eq) 1 else 0))
+        .toDF("n_pairs", "stream_matches_batch")
+    }),
     // tf-idf restricted to a doc slice so the gate output stays bounded
     "x17_text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidf(docs(s, d), "text", "doc_id")
@@ -857,6 +933,21 @@ object Extensions {
         "SELECT CAST((SELECT count(*) FROM documents i WHERE i.doc_id % 2 = 1 " +
         "AND i.text IN (SELECT text FROM documents WHERE doc_id % 2 = 0)) AS BIGINT) AS n_true_matches, " +
         "CAST(1 AS INTEGER) AS no_false_negatives, CAST(1 AS INTEGER) AS fp_bounded"),
+      // stream≡batch parity gates: the cross-mode equality itself is not
+      // DuckDB-expressible (contract flag), but the corpus size / exact
+      // pair count are recomputed independently
+      "x51_line_dedup_stream" -> (
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(1 AS INTEGER) AS stream_matches_batch FROM documents"),
+      "x52_interval_join_stream" -> (
+        "WITH l AS (SELECT event_id AS l_id, event_type, CAST(ts AS TIMESTAMP) AS l_ts " +
+        "FROM events WHERE event_id % 100 = 0), " +
+        "r AS (SELECT event_id AS r_id, event_type, CAST(ts AS TIMESTAMP) AS r_ts " +
+        "FROM events WHERE event_id % 100 <> 0) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(1 AS INTEGER) AS stream_matches_batch FROM l JOIN r " +
+        "ON l.event_type = r.event_type " +
+        "AND r.r_ts BETWEEN l.l_ts - INTERVAL 30 MINUTE AND l.l_ts"),
       "x42_interval_join" -> (
         "WITH l AS (SELECT event_id AS l_id, event_type, CAST(ts AS TIMESTAMP) AS l_ts " +
         "FROM events WHERE event_id % 100 = 0), " +
