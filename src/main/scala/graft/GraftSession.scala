@@ -198,6 +198,65 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
   def sqlAs[T: org.apache.spark.sql.Encoder](text: String, args: Any*): org.apache.spark.sql.Dataset[T] =
     sql(text, args: _*).as[T]
 
+  /** Scala case-class source for a query's output schema — the reference's
+    * compile-time typed records (sqltyped macro lineage,
+    * flinkdsl/record.scala:1-56, sqltyped/record.scala) re-expressed as an
+    * explicit codegen step, the idiomatic Spark shape: generate once (at
+    * build time or in the REPL), then `sqlAs[T]` returns the statically
+    * typed Dataset the macro would have conjured. Statement metadata comes
+    * from the same live analysis (`schemaOf`) the reference pulled from
+    * PreparedStatement metadata (flinkdsl/jdbc.scala_:8-32). Nullable
+    * fields become Option[...]; names that are not Scala identifiers are
+    * backquoted. Plan-only — no jobs run. */
+  def recordSource(className: String, text: String, args: Any*): String = {
+    import org.apache.spark.sql.types._
+    def scalaType(dt: DataType): String = dt match {
+      case LongType              => "Long"
+      case IntegerType           => "Int"
+      case ShortType             => "Short"
+      case ByteType              => "Byte"
+      case DoubleType            => "Double"
+      case FloatType             => "Float"
+      case BooleanType           => "Boolean"
+      case StringType            => "String"
+      case BinaryType            => "Array[Byte]"
+      case TimestampType         => "java.sql.Timestamp"
+      case TimestampNTZType      => "java.time.LocalDateTime"
+      case DateType              => "java.sql.Date"
+      case _: DecimalType        => "scala.math.BigDecimal"
+      case ArrayType(e, eNull)   =>
+        val inner = if (eNull && !scalaPrimitive(e)) s"Option[${scalaType(e)}]"
+                    else scalaType(e)
+        s"Seq[$inner]"
+      case MapType(k, v, _)      => s"Map[${scalaType(k)}, ${scalaType(v)}]"
+      case _: StructType         =>
+        // nested rows stay generic (generate a named record separately)
+        "org.apache.spark.sql.Row"
+      case other                 => other.typeName // calendar intervals etc.
+    }
+    def scalaPrimitive(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+           FloatType | BooleanType => true
+      case _ => false
+    }
+    val keywords = Set("type", "class", "object", "val", "var", "def", "if",
+      "else", "match", "case", "for", "while", "do", "new", "this", "super",
+      "true", "false", "null", "import", "package", "return", "throw", "try",
+      "catch", "finally", "extends", "with", "trait", "sealed", "final",
+      "abstract", "implicit", "lazy", "override", "private", "protected",
+      "yield")
+    def ident(n: String): String =
+      if (n.nonEmpty && (n.head.isLetter || n.head == '_') &&
+          n.forall(c => c.isLetterOrDigit || c == '_') && !keywords(n))
+        n else s"`$n`"
+    val fields = schemaOf(text, args: _*).fields.map { f =>
+      val t = scalaType(f.dataType)
+      val typed = if (f.nullable) s"Option[$t]" else t
+      s"  ${ident(f.name)}: $typed"
+    }
+    s"final case class $className(\n${fields.mkString(",\n")}\n)"
+  }
+
   /** Fluent expression DSL (ExpressionParser.scala parity): parse
     * `"amount.sum as total"` to a Spark Column. */
   def expr(text: String): Column = graft.expr.ExprDsl.parse(text)

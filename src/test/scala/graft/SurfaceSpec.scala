@@ -81,6 +81,26 @@ class SurfaceSpec extends AnyFunSuite {
     assert(m.values.forall(_ > 0))
   }
 
+  test("typed-record codegen: recordSource emits the case class sqlAs[T] consumes") {
+    val g = TestSpark.session
+    val src = g.recordSource("FlagQty",
+      "select l_returnflag as flag, sum(l_quantity) as qty from lineitem group by l_returnflag")
+    // matches the hand-written FlagQty this suite already round-trips
+    // through sqlAs[FlagQty] (nullability from the live analyzed plan)
+    assert(src ==
+      "final case class FlagQty(\n  flag: Option[String],\n  qty: Option[Double]\n)")
+    // non-identifier + keyword names are backquoted; NOT NULL keys stay bare
+    val src2 = g.recordSource("R2",
+      "select n_nationkey + 1 as `type`, count(*) as n from nation group by n_nationkey")
+    assert(src2.contains("`type`: Option[Long]"))
+    assert(src2.contains("n: Long")) // count(*) is non-nullable
+    // arrays and timestamps map through
+    val src3 = g.recordSource("R3",
+      "select split(o_orderpriority, '-') as parts, o_orderdate as d from orders")
+    assert(src3.contains("parts: Option[Seq[String]]"))
+    assert(src3.contains("d: Option[java.time.LocalDateTime]"))
+  }
+
   test("extension hooks: registerScalar / registerAggregate reach the dialect") {
     graft.functions.Registry.registerScalar("double_it")(args => args.head * 2)
     graft.functions.Registry.registerAggregate("sum_sq")(args => sum(args.head * args.head))
