@@ -252,9 +252,11 @@ object Extensions {
     "x52_interval_join_stream" -> ((s, d) => {
       import s.implicits._
       val ev = GraftSession.forDir(s, d).catalog.relation("events")
+      // parity needs representative replay, not full volume (x42 gates the
+      // batch op at full size): right side thinned 5× keeps the gate fast
       val l = ev.where(col("event_id") % 100 === 0)
         .select(col("event_id").as("l_id"), col("event_type"), col("ts").as("l_ts"))
-      val r = ev.where(col("event_id") % 100 =!= 0)
+      val r = ev.where(col("event_id") % 100 =!= 0 && col("event_id") % 5 === 1)
         .select(col("event_id").as("r_id"), col("event_type"), col("ts").as("r_ts"))
       val batch = IntervalJoin.join(l, r, Seq("event_type"), "l_ts", "r_ts",
           beforeUs = 1800000000L, afterUs = 0L)
@@ -270,8 +272,14 @@ object Extensions {
         Seq("event_type"), "l_ts", "r_ts",
         beforeUs = 1800000000L, afterUs = 0L, watermarkDelay = "0 seconds")
       val sink = "x52_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = js.select(col("l_id"), col("r_id")).writeStream.format("memory")
+      // state-store count per micro-batch = shuffle partitions; the gate's
+      // replay is one batch, so 8 stores beat 32 (restored after start —
+      // streaming queries capture the conf at start time)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try js.select(col("l_id"), col("r_id")).writeStream.format("memory")
         .queryName(sink).outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       val eq = try {
         def feed(df: org.apache.spark.sql.DataFrame) = df.collect()
           .map(x => (x.getLong(0), x.getString(1), x.getTimestamp(2))).toIndexedSeq
@@ -943,7 +951,7 @@ object Extensions {
         "WITH l AS (SELECT event_id AS l_id, event_type, CAST(ts AS TIMESTAMP) AS l_ts " +
         "FROM events WHERE event_id % 100 = 0), " +
         "r AS (SELECT event_id AS r_id, event_type, CAST(ts AS TIMESTAMP) AS r_ts " +
-        "FROM events WHERE event_id % 100 <> 0) " +
+        "FROM events WHERE event_id % 100 <> 0 AND event_id % 5 = 1) " +
         "SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
         "CAST(1 AS INTEGER) AS stream_matches_batch FROM l JOIN r " +
         "ON l.event_type = r.event_type " +
