@@ -1410,18 +1410,18 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         else {
           // ANSI tri-valued NOT IN without a nested-loop join: the
           // equality anti join (hash/broadcast — scale-safe) removes TRUE
-          // matches; a broadcast 1-row summary of the subquery handles the
-          // UNKNOWN cases — a NULL element or NULL scrutinee makes NOT IN
-          // unknown (row filtered) unless the subquery is empty (vacuous
-          // TRUE keeps every row, NULL keys included).
-          val info = subVal.agg(
-            max(col("__in_val").isNull).as("__in_has_null"),
-            (count(lit(1)) > 0).as("__in_has_rows"))
+          // matches; a 1-row scalar-subquery summary handles the UNKNOWN
+          // cases — a NULL element or NULL scrutinee makes NOT IN unknown
+          // (row filtered) unless the subquery is empty (vacuous TRUE
+          // keeps every row, NULL keys included). scalar() (not a 1-row
+          // broadcast join) keeps the plan a plain Filter — same shape as
+          // the quantified-comparison summary below.
+          val s = subVal.select(struct(
+            coalesce(max(col("__in_val").isNull), lit(false)).as("has_null"),
+            (count(lit(1)) > 0).as("has_rows")).as("__in_s")).scalar()
           withKey.join(subVal, withKey("__in_key") === subVal("__in_val"), "left_anti")
-            .join(broadcast(info), lit(true), "inner")
-            .where(!col("__in_has_rows") ||
-              (col("__in_key").isNotNull && !coalesce(col("__in_has_null"), lit(false))))
-            .drop("__in_has_null", "__in_has_rows")
+            .where(!s.getField("has_rows") ||
+              (col("__in_key").isNotNull && !s.getField("has_null")))
         }
       joined.drop("__in_key")
     // `x = ANY (sub)` IS `x IN (sub)` and `x <> ALL (sub)` IS `x NOT IN

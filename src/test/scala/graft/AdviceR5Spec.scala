@@ -126,4 +126,16 @@ class AdviceR5Spec extends AnyFunSuite {
     assert(!plan(df2).contains("BroadcastNestedLoopJoin"), plan(df2))
     assert(df2.collect().map(_.getInt(0)).toSeq == Seq(2))
   }
+
+  test("null-aware NOT IN plans no BroadcastNestedLoopJoin either") {
+    val df = g.sql("select r_regionkey as k from region " +
+      "where r_regionkey not in (select n_regionkey from nation where n_regionkey < 2) " +
+      "order by k")
+    assert(!plan(df).contains("BroadcastNestedLoopJoin"), plan(df))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(2, 3, 4))
+    // ANSI: a NULL element empties the NOT IN result entirely
+    assert(g.sql("select count(*) as n from region where r_regionkey not in " +
+      "(select case when n_regionkey = 2 then null else n_regionkey end from nation)")
+      .collect().head.getLong(0) == 0L)
+  }
 }
