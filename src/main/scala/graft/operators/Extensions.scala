@@ -600,6 +600,21 @@ object Extensions {
           selector = c => pmod(c * lit(2654435761L), lit(1000000L)))
         .select(col("doc_id"), col("source"), col("epoch"))
         .orderBy("doc_id", "epoch")
+    }),
+    // ---- Okapi BM25 relevance scoring against a fixed query term set
+    // (retrieval-targeted curation / corpus search) — fully
+    // ANSI-expressible → exact DuckDB oracle ----
+    "x53_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(docs(s, d), "text", "doc_id",
+          Seq("stream", "window", "join", "vector"))
+        .orderBy("id")),
+    // ---- int8-quantized ANN top-k: integer-dot scoring over the
+    // quantized corpus (the 4×-smaller resident-memory path), exact
+    // BIGINT dots in the output — hash-matches with no float noise ----
+    "x54_quantized_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.quantizedTopK(e, e.where(col("vec_id") % 50 === 0), k = 5)
+        .orderBy("qid", "vec_id")
     })
   )
 
@@ -1012,7 +1027,44 @@ object Extensions {
         "CASE WHEN ((doc_id * 2654435761) % 1000000) < (e - FLOOR(e)) * 1000000.0 " +
         "THEN 1 ELSE 0 END AS copies FROM w) " +
         "SELECT doc_id, source, unnest(range(1, copies + 1)) AS epoch " +
-        "FROM c WHERE copies >= 1 ORDER BY doc_id, epoch")
+        "FROM c WHERE copies >= 1 ORDER BY doc_id, epoch"),
+      // mirrors TextAnalysis.bm25 term by term: same tokenization as the
+      // other text gates, N/avgdl over docs with >=1 token, Lucene
+      // non-negative idf; arithmetic written in the same association
+      // order as the Spark expression so the doubles are bit-identical
+      "x53_bm25" -> (
+        "WITH toks AS (SELECT doc_id AS id, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term FROM documents), " +
+        "tok2 AS (SELECT id, term FROM toks WHERE term <> ''), " +
+        "lens AS (SELECT id, count(*) AS dl FROM tok2 GROUP BY id), " +
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens), " +
+        "tf AS (SELECT id, term, count(*) AS tf FROM tok2 " +
+        "WHERE term IN ('stream', 'window', 'join', 'vector') GROUP BY id, term), " +
+        "dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term) " +
+        "SELECT id, ROUND(SUM(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * " +
+        "(tf * 2.25 / (tf + 1.25 * (0.25 + 0.75 * dl / avgdl)))), 6) AS bm25 " +
+        "FROM tf JOIN dfq USING (term) JOIN lens USING (id) CROSS JOIN stats " +
+        "GROUP BY id ORDER BY id"),
+      // mirrors Similarity.quantizedTopK over the x45 quantization CTEs:
+      // rank by the rescaled double (identical IEEE ops in both engines),
+      // tie-break on vec_id; dotq is exact integer arithmetic
+      "x54_quantized_topk" -> (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e), " +
+        "q AS (SELECT vec_id, CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS s, " +
+        "list_transform(v, x -> GREATEST(-127, LEAST(127, CAST(FLOOR(x * " +
+        "(CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END) + 0.5) AS BIGINT)))) AS qv FROM m), " +
+        "qq AS (SELECT * FROM q WHERE vec_id % 50 = 0), " +
+        "sc AS (SELECT qq.vec_id AS qid, c.vec_id AS vec_id, qq.s AS qs, c.s AS ns, " +
+        "CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * qq.qv[i])) AS BIGINT) AS dotq " +
+        "FROM q c, qq WHERE qq.vec_id <> c.vec_id), " +
+        "r AS (SELECT qid, vec_id, dotq, " +
+        "CASE WHEN qs > 0 AND ns > 0 THEN dotq / (qs * ns) ELSE 0.0 END AS score, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY " +
+        "(CASE WHEN qs > 0 AND ns > 0 THEN dotq / (qs * ns) ELSE 0.0 END) DESC, vec_id) AS rn " +
+        "FROM sc) " +
+        "SELECT qid, vec_id, dotq, ROUND(score, 6) AS score FROM r WHERE rn <= 5 " +
+        "ORDER BY qid, vec_id")
     )
   }
 }

@@ -288,4 +288,37 @@ object Similarity {
   /** Integer dot product of two quantized vectors (exact — BIGINT). */
   def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Quantized brute-force top-k: int8-quantize corpus and queries once,
+    * score with EXACT integer dot products, rescale by 1/(sa·sb) to
+    * approximate the float dot, keep the k best per query via the
+    * bounded-heap [[TopK]] partial aggregator. This is the
+    * memory-optimal ANN configuration at 100 TB: the resident corpus is
+    * int8 (4× smaller than float32), queries broadcast, the corpus never
+    * shuffles, and the per-query shuffle carries ≤ k rows per partition.
+    * The exact BIGINT dot for each winner is recovered with a
+    * winners-only broadcast join (queries×k rows), so the output is
+    * engine-portable with no float tolerance on the dot itself.
+    * Zero vectors (scale 0) score 0. Output: (qid, vec_id, dotq, score),
+    * ties broken by lower vec_id. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val qc = quantizeInt8(corpus, vecCol, idCol)
+      .select(col(idCol).as("vec_id"), col("qvec").as("nv"), col("qscale").as("ns"))
+    val qq = broadcast(quantizeInt8(queries, vecCol, idCol)
+      .select(col(idCol).as("qid"), col("qvec").as("qv"), col("qscale").as("qs")))
+    val scored = qc.join(qq, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        when(col("qs") > 0 && col("ns") > 0,
+          intDot(col("nv"), col("qv")) / (col("qs") * col("ns")))
+          .otherwise(lit(0.0)).as("score"))
+    val topk = udaf(new TopK(k))
+    val winners = scored.groupBy(col("qid"))
+      .agg(topk(col("score"), col("vec_id")).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e._2").as("vec_id"), round(col("e._1"), 6).as("score"))
+    broadcast(winners).join(qc, "vec_id").join(qq, "qid")
+      .select(col("qid"), col("vec_id"),
+        intDot(col("nv"), col("qv")).as("dotq"), col("score"))
+  }
 }

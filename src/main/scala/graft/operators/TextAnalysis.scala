@@ -316,6 +316,42 @@ object TextAnalysis {
         round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6).as("tfidf"))
   }
 
+  /** Okapi BM25 relevance of every document against a fixed query term
+    * set — the retrieval-scoring primitive behind corpus search and
+    * relevance-targeted data curation:
+    *
+    *   score(d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))   (non-negative form)
+    *
+    * N and avgdl are computed over docs with ≥1 token. Scale: tokenization
+    * is a narrow explode; per-doc lengths and the query-term postings are
+    * hash aggregations (map-side partial); df (≤ |q| rows) and the 1-row
+    * (N, avgdl) summary broadcast — the only data-sized shuffles key on
+    * the doc id, so the plan survives any corpus size. Docs containing no
+    * query term are absent from the output (they score 0).
+    * k1/b defaults sit in the standard ranges AND are exactly binary-
+    * representable (1.25, 0.75), so every constant-fold is bit-identical
+    * across engines. Output: (id, bm25). */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+           queryTerms: Seq[String], k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val toks = Par.widen(df, idCol).select(col(idCol).as("id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+    val lens = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("__n"), avg(col("dl")).as("__avgdl"))
+    val tf = toks.where(col("term").isin(queryTerms: _*))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("__df"))
+    val idf = log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
+    val norm = col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))
+    tf.join(broadcast(dfreq), "term")
+      .join(lens, "id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("id"))
+      .agg(round(sum(idf * norm), 6).as("bm25"))
+  }
+
   /** Bigram language-model quality score (the KenLM-perplexity pattern,
     * self-trained on the corpus): per doc, the mean add-k-smoothed
     * conditional log-probability of its word bigrams,
