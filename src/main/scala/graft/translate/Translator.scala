@@ -202,14 +202,14 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
   // SELECT
   // ------------------------------------------------------------------
 
-  /** ANSI `FETCH FIRST n ROWS WITH TIES` on a SELECT. When every ORDER BY
-    * key resolves against the projection output (alias or ordinal — the
-    * common case), the limit is left in place for [[applyLimit]]'s
-    * boundary-value lowering: a distributed top-n of the sort keys finds
-    * the n-th tuple, and a plain filter keeps its peers — no
-    * single-partition global window. Keys naming non-projected input
-    * columns fall back to the QUALIFY rank desugar (alias-aware window
-    * resolution; correct, but plans a global WindowExec). */
+  /** ANSI `FETCH FIRST n ROWS WITH TIES` on a SELECT. The limit is always
+    * lowered by [[applyLimit]]'s boundary-value path: a distributed top-n
+    * of just the sort keys (TakeOrderedAndProject — narrow) finds the n-th
+    * key tuple and a plain filter keeps its peers — never a
+    * single-partition global window, regardless of where the keys resolve.
+    * Sort keys that do not already resolve against the projection output
+    * are carried as hidden projection columns (`__fth*`), which
+    * [[selectBody]] trims again after the limit applies. */
   private def desugarFetchTies(s: Select): Select =
     s.limit match {
       case Some(l) if l.withTies =>
@@ -222,25 +222,37 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
           throw new GraftAnalysisException(
             "FETCH … WITH TIES with DISTINCT is not supported — " +
               "apply DISTINCT in a derived table first")
-        val n = l.n.getOrElse(
+        l.n.getOrElse(
           throw new GraftAnalysisException("FETCH … WITH TIES requires a row count"))
-        val outputResolvable =
-          !s.projection.exists(p => p.expr match {
-            case _: Star | _: StarMod => true
-            case FuncCall("columns", _, _) => true
-            case _ => false
-          }) &&
-          s.orderBy.forall(k => k.expr match {
-            case ColRef(None, c) => s.projection.exists(_.outputName == c)
-            case Lit(_: Long)    => true
-            case _               => false
-          })
-        if (outputResolvable) s
+        val hasStar = s.projection.exists(p => p.expr match {
+          case _: Star | _: StarMod      => true
+          case FuncCall("columns", _, _) => true
+          case _                         => false
+        })
+        // With a star the output name set is unknown until translation, so
+        // even a bare column ref routes through a hidden column (a star may
+        // be qualified or EXCLUDE-modified and drop the column).
+        def resolvable(e: Expr): Boolean = e match {
+          case ColRef(None, c) => !hasStar && s.projection.exists(_.outputName == c)
+          case Lit(_: Long)    => true
+          case _               => false
+        }
+        if (s.orderBy.forall(k => resolvable(k.expr))) s
         else {
-          val cond: Expr = Cmp("<=",
-            WindowFn(FuncCall("rank", Nil), Nil, s.orderBy), n)
-          s.copy(qualify = Some(s.qualify.fold(cond)(q => And(q, cond))),
-            limit = None)
+          var proj = s.projection
+          var counter = 0
+          val keys = s.orderBy.map { k =>
+            if (resolvable(k.expr)) k
+            else proj.find(p => p.alias.isDefined && p.expr == k.expr) match {
+              // a key that IS a projection expression sorts by that output
+              case Some(p) => k.copy(expr = ColRef(None, p.outputName))
+              case None =>
+                val nm = s"__fth$counter"; counter += 1
+                proj = proj :+ Projection(k.expr, Some(nm))
+                k.copy(expr = ColRef(None, nm))
+            }
+          }
+          s.copy(projection = proj, orderBy = keys)
         }
       case _ => s
     }
@@ -334,7 +346,11 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       out = out.distinct()
       if (s.orderBy.nonEmpty) out = out.orderBy(s.orderBy.map(sortOnOutput(out, _)): _*)
     }
-    applyLimit(out, s.limit, s.orderBy)
+    val limited = applyLimit(out, s.limit, s.orderBy)
+    // trim WITH TIES hidden sort-key columns (see desugarFetchTies); the
+    // drop is a Project over the final Sort, so output order is preserved
+    val hidden = limited.columns.filter(_.startsWith("__fth"))
+    if (hidden.isEmpty) limited else limited.drop(hidden.toSeq: _*)
   }
 
   /** Decorrelate equality-correlated aggregate scalar subqueries into left
@@ -796,15 +812,16 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         if (l.offset.nonEmpty)
           throw new GraftAnalysisException(
             "FETCH … WITH TIES combined with OFFSET is not supported")
-        val n = litLong(l.n.getOrElse(
-          throw new GraftAnalysisException("FETCH … WITH TIES requires a row count")))
+        val n = litInt(l.n.getOrElse(
+          throw new GraftAnalysisException("FETCH … WITH TIES requires a row count")),
+          "FETCH … WITH TIES row count")
         val ks = sortKeys.zipWithIndex
         val keyed = df.select(ks.map { case (k, i) =>
           sortValOnOutput(df, k).as(s"__ft$i") }: _*)
         val fwd = ks.map { case (k, i) => sortCol(col(s"__ft$i"), k) }
         val rev = ks.map { case (k, i) => sortCol(col(s"__ft$i"),
           k.copy(ascending = !k.ascending, nullsFirst = k.nullsFirst.map(!_))) }
-        val bound = keyed.orderBy(fwd: _*).limit(n.toInt)
+        val bound = keyed.orderBy(fwd: _*).limit(n)
           .orderBy(rev: _*).limit(1)
           .select(struct(ks.map { case (_, i) => col(s"__ft$i") }: _*).as("__ftb"))
           .scalar()
@@ -826,8 +843,8 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         val filtered = df.where(bound.isNotNull && !after)
         filtered.orderBy(sortKeys.map(k => sortOnOutput(filtered, k)): _*)
       } else {
-        val withOffset = l.offset.fold(df)(o => df.offset(litLong(o).toInt))
-        l.n.fold(withOffset)(n => withOffset.limit(litLong(n).toInt))
+        val withOffset = l.offset.fold(df)(o => df.offset(litInt(o, "OFFSET")))
+        l.n.fold(withOffset)(n => withOffset.limit(litInt(n, "LIMIT")))
       }
     }
 
@@ -835,6 +852,16 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     case Lit(v: Long)   => v
     case Lit(v: Double) => v.toLong
     case other => throw new GraftAnalysisException(s"expected numeric literal, got $other")
+  }
+
+  /** A row-count literal for limit/offset: Spark's operators take Int, so a
+    * value past Int.MaxValue would silently wrap — reject it loudly. */
+  private def litInt(e: Expr, what: String): Int = {
+    val n = litLong(e)
+    if (n < 0 || n > Int.MaxValue)
+      throw new GraftAnalysisException(
+        s"$what $n is out of range (0..${Int.MaxValue})")
+    n.toInt
   }
 
   private def dual: DataFrame = spark.range(1).toDF("__dual")
@@ -1312,28 +1339,32 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
               ((row_number().over(win) - 1) / n).cast("long"))
             (out, Seq("w_id") ++ partCols)
           } else {
-            // Unkeyed batch count window without a single global sort:
-            // range-partition by the order column (distributed sort — equal
-            // keys stay co-located), number rows locally per partition, and
-            // add per-partition offsets from a tiny #partitions-row count
-            // aggregate. The only single-partition step (the offsets
-            // cumsum) runs over that aggregate, never the data; the range
-            // exchange feeds both branches once (ReuseExchange).
+            // Unkeyed batch count window without a single global sort, and
+            // without depending on the optional ReuseExchange rule for
+            // correctness (round-5 advisory: the old two-branch offsets
+            // plan was silently wrong if each branch re-sampled its own
+            // range boundaries): range-partition by the order column
+            // (distributed sort — equal keys stay co-located), sort within
+            // partitions, then stamp a contiguous global row index with
+            // zipWithIndex over ONE pinned physical instance of the
+            // shuffled data. zipWithIndex's internal per-partition count
+            // job and the data pass both read the persisted RDD, so
+            // partition boundaries cannot drift between passes. The only
+            // driver-side state is the #partitions-element offset array;
+            // the cache is MEMORY_AND_DISK (spills, never recomputes) and
+            // is released by Spark's ContextCleaner once unreferenced.
+            // (The count job runs when this RDD is built — count windows
+            // are materialized at translation, like recursive CTEs.)
+            val spark = df.sparkSession
             val sorted = df.repartitionByRange(orderCol.asc)
-              .withColumn("__cwp", spark_partition_id())
-            val offsets = sorted.groupBy(col("__cwp"))
-              .agg(count(lit(1)).as("__cwn"))
-              .withColumn("__cwo",
-                coalesce(sum(col("__cwn")).over(Window.orderBy(col("__cwp"))
-                  .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-              .drop("__cwn")
-            val localRn = row_number().over(
-              Window.partitionBy(col("__cwp")).orderBy(orderCol))
-            val out = sorted.withColumn("__cwr", localRn)
-              .join(broadcast(offsets), Seq("__cwp"))
-              .withColumn("w_id",
-                ((col("__cwo") + col("__cwr") - 1) / n).cast("long"))
-              .drop("__cwp", "__cwr", "__cwo")
+              .sortWithinPartitions(orderCol.asc)
+            val pinned = sorted.rdd
+            pinned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val indexed = pinned.zipWithIndex.map { case (r, i) =>
+              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i / n)) }
+            val out = spark.createDataFrame(indexed,
+              sorted.schema.add("w_id",
+                org.apache.spark.sql.types.LongType, nullable = false))
             (out, Seq("w_id"))
           }
         }

@@ -65,9 +65,12 @@ class AdviceR5Spec extends AnyFunSuite {
     val df = g.sql("select w_id, count(*) as n " +
       "from events [size 100 on event_id] group by w_id")
     val p = plan(df)
-    assert(p.contains("rangepartitioning"), p)
-    // the data-level row numbering is partitioned (by __cwp), never global
-    assert(p.contains("hashpartitioning(__cwp"), p)
+    // round 6: the numbering is stamped by zipWithIndex over one pinned
+    // (persisted) range-partitioned RDD — the plan shows the pre-computed
+    // scan, and must contain no global Window or single-partition sort
+    assert(p.contains("ExistingRDD") || p.contains("rangepartitioning"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
     // chunk ids are contiguous 0..N-1 with exactly 100 rows each (last may
     // be short): identical to the old global row_number semantics
     val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
