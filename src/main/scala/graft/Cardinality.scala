@@ -1,0 +1,81 @@
+package graft
+
+import graft.ast._
+
+/** Result-cardinality classification of a statement — the reference's
+  * `TypedStatement.numOfResults` (flinkdsl/typer.scala_:17,19-21), inferred
+  * from the unique-constraint metadata its typer collected at
+  * flinkdsl/typer.scala_:180-203 (SchemaCrawler primary key + unique
+  * indexes per table). The classification rules are the sqltyped lineage
+  * the reference descends from:
+  *
+  *  - DML (INSERT/UPDATE/DELETE/…) executes once → [[Cardinality.One]]
+  *    (flinkdsl/jdbc.scala_:15: `if (isQuery) Many else One`).
+  *  - a global aggregate (no GROUP BY, every projection aggregated)
+  *    returns exactly one row → [[Cardinality.One]].
+  *  - a SELECT bounded by `LIMIT 0/1`, or whose WHERE equalities cover
+  *    every column of a unique key (primary key or unique index) of its
+  *    single source table → [[Cardinality.ZeroOrOne]].
+  *  - anything else → [[Cardinality.Many]].
+  *
+  * Consumed by `GraftSession.one[T]` / `GraftSession.optional[T]`, the
+  * typed single-row API next to `sqlAs[T]`.
+  */
+sealed trait Cardinality
+object Cardinality {
+  case object ZeroOrOne extends Cardinality
+  case object One       extends Cardinality
+  case object Many      extends Cardinality
+
+  private def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+
+  private def conjuncts(e: Expr): Seq[Expr] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** A term whose value is fixed per execution: a literal or a bound `?`. */
+  private def constantTerm(e: Expr): Boolean = e match {
+    case _: Lit | _: Input => true
+    case _                 => false
+  }
+
+  /** Classify `stmt`. `keysOf` maps a (catalog) table name to its unique
+    * keys — each a non-empty column list, any of which being fully covered
+    * by WHERE equalities bounds the SELECT to at most one row. */
+  def of(stmt: Statement, keysOf: String => Seq[Seq[String]]): Cardinality =
+    stmt match {
+      case s: Select    => ofSelect(s, keysOf)
+      case _: QueryExpr => Many // set ops / CTE bodies: no single-key bound
+      case _            => One  // DML executes exactly once
+    }
+
+  private def ofSelect(s: Select, keysOf: String => Seq[Seq[String]]): Cardinality = {
+    def isAggExpr(e: Expr) =
+      Expr.hasAggregate(e, graft.functions.Registry.isAggregate)
+    // LIMIT 0/1 bounds any SELECT
+    if (s.limit.flatMap(_.n).exists { case Lit(n: Long) => n <= 1; case _ => false })
+      return ZeroOrOne
+    // global aggregate: exactly one row regardless of WHERE
+    if (s.groupBy.isEmpty && s.qualify.isEmpty && !s.distinct &&
+        s.projection.nonEmpty && s.projection.exists(p => isAggExpr(p.expr)) &&
+        s.projection.forall(p => isAggExpr(p.expr) || constantTerm(p.expr)))
+      return One
+    if (s.groupBy.nonEmpty) return Many
+    s.from match {
+      case Some(t: TableRef) if t.window.isEmpty =>
+        val ref = lower(t.refName)
+        val eqCols = s.where.map(conjuncts).getOrElse(Nil).collect {
+          case Cmp("=", ColRef(q, c), rhs)
+              if constantTerm(rhs) && q.forall(lower(_) == ref) => lower(c)
+          case Cmp("=", lhs, ColRef(q, c))
+              if constantTerm(lhs) && q.forall(lower(_) == ref) => lower(c)
+        }.toSet
+        val keys = keysOf(lower(t.name))
+        if (keys.exists(k => k.nonEmpty && k.forall(c => eqCols(lower(c)))))
+          ZeroOrOne
+        else Many
+      case _ => Many
+    }
+  }
+}

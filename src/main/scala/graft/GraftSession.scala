@@ -198,6 +198,47 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
   def sqlAs[T: org.apache.spark.sql.Encoder](text: String, args: Any*): org.apache.spark.sql.Dataset[T] =
     sql(text, args: _*).as[T]
 
+  /** `numOfResults` classification (reference flinkdsl/typer.scala_:17 with
+    * the unique-constraint collection at :180-203): ZeroOrOne / One / Many,
+    * inferred from LIMIT, global aggregation, and the constraint metadata
+    * captured by `registerJdbc(.., introspectConstraints = true)`. */
+  def cardinalityOf(text: String): Cardinality =
+    SqlParser.parse(text) match {
+      case Left(err)   => throw new GraftParseException(err)
+      case Right(stmt) => Cardinality.of(stmt, uniqueKeysOf)
+    }
+
+  private def uniqueKeysOf(name: String): Seq[Seq[String]] =
+    jdbcMetaMap.collectFirst { case (n, c) if n.equalsIgnoreCase(name) => c }
+      .map(c => (if (c.primaryKey.nonEmpty) Seq(c.primaryKey) else Nil) ++
+        c.uniqueIndexes.values)
+      .getOrElse(Nil)
+
+  /** Typed exactly-one-row execution — the One face of the reference's
+    * `numOfResults`. Rejects statements `cardinalityOf` classifies Many;
+    * raises if the provably-bounded statement returns zero rows. */
+  def one[T: org.apache.spark.sql.Encoder](text: String, args: Any*): T =
+    optional[T](text, args: _*).getOrElse(
+      throw new GraftAnalysisException(s"expected exactly one row, got zero: $text"))
+
+  /** Typed zero-or-one-row execution — the ZeroOrOne face of the
+    * reference's `numOfResults`. The statement must be provably at most one
+    * row: LIMIT 0/1, a global aggregate, or WHERE equalities covering a
+    * unique key (PK or unique index) of its single source table. */
+  def optional[T: org.apache.spark.sql.Encoder](text: String, args: Any*): Option[T] = {
+    if (cardinalityOf(text) == Cardinality.Many)
+      throw new GraftAnalysisException(
+        "statement may return many rows (no unique key covered by WHERE " +
+          "equalities, no LIMIT 0/1, not a global aggregate) — use sqlAs[T]: " + text)
+    sqlAs[T](text, args: _*).take(2) match {
+      case Array(r) => Some(r)
+      case Array()  => None
+      case _        => throw new GraftAnalysisException(
+        "statement classified ZeroOrOne returned multiple rows (constraint " +
+          "metadata stale?): " + text)
+    }
+  }
+
   /** Scala case-class source for a query's output schema — the reference's
     * compile-time typed records (sqltyped macro lineage,
     * flinkdsl/record.scala:1-56, sqltyped/record.scala) re-expressed as an
@@ -210,7 +251,40 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     * backquoted. Plan-only — no jobs run. */
   def recordSource(className: String, text: String, args: Any*): String = {
     import org.apache.spark.sql.types._
-    def scalaType(dt: DataType): String = dt match {
+    val keywords = Set("type", "class", "object", "val", "var", "def", "if",
+      "else", "match", "case", "for", "while", "do", "new", "this", "super",
+      "true", "false", "null", "import", "package", "return", "throw", "try",
+      "catch", "finally", "extends", "with", "trait", "sealed", "final",
+      "abstract", "implicit", "lazy", "override", "private", "protected",
+      "yield")
+    def ident(n: String): String =
+      if (n.nonEmpty && (n.head.isLetter || n.head == '_') &&
+          n.forall(c => c.isLetterOrDigit || c == '_') && !keywords(n))
+        n else s"`$n`"
+    // nested structs become named companion case classes (className +
+    // CamelCased field path), emitted before the top-level record, so
+    // sqlAs[T] is fully typed for struct-producing queries too
+    val defs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def nestedName(path: Seq[String]): String = {
+      val base = className + path.map { p =>
+        val s = p.filter(c => c.isLetterOrDigit || c == '_')
+        if (s.isEmpty) "F" else s.head.toUpper.toString + s.tail
+      }.mkString
+      if (!defs.contains(base)) base
+      else Iterator.from(2).map(i => s"$base$i").find(!defs.contains(_)).get
+    }
+    def classFor(path: Seq[String], st: StructType): String = {
+      val name = nestedName(path)
+      defs(name) = "" // claim the name before recursing
+      val fields = st.fields.map { f =>
+        val t = scalaType(f.dataType, path :+ f.name)
+        val typed = if (f.nullable) s"Option[$t]" else t
+        s"  ${ident(f.name)}: $typed"
+      }
+      defs(name) = s"final case class $name(\n${fields.mkString(",\n")}\n)"
+      name
+    }
+    def scalaType(dt: DataType, path: Seq[String]): String = dt match {
       case LongType              => "Long"
       case IntegerType           => "Int"
       case ShortType             => "Short"
@@ -225,36 +299,20 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       case DateType              => "java.sql.Date"
       case _: DecimalType        => "scala.math.BigDecimal"
       case ArrayType(e, eNull)   =>
-        val inner = if (eNull && !scalaPrimitive(e)) s"Option[${scalaType(e)}]"
-                    else scalaType(e)
-        s"Seq[$inner]"
-      case MapType(k, v, _)      => s"Map[${scalaType(k)}, ${scalaType(v)}]"
-      case _: StructType         =>
-        // nested rows stay generic (generate a named record separately)
-        "org.apache.spark.sql.Row"
+        // nullable elements always become Option — a bare Seq[Int] over a
+        // nullable primitive element fails at decode time (null in a
+        // non-nullable field); references would survive but Option is the
+        // honest type there too
+        val et = scalaType(e, path :+ "item")
+        s"Seq[${if (eNull) s"Option[$et]" else et}]"
+      case MapType(k, v, vNull)  =>
+        val vt = scalaType(v, path :+ "value")
+        s"Map[${scalaType(k, path :+ "key")}, ${if (vNull) s"Option[$vt]" else vt}]"
+      case st: StructType        => classFor(path, st)
       case other                 => other.typeName // calendar intervals etc.
     }
-    def scalaPrimitive(dt: DataType): Boolean = dt match {
-      case LongType | IntegerType | ShortType | ByteType | DoubleType |
-           FloatType | BooleanType => true
-      case _ => false
-    }
-    val keywords = Set("type", "class", "object", "val", "var", "def", "if",
-      "else", "match", "case", "for", "while", "do", "new", "this", "super",
-      "true", "false", "null", "import", "package", "return", "throw", "try",
-      "catch", "finally", "extends", "with", "trait", "sealed", "final",
-      "abstract", "implicit", "lazy", "override", "private", "protected",
-      "yield")
-    def ident(n: String): String =
-      if (n.nonEmpty && (n.head.isLetter || n.head == '_') &&
-          n.forall(c => c.isLetterOrDigit || c == '_') && !keywords(n))
-        n else s"`$n`"
-    val fields = schemaOf(text, args: _*).fields.map { f =>
-      val t = scalaType(f.dataType)
-      val typed = if (f.nullable) s"Option[$t]" else t
-      s"  ${ident(f.name)}: $typed"
-    }
-    s"final case class $className(\n${fields.mkString(",\n")}\n)"
+    classFor(Nil, StructType(schemaOf(text, args: _*).fields))
+    defs.values.toSeq.reverse.mkString("\n\n")
   }
 
   /** Fluent expression DSL (ExpressionParser.scala parity): parse
@@ -297,24 +355,36 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val md = conn.getMetaData
-      // JDBC metadata lookups are case-exact; unquoted identifiers were
-      // folded to the store's own case at CREATE time, so retry folded
-      val candidates = Seq(table,
-        if (md.storesUpperCaseIdentifiers) table.toUpperCase else table.toLowerCase)
-      val t = candidates.distinct.find { tn =>
-        val rs = md.getColumns(null, null, tn, null)
+      // `myschema.t` addresses a schema-qualified table (split on the FIRST
+      // '.' — deeper qualification is not portable JDBC). JDBC metadata
+      // lookups are case-exact; unquoted identifiers were folded to the
+      // store's own case at CREATE time, so retry each part folded. A null
+      // schema matches any schema — passing the parsed part also prevents
+      // an identically-named table in another schema from answering.
+      val (schemaPart, tablePart) = table.indexOf('.') match {
+        case -1 => (None, table)
+        case i  => (Some(table.substring(0, i)), table.substring(i + 1))
+      }
+      def folds(s: String): Seq[String] = Seq(s,
+        if (md.storesUpperCaseIdentifiers) s.toUpperCase else s.toLowerCase).distinct
+      val candidates = for {
+        tn <- folds(tablePart)
+        sn <- schemaPart.map(folds(_).map(Option(_))).getOrElse(Seq(None))
+      } yield (sn, tn)
+      val (sch, t) = candidates.find { case (sn, tn) =>
+        val rs = md.getColumns(null, sn.orNull, tn, null)
         try rs.next() finally rs.close()
       }.getOrElse(throw new graft.translate.GraftAnalysisException(
         s"JDBC table not found for constraint introspection: $table"))
       def drain[A](rs: java.sql.ResultSet)(f: java.sql.ResultSet => A): List[A] =
         try Iterator.continually(rs).takeWhile(_.next()).map(f).toList
         finally rs.close()
-      val pk = drain(md.getPrimaryKeys(null, null, t))(r =>
+      val pk = drain(md.getPrimaryKeys(null, sch.orNull, t))(r =>
         (r.getShort("KEY_SEQ"), r.getString("COLUMN_NAME")))
-      val fks = drain(md.getImportedKeys(null, null, t))(r => JdbcForeignKey(
+      val fks = drain(md.getImportedKeys(null, sch.orNull, t))(r => JdbcForeignKey(
         r.getString("FKCOLUMN_NAME"), r.getString("PKTABLE_NAME"),
         r.getString("PKCOLUMN_NAME")))
-      val ix = drain(md.getIndexInfo(null, null, t, true, false))(r =>
+      val ix = drain(md.getIndexInfo(null, sch.orNull, t, true, false))(r =>
         (r.getString("INDEX_NAME"), r.getShort("ORDINAL_POSITION"),
           r.getString("COLUMN_NAME"))).filter(_._1 != null)
       JdbcConstraints(

@@ -101,6 +101,34 @@ class SurfaceSpec extends AnyFunSuite {
     assert(src3.contains("d: Option[java.time.LocalDateTime]"))
   }
 
+  test("recordSource: named nested case classes + nullable primitive array elems") {
+    val g = TestSpark.session
+    import TestSpark.spark.implicits._
+    // nested struct output → a named companion record, not a generic Row
+    val src = g.recordSource("NatRec",
+      "select named_struct('key', n_nationkey, 'name', n_name) as info, " +
+      "n_regionkey as r from nation")
+    assert(src.contains("final case class NatRecInfo("), src)
+    assert(src.contains("info: NatRecInfo") || src.contains("info: Option[NatRecInfo]"), src)
+    assert(!src.contains("org.apache.spark.sql.Row"), src)
+    // the hand-written twin of the generated shape round-trips via sqlAs
+    // (all-Option fields are decode-safe for any nullability)
+    val ds = g.sqlAs[NatRec2](
+      "select named_struct('key', n_nationkey, 'name', n_name) as info, " +
+      "n_regionkey as r from nation")
+    val rows = ds.collect()
+    assert(rows.length == 25)
+    assert(rows.flatMap(_.info).map(_.key.get).sorted.toSeq == (0 to 24))
+    // nullable PRIMITIVE array elements wrap in Option (round-5 advisory:
+    // a bare Seq[Int] encoder fails on a null element at decode time)
+    val src2 = g.recordSource("ArrRec",
+      "select array(n_regionkey, null) as xs from nation")
+    assert(src2.contains("xs: Seq[Option[Int]]"), src2)
+    val arr = g.sqlAs[ArrRec2]("select array(n_regionkey, null) as xs from nation")
+      .collect()
+    assert(arr.length == 25 && arr.forall(_.xs.get.last.isEmpty))
+  }
+
   test("extension hooks: registerScalar / registerAggregate reach the dialect") {
     graft.functions.Registry.registerScalar("double_it")(args => args.head * 2)
     graft.functions.Registry.registerAggregate("sum_sq")(args => sum(args.head * args.head))
@@ -179,6 +207,64 @@ class SurfaceSpec extends AnyFunSuite {
     assert(g.jdbcMeta("people_nope").isEmpty)
   }
 
+  test("S8: jdbcConstraints resolves schema-qualified names") {
+    val url = "jdbc:derby:memory:graftsch;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE SCHEMA s1")
+      st.execute("CREATE TABLE s1.items (item_id BIGINT PRIMARY KEY, label VARCHAR(16))")
+      // same table name in the default schema, WITHOUT a primary key: the
+      // qualifier must pin which one answers
+      st.execute("CREATE TABLE items (item_id BIGINT, other VARCHAR(8))")
+      st.close()
+    } finally conn.close()
+    val g = new GraftSession(spark)
+    val qualified = g.jdbcConstraints(url, "s1.items")
+    assert(qualified.primaryKey.map(_.toLowerCase) == Seq("item_id"))
+    // Derby's default schema is APP — qualifying it reaches the PK-less twin
+    val app = g.jdbcConstraints(url, "app.items")
+    assert(app.primaryKey.isEmpty)
+    intercept[graft.translate.GraftAnalysisException](
+      g.jdbcConstraints(url, "no_such_schema.items"))
+  }
+
+  test("numOfResults: cardinality + one()/optional() from Derby key metadata") {
+    val url = "jdbc:derby:memory:graftcard;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE users (uid BIGINT PRIMARY KEY, " +
+        "email VARCHAR(64) NOT NULL UNIQUE, uname VARCHAR(32))")
+      st.execute("INSERT INTO users VALUES (1, 'a@x', 'ann'), (2, 'b@x', 'bob')")
+      st.close()
+    } finally conn.close()
+    val g = new GraftSession(spark)
+    g.registerJdbc("users", url, "users", introspectConstraints = true)
+    import Cardinality._
+    // PK / unique-index equality coverage → ZeroOrOne (reference
+    // numOfResults, flinkdsl/typer.scala_:17,180-203)
+    assert(g.cardinalityOf("select uname from users where uid = 1") == ZeroOrOne)
+    assert(g.cardinalityOf(
+      "select uname from users where uname = 'ann' and uid = ?") == ZeroOrOne)
+    assert(g.cardinalityOf("select uname from users where email = 'a@x'") == ZeroOrOne)
+    // non-unique column / range on the key / bare scan → Many
+    assert(g.cardinalityOf("select uname from users where uname = 'ann'") == Many)
+    assert(g.cardinalityOf("select uname from users where uid > 1") == Many)
+    assert(g.cardinalityOf("select uname from users") == Many)
+    // LIMIT 1 bounds anything; global aggregates and DML are One
+    assert(g.cardinalityOf("select uname from users limit 1") == ZeroOrOne)
+    assert(g.cardinalityOf("select count(*) as n from users") == One)
+    assert(g.cardinalityOf("delete from users where uname = 'x'") == One)
+    // typed single-row execution rides the classification
+    import TestSpark.spark.implicits._
+    assert(g.one[String]("select uname from users where uid = 1") == "ann")
+    assert(g.optional[String]("select uname from users where uid = ?", 99L).isEmpty)
+    assert(g.one[Long]("select count(*) as n from users") == 2L)
+    intercept[graft.translate.GraftAnalysisException](
+      g.one[String]("select uname from users"))
+  }
+
   test("W7/S6: insert into stream[window] buckets incoming rows") {
     val g = TestSpark.session
     g.sql("create stream q_w7_sink (w_start timestamp, w_end timestamp, ts timestamp, v double)")
@@ -241,3 +327,6 @@ class SurfaceSpec extends AnyFunSuite {
 }
 
 case class FlagQty(flag: String, qty: Double)
+case class NatRec2Info(key: Option[Int], name: Option[String])
+case class NatRec2(info: Option[NatRec2Info], r: Option[Int])
+case class ArrRec2(xs: Option[Seq[Option[Int]]])

@@ -144,5 +144,26 @@ object VerifyDrive {
     show("union by name", "select n_nationkey as k from nation where n_nationkey < 2 union all by name select r_name as nm, r_regionkey as k from region where r_regionkey = 0 order by k, nm")
     show("range interval frame", "select event_id as k, count(*) over (partition by user_id order by ts range between interval 1 hour preceding and current row) as c from events order by k limit 3")
     show("probe: bad escape", "select 'x' like 'y' escape '!!'")
+    // round-6 surface: WITH TIES on non-projected keys, cardinality API
+    show("with ties on hidden key", "select o_orderkey as k from orders " +
+      "order by o_totalprice desc fetch first 3 rows with ties")
+    show("probe: limit past Int.MaxValue", "select n_name from nation limit 987654321987")
+    try {
+      val url = "jdbc:derby:memory:drive_card;create=true"
+      val c = java.sql.DriverManager.getConnection(url)
+      val st = c.createStatement()
+      st.execute("CREATE TABLE kv (k BIGINT PRIMARY KEY, v VARCHAR(16))")
+      st.execute("INSERT INTO kv VALUES (1, 'one'), (2, 'two')")
+      st.close(); c.close()
+      g.registerJdbc("kv", url, "kv", introspectConstraints = true)
+      import spark.implicits._
+      println("=== cardinality: pk eq=" + g.cardinalityOf("select v from kv where k = 1") +
+        " scan=" + g.cardinalityOf("select v from kv") +
+        " agg=" + g.cardinalityOf("select count(*) as n from kv"))
+      println("    one() = " + g.one[String]("select v from kv where k = ?", 2L))
+      println("    optional(miss) = " + g.optional[String]("select v from kv where k = 9"))
+      try g.one[String]("select v from kv")
+      catch { case e: Exception => println(s"    ERROR(${e.getClass.getSimpleName}): ${e.getMessage}") }
+    } catch { case e: Exception => println(s"  ERROR(card): ${e.getMessage}") }
   }
 }
