@@ -764,6 +764,35 @@ object SparkEntry {
       "group by l_orderkey having sum(l_quantity) > 250) " +
       "group by c.c_name, o.o_orderkey, o.o_totalprice " +
       "order by tp desc, k limit 20")),
+    // ---- q106: hot-key fact-fact join canary (the 100 TB skew risk the
+    // uniform TPC-H canaries never exercise). A derived view sends 50% of
+    // lineitem to ONE orderkey; the gate asserts (a) DuckDB-oracle
+    // correctness of the plain join's aggregate and (b) Skew.saltedJoin
+    // returns exactly the plain join's groups (salting is a pure spray —
+    // flag column salted_matches_plain) ----
+    "q106_skew_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val gs = g(s, d)
+      val skewed = gs.catalog.relation("lineitem")
+        .withColumn("k", when(col("l_linenumber") % 2 === 0, lit(1L))
+          .otherwise(col("l_orderkey")))
+        .select(col("k"), col("l_quantity"))
+      val dim = gs.catalog.relation("orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      def summ(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      val plain = summ(skewed.join(dim, Seq("k")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+      val salted = summ(graft.operators.Skew.saltedJoin(skewed, dim, Seq("k"),
+          buckets = 8))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+      val flag = if (plain.toSeq == salted.toSeq && plain.nonEmpty) 1 else 0
+      import s.implicits._
+      plain.toSeq.map { case (pr, n, qty) => (pr, n, qty, flag) }
+        .toDF("pr", "n", "qty", "salted_matches_plain")
+        .orderBy("pr")
+    }),
     // ---- datetime constructors: field-wise date/timestamp assembly ----
     "q99_datetime_ctor" -> ((s, d) => g(s, d).sql(
       "select o_orderkey as k, " +
@@ -1179,6 +1208,15 @@ object SparkEntry {
        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) " +
        "GROUP BY c.c_name, o.o_orderkey, o.o_totalprice " +
        "ORDER BY tp DESC, k LIMIT 20"),
+    // q106: the oracle checks the plain-join aggregate; the gate itself
+    // computed the salted join and folded equality into the flag column
+    "q106_skew_join" ->
+      ("WITH sk AS (SELECT CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE l_orderkey END AS k, " +
+       "l_quantity FROM lineitem) " +
+       "SELECT o_orderpriority AS pr, CAST(count(*) AS BIGINT) AS n, " +
+       "ROUND(SUM(l_quantity), 2) AS qty, CAST(1 AS INTEGER) AS salted_matches_plain " +
+       "FROM sk JOIN orders ON k = o_orderkey " +
+       "GROUP BY o_orderpriority ORDER BY pr"),
     "q52_quantified" ->
       ("SELECT o_orderkey AS k, o_totalprice AS p FROM orders " +
        "WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders WHERE o_custkey = 1) " +

@@ -254,12 +254,18 @@ object Extensions {
       val ev = GraftSession.forDir(s, d).catalog.relation("events")
       // parity needs representative replay, not full volume (x42 gates the
       // batch op at full size): right side thinned 5× keeps the gate fast
-      val l = ev.where(col("event_id") % 100 === 0)
+      // thin hard: the join key (event_type) has 5 distinct values, so every
+      // right row scans its whole per-key left state — replay cost is
+      // |L/key|·|R|, not |L|+|R|; x42 gates the batch op at full volume
+      // localCheckpoint: each side is read twice (batch join + stream feed)
+      val l = ev.where(col("event_id") % 200 === 0)
         .select(col("event_id").as("l_id"), col("event_type"), col("ts").as("l_ts"))
-      val r = ev.where(col("event_id") % 100 =!= 0 && col("event_id") % 5 === 1)
+        .localCheckpoint()
+      val r = ev.where(col("event_id") % 200 =!= 0 && col("event_id") % 25 === 1)
         .select(col("event_id").as("r_id"), col("event_type"), col("ts").as("r_ts"))
+        .localCheckpoint()
       val batch = IntervalJoin.join(l, r, Seq("event_type"), "l_ts", "r_ts",
-          beforeUs = 1800000000L, afterUs = 0L)
+          beforeUs = 21600000000L, afterUs = 0L)
         .select(col("l_id"), col("r_id"))
         .collect().map(x => (x.getLong(0), x.getLong(1))).sorted
       val inL = org.apache.spark.sql.execution.streaming.runtime
@@ -270,21 +276,30 @@ object Extensions {
         inL.toDF().toDF("l_id", "event_type", "l_ts"),
         inR.toDF().toDF("r_id", "event_type", "r_ts"),
         Seq("event_type"), "l_ts", "r_ts",
-        beforeUs = 1800000000L, afterUs = 0L, watermarkDelay = "0 seconds")
+        beforeUs = 21600000000L, afterUs = 0L, watermarkDelay = "0 seconds")
       val sink = "x52_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // state-store count per micro-batch = shuffle partitions; the gate's
       // replay is one batch, so 8 stores beat 32 (restored after start —
       // streaming queries capture the conf at start time)
+      // feed BOTH sides before start: the trigger loop then sees one block
+      // per source and replays everything in a single micro-batch (feeding
+      // after start raced the trigger into one batch per side)
+      def feed(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getTimestamp(2))).toIndexedSeq
+      inL.addData(feed(l): _*)
+      inR.addData(feed(r): _*)
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val savedNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      // the replay is one batch; skip the trailing watermark-only batch
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val q = try js.select(col("l_id"), col("r_id")).writeStream.format("memory")
         .queryName(sink).outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+      }
       val eq = try {
-        def feed(df: org.apache.spark.sql.DataFrame) = df.collect()
-          .map(x => (x.getLong(0), x.getString(1), x.getTimestamp(2))).toIndexedSeq
-        inL.addData(feed(l): _*)
-        inR.addData(feed(r): _*)
         q.processAllAvailable()
         val got = s.table(sink).collect()
           .map(x => (x.getLong(0), x.getLong(1))).sorted
@@ -292,6 +307,88 @@ object Extensions {
       } finally q.stop()
       Seq((batch.length.toLong, if (eq) 1 else 0))
         .toDF("n_pairs", "stream_matches_batch")
+    }),
+    // ---- streaming ≡ batch parity for count windows (W2): the same
+    // thinned event subset replays in on-field order through the stateful
+    // streaming counter (CountWindow.assign); per-row w_id assignments
+    // must equal the batch dialect's row_number chunking ----
+    "x55_count_window_stream" -> ((s, d) => {
+      import s.implicits._
+      val g = GraftSession.forDir(s, d)
+      val batch = g.sql(
+          "select event_id as id, w_id from " +
+          "(select * from events where event_id % 20 = 0) as e " +
+          "[size 9 on event_id partitioned on event_type]")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val rows = g.catalog.relation("events")
+        .where(col("event_id") % 20 === 0)
+        .select(col("event_id"), col("event_type"))
+        .orderBy("event_id") // arrival order = batch's `on`-field order
+        .collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](s)
+      val assigned = graft.streaming.CountWindow.assign(
+        in.toDF().toDF("id", "event_type"), 9, Seq("event_type"))
+      val sink = "x55_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // one replay batch → 4 state partitions beat 32 (conf captured at start)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try assigned.select(col("id"), col("w_id")).writeStream
+        .format("memory").queryName(sink).outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      val eq = try {
+        in.addData(rows: _*) // one block → one partition → stable order
+        q.processAllAvailable()
+        val got = s.table(sink).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted
+        got.toSeq == batch.toSeq && got.nonEmpty
+      } finally q.stop()
+      Seq((batch.length.toLong, if (eq) 1 else 0))
+        .toDF("n_rows", "stream_matches_batch")
+    }),
+    // ---- streaming ≡ batch parity for session windows: the same subset
+    // replays through the native session_window streaming aggregation
+    // (Sessions.aggregate, the documented streaming path); per-session
+    // (key, w_start, w_end, count) must equal the batch dialect's
+    // gap-split window plan ----
+    "x56_session_window_stream" -> ((s, d) => {
+      import s.implicits._
+      val g = GraftSession.forDir(s, d)
+      val batch = g.sql(
+          "select w_start, w_end, event_type as k, count(*) as n from " +
+          "(select * from events where event_id % 20 = 0) as e " +
+          "[session 60 min on ts partitioned on event_type] " +
+          "group by w_start, w_end, event_type")
+        .collect()
+        .map(r => (r.getString(2), r.getTimestamp(0).getTime,
+          r.getTimestamp(1).getTime, r.getLong(3))).sorted
+      val rows = g.catalog.relation("events")
+        .where(col("event_id") % 20 === 0)
+        .select(col("ts"), col("event_type"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1))).toIndexedSeq
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String)](s)
+      val sessioned = graft.streaming.Sessions.aggregate(
+        in.toDF().toDF("ts", "k"), "ts", "3600 seconds", Seq("k"),
+        (count(lit(1)).as("n"), Nil))
+      val sink = "x56_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // complete mode: emit every session without waiting on the watermark;
+      // one replay batch → 4 state partitions beat 32
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try sessioned.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      val eq = try {
+        in.addData(rows: _*)
+        q.processAllAvailable()
+        val got = s.table(sink).collect()
+          .map(r => (r.getString(2), r.getTimestamp(0).getTime,
+            r.getTimestamp(1).getTime, r.getLong(3))).sorted
+        got.toSeq == batch.toSeq && got.nonEmpty
+      } finally q.stop()
+      Seq((batch.length.toLong, if (eq) 1 else 0))
+        .toDF("n_sessions", "stream_matches_batch")
     }),
     // tf-idf restricted to a doc slice so the gate output stays bounded
     "x17_text_tfidf" -> ((s, d) =>
@@ -962,15 +1059,33 @@ object Extensions {
       "x51_line_dedup_stream" -> (
         "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(1 AS INTEGER) AS stream_matches_batch FROM documents"),
+      // parity flags: the oracle pins the row/session counts (real data
+      // dependence) and the parity bit must be 1
+      "x55_count_window_stream" -> (
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(1 AS INTEGER) AS stream_matches_batch " +
+        "FROM events WHERE event_id % 20 = 0"),
+      "x56_session_window_stream" -> (
+        "WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events " +
+        "WHERE event_id % 20 = 0), " +
+        "d AS (SELECT event_type, ts, CASE WHEN ts - lag(ts) OVER " +
+        "(PARTITION BY event_type ORDER BY ts) > INTERVAL 60 MINUTE " +
+        "OR lag(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL " +
+        "THEN 1 ELSE 0 END AS brk FROM e), " +
+        "sid AS (SELECT event_type, ts, SUM(brk) OVER (PARTITION BY event_type " +
+        "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM d) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_sessions, " +
+        "CAST(1 AS INTEGER) AS stream_matches_batch " +
+        "FROM (SELECT event_type, sess FROM sid GROUP BY event_type, sess)"),
       "x52_interval_join_stream" -> (
         "WITH l AS (SELECT event_id AS l_id, event_type, CAST(ts AS TIMESTAMP) AS l_ts " +
-        "FROM events WHERE event_id % 100 = 0), " +
+        "FROM events WHERE event_id % 200 = 0), " +
         "r AS (SELECT event_id AS r_id, event_type, CAST(ts AS TIMESTAMP) AS r_ts " +
-        "FROM events WHERE event_id % 100 <> 0 AND event_id % 5 = 1) " +
+        "FROM events WHERE event_id % 200 <> 0 AND event_id % 25 = 1) " +
         "SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
         "CAST(1 AS INTEGER) AS stream_matches_batch FROM l JOIN r " +
         "ON l.event_type = r.event_type " +
-        "AND r.r_ts BETWEEN l.l_ts - INTERVAL 30 MINUTE AND l.l_ts"),
+        "AND r.r_ts BETWEEN l.l_ts - INTERVAL 6 HOUR AND l.l_ts"),
       "x42_interval_join" -> (
         "WITH l AS (SELECT event_id AS l_id, event_type, CAST(ts AS TIMESTAMP) AS l_ts " +
         "FROM events WHERE event_id % 100 = 0), " +
@@ -1041,8 +1156,13 @@ object Extensions {
         "tf AS (SELECT id, term, count(*) AS tf FROM tok2 " +
         "WHERE term IN ('stream', 'window', 'join', 'vector') GROUP BY id, term), " +
         "dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term) " +
-        "SELECT id, ROUND(SUM(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * " +
-        "(tf * 2.25 / (tf + 1.25 * (0.25 + 0.75 * dl / avgdl)))), 6) AS bm25 " +
+        // term-sorted left fold, not SUM(): matches the Spark side's
+        // aggregate(sort_array(...)) so the float additions associate in
+        // the same order — bit-identical, no partial-agg-order flake
+        "SELECT id, ROUND(list_reduce(" +
+        "list(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * " +
+        "(tf * 2.25 / (tf + 1.25 * (0.25 + 0.75 * dl / avgdl))) ORDER BY term), " +
+        "(a, b) -> a + b), 6) AS bm25 " +
         "FROM tf JOIN dfq USING (term) JOIN lens USING (id) CROSS JOIN stats " +
         "GROUP BY id ORDER BY id"),
       // mirrors Similarity.quantizedTopK over the x45 quantization CTEs:

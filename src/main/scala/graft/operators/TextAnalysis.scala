@@ -345,11 +345,23 @@ object TextAnalysis {
     val idf = log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
     val norm = col("tf") * (k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))
+    // Per-doc summation runs in a FORCED deterministic order (term-sorted
+    // left fold) rather than sum(): float addition is order-dependent, and
+    // partial-agg arrival order differs run to run and engine to engine —
+    // the round-5 advisory flake. The fold is over ≤ |queryTerms| elements
+    // per doc, so collect_list is constant-bounded. 0.0 + x is exact for
+    // the positive contributions, so the DuckDB oracle's init-less
+    // list_reduce over the same term order is bit-identical.
     tf.join(broadcast(dfreq), "term")
       .join(lens, "id")
       .crossJoin(broadcast(stats))
       .groupBy(col("id"))
-      .agg(round(sum(idf * norm), 6).as("bm25"))
+      .agg(round(
+        aggregate(
+          sort_array(collect_list(struct(col("term"), (idf * norm).as("c")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("c")),
+        6).as("bm25"))
   }
 
   /** Bigram language-model quality score (the KenLM-perplexity pattern,

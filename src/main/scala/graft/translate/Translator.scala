@@ -348,9 +348,13 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     }
     val limited = applyLimit(out, s.limit, s.orderBy)
     // trim WITH TIES hidden sort-key columns (see desugarFetchTies); the
-    // drop is a Project over the final Sort, so output order is preserved
-    val hidden = limited.columns.filter(_.startsWith("__fth"))
-    if (hidden.isEmpty) limited else limited.drop(hidden.toSeq: _*)
+    // drop is a Project over the final Sort, so output order is preserved.
+    // Gate on the AST, not limited.columns: reading the schema here would
+    // force eager analysis and break correlated subquery bodies that must
+    // stay unanalyzed until embedding (.outer() marks unresolved).
+    if (s.projection.exists(_.outputName.startsWith("__fth")))
+      limited.drop(limited.columns.filter(_.startsWith("__fth")).toSeq: _*)
+    else limited
   }
 
   /** Decorrelate equality-correlated aggregate scalar subqueries into left
