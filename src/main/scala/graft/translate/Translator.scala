@@ -247,6 +247,16 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
               // a key that IS a projection expression sorts by that output
               case Some(p) => k.copy(expr = ColRef(None, p.outputName))
               case None =>
+                // under GROUP BY ALL a hidden NON-aggregate projection would
+                // silently join the inferred grouping keys and change the
+                // groups — reject instead (same stance as DuckDB's "column
+                // must appear in the GROUP BY clause")
+                if (s.groupBy.exists(_.all) &&
+                    !Expr.hasAggregate(k.expr, Registry.isAggregate))
+                  throw new GraftAnalysisException(
+                    "FETCH … WITH TIES with GROUP BY ALL: ORDER BY key " +
+                      s"`${k.expr}` is neither a projection output nor an " +
+                      "aggregate — name it in the projection explicitly")
                 val nm = s"__fth$counter"; counter += 1
                 proj = proj :+ Projection(k.expr, Some(nm))
                 k.copy(expr = ColRef(None, nm))

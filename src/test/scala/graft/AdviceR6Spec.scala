@@ -71,6 +71,27 @@ class AdviceR6Spec extends AnyFunSuite {
     assert(df.count() == 5)
   }
 
+  test("WITH TIES: aggregate sort key becomes a hidden aggregate column") {
+    // ORDER BY an aggregate NOT in the projection — computed as hidden agg
+    val df = g.sql("select l_returnflag as f from lineitem group by l_returnflag " +
+      "order by sum(l_quantity) desc fetch first 1 rows with ties")
+    assert(!plan(df).contains("Window"), plan(df))
+    assert(df.columns.toSeq == Seq("f") && df.count() >= 1)
+  }
+
+  test("WITH TIES + GROUP BY ALL rejects non-projected non-aggregate keys") {
+    // a hidden non-aggregate projection would silently change the inferred
+    // grouping keys — must be a loud error, not finer groups
+    val e = intercept[GraftAnalysisException](
+      g.sql("select l_returnflag as f, count(*) as n from lineitem " +
+        "group by all order by l_linestatus fetch first 2 rows with ties").collect())
+    assert(e.getMessage.contains("GROUP BY ALL"))
+    // aggregate keys remain fine under GROUP BY ALL
+    val ok = g.sql("select l_returnflag as f, count(*) as n from lineitem " +
+      "group by all order by sum(l_quantity) desc fetch first 1 rows with ties")
+    assert(ok.count() >= 1)
+  }
+
   // --- limit/offset literals past Int.MaxValue fail loudly ---------------
 
   test("LIMIT / FETCH WITH TIES row counts past Int.MaxValue raise") {
