@@ -387,10 +387,16 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       val ix = drain(md.getIndexInfo(null, sch.orNull, t, true, false))(r =>
         (r.getString("INDEX_NAME"), r.getShort("ORDINAL_POSITION"),
           r.getString("COLUMN_NAME"))).filter(_._1 != null)
+      // generated keys: IS_AUTOINCREMENT is "YES"/"NO"/"" per JDBC spec
+      val auto = drain(md.getColumns(null, sch.orNull, t, null))(r =>
+        (r.getString("COLUMN_NAME"),
+          try r.getString("IS_AUTOINCREMENT") catch { case _: Exception => "" }))
+        .collect { case (c, "YES") => c }
       JdbcConstraints(
         pk.sortBy(_._1).map(_._2),
         fks,
-        ix.groupBy(_._1).map { case (n, cs) => n -> cs.sortBy(_._2).map(_._3) })
+        ix.groupBy(_._1).map { case (n, cs) => n -> cs.sortBy(_._2).map(_._3) },
+        auto)
     } finally conn.close()
   }
 
@@ -799,8 +805,12 @@ object GraftSession {
 final case class JdbcForeignKey(column: String, refTable: String, refColumn: String)
 
 /** Constraint metadata of a JDBC table (S8): primary-key columns in key
-  * order, foreign-key edges, and unique indexes (name → columns). */
+  * order, foreign-key edges, unique indexes (name → columns), and
+  * auto-increment (generated-key) columns — the reference's
+  * `generatedKeyTypes` (flinkdsl/typer.scala_:195-205, columns whose type
+  * `isAutoIncrementable`, tagged when they are the primary key). */
 final case class JdbcConstraints(
     primaryKey: Seq[String],
     foreignKeys: Seq[JdbcForeignKey],
-    uniqueIndexes: Map[String, Seq[String]])
+    uniqueIndexes: Map[String, Seq[String]],
+    autoIncrement: Seq[String] = Nil)

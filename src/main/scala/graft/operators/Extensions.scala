@@ -215,9 +215,12 @@ object Extensions {
     // assert md5-exact agreement with the two-pass batch lineDedup ----
     "x51_line_dedup_stream" -> ((s, d) => {
       import s.implicits._
+      // localCheckpoint: the regexp-injected frame is consumed three times
+      // (batch dedup, hot-line model, stream feed)
       val injected = docs(s, d).select(col("doc_id"),
         concat(col("source"), lit(" | COMMON SITE HEADER\ncookie notice: accept all\n"),
           regexp_replace(col("text"), "((?:\\S+ ){8})", "$1\n")).as("text"))
+        .localCheckpoint()
       val batchOut = Dedup.lineDedup(injected, "text", "doc_id", minDocFreq = 5L)
         .select(col("doc_id"), col("n_kept"), col("n_removed"),
           md5(col("cleaned")).as("h"))
@@ -230,13 +233,16 @@ object Extensions {
           in.toDF().toDF("doc_id", "text"), "text", "doc_id", hot)
         .select(col("doc_id"), col("n_kept"), col("n_removed"),
           md5(col("cleaned")).as("h"))
+      // feed before start(): one block → one replay micro-batch
+      in.addData(injected.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq: _*)
       val sink = "x51_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = streamed.writeStream.format("memory").queryName(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try streamed.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       val eq = try {
-        val rows = injected.select("doc_id", "text").collect()
-          .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
-        in.addData(rows: _*)
         q.processAllAvailable()
         val got = s.table(sink).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))

@@ -229,6 +229,23 @@ class SurfaceSpec extends AnyFunSuite {
       g.jdbcConstraints(url, "no_such_schema.items"))
   }
 
+  test("S8: auto-increment (generated-key) columns surface in constraints") {
+    val url = "jdbc:derby:memory:graftgen;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE logs (log_id BIGINT GENERATED ALWAYS AS IDENTITY " +
+        "PRIMARY KEY, msg VARCHAR(64))")
+      st.close()
+    } finally conn.close()
+    val g = new GraftSession(spark)
+    val meta = g.jdbcConstraints(url, "logs")
+    // the reference's generatedKeyTypes (flinkdsl/typer.scala_:195-205):
+    // auto-incrementable columns, here also the PK
+    assert(meta.autoIncrement.map(_.toLowerCase) == Seq("log_id"))
+    assert(meta.primaryKey.map(_.toLowerCase) == Seq("log_id"))
+  }
+
   test("numOfResults: cardinality + one()/optional() from Derby key metadata") {
     val url = "jdbc:derby:memory:graftcard;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
