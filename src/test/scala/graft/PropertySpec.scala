@@ -344,6 +344,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: WITH TIES == rank()-based reference for random key shapes") {
+    // the boundary-value lowering (round 6: every key shape, incl. hidden
+    // non-projected keys) must agree with an independent rank() reference
+    val g = TestSpark.session
+    val shapes = Seq(
+      // (query producing rows, rank-reference over the same data)
+      ("select o_orderkey as k from orders order by o_totalprice fetch first N rows with ties",
+       "o_totalprice asc"),
+      ("select o_orderkey as k from orders order by o_totalprice desc fetch first N rows with ties",
+       "o_totalprice desc"),
+      ("select o_orderkey as k from orders order by o_orderpriority, o_totalprice desc fetch first N rows with ties",
+       "o_orderpriority asc, o_totalprice desc"),
+      ("select o_orderkey as k from orders order by o_custkey % 7 fetch first N rows with ties",
+       "o_custkey % 7 asc"))
+    for {
+      n <- samples(Gen.oneOf(1, 3, 10, 47, 500), 5).distinct
+      (q, ref) <- shapes
+    } {
+      val got = g.sql(q.replace("N", n.toString)).collect()
+        .map(_.getAs[Number](0).longValue).sorted.toSeq
+      val want = spark.sql(
+        s"select k from (select o_orderkey as k, rank() over (order by $ref) as r " +
+        s"from parquet.`/root/testdata/sf0.001/orders.parquet`) where r <= $n")
+        .collect().map(_.getAs[Number](0).longValue).sorted.toSeq
+      assert(got == want, s"n=$n query=$q: got ${got.length} want ${want.length}")
+    }
+  }
+
   test("property: epochExpand total matches floor+fraction arithmetic per group") {
     for (eTenths <- samples(Gen.choose(0, 35), 6).distinct) {
       val e = eTenths / 10.0
