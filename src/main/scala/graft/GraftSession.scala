@@ -226,6 +226,14 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     * row: LIMIT 0/1, a global aggregate, or WHERE equalities covering a
     * unique key (PK or unique index) of its single source table. */
   def optional[T: org.apache.spark.sql.Encoder](text: String, args: Any*): Option[T] = {
+    // DML classifies One (executes once) but yields no row set — reject
+    // with a clear message rather than a confusing encoder error
+    SqlParser.parse(text) match {
+      case Right(_: QueryExpr) => ()
+      case Right(_) => throw new GraftAnalysisException(
+        "one()/optional() are for queries; run DML via sql(): " + text)
+      case Left(err) => throw new GraftParseException(err)
+    }
     if (cardinalityOf(text) == Cardinality.Many)
       throw new GraftAnalysisException(
         "statement may return many rows (no unique key covered by WHERE " +

@@ -280,6 +280,10 @@ class SurfaceSpec extends AnyFunSuite {
     assert(g.one[Long]("select count(*) as n from users") == 2L)
     intercept[graft.translate.GraftAnalysisException](
       g.one[String]("select uname from users"))
+    // DML classifies One (executes once) but has no row set — clear error
+    val dml = intercept[graft.translate.GraftAnalysisException](
+      g.one[String]("delete from users where uid = 1"))
+    assert(dml.getMessage.contains("DML"))
   }
 
   test("W7/S6: insert into stream[window] buckets incoming rows") {
