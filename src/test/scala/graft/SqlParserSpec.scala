@@ -140,4 +140,35 @@ class SqlParserSpec extends AnyFunSuite {
       ColRef(None, "select"), ColRef(Some("t"), "weird col")))
     assert(sel.from.get.asInstanceOf[TableRef].name == "from")
   }
+
+  // --- fuzz robustness: hostile input never hangs, loops, or NPEs --------
+
+  test("fuzz: mutated and garbage statements fail fast with a parse error") {
+    val seeds = Seq(
+      "select a, b from t where x = 1 group by a having n > 2 order by b limit 3",
+      "select * from s [size 5 min on ts] join r on a = b",
+      "with w as (select 1 as x) select x from w union all select 2",
+      "insert into t (a, b) values (1, 'x')")
+    val rng = new scala.util.Random(42)
+    def mutate(s: String): String = rng.nextInt(6) match {
+      case 0 => s.take(rng.nextInt(s.length))                       // truncate
+      case 1 => s.updated(rng.nextInt(s.length), "()'\",;[]%".charAt(rng.nextInt(9)))
+      case 2 => val i = rng.nextInt(s.length); s.take(i) + s        // duplicate prefix
+      case 3 => s.replace(" ", "  ") + "))))"
+      case 4 => new String(rng.shuffle(s.toList).toArray)           // scramble
+      case 5 => s + " " + s.takeRight(rng.nextInt(s.length))
+    }
+    var parsedOk = 0
+    for (_ <- 1 to 400; seed <- seeds) {
+      val q = mutate(seed)
+      val deadline = System.nanoTime + 2000000000L
+      SqlParser.parse(q) match {
+        case Left(err) => assert(err != null && err.nonEmpty, s"empty error for: $q")
+        case Right(_)  => parsedOk += 1 // a mutation may stay valid - fine
+      }
+      assert(System.nanoTime < deadline, s"parser took > 2s on: $q")
+    }
+    // sanity: the unmutated seeds themselves still parse
+    seeds.foreach(s => assert(SqlParser.parse(s).isRight, s))
+  }
 }
