@@ -34,11 +34,18 @@ object Cardinality {
     case other     => Seq(other)
   }
 
-  /** A term whose value is fixed per execution: a literal or a bound `?`. */
-  private def constantTerm(e: Expr): Boolean = e match {
-    case _: Lit | _: Input => true
-    case _                 => false
-  }
+  /** A term whose value is fixed per execution: any expression over
+    * literals and bound `?` params only — no column refs, no subqueries
+    * (covers `-5`, `'a' || 'b'`, `? + 1`, …). */
+  private def constantTerm(e: Expr): Boolean =
+    Expr.fold(e, true) {
+      case (_, _: ColRef)         => false
+      case (acc, _: Lit | _: Input) => acc
+      case (acc, x) =>
+        acc && !x.isInstanceOf[ScalarSubquery] && !x.isInstanceOf[InSubquery] &&
+          !x.isInstanceOf[Exists] && !x.isInstanceOf[QuantifiedCmp] &&
+          !x.isInstanceOf[WindowFn]
+    }
 
   /** Classify `stmt`. `keysOf` maps a (catalog) table name to its unique
     * keys — each a non-empty column list, any of which being fully covered

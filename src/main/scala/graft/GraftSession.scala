@@ -208,11 +208,29 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       case Right(stmt) => Cardinality.of(stmt, uniqueKeysOf)
     }
 
-  private def uniqueKeysOf(name: String): Seq[Seq[String]] =
-    jdbcMetaMap.collectFirst { case (n, c) if n.equalsIgnoreCase(name) => c }
+  private val declaredKeys =
+    scala.collection.mutable.Map.empty[String, List[Seq[String]]]
+
+  /** Declare a unique key on any catalog relation (parquet tables, CTAS
+    * results, streams) so `cardinalityOf` / `one` / `optional` can bound
+    * statements on it — the catalog-held analog of the JDBC-introspected
+    * constraints (SURVEY §4.2: the reference pulled these from
+    * SchemaCrawler; file sources have no metadata channel, so the user
+    * asserts them). Repeated calls accumulate alternative keys. */
+  def declareUniqueKey(table: String, cols: String*): this.type = {
+    require(cols.nonEmpty, "declareUniqueKey needs at least one column")
+    val k = table.toLowerCase(java.util.Locale.ROOT)
+    declaredKeys(k) = declaredKeys.getOrElse(k, Nil) :+ cols.toSeq
+    this
+  }
+
+  private def uniqueKeysOf(name: String): Seq[Seq[String]] = {
+    val jdbc = jdbcMetaMap.collectFirst { case (n, c) if n.equalsIgnoreCase(name) => c }
       .map(c => (if (c.primaryKey.nonEmpty) Seq(c.primaryKey) else Nil) ++
         c.uniqueIndexes.values)
       .getOrElse(Nil)
+    jdbc ++ declaredKeys.getOrElse(name.toLowerCase(java.util.Locale.ROOT), Nil)
+  }
 
   /** Typed exactly-one-row execution — the One face of the reference's
     * `numOfResults`. Rejects statements `cardinalityOf` classifies Many;

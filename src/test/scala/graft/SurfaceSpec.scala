@@ -286,6 +286,25 @@ class SurfaceSpec extends AnyFunSuite {
     assert(dml.getMessage.contains("DML"))
   }
 
+  test("declareUniqueKey powers cardinality on plain catalog relations") {
+    val g = TestSpark.session
+    import Cardinality._
+    import TestSpark.spark.implicits._
+    // parquet tables have no metadata channel — before the declaration the
+    // statement is Many, after it the PK-equality shape is ZeroOrOne
+    assert(g.cardinalityOf("select n_name from nation where n_nationkey = 7") == Many)
+    g.declareUniqueKey("nation", "n_nationkey")
+    assert(g.cardinalityOf("select n_name from nation where n_nationkey = 7") == ZeroOrOne)
+    assert(g.cardinalityOf("select n_name from nation where n_regionkey = 1") == Many)
+    // composite keys require every column covered
+    g.declareUniqueKey("orders", "o_orderkey", "o_custkey")
+    assert(g.cardinalityOf("select o_orderstatus from orders where o_orderkey = 1") == Many)
+    assert(g.cardinalityOf(
+      "select o_orderstatus from orders where o_orderkey = 1 and o_custkey = ?") == ZeroOrOne)
+    assert(g.one[String]("select n_name from nation where n_nationkey = 7").nonEmpty)
+    assert(g.optional[String]("select n_name from nation where n_nationkey = -5").isEmpty)
+  }
+
   test("W7/S6: insert into stream[window] buckets incoming rows") {
     val g = TestSpark.session
     g.sql("create stream q_w7_sink (w_start timestamp, w_end timestamp, ts timestamp, v double)")
