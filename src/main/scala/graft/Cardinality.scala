@@ -34,13 +34,20 @@ object Cardinality {
     case other     => Seq(other)
   }
 
+  /** Functions whose value changes per ROW — an equality against them does
+    * not pin the key to one value, so they must not count as constants. */
+  private val nondeterministicFns = Set("rand", "randn", "random", "uuid",
+    "shuffle", "monotonically_increasing_id")
+
   /** A term whose value is fixed per execution: any expression over
-    * literals and bound `?` params only — no column refs, no subqueries
-    * (covers `-5`, `'a' || 'b'`, `? + 1`, …). */
+    * literals and bound `?` params only — no column refs, no subqueries,
+    * no per-row nondeterministic functions (covers `-5`, `'a' || 'b'`,
+    * `? + 1`, …). */
   private def constantTerm(e: Expr): Boolean =
     Expr.fold(e, true) {
-      case (_, _: ColRef)         => false
+      case (_, _: ColRef)           => false
       case (acc, _: Lit | _: Input) => acc
+      case (acc, FuncCall(n, _, _)) => acc && !nondeterministicFns(lower(n))
       case (acc, x) =>
         acc && !x.isInstanceOf[ScalarSubquery] && !x.isInstanceOf[InSubquery] &&
           !x.isInstanceOf[Exists] && !x.isInstanceOf[QuantifiedCmp] &&
@@ -60,8 +67,10 @@ object Cardinality {
   private def ofSelect(s: Select, keysOf: String => Seq[Seq[String]]): Cardinality = {
     def isAggExpr(e: Expr) =
       Expr.hasAggregate(e, graft.functions.Registry.isAggregate)
-    // LIMIT 0/1 bounds any SELECT
-    if (s.limit.flatMap(_.n).exists { case Lit(n: Long) => n <= 1; case _ => false })
+    // LIMIT 0/1 bounds any SELECT — but WITH TIES keeps every peer of the
+    // boundary row, so it does NOT bound the result
+    if (s.limit.exists(l => !l.withTies &&
+        l.n.exists { case Lit(n: Long) => n <= 1; case _ => false }))
       return ZeroOrOne
     // global aggregate: exactly one row regardless of WHERE
     if (s.groupBy.isEmpty && s.qualify.isEmpty && !s.distinct &&
@@ -70,6 +79,8 @@ object Cardinality {
       return One
     if (s.groupBy.nonEmpty) return Many
     s.from match {
+      // FROM-less SELECT = one row over `dual` (a WHERE can drop it to 0)
+      case None => if (s.where.isEmpty) One else ZeroOrOne
       case Some(t: TableRef) if t.window.isEmpty =>
         val ref = lower(t.refName)
         val eqCols = s.where.map(conjuncts).getOrElse(Nil).collect {

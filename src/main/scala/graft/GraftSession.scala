@@ -244,19 +244,21 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     * row: LIMIT 0/1, a global aggregate, or WHERE equalities covering a
     * unique key (PK or unique index) of its single source table. */
   def optional[T: org.apache.spark.sql.Encoder](text: String, args: Any*): Option[T] = {
-    // DML classifies One (executes once) but yields no row set — reject
-    // with a clear message rather than a confusing encoder error
-    SqlParser.parse(text) match {
-      case Right(_: QueryExpr) => ()
-      case Right(_) => throw new GraftAnalysisException(
-        "one()/optional() are for queries; run DML via sql(): " + text)
+    // parse ONCE: DML guard, classification, and execution share the AST
+    val stmt = SqlParser.parse(text) match {
+      case Right(s)  => s
       case Left(err) => throw new GraftParseException(err)
     }
-    if (cardinalityOf(text) == Cardinality.Many)
+    // DML classifies One (executes once) but yields no row set — reject
+    // with a clear message rather than a confusing encoder error
+    if (!stmt.isInstanceOf[QueryExpr])
+      throw new GraftAnalysisException(
+        "one()/optional() are for queries; run DML via sql(): " + text)
+    if (Cardinality.of(stmt, uniqueKeysOf) == Cardinality.Many)
       throw new GraftAnalysisException(
         "statement may return many rows (no unique key covered by WHERE " +
           "equalities, no LIMIT 0/1, not a global aggregate) — use sqlAs[T]: " + text)
-    sqlAs[T](text, args: _*).take(2) match {
+    execute(Params.bind(stmt, args)).as[T].take(2) match {
       case Array(r) => Some(r)
       case Array()  => None
       case _        => throw new GraftAnalysisException(
@@ -274,7 +276,9 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     * from the same live analysis (`schemaOf`) the reference pulled from
     * PreparedStatement metadata (flinkdsl/jdbc.scala_:8-32). Nullable
     * fields become Option[...]; names that are not Scala identifiers are
-    * backquoted. Plan-only — no jobs run. */
+    * backquoted. Plan-only — no jobs run — EXCEPT for statements whose
+    * translation itself materializes (unkeyed count windows pin their
+    * partitioning eagerly; recursive CTEs run their fixpoint). */
   def recordSource(className: String, text: String, args: Any*): String = {
     import org.apache.spark.sql.types._
     val keywords = Set("type", "class", "object", "val", "var", "def", "if",

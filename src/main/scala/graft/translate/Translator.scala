@@ -361,10 +361,15 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     // drop is a Project over the final Sort, so output order is preserved.
     // Gate on the AST, not limited.columns: reading the schema here would
     // force eager analysis and break correlated subquery bodies that must
-    // stay unanalyzed until embedding (.outer() marks unresolved).
-    if (s.projection.exists(_.outputName.startsWith("__fth")))
-      limited.drop(limited.columns.filter(_.startsWith("__fth")).toSeq: _*)
-    else limited
+    // stay unanalyzed until embedding (.outer() marks unresolved). Only a
+    // WITH TIES select can carry hidden keys, and only desugar-shaped
+    // aliases count — a user column that happens to start with __fth in a
+    // non-ties query is never touched.
+    val hidden =
+      if (s.limit.exists(_.withTies))
+        s.projection.flatMap(_.alias).filter(_.matches("__fth\\d+"))
+      else Nil
+    if (hidden.nonEmpty) limited.drop(hidden: _*) else limited
   }
 
   /** Decorrelate equality-correlated aggregate scalar subqueries into left
@@ -1366,9 +1371,15 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
             // partition boundaries cannot drift between passes. The only
             // driver-side state is the #partitions-element offset array;
             // the cache is MEMORY_AND_DISK (spills, never recomputes) and
-            // is released by Spark's ContextCleaner once unreferenced.
-            // (The count job runs when this RDD is built — count windows
-            // are materialized at translation, like recursive CTEs.)
+            // is released by Spark's ContextCleaner once the RDD becomes
+            // unreferenced (weak-ref based — the standard lifecycle for
+            // operator-internal caches; repeated translations therefore
+            // accumulate only until the next driver GC).
+            // The count job runs when this RDD is built — count windows
+            // materialize at translation, like recursive CTEs (any pinning
+            // strategy pays a translation-time job here: even a lazy
+            // localCheckpoint samples range boundaries via toRdd; schemaOf/
+            // recordSource document the deviation).
             val spark = df.sparkSession
             val sorted = df.repartitionByRange(orderCol.asc)
               .sortWithinPartitions(orderCol.asc)

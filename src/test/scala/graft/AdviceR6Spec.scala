@@ -92,6 +92,15 @@ class AdviceR6Spec extends AnyFunSuite {
     assert(ok.count() >= 1)
   }
 
+  test("user columns named __fth* survive in non-ties queries") {
+    // the hidden-column trim must only fire on WITH TIES selects with
+    // desugar-shaped aliases, never on user columns sharing the prefix
+    val df = g.sql("select n_name as __fth0, n_nationkey as k from nation " +
+      "order by k limit 3")
+    assert(df.columns.toSeq == Seq("__fth0", "k"))
+    assert(df.count() == 3)
+  }
+
   // --- limit/offset literals past Int.MaxValue fail loudly ---------------
 
   test("LIMIT / FETCH WITH TIES row counts past Int.MaxValue raise") {

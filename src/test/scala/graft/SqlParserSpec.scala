@@ -158,15 +158,21 @@ class SqlParserSpec extends AnyFunSuite {
       case 4 => new String(rng.shuffle(s.toList).toArray)           // scramble
       case 5 => s + " " + s.takeRight(rng.nextInt(s.length))
     }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
     var parsedOk = 0
     for (_ <- 1 to 400; seed <- seeds) {
       val q = mutate(seed)
-      val deadline = System.nanoTime + 2000000000L
-      SqlParser.parse(q) match {
+      // run the parse on another thread so a non-terminating backtrack
+      // FAILS the test instead of hanging the suite
+      val res = try Await.result(Future(SqlParser.parse(q)), 5.seconds)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        fail(s"parser took > 5s on: $q") }
+      res match {
         case Left(err) => assert(err != null && err.nonEmpty, s"empty error for: $q")
         case Right(_)  => parsedOk += 1 // a mutation may stay valid - fine
       }
-      assert(System.nanoTime < deadline, s"parser took > 2s on: $q")
     }
     // sanity: the unmutated seeds themselves still parse
     seeds.foreach(s => assert(SqlParser.parse(s).isRight, s))

@@ -303,6 +303,14 @@ class SurfaceSpec extends AnyFunSuite {
       "select o_orderstatus from orders where o_orderkey = 1 and o_custkey = ?") == ZeroOrOne)
     assert(g.one[String]("select n_name from nation where n_nationkey = 7").nonEmpty)
     assert(g.optional[String]("select n_name from nation where n_nationkey = -5").isEmpty)
+    // review hardening: WITH TIES un-bounds LIMIT 1; rand() is not a
+    // constant; FROM-less SELECTs are provably one row
+    assert(g.cardinalityOf("select n_name from nation " +
+      "order by n_regionkey fetch first 1 rows with ties") == Many)
+    assert(g.cardinalityOf(
+      "select n_name from nation where n_nationkey = cast(rand() * 25 as int)") == Many)
+    assert(g.cardinalityOf("select 1 as x") == One)
+    assert(g.one[Long]("select 1 as x") == 1L)
   }
 
   test("W7/S6: insert into stream[window] buckets incoming rows") {
