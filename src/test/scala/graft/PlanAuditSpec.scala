@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Automated scale-killer audit over EVERY SparkEntry gate: flag the two
+  * shapes that cannot survive a 100 TB input —
+  *
+  *  1. BroadcastNestedLoopJoin (O(|L|·|R|) pair scan) anywhere in the
+  *     physical plan text, and
+  *  2. a logical Window with an EMPTY partition spec (all rows to one
+  *     task) that the ENGINE chose (queries whose user-level text demands
+  *     a global `over (order by …)` are whitelisted with the reason).
+  *
+  * AQE note: the physical check greps explainString (the adaptive wrapper
+  * hides its children from a tree walk); the window check walks the
+  * optimized LOGICAL plan, which AQE does not wrap.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  /** gate -> why a global-window plan is the query's own semantics */
+  private val globalWindowByDesign = Map(
+    "q67_ignore_nulls" -> "user query: LOCF via over (order by …), no partition by",
+    "x32_global_shuffle" -> "deterministicShuffle IS a global sort by definition (SCALE.md honest limits)")
+
+  /** gate -> why its BroadcastNestedLoopJoin side is bounded (1-row
+    * aggregate summaries, model tables, or an explicit user cross join of
+    * tiny relations) — |L|·|tiny| is linear, not quadratic. The audit
+    * exists for every OTHER gate: the quantified ANY/ALL, null-aware NOT
+    * IN, and WITH TIES families must stay BNLJ-free (rounds 4-6 fixes). */
+  private val bnljByDesign = Map(
+    "q08_join_using_cross" -> "user query: CROSS JOIN region (5 rows)",
+    "q36_sketches" -> "cross join of 1-row sketch summaries",
+    "q72_table_fns" -> "user query: cross join of two table functions (6x5 rows)",
+    "q77_corr_scalar_native" -> "non-equality correlation is a theta join by semantics; inner side 25 rows, Catalyst-decorrelated",
+    "x06_dedup_embed_cosine" -> "broadcast of the (bounded) candidate model",
+    "x07_sim_brute_topk" -> "broadcast query vectors vs corpus — the documented brute-force baseline",
+    "x08_sim_lsh_topk" -> "broadcast LSH probe set (bounded)",
+    "x16_sim_ivf_topk" -> "broadcast IVF centroids (model-sized)",
+    "x18_sample_dialect" -> "broadcast 1-row sampling-rate summary",
+    "x31_mixture" -> "broadcast per-source weight table (#sources rows)",
+    "x33_bigram_lm" -> "broadcast 1-row vocabulary-size aggregate",
+    "x38_centroid_assign" -> "broadcast centroid model (k rows)",
+    "x40_temperature_mix" -> "broadcast per-source count/weight summary (#sources rows)",
+    "x53_bm25" -> "broadcast 1-row (N, avgdl) corpus stats",
+    "x54_quantized_topk" -> "broadcast quantization-scale summary (model-sized)")
+
+  test("no gate plans a BroadcastNestedLoopJoin or an engine-chosen global window") {
+    val spark = TestSpark.spark
+    val sf = TestSpark.sf
+    // the streaming parity gates execute a replay during build — they are
+    // audited by their own specs; skip the expensive harness runs here
+    val skip = Set("x51_line_dedup_stream", "x52_interval_join_stream",
+      "x55_count_window_stream", "x56_session_window_stream")
+    val violations = scala.collection.mutable.Buffer.empty[String]
+    var audited = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!skip(name)) {
+        try {
+          val df = fn(spark, sf)
+          if (!df.isStreaming) {
+            audited += 1
+            def walkL(p: LogicalPlan): Unit = {
+              p match {
+                case w: Window if w.partitionSpec.isEmpty &&
+                    !globalWindowByDesign.contains(name) =>
+                  violations += s"$name: global (unpartitioned) Window"
+                case _ => ()
+              }
+              p.children.foreach(walkL)
+              p.subqueries.foreach(walkL)
+            }
+            walkL(df.queryExecution.optimizedPlan)
+            if (!bnljByDesign.contains(name) &&
+                df.queryExecution.explainString(FormattedMode)
+                  .contains("BroadcastNestedLoopJoin"))
+              violations += s"$name: BroadcastNestedLoopJoin"
+          }
+        } catch {
+          case e: Exception => violations += s"$name: failed to plan (${e.getMessage})"
+        }
+      }
+    }
+    assert(audited > 120, s"audit only reached $audited gates — harness broken?")
+    assert(violations.isEmpty,
+      "scale-killer plan shapes found:\n  " + violations.mkString("\n  "))
+  }
+}
