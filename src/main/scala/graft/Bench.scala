@@ -96,9 +96,12 @@ object Bench {
     // Full per-query map to a file: the stdout tail window only fits the
     // compact summary, so round-over-round diffs need this sidecar.
     try {
-      val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":2,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"subset":${sys.env.contains("SPARK_GRAFT_ONLY")},"queries":$qs,"sf":${q(sfDir)}}"""
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json"))
+      val isSubset = sys.env.contains("SPARK_GRAFT_ONLY")
+      val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":2,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"subset":$isSubset,"queries":$qs,"sf":${q(sfDir)}}"""
+      // subset runs write a SEPARATE sidecar: a local profiling loop must
+      // never clobber the committed full-run map the driver/judge diffs
+      val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+        if (isSubset) "BENCH_subset.json" else "BENCH_full.json"))
       java.nio.file.Files.write(out, full.getBytes("UTF-8"))
       System.err.println(s"[bench] full per-query map -> ${out.toAbsolutePath}")
     } catch { case e: Throwable =>
