@@ -98,14 +98,17 @@ object Bench {
     try {
       val isSubset = sys.env.contains("SPARK_GRAFT_ONLY")
       val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":2,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"subset":$isSubset,"queries":$qs,"sf":${q(sfDir)}}"""
-      // subset runs write a SEPARATE sidecar: a local profiling loop must
+      // subset runs write a SEPARATE sidecar UNCONDITIONALLY (the env
+      // override is honored only for full runs): a local profiling loop —
+      // even one with a stale SPARK_GRAFT_BENCH_FULL in its shell — must
       // never clobber the committed full-run map the driver/judge diffs
-      val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-        if (isSubset) "BENCH_subset.json" else "BENCH_full.json"))
+      val out = java.nio.file.Paths.get(
+        if (isSubset) "BENCH_subset.json"
+        else sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json"))
       java.nio.file.Files.write(out, full.getBytes("UTF-8"))
       System.err.println(s"[bench] full per-query map -> ${out.toAbsolutePath}")
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_full.json: $e")
+      System.err.println(s"[bench] could not write the per-query sidecar: $e")
     }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":2,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"queries":$slowest,"sf":${q(sfDir)}}""")
     spark.stop()

@@ -34,25 +34,51 @@ object Cardinality {
     case other     => Seq(other)
   }
 
-  /** Functions whose value changes per ROW — an equality against them does
-    * not pin the key to one value, so they must not count as constants. */
-  private val nondeterministicFns = Set("rand", "randn", "random", "uuid",
-    "shuffle", "monotonically_increasing_id")
+  /** Functions known to be PURE scalar functions (same value for the same
+    * arguments, and per-QUERY-constant for the zero-arg temporal ones).
+    * The dialect's function registry passes unknown names through to
+    * Spark's whole builtin library, which contains per-row-varying
+    * functions (rand, uuid, spark_partition_id, input_file_name, …) — a
+    * deny-list can never be complete against a passthrough surface, so
+    * the classifier ALLOW-lists: any function outside this set makes the
+    * term non-constant, which errs toward Many (a safe rejection from
+    * one()/optional(), never a wrong ZeroOrOne). */
+  private val pureFns = Set(
+    "abs", "round", "floor", "ceil", "ceiling", "sign", "mod", "pow",
+    "power", "sqrt", "exp", "ln", "log", "log2", "log10", "greatest",
+    "least", "coalesce", "nullif", "ifnull", "nvl", "concat", "upper",
+    "lower", "trim", "ltrim", "rtrim", "substring", "substr", "length",
+    "char_length", "replace", "reverse", "lpad", "rpad", "cast", "try_cast",
+    "current_date", "current_timestamp", "now", "date_trunc", "date_add",
+    "date_sub", "to_date", "to_timestamp", "year", "month", "day", "hour",
+    "minute", "second")
 
-  /** A term whose value is fixed per execution: any expression over
-    * literals and bound `?` params only — no column refs, no subqueries,
-    * no per-row nondeterministic functions (covers `-5`, `'a' || 'b'`,
-    * `? + 1`, …). */
+  /** A term whose value is fixed per execution: an expression over
+    * literals, bound `?` params, and known-pure functions only — no
+    * column refs, no subqueries (covers `-5`, `'a' || 'b'`, `? + 1`, …). */
   private def constantTerm(e: Expr): Boolean =
     Expr.fold(e, true) {
       case (_, _: ColRef)           => false
       case (acc, _: Lit | _: Input) => acc
-      case (acc, FuncCall(n, _, _)) => acc && !nondeterministicFns(lower(n))
+      case (acc, FuncCall(n, _, _)) => acc && pureFns(lower(n))
       case (acc, x) =>
         acc && !x.isInstanceOf[ScalarSubquery] && !x.isInstanceOf[InSubquery] &&
           !x.isInstanceOf[Exists] && !x.isInstanceOf[QuantifiedCmp] &&
           !x.isInstanceOf[WindowFn]
     }
+
+  /** Generator functions multiply rows in projection position (the
+    * registry lowers unnest → explode, etc.) — a FROM-less SELECT with
+    * one is NOT one row. */
+  private val generatorFns = Set("unnest", "explode", "explode_outer",
+    "posexplode", "posexplode_outer", "inline", "inline_outer", "stack",
+    "generate_series", "sequence_table", "range")
+
+  private def hasGenerator(s: Select): Boolean =
+    s.projection.exists(p => Expr.fold(p.expr, false) {
+      case (acc, FuncCall(n, _, _)) => acc || generatorFns(lower(n))
+      case (acc, _)                 => acc
+    })
 
   /** Classify `stmt`. `keysOf` maps a (catalog) table name to its unique
     * keys — each a non-empty column list, any of which being fully covered
@@ -72,6 +98,8 @@ object Cardinality {
     if (s.limit.exists(l => !l.withTies &&
         l.n.exists { case Lit(n: Long) => n <= 1; case _ => false }))
       return ZeroOrOne
+    // a projection-position generator multiplies every surviving row
+    if (hasGenerator(s)) return Many
     // global aggregate: exactly one row regardless of WHERE
     if (s.groupBy.isEmpty && s.qualify.isEmpty && !s.distinct &&
         s.projection.nonEmpty && s.projection.exists(p => isAggExpr(p.expr)) &&
@@ -79,8 +107,14 @@ object Cardinality {
       return One
     if (s.groupBy.nonEmpty) return Many
     s.from match {
-      // FROM-less SELECT = one row over `dual` (a WHERE can drop it to 0)
-      case None => if (s.where.isEmpty) One else ZeroOrOne
+      // FROM-less SELECT = one row over `dual` — unless a generator
+      // multiplies it (→ Many), or WHERE/QUALIFY/OFFSET can drop it (→
+      // ZeroOrOne)
+      case None =>
+        if (hasGenerator(s)) Many
+        else if (s.where.isEmpty && s.qualify.isEmpty &&
+                 s.limit.forall(_.offset.isEmpty)) One
+        else ZeroOrOne
       case Some(t: TableRef) if t.window.isEmpty =>
         val ref = lower(t.refName)
         val eqCols = s.where.map(conjuncts).getOrElse(Nil).collect {

@@ -208,9 +208,11 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     * key tuple and a plain filter keeps its peers — never a
     * single-partition global window, regardless of where the keys resolve.
     * Sort keys that do not already resolve against the projection output
-    * are carried as hidden projection columns (`__fth*`), which
-    * [[selectBody]] trims again after the limit applies. */
-  private def desugarFetchTies(s: Select): Select =
+    * are carried as hidden projection columns, whose EXACT generated names
+    * are returned so [[selectBody]] trims precisely those (a user column
+    * that happens to be aliased `__fth0` is neither dropped nor collided
+    * with — fresh names skip existing output names). */
+  private def desugarFetchTies(s: Select): (Select, Seq[String]) =
     s.limit match {
       case Some(l) if l.withTies =>
         if (s.orderBy.isEmpty)
@@ -237,10 +239,16 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
           case Lit(_: Long)    => true
           case _               => false
         }
-        if (s.orderBy.forall(k => resolvable(k.expr))) s
+        if (s.orderBy.forall(k => resolvable(k.expr))) (s, Nil)
         else {
           var proj = s.projection
           var counter = 0
+          def fresh(): String = {
+            var nm = s"__fth$counter"; counter += 1
+            while (proj.exists(_.outputName == nm)) { nm = s"__fth$counter"; counter += 1 }
+            nm
+          }
+          val hidden = scala.collection.mutable.Buffer.empty[String]
           val keys = s.orderBy.map { k =>
             if (resolvable(k.expr)) k
             else proj.find(p => p.alias.isDefined && p.expr == k.expr) match {
@@ -257,18 +265,19 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
                     "FETCH … WITH TIES with GROUP BY ALL: ORDER BY key " +
                       s"`${k.expr}` is neither a projection output nor an " +
                       "aggregate — name it in the projection explicitly")
-                val nm = s"__fth$counter"; counter += 1
+                val nm = fresh()
+                hidden += nm
                 proj = proj :+ Projection(k.expr, Some(nm))
                 k.copy(expr = ColRef(None, nm))
             }
           }
-          s.copy(projection = proj, orderBy = keys)
+          (s.copy(projection = proj, orderBy = keys), hidden.toSeq)
         }
-      case _ => s
+      case _ => (s, Nil)
     }
 
   private def select(s00: Select): DataFrame = {
-    val s0 = desugarFetchTies(s00)
+    val (s0, hiddenTies) = desugarFetchTies(s00)
     val rel = s0.from.map(relation).getOrElse(RelPlan(dual, Nil, windowed = false))
     // this SELECT's aliases become visible as outer references to any
     // correlated subquery translated inside its clauses
@@ -282,7 +291,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     // (the FROM clause itself was translated above, under the enclosing
     // marks, so lateral subqueries inside FROM still see the outer scope)
     outerMarkQuals = outerMarkQuals -- own
-    try selectBody(rel, s0)
+    try selectBody(rel, s0, hiddenTies)
     finally { scopeQuals = savedScope; outerMarkQuals = savedMark }
   }
 
@@ -326,7 +335,8 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     })
   }
 
-  private def selectBody(rel: RelPlan, s0: Select): DataFrame = {
+  private def selectBody(rel: RelPlan, s0: Select,
+                         hiddenTies: Seq[String] = Nil): DataFrame = {
     val (df1, s1) = decorrelateScalars(rel.df, s0)
     val s = expandColumnsRegex(df1, s1)
     val df0 = df1
@@ -357,19 +367,12 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       if (s.orderBy.nonEmpty) out = out.orderBy(s.orderBy.map(sortOnOutput(out, _)): _*)
     }
     val limited = applyLimit(out, s.limit, s.orderBy)
-    // trim WITH TIES hidden sort-key columns (see desugarFetchTies); the
-    // drop is a Project over the final Sort, so output order is preserved.
-    // Gate on the AST, not limited.columns: reading the schema here would
-    // force eager analysis and break correlated subquery bodies that must
-    // stay unanalyzed until embedding (.outer() marks unresolved). Only a
-    // WITH TIES select can carry hidden keys, and only desugar-shaped
-    // aliases count — a user column that happens to start with __fth in a
-    // non-ties query is never touched.
-    val hidden =
-      if (s.limit.exists(_.withTies))
-        s.projection.flatMap(_.alias).filter(_.matches("__fth\\d+"))
-      else Nil
-    if (hidden.nonEmpty) limited.drop(hidden: _*) else limited
+    // trim EXACTLY the WITH TIES hidden sort-key columns desugarFetchTies
+    // generated (passed by name — no alias-shape guessing, so user columns
+    // can never be caught). The drop is a Project over the final Sort, so
+    // output order is preserved; gating on the passed names (never on
+    // limited.columns) keeps correlated subquery bodies unanalyzed.
+    if (hiddenTies.nonEmpty) limited.drop(hiddenTies: _*) else limited
   }
 
   /** Decorrelate equality-correlated aggregate scalar subqueries into left

@@ -24,27 +24,29 @@ class PlanAuditSpec extends AnyFunSuite {
     "q67_ignore_nulls" -> "user query: LOCF via over (order by …), no partition by",
     "x32_global_shuffle" -> "deterministicShuffle IS a global sort by definition (SCALE.md honest limits)")
 
-  /** gate -> why its BroadcastNestedLoopJoin side is bounded (1-row
+  /** gate -> (max allowed BNLJ nodes, why they are bounded): 1-row
     * aggregate summaries, model tables, or an explicit user cross join of
-    * tiny relations) — |L|·|tiny| is linear, not quadratic. The audit
-    * exists for every OTHER gate: the quantified ANY/ALL, null-aware NOT
-    * IN, and WITH TIES families must stay BNLJ-free (rounds 4-6 fixes). */
+    * tiny relations — |L|·|tiny| is linear, not quadratic. A gate
+    * exceeding its allowance (a NEW nested loop creeping in) or dropping
+    * to zero (stale whitelist entry) fails, so the whitelist stays exact.
+    * The audit exists for every OTHER gate: the quantified ANY/ALL,
+    * null-aware NOT IN, and WITH TIES families stay BNLJ-free (r4-6). */
   private val bnljByDesign = Map(
-    "q08_join_using_cross" -> "user query: CROSS JOIN region (5 rows)",
-    "q36_sketches" -> "cross join of 1-row sketch summaries",
-    "q72_table_fns" -> "user query: cross join of two table functions (6x5 rows)",
-    "q77_corr_scalar_native" -> "non-equality correlation is a theta join by semantics; inner side 25 rows, Catalyst-decorrelated",
-    "x06_dedup_embed_cosine" -> "broadcast of the (bounded) candidate model",
-    "x07_sim_brute_topk" -> "broadcast query vectors vs corpus — the documented brute-force baseline",
-    "x08_sim_lsh_topk" -> "broadcast LSH probe set (bounded)",
-    "x16_sim_ivf_topk" -> "broadcast IVF centroids (model-sized)",
-    "x18_sample_dialect" -> "broadcast 1-row sampling-rate summary",
-    "x31_mixture" -> "broadcast per-source weight table (#sources rows)",
-    "x33_bigram_lm" -> "broadcast 1-row vocabulary-size aggregate",
-    "x38_centroid_assign" -> "broadcast centroid model (k rows)",
-    "x40_temperature_mix" -> "broadcast per-source count/weight summary (#sources rows)",
-    "x53_bm25" -> "broadcast 1-row (N, avgdl) corpus stats",
-    "x54_quantized_topk" -> "broadcast quantization-scale summary (model-sized)")
+    "q08_join_using_cross" -> (1, "user query: CROSS JOIN region (5 rows)"),
+    "q36_sketches" -> (1, "cross join of 1-row sketch summaries"),
+    "q72_table_fns" -> (1, "user query: cross join of two table functions (6x5 rows)"),
+    "q77_corr_scalar_native" -> (2, "non-equality correlation is a theta join by semantics; inner side 25 rows, Catalyst-decorrelated"),
+    "x06_dedup_embed_cosine" -> (1, "broadcast of the (bounded) candidate model"),
+    "x07_sim_brute_topk" -> (1, "broadcast query vectors vs corpus — the documented brute-force baseline"),
+    "x08_sim_lsh_topk" -> (1, "broadcast LSH probe set (bounded)"),
+    "x16_sim_ivf_topk" -> (1, "broadcast IVF centroids (model-sized)"),
+    "x18_sample_dialect" -> (1, "broadcast 1-row sampling-rate summary"),
+    "x31_mixture" -> (1, "broadcast per-source weight table (#sources rows)"),
+    "x33_bigram_lm" -> (1, "broadcast 1-row vocabulary-size aggregate"),
+    "x38_centroid_assign" -> (1, "broadcast centroid model (k rows)"),
+    "x40_temperature_mix" -> (1, "broadcast per-source count/weight summary (#sources rows)"),
+    "x53_bm25" -> (1, "broadcast 1-row (N, avgdl) corpus stats"),
+    "x54_quantized_topk" -> (1, "broadcast quantization-scale summary (model-sized)"))
 
   test("no gate plans a BroadcastNestedLoopJoin or an engine-chosen global window") {
     val spark = TestSpark.spark
@@ -72,10 +74,15 @@ class PlanAuditSpec extends AnyFunSuite {
               p.subqueries.foreach(walkL)
             }
             walkL(df.queryExecution.optimizedPlan)
-            if (!bnljByDesign.contains(name) &&
-                df.queryExecution.explainString(FormattedMode)
-                  .contains("BroadcastNestedLoopJoin"))
-              violations += s"$name: BroadcastNestedLoopJoin"
+            // FormattedMode prints every node twice (numbered tree + the
+            // per-node details section) — halve the text occurrences
+            val bnljCount = "BroadcastNestedLoopJoin".r
+              .findAllIn(df.queryExecution.explainString(FormattedMode)).length / 2
+            val allowed = bnljByDesign.get(name).map(_._1).getOrElse(0)
+            if (bnljCount > allowed)
+              violations += s"$name: $bnljCount BroadcastNestedLoopJoin (allowed $allowed)"
+            else if (allowed > 0 && bnljCount < allowed)
+              violations += s"$name: BNLJ allowance stale ($bnljCount < $allowed) — tighten the whitelist"
           }
         } catch {
           case e: Exception => violations += s"$name: failed to plan (${e.getMessage})"
