@@ -101,6 +101,20 @@ class AdviceR6Spec extends AnyFunSuite {
     assert(df.count() == 3)
   }
 
+  test("user __fth0 alias survives INSIDE a WITH TIES query too") {
+    // second review pass: the trim drops exactly the names the desugar
+    // generated; a colliding user alias forces a fresh hidden name
+    val df = g.sql("select n_name as __fth0 from nation " +
+      "order by n_regionkey fetch first 5 rows with ties")
+    assert(df.columns.toSeq == Seq("__fth0"), df.columns.mkString(","))
+    assert(df.count() >= 5)
+    // and when the user alias IS the sort key, nothing is dropped at all
+    val df2 = g.sql("select n_name as __fth0 from nation " +
+      "order by __fth0 fetch first 3 rows with ties")
+    assert(df2.columns.toSeq == Seq("__fth0"))
+    assert(df2.count() == 3)
+  }
+
   // --- limit/offset literals past Int.MaxValue fail loudly ---------------
 
   test("LIMIT / FETCH WITH TIES row counts past Int.MaxValue raise") {

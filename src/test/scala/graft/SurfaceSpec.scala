@@ -311,6 +311,12 @@ class SurfaceSpec extends AnyFunSuite {
       "select n_name from nation where n_nationkey = cast(rand() * 25 as int)") == Many)
     assert(g.cardinalityOf("select 1 as x") == One)
     assert(g.one[Long]("select 1 as x") == 1L)
+    // second review pass: generators multiply rows; unknown functions are
+    // not constants (registry passthrough); OFFSET can empty the dual row
+    assert(g.cardinalityOf("select unnest([1, 2, 3]) as x") == Many)
+    assert(g.cardinalityOf(
+      "select n_name from nation where n_nationkey = spark_partition_id()") == Many)
+    assert(g.cardinalityOf("select 1 as x limit 10 offset 1") == ZeroOrOne)
   }
 
   test("W7/S6: insert into stream[window] buckets incoming rows") {
