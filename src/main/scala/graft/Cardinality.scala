@@ -86,7 +86,12 @@ object Cardinality {
   def of(stmt: Statement, keysOf: String => Seq[Seq[String]]): Cardinality =
     stmt match {
       case s: Select    => ofSelect(s, keysOf)
-      case _: QueryExpr => Many // set ops / CTE bodies: no single-key bound
+      case With(ctes, body, _) =>
+        // a CTE body classifies like its SELECT — except that CTE names
+        // SHADOW catalog tables, so their declared keys must not apply
+        val shadow = ctes.map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet
+        of(body, n => if (shadow(n)) Nil else keysOf(n))
+      case _: QueryExpr => Many // set ops: no single-key bound
       case _            => One  // DML executes exactly once
     }
 

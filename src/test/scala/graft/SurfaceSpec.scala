@@ -317,6 +317,16 @@ class SurfaceSpec extends AnyFunSuite {
     assert(g.cardinalityOf(
       "select n_name from nation where n_nationkey = spark_partition_id()") == Many)
     assert(g.cardinalityOf("select 1 as x limit 10 offset 1") == ZeroOrOne)
+    // WITH wrapping: the body classifies normally, but a CTE that SHADOWS
+    // a keyed table must not inherit the table's declared keys
+    assert(g.cardinalityOf(
+      "with v as (select 1 as x) " +
+      "select n_name from nation where n_nationkey = 1") == ZeroOrOne)
+    assert(g.cardinalityOf(
+      "with nation as (select 1 as n_nationkey) " +
+      "select n_nationkey from nation where n_nationkey = 1") == Many)
+    assert(g.cardinalityOf(
+      "with v as (select 1 as x) select count(*) as n from v") == One)
   }
 
   test("W7/S6: insert into stream[window] buckets incoming rows") {
