@@ -105,11 +105,13 @@ object Cardinality {
       return ZeroOrOne
     // a projection-position generator multiplies every surviving row
     if (hasGenerator(s)) return Many
-    // global aggregate: exactly one row regardless of WHERE
+    // global aggregate: exactly one row regardless of WHERE — unless an
+    // OFFSET can skip it (`select count(*) from t offset 1` returns zero
+    // rows; ADVICE r6)
     if (s.groupBy.isEmpty && s.qualify.isEmpty && !s.distinct &&
         s.projection.nonEmpty && s.projection.exists(p => isAggExpr(p.expr)) &&
         s.projection.forall(p => isAggExpr(p.expr) || constantTerm(p.expr)))
-      return One
+      return if (s.limit.exists(_.offset.nonEmpty)) ZeroOrOne else One
     if (s.groupBy.nonEmpty) return Many
     s.from match {
       // FROM-less SELECT = one row over `dual` — unless a generator

@@ -189,9 +189,23 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
 
   /** Parse + plan without executing; returns the output schema — the
     * Spark-native answer to the reference's `TypedStatement.output`
-    * (flinkdsl/typer.scala_:11-22). */
+    * (flinkdsl/typer.scala_:11-22).
+    *
+    * Deviation note: UNKEYED count/session windows materialize their
+    * range-partitioned input at translation time (a Spark job runs, and a
+    * pinned MEMORY_AND_DISK cache is left behind for the statement's
+    * multi-pass reads) — so `schemaOf` on those statements is not free.
+    * Call [[releaseOperatorCaches]] between statements to drop the pins
+    * deterministically. */
   def schemaOf(text: String, args: Any*): StructType =
     sql(text, args: _*).schema
+
+  /** Unpersist the operator-internal pinned caches accumulated by unkeyed
+    * count/session window translations (ADVICE r6: previously these waited
+    * for the ContextCleaner's weak-ref GC). Returns the number released.
+    * Call between statements — a still-unconsumed windowed DataFrame will
+    * recompute (and may resample range boundaries) if released early. */
+  def releaseOperatorCaches(): Int = catalog.releasePinned()
 
   /** Typed-record surface: `Dataset[T]` replaces the reference's shapeless
     * HList records (flinkdsl/record.scala). */

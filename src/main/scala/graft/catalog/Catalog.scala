@@ -80,6 +80,29 @@ final class Catalog {
 
   def dropSchema(name: String): Unit = schemas.remove(norm(name))
 
+  // --- operator-internal pinned caches -----------------------------------
+  // Count/session window translations pin a shuffled RDD (persist
+  // MEMORY_AND_DISK) so their multi-pass reads cannot drift (range-boundary
+  // resampling on recompute). Those RDDs are registered here so a session
+  // can release them deterministically instead of waiting for the
+  // ContextCleaner's weak-ref GC (ADVICE r6: long-lived sessions accumulate
+  // cached blocks until a driver GC happens to run).
+  private val pinnedRdds = mutable.Buffer.empty[org.apache.spark.rdd.RDD[_]]
+
+  def registerPinned(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    pinnedRdds.synchronized { pinnedRdds += rdd }
+
+  /** Unpersist every operator-pinned RDD registered so far; returns how
+    * many were released. Safe to call while derived DataFrames are still
+    * alive — Spark recomputes (with possible range-boundary drift on count
+    * windows, so call between statements, not mid-consumption). */
+  def releasePinned(): Int = pinnedRdds.synchronized {
+    val n = pinnedRdds.length
+    pinnedRdds.foreach(_.unpersist(blocking = false))
+    pinnedRdds.clear()
+    n
+  }
+
   private def norm(s: String) = s.toLowerCase(java.util.Locale.ROOT)
 
   // --- FSQL type names → Spark types (fsql/parser.scala:355 + the wider

@@ -211,8 +211,10 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     * are carried as hidden projection columns, whose EXACT generated names
     * are returned so [[selectBody]] trims precisely those (a user column
     * that happens to be aliased `__fth0` is neither dropped nor collided
-    * with — fresh names skip existing output names). */
-  private def desugarFetchTies(s: Select): (Select, Seq[String]) =
+    * with — fresh names skip existing output names, and under a star
+    * projection also every column of the translated FROM relation, since
+    * any star-expanded output name is drawn from that set; ADVICE r6). */
+  private def desugarFetchTies(s: Select, relCols: Set[String]): (Select, Seq[String]) =
     s.limit match {
       case Some(l) if l.withTies =>
         if (s.orderBy.isEmpty)
@@ -243,9 +245,11 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         else {
           var proj = s.projection
           var counter = 0
+          def taken(nm: String): Boolean =
+            proj.exists(_.outputName == nm) || (hasStar && relCols(nm))
           def fresh(): String = {
             var nm = s"__fth$counter"; counter += 1
-            while (proj.exists(_.outputName == nm)) { nm = s"__fth$counter"; counter += 1 }
+            while (taken(nm)) { nm = s"__fth$counter"; counter += 1 }
             nm
           }
           val hidden = scala.collection.mutable.Buffer.empty[String]
@@ -277,8 +281,10 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     }
 
   private def select(s00: Select): DataFrame = {
-    val (s0, hiddenTies) = desugarFetchTies(s00)
-    val rel = s0.from.map(relation).getOrElse(RelPlan(dual, Nil, windowed = false))
+    // FROM first: desugarFetchTies needs the relation's output columns to
+    // pick hidden sort-key names that cannot collide with star expansion
+    val rel = s00.from.map(relation).getOrElse(RelPlan(dual, Nil, windowed = false))
+    val (s0, hiddenTies) = desugarFetchTies(s00, rel.df.columns.toSet)
     // this SELECT's aliases become visible as outer references to any
     // correlated subquery translated inside its clauses
     val savedScope = scopeQuals
@@ -1234,13 +1240,16 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       Map("w_start" -> "session_window.start", "w_end" -> "session_window.end"))
   }
 
-  /** Session (gap-based) windows, batch: classic gaps-and-islands via
-    * window functions — a row starts a new session when its gap from the
-    * previous row (per partition key, event-time order) exceeds `gapUs`;
-    * `w_start`/`w_end` = session min/max event time (w_end + gap, matching
-    * Spark's session_window upper bound). Per-key sorting parallelizes
-    * across keys; the unkeyed form is a single global sort (same caveat as
-    * count windows, documented). Streaming session windows: use
+  /** Session (gap-based) windows, batch: classic gaps-and-islands — a row
+    * starts a new session when its gap from the previous row (per partition
+    * key, event-time order) EXCEEDS `gapUs` (strictly: rows spaced exactly
+    * one gap apart share a session — verified against Spark's native
+    * `session_window` in both batch and streaming, AdviceR7Spec "exact-gap
+    * boundary"); `w_start`/`w_end` = session min/max event time (w_end +
+    * gap, matching Spark's session_window upper bound). Per-key sorting
+    * parallelizes across keys via window functions; the UNKEYED form is
+    * range-partitioned and boundary-merged (no global sort — see
+    * [[applyGlobalSessionWindow]]). Streaming session windows: use
     * `graft.streaming.Sessions` (native session_window + watermark) — the
     * per-row two-pass form below is not expressible on a stream. */
   private def applySessionWindow(df: DataFrame, timeField: String,
@@ -1249,6 +1258,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       throw new GraftAnalysisException(
         "streaming session windows are not supported in the dialect yet; " +
           "use graft.streaming.Sessions.aggregate")
+    if (partCols.isEmpty) return applyGlobalSessionWindow(df, timeField, gapUs)
     val tUs = unix_micros(col(timeField).cast("timestamp"))
     val ord = Window.partitionBy(partCols.map(col): _*).orderBy(tUs)
     val prev = lag(tUs, 1).over(ord)
@@ -1261,6 +1271,160 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       .withColumn("w_end", timestamp_micros(max(unix_micros(col(timeField).cast("timestamp"))).over(sess) + gapUs))
       .drop("__sid")
     (out, Seq("w_start", "w_end") ++ partCols)
+  }
+
+  /** Per-partition session summary for the unkeyed boundary merge: row
+    * count, event-time (micros) of the partition's first/last row, last row
+    * of its FIRST local session, first row of its LAST local session, and
+    * the local session count. Nulls (rows whose time casts to null) sort
+    * first under the range partitioner and are singleton sessions, exactly
+    * like the keyed path (`prev IS NULL` starts a new session). */
+  private case class GswPart(pid: Int, rows: Long, nSess: Long,
+      firstT: Option[Long], lastT: Option[Long],
+      firstSessEnd: Option[Long], lastSessStart: Option[Long])
+
+  /** Unkeyed batch session windows WITHOUT a global sort (round-6 advisory:
+    * this was the last dialect construct that funneled every row into one
+    * task). Recipe mirrors the unkeyed count window (`:1355` below):
+    *
+    *  1. range-partition by the (casted) event time and sort within
+    *     partitions — a distributed sort, equal keys co-located;
+    *  2. pin ONE physical instance of the shuffled data (persist
+    *     MEMORY_AND_DISK, registered with the catalog for explicit release
+    *     via `GraftSession.releaseOperatorCaches()`), so the two passes
+    *     below cannot see drifting range boundaries;
+    *  3. pass 1 (translation-time job, like count windows / recursive
+    *     CTEs): per-partition gaps-and-islands summary — #partitions rows
+    *     to the driver;
+    *  4. driver: merge sessions that straddle partition boundaries (last
+    *     session of partition i joins the first session of partition i+1
+    *     when the boundary gap is <= gapUs; merges chain through
+    *     single-session partitions) → a small (pid, localSid) -> bounds
+    *     map, broadcast;
+    *  5. pass 2 (lazy): re-run the identical per-partition islands scan,
+    *     stamping each row's session bounds, patched by the broadcast map
+    *     for boundary sessions.
+    *
+    * Memory: each task buffers ONE session at a time — the same worst case
+    * as the keyed path's window aggregation (a partition-sized session
+    * buffers a partition either way), but now split across partitions
+    * instead of concentrated in a single global-sort task. */
+  private def applyGlobalSessionWindow(df: DataFrame, timeField: String,
+      gapUs: Long): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val sparkS = df.sparkSession
+    val withT = df.withColumn("__gsw_tus",
+      unix_micros(col(timeField).cast("timestamp")))
+    val sorted = withT.repartitionByRange(col("__gsw_tus").asc_nulls_first)
+      .sortWithinPartitions(col("__gsw_tus").asc_nulls_first)
+    val tIdx = sorted.schema.fieldIndex("__gsw_tus")
+    val pinned = sorted.rdd
+    pinned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    catalog.registerPinned(pinned)
+    def tOf(r: Row): Option[Long] =
+      if (r.isNullAt(tIdx)) None else Some(r.getLong(tIdx))
+    // a session breaks before `cur` when there is no previous row, the
+    // previous row's time is null, or the gap strictly exceeds gapUs —
+    // byte-identical to the keyed path's `prev.isNull || t - prev > gap`
+    def breaks(prev: Option[Option[Long]], cur: Option[Long]): Boolean =
+      prev.forall(p => p.isEmpty || cur.exists(_ - p.get > gapUs))
+    val summaries: Array[GswPart] = pinned.mapPartitionsWithIndex { (pid, it) =>
+      var rows = 0L; var nSess = 0L
+      var firstT: Option[Long] = None; var lastT: Option[Long] = None
+      var firstSessEnd: Option[Long] = None
+      var lastSessStart: Option[Long] = None
+      var prev: Option[Option[Long]] = None
+      it.foreach { r =>
+        val cur = tOf(r)
+        if (rows == 0L) firstT = cur
+        if (breaks(prev, cur)) { nSess += 1; lastSessStart = cur }
+        if (nSess == 1L) firstSessEnd = cur
+        lastT = cur; prev = Some(cur); rows += 1
+      }
+      if (rows == 0L) Iterator.empty
+      else Iterator.single(GswPart(pid, rows, nSess, firstT, lastT,
+        firstSessEnd, lastSessStart))
+    }.collect().sortBy(_.pid)
+    // driver-side boundary merge: O(#partitions) work and state
+    val adjust = scala.collection.mutable.Map.empty[(Int, Long), (Long, Long)]
+    var chain = List.empty[(Int, Long)] // (pid, localSid) members
+    var chainStart = Option.empty[Long]
+    var chainEnd = Option.empty[Long]
+    def closeChain(): Unit = {
+      if (chain.length > 1)
+        chain.foreach(m => adjust(m) = (chainStart.get, chainEnd.get))
+      chain = Nil; chainStart = None; chainEnd = None
+    }
+    var prevLastT = Option.empty[Long]
+    summaries.foreach { p =>
+      val mergeAcross = chain.nonEmpty && prevLastT.nonEmpty &&
+        p.firstT.nonEmpty && (p.firstT.get - prevLastT.get <= gapUs)
+      if (mergeAcross) {
+        chain = chain :+ ((p.pid, 0L))
+        chainEnd = p.firstSessEnd.orElse(chainEnd)
+      } else {
+        closeChain()
+        chain = List((p.pid, 0L))
+        chainStart = p.firstT; chainEnd = p.firstSessEnd
+      }
+      if (p.nSess > 1L) {
+        closeChain()
+        chain = List((p.pid, p.nSess - 1L))
+        chainStart = p.lastSessStart; chainEnd = p.lastT
+      }
+      prevLastT = p.lastT
+    }
+    closeChain()
+    val adjustB = sparkS.sparkContext.broadcast(adjust.toMap)
+    val gap = gapUs
+    val stamped = pinned.mapPartitionsWithIndex { (pid, it) =>
+      val boundsPatch = adjustB.value
+      new scala.collection.AbstractIterator[Row] {
+        private var pending: Iterator[Row] = Iterator.empty
+        private var sid = -1L
+        private var lookahead: Option[Row] = None
+        private var prev: Option[Option[Long]] = None
+        private def flushSession(): Unit = {
+          // pull rows until the session breaks or input ends; stamp bounds
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var done = false
+          while (!done) {
+            val next = lookahead.orElse(if (it.hasNext) Some(it.next()) else None)
+            lookahead = None
+            next match {
+              case None => done = true
+              case Some(r) =>
+                val cur = tOf(r)
+                if (buf.nonEmpty && breaks(prev, cur)) {
+                  lookahead = Some(r); done = true
+                } else { buf += r; prev = Some(cur) }
+            }
+          }
+          sid += 1
+          val bounds = boundsPatch.get((pid, sid)) match {
+            case Some((s, e)) => (Some(s), Some(e))
+            case None => (tOf(buf.head), tOf(buf.last))
+          }
+          val ws: Any = bounds._1.map(Long.box).orNull
+          val we: Any = bounds._2.map(v => Long.box(v + gap)).orNull
+          pending = buf.iterator.map(r => Row.fromSeq(r.toSeq :+ ws :+ we))
+        }
+        override def hasNext: Boolean =
+          pending.hasNext || lookahead.nonEmpty || it.hasNext
+        override def next(): Row = {
+          if (!pending.hasNext) flushSession()
+          pending.next()
+        }
+      }
+    }
+    val out0 = sparkS.createDataFrame(stamped,
+      sorted.schema.add("__gsw_ws", LongType).add("__gsw_we", LongType))
+    val out = out0
+      .withColumn("w_start", timestamp_micros(col("__gsw_ws")))
+      .withColumn("w_end", timestamp_micros(col("__gsw_we")))
+      .drop("__gsw_ws", "__gsw_we", "__gsw_tus")
+    (out, Seq("w_start", "w_end"))
   }
 
   /** Streaming time windows use Spark's native `window()` + a synthesized
@@ -1373,11 +1537,11 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
             // job and the data pass both read the persisted RDD, so
             // partition boundaries cannot drift between passes. The only
             // driver-side state is the #partitions-element offset array;
-            // the cache is MEMORY_AND_DISK (spills, never recomputes) and
-            // is released by Spark's ContextCleaner once the RDD becomes
-            // unreferenced (weak-ref based — the standard lifecycle for
-            // operator-internal caches; repeated translations therefore
-            // accumulate only until the next driver GC).
+            // the cache is MEMORY_AND_DISK (spills, never recomputes),
+            // registered with the catalog so
+            // `GraftSession.releaseOperatorCaches()` frees it
+            // deterministically (ADVICE r6), with the ContextCleaner's
+            // weak-ref GC as the fallback lifecycle.
             // The count job runs when this RDD is built — count windows
             // materialize at translation, like recursive CTEs (any pinning
             // strategy pays a translation-time job here: even a lazy
@@ -1388,6 +1552,7 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
               .sortWithinPartitions(orderCol.asc)
             val pinned = sorted.rdd
             pinned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            catalog.registerPinned(pinned) // explicit release: GraftSession.releaseOperatorCaches()
             val indexed = pinned.zipWithIndex.map { case (r, i) =>
               org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i / n)) }
             val out = spark.createDataFrame(indexed,
