@@ -44,6 +44,13 @@ object Bench {
       // negative elapsed marks a failed query instead of reporting a
       // fast-looking bogus time
       val dt = (System.nanoTime() - t0) / 1e9
+      // the result is fully consumed (noop sink) — NOW it is safe to drop
+      // any operator-pinned RDDs (unkeyed count/session windows persist a
+      // range-partitioned shuffle per translation; without this, back-to-
+      // back gate runs accumulate pinned blocks until the ContextCleaner
+      // happens to run). Release time is outside the timed span by design:
+      // it is session hygiene, not query cost.
+      GraftSession.forDir(spark, sfDir).releaseOperatorCaches()
       if (ok) dt else -dt
     }
     // local profiling convenience: SPARK_GRAFT_ONLY=x44,x27 benches the

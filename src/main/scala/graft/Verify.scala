@@ -47,6 +47,10 @@ object Verify {
           rm(stale)
         }
       }
+      // result fully written (or the query failed) — safe point to drop
+      // operator-pinned RDDs so a 163-gate run cannot accumulate pinned
+      // range-partitioned blocks across queries
+      GraftSession.forDir(spark, sfDir).releaseOperatorCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

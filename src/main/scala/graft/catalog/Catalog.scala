@@ -59,8 +59,8 @@ final class Catalog {
   }
 
   def relation(name: String): DataFrame =
-    relations.getOrElse(norm(name), throw new IllegalArgumentException(
-      s"unknown table or stream: $name (known: ${relations.keys.toSeq.sorted.mkString(", ")})"))()
+    Catalog.normalizeNtz(relations.getOrElse(norm(name), throw new IllegalArgumentException(
+      s"unknown table or stream: $name (known: ${relations.keys.toSeq.sorted.mkString(", ")})"))())
 
   def isStream(name: String): Boolean = streamNames(norm(name))
 
@@ -93,9 +93,19 @@ final class Catalog {
     pinnedRdds.synchronized { pinnedRdds += rdd }
 
   /** Unpersist every operator-pinned RDD registered so far; returns how
-    * many were released. Safe to call while derived DataFrames are still
-    * alive — Spark recomputes (with possible range-boundary drift on count
-    * windows, so call between statements, not mid-consumption). */
+    * many were released.
+    *
+    * CALL ONLY BETWEEN STATEMENTS — i.e. after every DataFrame translated
+    * since the last release has been fully consumed (written/collected)
+    * or abandoned. Releasing while a translated-but-unconsumed unkeyed
+    * count/session window is still alive is NOT merely nondeterministic:
+    * the recompute re-runs the range partitioner, and if its sampled
+    * boundaries differ from the ones the translation-time boundary-merge
+    * (broadcast patch map) was computed from, the stamped session/window
+    * bounds are SILENTLY WRONG — rows land in partitions the patch map
+    * does not describe. Nothing enforces the protocol; the consumers in
+    * this repo (Verify/Bench, gate code) release only after a full
+    * materialization of the statement result. */
   def releasePinned(): Int = pinnedRdds.synchronized {
     val n = pinnedRdds.length
     pinnedRdds.foreach(_.unpersist(blocking = false))
@@ -115,6 +125,40 @@ final class Catalog {
 }
 
 object Catalog {
+
+  /** `dt` with every TIMESTAMP_NTZ (recursively, through arrays/maps/
+    * structs) replaced by TIMESTAMP. Identity when NTZ-free. */
+  def ntzFree(dt: DataType): DataType = dt match {
+    case TimestampNTZType      => TimestampType
+    case ArrayType(et, n)      => ArrayType(ntzFree(et), n)
+    case MapType(k, v, n)      => MapType(ntzFree(k), ntzFree(v), n)
+    case StructType(fs)        =>
+      StructType(fs.map(f => f.copy(dataType = ntzFree(f.dataType))))
+    case other                 => other
+  }
+
+  /** Normalize TIMESTAMP_NTZ columns to TIMESTAMP at the catalog boundary.
+    *
+    * Spark 4 reads parquet timestamps written without UTC adjustment
+    * (isAdjustedToUTC=false — e.g. pandas/pyarrow defaults) as
+    * `TIMESTAMP_NTZ`, a type many time functions reject (`unix_micros`,
+    * watermarks pre-3.4 semantics) and whose row values surface as
+    * `java.time.LocalDateTime` instead of `java.sql.Timestamp`. Rather
+    * than defending at every operator, the catalog presents ONE timestamp
+    * type: naive timestamps are interpreted in the session time zone
+    * (Spark's own NTZ→TZ cast convention; graft's driver entry points pin
+    * `spark.sql.session.timeZone=UTC`, making the conversion value-exact —
+    * the stored micros are unchanged). Operators that accept arbitrary
+    * user DataFrames (bypassing the catalog) add their own casts. */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    val needs = df.schema.fields.filter(f => ntzFree(f.dataType) != f.dataType)
+    if (needs.isEmpty) df
+    else needs.foldLeft(df) { (acc, f) =>
+      acc.withColumn(f.name,
+        org.apache.spark.sql.functions.col(s"`${f.name}`").cast(ntzFree(f.dataType)))
+    }
+  }
+
   /** FSQL/DDL type names → Spark types — shared by field definitions and
     * the dialect's CAST(e AS type). */
   def toDataType(name: String): DataType = name.toLowerCase(java.util.Locale.ROOT) match {

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
 
 /** Time-interval join — Flink's `intervalJoin` semantics: pair left and
   * right rows on equal keys whenever
@@ -28,6 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  // The operator API takes arbitrary DataFrames (not just catalog
+  // relations, which already normalize NTZ→TIMESTAMP), so time columns are
+  // defensively cast before unix_micros — NTZ inputs (e.g. pandas-written
+  // parquet read by Spark 4) otherwise fail DATATYPE_MISMATCH. The cast is
+  // a no-op on TIMESTAMP; NTZ is interpreted in the session time zone.
+  private def micros(c: org.apache.spark.sql.Column) =
+    unix_micros(c.cast("timestamp"))
+
   /** Batch interval join. `right`'s columns are appended; names must not
     * clash with left's (rename before joining). `beforeUs`/`afterUs` are
     * non-negative microsecond bounds relative to the LEFT row's time. */
@@ -47,14 +56,14 @@ object IntervalJoin {
       call_function("div", us - pmod(us, lit(width)), lit(width))
     // r matches l ⟺ l.time ∈ [r.time - after, r.time + before], so the
     // right row must appear in every bucket that interval touches
-    val l = left.withColumn("__ib", bucket(unix_micros(col(lTime))))
+    val l = left.withColumn("__ib", bucket(micros(col(lTime))))
     val r = right.withColumn("__ib",
-      explode(sequence(bucket(unix_micros(col(rTime)) - afterUs),
-        bucket(unix_micros(col(rTime)) + beforeUs))))
+      explode(sequence(bucket(micros(col(rTime)) - afterUs),
+        bucket(micros(col(rTime)) + beforeUs))))
     l.join(r, keys :+ "__ib")
-      .where(unix_micros(col(rTime))
-        .between(unix_micros(col(lTime)) - beforeUs,
-          unix_micros(col(lTime)) + afterUs))
+      .where(micros(col(rTime))
+        .between(micros(col(lTime)) - beforeUs,
+          micros(col(lTime)) + afterUs))
       .drop("__ib")
   }
 
@@ -64,8 +73,8 @@ object IntervalJoin {
                 lTime: String, rTime: String, beforeUs: Long, afterUs: Long,
                 watermarkDelay: String): DataFrame = {
     require(beforeUs >= 0 && afterUs >= 0, "interval bounds must be >= 0")
-    val l = left.withWatermark(lTime, watermarkDelay)
-    val r = right.withWatermark(rTime, watermarkDelay)
+    val l = Catalog.normalizeNtz(left).withWatermark(lTime, watermarkDelay)
+    val r = Catalog.normalizeNtz(right).withWatermark(rTime, watermarkDelay)
     val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
     val range =
       unix_micros(r(rTime)).between(unix_micros(l(lTime)) - beforeUs,

@@ -1244,8 +1244,8 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     * starts a new session when its gap from the previous row (per partition
     * key, event-time order) EXCEEDS `gapUs` (strictly: rows spaced exactly
     * one gap apart share a session — verified against Spark's native
-    * `session_window` in both batch and streaming, AdviceR7Spec "exact-gap
-    * boundary"); `w_start`/`w_end` = session min/max event time (w_end +
+    * `session_window` in both batch and streaming; AdviceR8Spec asserts
+    * the dialect's own boundaries, keyed and unkeyed); `w_start`/`w_end` = session min/max event time (w_end +
     * gap, matching Spark's session_window upper bound). Per-key sorting
     * parallelizes across keys via window functions; the UNKEYED form is
     * range-partitioned and boundary-merged (no global sort — see
@@ -1272,16 +1272,6 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
       .drop("__sid")
     (out, Seq("w_start", "w_end") ++ partCols)
   }
-
-  /** Per-partition session summary for the unkeyed boundary merge: row
-    * count, event-time (micros) of the partition's first/last row, last row
-    * of its FIRST local session, first row of its LAST local session, and
-    * the local session count. Nulls (rows whose time casts to null) sort
-    * first under the range partitioner and are singleton sessions, exactly
-    * like the keyed path (`prev IS NULL` starts a new session). */
-  private case class GswPart(pid: Int, rows: Long, nSess: Long,
-      firstT: Option[Long], lastT: Option[Long],
-      firstSessEnd: Option[Long], lastSessStart: Option[Long])
 
   /** Unkeyed batch session windows WITHOUT a global sort (round-6 advisory:
     * this was the last dialect construct that funneled every row into one
@@ -1322,13 +1312,18 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     val pinned = sorted.rdd
     pinned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     catalog.registerPinned(pinned)
-    def tOf(r: Row): Option[Long] =
-      if (r.isNullAt(tIdx)) None else Some(r.getLong(tIdx))
+    // FUNCTION VALUES, not local defs: scalac lifts local defs onto the
+    // enclosing class, so a task closure calling them would capture `this`
+    // (Translator, not Serializable) and every mapPartitions below would
+    // throw NotSerializableException at job submit (ADVICE r7, high). A
+    // val lambda captures only tIdx/gapUs by value.
+    val tOf: Row => Option[Long] =
+      r => if (r.isNullAt(tIdx)) None else Some(r.getLong(tIdx))
     // a session breaks before `cur` when there is no previous row, the
     // previous row's time is null, or the gap strictly exceeds gapUs —
     // byte-identical to the keyed path's `prev.isNull || t - prev > gap`
-    def breaks(prev: Option[Option[Long]], cur: Option[Long]): Boolean =
-      prev.forall(p => p.isEmpty || cur.exists(_ - p.get > gapUs))
+    val breaks: (Option[Option[Long]], Option[Long]) => Boolean =
+      (prev, cur) => prev.forall(p => p.isEmpty || cur.exists(_ - p.get > gapUs))
     val summaries: Array[GswPart] = pinned.mapPartitionsWithIndex { (pid, it) =>
       var rows = 0L; var nSess = 0L
       var firstT: Option[Long] = None; var lastT: Option[Long] = None
@@ -1921,8 +1916,9 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
               throw new GraftAnalysisException(
                 s"${f.name}: a RANGE INTERVAL frame requires exactly one ORDER BY key")
             val k = ob.head
+            // cast("timestamp") tolerates NTZ order keys (no-op otherwise)
             val onMicros = spec0.orderBy(
-              sortCol(call_function("unix_micros", expr(k.expr)), k))
+              sortCol(call_function("unix_micros", expr(k.expr).cast("timestamp")), k))
             onMicros.rangeBetween(fr.lo, fr.hi)
           }
           // Spark bound convention matches the AST encoding directly
@@ -2023,3 +2019,17 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         "star modifiers (* EXCLUDE/REPLACE) are only valid as top-level projections")
   }
 }
+
+/** Per-partition session summary for the unkeyed boundary merge
+  * ([[Translator.applyGlobalSessionWindow]]): row count, event-time
+  * (micros) of the partition's first/last row, last row of its FIRST local
+  * session, first row of its LAST local session, and the local session
+  * count. Nulls (rows whose time casts to null) sort first under the range
+  * partitioner and are singleton sessions, exactly like the keyed path
+  * (`prev IS NULL` starts a new session).
+  *
+  * Top-level on purpose: as an inner class of Translator it would carry an
+  * `$outer` pointer and fail task serialization (ADVICE r7, high). */
+private[translate] case class GswPart(pid: Int, rows: Long, nSess: Long,
+    firstT: Option[Long], lastT: Option[Long],
+    firstSessEnd: Option[Long], lastSessStart: Option[Long])

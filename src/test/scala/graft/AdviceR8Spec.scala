@@ -1,0 +1,155 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Round-8 advisory regressions: (1) graft's OWN session-window boundary
+  * semantics at the exact-gap edge, keyed AND unkeyed (ADVICE r7: the old
+  * ScratchGapSpec only probed Spark's native session_window); (2) the
+  * unkeyed batch session window actually executes — its task closures used
+  * to capture the non-serializable Translator (`NotSerializableException`
+  * at submit) and no test covered the path; (3) TIMESTAMP_NTZ parquet
+  * inputs work end-to-end: catalog normalization plus the defensive casts
+  * in IntervalJoin / RANGE-INTERVAL frames (Spark 4 reads
+  * isAdjustedToUTC=false parquet timestamps as NTZ — the engine must not
+  * depend on how a writer encoded its timestamps). */
+class AdviceR8Spec extends AnyFunSuite {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def freshSession(): GraftSession = new GraftSession(TestSpark.spark)
+
+  test("session window, keyed dialect path: exact-gap rows share a session; over-gap splits") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val g = freshSession()
+    // k=a: 00:00, 01:00 (exactly the 60-min gap → ONE session, matching
+    // Spark's native session_window merge-at-exact-gap), then 02:00:01
+    // (1 s past the gap → NEW session). k=b: a lone row.
+    g.catalog.registerTable("sess_k", Seq(
+      ("a", ts("2024-01-01 00:00:00")),
+      ("a", ts("2024-01-01 01:00:00")),
+      ("a", ts("2024-01-01 02:00:01")),
+      ("b", ts("2024-01-01 05:00:00"))
+    ).toDF("k", "ts"))
+    val out = g.sql(
+      "select w_start, w_end, k, count(*) as n from sess_k " +
+        "[session 60 min on ts partitioned on k] group by w_start, w_end, k " +
+        "order by k, w_start")
+      .collect().map(r => (r.getString(2), r.getTimestamp(0), r.getTimestamp(1), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00"), 2L),
+      ("a", ts("2024-01-01 02:00:01"), ts("2024-01-01 03:00:01"), 1L),
+      ("b", ts("2024-01-01 05:00:00"), ts("2024-01-01 06:00:00"), 1L)))
+  }
+
+  test("session window, UNKEYED dialect path: executes (serializable closures) and matches keyed semantics") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val g = freshSession()
+    // 500 rows in randomized input order across 4 partitions — sessions of
+    // 5 rows spaced 10 min, separated by 2 h; plus an exact-gap pair and
+    // two null timestamps (each a singleton session, like the keyed path)
+    val times = (0 until 33).flatMap { s =>
+      val base = s.toLong * 7200L
+      (0 until 5).map(i => base + i * 600L)
+    } // 33 sessions x 5 rows, 10-min spacing, 60-min gap never exceeded inside
+    val rows = scala.util.Random.shuffle(
+      times.map(t => Tuple1(new java.sql.Timestamp(1704067200000L + t * 1000L))) ++
+        Seq(Tuple1(null.asInstanceOf[java.sql.Timestamp]),
+          Tuple1(null.asInstanceOf[java.sql.Timestamp])))
+    g.catalog.registerTable("sess_u", rows.toDF("ts").repartition(4))
+    val unkeyed = g.sql(
+      "select w_start, w_end, count(*) as n from sess_u " +
+        "[session 60 min on ts] group by w_start, w_end order by w_start")
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).toSeq
+    // keyed path over the same rows with a constant key = ground truth
+    g.catalog.registerTable("sess_u2",
+      rows.toDF("ts").repartition(4).withColumn("k", lit(1)))
+    val keyed = g.sql(
+      "select w_start, w_end, count(*) as n from sess_u2 " +
+        "[session 60 min on ts partitioned on k] group by w_start, w_end " +
+        "order by w_start")
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).toSeq
+    assert(unkeyed == keyed)
+    // the two null-time rows are singleton sessions with (null, null)
+    // bounds, which the GROUP BY collapses into one output row of n=2 —
+    // identical in both paths
+    assert(unkeyed.count(_._1 == null) == 1)
+    assert(unkeyed.filter(_._1 == null).head._3 == 2L)
+    assert(unkeyed.count(_._1 != null) == 33)     // 33 real sessions
+    assert(unkeyed.filter(_._1 != null).forall(_._3 == 5L))
+    g.releaseOperatorCaches()
+  }
+
+  test("session window, unkeyed: exact-gap rows straddling partitions merge into one session") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val g = freshSession()
+    // 8 rows spaced EXACTLY one gap apart, forced through 4 partitions:
+    // the boundary-merge must chain them all into a single session
+    val rows = (0 until 8).map(i => Tuple1(new java.sql.Timestamp(1704067200000L + i * 3600000L)))
+    g.catalog.registerTable("sess_chain", rows.toDF("ts").repartition(4))
+    val out = g.sql(
+      "select w_start, w_end, count(*) as n from sess_chain " +
+        "[session 60 min on ts] group by w_start, w_end")
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)))
+    assert(out.length == 1)
+    assert(out.head == ((new java.sql.Timestamp(1704067200000L),
+      new java.sql.Timestamp(1704067200000L + 8L * 3600000L), 8L)))
+    g.releaseOperatorCaches()
+  }
+
+  test("TIMESTAMP_NTZ parquet: catalog normalizes; interval join, RANGE frame, session window all run") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz").toFile
+    dir.deleteOnExit()
+    val p = new java.io.File(dir, "ntz_events.parquet").getPath
+    // write an NTZ-typed parquet regardless of writer defaults
+    Seq(
+      (1L, "a", ts("2024-03-01 10:00:00")),
+      (2L, "a", ts("2024-03-01 10:20:00")),
+      (3L, "a", ts("2024-03-01 12:00:00")),
+      (4L, "b", ts("2024-03-01 10:10:00")),
+      (5L, "b", ts("2024-03-01 23:00:00"))
+    ).toDF("id", "k", "ts")
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(p)
+    assert(spark.read.parquet(p).schema("ts").dataType == TimestampNTZType)
+
+    val g = freshSession()
+    g.catalog.registerTable("ntz_events", spark.read.parquet(p))
+    // 1) the catalog boundary presents TIMESTAMP, values unchanged (UTC tz)
+    val rel = g.catalog.relation("ntz_events")
+    assert(rel.schema("ts").dataType == TimestampType)
+    assert(rel.orderBy("id").collect().map(_.getTimestamp(2)).head == ts("2024-03-01 10:00:00"))
+    // 2) RANGE INTERVAL frame over the dialect
+    val rf = g.sql(
+      "select id, count(*) over (partition by k order by ts " +
+        "range between interval 30 minute preceding and current row) as c " +
+        "from ntz_events order by id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rf == Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+    // 3) session window (keyed + unkeyed) over NTZ input
+    val sess = g.sql(
+      "select k, count(*) as n from ntz_events " +
+        "[session 30 min on ts partitioned on k] group by w_start, w_end, k " +
+        "order by k, n desc")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sess == Seq(("a", 2L), ("a", 1L), ("b", 1L), ("b", 1L)))
+    // 4) the operator API on the RAW NTZ DataFrame (bypassing the catalog)
+    //    — IntervalJoin's defensive casts must carry it
+    val raw = spark.read.parquet(p)
+    val l = raw.select(col("id").as("l_id"), col("k"), col("ts").as("l_ts"))
+    val r = raw.select(col("id").as("r_id"), col("k"), col("ts").as("r_ts"))
+    val joined = graft.operators.IntervalJoin.join(
+      l, r, Seq("k"), "l_ts", "r_ts", beforeUs = 30L * 60L * 1000000L, afterUs = 0L)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // pairs with r.ts in [l.ts - 30min, l.ts]: self-pairs + (2,1) + (4,4)...
+    assert(joined == Set((1L, 1L), (2L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L)))
+    g.releaseOperatorCaches()
+  }
+}

@@ -98,7 +98,9 @@ class SurfaceSpec extends AnyFunSuite {
     val src3 = g.recordSource("R3",
       "select split(o_orderpriority, '-') as parts, o_orderdate as d from orders")
     assert(src3.contains("parts: Option[Seq[String]]"))
-    assert(src3.contains("d: Option[java.time.LocalDateTime]"))
+    // the catalog normalizes TIMESTAMP_NTZ parquet columns to TIMESTAMP,
+    // so records see java.sql.Timestamp regardless of file encoding
+    assert(src3.contains("d: Option[java.sql.Timestamp]"))
   }
 
   test("recordSource: named nested case classes + nullable primitive array elems") {
