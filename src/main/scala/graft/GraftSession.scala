@@ -81,11 +81,37 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       acc.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros(`$c` div 1000)"))
     }
 
-  def sql(text: String, args: Any*): DataFrame =
-    SqlParser.parse(text) match {
+  def sql(text: String, args: Any*): DataFrame = {
+    val t0 = System.nanoTime()
+    val parsed = SqlParser.parse(text)
+    val t1 = System.nanoTime()
+    parsed match {
       case Left(err)   => throw new GraftParseException(err)
-      case Right(stmt) => execute(Params.bind(stmt, args))
+      case Right(stmt) =>
+        val bound = Params.bind(stmt, args)
+        val t2 = System.nanoTime()
+        val out = execute(bound)
+        val t3 = System.nanoTime()
+        lastTimingsVar = Map(
+          "parse_ms"     -> (t1 - t0) / 1e6,
+          "bind_ms"      -> (t2 - t1) / 1e6,
+          "translate_ms" -> (t3 - t2) / 1e6)
+        out
     }
+  }
+
+  /** Per-phase wall times (milliseconds) of the most recent [[sql]]
+    * statement (per statement for [[sqlScript]]): `parse_ms` (text → AST),
+    * `bind_ms` (`?` parameter substitution), `translate_ms` (AST → analyzed
+    * Spark plan — includes Catalyst analysis, since DataFrame construction
+    * resolves eagerly; this is the reference's resolve+translate,
+    * fsql/timer.scala:3-16 wired at fsql/parser.scala:414-423). Execution
+    * time is NOT here: the returned DataFrame is lazy — time the action.
+    * Empty before the first statement; on a failed statement the phases up
+    * to the failure keep their previous values (the map is only replaced on
+    * success). */
+  def timings: Map[String, Double] = lastTimingsVar
+  @volatile private var lastTimingsVar: Map[String, Double] = Map.empty
 
   /** Multi-statement scripts (SURVEY O7 `Composed`): statements separated
     * by `;` execute sequentially; returns the last statement's result.

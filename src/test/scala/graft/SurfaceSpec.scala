@@ -343,6 +343,16 @@ class SurfaceSpec extends AnyFunSuite {
       assert(ws <= ts && ts < we && we - ws == 3600L * 1000)
     }
   }
+  test("per-phase timings: parse/bind/translate ms surface after each statement") {
+    val g = TestSpark.session
+    g.sql("select n_name from nation where n_nationkey = ?", 3).collect()
+    val t = g.timings
+    assert(t.keySet == Set("parse_ms", "bind_ms", "translate_ms"))
+    assert(t.values.forall(v => v >= 0.0 && v < 60000.0))
+    // translation builds the analyzed plan — it must dominate binding
+    assert(t("translate_ms") > 0.0 && t("parse_ms") > 0.0)
+  }
+
   test("O7 script: sequential statements share the session, params split per statement") {
     val g = TestSpark.session
     val out = g.sqlScript(
