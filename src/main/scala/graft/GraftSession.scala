@@ -34,6 +34,19 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
   // legacy conf is per-session and runtime-settable.
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  // Naive parquet timestamps (isAdjustedToUTC=false — pandas/pyarrow
+  // defaults) read as TIMESTAMP at the SCAN, not TIMESTAMP_NTZ: the stored
+  // micros become the instant directly (≡ interpreting the naive value as
+  // UTC; the driver contract pins spark.sql.session.timeZone=UTC, so this
+  // agrees with the catalog's session-tz cast convention). Doing it at the
+  // reader — rather than only via Catalog.normalizeNtz's cast — keeps
+  // time-range predicates eligible for parquet filter pushdown and
+  // partition pruning: a cast-wrapped column would hide `ts > X` from the
+  // scan, and a time filter is THE canonical pruning predicate at 100 TB.
+  // normalizeNtz remains the catch-all for relations registered from
+  // non-parquet sources or pre-built NTZ DataFrames.
+  spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
   // native vector expressions usable from the dialect (vec_dot/vec_cosine)
   graft.expr.VectorOps.register(spark)
 

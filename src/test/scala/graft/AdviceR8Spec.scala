@@ -102,14 +102,13 @@ class AdviceR8Spec extends AnyFunSuite {
     g.releaseOperatorCaches()
   }
 
-  test("TIMESTAMP_NTZ parquet: catalog normalizes; interval join, RANGE frame, session window all run") {
+  test("TIMESTAMP_NTZ inputs: scan-level + catalog normalization; interval join, RANGE frame, session window all run") {
     val spark = TestSpark.spark
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ntz").toFile
     dir.deleteOnExit()
     val p = new java.io.File(dir, "ntz_events.parquet").getPath
-    // write an NTZ-typed parquet regardless of writer defaults
-    Seq(
+    def ntzDf = Seq(
       (1L, "a", ts("2024-03-01 10:00:00")),
       (2L, "a", ts("2024-03-01 10:20:00")),
       (3L, "a", ts("2024-03-01 12:00:00")),
@@ -117,12 +116,37 @@ class AdviceR8Spec extends AnyFunSuite {
       (5L, "b", ts("2024-03-01 23:00:00"))
     ).toDF("id", "k", "ts")
       .withColumn("ts", col("ts").cast(TimestampNTZType))
-      .write.mode("overwrite").parquet(p)
-    assert(spark.read.parquet(p).schema("ts").dataType == TimestampNTZType)
+    // an NTZ-typed writer produces isAdjustedToUTC=false (naive) parquet —
+    // the pandas/pyarrow default encoding the driver data uses
+    ntzDf.write.mode("overwrite").parquet(p)
 
     val g = freshSession()
+    // layer 1 — READER: with inferTimestampNTZ disabled (GraftSession
+    // init), naive parquet from a NON-Spark writer (the driver's
+    // pandas-written testdata; Spark-written files carry their own schema
+    // metadata, which wins over inference) reads as TIMESTAMP at the scan
+    // itself, so time-range predicates still reach PushedFilters (a
+    // cast-wrapped column would hide them from the parquet reader — the
+    // partition-prune path at scale).
+    val driverEvents = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+    val tsType = driverEvents.schema("ts").dataType
+    // TIMESTAMP whether the driver wrote naive (conf applies) or
+    // UTC-adjusted micros; only NANOS (long under nanosAsLong) is exempt
+    if (tsType != LongType) {
+      assert(tsType == TimestampType, s"driver ts read as $tsType")
+      val filtered = driverEvents.where(col("ts") >= lit(ts("2024-03-01 11:00:00")))
+      assert(filtered.queryExecution.executedPlan.toString.contains("GreaterThanOrEqual(ts"),
+        "timestamp predicate must push down to the parquet scan")
+    }
+    // Spark-written NTZ parquet keeps its NTZ schema (embedded metadata) —
+    // the catalog boundary is what normalizes it
     g.catalog.registerTable("ntz_events", spark.read.parquet(p))
-    // 1) the catalog boundary presents TIMESTAMP, values unchanged (UTC tz)
+    // layer 2 — CATALOG: a pre-built NTZ DataFrame registered directly
+    // (bypassing the reader conf) is normalized to TIMESTAMP at relation()
+    val g2 = freshSession()
+    g2.catalog.registerTable("ntz_mem", ntzDf)
+    assert(ntzDf.schema("ts").dataType == TimestampNTZType)
+    assert(g2.catalog.relation("ntz_mem").schema("ts").dataType == TimestampType)
     val rel = g.catalog.relation("ntz_events")
     assert(rel.schema("ts").dataType == TimestampType)
     assert(rel.orderBy("id").collect().map(_.getTimestamp(2)).head == ts("2024-03-01 10:00:00"))
@@ -140,9 +164,10 @@ class AdviceR8Spec extends AnyFunSuite {
         "order by k, n desc")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(sess == Seq(("a", 2L), ("a", 1L), ("b", 1L), ("b", 1L)))
-    // 4) the operator API on the RAW NTZ DataFrame (bypassing the catalog)
-    //    — IntervalJoin's defensive casts must carry it
-    val raw = spark.read.parquet(p)
+    // 4) the operator API on a RAW NTZ DataFrame (bypassing both the
+    //    reader conf and the catalog) — IntervalJoin's defensive casts
+    //    must carry it
+    val raw = ntzDf
     val l = raw.select(col("id").as("l_id"), col("k"), col("ts").as("l_ts"))
     val r = raw.select(col("id").as("r_id"), col("k"), col("ts").as("r_ts"))
     val joined = graft.operators.IntervalJoin.join(
