@@ -795,14 +795,15 @@ object SparkEntry {
     }),
     // ---- q107: UNKEYED session window — the range-partition +
     // boundary-merge path (no partitioned on; previously untested by any
-    // gate). Thinned so the 30-min gap actually splits sessions ----
+    // gate). Thinned to median ~2.9 h spacing; the 3 h gap then produces a
+    // real mix of multi-row sessions (boundary merges) and splits ----
     // (the pinned range-partitioned RDD is released by the harness AFTER
     // the result is consumed — releasing here, pre-consumption, risks the
     // silent-recompute drift ADVICE r7 documented on releasePinned)
     "q107_session_unkeyed" -> ((s, d) => g(s, d).sql(
       "select w_start, w_end, count(*) as n, round(sum(value), 4) as v " +
       "from (select * from events where event_id % 40 = 0) as e " +
-      "[session 30 min on ts] group by w_start, w_end order by w_start")),
+      "[session 180 min on ts] group by w_start, w_end order by w_start")),
     // ---- datetime constructors: field-wise date/timestamp assembly ----
     "q99_datetime_ctor" -> ((s, d) => g(s, d).sql(
       "select o_orderkey as k, " +
@@ -1224,9 +1225,9 @@ object SparkEntry {
       ("WITH x AS (SELECT value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events " +
        "WHERE event_id % 40 = 0), " +
        "f AS (SELECT *, CASE WHEN LAG(us) OVER (ORDER BY us) IS NULL " +
-       "OR us - LAG(us) OVER (ORDER BY us) > 1800000000 THEN 1 ELSE 0 END AS nf FROM x), " +
+       "OR us - LAG(us) OVER (ORDER BY us) > 10800000000 THEN 1 ELSE 0 END AS nf FROM x), " +
        "s AS (SELECT *, SUM(nf) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
-       "SELECT make_timestamp(MIN(us)) AS w_start, make_timestamp(MAX(us) + 1800000000) AS w_end, " +
+       "SELECT make_timestamp(MIN(us)) AS w_start, make_timestamp(MAX(us) + 10800000000) AS w_end, " +
        "CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS v FROM s " +
        "GROUP BY sid ORDER BY w_start"),
     // q106: the oracle checks the plain-join aggregate; the gate itself
