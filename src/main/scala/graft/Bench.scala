@@ -49,8 +49,10 @@ object Bench {
       // range-partitioned shuffle per translation; without this, back-to-
       // back gate runs accumulate pinned blocks until the ContextCleaner
       // happens to run). Release time is outside the timed span by design:
-      // it is session hygiene, not query cost.
-      GraftSession.forDir(spark, sfDir).releaseOperatorCaches()
+      // it is session hygiene, not query cost. Own try: a throwing forDir
+      // must stay a per-query failure, not kill the run pre-JSON.
+      try GraftSession.forDir(spark, sfDir).releaseOperatorCaches()
+      catch { case _: Throwable => () }
       if (ok) dt else -dt
     }
     // local profiling convenience: SPARK_GRAFT_ONLY=x44,x27 benches the

@@ -47,6 +47,15 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
   // non-parquet sources or pre-built NTZ DataFrames.
   spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
+  // Pin the session time zone: the scan path above yields naive micros as
+  // instants (≡ naive-as-UTC), while Catalog.normalizeNtz casts NTZ in the
+  // SESSION time zone — under a non-UTC zone the same naive wall-clock
+  // value would land hours apart depending on which path ingested it.
+  // UTC makes the two paths value-identical (and matches the driver
+  // contract in Bench/Verify). GraftSession already owns two other session
+  // confs; a user needing local-time display can convert explicitly.
+  spark.conf.set("spark.sql.session.timeZone", "UTC")
+
   // native vector expressions usable from the dialect (vec_dot/vec_cosine)
   graft.expr.VectorOps.register(spark)
 
@@ -119,7 +128,11 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     * Spark plan — includes Catalyst analysis, since DataFrame construction
     * resolves eagerly; this is the reference's resolve+translate,
     * fsql/timer.scala:3-16 wired at fsql/parser.scala:414-423). Execution
-    * time is NOT here: the returned DataFrame is lazy — time the action.
+    * time is NOT here for ordinary statements — the returned DataFrame is
+    * lazy; time the action. Exception: UNKEYED count/session window
+    * statements run their range-partitioning jobs at translation time (see
+    * [[schemaOf]]'s deviation note), so their `translate_ms` includes that
+    * materialization.
     * Empty before the first statement; on a failed statement the phases up
     * to the failure keep their previous values (the map is only replaced on
     * success). */

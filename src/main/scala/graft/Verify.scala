@@ -49,8 +49,11 @@ object Verify {
       }
       // result fully written (or the query failed) — safe point to drop
       // operator-pinned RDDs so a 163-gate run cannot accumulate pinned
-      // range-partitioned blocks across queries
-      GraftSession.forDir(spark, sfDir).releaseOperatorCaches()
+      // range-partitioned blocks across queries. Own try: a throwing
+      // forDir (e.g. corrupt table file) must stay a PER-QUERY failure,
+      // not abort the run before later gates and oracle_sql.json
+      try GraftSession.forDir(spark, sfDir).releaseOperatorCaches()
+      catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -30,12 +30,23 @@ import graft.catalog.Catalog
 object IntervalJoin {
 
   // The operator API takes arbitrary DataFrames (not just catalog
-  // relations, which already normalize NTZ→TIMESTAMP), so time columns are
-  // defensively cast before unix_micros — NTZ inputs (e.g. pandas-written
-  // parquet read by Spark 4) otherwise fail DATATYPE_MISMATCH. The cast is
-  // a no-op on TIMESTAMP; NTZ is interpreted in the session time zone.
-  private def micros(c: org.apache.spark.sql.Column) =
-    unix_micros(c.cast("timestamp"))
+  // relations, which already normalize NTZ→TIMESTAMP). Time columns are
+  // TYPE-CHECKED, not blanket-cast: TIMESTAMP passes through, NTZ (e.g.
+  // pandas-written parquet read by Spark 4) is cast in the session time
+  // zone, and anything else (bigint epoch values, strings) stays a LOUD
+  // error — a silent cast would interpret epoch-micros longs as SECONDS
+  // and return garbage matches.
+  // Returns an unresolved-by-name column (valid in any frame containing
+  // `name`, including the join output), with the cast decision made from
+  // the side's schema once.
+  private def timeCol(df: DataFrame, name: String): org.apache.spark.sql.Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.TimestampType    => col(name)
+      case org.apache.spark.sql.types.TimestampNTZType => col(name).cast("timestamp")
+      case other => throw new IllegalArgumentException(
+        s"time column $name must be TIMESTAMP or TIMESTAMP_NTZ, got $other " +
+          "(cast epoch numbers explicitly with timestamp_micros/timestamp_seconds)")
+    }
 
   /** Batch interval join. `right`'s columns are appended; names must not
     * clash with left's (rename before joining). `beforeUs`/`afterUs` are
@@ -56,14 +67,13 @@ object IntervalJoin {
       call_function("div", us - pmod(us, lit(width)), lit(width))
     // r matches l ⟺ l.time ∈ [r.time - after, r.time + before], so the
     // right row must appear in every bucket that interval touches
-    val l = left.withColumn("__ib", bucket(micros(col(lTime))))
+    val lUs = unix_micros(timeCol(left, lTime))
+    val rUs = unix_micros(timeCol(right, rTime))
+    val l = left.withColumn("__ib", bucket(lUs))
     val r = right.withColumn("__ib",
-      explode(sequence(bucket(micros(col(rTime)) - afterUs),
-        bucket(micros(col(rTime)) + beforeUs))))
+      explode(sequence(bucket(rUs - afterUs), bucket(rUs + beforeUs))))
     l.join(r, keys :+ "__ib")
-      .where(micros(col(rTime))
-        .between(micros(col(lTime)) - beforeUs,
-          micros(col(lTime)) + afterUs))
+      .where(rUs.between(lUs - beforeUs, lUs + afterUs))
       .drop("__ib")
   }
 

@@ -1916,7 +1916,12 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
               throw new GraftAnalysisException(
                 s"${f.name}: a RANGE INTERVAL frame requires exactly one ORDER BY key")
             val k = ob.head
-            // cast("timestamp") tolerates NTZ order keys (no-op otherwise)
+            // cast("timestamp") tolerates NTZ order keys (no-op on
+            // TIMESTAMP). Dialect-wide convention (same as session/count
+            // window time fields): non-timestamp keys follow Spark's cast
+            // semantics — numerics are epoch SECONDS. The strict
+            // alternative lives in the operator API (IntervalJoin rejects
+            // non-timestamp time columns loudly).
             val onMicros = spec0.orderBy(
               sortCol(call_function("unix_micros", expr(k.expr).cast("timestamp")), k))
             onMicros.rangeBetween(fr.lo, fr.hi)

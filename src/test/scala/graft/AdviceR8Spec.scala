@@ -102,6 +102,34 @@ class AdviceR8Spec extends AnyFunSuite {
     g.releaseOperatorCaches()
   }
 
+  test("session window, STREAMING path: exact-gap rows merge (parity with the batch dialect)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // exactly-gap pair for key a (must merge: ONE session), 1 s past the
+    // gap for key b (must split: TWO sessions) — the boundary the batch
+    // dialect pins; a Spark behavior change here would silently diverge
+    // stream from batch
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)](spark)
+    val sess = graft.streaming.Sessions.aggregate(
+      in.toDF().toDF("ts", "k"), "ts", "3600 seconds", Seq("k"),
+      (count(lit(1)).as("n"), Nil))
+    val sink = "advr8_gap_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sess.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:00:00"), "a"), (ts("2024-01-01 01:00:00"), "a"),
+        (ts("2024-01-01 00:00:00"), "b"), (ts("2024-01-01 01:00:01"), "b"))
+      q.processAllAvailable()
+      val byKey = spark.table(sink).groupBy("k")
+        .agg(count(lit(1)).as("sessions"), sum("n").as("rows"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(byKey("a") == ((1L, 2L)), s"exact-gap must merge, got ${byKey("a")}")
+      assert(byKey("b") == ((2L, 2L)), s"over-gap must split, got ${byKey("b")}")
+    } finally q.stop()
+  }
+
   test("TIMESTAMP_NTZ inputs: scan-level + catalog normalization; interval join, RANGE frame, session window all run") {
     val spark = TestSpark.spark
     import spark.implicits._

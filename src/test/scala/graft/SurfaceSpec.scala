@@ -349,7 +349,8 @@ class SurfaceSpec extends AnyFunSuite {
     val t = g.timings
     assert(t.keySet == Set("parse_ms", "bind_ms", "translate_ms"))
     assert(t.values.forall(v => v >= 0.0 && v < 60000.0))
-    // translation builds the analyzed plan — it must dominate binding
+    // parse and translate always do real work (text → AST, AST → analyzed
+    // plan); bind may be arbitrarily cheap, so it is only bounds-checked
     assert(t("translate_ms") > 0.0 && t("parse_ms") > 0.0)
   }
 
