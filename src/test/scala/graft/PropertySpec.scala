@@ -258,14 +258,19 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("property: IntervalJoin equals the naive range join on random times") {
-    for ((n, beforeS, afterS) <- samples(
-        Gen.zip(Gen.choose(10, 60), Gen.choose(0, 300), Gen.choose(0, 300)), 5).distinct) {
+    for {
+      (n, beforeS, afterS) <- samples(
+        Gen.zip(Gen.choose(10, 60), Gen.choose(0, 300), Gen.choose(0, 300)), 5).distinct
+      // second base is pre-1970: bucket alignment must hold for NEGATIVE
+      // epoch micros too (the floor-div claims "correct for any epoch")
+      baseMs <- Seq(1704067200000L, -1704067200000L)
+    } {
       val times = samples(Gen.choose(0, 36000), n * 2)
       val l = times.take(n).zipWithIndex.map { case (t, i) =>
-        (new java.sql.Timestamp(1704067200000L + t * 1000L), s"k${i % 3}", i.toLong)
+        (new java.sql.Timestamp(baseMs + t * 1000L), s"k${i % 3}", i.toLong)
       }.toDF("l_ts", "k", "l_id")
       val r = times.drop(n).zipWithIndex.map { case (t, i) =>
-        (new java.sql.Timestamp(1704067200000L + t * 1000L), s"k${i % 3}", i.toLong)
+        (new java.sql.Timestamp(baseMs + t * 1000L), s"k${i % 3}", i.toLong)
       }.toDF("r_ts", "k", "r_id")
       val fast = graft.operators.IntervalJoin
         .join(l, r, Seq("k"), "l_ts", "r_ts", beforeS * 1000000L, afterS * 1000000L)
@@ -275,7 +280,7 @@ class PropertySpec extends AnyFunSuite {
           unix_micros(col("l_ts")) - beforeS * 1000000L,
           unix_micros(col("l_ts")) + afterS * 1000000L))
         .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).sorted
-      assert(fast.toSeq == naive.toSeq, s"n=$n before=$beforeS after=$afterS")
+      assert(fast.toSeq == naive.toSeq, s"n=$n before=$beforeS after=$afterS base=$baseMs")
     }
   }
 
