@@ -628,7 +628,13 @@ object SparkEntry {
       "select l_returnflag as f, " +
       "arg_min(l_orderkey, l_extendedprice * 1000000 + l_orderkey) as cheap_k, " +
       "arg_max(l_orderkey, l_extendedprice * 1000000 + l_orderkey) as dear_k, " +
-      "round(median(l_extendedprice), 2) as med, " +
+      // median in EXACT integer cents: prices are 2-dp, so round(x*100)
+      // is an exact integer and an even-count median is an exact
+      // half-integer — bit-identical across engines. round(median(price),
+      // 2) was a latent flake: Spark interpolates a+(b-a)/2, DuckDB
+      // (a+b)/2, and the last-ulp difference flips the .xx5 rounding
+      // (reproduced at sf0.001: 52724.24 vs 52724.25)
+      "median(cast(round(l_extendedprice * 100, 0) as bigint)) as med_cents, " +
       "cast(count_if(l_quantity > 25) as bigint) as nbig " +
       "from lineitem group by l_returnflag order by f")),
     // ---- ANSI keyword-argument function syntax + :: cast shorthand
@@ -1360,7 +1366,7 @@ object SparkEntry {
       ("SELECT l_returnflag AS f, " +
        "arg_min(l_orderkey, l_extendedprice * 1000000 + l_orderkey) AS cheap_k, " +
        "arg_max(l_orderkey, l_extendedprice * 1000000 + l_orderkey) AS dear_k, " +
-       "ROUND(median(l_extendedprice), 2) AS med, " +
+       "median(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS med_cents, " +
        "CAST(count_if(l_quantity > 25) AS BIGINT) AS nbig " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY f"),
     "q89_ansi_fn_syntax" ->

@@ -309,7 +309,11 @@ object Extensions {
         q.processAllAvailable()
         val got = s.table(sink).collect()
           .map(x => (x.getLong(0), x.getLong(1))).sorted
-        got.toSeq == batch.toSeq && got.nonEmpty
+        // no nonEmpty guard: if the BATCH op legitimately yields zero
+        // pairs (tiny sf), an empty stream result is CORRECT. A broken
+        // stream returning nothing while batch has pairs still fails the
+        // equality, and the oracle independently pins n_pairs.
+        got.toSeq == batch.toSeq
       } finally q.stop()
       Seq((batch.length.toLong, if (eq) 1 else 0))
         .toDF("n_pairs", "stream_matches_batch")
