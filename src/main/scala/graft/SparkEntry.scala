@@ -810,6 +810,14 @@ object SparkEntry {
       "select w_start, w_end, count(*) as n, round(sum(value), 4) as v " +
       "from (select * from events where event_id % 40 = 0) as e " +
       "[session 180 min on ts] group by w_start, w_end order by w_start")),
+    // ---- q108: time-range predicate over the (naive-encoded) event
+    // timestamps — locks the NTZ-as-UTC read convention into the oracle
+    // (values must equal DuckDB's naive comparison) and exercises the
+    // scan-level pushdown path the round-8 reader conf preserves ----
+    "q108_time_pushdown" -> ((s, d) => g(s, d).sql(
+      "select event_id as k, event_type as et, round(value, 4) as v from events " +
+      "where ts >= timestamp '2024-01-10 00:00:00' " +
+      "and ts < timestamp '2024-01-10 12:00:00' order by k")),
     // ---- datetime constructors: field-wise date/timestamp assembly ----
     "q99_datetime_ctor" -> ((s, d) => g(s, d).sql(
       "select o_orderkey as k, " +
@@ -1225,6 +1233,10 @@ object SparkEntry {
        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) " +
        "GROUP BY c.c_name, o.o_orderkey, o.o_totalprice " +
        "ORDER BY tp DESC, k LIMIT 20"),
+    "q108_time_pushdown" ->
+      ("SELECT event_id AS k, event_type AS et, ROUND(value, 4) AS v FROM events " +
+       "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00' " +
+       "AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 12:00:00' ORDER BY k"),
     // q107: gaps-and-islands with a GLOBAL (unkeyed) order — same recipe
     // as q32's oracle minus the PARTITION BY
     "q107_session_unkeyed" ->
