@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Seeded random-query differential fuzz: generate N SELECTs that are valid
+in BOTH the graft dialect and DuckDB (identical text), run them through
+`graft.FuzzRun` (dialect -> parquet) and DuckDB, and hash-compare.
+
+Only exact-typed shapes are generated (integer arithmetic, count/min/max,
+sum over bigint, string functions with identical semantics, CASE WHEN,
+IN-lists, BETWEEN, IS NULL, nested derived tables) so a mismatch is a
+translator bug, never float noise.
+
+Usage:
+  python3 tools/fuzz_differential.py gen  <n> <seed> <out.json>
+  python3 tools/fuzz_differential.py cmp  <out.json> <sparkOutDir> <sfDir>
+"""
+import json, random, sys, os, glob
+
+
+INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+
+
+def gen_scalar(rng, depth=0):
+    """Integer-typed scalar only — keeps arithmetic/CASE branches
+    type-consistent in both engines."""
+    c = rng.choice(INT_COLS)
+    kind = rng.randrange(8 if depth < 2 else 5)
+    if kind == 0:
+        return c
+    if kind == 1:
+        return f"{c} + {rng.randrange(1, 100)}"
+    if kind == 2:
+        return f"{c} * {rng.randrange(2, 9)}"
+    if kind == 3:
+        return f"{c} % {rng.randrange(2, 50)}"
+    if kind == 4:
+        return f"length({rng.choice(STR_COLS)})"
+    if kind == 5:
+        return f"case when {gen_pred(rng, depth + 1)} then {gen_scalar(rng, depth + 1)} else {rng.randrange(100)} end"
+    if kind == 6:
+        # 0 - (…): a bare - prefix can nest into `--` (a comment)
+        return f"0 - ({gen_scalar(rng, depth + 1)})"
+    return f"({gen_scalar(rng, depth + 1)}) + ({gen_scalar(rng, depth + 1)})"
+
+
+def gen_str_scalar(rng):
+    s = rng.choice(STR_COLS)
+    return rng.choice([f"upper({s})", f"lower({s})", f"concat({s}, '_x')"])
+
+
+def gen_pred(rng, depth=0):
+    kind = rng.randrange(7 if depth < 2 else 5)
+    c = rng.choice(INT_COLS)
+    s = rng.choice(STR_COLS)
+    if kind == 0:
+        return f"{c} {rng.choice(['<', '<=', '>', '>=', '=', '<>'])} {rng.randrange(1, 2000)}"
+    if kind == 1:
+        lo = rng.randrange(1, 1000)
+        return f"{c} between {lo} and {lo + rng.randrange(1, 1000)}"
+    if kind == 2:
+        vals = ", ".join(f"'{v}'" for v in rng.sample(["A", "N", "R", "O", "F"], rng.randrange(2, 4)))
+        return f"{s} in ({vals})"
+    if kind == 3:
+        return f"{s} is not null"
+    if kind == 4:
+        return f"{c} % {rng.randrange(2, 10)} = {rng.randrange(0, 2)}"
+    if kind == 5:
+        return f"({gen_pred(rng, depth + 1)}) and ({gen_pred(rng, depth + 1)})"
+    return f"({gen_pred(rng, depth + 1)}) or ({gen_pred(rng, depth + 1)})"
+
+
+def gen_query(rng):
+    shape = rng.randrange(3)
+    if shape == 0:  # projection + filter + order/limit
+        parts = [gen_scalar(rng) for _ in range(rng.randrange(1, 4))] + [gen_str_scalar(rng)]
+        rng.shuffle(parts)
+        cols = ", ".join(f"{p} as c{i}" for i, p in enumerate(parts))
+        # ORDER BY every projected column: (l_orderkey, l_linenumber) is NOT
+        # unique in the driver data (14k dupes at sf0.01), so a partial sort
+        # key would make LIMIT ties engine-nondeterministic; with the full
+        # column list any remaining ties are identical rows
+        order = ", ".join(["k", "ln"] + [f"c{i}" for i in range(len(parts))])
+        return (f"select l_orderkey as k, l_linenumber as ln, {cols} from lineitem "
+                f"where {gen_pred(rng)} order by {order} limit {rng.randrange(50, 400)}")
+    if shape == 1:  # group by + exact aggregates
+        key = gen_scalar(rng)
+        aggs = ", ".join(rng.sample([
+            "cast(count(*) as bigint) as n",
+            f"min({rng.choice(INT_COLS)}) as mn",
+            f"max({rng.choice(INT_COLS)}) as mx",
+            f"cast(sum({rng.choice(INT_COLS)}) as bigint) as sm",
+            f"cast(count(distinct {rng.choice(INT_COLS)}) as bigint) as nd",
+            f"min({rng.choice(STR_COLS)}) as smn",
+        ], rng.randrange(2, 5)))
+        having = f" having count(*) > {rng.randrange(1, 5)}" if rng.random() < 0.4 else ""
+        return (f"select {key} as g, {aggs} from lineitem where {gen_pred(rng)} "
+                f"group by {key}{having} order by g")
+    # derived table + outer filter/aggregate
+    inner_pred, outer_pred = gen_pred(rng), gen_pred(rng).replace("l_", "t.l_")
+    return (f"select t.l_orderkey as k, cast(count(*) as bigint) as n, "
+            f"max(t.l_linenumber) as mx from "
+            f"(select * from lineitem where {inner_pred}) as t "
+            f"where {outer_pred} group by t.l_orderkey order by k")
+
+
+def cmd_gen(n, seed, out):
+    rng = random.Random(seed)
+    qs = {f"f{i:03d}": gen_query(rng) for i in range(n)}
+    json.dump(qs, open(out, "w"), indent=1)
+    print(f"[fuzz] wrote {n} queries (seed={seed}) -> {out}")
+
+
+def cmd_cmp(qfile, spark_dir, sf_dir):
+    import duckdb
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from compare_oracle import norm_cell, table_hash  # reuse normalization
+    import pandas as pd
+    qs = json.load(open(qfile))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')")
+    n_pass = n_fail = 0
+    for name, sql in sorted(qs.items()):
+        files = glob.glob(os.path.join(spark_dir, name, "*.parquet"))
+        if not files:
+            print(f"MISS  {name} (spark produced no output)")
+            n_fail += 1
+            continue
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        want = con.execute(sql).df()
+        got = got[sorted(got.columns)]
+        want = want[sorted(want.columns)]
+        if table_hash(got) == table_hash(want):
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL  {name}: rows spark={len(got)} duck={len(want)}")
+            print(f"  sql: {sql[:300]}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "gen":
+        cmd_gen(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    elif sys.argv[1] == "cmp":
+        sys.exit(cmd_cmp(sys.argv[2], sys.argv[3], sys.argv[4]))
