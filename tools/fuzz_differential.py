@@ -69,7 +69,46 @@ def gen_pred(rng, depth=0):
 
 
 def gen_query(rng):
-    shape = rng.randrange(3)
+    shape = rng.randrange(8)
+    if shape == 3:  # join + exact aggregate
+        return (f"select o.o_orderpriority as g, cast(count(*) as bigint) as n, "
+                f"cast(sum(l.{rng.choice(INT_COLS)}) as bigint) as sm, "
+                f"max(l.l_linenumber) as mx "
+                f"from lineitem l join orders o on l.l_orderkey = o.o_orderkey "
+                f"where {gen_pred(rng).replace('l_', 'l.l_')} "
+                f"group by o.o_orderpriority order by g")
+    if shape == 4:  # set op of two exact-typed branches
+        op = rng.choice(["union", "union all", "intersect", "except"])
+        a, b = gen_scalar(rng), gen_scalar(rng)
+        return (f"select {a} as v from lineitem where {gen_pred(rng)} "
+                f"{op} select {b} as v from lineitem where {gen_pred(rng)} "
+                f"order by v")
+    if shape == 5:  # window aggregate over a partition (no order: deterministic)
+        part = rng.choice(STR_COLS)
+        return (f"select l_orderkey as k, l_linenumber as ln, {part} as p, "
+                f"cast(count(*) over (partition by {part}) as bigint) as wn, "
+                f"cast(sum({rng.choice(INT_COLS)}) over (partition by {part}) as bigint) as ws "
+                f"from lineitem where {gen_pred(rng)} order by k, ln, p, wn, ws "
+                f"limit {rng.randrange(50, 400)}")
+    if shape == 6:  # EXISTS / IN correlated-ish subquery
+        form = rng.randrange(3)
+        if form == 0:
+            sub = f"select 1 from orders o where o.o_orderkey = l.l_orderkey and o.o_custkey % {rng.randrange(2, 9)} = 0"
+            return (f"select l.l_orderkey as k, cast(count(*) as bigint) as n from lineitem l "
+                    f"where exists ({sub}) group by l.l_orderkey order by k")
+        neg = "not " if form == 2 else ""
+        # parenthesize the side predicate: the dialect (by documented
+        # contract) supports IN-subqueries only as WHERE AND-conjuncts, so
+        # `… and a or b` precedence would push the IN under an OR
+        return (f"select l_orderkey as k, l_linenumber as ln from lineitem "
+                f"where l_orderkey {neg}in (select o_orderkey from orders "
+                f"where o_custkey % {rng.randrange(2, 9)} = 1) "
+                f"and ({gen_pred(rng)}) order by k, ln limit {rng.randrange(50, 300)}")
+    if shape == 7:  # CTE chain
+        return (f"with base as (select * from lineitem where {gen_pred(rng)}), "
+                f"agg as (select {gen_scalar(rng)} as g, cast(count(*) as bigint) as n "
+                f"from base group by 1) "
+                f"select g, n from agg where n > {rng.randrange(1, 4)} order by g")
     if shape == 0:  # projection + filter + order/limit
         parts = [gen_scalar(rng) for _ in range(rng.randrange(1, 4))] + [gen_str_scalar(rng)]
         rng.shuffle(parts)
@@ -116,7 +155,8 @@ def cmd_cmp(qfile, spark_dir, sf_dir):
     import pandas as pd
     qs = json.load(open(qfile))
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')")
+    for t in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     n_pass = n_fail = 0
     for name, sql in sorted(qs.items()):
         files = glob.glob(os.path.join(spark_dir, name, "*.parquet"))
