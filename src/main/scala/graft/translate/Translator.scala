@@ -735,7 +735,8 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
           case Some(ss) => df.groupingSets(ss.map(_.map(e => expr(derefOrdinal(s, e)))), keys: _*)
           case None => if (gb.exists(_.cube)) df.cube(keys: _*) else df.rollup(keys: _*)
         }
-        grouped.agg(aggCols.head, aggCols.tail: _*)
+        val agged = grouped.agg(aggCols.head, aggCols.tail: _*)
+        ansiEmptyGrandTotal(df, agged, s, gb)
       } else if (keys.isEmpty) df.select(aggCols: _*)
       else df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
 
@@ -759,6 +760,71 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     out.select(s.projection.zipWithIndex.map { case (p, i) =>
       col(s"__p$i").as(p.outputName)
     }: _*)
+  }
+
+  /** ANSI empty-input semantics for grouping-set families that include the
+    * empty grouping set (): `GROUP BY ROLLUP/CUBE/…` over ZERO input rows
+    * must still emit the single grand-total row (count=0, other aggregates
+    * over empty input, keys NULL) — `GROUP BY ()` ≡ global aggregation.
+    * Spark's native rollup/cube return zero rows there; DuckDB/Postgres
+    * follow the standard (caught by the round-8 differential fuzz).
+    *
+    * Scale-free construction — NO second scan of the input:
+    *  - the grand row = global aggregation over `df.limit(0)`: Catalyst's
+    *    PropagateEmptyRelation folds the child to an empty local relation,
+    *    so the row materializes without touching the source; non-aggregate
+    *    (grouping-key) columns become typed NULLs;
+    *  - it is kept ONLY when the input is empty, via a LEFT ANTI join
+    *    against `df.limit(1)` — a first-row probe that short-circuits the
+    *    scan on non-empty input (and a full scan only when the input IS
+    *    empty, i.e. when the main branch found nothing anyway).
+    *
+    * Shapes the static row cannot represent fall back to Spark semantics:
+    * `grouping()`/`grouping_id()` projections (the grand row would need
+    * grouping flags, not NULLs) and HAVING/ORDER-BY expressions that mix
+    * aggregates with bare key references (invalid in a global context). */
+  private def ansiEmptyGrandTotal(df: DataFrame, agged: DataFrame,
+      s: Select, gb: Option[GroupBy]): DataFrame = {
+    val includesEmptySet = gb.flatMap(_.sets) match {
+      case Some(ss) => ss.exists(_.isEmpty)
+      case None     => true // ROLLUP and CUBE always include ()
+    }
+    if (!includesEmptySet) return agged
+    def usesGroupingFn(e: Expr): Boolean = Expr.fold(e, false) {
+      case (acc, FuncCall(n, _, _)) =>
+        acc || n.equalsIgnoreCase("grouping") || n.equalsIgnoreCase("grouping_id")
+      case (acc, _) => acc
+    }
+    if (s.projection.exists(p => usesGroupingFn(p.expr))) return agged
+    val isAgg: String => Boolean = graft.functions.Registry.isAggregate
+    // (internal name, source expr) in the exact column order of `agged`
+    val meta: Seq[(String, Expr)] =
+      s.projection.zipWithIndex.map { case (p, i) => (s"__p$i", p.expr) } ++
+        gb.flatMap(_.having).map(h => ("__h", h)).toSeq ++
+        s.orderBy.zipWithIndex.flatMap { case (k, i) =>
+          if (aliasTarget(s, k.expr).isDefined) None else Some((s"__o$i", k.expr))
+        }
+    // `rollup/cube().agg()` RETAINS the grouping columns ahead of the agg
+    // columns — build the grand row against agged's actual schema: meta
+    // (internal __p/__h/__o) columns evaluate their aggregate expr over
+    // the empty input; everything else (retained keys) is a typed NULL
+    val metaMap = meta.toMap
+    if (!meta.forall { case (n, _) => agged.columns.contains(n) }) return agged
+    scala.util.Try {
+      val grandCols = agged.schema.fields.toSeq.map { f =>
+        metaMap.get(f.name) match {
+          case Some(e) if Expr.hasAggregate(e, isAgg) => expr(e).as(f.name)
+          case _ => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+      val grand = df.limit(0).select(grandCols: _*) // no-scan 1-row branch
+      val probe = df.limit(1).select(lit(1).as("__ne"))
+      val grandWhenEmpty = grand.join(probe, lit(true), "left_anti")
+      // force analysis NOW so an invalid grand branch (mixed having etc.)
+      // falls back instead of failing the whole statement at action time
+      grandWhenEmpty.schema
+      agged.union(grandWhenEmpty)
+    }.getOrElse(agged)
   }
 
   /** Does the expression contain a window (OVER) function anywhere? */

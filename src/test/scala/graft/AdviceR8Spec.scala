@@ -102,6 +102,41 @@ class AdviceR8Spec extends AnyFunSuite {
     g.releaseOperatorCaches()
   }
 
+  test("ROLLUP/CUBE on empty input emit the ANSI grand-total row (count=0, keys/sums NULL)") {
+    val spark = TestSpark.spark
+    val g = GraftSession.forDir(spark, TestSpark.sf)
+    // empty after filtering: ANSI GROUP BY ROLLUP(a,b) still has the ()
+    // grouping set, which behaves as global aggregation → ONE row
+    val r = g.sql(
+      "select l_returnflag as a, cast(count(*) as bigint) as n, " +
+        "cast(sum(l_orderkey) as bigint) as sm from lineitem " +
+        "where l_suppkey > 999999999 group by rollup (l_returnflag)")
+      .collect()
+    assert(r.length == 1 && r.head.isNullAt(0) && r.head.getLong(1) == 0L && r.head.isNullAt(2))
+    val c = g.sql(
+      "select l_returnflag as a, l_linestatus as b, cast(count(*) as bigint) as n " +
+        "from lineitem where l_suppkey > 999999999 group by cube (l_returnflag, l_linestatus)")
+      .collect()
+    assert(c.length == 1 && c.head.getLong(2) == 0L)
+    // HAVING filters the grand row like any other (count=0 fails > 0)
+    val h = g.sql(
+      "select l_returnflag as a, cast(count(*) as bigint) as n from lineitem " +
+        "where l_suppkey > 999999999 group by rollup (l_returnflag) having count(*) > 0")
+      .collect()
+    assert(h.isEmpty)
+    // GROUPING SETS without the empty set: still zero rows on empty input
+    val gs = g.sql(
+      "select l_returnflag as a, cast(count(*) as bigint) as n from lineitem " +
+        "where l_suppkey > 999999999 group by grouping sets ((l_returnflag))")
+      .collect()
+    assert(gs.isEmpty)
+    // non-empty input: unchanged totals (grand row not duplicated)
+    val full = g.sql(
+      "select l_returnflag as a, cast(count(*) as bigint) as n from lineitem " +
+        "group by rollup (l_returnflag) order by a nulls first").collect()
+    assert(full.count(_.isNullAt(0)) == 1)
+  }
+
   test("session window, STREAMING path: exact-gap rows merge (parity with the batch dialect)") {
     val spark = TestSpark.spark
     import spark.implicits._
