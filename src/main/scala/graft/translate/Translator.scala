@@ -697,9 +697,12 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     }
     // explicit GROUP BY keys naming post-agg columns (session w_start/
     // w_end) are implied by the struct grouping key — drop them here.
-    // Ordinal keys (GROUP BY 1) dereference to the projection expression.
+    // Ordinal keys (GROUP BY 1) dereference to the projection expression;
+    // alias keys (GROUP BY g, DuckDB/Spark-SQL ergonomics) likewise, with
+    // INPUT COLUMNS taking precedence over projection aliases.
     val explicitKeys = gb.map(_.exprs.map(derefOrdinal(s, _))
-      .filterNot(e => postAggTarget(rel, e).isDefined).map(expr)).getOrElse(Nil)
+      .filterNot(e => postAggTarget(rel, e).isDefined)
+      .map(e => expr(derefAliasKey(s, df, e)))).getOrElse(Nil)
     // implicit window keys first (FSQL: aggregation is always per-window)
     val keys = dedupeCols(rel.implicitKeys ++ explicitKeys)
 
@@ -732,7 +735,8 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
           throw new GraftAnalysisException(
             "ROLLUP/CUBE/GROUPING SETS over a windowed stream is not supported")
         val grouped = gb.flatMap(_.sets) match {
-          case Some(ss) => df.groupingSets(ss.map(_.map(e => expr(derefOrdinal(s, e)))), keys: _*)
+          case Some(ss) => df.groupingSets(
+            ss.map(_.map(e => expr(derefAliasKey(s, df, derefOrdinal(s, e))))), keys: _*)
           case None => if (gb.exists(_.cube)) df.cube(keys: _*) else df.rollup(keys: _*)
         }
         val agged = grouped.agg(aggCols.head, aggCols.tail: _*)
@@ -864,6 +868,25 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         throw new GraftAnalysisException(
           s"GROUP BY position $n is not in the select list (1..${s.projection.length})")
       s.projection((n - 1).toInt).expr
+    case other => other
+  }
+
+  /** GROUP BY keys naming a projection ALIAS (DuckDB / Spark-SQL
+    * `groupByAliases` ergonomics): a bare ref that is NOT an input column
+    * but matches a projection's output name dereferences to that
+    * projection's expression. Input columns shadow aliases (both engines'
+    * precedence); an alias whose projection aggregates is an error. */
+  private def derefAliasKey(s: Select, df: DataFrame, e: Expr): Expr = e match {
+    case ColRef(None, n) if !df.columns.exists(_.equalsIgnoreCase(n)) =>
+      val i = s.projection.indexWhere(_.outputName.equalsIgnoreCase(n))
+      if (i < 0) e
+      else {
+        val target = s.projection(i).expr
+        if (Expr.hasAggregate(target, graft.functions.Registry.isAggregate))
+          throw new GraftAnalysisException(
+            s"GROUP BY $n: cannot group by an aggregate projection")
+        target
+      }
     case other => other
   }
 

@@ -102,6 +102,36 @@ class AdviceR8Spec extends AnyFunSuite {
     g.releaseOperatorCaches()
   }
 
+  test("GROUP BY projection alias (DuckDB ergonomics); input columns shadow aliases") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val g = GraftSession.forDir(spark, TestSpark.sf)
+    val byAlias = g.sql(
+      "select l_returnflag as flag, cast(count(*) as bigint) as n " +
+        "from lineitem group by flag order by flag").collect()
+    val byExpr = g.sql(
+      "select l_returnflag as flag, cast(count(*) as bigint) as n " +
+        "from lineitem group by l_returnflag order by flag").collect()
+    assert(byAlias.toSeq == byExpr.toSeq && byAlias.nonEmpty)
+    // computed alias
+    val comp = g.sql(
+      "select l_linenumber % 2 as par, cast(count(*) as bigint) as n " +
+        "from lineitem group by par order by par").collect()
+    assert(comp.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    // an input column named like the alias SHADOWS the alias (both engines)
+    val g2 = freshSession()
+    g2.catalog.registerTable("shadow_t",
+      Seq((1, "x"), (1, "y"), (2, "z")).toDF("a", "b"))
+    val sh = g2.sql(
+      "select a + 10 as a, cast(count(*) as bigint) as n from shadow_t " +
+        "group by a order by a").collect()
+    assert(sh.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((11L, 2L), (12L, 1L)))
+    // aliasing an aggregate cannot be a group key
+    val err = intercept[Exception](g.sql(
+      "select count(*) as n from lineitem group by n").collect())
+    assert(err.getMessage.contains("aggregate"))
+  }
+
   test("ROLLUP/CUBE on empty input emit the ANSI grand-total row (count=0, keys/sums NULL)") {
     val spark = TestSpark.spark
     val g = GraftSession.forDir(spark, TestSpark.sf)

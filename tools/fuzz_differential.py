@@ -69,7 +69,33 @@ def gen_pred(rng, depth=0):
 
 
 def gen_query(rng):
-    shape = rng.randrange(8)
+    shape = rng.randrange(12)
+    if shape == 8:  # LEFT JOIN null semantics + coalesce
+        return (f"select l.l_orderkey as k, l.l_linenumber as ln, "
+                f"coalesce(o.o_orderpriority, 'NONE') as p, "
+                f"case when o.o_orderkey is null then 0 else 1 end as hit "
+                f"from lineitem l left join "
+                f"(select * from orders where o_custkey % {rng.randrange(2, 6)} = 0) o "
+                f"on l.l_orderkey = o.o_orderkey "
+                f"where {gen_pred(rng).replace('l_', 'l.l_')} "
+                f"order by k, ln, p, hit limit {rng.randrange(50, 400)}")
+    if shape == 9:  # ROLLUP with exact aggregates (grouping-null rows)
+        k1, k2 = rng.sample(STR_COLS, 2)
+        return (f"select {k1} as a, {k2} as b, cast(count(*) as bigint) as n, "
+                f"cast(sum({rng.choice(INT_COLS)}) as bigint) as sm "
+                f"from lineitem where {gen_pred(rng)} "
+                f"group by rollup ({k1}, {k2}) order by a nulls first, b nulls first, n")
+    if shape == 10:  # uncorrelated scalar subquery in projection + predicate
+        agg = rng.choice(["min", "max"])
+        return (f"select l_orderkey as k, l_linenumber as ln, "
+                f"(select {agg}(o_orderkey) from orders) as s "
+                f"from lineitem where l_orderkey > "
+                f"(select min(o_orderkey) + {rng.randrange(5, 500)} from orders) "
+                f"and ({gen_pred(rng)}) order by k, ln, s limit {rng.randrange(50, 300)}")
+    if shape == 11:  # DISTINCT projection
+        a, b = gen_scalar(rng), rng.choice(STR_COLS)
+        return (f"select distinct {a} as v, {b} as s from lineitem "
+                f"where {gen_pred(rng)} order by v, s")
     if shape == 3:  # join + exact aggregate
         return (f"select o.o_orderpriority as g, cast(count(*) as bigint) as n, "
                 f"cast(sum(l.{rng.choice(INT_COLS)}) as bigint) as sm, "
@@ -131,8 +157,13 @@ def gen_query(rng):
             f"min({rng.choice(STR_COLS)}) as smn",
         ], rng.randrange(2, 5)))
         having = f" having count(*) > {rng.randrange(1, 5)}" if rng.random() < 0.4 else ""
+        # exercise ordinal/alias resolution + sort-direction paths: the
+        # key is unique per group, so any direction/null placement is
+        # deterministic
+        gkey = rng.choice([key, "1", "g"])
+        okey = rng.choice(["g", "1", "g desc", "g desc nulls last", "g nulls first"])
         return (f"select {key} as g, {aggs} from lineitem where {gen_pred(rng)} "
-                f"group by {key}{having} order by g")
+                f"group by {gkey}{having} order by {okey}")
     # derived table + outer filter/aggregate
     inner_pred, outer_pred = gen_pred(rng), gen_pred(rng).replace("l_", "t.l_")
     return (f"select t.l_orderkey as k, cast(count(*) as bigint) as n, "
