@@ -44,17 +44,20 @@ object Components {
       if (i > maxIter) throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds " +
           "(graph diameter exceeds the bound — raise maxIter)")
-      // min label among neighbors, then min with the node's own label
+      // min label among neighbors, then min with the node's own label.
+      // The `changed` flag rides along in the SAME pass, so convergence is
+      // a scan of the just-checkpointed step — not a second labels-vs-next
+      // shuffle join per iteration (round-8: halves per-round shuffles)
       val viaNeighbors = edges
         .join(labels.select(col("id").as("d"), col("comp").as("nc")), "d")
         .groupBy(col("s").as("id")).agg(min(col("nc")).as("nc"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"),
+          (coalesce(col("nc"), col("comp")) < col("comp")).as("changed"))
         .localCheckpoint()
-      converged = next.join(labels.select(col("id"), col("comp").as("old")), "id")
-        .where(col("comp") =!= col("old")).isEmpty
-      labels = next
+      converged = stepped.where(col("changed")).isEmpty
+      labels = stepped.select(col("id"), col("comp"))
     }
     labels
   }

@@ -41,6 +41,62 @@ object ScaleGrowth {
       }.reduce(_ union _)
     }
 
+    // ---- round-8: the LLM-pipeline tables, so the x-gate family can be
+    // scale-tested too. Content is PERTURBED per copy — plain key-shifted
+    // copies would give every document 9 exact/near twins, turning a
+    // 10x-rows run into a 100x-candidate-pairs run and measuring a content
+    // pathology instead of algorithm growth. Mutating every 3rd token
+    // kills every 5-gram shingle across copies (each shingle spans >= 1
+    // mutated token), so cross-copy Jaccard ~ 0 and the dup-rate PROFILE
+    // of the base corpus is preserved at 10x the rows.
+    val dK = maxOf("documents", "doc_id")
+    val vK = maxOf("embeddings", "vec_id")
+    val eK = maxOf("events", "event_id")
+    val uK = maxOf("events", "user_id")
+
+    def documents10: DataFrame = {
+      val base = src.catalog.relation("documents")
+      (0 until copies).map { i =>
+        if (i == 0) base
+        else base
+          .withColumn("doc_id", col("doc_id") + lit(i * dK))
+          .withColumn("text", array_join(
+            transform(split(col("text"), " "),
+              (w, j) => when(j % 3 === 0, concat(w, lit("~" + i))).otherwise(w)),
+            " "))
+          .withColumn("n_chars", length(col("text")))
+      }.reduce(_ union _)
+    }
+
+    // embeddings: rotate the vector by i dims — unit norm is preserved and
+    // cross-copy cosine decorrelates, so ANN/near-dup candidate structure
+    // matches the base profile instead of exploding
+    def embeddings10: DataFrame = {
+      val base = src.catalog.relation("embeddings")
+      (0 until copies).map { i =>
+        if (i == 0) base
+        else base
+          .withColumn("vec_id", col("vec_id") + lit(i * vK))
+          .withColumn("embedding", concat(
+            slice(col("embedding"), i + 1, 64 - i),
+            slice(col("embedding"), 1, i)))
+      }.reduce(_ union _)
+    }
+
+    // events: shift each copy 31 days later — the timeline EXTENDS (10
+    // months) instead of densifying, matching how a stream actually grows;
+    // per-user event density stays constant via shifted user ids
+    def events10: DataFrame = {
+      val base = src.catalog.relation("events")
+      (0 until copies).map { i =>
+        if (i == 0) base
+        else base
+          .withColumn("event_id", col("event_id") + lit(i * eK))
+          .withColumn("user_id", col("user_id") + lit(i * uK))
+          .withColumn("ts", col("ts") + expr(s"interval ${i * 31} day"))
+      }.reduce(_ union _)
+    }
+
     val tables: Seq[(String, DataFrame)] = Seq(
       "region"   -> src.catalog.relation("region"),
       "nation"   -> src.catalog.relation("nation"),
@@ -49,7 +105,10 @@ object ScaleGrowth {
       "part"     -> shifted("part", Map("p_partkey" -> pK)),
       "orders"   -> shifted("orders", Map("o_orderkey" -> oK, "o_custkey" -> cK)),
       "lineitem" -> shifted("lineitem", Map("l_orderkey" -> oK,
-        "l_partkey" -> pK, "l_suppkey" -> sK))
+        "l_partkey" -> pK, "l_suppkey" -> sK)),
+      "documents"  -> documents10,
+      "embeddings" -> embeddings10,
+      "events"     -> events10
     )
 
     val dir = new java.io.File(out); dir.mkdirs()

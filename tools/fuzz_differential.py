@@ -60,7 +60,12 @@ def gen_pred(rng, depth=0):
         vals = ", ".join(f"'{v}'" for v in rng.sample(["A", "N", "R", "O", "F"], rng.randrange(2, 4)))
         return f"{s} in ({vals})"
     if kind == 3:
-        return f"{s} is not null"
+        return rng.choice([
+            f"{s} is not null",
+            f"concat({s}, 'x') like '{rng.choice(['A', 'N', 'R', 'O', 'F'])}%'",
+            f"concat({s}, 'Y') ilike '%y'",
+            f"{s} is distinct from '{rng.choice(['A', 'N', 'R'])}'",
+        ])
     if kind == 4:
         return f"{c} % {rng.randrange(2, 10)} = {rng.randrange(0, 2)}"
     if kind == 5:
@@ -68,8 +73,105 @@ def gen_pred(rng, depth=0):
     return f"({gen_pred(rng, depth + 1)}) or ({gen_pred(rng, depth + 1)})"
 
 
+def gen_ts(rng):
+    """Random [t1, t2) window inside the events table's Jan-2024 span."""
+    import datetime
+    t1 = datetime.datetime(2024, 1, 1) + datetime.timedelta(
+        minutes=rng.randrange(0, 28 * 24 * 60))
+    t2 = t1 + datetime.timedelta(hours=rng.randrange(4, 96))
+    return t1.strftime("%Y-%m-%d %H:%M:%S"), t2.strftime("%Y-%m-%d %H:%M:%S")
+
+
+EVENT_TYPES = ["signup", "error", "click", "view", "purchase"]
+
+
 def gen_query(rng):
-    shape = rng.randrange(12)
+    shape = rng.randrange(22)
+    if shape == 21:  # QUALIFY over rank() (rank is tie-stable => deterministic)
+        part = rng.choice(STR_COLS)
+        n = rng.randrange(2, 30)
+        return (f"select l_orderkey as k, l_linenumber as ln, {part} as p, "
+                f"cast(rank() over (partition by {part} order by l_orderkey) as bigint) as r "
+                f"from lineitem where {gen_pred(rng)} "
+                f"qualify rank() over (partition by {part} order by l_orderkey) <= {n} "
+                f"order by p, r, k, ln")
+    if shape == 12:  # timestamp-range predicate over naive-encoded events
+        t1, t2 = gen_ts(rng)
+        ets = ", ".join(f"'{v}'" for v in rng.sample(EVENT_TYPES, rng.randrange(2, 4)))
+        return (f"select event_id as k, event_type as et, ts, user_id as u "
+                f"from events where ts >= timestamp '{t1}' and ts < timestamp '{t2}' "
+                f"and (event_type in ({ets}) or user_id % {rng.randrange(2, 7)} = 0) "
+                f"order by k")
+    if shape == 13:  # string-function breadth (identical semantics both engines)
+        s = rng.choice(STR_COLS)
+        fns = rng.sample([
+            f"substr({s}, 1, 1)",
+            f"replace(concat(l_returnflag, l_linestatus), 'N', 'xx')",
+            f"trim(concat(' ', {s}, ' '))",
+            f"lower(concat({s}, 'Q'))",
+            f"cast(instr(concat(l_returnflag, l_linestatus), 'O') as bigint)",
+            f"upper(concat(l_linestatus, '_', l_returnflag))",
+        ], 3)
+        cols = ", ".join(f"{f} as c{i}" for i, f in enumerate(fns))
+        return (f"select l_orderkey as k, l_linenumber as ln, {cols} "
+                f"from lineitem where {gen_pred(rng)} "
+                f"order by k, ln, c0, c1, c2 limit {rng.randrange(50, 400)}")
+    if shape == 14:  # RANGE frame: peers share values, so ties are identical rows
+        part = rng.choice(STR_COLS)
+        part2 = rng.choice(STR_COLS)
+        return (f"select l_orderkey as k, l_linenumber as ln, {part} as p, "
+                f"cast(sum(l_linenumber) over (partition by {part} order by l_orderkey "
+                f"range between unbounded preceding and current row) as bigint) as rs, "
+                f"cast(count(*) over (partition by {part2} order by l_orderkey "
+                f"range between unbounded preceding and current row) as bigint) as rc "
+                f"from lineitem where {gen_pred(rng)} "
+                f"order by k, ln, p, rs, rc limit {rng.randrange(50, 400)}")
+    if shape == 15:  # explicit GROUPING SETS incl. the grand-total set
+        k1, k2 = rng.sample(STR_COLS, 2)
+        return (f"select {k1} as a, {k2} as b, cast(count(*) as bigint) as n, "
+                f"cast(sum({rng.choice(INT_COLS)}) as bigint) as sm "
+                f"from lineitem where {gen_pred(rng)} "
+                f"group by grouping sets (({k1}, {k2}), ({k1}), ()) "
+                f"order by a nulls first, b nulls first, n")
+    if shape == 16:  # quantified comparison (ANY/ALL; = any ~ IN, <> all ~ NOT IN)
+        op = rng.choice(["> all", ">= all", "< any", "<= any", "= any", "<> all"])
+        return (f"select l_orderkey as k, l_linenumber as ln from lineitem "
+                f"where l_orderkey {op} (select o_orderkey from orders "
+                f"where o_custkey % {rng.randrange(2, 9)} = 1 "
+                f"and o_orderkey < {rng.randrange(100, 4000)}) "
+                f"and ({gen_pred(rng)}) order by k, ln limit {rng.randrange(50, 300)}")
+    if shape == 17:  # multiset set ops
+        op = rng.choice(["intersect all", "except all"])
+        a, b = gen_scalar(rng), gen_scalar(rng)
+        return (f"select {a} as v from lineitem where {gen_pred(rng)} "
+                f"{op} select {b} as v from lineitem where {gen_pred(rng)} "
+                f"order by v")
+    if shape == 18:  # correlated scalar COUNT subquery in the projection
+        return (f"select l.l_orderkey as k, l.l_linenumber as ln, "
+                f"(select cast(count(*) as bigint) from orders o "
+                f"where o.o_orderkey = l.l_orderkey "
+                f"and o.o_custkey % {rng.randrange(2, 6)} = 0) as c "
+                f"from lineitem l where {gen_pred(rng).replace('l_', 'l.l_')} "
+                f"order by k, ln, c limit {rng.randrange(50, 300)}")
+    if shape == 19:  # GROUP BY <projection alias> (round-8 ergonomics path)
+        expr = rng.choice([
+            "concat(l_returnflag, l_linestatus)",
+            "upper(l_linestatus)",
+            f"l_orderkey % {rng.randrange(3, 20)}",
+        ])
+        having = (f" having count(*) > {rng.randrange(1, 6)}"
+                  if rng.random() < 0.5 else "")
+        return (f"select {expr} as g, cast(count(*) as bigint) as n, "
+                f"max(l_linenumber) as mx from lineitem "
+                f"where {gen_pred(rng)} group by g{having} order by g")
+    if shape == 20:  # date_trunc bucketing over events
+        t1, t2 = gen_ts(rng)
+        unit = rng.choice(["day", "hour"])
+        return (f"select date_trunc('{unit}', ts) as d, event_type as et, "
+                f"cast(count(*) as bigint) as n, "
+                f"cast(sum(user_id) as bigint) as su "
+                f"from events where ts >= timestamp '{t1}' and ts < timestamp '{t2}' "
+                f"group by date_trunc('{unit}', ts), event_type order by d, et")
     if shape == 8:  # LEFT JOIN null semantics + coalesce
         return (f"select l.l_orderkey as k, l.l_linenumber as ln, "
                 f"coalesce(o.o_orderpriority, 'NONE') as p, "
@@ -186,7 +288,7 @@ def cmd_cmp(qfile, spark_dir, sf_dir):
     import pandas as pd
     qs = json.load(open(qfile))
     con = duckdb.connect()
-    for t in ("lineitem", "orders"):
+    for t in ("lineitem", "orders", "events"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     n_pass = n_fail = 0
     for name, sql in sorted(qs.items()):
@@ -195,7 +297,11 @@ def cmd_cmp(qfile, spark_dir, sf_dir):
             print(f"MISS  {name} (spark produced no output)")
             n_fail += 1
             continue
-        got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        # read the spark result through duckdb (like the driver's gate):
+        # UTC-adjusted parquet timestamps come back as naive-UTC, matching
+        # DuckDB's read of the naive source encoding
+        got = duckdb.connect().execute(
+            f"SELECT * FROM read_parquet({sorted(files)!r})").fetchdf()
         want = con.execute(sql).df()
         got = got[sorted(got.columns)]
         want = want[sorted(want.columns)]
