@@ -369,6 +369,75 @@ object Dedup {
       .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Near-dup CLUSTERING via per-bucket STAR edges — the dup-heavy-corpus
+    * scale path. [[minhashCandidates]]' same-bucket self-join emits
+    * C(m,2) pairs for a bucket of m members: correct when the caller
+    * needs every pair, but quadratic in duplicate-cluster size — a
+    * boilerplate page repeated 1M times in a web crawl turns one bucket
+    * into 5·10^11 pairs. When the goal is cluster ASSIGNMENT (keep one
+    * representative per duplicate family), the pair set is over-spec:
+    * a spanning set of edges per bucket suffices. This operator links
+    * each bucket member to the bucket's MIN id — O(rows × bands) edges
+    * TOTAL regardless of bucket skew — verifies those star edges with
+    * exact n-gram Jaccard, and runs connected components over the
+    * verified edges.
+    *
+    * Returns (id, comp): every document that survived verification into a
+    * non-trivial cluster, labelled by its component's min id. Docs with
+    * no verified near-dup edge do not appear (singletons — callers keep
+    * them all, mirroring [[Components.dedupByCluster]]).
+    *
+    * Recall note: connectivity flows only through bucket minima, so two
+    * docs whose every shared bucket has a dissimilar min can land in
+    * different clusters where the all-pairs path would have linked them
+    * directly. Exact duplicates are immune (identical text → identical
+    * signature → the bucket min IS an exact duplicate, verification
+    * cannot fail), and near-dup families are near-cliques, so in practice
+    * the loss is small — the skew-stress spec measures it against the
+    * all-pairs truth. The trade is deliberate: recall≈1 with a hard
+    * O(rows × bands) bound is what survives a 100 TB crawl; the exact
+    * all-pairs path stays available as [[nearDuplicates]] + CC (x27).
+    */
+  def clusterNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
+                            threshold: Double = 0.8, k: Int = 64,
+                            bands: Int = 16, shingleW: Int = 3,
+                            seed: Long = 42L): DataFrame = {
+    val star = starCandidates(docs, textCol, idCol, k, bands, shingleW, seed)
+    val verified = ngramJaccard(star, docs, textCol, idCol, shingleW)
+      .where(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"))
+    Components.connectedComponents(verified)
+  }
+
+  /** The star-edge candidate step of [[clusterNearDuplicates]], exposed so
+    * the skew-stress spec can assert the O(rows × bands) bound directly:
+    * per LSH bucket, one edge (bucket-min-id, member) per member — never
+    * the all-pairs C(m,2). Returns distinct (ida, idb), ida = a bucket
+    * min, ida != idb. */
+  def starCandidates(docs: DataFrame, textCol: String, idCol: String,
+                     k: Int = 64, bands: Int = 16, shingleW: Int = 3,
+                     seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, "bands must divide signature length")
+    val r = k / bands
+    val banded = minhashSignatures(docs, textCol, idCol, k, shingleW, seed)
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bh"))))
+          .as("bucket"))
+      .select(col("id"), col("bucket.band").as("band"), col("bucket.bh").as("bh"))
+      // one keyed shuffle feeds BOTH the min-aggregate and the join back
+      .localCheckpoint()
+    // star edges: (bucket-min, member). min() is map-side combinable; the
+    // join is bucket-key equi (AQE skew-split applies); distinct collapses
+    // the ≤ bands repeats of the same edge BEFORE text attach/verify
+    val bucketMin = banded.groupBy(col("band"), col("bh"))
+      .agg(min(col("id")).as("ida"))
+    banded.join(bucketMin, Seq("band", "bh"))
+      .where(col("id") =!= col("ida"))
+      .select(col("ida"), col("id").as("idb")).distinct()
+  }
+
   /** Incremental dedup — drop rows of `incoming` that duplicate `corpus`
     * exactly (same text) or approximately (word-shingle Jaccard ≥
     * `threshold`, candidates via cross-corpus MinHash-LSH banding). The

@@ -16,6 +16,23 @@ object Extensions {
   private def emb(s: SparkSession, d: String): DataFrame =
     GraftSession.forDir(s, d).catalog.relation("embeddings")
 
+  /** File-backed one-batch stream replay: write the bounded frame to a
+    * temp parquet dir and `readStream` it back. Unlike a MemoryStream
+    * feed, rows never collect to the driver and never ride inside task
+    * binaries (the old collect+addData feed made 21 MB tasks on the
+    * sfsynth1 sweep) — executors read the files directly, exactly like a
+    * production object-store stream source. Every file pre-exists at
+    * `start()`, so the source replays everything in ONE micro-batch, the
+    * same semantics as the pre-start `addData` block it replaces. NOT
+    * for arrival-ORDER-sensitive replays (count windows): a file split
+    * does not contractually preserve row order — those keep the
+    * single-partition MemoryStream feed. */
+  private def replayStream(s: SparkSession, df: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay_").toString
+    df.write.mode("overwrite").parquet(dir)
+    s.readStream.schema(df.schema).parquet(dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----
     "x01_dedup_exact" -> ((s, d) =>
@@ -71,6 +88,44 @@ object Extensions {
       val pairs = Dedup.nearDuplicates(docs(s, d), "text", "doc_id", threshold = 0.8)
         .select(col("ida"), col("idb")).localCheckpoint()
       Components.connectedComponents(pairs).orderBy("id")
+    }),
+    // Star-edge near-dup clustering — the dup-heavy-corpus scale path
+    // (O(rows × bands) candidate edges instead of C(m,2) per bucket).
+    // n_true_pairs = exact all-pairs Jaccard count on a bounded
+    // sub-universe (cross-engine number, recomputed by DuckDB); recall_ok
+    // = >= 90% of those truth pairs land in ONE cluster (computed Spark-
+    // side — star connectivity loss would flip it to 0 and fail the hash)
+    "x57_cluster_star" -> ((s, d) => {
+      val dd = docs(s, d)
+      val clusters = Dedup.clusterNearDuplicates(dd, "text", "doc_id", threshold = 0.8)
+        .localCheckpoint()
+      // truth = exact all-pairs Jaccard on the sub-universe, computed via
+      // an inverted shingle index: a pair with jaccard > 0 shares a gram,
+      // so the gram self-join reaches every qualifying pair, and jaccard
+      // derives from COUNTS (|A∩B| = shared, |A∪B| = na+nb-shared) — no
+      // wide gram-array shuffles, no nested-loop all-pairs join. Grams
+      // ride as xxhash64 longs (2^-64 collisions, the repo-wide contract)
+      val sub = dd.where(col("doc_id") < 500)
+      val gi = Dedup.shingleRows(sub, "text", "doc_id")
+        .select(col("id"), xxhash64(col("sh")).as("g")).distinct()
+        .localCheckpoint()
+      val na = gi.groupBy("id").agg(count(lit(1)).as("n"))
+      val truth = gi.select(col("g"), col("id").as("ida"))
+        .join(gi.select(col("g"), col("id").as("idb")), "g")
+        .where(col("ida") < col("idb"))
+        .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("shared"))
+        .join(na.select(col("id").as("ida"), col("n").as("na")), "ida")
+        .join(na.select(col("id").as("idb"), col("n").as("nb")), "idb")
+        .where(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")) >= 0.8)
+        .select(col("ida"), col("idb"))
+      val ca = clusters.select(col("id").as("ida"), col("comp").as("ca"))
+      val cb = clusters.select(col("id").as("idb"), col("comp").as("cb"))
+      truth.join(ca, Seq("ida"), "left").join(cb, Seq("idb"), "left").agg(
+        count(lit(1)).cast("bigint").as("n_true_pairs"),
+        coalesce(
+          sum(when(col("ca") === col("cb"), 1).otherwise(0)) * 10 >= count(lit(1)) * 9,
+          lit(true)).cast("int").as("recall_ok"))
     }),
     // Sign-LSH bucket candidates over the FULL corpus; correctness flags are
     // computed on a bounded sub-universe (vec_id < 500) so the verification
@@ -231,32 +286,33 @@ object Extensions {
       val batchOut = Dedup.lineDedup(injected, "text", "doc_id", minDocFreq = 5L)
         .select(col("doc_id"), col("n_kept"), col("n_removed"),
           md5(col("cleaned")).as("h"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
-        .sortBy(_._1)
+        .localCheckpoint()
       val hot = Dedup.hotLines(injected, "text", "doc_id", minDocFreq = 5L)
-      val in = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String)](s)
-      val streamed = Dedup.applyLineDedup(
-          in.toDF().toDF("doc_id", "text"), "text", "doc_id", hot)
+      // file-backed replay + parquet sink: rows stream executor-side both
+      // ways; the driver only ever sees the two aggregate counts below
+      val in = replayStream(s, injected.select("doc_id", "text"))
+      val streamed = Dedup.applyLineDedup(in, "text", "doc_id", hot)
         .select(col("doc_id"), col("n_kept"), col("n_removed"),
           md5(col("cleaned")).as("h"))
-      // feed before start(): one block → one replay micro-batch
-      in.addData(injected.select("doc_id", "text").collect()
-        .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq: _*)
-      val sink = "x51_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val outDir = java.nio.file.Files.createTempDirectory("x51_out_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("x51_ckpt_").toString
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = try streamed.writeStream.format("memory").queryName(sink)
+      val q = try streamed.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
         .outputMode("append").start()
       finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-      val eq = try {
+      val (nDocs, eq) = try {
         q.processAllAvailable()
-        val got = s.table(sink).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
-          .sortBy(_._1)
-        got.toSeq == batchOut.toSeq && got.nonEmpty
+        val got = s.read.parquet(outDir)
+          .select(col("doc_id"), col("n_kept"), col("n_removed"), col("h"))
+        // doc_id is unique per side, so equal counts + empty set diffs
+        // == exact multiset equality, computed distributed
+        val n = batchOut.count()
+        (n, n > 0 && got.count() == n &&
+          got.except(batchOut).isEmpty && batchOut.except(got).isEmpty)
       } finally q.stop()
-      Seq((batchOut.length.toLong, if (eq) 1 else 0))
+      Seq((nDocs, if (eq) 1 else 0))
         .toDF("n_docs", "stream_matches_batch")
     }),
     // ---- streaming ≡ batch parity for the interval join: the same event
@@ -281,26 +337,16 @@ object Extensions {
           beforeUs = 21600000000L, afterUs = 0L)
         .select(col("l_id"), col("r_id"))
         .collect().map(x => (x.getLong(0), x.getLong(1))).sorted
-      val inL = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, java.sql.Timestamp)](s)
-      val inR = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, java.sql.Timestamp)](s)
+      // file-backed replay (order-insensitive join): no driver collect,
+      // no data in task binaries; all files pre-exist => one micro-batch
       val js = IntervalJoin.streaming(
-        inL.toDF().toDF("l_id", "event_type", "l_ts"),
-        inR.toDF().toDF("r_id", "event_type", "r_ts"),
+        replayStream(s, l), replayStream(s, r),
         Seq("event_type"), "l_ts", "r_ts",
         beforeUs = 21600000000L, afterUs = 0L, watermarkDelay = "0 seconds")
       val sink = "x52_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // state-store count per micro-batch = shuffle partitions; the gate's
-      // replay is one batch, so 8 stores beat 32 (restored after start —
+      // replay is one batch, so 2 stores beat 32 (restored after start —
       // streaming queries capture the conf at start time)
-      // feed BOTH sides before start: the trigger loop then sees one block
-      // per source and replays everything in a single micro-batch (feeding
-      // after start raced the trigger into one batch per side)
-      def feed(df: org.apache.spark.sql.DataFrame) = df.collect()
-        .map(x => (x.getLong(0), x.getString(1), x.getTimestamp(2))).toIndexedSeq
-      inL.addData(feed(l): _*)
-      inR.addData(feed(r): _*)
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       val savedNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
       s.conf.set("spark.sql.shuffle.partitions", "2")
@@ -342,6 +388,11 @@ object Extensions {
         .select(col("event_id"), col("event_type"))
         .orderBy("event_id") // arrival order = batch's `on`-field order
         .collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+      // count windows are arrival-ORDER-sensitive, so this replay keeps
+      // the single-partition MemoryStream feed (one pre-start block = one
+      // ordered batch) instead of the file-backed replayStream — a file
+      // split does not contractually preserve row order. The feed is the
+      // thinned %20 subset, so the driver round-trip stays bounded.
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)](s)
       val assigned = graft.streaming.CountWindow.assign(
@@ -379,14 +430,13 @@ object Extensions {
         .collect()
         .map(r => (r.getString(2), r.getTimestamp(0).getTime,
           r.getTimestamp(1).getTime, r.getLong(3))).sorted
-      val rows = g.catalog.relation("events")
+      // file-backed replay (session aggregation is arrival-order-
+      // insensitive within the single replay batch): no driver collect
+      val in = replayStream(s, g.catalog.relation("events")
         .where(col("event_id") % 20 === 0)
-        .select(col("ts"), col("event_type"))
-        .collect().map(r => (r.getTimestamp(0), r.getString(1))).toIndexedSeq
-      val in = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(java.sql.Timestamp, String)](s)
+        .select(col("ts"), col("event_type").as("k")))
       val sessioned = graft.streaming.Sessions.aggregate(
-        in.toDF().toDF("ts", "k"), "ts", "3600 seconds", Seq("k"),
+        in, "ts", "3600 seconds", Seq("k"),
         (count(lit(1)).as("n"), Nil))
       val sink = "x56_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // complete mode: emit every session without waiting on the watermark;
@@ -397,7 +447,6 @@ object Extensions {
         .outputMode("complete").start()
       finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       val eq = try {
-        in.addData(rows: _*)
         q.processAllAvailable()
         val got = s.table(sink).collect()
           .map(r => (r.getString(2), r.getTimestamp(0).getTime,
@@ -809,6 +858,17 @@ object Extensions {
       "x03_dedup_minhash_lsh" -> duckJaccardTruth(0.7),
       "x05_dedup_ngram_jaccard" -> duckJaccardTruth(0.8),
       "x27_cluster_dedup" -> duckComponentsTruth(0.8),
+      // x57: n_true_pairs is the cross-engine number (exact all-pairs
+      // Jaccard on doc_id < 500); recall_ok is computed Spark-side
+      // against that truth and pinned to 1 here — star-connectivity
+      // recall loss shows up as a 0 and a hash mismatch
+      "x57_cluster_star" -> (
+        s"WITH $duckGramCtes, " +
+        "p AS (SELECT a.doc_id AS ida, b.doc_id AS idb FROM g a JOIN g b " +
+        "ON a.doc_id < b.doc_id WHERE a.doc_id < 500 AND b.doc_id < 500 " +
+        s"AND $duckJaccardExpr >= 0.8) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, " +
+        "CAST(1 AS INTEGER) AS recall_ok FROM p"),
       "x28_vocab_topk" -> (
         "SELECT tok AS term, count(*) AS n FROM (SELECT unnest(" +
         "regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents) " +

@@ -564,6 +564,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(comp2 == comp)
   }
 
+  test("clusterNearDuplicates: star edges stay linear under duplicate skew") {
+    // a boilerplate-heavy corpus: 1200 EXACT copies of one page, two
+    // 5-doc near-dup families (pairwise jaccard 12/14 ~ 0.857), 60
+    // distinct noise docs. The all-pairs bucket join would emit
+    // C(1200,2) ~ 719k candidate pairs; the star path must stay O(rows).
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again with more words to make the shingle set plentiful"
+    val copies = (0L until 1200L).map(i => (i, base))
+    def fam(start: Long, stem: String) =
+      (0 until 5).map(j => (start + j, stem + s" tail$j"))
+    val famA = fam(2000, "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi")
+    val famB = fam(3000, "one two three four five six seven eight nine " +
+      "ten eleven twelve thirteen")
+    val noise = (4000L until 4060L).map(i =>
+      (i, s"unique document number $i with distinct content ${i * 7} ${i * 13} ${i * 31}"))
+    val d = (copies ++ famA ++ famB ++ noise).toDF("doc_id", "text")
+
+    val nStar = Dedup.starCandidates(d, "text", "doc_id").count()
+    val rows = d.count()
+    assert(nStar <= rows * 16, s"star candidates $nStar exceed rows*bands (${rows * 16})")
+    assert(nStar < 10000L,
+      s"star candidates $nStar not linear (all-pairs would be ~719k)")
+
+    val cl = Dedup.clusterNearDuplicates(d, "text", "doc_id", threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every exact copy lands in ONE cluster labelled by the min id
+    assert((0L until 1200L).forall(cl.get(_).contains(0L)),
+      "exact copies must form one cluster labelled 0")
+    // each near-dup family is its own complete cluster
+    assert((2000L until 2005L).forall(cl.get(_).contains(2000L)), s"famA: $cl")
+    assert((3000L until 3005L).forall(cl.get(_).contains(3000L)), s"famB: $cl")
+    // noise never survives verification into a cluster
+    assert((4000L until 4060L).forall(!cl.contains(_)), "noise must stay unclustered")
+    assert(cl.size == 1210, s"expected 1210 clustered docs, got ${cl.size}")
+  }
+
   test("vocab: corpus top-k token counts with deterministic ties") {
     val d = Seq((1L, "a b b c"), (2L, "B a  a"), (3L, "")).toDF("doc_id", "text")
     val v = TextAnalysis.vocab(d, "text", "doc_id", k = 2)
