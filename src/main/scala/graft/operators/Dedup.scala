@@ -133,6 +133,45 @@ object Dedup {
       .drop("__ld_kept", "__ld_hotarr")
   }
 
+  /** Paragraph-level boilerplate removal with NORMALIZED matching —
+    * CCNet/RefinedWeb dedup at paragraph granularity: web boilerplate
+    * (cookie banners, nav blocks, share widgets) repeats across pages
+    * with cosmetic variation (case, punctuation, extra spaces), so the
+    * hot set matches on a normalized key — `lower`, non-alphanumerics
+    * collapsed to single spaces, trimmed — while the OUTPUT keeps each
+    * surviving paragraph's original bytes. Same contract and shuffle
+    * shape as [[lineDedup]] (3 keyed shuffles: distinct (doc, key) →
+    * per-key doc-frequency with map-side partials; hash anti join of the
+    * paragraph stream against the hot set (small by construction — AQE
+    * broadcasts it); per-doc reassembly groupBy). Paragraph boundary =
+    * one-or-more blank lines (`\n\s*\n`); paragraphs whose normalized key
+    * is empty (decoration-only) are never hot — structure survives. */
+  def paragraphDedup(docs: DataFrame, textCol: String, idCol: String,
+                     minDocFreq: Long): DataFrame = {
+    def normKey(p: Column): Column =
+      trim(regexp_replace(lower(p), "[^a-z0-9]+", " "))
+    val paras = docs.select(col(idCol).as("__pd_id"),
+        posexplode(split(col(textCol), "\\n\\s*\\n")).as(Seq("__pd_pos", "__pd_para")))
+      .withColumn("__pd_key", normKey(col("__pd_para")))
+    val hot = paras.where(col("__pd_key") =!= "")
+      .select(col("__pd_id"), col("__pd_key")).distinct()
+      .groupBy(col("__pd_key")).agg(count(lit(1)).as("__pd_df"))
+      .where(col("__pd_df") >= minDocFreq)
+      .select(col("__pd_key").as("__pd_hot"))
+    val kept = paras.join(hot, paras("__pd_key") === hot("__pd_hot"), "left_anti")
+    val reasm = kept.groupBy(col("__pd_id")).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws("\n\n",
+        transform(array_sort(collect_list(struct(col("__pd_pos"), col("__pd_para")))),
+          x => x.getField("__pd_para"))).as("cleaned"))
+    docs.join(reasm, col(idCol) === reasm("__pd_id"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("cleaned", coalesce(col("cleaned"), lit("")))
+      .withColumn("n_removed",
+        size(split(col(textCol), "\\n\\s*\\n")).cast("long") - col("n_kept"))
+      .drop("__pd_id")
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

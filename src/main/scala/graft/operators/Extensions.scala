@@ -127,6 +127,59 @@ object Extensions {
           sum(when(col("ca") === col("cb"), 1).otherwise(0)) * 10 >= count(lit(1)) * 9,
           lit(true)).cast("int").as("recall_ok"))
     }),
+    // ---- streaming exact dedup (watermark-bounded state): the events
+    // stream replays file-backed through dropDuplicatesWithinWatermark;
+    // dedup keys carry no payload columns, so ANY first-arrival winner is
+    // the same row and the one-micro-batch result is exactly the DISTINCT
+    // key set — hash-matched against DuckDB's SELECT DISTINCT. Watermark
+    // EVICTION semantics (late-duplicate re-admission) are covered by
+    // StreamingSpec's two-batch test; this gate pins the keep-first
+    // output contract at data scale with rows never touching the driver
+    // until the final bounded collect ----
+    "x58_stream_dedup" -> ((s, d) => {
+      val ev = GraftSession.forDir(s, d).catalog.relation("events")
+      val in = replayStream(s, ev.select("user_id", "event_type", "ts"))
+      val deduped = graft.streaming.Dedup.withinWatermark(
+        in, Seq("user_id", "event_type"), "ts", "1 hour")
+      val sink = "x58_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // one micro-batch replay: 4 state stores beat 32 (conf captured at
+      // start; restored right after)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try deduped.select(col("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        q.processAllAvailable()
+        s.table(sink).orderBy("user_id", "event_type")
+          // materialize BEFORE q.stop(): the memory sink's table reads
+          // the in-memory batches the query owns
+          .localCheckpoint()
+      } finally q.stop()
+    }),
+    // ---- hashed linear classifier scoring (fastText-inference shape);
+    // md5-bucketed features + integer weight arithmetic make the scores
+    // EXACTLY recomputable by the DuckDB oracle ----
+    "x59_quality_classifier" -> ((s, d) =>
+      TextAnalysis.hashedLinearScore(docs(s, d), "text", "doc_id")
+        .orderBy("id")),
+    // ---- paragraph-level boilerplate dedup with normalized matching:
+    // injected banner paragraphs VARY cosmetically per doc (case and
+    // punctuation differ by doc_id parity) — line-exact matching would
+    // miss half of them; the normalized key catches all ----
+    "x60_paragraph_dedup" -> ((s, d) => {
+      val injected = docs(s, d).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("Accept all cookies to continue."))
+            .otherwise(lit("ACCEPT ALL, COOKIES -- to continue!")),
+          lit("\n\n"),
+          regexp_replace(col("text"), "((?:\\S+ ){12})", "$1\n\n"),
+          lit("\n\nShare this article on social media.")).as("text"))
+      Dedup.paragraphDedup(injected, "text", "doc_id", minDocFreq = 5L)
+        .select(col("doc_id"), col("n_kept"), col("n_removed"),
+          md5(col("cleaned")).as("h"))
+        .orderBy("doc_id")
+    }),
     // Sign-LSH bucket candidates over the FULL corpus; correctness flags are
     // computed on a bounded sub-universe (vec_id < 500) so the verification
     // join stays O(500^2) at any scale factor. n_true_pairs is recomputed
@@ -942,6 +995,39 @@ object Extensions {
         "SELECT count(*) AS n_media, CAST(1 AS INTEGER) AS batch_bounded, " +
         "CAST(1 AS INTEGER) AS straggler_bounded, CAST(1 AS INTEGER) AS norm_ok " +
         "FROM documents"),
+      "x58_stream_dedup" -> (
+        "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"),
+      // exact score recompute: same md5 bucketing, same integer weight
+      // arithmetic, one float division + sigmoid per doc (order-free)
+      "x59_quality_classifier" -> (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+        "t AS (SELECT doc_id, (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) AS b FROM toks WHERE tok <> ''), " +
+        "s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, " +
+        "SUM((b * 2654435761) % 4096 - 2048) AS sw FROM t GROUP BY 1) " +
+        "SELECT d.doc_id AS id, COALESCE(s.n_toks, 0) AS n_toks, " +
+        "ROUND(1.0/(1.0 + exp(-(8.0 * sw / (4096.0 * s.n_toks)))), 6) AS score, " +
+        "CAST(CASE WHEN COALESCE(ROUND(1.0/(1.0 + exp(-(8.0 * sw / (4096.0 * s.n_toks)))), 6) >= 0.5, FALSE) " +
+        "THEN 1 ELSE 0 END AS INTEGER) AS keep " +
+        "FROM documents d LEFT JOIN s USING (doc_id) ORDER BY id"),
+      "x60_paragraph_dedup" -> (
+        "WITH inj AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'Accept all cookies to continue.' " +
+        "ELSE 'ACCEPT ALL, COOKIES -- to continue!' END || chr(10) || chr(10) || " +
+        "regexp_replace(text, '((?:\\S+ ){12})', '\\1' || chr(10) || chr(10), 'g') || " +
+        "chr(10) || chr(10) || 'Share this article on social media.' AS text FROM documents), " +
+        "p AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\n\\s*\\n')) AS para, " +
+        "unnest(generate_series(1, len(regexp_split_to_array(text, '\\n\\s*\\n')))) AS pos FROM inj), " +
+        "k AS (SELECT doc_id, pos, para, " +
+        "trim(regexp_replace(lower(para), '[^a-z0-9]+', ' ', 'g')) AS key FROM p), " +
+        "hot AS (SELECT key FROM (SELECT key, count(DISTINCT doc_id) AS df FROM k " +
+        "WHERE key <> '' GROUP BY key) t WHERE df >= 5), " +
+        "kept AS (SELECT k.* FROM k ANTI JOIN hot USING (key)), " +
+        "r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "string_agg(para, chr(10) || chr(10) ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id) " +
+        "SELECT i.doc_id, COALESCE(r.n_kept, 0) AS n_kept, " +
+        "CAST(len(regexp_split_to_array(i.text, '\\n\\s*\\n')) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed, " +
+        "md5(COALESCE(r.cleaned, '')) AS h FROM inj i LEFT JOIN r USING (doc_id) ORDER BY doc_id"),
       "x50_line_dedup" -> (
         "WITH inj AS (SELECT doc_id, source || ' | COMMON SITE HEADER' || chr(10) || " +
         "'cookie notice: accept all' || chr(10) || " +

@@ -555,4 +555,51 @@ object TextAnalysis {
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Hashed-bag-of-words linear classifier scoring — the fastText-style
+    * quality-classifier INFERENCE shape (token → feature-hash bucket →
+    * weight lookup → mean → sigmoid) every large pretraining pipeline
+    * runs corpus-wide to keep/drop documents.
+    *
+    * The weight table is a deterministic function of the bucket id
+    * (`w(b) = (b·2654435761) mod 4096 − 2048`, an integer in
+    * [−2048, 2047]) rather than a trained model file — this container
+    * ships no model artifacts, and a learned table drops in by replacing
+    * `intWeight` with a broadcast `dim`-entry map lookup; every other
+    * part of the plumbing (hashing, exact integer accumulation, scoring)
+    * is the production one. Feature hashing uses the first two hex chars
+    * of md5(token) (`dim` = 256 buckets) — engine-portable, so the gate's
+    * DuckDB oracle recomputes scores EXACTLY.
+    *
+    * Determinism under distribution: per-document accumulation is an
+    * exact BIGINT sum (order-independent, unlike float summation), and
+    * the single float division + sigmoid happen once per document, so
+    * scores are bit-stable across partitionings and engines.
+    *
+    * Scale: one narrow token explode (tokens stay in their scan
+    * partition) + one hash aggregation on the doc id with map-side
+    * partials; the weight "table" is codegen arithmetic, so no join, no
+    * broadcast, no shuffle beyond the per-doc aggregate.
+    *
+    * Output: (id, n_toks, score ∈ [0,1] rounded 6dp, keep ∈ {0,1});
+    * blank docs score NULL / keep 0. */
+  def hashedLinearScore(df: DataFrame, textCol: String, idCol: String,
+                        bias: Double = 0.0, scale: Double = 8.0): DataFrame = {
+    val toks = Par.widen(df, idCol)
+      .select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__hl_tok"))
+      .where(col("__hl_tok") =!= "")
+    val bucket = conv(substring(md5(col("__hl_tok")), 1, 2), 16, 10).cast("long")
+    val intWeight = (bucket * lit(2654435761L)) % 4096L - 2048L
+    val perDoc = toks
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"), sum(intWeight).as("__hl_sw"))
+    val margin = lit(bias) +
+      lit(scale) * col("__hl_sw").cast("double") / (lit(4096.0) * col("n_toks"))
+    val score = round(lit(1.0) / (lit(1.0) + exp(-margin)), 6)
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        score.as("score"),
+        coalesce((score >= 0.5).cast("int"), lit(0)).as("keep"))
+  }
 }

@@ -706,4 +706,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again.exceptAll(out).count() == 0 && out.exceptAll(again).count() == 0)
     out.unpersist()
   }
+
+  test("hashedLinearScore: independent recompute, case folding, blank docs") {
+    val d = Seq(
+      (1L, "hello hello hello"),
+      (2L, "   "),
+      (3L, "Hello"),
+      (4L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearScore(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getInt(3)))).toMap
+    // independent Scala recompute of the score formula for one token
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 2), 16)
+    }
+    def weight(b: Long): Long = (b * 2654435761L) % 4096L - 2048L
+    val w = weight(bucket("hello"))
+    val expected = BigDecimal(1.0 / (1.0 + math.exp(-(8.0 * (3 * w) / (4096.0 * 3)))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 3L && out(1L)._2.contains(expected))
+    // blank doc: zero tokens, NULL score, keep = 0
+    assert(out(2L) == ((0L, None, 0)))
+    // tokens lowercase before hashing: "Hello" scores like "hello"
+    // (same single-bucket mean)
+    assert(out(3L)._2 == out(1L)._2)
+    // multi-token doc: score in [0,1], keep consistent with threshold
+    val (n4, Some(s4), k4) = out(4L)
+    assert(n4 == 9L && s4 >= 0.0 && s4 <= 1.0 && k4 == (if (s4 >= 0.5) 1 else 0))
+  }
+
+  test("paragraphDedup: normalized matching strips cosmetic banner variants, keeps original bytes") {
+    val banners = Seq(
+      "Cookie, Notice!", "cookie   notice", "COOKIE NOTICE", "cookie-notice", "Cookie.Notice")
+    val d = (banners.zipWithIndex.map { case (b, i) =>
+      ((i + 1).toLong, s"$b\n\nunique body ${i + 1}\n\n***")
+    } :+ ((6L, "no banner here\n\n***"))).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, "text", "doc_id", minDocFreq = 5L)
+      .select("doc_id", "cleaned", "n_kept", "n_removed")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // every cosmetic variant normalizes to "cookie notice" → df 5 → stripped;
+    // kept paragraphs keep their ORIGINAL text and the \n\n separator
+    (1 to 5).foreach { i =>
+      assert(out(i.toLong) == ((s"unique body $i\n\n***", 2L, 1L)), s"doc $i")
+    }
+    // decoration-only paragraphs ("***", normalized key empty) appear in all
+    // 6 docs but are never hot; untouched doc passes through byte-exact
+    assert(out(6L) == (("no banner here\n\n***", 2L, 0L)))
+    // below threshold: byte-exact roundtrip
+    val rt = Dedup.paragraphDedup(d, "text", "doc_id", minDocFreq = 6L)
+      .select("doc_id", "text", "cleaned").collect()
+    assert(rt.forall(r => r.getString(1) == r.getString(2)))
+  }
 }
