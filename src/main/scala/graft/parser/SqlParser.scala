@@ -130,13 +130,16 @@ object SqlParser extends RegexParsers with PackratParsers {
   lazy val cteDef: PackratParser[(String, QueryExpr)] =
     ident ~ (kw("as") ~> "(" ~> query <~ ")") ^^ { case n ~ q => (n, q) }
 
-  /** selectCore (UNION|EXCEPT|INTERSECT [ALL] selectCore)* [order by][limit]
+  /** intersectOperand ((UNION|EXCEPT) [ALL] intersectOperand)* [order][limit]
     * — trailing ORDER BY/LIMIT bind to the whole set operation, per SQL (and
-    * flinkdsl/ast.scala:163-167's SetStatement carrying its own orderBy). */
+    * flinkdsl/ast.scala:163-167's SetStatement carrying its own orderBy).
+    * ANSI precedence (shared by DuckDB and Spark SQL, caught by the
+    * differential fuzz): INTERSECT binds TIGHTER than UNION/EXCEPT, so
+    * `a except b intersect c` = `a except (b intersect c)`; within each
+    * level operators associate left. */
   lazy val setQuery: PackratParser[QueryExpr] = {
     val op: Parser[(SetOpKind, Boolean, Boolean)] =
-      (kw("union") ^^^ Union | kw("except") ^^^ Except |
-       kw("intersect") ^^^ Intersect) ~ opt(kw("all")) ~
+      (kw("union") ^^^ Union | kw("except") ^^^ Except) ~ opt(kw("all")) ~
         opt(kw("by") ~ kw("name")) ^^ {
         case k ~ a ~ bn =>
           // BY NAME (DuckDB extension): only UNION aligns by name
@@ -145,7 +148,7 @@ object SqlParser extends RegexParsers with PackratParsers {
               "BY NAME is only supported on UNION [ALL]")
           (k, a.isDefined, bn.isDefined)
       }
-    queryOperand ~ rep(op ~ queryOperand) ~ opt(orderByClause) ~ opt(limitClause) <~
+    intersectQuery ~ rep(op ~ intersectQuery) ~ opt(orderByClause) ~ opt(limitClause) <~
       opt(kw("for") ~ kw("update")) ^^ {
       case first ~ Nil ~ ob ~ lim => attachTail(first, ob.getOrElse(Nil), lim)
       case first ~ rest ~ ob ~ lim =>
@@ -153,6 +156,25 @@ object SqlParser extends RegexParsers with PackratParsers {
           case (l, (k, all, byName) ~ r) => SetOp(l, k, all, r, Nil, None, byName)
         }
         attachTail(chained, ob.getOrElse(Nil), lim)
+    }
+  }
+
+  /** The INTERSECT precedence level: queryOperand (INTERSECT [ALL]
+    * queryOperand)*, left-associative. */
+  lazy val intersectQuery: PackratParser[QueryExpr] = {
+    val iop: Parser[Boolean] =
+      kw("intersect") ~> opt(kw("all")) ~ opt(kw("by") ~ kw("name")) ^^ {
+        case a ~ bn =>
+          if (bn.isDefined)
+            throw new IllegalArgumentException(
+              "BY NAME is only supported on UNION [ALL]")
+          a.isDefined
+      }
+    queryOperand ~ rep(iop ~ queryOperand) ^^ {
+      case first ~ rest =>
+        rest.foldLeft(first) {
+          case (l, all ~ r) => SetOp(l, Intersect, all, r, Nil, None, byName = false)
+        }
     }
   }
 

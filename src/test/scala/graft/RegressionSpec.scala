@@ -37,6 +37,30 @@ class RegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("INTERSECT binds tighter than UNION/EXCEPT (ANSI precedence)") {
+    // fuzz-found (seed 8303 f005): `a except b intersect c` must parse as
+    // a except (b intersect c), matching DuckDB and Spark SQL
+    val got = g.sql(
+      "select n_nationkey as v from nation where n_nationkey < 10 " +
+      "except select n_nationkey as v from nation where n_nationkey < 6 " +
+      "intersect select n_nationkey as v from nation where n_nationkey >= 3")
+      .collect().map(_.getInt(0).toLong).sorted.toSeq
+    // b∩c = {3,4,5}; a\(b∩c) = {0,1,2,6,7,8,9}. Left-assoc would give
+    // (a\b)∩c = {6,7,8,9}.
+    assert(got == Seq(0L, 1L, 2L, 6L, 7L, 8L, 9L))
+    // parentheses still override
+    val forced = g.sql(
+      "(select n_nationkey as v from nation where n_nationkey < 10 " +
+      "except select n_nationkey as v from nation where n_nationkey < 6) " +
+      "intersect select n_nationkey as v from nation where n_nationkey >= 3")
+      .collect().map(_.getInt(0).toLong).sorted.toSeq
+    assert(forced == Seq(6L, 7L, 8L, 9L))
+    // INTERSECT level still rejects BY NAME with the clear error
+    val err = intercept[Exception](g.sql(
+      "select n_nationkey as v from nation intersect by name select n_nationkey as v from nation"))
+    assert(err.getMessage.contains("BY NAME"))
+  }
+
   test("IN (subquery) works when both sides share the column name") {
     val got = g.sql(
       "select n_regionkey from nation where n_regionkey in (select n_regionkey from nation where n_name like 'NATION_1%')")

@@ -86,7 +86,77 @@ EVENT_TYPES = ["signup", "error", "click", "view", "purchase"]
 
 
 def gen_query(rng):
-    shape = rng.randrange(22)
+    shape = rng.randrange(30)
+    if shape == 22:  # ordered aggregates: ties order by the VALUE => equal
+        # strings regardless of which tied row wins, so deterministic
+        s = rng.choice(STR_COLS)
+        g = rng.choice(INT_COLS)
+        m = rng.randrange(3, 12)
+        return (f"select {g} % {m} as g, "
+                f"string_agg(concat({s}, 'x'), ',' order by concat({s}, 'x')) as sa, "
+                f"cast(count(*) as bigint) as n "
+                f"from lineitem where {gen_pred(rng)} group by {g} % {m} order by g")
+    if shape == 23:  # rank-family breadth (all tie-stable: peers share values)
+        part = rng.choice(STR_COLS)
+        ok = rng.choice(INT_COLS)
+        return (f"select l_orderkey as k, l_linenumber as ln, {part} as p, "
+                f"cast(dense_rank() over (partition by {part} order by {ok}) as bigint) as dr, "
+                f"round(percent_rank() over (partition by {part} order by {ok}), 6) as pr, "
+                f"round(cume_dist() over (partition by {part} order by {ok}), 6) as cd "
+                f"from lineitem where {gen_pred(rng)} "
+                f"order by k, ln, p, dr limit {rng.randrange(50, 400)}")
+    if shape == 24:  # LEFT JOIN … IS NULL (anti-join pattern) + aggregate
+        return (f"select l.{rng.choice(STR_COLS)} as g, cast(count(*) as bigint) as n, "
+                f"max(l.l_linenumber) as mx "
+                f"from lineitem l left join "
+                f"(select o_orderkey from orders where o_custkey % {rng.randrange(2, 6)} = 0) o "
+                f"on l.l_orderkey = o.o_orderkey "
+                f"where o.o_orderkey is null and ({gen_pred(rng).replace('l_', 'l.l_')}) "
+                f"group by l.{rng.choice(STR_COLS)}, g order by g, n, mx")
+    if shape == 25:  # 3-branch set-op chain (ANSI precedence: INTERSECT
+        # binds tighter; UNION/EXCEPT left-assoc — must agree with DuckDB)
+        a, b, c = gen_scalar(rng), gen_scalar(rng), gen_scalar(rng)
+        op1 = rng.choice(["union", "union all", "except"])
+        op2 = rng.choice(["union", "intersect", "except all"])
+        return (f"select {a} as v from lineitem where {gen_pred(rng)} "
+                f"{op1} select {b} as v from lineitem where {gen_pred(rng)} "
+                f"{op2} select {c} as v from lineitem where {gen_pred(rng)} "
+                f"order by v")
+    if shape == 26:  # HAVING on aggregates NOT in the projection
+        key = rng.choice(STR_COLS)
+        return (f"select {key} as g, cast(count(*) as bigint) as n "
+                f"from lineitem where {gen_pred(rng)} group by {key} "
+                f"having max(l_linenumber) >= {rng.randrange(2, 7)} "
+                f"and min(l_orderkey) < {rng.randrange(500, 4000)} "
+                f"and count(distinct l_suppkey) > {rng.randrange(1, 5)} "
+                f"order by g")
+    if shape == 27:  # correlated LATERAL derived table (top-n per row)
+        return (f"select o.o_orderkey as k, t.mx, t.n from orders o "
+                f"join lateral (select max(l.l_linenumber) as mx, "
+                f"cast(count(*) as bigint) as n from lineitem l "
+                f"where l.l_orderkey = o.o_orderkey) as t on true "
+                f"where o.o_custkey % {rng.randrange(2, 7)} = 1 and t.n > 0 "
+                f"order by k limit {rng.randrange(50, 300)}")
+    if shape == 28:  # NULLIF / COALESCE / GREATEST / LEAST integer chains
+        c1, c2 = rng.sample(INT_COLS, 2)
+        m = rng.randrange(2, 9)
+        return (f"select l_orderkey as k, l_linenumber as ln, "
+                f"coalesce(nullif({c1} % {m}, 0), -1) as a, "
+                f"greatest({c1} % 100, {c2} % 100, {rng.randrange(1, 50)}) as b, "
+                f"least({c1} % 100, {c2} % 100) as c "
+                f"from lineitem where nullif({c2} % {rng.randrange(2, 5)}, 0) is "
+                f"{rng.choice(['null', 'not null'])} and ({gen_pred(rng)}) "
+                f"order by k, ln, a, b, c limit {rng.randrange(50, 400)}")
+    if shape == 29:  # grouping() marker in ROLLUP projection + HAVING
+        k1, k2 = rng.sample(STR_COLS, 2)
+        return (f"select {k1} as a, {k2} as b, "
+                f"cast(grouping({k1}) as bigint) as ga, "
+                f"cast(grouping({k2}) as bigint) as gb, "
+                f"cast(count(*) as bigint) as n "
+                f"from lineitem where {gen_pred(rng)} "
+                f"group by rollup ({k1}, {k2}) "
+                f"having grouping({k2}) = {rng.randrange(0, 2)} "
+                f"order by a nulls first, b nulls first, ga, gb, n")
     if shape == 21:  # QUALIFY over rank() (rank is tie-stable => deterministic)
         part = rng.choice(STR_COLS)
         n = rng.randrange(2, 30)
