@@ -180,6 +180,18 @@ object Extensions {
           md5(col("cleaned")).as("h"))
         .orderBy("doc_id")
     }),
+    // ---- tokenizer-vocab coverage (OOV rate): top-500 corpus vocab
+    // broadcast against the token stream; DuckDB recomputes the exact
+    // same vocab (deterministic tie order) and rates ----
+    "x61_oov_rate" -> ((s, d) =>
+      TextAnalysis.oovRate(docs(s, d), "text", "doc_id", vocabK = 500)
+        .orderBy("id")),
+    // ---- content-addressed uniform per-group sampling: md5-rank keeps
+    // the same k rows per source across runs/engines; DuckDB recomputes
+    // membership exactly ----
+    "x62_group_sample" -> ((s, d) =>
+      Sampling.uniformPerGroup(docs(s, d), "source", cap = 25, keyCol = "doc_id")
+        .select(col("doc_id"), col("source")).orderBy("doc_id")),
     // Sign-LSH bucket candidates over the FULL corpus; correctness flags are
     // computed on a bounded sub-universe (vec_id < 500) so the verification
     // join stays O(500^2) at any scale factor. n_true_pairs is recomputed
@@ -995,6 +1007,24 @@ object Extensions {
         "SELECT count(*) AS n_media, CAST(1 AS INTEGER) AS batch_bounded, " +
         "CAST(1 AS INTEGER) AS straggler_bounded, CAST(1 AS INTEGER) AS norm_ok " +
         "FROM documents"),
+      "x61_oov_rate" -> (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok " +
+        "FROM documents), " +
+        "t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), " +
+        "v AS (SELECT tok AS term FROM (SELECT tok, count(*) AS n FROM t GROUP BY tok " +
+        "ORDER BY n DESC, tok LIMIT 500)), " +
+        "s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, " +
+        "CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov " +
+        "FROM t LEFT JOIN v ON t.tok = v.term GROUP BY doc_id) " +
+        "SELECT d.doc_id AS id, COALESCE(s.n_toks, 0) AS n_toks, " +
+        "COALESCE(s.n_oov, 0) AS n_oov, " +
+        "ROUND(CAST(s.n_oov AS DOUBLE) / s.n_toks, 6) AS oov_rate " +
+        "FROM documents d LEFT JOIN s USING (doc_id) ORDER BY id"),
+      "x62_group_sample" -> (
+        "SELECT doc_id, source FROM (SELECT doc_id, source, " +
+        "row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) " +
+        "WHERE rn <= 25 ORDER BY doc_id"),
       "x58_stream_dedup" -> (
         "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"),
       // exact score recompute: same md5 bucketing, same integer weight

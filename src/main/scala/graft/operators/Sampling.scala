@@ -61,6 +61,29 @@ object Sampling {
       .where(col("__rn") <= cap).drop("__rn")
   }
 
+  /** Uniform-without-replacement k-sample PER GROUP, content-addressed:
+    * rows rank by `md5(key)` within their group and the first `cap` win.
+    * Unlike [[capPerGroup]] (which keeps the FIRST k in key order — a
+    * biased prefix), the md5 rank is a uniform pseudo-random permutation
+    * of the group, yet fully deterministic: the same rows win across
+    * runs, partitionings and cluster sizes, and the hash is md5-of-
+    * decimal-string so external systems (the gate's DuckDB oracle, a
+    * Python audit notebook) can recompute membership EXACTLY — the
+    * per-group analog of [[mixture]]'s content addressing.
+    *
+    * Scale: one keyed window shuffle (partition by group); same hot-key
+    * caveat as every per-group window — a single pathologically large
+    * group serializes on one task; salt-split such groups upstream. */
+  def uniformPerGroup(df: DataFrame, groupCol: String, cap: Int,
+                      keyCol: String): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cap).drop("__rn")
+  }
+
   /** Weighted corpus mixture: keep each row of source s with probability
     * `weights(s)` (sources absent from the map drop entirely). Membership
     * is content-addressed (xxhash64 of the key), NOT random: the same row

@@ -556,6 +556,40 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Tokenizer-vocabulary coverage (OOV-rate) report: the fraction of
+    * each document's whitespace tokens that fall outside the corpus
+    * top-`vocabK` vocabulary — the coverage/fertility audit run before
+    * committing to a tokenizer vocab (high OOV → wasted UNK tokens or
+    * byte-fallback blowup on that slice).
+    *
+    * Scale: the vocab is `vocabK` rows (driver-bounded TakeOrdered, see
+    * [[vocab]]) and BROADCASTS to the token stream — the corpus-sized
+    * side sees one narrow explode + a broadcast hash semi-probe + a
+    * per-doc map-side-partial aggregation; no corpus-sized shuffle
+    * beyond the per-doc agg. Vocab selection is deterministic under
+    * count ties (count desc, term asc), so results are engine-exact.
+    *
+    * Output: (id, n_toks, n_oov, oov_rate rounded 6dp; blank docs
+    * 0/0/NULL). */
+  def oovRate(df: DataFrame, textCol: String, idCol: String,
+              vocabK: Int = 500): DataFrame = {
+    val v = broadcast(vocab(df, textCol, idCol, vocabK).select(col("term")))
+    val toks = Par.widen(df, idCol)
+      .select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__ov_tok"))
+      .where(col("__ov_tok") =!= "")
+    val perDoc = toks
+      .join(v, toks("__ov_tok") === v("term"), "left_outer")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("term").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(col("n_oov").cast("double") / col("n_toks"), 6).as("oov_rate"))
+  }
+
   /** Hashed-bag-of-words linear classifier scoring — the fastText-style
     * quality-classifier INFERENCE shape (token → feature-hash bucket →
     * weight lookup → mean → sigmoid) every large pretraining pipeline

@@ -737,6 +737,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n4 == 9L && s4 >= 0.0 && s4 <= 1.0 && k4 == (if (s4 >= 0.5) 1 else 0))
   }
 
+  test("oovRate: counts tokens outside the deterministic top-k vocab") {
+    // corpus: "aa" df 4, "bb" df 3, "cc"/"dd"/"ee" rare; vocabK=2 → {aa, bb}
+    val d = Seq(
+      (1L, "aa bb aa"), (2L, "aa bb cc"), (3L, "aa dd"), (4L, "aa bb ee"),
+      (5L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(d, "text", "doc_id", vocabK = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(1L) == ((3L, 0L, Some(0.0))))
+    assert(out(2L) == ((3L, 1L, Some(BigDecimal(1.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))))
+    assert(out(3L) == ((2L, 1L, Some(0.5))))
+    // blank doc: no tokens, NULL rate
+    assert(out(5L) == ((0L, 0L, None)))
+    // vocab tie-break is deterministic: with k=4, the two tied rare terms
+    // ("cc","dd","ee" all count 1) admit the lexicographically-first two
+    val out4 = TextAnalysis.oovRate(d, "text", "doc_id", vocabK = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out4(2L) == 0L && out4(3L) == 0L && out4(4L) == 1L)
+  }
+
+  test("uniformPerGroup: exactly k per large group, all rows for small, reproducible, uniform not prefix") {
+    val d = (0L until 200L).map(i => (i, if (i < 180) "big" else "small"))
+      .toDF("doc_id", "source")
+    val out = Sampling.uniformPerGroup(d, "source", cap = 20, keyCol = "doc_id")
+    val byGroup = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup == Map("big" -> 20L, "small" -> 20L))
+    // reproducible across runs
+    val again = Sampling.uniformPerGroup(d, "source", cap = 20, keyCol = "doc_id")
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    // uniform, not a prefix: the winners are NOT simply ids 0..19
+    val bigIds = out.where(col("source") === "big")
+      .collect().map(_.getLong(0)).toSet
+    assert(bigIds.size == 20 && bigIds != (0L until 20L).toSet)
+  }
+
   test("paragraphDedup: normalized matching strips cosmetic banner variants, keeps original bytes") {
     val banners = Seq(
       "Cookie, Notice!", "cookie   notice", "COOKIE NOTICE", "cookie-notice", "Cookie.Notice")
