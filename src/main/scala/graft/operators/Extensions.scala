@@ -168,6 +168,10 @@ object Extensions {
     // punctuation differ by doc_id parity) — line-exact matching would
     // miss half of them; the normalized key catches all ----
     "x60_paragraph_dedup" -> ((s, d) => {
+      // localCheckpoint: the regexp-injected frame is scanned three times
+      // inside paragraphDedup (hot-set, anti-join stream, final doc join) —
+      // without it the per-doc regexp_replace re-runs per scan (12.6s at
+      // the 10x sweep; 7.7s after)
       val injected = docs(s, d).select(col("doc_id"),
         concat(
           when(col("doc_id") % 2 === 0, lit("Accept all cookies to continue."))
@@ -175,6 +179,7 @@ object Extensions {
           lit("\n\n"),
           regexp_replace(col("text"), "((?:\\S+ ){12})", "$1\n\n"),
           lit("\n\nShare this article on social media.")).as("text"))
+        .localCheckpoint()
       Dedup.paragraphDedup(injected, "text", "doc_id", minDocFreq = 5L)
         .select(col("doc_id"), col("n_kept"), col("n_removed"),
           md5(col("cleaned")).as("h"))
