@@ -185,6 +185,32 @@ object Extensions {
           md5(col("cleaned")).as("h"))
         .orderBy("doc_id")
     }),
+    // ---- Misra-Gries heavy-hitters sketch: bounded-memory candidates
+    // (<= k counters/partition, k-row/partition shuffle — the open-key
+    // alternative to x28's exact vocab groupBy). Per-term sketch counts
+    // are arrival-order-dependent, so the gate outputs only the ORDER-
+    // INVARIANT contract: the exact true-heavy set (recomputed by the
+    // oracle) with present/undercount/error-bound flags that the MG
+    // guarantee fixes at 1 under ANY ordering ----
+    "x63_heavy_hitters" -> ((s, d) => {
+      val k = 32
+      val sk = Sketches.heavyHitters(docs(s, d), "text", "doc_id", k)
+        .localCheckpoint() // tiny (<= k rows); referenced via join below
+      val toks = docs(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val total = exact.agg(sum(col("n")).as("tot"))
+      val heavy = exact.crossJoin(broadcast(total))
+        .where(col("n") * (k + 1) > col("tot"))
+      heavy.join(sk, heavy("tok") === sk("term"), "left_outer")
+        .select(col("tok").as("term"), col("n"),
+          col("term").isNotNull.cast("int").as("present"),
+          coalesce(col("approx_count") <= col("n"), lit(false)).cast("int").as("under_ok"),
+          coalesce((col("n") - col("approx_count")) * (k + 1) <= col("tot"), lit(false))
+            .cast("int").as("err_ok"))
+        .orderBy("term")
+    }),
     // ---- tokenizer-vocab coverage (OOV rate): top-500 corpus vocab
     // broadcast against the token stream; DuckDB recomputes the exact
     // same vocab (deterministic tie order) and rates ----
@@ -1012,6 +1038,14 @@ object Extensions {
         "SELECT count(*) AS n_media, CAST(1 AS INTEGER) AS batch_bounded, " +
         "CAST(1 AS INTEGER) AS straggler_bounded, CAST(1 AS INTEGER) AS norm_ok " +
         "FROM documents"),
+      "x63_heavy_hitters" -> (
+        "WITH t AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok " +
+        "FROM documents), " +
+        "c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t WHERE tok <> '' GROUP BY tok), " +
+        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS s FROM c) " +
+        "SELECT tok AS term, n, CAST(1 AS INTEGER) AS present, " +
+        "CAST(1 AS INTEGER) AS under_ok, CAST(1 AS INTEGER) AS err_ok " +
+        "FROM c WHERE n * 33 > (SELECT s FROM tot) ORDER BY term"),
       "x61_oov_rate" -> (
         "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok " +
         "FROM documents), " +

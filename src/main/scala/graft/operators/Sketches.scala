@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, TypedColumn}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded-memory frequency sketches (SURVEY §7.2 M4 — beyond the
+  * reference surface).
+  *
+  * [[MisraGries]] is the mergeable heavy-hitters summary (Misra–Gries /
+  * space-saving family, per the mergeable-summaries formulation: combine
+  * by count-sum, then subtract the (k+1)-th largest count and drop
+  * non-positives). Contract, independent of arrival/merge order:
+  *
+  *  - the summary holds at most `k` terms;
+  *  - counts only UNDERCOUNT: `approx(t) <= true(t)`;
+  *  - the undercount is bounded: `true(t) - approx(t) <= n / (k+1)`
+  *    (n = total items), so every term with `true(t) > n/(k+1)` is
+  *    guaranteed present — a superset of the true heavy hitters.
+  *
+  * Why this next to [[graft.operators.TextAnalysis.vocab]]'s exact
+  * top-k: vocab's groupBy shuffles one row per DISTINCT TERM — fine for
+  * word vocabularies, ruinous for open keys (URLs, n-grams, user ids)
+  * at 100 TB. The sketch aggregates with <= k counters per partition and
+  * the shuffle carries k rows per partition TOTAL, at the price of
+  * approximate counts with the guarantee above. Exact counts for the
+  * (<= k) surviving candidates can be recovered with one cheap
+  * broadcast-semi-join recount, as [[Dedup.hotLines]] does for lines.
+  *
+  * The per-term counts themselves depend on arrival/merge order (any
+  * MG implementation's do); only the three contract properties are
+  * order-invariant, and they are what the x63 gate pins.
+  */
+object Sketches {
+
+  final class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k > 0, "k must be positive")
+
+    def zero: Map[String, Long] = Map.empty
+
+    private def shrink(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= k) m
+      else {
+        // subtract the (k+1)-th largest count from everything, drop the
+        // non-positive rest: at most k entries can exceed the (k+1)-th
+        // largest, and total removed mass per element is what yields the
+        // n/(k+1) undercount bound
+        val counts = m.valuesIterator.toArray
+        java.util.Arrays.sort(counts)
+        val sub = counts(counts.length - (k + 1))
+        m.iterator.collect { case (t, c) if c > sub => t -> (c - sub) }.toMap
+      }
+
+    def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
+      shrink(b.updated(tok, b.getOrElse(tok, 0L) + 1L))
+
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      shrink(b.foldLeft(a) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c)
+      })
+
+    def finish(r: Map[String, Long]): Map[String, Long] = r
+
+    def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** The sketch as a typed aggregation column over a token Dataset. */
+  def misraGries(k: Int): TypedColumn[String, Map[String, Long]] =
+    new MisraGries(k).toColumn
+
+  /** Heavy-hitter CANDIDATES over whitespace tokens of `textCol`:
+    * (term, approx_count) rows, at most `k`, guaranteed to include every
+    * term with true frequency > n/(k+1). Counts are lower bounds. */
+  def heavyHitters(df: DataFrame, textCol: String, idCol: String,
+                   k: Int): DataFrame = {
+    val toks: Dataset[String] = Par.widen(df, idCol)
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("tok").as(Encoders.STRING))
+    toks.select(misraGries(k).name("sketch"))
+      .select(explode(col("sketch")).as(Seq("term", "approx_count")))
+  }
+}

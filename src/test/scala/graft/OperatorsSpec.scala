@@ -737,6 +737,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n4 == 9L && s4 >= 0.0 && s4 <= 1.0 && k4 == (if (s4 >= 0.5) 1 else 0))
   }
 
+  test("MisraGries: superset of true heavy hitters, undercount bounded, <= k entries, any partitioning") {
+    import graft.operators.Sketches
+    // 1200 x "hot", 300 x "warm", 500 singletons; n = 2000
+    val words = Seq.fill(1200)("hot") ++ Seq.fill(300)("warm") ++
+      (0 until 500).map(i => s"rare$i")
+    val d = scala.util.Random.shuffle(words).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    for (k <- Seq(4, 16); parts <- Seq(1, 7)) {
+      val sk = Sketches.heavyHitters(d.repartition(parts), "text", "doc_id", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sk.size <= k, s"k=$k parts=$parts: ${sk.size} entries")
+      val bound = 2000 / (k + 1)
+      // superset guarantee: freq > n/(k+1) must be present
+      for ((t, n) <- Seq("hot" -> 1200L, "warm" -> 300L) if n > bound) {
+        assert(sk.contains(t), s"k=$k parts=$parts: $t missing")
+        // counts undercount, by at most n/(k+1)
+        assert(sk(t) <= n && n - sk(t) <= bound,
+          s"k=$k parts=$parts: $t approx=${sk(t)} true=$n bound=$bound")
+      }
+    }
+  }
+
   test("oovRate: counts tokens outside the deterministic top-k vocab") {
     // corpus: "aa" df 4, "bb" df 3, "cc"/"dd"/"ee" rare; vocabK=2 → {aa, bb}
     val d = Seq(
