@@ -114,14 +114,20 @@ def gen_query(rng):
                 f"where o.o_orderkey is null and ({gen_pred(rng).replace('l_', 'l.l_')}) "
                 f"group by l.{rng.choice(STR_COLS)}, g order by g, n, mx")
     if shape == 25:  # 3-branch set-op chain (ANSI precedence: INTERSECT
-        # binds tighter; UNION/EXCEPT left-assoc — must agree with DuckDB)
+        # binds tighter; UNION/EXCEPT left-assoc — must agree with DuckDB),
+        # sometimes with explicit parentheses overriding it
         a, b, c = gen_scalar(rng), gen_scalar(rng), gen_scalar(rng)
         op1 = rng.choice(["union", "union all", "except"])
         op2 = rng.choice(["union", "intersect", "except all"])
-        return (f"select {a} as v from lineitem where {gen_pred(rng)} "
-                f"{op1} select {b} as v from lineitem where {gen_pred(rng)} "
-                f"{op2} select {c} as v from lineitem where {gen_pred(rng)} "
-                f"order by v")
+        qa = f"select {a} as v from lineitem where {gen_pred(rng)}"
+        qb = f"select {b} as v from lineitem where {gen_pred(rng)}"
+        qc = f"select {c} as v from lineitem where {gen_pred(rng)}"
+        form = rng.randrange(3)
+        if form == 1:
+            return f"({qa} {op1} {qb}) {op2} {qc} order by v"
+        if form == 2:
+            return f"{qa} {op1} ({qb} {op2} {qc}) order by v"
+        return f"{qa} {op1} {qb} {op2} {qc} order by v"
     if shape == 26:  # HAVING on aggregates NOT in the projection
         key = rng.choice(STR_COLS)
         return (f"select {key} as g, cast(count(*) as bigint) as n "
