@@ -84,4 +84,23 @@ object Sketches {
     toks.select(misraGries(k).name("sketch"))
       .select(explode(col("sketch")).as(Seq("term", "approx_count")))
   }
+
+  /** Sketch-then-recount: EXACT counts for the (≤ k) [[heavyHitters]]
+    * candidates via one broadcast semi-join + hash aggregate over them
+    * only. Filtering the result to `n · (k+1) > total` yields exactly
+    * the true heavy-hitter set with exact counts — the MG superset
+    * guarantee makes the sketch a lossless pre-filter for that set —
+    * while the wide shuffle stays k-bounded instead of
+    * distinct-term-sized. Output: (term, n). */
+  def heavyHittersExact(df: DataFrame, textCol: String, idCol: String,
+                        k: Int): DataFrame = {
+    val cands = broadcast(
+      heavyHitters(df, textCol, idCol, k).select(col("term")))
+    val toks = Par.widen(df, idCol)
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+    toks.join(cands, toks("tok") === cands("term"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .select(col("tok").as("term"), col("n"))
+  }
 }

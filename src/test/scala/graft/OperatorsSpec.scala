@@ -759,6 +759,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("heavyHittersExact: recounted candidates carry exact counts; heavy filter = true heavy set") {
+    import graft.operators.Sketches
+    val words = Seq.fill(900)("hot") ++ Seq.fill(400)("warm") ++
+      (0 until 700).map(i => s"rare$i")   // n = 2000
+    val d = scala.util.Random.shuffle(words).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val k = 8
+    val out = Sketches.heavyHittersExact(d.repartition(5), "text", "doc_id", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every recounted candidate has its EXACT corpus count
+    assert(out.get("hot").contains(900L))
+    assert(out.get("warm").contains(400L))
+    assert(out.forall { case (t, n) =>
+      if (t == "hot") n == 900L else if (t == "warm") n == 400L else n == 1L })
+    // filtering to n(k+1) > total yields exactly the true heavy set
+    val heavy = out.filter { case (_, n) => n * (k + 1) > 2000L }.keySet
+    assert(heavy == Set("hot", "warm"))
+  }
+
   test("oovRate: counts tokens outside the deterministic top-k vocab") {
     // corpus: "aa" df 4, "bb" df 3, "cc"/"dd"/"ee" rare; vocabK=2 → {aa, bb}
     val d = Seq(
