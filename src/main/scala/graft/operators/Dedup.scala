@@ -146,18 +146,56 @@ object Dedup {
     * broadcasts it); per-doc reassembly groupBy). Paragraph boundary =
     * one-or-more blank lines (`\n\s*\n`); paragraphs whose normalized key
     * is empty (decoration-only) are never hot — structure survives. */
-  def paragraphDedup(docs: DataFrame, textCol: String, idCol: String,
-                     minDocFreq: Long): DataFrame = {
-    def normKey(p: Column): Column =
-      trim(regexp_replace(lower(p), "[^a-z0-9]+", " "))
-    val paras = docs.select(col(idCol).as("__pd_id"),
-        posexplode(split(col(textCol), "\\n\\s*\\n")).as(Seq("__pd_pos", "__pd_para")))
-      .withColumn("__pd_key", normKey(col("__pd_para")))
-    val hot = paras.where(col("__pd_key") =!= "")
+  /** Normalized paragraph match key: `lower`, non-alphanumerics collapsed
+    * to single spaces, trimmed. Shared by [[paragraphDedup]],
+    * [[hotParagraphs]] and [[applyParagraphDedup]]. */
+  private def paragraphKey(p: Column): Column =
+    trim(regexp_replace(lower(p), "[^a-z0-9]+", " "))
+
+  /** Corpus-global hot (boilerplate) PARAGRAPH key set — normalized keys
+    * appearing in >= `minDocFreq` distinct docs — as a one-column (`key`)
+    * frame. The precomputable "model" half of [[paragraphDedup]], exactly
+    * as [[hotLines]] is for [[lineDedup]]. */
+  def hotParagraphs(docs: DataFrame, textCol: String, idCol: String,
+                    minDocFreq: Long): DataFrame =
+    docs.select(col(idCol).as("__pd_id"),
+        explode(split(col(textCol), "\\n\\s*\\n")).as("__pd_para"))
+      .withColumn("__pd_key", paragraphKey(col("__pd_para")))
+      .where(col("__pd_key") =!= "")
       .select(col("__pd_id"), col("__pd_key")).distinct()
       .groupBy(col("__pd_key")).agg(count(lit(1)).as("__pd_df"))
       .where(col("__pd_df") >= minDocFreq)
-      .select(col("__pd_key").as("__pd_hot"))
+      .select(col("__pd_key").as("key"))
+
+  /** Apply a precomputed hot-paragraph key set ([[hotParagraphs]]) PER ROW
+    * — no explode, no grouping, no state: the hot set (small by
+    * construction) collapses to one broadcast array row and each document
+    * filters its own paragraphs with a codegen higher-order function that
+    * normalizes each paragraph before the membership probe. Streaming-safe
+    * (stateless stream-static join) — the model refreshes offline, the
+    * stream curates row-at-a-time; output contract matches
+    * [[paragraphDedup]] (parity gated by x64). */
+  def applyParagraphDedup(docs: DataFrame, textCol: String, idCol: String,
+                          hot: DataFrame): DataFrame = {
+    val hotArr = broadcast(hot.agg(
+      sort_array(collect_list(hot(hot.columns.head))).as("__pd_hotarr")))
+    docs.join(hotArr, lit(true), "inner")
+      .withColumn("__pd_kept", filter(split(col(textCol), "\\n\\s*\\n"),
+        p => !array_contains(col("__pd_hotarr"), paragraphKey(p))))
+      .withColumn("n_kept", size(col("__pd_kept")).cast("long"))
+      .withColumn("cleaned", concat_ws("\n\n", col("__pd_kept")))
+      .withColumn("n_removed",
+        size(split(col(textCol), "\\n\\s*\\n")).cast("long") - col("n_kept"))
+      .drop("__pd_kept", "__pd_hotarr")
+  }
+
+  def paragraphDedup(docs: DataFrame, textCol: String, idCol: String,
+                     minDocFreq: Long): DataFrame = {
+    val paras = docs.select(col(idCol).as("__pd_id"),
+        posexplode(split(col(textCol), "\\n\\s*\\n")).as(Seq("__pd_pos", "__pd_para")))
+      .withColumn("__pd_key", paragraphKey(col("__pd_para")))
+    val hot = hotParagraphs(docs, textCol, idCol, minDocFreq)
+      .select(col("key").as("__pd_hot"))
     val kept = paras.join(hot, paras("__pd_key") === hot("__pd_hot"), "left_anti")
     val reasm = kept.groupBy(col("__pd_id")).agg(
       count(lit(1)).as("n_kept"),

@@ -127,6 +127,50 @@ object Extensions {
           sum(when(col("ca") === col("cb"), 1).otherwise(0)) * 10 >= count(lit(1)) * 9,
           lit(true)).cast("int").as("recall_ok"))
     }),
+    // ---- streaming ≡ batch parity for paragraph dedup (x60's streaming
+    // half, same shape as x51): hot-key model precomputed, the SAME
+    // corpus replays through the per-row stream filter; flags assert
+    // md5-exact agreement with the two-pass batch paragraphDedup ----
+    "x64_paragraph_dedup_stream" -> ((s, d) => {
+      import s.implicits._
+      // localCheckpoint: consumed three times (batch dedup, hot model,
+      // stream feed)
+      val injected = docs(s, d).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("Accept all cookies to continue."))
+            .otherwise(lit("ACCEPT ALL, COOKIES -- to continue!")),
+          lit("\n\n"),
+          regexp_replace(col("text"), "((?:\\S+ ){12})", "$1\n\n"),
+          lit("\n\nShare this article on social media.")).as("text"))
+        .localCheckpoint()
+      val batchOut = Dedup.paragraphDedup(injected, "text", "doc_id", minDocFreq = 5L)
+        .select(col("doc_id"), col("n_kept"), col("n_removed"),
+          md5(col("cleaned")).as("h"))
+        .localCheckpoint()
+      val hot = Dedup.hotParagraphs(injected, "text", "doc_id", minDocFreq = 5L)
+      val in = replayStream(s, injected.select("doc_id", "text"))
+      val streamed = Dedup.applyParagraphDedup(in, "text", "doc_id", hot)
+        .select(col("doc_id"), col("n_kept"), col("n_removed"),
+          md5(col("cleaned")).as("h"))
+      val outDir = java.nio.file.Files.createTempDirectory("x64_out_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("x64_ckpt_").toString
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try streamed.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      val (nDocs, eq) = try {
+        q.processAllAvailable()
+        val got = s.read.parquet(outDir)
+          .select(col("doc_id"), col("n_kept"), col("n_removed"), col("h"))
+        val n = batchOut.count()
+        (n, n > 0 && got.count() == n &&
+          got.except(batchOut).isEmpty && batchOut.except(got).isEmpty)
+      } finally q.stop()
+      Seq((nDocs, if (eq) 1 else 0))
+        .toDF("n_docs", "stream_matches_batch")
+    }),
     // ---- streaming exact dedup (watermark-bounded state): the events
     // stream replays file-backed through dropDuplicatesWithinWatermark;
     // dedup keys carry no payload columns, so ANY first-arrival winner is
@@ -1066,6 +1110,9 @@ object Extensions {
         "WHERE rn <= 25 ORDER BY doc_id"),
       "x58_stream_dedup" -> (
         "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"),
+      "x64_paragraph_dedup_stream" -> (
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(1 AS INTEGER) AS stream_matches_batch FROM documents"),
       // exact score recompute: same md5 bucketing, same integer weight
       // arithmetic, one float division + sigmoid per doc (order-free)
       "x59_quality_classifier" -> (

@@ -815,6 +815,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bigIds.size == 20 && bigIds != (0L until 20L).toSet)
   }
 
+  test("applyParagraphDedup: per-row filter agrees with two-pass batch paragraphDedup") {
+    val banners = Seq(
+      "Cookie, Notice!", "cookie   notice", "COOKIE NOTICE", "cookie-notice", "Cookie.Notice")
+    val d = (banners.zipWithIndex.map { case (b, i) =>
+      ((i + 1).toLong, s"$b\n\nunique body ${i + 1}\n\n***")
+    } :+ ((6L, "no banner here\n\n***"))).toDF("doc_id", "text")
+    val hot = Dedup.hotParagraphs(d, "text", "doc_id", minDocFreq = 5L)
+    val applied = Dedup.applyParagraphDedup(d, "text", "doc_id", hot)
+      .select("doc_id", "n_kept", "n_removed", "cleaned")
+    val batch = Dedup.paragraphDedup(d, "text", "doc_id", minDocFreq = 5L)
+      .select("doc_id", "n_kept", "n_removed", "cleaned")
+    assert(applied.exceptAll(batch).isEmpty && batch.exceptAll(applied).isEmpty)
+    // empty hot set: pass-through
+    val none = Dedup.applyParagraphDedup(d, "text", "doc_id",
+      Dedup.hotParagraphs(d, "text", "doc_id", minDocFreq = 99L))
+    assert(none.select("doc_id", "text", "cleaned").collect()
+      .forall(r => r.getString(1) == r.getString(2)))
+  }
+
   test("paragraphDedup: normalized matching strips cosmetic banner variants, keeps original bytes") {
     val banners = Seq(
       "Cookie, Notice!", "cookie   notice", "COOKIE NOTICE", "cookie-notice", "Cookie.Notice")
