@@ -229,6 +229,29 @@ object Extensions {
           md5(col("cleaned")).as("h"))
         .orderBy("doc_id")
     }),
+    // ---- Gopher quality rules (Rae et al. 2021 A1.1, tokenizer-free
+    // subset): exact integer/ratio signals + flags, DuckDB-recomputed ----
+    "x65_gopher_filters" -> ((s, d) =>
+      QualityFilters.gopherFlags(docs(s, d), "text", "doc_id").orderBy("id")),
+    // ---- C4 line filtering (Raffel et al. 2020 §2.2): newlines injected
+    // (raw docs are single-line) plus per-parity tells so both keep=0
+    // paths (lorem / brace) and the punctuation+word-count line rules all
+    // fire; md5 of the cleaned doc pins the reassembly ----
+    "x66_c4_filters" -> ((s, d) => {
+      val injected = docs(s, d).select(col("doc_id"),
+        concat(
+          regexp_replace(col("text"), "((?:\\S+ ){9})", "$1\n"),
+          lit("\nShort line\n"),
+          when(col("doc_id") % 7 === 0, lit("lorem ipsum dolor sit amet.\n"))
+            .otherwise(lit("This closing line has real punctuation.\n")),
+          when(col("doc_id") % 11 === 0, lit("function f() { return 1; }"))
+            .otherwise(lit("Final sentence ends properly."))).as("text"))
+      QualityFilters.c4LineFilter(injected, "text", "doc_id", minLineWords = 3)
+        .select(col("id"), col("n_lines"), col("n_kept"),
+          md5(col("cleaned")).as("h"), col("has_lorem"), col("has_brace"),
+          col("keep"))
+        .orderBy("id")
+    }),
     // ---- Misra-Gries heavy-hitters sketch: bounded-memory candidates
     // (<= k counters/partition, k-row/partition shuffle — the open-key
     // alternative to x28's exact vocab groupBy). Per-term sketch counts
@@ -1082,6 +1105,59 @@ object Extensions {
         "SELECT count(*) AS n_media, CAST(1 AS INTEGER) AS batch_bounded, " +
         "CAST(1 AS INTEGER) AS straggler_bounded, CAST(1 AS INTEGER) AS norm_ok " +
         "FROM documents"),
+      "x65_gopher_filters" -> (
+        "WITH base AS (SELECT doc_id, text, " +
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS ws, " +
+        "list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns FROM documents), " +
+        "sig AS (SELECT doc_id AS id, CAST(len(ws) AS BIGINT) AS n_words, " +
+        "ROUND(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE) / GREATEST(len(ws), 1), 6) AS mean_word_len, " +
+        "CAST(length(text) - length(replace(text, '#', '')) + " +
+        "(length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols, " +
+        "CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS n_bullet_lines, " +
+        "CAST(len(list_filter(lns, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS BIGINT) AS n_ellipsis_lines, " +
+        "CAST(GREATEST(len(lns), 1) AS BIGINT) AS n_lines, " +
+        "CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words, " +
+        "CAST(len(list_filter(['the','be','to','of','and','that','have','with'], " +
+        "sw -> list_contains(list_transform(ws, w -> lower(w)), sw))) AS BIGINT) AS n_stopword_hits " +
+        "FROM base) " +
+        "SELECT *, " +
+        "CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS wc_ok, " +
+        "CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INTEGER) AS mwl_ok, " +
+        "CAST(n_symbols * 10 < n_words AS INTEGER) AS symbol_ok, " +
+        "CAST(n_bullet_lines * 10 <= n_lines * 9 AS INTEGER) AS bullet_ok, " +
+        "CAST(n_ellipsis_lines * 10 <= n_lines * 3 AS INTEGER) AS ellipsis_ok, " +
+        "CAST(n_alpha_words * 10 >= n_words * 8 AS INTEGER) AS alpha_ok, " +
+        "CAST(n_stopword_hits >= 2 AS INTEGER) AS stopword_ok, " +
+        "CAST((n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0) " +
+        "AND n_symbols * 10 < n_words AND n_bullet_lines * 10 <= n_lines * 9 " +
+        "AND n_ellipsis_lines * 10 <= n_lines * 3 AND n_alpha_words * 10 >= n_words * 8 " +
+        "AND n_stopword_hits >= 2 AS INTEGER) AS keep " +
+        "FROM sig ORDER BY id"),
+      "x66_c4_filters" -> (
+        "WITH inj AS (SELECT doc_id, " +
+        "regexp_replace(text, '((?:\\S+ ){9})', '\\1' || chr(10), 'g') || " +
+        "chr(10) || 'Short line' || chr(10) || " +
+        "CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.' || chr(10) " +
+        "ELSE 'This closing line has real punctuation.' || chr(10) END || " +
+        "CASE WHEN doc_id % 11 = 0 THEN 'function f() { return 1; }' " +
+        "ELSE 'Final sentence ends properly.' END AS text FROM documents), " +
+        "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln, " +
+        "unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos FROM inj), " +
+        "kept AS (SELECT doc_id, ln, pos FROM l WHERE " +
+        "regexp_matches(rtrim(ln), '[.!?][\"'')\\]]?$') " +
+        "AND len(list_filter(regexp_split_to_array(trim(ln), '\\s+'), w -> w <> '')) >= 3 " +
+        "AND position('lorem ipsum' IN lower(ln)) = 0 " +
+        "AND position('javascript' IN lower(ln)) = 0 " +
+        "AND position('{' IN ln) = 0), " +
+        "r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "string_agg(ln, chr(10) ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id) " +
+        "SELECT i.doc_id AS id, CAST(len(string_split(i.text, chr(10))) AS BIGINT) AS n_lines, " +
+        "COALESCE(r.n_kept, 0) AS n_kept, md5(COALESCE(r.cleaned, '')) AS h, " +
+        "CAST(position('lorem ipsum' IN lower(i.text)) > 0 AS INTEGER) AS has_lorem, " +
+        "CAST(position('{' IN i.text) > 0 AS INTEGER) AS has_brace, " +
+        "CAST(COALESCE(r.n_kept, 0) >= 1 AND position('lorem ipsum' IN lower(i.text)) = 0 " +
+        "AND position('{' IN i.text) = 0 AS INTEGER) AS keep " +
+        "FROM inj i LEFT JOIN r USING (doc_id) ORDER BY id"),
       "x63_heavy_hitters" -> (
         "WITH t AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok " +
         "FROM documents), " +

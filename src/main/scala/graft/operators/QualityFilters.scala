@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The two canonical published web-corpus quality-filter suites, as
+  * engine-exact column pipelines (SURVEY §7.2 M4; beyond the reference
+  * surface). Everything is integer counting + one rounded ratio per
+  * signal — no randomness, no floats accumulated across rows — so the
+  * driver's DuckDB oracle recomputes every flag bit-for-bit.
+  *
+  * Both are narrow, shuffle-free projections (codegen regexp/split
+  * expressions per row): they compose with scan pushdown and cost one
+  * pass at any corpus size.
+  */
+object QualityFilters {
+
+  private def words(text: Column): Column =
+    filter(split(trim(text), "\\s+"), w => w =!= "")
+
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models",
+    * A1.1 — the subset that is exactly recomputable without a tokenizer):
+    *
+    *  - `wc_ok`:      50 <= word count <= 100000
+    *  - `mwl_ok`:     3 <= mean word length <= 10
+    *  - `symbol_ok`:  (# of '#' or '...' occurrences) / words < 0.1
+    *  - `bullet_ok`:  <= 90% of lines start with a bullet (-, *, •)
+    *  - `ellipsis_ok`: <= 30% of lines end with '...' or '…'
+    *  - `alpha_ok`:   >= 80% of words contain an alphabetic char
+    *  - `stopword_ok`: >= 2 distinct hits from the 8-stopword probe list
+    *    (the, be, to, of, and, that, have, with)
+    *
+    * Output: per-doc signal columns, the 7 flags, and `keep` = AND of
+    * all flags. Single-line docs satisfy the line rules trivially (1
+    * non-bullet, non-ellipsis line). */
+  def gopherFlags(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val lines = filter(split(t, "\n"), l => trim(l) =!= "")
+    val nw = size(ws).cast("long")
+    val nl = greatest(size(lines).cast("long"), lit(1L))
+    val out = df.select(
+      col(idCol).as("id"),
+      nw.as("n_words"),
+      // mean word length over the words themselves (exact ints / count)
+      round(aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        greatest(nw, lit(1L)), 6).as("mean_word_len"),
+      // '#' chars + literal '...' runs, counted on the raw text
+      (length(regexp_replace(t, "[^#]", "")).cast("long") +
+        size(split(t, "\\.\\.\\.", -1)).cast("long") - 1L).as("n_symbols"),
+      size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("long").as("n_bullet_lines"),
+      size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("long").as("n_ellipsis_lines"),
+      nl.as("n_lines"),
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha_words"),
+      size(filter(
+        array(lit("the"), lit("be"), lit("to"), lit("of"),
+          lit("and"), lit("that"), lit("have"), lit("with")),
+        sw => array_contains(transform(ws, w => lower(w)), sw)))
+        .cast("long").as("n_stopword_hits"))
+    out.select(col("*"))
+      .withColumn("wc_ok", (col("n_words") >= 50L && col("n_words") <= 100000L).cast("int"))
+      .withColumn("mwl_ok", (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).cast("int"))
+      .withColumn("symbol_ok", (col("n_symbols") * 10L < col("n_words")).cast("int"))
+      .withColumn("bullet_ok", (col("n_bullet_lines") * 10L <= col("n_lines") * 9L).cast("int"))
+      .withColumn("ellipsis_ok", (col("n_ellipsis_lines") * 10L <= col("n_lines") * 3L).cast("int"))
+      .withColumn("alpha_ok", (col("n_alpha_words") * 10L >= col("n_words") * 8L).cast("int"))
+      .withColumn("stopword_ok", (col("n_stopword_hits") >= 2L).cast("int"))
+      .withColumn("keep",
+        (col("wc_ok") + col("mwl_ok") + col("symbol_ok") + col("bullet_ok") +
+          col("ellipsis_ok") + col("alpha_ok") + col("stopword_ok") === 7).cast("int"))
+  }
+
+  /** C4 line-level cleaning (Raffel et al. 2020, §2.2): keep only lines
+    * that end in terminal punctuation (. ! ? or closing quote after
+    * one), have >= `minLineWords` words, and do not contain the
+    * "lorem ipsum" / "javascript" / '{' tells; the document keeps its
+    * surviving lines in order. Output: (id, n_lines, n_kept, cleaned,
+    * has_lorem, has_brace, keep) — `keep` = doc retains >= `minKeptLines`
+    * lines and has neither tell anywhere. */
+  def c4LineFilter(df: DataFrame, textCol: String, idCol: String,
+                   minLineWords: Int = 3, minKeptLines: Int = 1): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    def lineOk(l: Column): Column =
+      rtrim(l).rlike("[.!?][\"')\\]]?$") &&
+        size(filter(split(trim(l), "\\s+"), w => w =!= "")) >= minLineWords &&
+        !lower(l).contains("lorem ipsum") &&
+        !lower(l).contains("javascript") &&
+        !l.contains("{")
+    df.select(
+        col(idCol).as("id"),
+        size(lines).cast("long").as("n_lines"),
+        filter(lines, lineOk _).as("__c4_kept"),
+        lower(t).contains("lorem ipsum").cast("int").as("has_lorem"),
+        t.contains("{").cast("int").as("has_brace"))
+      .withColumn("n_kept", size(col("__c4_kept")).cast("long"))
+      .withColumn("cleaned", concat_ws("\n", col("__c4_kept")))
+      .withColumn("keep",
+        (col("n_kept") >= minKeptLines && col("has_lorem") === 0 &&
+          col("has_brace") === 0).cast("int"))
+      .drop("__c4_kept")
+      .select(col("id"), col("n_lines"), col("n_kept"), col("cleaned"),
+        col("has_lorem"), col("has_brace"), col("keep"))
+  }
+}

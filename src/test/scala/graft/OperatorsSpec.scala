@@ -737,6 +737,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n4 == 9L && s4 >= 0.0 && s4 <= 1.0 && k4 == (if (s4 >= 0.5) 1 else 0))
   }
 
+  test("gopherFlags: each rule fires on its constructed violator") {
+    import graft.operators.QualityFilters
+    val good = (("the be to of and that have with " +
+      "plain sensible words continue here ") * 5).trim // 65 words, all rules pass
+    val d = Seq(
+      (1L, good),
+      (2L, "too short"),                                     // wc
+      (3L, Seq.fill(60)("a").mkString(" ")),                 // mean word len < 3
+      (4L, good + " " + Seq.fill(20)("###").mkString(" ")),  // symbols
+      (5L, good.split(" ").map("- " + _).mkString("\n")),    // bullets
+      (6L, good + " " + Seq.fill(30)("123456").mkString(" ")) // alpha ratio
+    ).toDF("doc_id", "text")
+    val out = QualityFilters.gopherFlags(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, c: String) = out(id).getAs[Int](c)
+    assert(flag(1L, "keep") == 1)
+    assert(flag(2L, "wc_ok") == 0 && flag(2L, "keep") == 0)
+    assert(flag(3L, "mwl_ok") == 0)
+    assert(flag(4L, "symbol_ok") == 0)
+    assert(flag(5L, "bullet_ok") == 0)
+    assert(flag(6L, "alpha_ok") == 0)
+    // ellipsis rule: >30% of lines trailing '...'
+    val e = Seq((7L, "First real line here.\nwait for it...\nand more...")).toDF("doc_id", "text")
+    assert(QualityFilters.gopherFlags(e, "text", "doc_id")
+      .collect().head.getAs[Int]("ellipsis_ok") == 0)
+    // stopword probe: no hits
+    val s = Seq((8L, Seq.fill(60)("zqx").mkString(" "))).toDF("doc_id", "text")
+    assert(QualityFilters.gopherFlags(s, "text", "doc_id")
+      .collect().head.getAs[Int]("stopword_ok") == 0)
+  }
+
+  test("c4LineFilter: punctuation/word-count line rules, lorem and brace tells, reassembly order") {
+    import graft.operators.QualityFilters
+    val d = Seq(
+      (1L, "A good first sentence.\nshort one\nno terminal punctuation here\n" +
+        "Another keeper stays right here!\nIs this kept too?"),
+      (2L, "Contains lorem ipsum filler text here.\nA fine line otherwise."),
+      (3L, "var f = function() { return 1; }\nBut this line survives fine.")
+    ).toDF("doc_id", "text")
+    val out = QualityFilters.c4LineFilter(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("cleaned") ==
+      "A good first sentence.\nAnother keeper stays right here!\nIs this kept too?")
+    assert(out(1L).getAs[Long]("n_kept") == 3L && out(1L).getAs[Int]("keep") == 1)
+    // lorem tell: the line drops AND the doc is rejected
+    assert(out(2L).getAs[Int]("has_lorem") == 1 && out(2L).getAs[Int]("keep") == 0)
+    assert(out(2L).getAs[String]("cleaned") == "A fine line otherwise.")
+    // brace tell
+    assert(out(3L).getAs[Int]("has_brace") == 1 && out(3L).getAs[Int]("keep") == 0)
+    assert(out(3L).getAs[String]("cleaned") == "But this line survives fine.")
+  }
+
   test("MisraGries: superset of true heavy hitters, undercount bounded, <= k entries, any partitioning") {
     import graft.operators.Sketches
     // 1200 x "hot", 300 x "warm", 500 singletons; n = 2000
