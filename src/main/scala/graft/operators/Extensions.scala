@@ -252,6 +252,16 @@ object Extensions {
           col("keep"))
         .orderBy("id")
     }),
+    // ---- Gopher repetition family at line/paragraph granularity:
+    // injected duplicate lines + cosmetically-varying duplicate paragraphs
+    // (normalize-matched) over the newline-injected corpus ----
+    "x67_dup_lines" -> ((s, d) => {
+      val injected = docs(s, d).select(col("doc_id"),
+        concat(
+          regexp_replace(col("text"), "((?:\\S+ ){8})", "$1\n"),
+          lit("\nRepeated line.\nRepeated line.\n\nDup para!\n\ndup. para?")).as("text"))
+      QualityFilters.dupLineStats(injected, "text", "doc_id").orderBy("id")
+    }),
     // ---- Misra-Gries heavy-hitters sketch: bounded-memory candidates
     // (<= k counters/partition, k-row/partition shuffle — the open-key
     // alternative to x28's exact vocab groupBy). Per-term sketch counts
@@ -1105,6 +1115,27 @@ object Extensions {
         "SELECT count(*) AS n_media, CAST(1 AS INTEGER) AS batch_bounded, " +
         "CAST(1 AS INTEGER) AS straggler_bounded, CAST(1 AS INTEGER) AS norm_ok " +
         "FROM documents"),
+      "x67_dup_lines" -> (
+        "WITH inj AS (SELECT doc_id, " +
+        "regexp_replace(text, '((?:\\S+ ){8})', '\\1' || chr(10), 'g') || " +
+        "chr(10) || 'Repeated line.' || chr(10) || 'Repeated line.' || chr(10) || chr(10) || " +
+        "'Dup para!' || chr(10) || chr(10) || 'dup. para?' AS text FROM documents), " +
+        "b AS (SELECT doc_id, " +
+        "list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns, " +
+        "list_filter(list_transform(regexp_split_to_array(text, '\\n\\s*\\n'), " +
+        "p -> trim(regexp_replace(lower(p), '[^a-z0-9]+', ' ', 'g'))), p -> p <> '') AS ps FROM inj) " +
+        "SELECT doc_id AS id, " +
+        "CAST(len(lns) AS BIGINT) AS n_lines, " +
+        "ROUND(CAST(len(lns) - len(list_distinct(lns)) AS DOUBLE) / len(lns), 6) AS dup_lines_frac, " +
+        "ROUND(CAST(COALESCE(list_sum(list_transform(lns, x -> length(x))), 0) - " +
+        "COALESCE(list_sum(list_transform(list_distinct(lns), x -> length(x))), 0) AS DOUBLE) / " +
+        "list_sum(list_transform(lns, x -> length(x))), 6) AS dup_lines_char_frac, " +
+        "CAST(len(ps) AS BIGINT) AS n_paras, " +
+        "ROUND(CAST(len(ps) - len(list_distinct(ps)) AS DOUBLE) / len(ps), 6) AS dup_paras_frac, " +
+        "ROUND(CAST(COALESCE(list_sum(list_transform(ps, x -> length(x))), 0) - " +
+        "COALESCE(list_sum(list_transform(list_distinct(ps), x -> length(x))), 0) AS DOUBLE) / " +
+        "list_sum(list_transform(ps, x -> length(x))), 6) AS dup_paras_char_frac " +
+        "FROM b ORDER BY id"),
       "x65_gopher_filters" -> (
         "WITH base AS (SELECT doc_id, text, " +
         "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS ws, " +

@@ -70,6 +70,45 @@ object QualityFilters {
           col("ellipsis_ok") + col("alpha_ok") + col("stopword_ok") === 7).cast("int"))
   }
 
+  /** Within-document duplicate-line / duplicate-paragraph fractions —
+    * the Gopher repetition-filter family members that [[TextAnalysis
+    * .repetition]] (token level) and dupNgramStats (n-gram level) don't
+    * cover:
+    *
+    *  - `dup_line_frac`        = 1 − distinct/total over non-blank lines
+    *  - `dup_line_char_frac`   = chars in repeat OCCURRENCES / all line chars
+    *  - `dup_para_frac`        = same at blank-line-separated paragraphs
+    *    (normalized-key matching, as [[Dedup.paragraphDedup]])
+    *
+    * Entirely array higher-order functions on the row — NO explode, NO
+    * shuffle, NO per-doc grouping: each document computes its own
+    * fractions inside whole-stage codegen, so the operator is a narrow
+    * projection at any corpus size. Ratios round at 6dp. Docs with no
+    * non-blank lines (or paragraphs) report NULL fractions. */
+  def dupLineStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    def fracs(items: Column, prefix: String): Seq[Column] = {
+      val n = size(items).cast("long")
+      val nd = size(array_distinct(items)).cast("long")
+      val chars = aggregate(items, lit(0L), (a, x) => a + length(x))
+      val distinctChars = aggregate(array_distinct(items), lit(0L), (a, x) => a + length(x))
+      // `when` guard, not bare 0/0: ANSI mode raises DIVIDE_BY_ZERO.
+      // Kept items are non-blank => chars >= n, so n > 0 also guards the
+      // char ratio; empty docs report NULL fractions.
+      Seq(n.as(s"n_$prefix"),
+        when(n > 0, round((n - nd).cast("double") / n, 6))
+          .as(s"dup_${prefix}_frac"),
+        when(n > 0, round((chars - distinctChars).cast("double") / chars, 6))
+          .as(s"dup_${prefix}_char_frac"))
+    }
+    val lines = filter(split(t, "\n"), l => trim(l) =!= "")
+    val paras = filter(
+      transform(split(t, "\\n\\s*\\n"),
+        p => trim(regexp_replace(lower(p), "[^a-z0-9]+", " "))),
+      p => p =!= "")
+    df.select((col(idCol).as("id") +: (fracs(lines, "lines") ++ fracs(paras, "paras"))): _*)
+  }
+
   /** C4 line-level cleaning (Raffel et al. 2020, §2.2): keep only lines
     * that end in terminal punctuation (. ! ? or closing quote after
     * one), have >= `minLineWords` words, and do not contain the

@@ -789,6 +789,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L).getAs[String]("cleaned") == "But this line survives fine.")
   }
 
+  test("dupLineStats: hand-computed duplicate line/paragraph fractions, NULL on empty") {
+    import graft.operators.QualityFilters
+    // lines: [aa, bb, aa, aa] -> 4 lines, distinct 2, dup_frac 0.5;
+    // chars 2*4=8, distinct chars 4 -> char_frac 0.5
+    // paras (normalized): "aa bb" / "aa, bb!" both -> "aa bb" -> 2 paras,
+    // 1 distinct -> dup 0.5; chars 10, distinct 5 -> 0.5
+    val d = Seq(
+      (1L, "aa\nbb\naa\naa"),
+      (2L, "aa bb\n\naa, bb!"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val out = QualityFilters.dupLineStats(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_lines") == 4L &&
+      out(1L).getAs[Double]("dup_lines_frac") == 0.5 &&
+      out(1L).getAs[Double]("dup_lines_char_frac") == 0.5)
+    assert(out(2L).getAs[Long]("n_paras") == 2L &&
+      out(2L).getAs[Double]("dup_paras_frac") == 0.5 &&
+      out(2L).getAs[Double]("dup_paras_char_frac") == 0.5)
+    // blank doc: zero items, NULL fractions
+    assert(out(3L).getAs[Long]("n_lines") == 0L &&
+      out(3L).isNullAt(out(3L).fieldIndex("dup_lines_frac")) &&
+      out(3L).isNullAt(out(3L).fieldIndex("dup_lines_char_frac")))
+  }
+
   test("MisraGries: superset of true heavy hitters, undercount bounded, <= k entries, any partitioning") {
     import graft.operators.Sketches
     // 1200 x "hot", 300 x "warm", 500 singletons; n = 2000
