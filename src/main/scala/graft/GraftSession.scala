@@ -59,6 +59,93 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
   // native vector expressions usable from the dialect (vec_dot/vec_cosine)
   graft.expr.VectorOps.register(spark)
 
+  // --- relation-valued table functions: the SQL surface for the M4
+  // pipeline operators (`select * from gopher_flags(documents) where
+  // keep = 1`). Convention: document-corpus functions expect `text` +
+  // `doc_id` columns (the corpus contract every M4 gate uses); numeric
+  // parameters are literal args with defaults. Composable like any FROM
+  // source — joins, CTEs, derived tables, set ops all apply.
+  locally {
+    import graft.catalog.TfArg
+    import graft.operators.{Dedup, QualityFilters, Sketches, TextAnalysis}
+    def rel(fn: String, args: Seq[TfArg], i: Int): org.apache.spark.sql.DataFrame =
+      args.lift(i) match {
+        case Some(TfArg.Rel(_, df)) => df
+        case other => throw new graft.translate.GraftAnalysisException(
+          s"$fn: argument ${i + 1} must be a relation name" +
+            other.fold("")(a => s", got $a"))
+      }
+    def num(fn: String, args: Seq[TfArg], i: Int, default: Long): Long =
+      args.lift(i) match {
+        case None                       => default
+        case Some(TfArg.Lit(v: Long))   => v
+        case Some(other) => throw new graft.translate.GraftAnalysisException(
+          s"$fn: argument ${i + 1} must be an integer literal, got $other")
+      }
+    def arity(fn: String, args: Seq[TfArg], min: Int, max: Int): Unit =
+      if (args.length < min || args.length > max)
+        throw new graft.translate.GraftAnalysisException(
+          s"$fn takes $min-$max arguments, got ${args.length}")
+    catalog.registerTableFunction("gopher_flags", { args =>
+      arity("gopher_flags", args, 1, 1)
+      QualityFilters.gopherFlags(rel("gopher_flags", args, 0), "text", "doc_id")
+    })
+    catalog.registerTableFunction("c4_lines", { args =>
+      arity("c4_lines", args, 1, 2)
+      QualityFilters.c4LineFilter(rel("c4_lines", args, 0), "text", "doc_id",
+        minLineWords = num("c4_lines", args, 1, 3L).toInt)
+    })
+    catalog.registerTableFunction("dup_line_stats", { args =>
+      arity("dup_line_stats", args, 1, 1)
+      QualityFilters.dupLineStats(rel("dup_line_stats", args, 0), "text", "doc_id")
+    })
+    catalog.registerTableFunction("quality_classifier", { args =>
+      arity("quality_classifier", args, 1, 1)
+      TextAnalysis.hashedLinearScore(rel("quality_classifier", args, 0), "text", "doc_id")
+    })
+    catalog.registerTableFunction("oov_rate", { args =>
+      arity("oov_rate", args, 1, 2)
+      TextAnalysis.oovRate(rel("oov_rate", args, 0), "text", "doc_id",
+        vocabK = num("oov_rate", args, 1, 500L).toInt)
+    })
+    catalog.registerTableFunction("heavy_hitters", { args =>
+      arity("heavy_hitters", args, 1, 2)
+      // approx counts are arrival-order-dependent (MG contract) — the
+      // guaranteed-exact composition is heavy_hitters_exact
+      Sketches.heavyHitters(rel("heavy_hitters", args, 0), "text", "doc_id",
+        k = num("heavy_hitters", args, 1, 128L).toInt)
+    })
+    catalog.registerTableFunction("heavy_hitters_exact", { args =>
+      arity("heavy_hitters_exact", args, 1, 2)
+      Sketches.heavyHittersExact(rel("heavy_hitters_exact", args, 0), "text", "doc_id",
+        k = num("heavy_hitters_exact", args, 1, 128L).toInt)
+    })
+    catalog.registerTableFunction("exact_dedup", { args =>
+      arity("exact_dedup", args, 1, 1)
+      Dedup.exact(rel("exact_dedup", args, 0), Seq("text"), "doc_id")
+    })
+    catalog.registerTableFunction("line_dedup", { args =>
+      arity("line_dedup", args, 1, 2)
+      Dedup.lineDedup(rel("line_dedup", args, 0), "text", "doc_id",
+        minDocFreq = num("line_dedup", args, 1, 5L))
+    })
+    catalog.registerTableFunction("paragraph_dedup", { args =>
+      arity("paragraph_dedup", args, 1, 2)
+      Dedup.paragraphDedup(rel("paragraph_dedup", args, 0), "text", "doc_id",
+        minDocFreq = num("paragraph_dedup", args, 1, 5L))
+    })
+  }
+
+  /** Register a custom relation-valued table function, callable from the
+    * dialect as `FROM name(rel [, lit…])`. Bare identifiers in the call
+    * resolve to catalog relations ([[graft.catalog.TfArg.Rel]]); other
+    * arguments must be literals ([[graft.catalog.TfArg.Lit]]). */
+  def registerTableFunction(name: String,
+      fn: Seq[graft.catalog.TfArg] => DataFrame): this.type = {
+    catalog.registerTableFunction(name, fn)
+    this
+  }
+
   /** Register every parquet table in a testdata directory (TESTDATA.md). */
   def registerDir(dir: String): this.type = {
     val d = new java.io.File(dir)

@@ -818,6 +818,14 @@ object SparkEntry {
       "select event_id as k, event_type as et, round(value, 4) as v from events " +
       "where ts >= timestamp '2024-01-10 00:00:00' " +
       "and ts < timestamp '2024-01-10 12:00:00' order by k")),
+    // ---- q109: relation-valued table functions (round 8) — the M4
+    // pipeline reached FROM SQL, composed through a join with a literal
+    // parameter; oracle re-derives both pipelines in DuckDB ----
+    "q109_pipeline_fns" -> ((s, d) => g(s, d).sql(
+      "select gfl.id as id, gfl.keep as gkeep, o.oov_rate as oov_rate " +
+      "from gopher_flags(documents) as gfl " +
+      "join oov_rate(documents, 50) as o on gfl.id = o.id " +
+      "order by id")),
     // ---- datetime constructors: field-wise date/timestamp assembly ----
     "q99_datetime_ctor" -> ((s, d) => g(s, d).sql(
       "select o_orderkey as k, " +
@@ -1237,6 +1245,34 @@ object SparkEntry {
       ("SELECT event_id AS k, event_type AS et, ROUND(value, 4) AS v FROM events " +
        "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00' " +
        "AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 12:00:00' ORDER BY k"),
+    // q109: both table-function pipelines re-derived in DuckDB (gopher
+    // keep flag ≡ x65's rule set; oov_rate ≡ x61's with vocabK=50)
+    "q109_pipeline_fns" ->
+      ("WITH base AS (SELECT doc_id, text, " +
+       "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS ws, " +
+       "list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns FROM documents), " +
+       "gf AS (SELECT doc_id AS id, CAST( " +
+       "(len(ws) >= 50 AND len(ws) <= 100000) " +
+       "AND (ROUND(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE) / GREATEST(len(ws), 1), 6) " +
+       "BETWEEN 3.0 AND 10.0) " +
+       "AND ((length(text) - length(replace(text, '#', '')) + (length(text) - length(replace(text, '...', ''))) // 3) * 10 < len(ws)) " +
+       "AND (len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]'))) * 10 <= GREATEST(len(lns), 1) * 9) " +
+       "AND (len(list_filter(lns, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) * 10 <= GREATEST(len(lns), 1) * 3) " +
+       "AND (len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) * 10 >= len(ws) * 8) " +
+       "AND (len(list_filter(['the','be','to','of','and','that','have','with'], " +
+       "sw -> list_contains(list_transform(ws, w -> lower(w)), sw))) >= 2) AS INTEGER) AS gkeep FROM base), " +
+       "toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+       "t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), " +
+       "v AS (SELECT tok AS term FROM (SELECT tok, count(*) AS n FROM t GROUP BY tok " +
+       "ORDER BY n DESC, tok LIMIT 50)), " +
+       "s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, " +
+       "CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov " +
+       "FROM t LEFT JOIN v ON t.tok = v.term GROUP BY doc_id) " +
+       "SELECT gf.id AS id, gf.gkeep AS gkeep, " +
+       "ROUND(CAST(s.n_oov AS DOUBLE) / s.n_toks, 6) AS oov_rate " +
+       // LEFT: a blank doc has no token rows in s but oov_rate(documents)
+       // still emits it (NULL rate) — the inner gate join keeps it too
+       "FROM gf LEFT JOIN s ON gf.id = s.doc_id ORDER BY id"),
     // q107: gaps-and-islands with a GLOBAL (unkeyed) order — same recipe
     // as q32's oracle minus the PARTITION BY
     "q107_session_unkeyed" ->

@@ -80,6 +80,22 @@ final class Catalog {
 
   def dropSchema(name: String): Unit = schemas.remove(norm(name))
 
+  // --- relation-valued table functions ------------------------------------
+  // `FROM fn(rel [, lit…])` — the SQL surface for pipeline operators
+  // (GraftSession pre-registers the M4 suite; users add their own via
+  // GraftSession.registerTableFunction). Arguments resolve at translation
+  // time to catalog relations (bare identifiers) or literals.
+  private val tableFns =
+    mutable.Map.empty[String, Seq[TfArg] => DataFrame]
+
+  def registerTableFunction(name: String, fn: Seq[TfArg] => DataFrame): Unit =
+    tableFns(norm(name)) = fn
+
+  def tableFunction(name: String): Option[Seq[TfArg] => DataFrame] =
+    tableFns.get(norm(name))
+
+  def tableFunctionNames: Seq[String] = tableFns.keys.toSeq.sorted
+
   // --- operator-internal pinned caches -----------------------------------
   // Count/session window translations pin a shuffled RDD (persist
   // MEMORY_AND_DISK) so their multi-pass reads cannot drift (range-boundary
@@ -181,4 +197,12 @@ object Catalog {
     case other =>
       throw new IllegalArgumentException(s"unknown data type: $other")
   }
+}
+
+/** A resolved table-function argument: a catalog relation (bare
+  * identifier in the call) or a literal value. */
+sealed trait TfArg
+object TfArg {
+  final case class Rel(name: String, df: DataFrame) extends TfArg
+  final case class Lit(value: Any) extends TfArg
 }

@@ -345,9 +345,10 @@ object SqlParser extends RegexParsers with PackratParsers {
       kw("lateral") ~> ("(" ~> query <~ ")") ~ (opt(kw("as")) ~> ident) ^^ {
         case q ~ a => LateralRel(q, a)
       } |
-      // table functions: range(…) / generate_series(…) in FROM
-      ident.filter(n => Set("range", "generate_series")(n.toLowerCase(java.util.Locale.ROOT))) ~
-        ("(" ~> rep1sep(expr, ",") <~ ")") ~ opt(opt(kw("as")) ~> ident) ^^ {
+      // table functions in FROM: built-in series sources (range /
+      // generate_series) plus any session-registered relation-valued
+      // function (`fn(rel [, lit…])` — resolution in the translator)
+      ident ~ ("(" ~> rep1sep(expr, ",") <~ ")") ~ opt(opt(kw("as")) ~> ident) ^^ {
           case n ~ as ~ a => TableFnRel(n.toLowerCase(java.util.Locale.ROOT), as, a)
         } |
       ("(" ~> kw("values") ~> rep1sep("(" ~> rep1sep(expr, ",") <~ ")", ",") <~ ")") ~

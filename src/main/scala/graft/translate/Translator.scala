@@ -1088,6 +1088,31 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     case LateralRel(q, alias) =>
       RelPlan(query(q).alias(alias), Nil, windowed = false)
 
+    // session-registered relation-valued table functions (the SQL surface
+    // for the M4 pipeline operators and user extensions): bare identifier
+    // arguments resolve to catalog relations, everything else must be a
+    // literal; the function builds the DataFrame directly — Catalyst then
+    // optimizes through it like any other subplan
+    case tf @ TableFnRel(name, args, _)
+        if !Set("range", "generate_series")(name) =>
+      val fn = catalog.tableFunction(name).getOrElse(
+        throw new GraftAnalysisException(
+          s"unknown table function: $name (registered: " +
+            s"${(catalog.tableFunctionNames ++ Seq("range", "generate_series")).sorted.mkString(", ")})"))
+      val resolved: Seq[graft.catalog.TfArg] = args.map {
+        case ColRef(None, n) if catalog.hasRelation(n) =>
+          graft.catalog.TfArg.Rel(n, catalog.relation(n))
+        case ColRef(None, n) => throw new GraftAnalysisException(
+          s"table function $name: '$n' is not a known relation")
+        case Lit(v)            => graft.catalog.TfArg.Lit(v)
+        case Neg(Lit(v: Long)) => graft.catalog.TfArg.Lit(-v)
+        case Neg(Lit(v: Double)) => graft.catalog.TfArg.Lit(-v)
+        case other => throw new GraftAnalysisException(
+          s"table function $name: arguments must be relation names or " +
+            s"literals, got ${graft.ast.Pretty.expr(other)}")
+      }
+      RelPlan(fn(resolved).alias(tf.refName), Nil, windowed = false)
+
     // numeric series sources → spark.range: a parallel Range node that
     // splits across executors (NOT a literal array — a 10^9-row series is
     // still a one-line plan with full parallelism)

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Relation-valued table functions: the SQL surface for the M4 pipeline
+  * operators (`FROM fn(rel [, lit…])`), plus user registration. */
+class TableFnSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private lazy val g = TestSpark.session
+
+  test("gopher_flags(documents) in SQL equals the operator API") {
+    val viaSql = g.sql(
+      "select id, n_words, keep from gopher_flags(documents) order by id")
+    val viaApi = graft.operators.QualityFilters
+      .gopherFlags(g.catalog.relation("documents"), "text", "doc_id")
+      .select("id", "n_words", "keep").orderBy("id")
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+    assert(viaSql.count() == g.catalog.relation("documents").count())
+  }
+
+  test("table functions compose: join, literal args, WHERE pushdown") {
+    val joined = g.sql(
+      "select gfl.id as id, gfl.keep as keep, o.oov_rate as oov " +
+      "from gopher_flags(documents) as gfl " +
+      "join oov_rate(documents, 50) as o on gfl.id = o.id " +
+      "where gfl.n_words > 10 order by id limit 5")
+    assert(joined.columns.toSeq == Seq("id", "keep", "oov"))
+    assert(joined.count() == 5)
+    // literal arg changes behavior: tiny vocab -> higher OOV than huge vocab
+    val small = g.sql("select round(avg(oov_rate), 6) as r from oov_rate(documents, 5)")
+      .collect().head.getDouble(0)
+    val large = g.sql("select round(avg(oov_rate), 6) as r from oov_rate(documents, 5000)")
+      .collect().head.getDouble(0)
+    assert(small > large)
+  }
+
+  test("exact_dedup / quality_classifier table functions run end to end") {
+    val n = g.sql("select count(*) as n from exact_dedup(documents)")
+      .collect().head.getLong(0)
+    assert(n > 0 && n <= g.catalog.relation("documents").count())
+    val keeps = g.sql(
+      "select keep, count(*) as n from quality_classifier(documents) group by keep")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(keeps.values.sum == g.catalog.relation("documents").count())
+  }
+
+  test("user-registered table function with relation + literal args") {
+    import graft.catalog.TfArg
+    g.registerTableFunction("head_n", {
+      case Seq(TfArg.Rel(_, df), TfArg.Lit(n: Long)) =>
+        df.orderBy("doc_id").limit(n.toInt)
+      case args => throw new graft.translate.GraftAnalysisException(
+        s"head_n(rel, n): got $args")
+    })
+    val out = g.sql("select doc_id from head_n(documents, 3) order by doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(0L, 1L, 2L))
+  }
+
+  test("error paths: unknown function, bad relation, bad arity") {
+    val e1 = intercept[Exception](g.sql("select * from nope_fn(documents)"))
+    assert(e1.getMessage.contains("unknown table function"))
+    val e2 = intercept[Exception](g.sql("select * from gopher_flags(no_such_rel)"))
+    assert(e2.getMessage.contains("not a known relation"))
+    val e3 = intercept[Exception](g.sql("select * from gopher_flags(documents, 3)"))
+    assert(e3.getMessage.contains("argument"))
+    // range/generate_series still work through the same grammar branch
+    assert(g.sql("select count(*) as n from range(1, 6)")
+      .collect().head.getLong(0) == 5L)
+  }
+}
