@@ -951,7 +951,34 @@ object Extensions {
       val e = emb(s, d)
       Similarity.quantizedTopK(e, e.where(col("vec_id") % 50 === 0), k = 5)
         .orderBy("qid", "vec_id")
-    })
+    }),
+    // ---- exact global quantiles WITHOUT a global sort (histogram
+    // refinement): the "keep the best p% by score" threshold primitive.
+    // q25/q50/q75 of n_chars + the row count a q75 length cap keeps;
+    // the 4 scalars are driver-held by design (they ARE the result) ----
+    "x68_exact_quantile" -> ((s, d) => {
+      val dd = docs(s, d)
+      val n = dd.where(col("n_chars").isNotNull).count()
+      def kq(q: Double): Long = Quantiles.kthSmallestLong(
+        dd, "n_chars", math.floor((n - 1) * q).toLong + 1)
+      val q25 = kq(0.25); val q50 = kq(0.50); val q75 = kq(0.75)
+      val nKept = dd.where(col("n_chars") <= q75).count()
+      import s.implicits._
+      Seq((q25, q50, q75, nKept)).toDF("q25", "q50", "q75", "n_kept")
+    }),
+    // ---- HLL++ distinct-count audit: exact-vs-sketch per source; the
+    // flag (not the estimate) is the deterministic cross-engine output ----
+    "x69_distinct_audit" -> ((s, d) =>
+      Sketches.distinctAudit(docs(s, d), "text", "source").orderBy("source")),
+    // ---- per-dimension z-score standardization of the embedding table;
+    // 3 witness dimensions, 6-dp-rounded stats on both engines ----
+    "x70_standardize" -> ((s, d) =>
+      Similarity.standardize(emb(s, d), "embedding", "vec_id")
+        .select(col("vec_id"),
+          round(element_at(col("z"), 1), 6).as("z1"),
+          round(element_at(col("z"), 7), 6).as("z7"),
+          round(element_at(col("z"), 33), 6).as("z33"))
+        .orderBy("vec_id"))
   )
 
   /** DuckDB lambda syntax for the stopword-hit count used twice below. */
@@ -1251,6 +1278,41 @@ object Extensions {
         "SELECT i.doc_id, COALESCE(r.n_kept, 0) AS n_kept, " +
         "CAST(len(regexp_split_to_array(i.text, '\\n\\s*\\n')) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed, " +
         "md5(COALESCE(r.cleaned, '')) AS h FROM inj i LEFT JOIN r USING (doc_id) ORDER BY doc_id"),
+      // exact order statistics: same "value at 0-based index
+      // floor((n-1)*q)" (numpy 'lower') definition the engine's
+      // histogram-refinement selection implements
+      "x68_exact_quantile" -> (
+        "WITH s AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn, " +
+        "count(*) OVER () AS n FROM documents WHERE n_chars IS NOT NULL), " +
+        "q AS (SELECT " +
+        "max(CASE WHEN rn = CAST(floor((n-1)*0.25) AS BIGINT) + 1 THEN n_chars END) AS q25, " +
+        "max(CASE WHEN rn = CAST(floor((n-1)*0.50) AS BIGINT) + 1 THEN n_chars END) AS q50, " +
+        "max(CASE WHEN rn = CAST(floor((n-1)*0.75) AS BIGINT) + 1 THEN n_chars END) AS q75 FROM s) " +
+        "SELECT q25, q50, q75, (SELECT count(*) FROM documents CROSS JOIN q " +
+        "WHERE n_chars <= q.q75) AS n_kept FROM q"),
+      // the sketch estimate is engine-specific; the exact counts and the
+      // tolerance flag are the deterministic cross-engine contract
+      "x69_distinct_audit" -> (
+        "SELECT source, count(DISTINCT text) AS exact_n, " +
+        "CAST(1 AS INTEGER) AS within_tol FROM documents " +
+        "GROUP BY source ORDER BY source"),
+      // z-score witness dims with 6-dp-rounded per-dimension stats on
+      // both engines (the x38 determinism pattern); zero-variance dims
+      // divide by 1 on both sides
+      "x70_standardize" -> (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "d AS (SELECT i, ROUND(avg(v[i]), 6) AS m, " +
+        "CASE WHEN ROUND(stddev_pop(v[i]), 6) = 0 THEN 1.0 " +
+        "ELSE ROUND(stddev_pop(v[i]), 6) END AS s " +
+        "FROM e CROSS JOIN generate_series(1, 64) t(i) GROUP BY i), " +
+        "p AS (SELECT " +
+        "max(CASE WHEN i = 1 THEN m END) AS m1, max(CASE WHEN i = 1 THEN s END) AS s1, " +
+        "max(CASE WHEN i = 7 THEN m END) AS m7, max(CASE WHEN i = 7 THEN s END) AS s7, " +
+        "max(CASE WHEN i = 33 THEN m END) AS m33, max(CASE WHEN i = 33 THEN s END) AS s33 FROM d) " +
+        "SELECT vec_id, ROUND((v[1] - m1) / s1, 6) AS z1, " +
+        "ROUND((v[7] - m7) / s7, 6) AS z7, " +
+        "ROUND((v[33] - m33) / s33, 6) AS z33 " +
+        "FROM e CROSS JOIN p ORDER BY vec_id"),
       "x50_line_dedup" -> (
         "WITH inj AS (SELECT doc_id, source || ' | COMMON SITE HEADER' || chr(10) || " +
         "'cookie notice: accept all' || chr(10) || " +

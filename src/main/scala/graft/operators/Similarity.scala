@@ -262,6 +262,42 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-dimension z-score standardization of an embedding column —
+    * the whitening-lite step before cosine/L2 retrieval or clustering
+    * when dimensions have wildly different scales (common after
+    * concatenating feature families). Output: (vec_id, z) with
+    * `z_i = (v_i − mean_i) / stddev_i` (population stddev; zero-variance
+    * dimensions divide by 1 so constant features map to 0, not NaN).
+    *
+    * Determinism: the per-dimension means and stddevs are rounded (6 dp)
+    * before use, so aggregation-order ulp noise cannot leak into the
+    * output — z values are reproducible across partitionings and
+    * cluster sizes (and recomputable by an external oracle).
+    *
+    * Scale: one posexplode hash aggregate produces the dim-sized stats
+    * table (64 rows for the contract embedding), collapsed to a single
+    * (mean[], std[]) row and BROADCAST to a crossJoin; the vector corpus
+    * is transformed in place by a codegen'd `zip_with` chain — no
+    * shuffle of the vectors, no driver collect. */
+  def standardize(emb: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val e = Par.widen(emb, idCol).select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dims = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(round(avg(col("x")), 6).as("m"),
+        round(stddev_pop(col("x")), 6).as("s"))
+    val stats = dims
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"),
+        array_sort(collect_list(struct(col("pos"), col("s")))).as("ss"))
+      .select(transform(col("ms"), p => p.getField("m")).as("m"),
+        transform(col("ss"), p =>
+          when(p.getField("s") === 0d, 1d).otherwise(p.getField("s"))).as("s"))
+    e.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        zip_with(zip_with(col("v"), col("m"), (x, mm) => x - mm), col("s"),
+          (c, ss) => c / ss).as("z"))
+  }
+
   /** Symmetric max-abs int8 quantization of an embedding column — the
     * memory-compression step before large-scale ANN (4× smaller than
     * float32; integer dot products; at 100 TB the quantized corpus is

@@ -103,4 +103,25 @@ object Sketches {
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .select(col("tok").as("term"), col("n"))
   }
+
+  /** HyperLogLog++ cardinality audit: per-group approximate distinct
+    * count next to the exact one, with a relative-error flag.
+    *
+    * The production 100 TB path is `approx_count_distinct` ALONE — HLL
+    * state is a few KB per group regardless of cardinality, where exact
+    * `count_distinct` shuffles one row per distinct key. This operator
+    * is the AUDIT harness that justifies trusting the sketch: run it at
+    * a test scale (or on a sampled slice), confirm `within_tol`, ship
+    * the approx-only pipeline. The flag is deterministic: Spark's HLL++
+    * merge is order-insensitive, so the same data yields the same
+    * estimate at any parallelism. Output: (group, exact_n, within_tol).
+    */
+  def distinctAudit(df: DataFrame, keyCol: String, groupCol: String,
+                    rsd: Double = 0.05, tol: Double = 0.15): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count_distinct(col(keyCol)).as("exact_n"),
+        approx_count_distinct(col(keyCol), rsd).as("approx_n"))
+      .select(col(groupCol), col("exact_n"),
+        (abs(col("approx_n") - col("exact_n")) <= col("exact_n") * tol)
+          .cast("int").as("within_tol"))
 }

@@ -932,4 +932,67 @@ class OperatorsSpec extends AnyFunSuite {
       .select("doc_id", "text", "cleaned").collect()
     assert(rt.forall(r => r.getString(1) == r.getString(2)))
   }
+
+  test("kthSmallestLong: every rank matches a sort, duplicates, negatives, tiny buckets") {
+    val rnd = new scala.util.Random(7)
+    // duplicates, negatives, and a huge-range outlier pair (forces
+    // multi-pass refinement even at buckets = 4096)
+    val vals = (Seq.fill(200)(rnd.nextInt(50).toLong - 25L) ++
+      Seq(Long.MinValue / 4, Long.MaxValue / 4, 0L, 0L, 0L))
+    val d = rnd.shuffle(vals).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "x")
+    val sorted = vals.sorted
+    // spot-check every 13th rank plus both extremes
+    (Seq(1, vals.size) ++ (1 to vals.size by 13)).foreach { k =>
+      assert(Quantiles.kthSmallestLong(d, "x", k.toLong) == sorted(k - 1), s"k=$k")
+    }
+    // refinement is bucket-count-independent: 2 buckets = 64 passes max
+    assert(Quantiles.kthSmallestLong(d, "x", 30L, buckets = 2) == sorted(29))
+    // nulls are excluded, not counted as low values
+    val dn = (d.select(col("id"), col("x")) union
+      Seq((9999L, Option.empty[Long])).toDF("id", "x")).toDF("id", "x")
+    assert(Quantiles.kthSmallestLong(dn, "x", 1L) == sorted.head)
+    // quantile wrapper: numpy-'lower' index
+    assert(Quantiles.exactQuantileLong(d, "x", 0.0) == sorted.head)
+    assert(Quantiles.exactQuantileLong(d, "x", 1.0) == sorted.last)
+    val mid = Quantiles.exactQuantileLong(d, "x", 0.5)
+    assert(mid == sorted((sorted.size - 1) / 2))
+    // keepBelowQuantile keeps exactly the rows <= that threshold
+    val kept = Quantiles.keepBelowQuantile(d, "x", 0.5).count()
+    assert(kept == sorted.count(_ <= mid))
+  }
+
+  test("distinctAudit: exact counts right, sketch within tolerance on real corpus") {
+    val out = Sketches.distinctAudit(docs, "text", "source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.nonEmpty)
+    // exact counts recomputed independently
+    val truth = docs.groupBy("source").agg(count_distinct(col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (src, n, ok) =>
+      assert(n == truth(src), s"exact_n mismatch for $src")
+      assert(ok == 1, s"HLL estimate out of tolerance for $src")
+    }
+  }
+
+  test("standardize: z-scores recompute from raw stats; zero-variance dim maps to 0") {
+    val d = Seq(
+      (1L, Array(1.0f, 5.0f)), (2L, Array(3.0f, 5.0f)), (3L, Array(5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val z = Similarity.standardize(d, "embedding", "vec_id")
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    // dim 1: mean 3, stddev_pop sqrt(8/3)=1.632993 (rounded 6dp)
+    val s = 1.632993
+    assert(math.abs(z(0)._2(0) - (1.0 - 3.0) / s) < 1e-9)
+    assert(math.abs(z(1)._2(0)) < 1e-9)
+    assert(math.abs(z(2)._2(0) - (5.0 - 3.0) / s) < 1e-9)
+    // dim 2 is constant: (x - mean)/1 = 0, not NaN
+    assert(z.forall(_._2(1) == 0.0))
+    // real corpus: standardized dims have ~zero mean and ~unit variance
+    val zc = Similarity.standardize(emb, "embedding", "vec_id")
+      .select(avg(element_at(col("z"), 3)).as("m"),
+        stddev_pop(element_at(col("z"), 3)).as("s")).head()
+    assert(math.abs(zc.getDouble(0)) < 1e-3 && math.abs(zc.getDouble(1) - 1.0) < 1e-3)
+  }
 }
