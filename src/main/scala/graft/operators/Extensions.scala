@@ -978,7 +978,22 @@ object Extensions {
           round(element_at(col("z"), 1), 6).as("z1"),
           round(element_at(col("z"), 7), 6).as("z7"),
           round(element_at(col("z"), 33), 6).as("z33"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+    // ---- DSIR importance scores: target = src0 docs, raw = whole
+    // corpus; md5-fold bucket hash and sorted-fold summation make the
+    // doubles engine-exact (see Importance scaladoc) ----
+    "x71_dsir_scores" -> ((s, d) =>
+      Importance.dsirScores(docs(s, d), "text", "doc_id",
+          isTarget = col("source") === "src0", buckets = 256)
+        .orderBy("id")),
+    // ---- score-and-select composition: keep the most-src0-like 25% by
+    // EXACT global score quantile (kthSmallestDouble via the IEEE
+    // sortable-bits expression) — thresholding reproducible enough to
+    // hash-match an independent engine ----
+    "x72_dsir_resample" -> ((s, d) =>
+      Importance.dsirResample(docs(s, d), "text", "doc_id",
+          isTarget = col("source") === "src0", frac = 0.25, buckets = 256)
+        .select(col("doc_id"), col("score")).orderBy("doc_id"))
   )
 
   /** DuckDB lambda syntax for the stopword-hit count used twice below. */
@@ -989,6 +1004,28 @@ object Extensions {
     s"CASE WHEN length(trim($t)) = 0 THEN 0 ELSE len(${duckTokens(t)}) END"
   private def duckStopHits(t: String) =
     s"len(list_filter(regexp_split_to_array(lower(trim($t)), '\\s+'), x -> list_contains($swList, x)))"
+
+  /** Shared DuckDB recompute of [[Importance.dsirScores]] at the gate
+    * parameters (target = src0, buckets = 256, smoothing = 0.5): the
+    * md5-ascii-fold bucket hash, both smoothed bucket models, and the
+    * sorted-fold mean, with explicit DOUBLE casts so DuckDB's
+    * HUGEINT-sum arithmetic matches Spark's long+double exactly. */
+  private val duckDsirScores =
+    "WITH tk AS (SELECT doc_id AS id, source = 'src0' AS is_t, " +
+    "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+    "tk2 AS (SELECT id, is_t, " +
+    "CAST(((ascii(substr(md5(tok),1,1))*31 + ascii(substr(md5(tok),2,1)))*31 + " +
+    "ascii(substr(md5(tok),3,1)))*31 + ascii(substr(md5(tok),4,1)) AS BIGINT) % 256 AS b " +
+    "FROM tk WHERE tok <> ''), " +
+    "m AS (SELECT b, CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE) AS ct, " +
+    "CAST(count(*) AS DOUBLE) AS cr FROM tk2 GROUP BY b), " +
+    "tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nt, CAST(SUM(cr) AS DOUBLE) AS nr FROM m), " +
+    "lrs AS (SELECT b, ln((ct + 0.5) / (nt + 128.0)) - ln((cr + 0.5) / (nr + 128.0)) AS lr " +
+    "FROM m CROSS JOIN tot), " +
+    "s AS (SELECT id, CAST(count(*) AS BIGINT) AS n_toks, " +
+    "list_reduce(list(lr ORDER BY lr), (a, x) -> a + x) AS sm " +
+    "FROM tk2 JOIN lrs USING (b) GROUP BY id) " +
+    "SELECT id, n_toks, ROUND(sm / n_toks, 6) AS score FROM s"
 
   /** Shared CTE prefix for the DuckDB all-pairs exact word-3-gram Jaccard
     * (list-comprehension shingles mirror [[Dedup.shingleRows]]: lower/trim,
@@ -1313,6 +1350,18 @@ object Extensions {
         "ROUND((v[7] - m7) / s7, 6) AS z7, " +
         "ROUND((v[33] - m33) / s33, 6) AS z33 " +
         "FROM e CROSS JOIN p ORDER BY vec_id"),
+      // DSIR: same md5-fold bucket hash, same smoothed bucket models,
+      // same sorted-fold mean — ln/arithmetic written in the engine's
+      // association order so the doubles are bit-identical pre-round
+      "x71_dsir_scores" -> (duckDsirScores + " ORDER BY id"),
+      "x72_dsir_resample" -> (
+        s"WITH sc AS ($duckDsirScores), " +
+        "nn AS (SELECT id, score, row_number() OVER (ORDER BY score) AS rn, " +
+        "count(*) OVER () AS n FROM sc WHERE score IS NOT NULL), " +
+        "thr AS (SELECT max(CASE WHEN rn = CAST(floor((n-1)*0.75) AS BIGINT) + 1 " +
+        "THEN score END) AS t FROM nn) " +
+        "SELECT nn.id AS doc_id, nn.score FROM nn CROSS JOIN thr " +
+        "WHERE nn.score >= thr.t ORDER BY doc_id"),
       "x50_line_dedup" -> (
         "WITH inj AS (SELECT doc_id, source || ' | COMMON SITE HEADER' || chr(10) || " +
         "'cookie notice: accept all' || chr(10) || " +

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection: hashed-unigram importance weights
+  * (Data Selection via Importance Resampling, Xie et al. 2023 — the
+  * published method behind "make the web crawl look like the target
+  * domain").
+  *
+  * Each document is scored by the log-likelihood ratio of its tokens
+  * under two smoothed hashed-unigram bucket models — one fit on a TARGET
+  * slice (the distribution you want more of), one on the RAW corpus:
+  * `score(d) = mean over tokens t of [ln p_target(b(t)) − ln p_raw(b(t))]`.
+  * High scores = target-like; selection keeps the top fraction via the
+  * EXACT global quantile threshold ([[Quantiles.keepTopFraction]]), so
+  * the kept set is reproducible and oracle-checkable end to end.
+  *
+  * Determinism (the gate contract):
+  *  - the token→bucket hash folds the first 4 hex chars of md5(token)
+  *    (engine-portable — DuckDB recomputes it exactly, unlike xxhash64;
+  *    md5 hex chars are uniform, so ≥4096 combinations spread over
+  *    `buckets`);
+  *  - per-document summation left-folds the per-token log-ratios in
+  *    SORTED value order (`aggregate(sort_array(...))`, the BM25/x53
+  *    pattern), so float addition associates identically across
+  *    partitionings and engines — scores are bit-stable pre-rounding.
+  *
+  * Scale: the two bucket models are `buckets`-row aggregates (map-side
+  * partials, tiny shuffle) joined and BROADCAST; the corpus side is one
+  * narrow token explode + broadcast probe + per-doc hash aggregate — the
+  * same shape as tf-idf/OOV. The collect_list per doc is
+  * per-DOCUMENT-sized (bounded by doc length), never corpus-sized.
+  */
+object Importance {
+
+  /** Engine-portable token→bucket hash: fold ascii codes of the first 4
+    * md5 hex chars (×31 polynomial), mod `buckets`. */
+  private[operators] def bucketOf(tok: Column, buckets: Int): Column = {
+    val m = md5(tok)
+    val h = ((ascii(substring(m, 1, 1)) * 31 + ascii(substring(m, 2, 1))) * 31 +
+      ascii(substring(m, 3, 1))) * 31 + ascii(substring(m, 4, 1))
+    pmod(h.cast("long"), lit(buckets.toLong))
+  }
+
+  /** Per-document DSIR importance scores. Output: (id, n_toks, score)
+    * with `score` = mean token log-ratio rounded to 6 dp (token-free
+    * documents are absent — no evidence either way). `isTarget` marks
+    * the target slice (e.g. `col("source") === "wiki"`); target rows are
+    * scored too (they just also fit the target model). */
+  def dsirScores(df: DataFrame, textCol: String, idCol: String,
+                 isTarget: Column, buckets: Int = 1024,
+                 smoothing: Double = 0.5): DataFrame = {
+    val toks = Par.widen(df, idCol)
+      .select(col(idCol).as("id"), isTarget.as("is_t"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("id"), col("is_t"), bucketOf(col("tok"), buckets).as("b"))
+    // two smoothed unigram bucket models; raw = the WHOLE corpus (the
+    // proposal distribution documents are drawn from), target = slice
+    val model = toks.groupBy(col("b")).agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .agg(collect_list(struct(col("b"), col("ct"), col("cr"))).as("rows"),
+        sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+      .select(explode(col("rows")).as("r"), col("nt"), col("nr"))
+      .select(col("r.b").as("b"),
+        (log((col("r.ct") + smoothing) / (col("nt") + smoothing * buckets)) -
+          log((col("r.cr") + smoothing) / (col("nr") + smoothing * buckets)))
+          .as("lr"))
+    // per-doc mean of per-token log-ratios, summed in sorted order so
+    // the fold associates identically in any engine/partitioning
+    toks.join(broadcast(model), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"),
+        aggregate(sort_array(collect_list(col("lr"))), lit(0.0d),
+          (acc, x) => acc + x).as("s"))
+      .select(col("id"), col("n_toks"),
+        round(col("s") / col("n_toks"), 6).as("score"))
+  }
+
+  /** Score-and-select: keep the most target-like `frac` of the corpus
+    * by exact global score quantile. Returns the surviving rows of `df`
+    * with their score attached. Token-free (NULL-score) documents are
+    * dropped — they carry no evidence. */
+  def dsirResample(df: DataFrame, textCol: String, idCol: String,
+                   isTarget: Column, frac: Double,
+                   buckets: Int = 1024): DataFrame = {
+    val scored = dsirScores(df, textCol, idCol, isTarget, buckets)
+      .where(col("score").isNotNull)
+    val kept = Quantiles.keepTopFraction(scored, "score", frac)
+    df.join(kept.select(col("id").as(idCol), col("score")), Seq(idCol))
+  }
+}

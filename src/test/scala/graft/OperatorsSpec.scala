@@ -962,6 +962,98 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == sorted.count(_ <= mid))
   }
 
+  test("DoubleSortableBits: order-preserving bijection incl. ±0, ±Inf, NaN, subnormals") {
+    import graft.expr.DoubleSortableBits._
+    val rnd = new scala.util.Random(11)
+    val edge = Seq(0.0, -0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
+      Double.MaxValue, Double.MinValue, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.NaN, 1.0, -1.0, math.Pi, -math.Pi)
+    val vals = edge ++ Seq.fill(500)(
+      java.lang.Double.longBitsToDouble(rnd.nextLong())).filterNot(_.isNaN) :+ Double.NaN
+    // monotone: signed-long order == Double.compare order, pairwise
+    val byBits = vals.sortBy(forward)
+    val byCmp = vals.sorted(Ordering.fromLessThan[Double](
+      (a, b) => java.lang.Double.compare(a, b) < 0))
+    assert(byBits.map(forward) == byCmp.map(forward))
+    // bijection: inverse(forward(x)) reproduces the exact bit pattern
+    vals.foreach { x =>
+      assert(java.lang.Double.doubleToLongBits(inverse(forward(x))) ==
+        java.lang.Double.doubleToLongBits(x), s"roundtrip $x")
+    }
+    // the Catalyst expression agrees with the Scala reference and stays
+    // inside whole-stage codegen
+    val d = vals.filterNot(_.isNaN).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val rows = d.select(col("id"), graft.expr.DoubleSortableBits.column(col("x")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vals.filterNot(_.isNaN).zipWithIndex.foreach { case (v, i) =>
+      assert(rows(i.toLong) == forward(v))
+    }
+  }
+
+  test("kthSmallestDouble: ranks match Double.compare sort; keepTopFraction boundary ties") {
+    val rnd = new scala.util.Random(13)
+    val vals = Seq.fill(150)(rnd.nextGaussian() * 10) ++
+      Seq(-0.0, 0.0, 2.5, 2.5, 2.5, -1e300, 1e300)
+    val d = rnd.shuffle(vals).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "x")
+    val sorted = vals.sorted(Ordering.fromLessThan[Double](
+      (a, b) => java.lang.Double.compare(a, b) < 0))
+    (Seq(1, vals.size) ++ (1 to vals.size by 17)).foreach { k =>
+      val got = Quantiles.kthSmallestDouble(d, "x", k.toLong)
+      assert(java.lang.Double.compare(got, sorted(k - 1)) == 0, s"k=$k")
+    }
+    // keepTopFraction keeps >= the exact (1-frac) quantile, ties included
+    val thr = Quantiles.exactQuantileDouble(d, "x", 0.75)
+    val kept = Quantiles.keepTopFraction(d, "x", 0.25).count()
+    assert(kept == vals.count(_ >= thr))
+  }
+
+  test("dsirScores: hand-computed log-ratios on a 3-doc corpus; resample keeps target-like") {
+    val d = Seq(
+      (1L, "alpha alpha", "t"), (2L, "alpha beta", "t"),
+      (3L, "gamma gamma gamma", "r"), (4L, "alpha gamma", "r"),
+      (5L, "", "r")
+    ).toDF("doc_id", "text", "src")
+    val B = 8
+    val out = Importance.dsirScores(d, "text", "doc_id",
+        col("src") === "t", buckets = B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // reference recompute in plain Scala
+    def bucket(tok: String): Long = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = ((m(0).toInt * 31 + m(1).toInt) * 31 + m(2).toInt) * 31 + m(3).toInt
+      ((h.toLong % B) + B) % B
+    }
+    val toks = Seq(1L -> "alpha alpha", 2L -> "alpha beta",
+      3L -> "gamma gamma gamma", 4L -> "alpha gamma")
+      .flatMap { case (id, t) => t.split("\\s+").map(id -> _) }
+    val isT = Set(1L, 2L)
+    val byB = toks.groupBy { case (_, t) => bucket(t) }
+    val nt = toks.count(p => isT(p._1)).toDouble
+    val nr = toks.size.toDouble
+    val lr = byB.map { case (b, ps) =>
+      val ct = ps.count(p => isT(p._1)).toDouble
+      b -> (math.log((ct + 0.5) / (nt + 0.5 * B)) -
+        math.log((ps.size + 0.5) / (nr + 0.5 * B)))
+    }
+    val want = toks.groupBy(_._1).map { case (id, ps) =>
+      val vs = ps.map(p => lr(bucket(p._2))).sorted
+      (id, ps.size.toLong,
+        BigDecimal(vs.foldLeft(0.0)(_ + _) / ps.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    assert(out.toSet == want, s"got $out want $want")
+    // empty doc 5 absent
+    assert(!out.exists(_._1 == 5L))
+    // resample: target docs score higher than the anti-target doc 3
+    val kept = Importance.dsirResample(d, "text", "doc_id",
+        col("src") === "t", frac = 0.5, buckets = B)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(Set(1L, 2L, 4L)) && kept.nonEmpty && !kept(3L))
+  }
+
   test("distinctAudit: exact counts right, sketch within tolerance on real corpus") {
     val out = Sketches.distinctAudit(docs, "text", "source").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
