@@ -134,6 +134,42 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       Dedup.paragraphDedup(rel("paragraph_dedup", args, 0), "text", "doc_id",
         minDocFreq = num("paragraph_dedup", args, 1, 5L))
     })
+    def str(fn: String, args: Seq[TfArg], i: Int): String =
+      args.lift(i) match {
+        case Some(TfArg.Lit(v: String)) => v
+        case other => throw new graft.translate.GraftAnalysisException(
+          s"$fn: argument ${i + 1} must be a string literal" +
+            other.fold("")(a => s", got $a"))
+      }
+    def dbl(fn: String, args: Seq[TfArg], i: Int): Double =
+      args.lift(i) match {
+        case Some(TfArg.Lit(v: Double)) => v
+        case Some(TfArg.Lit(v: Long))   => v.toDouble
+        case other => throw new graft.translate.GraftAnalysisException(
+          s"$fn: argument ${i + 1} must be a numeric literal" +
+            other.fold("")(a => s", got $a"))
+      }
+    catalog.registerTableFunction("dsir_scores", { args =>
+      arity("dsir_scores", args, 2, 3)
+      graft.operators.Importance.dsirScores(rel("dsir_scores", args, 0),
+        "text", "doc_id",
+        isTarget = org.apache.spark.sql.functions.col("source") ===
+          str("dsir_scores", args, 1),
+        buckets = num("dsir_scores", args, 2, 1024L).toInt)
+    })
+    catalog.registerTableFunction("dsir_resample", { args =>
+      arity("dsir_resample", args, 3, 4)
+      graft.operators.Importance.dsirResample(rel("dsir_resample", args, 0),
+        "text", "doc_id",
+        isTarget = org.apache.spark.sql.functions.col("source") ===
+          str("dsir_resample", args, 1),
+        frac = dbl("dsir_resample", args, 2),
+        buckets = num("dsir_resample", args, 3, 1024L).toInt)
+    })
+    catalog.registerTableFunction("distinct_audit", { args =>
+      arity("distinct_audit", args, 1, 1)
+      Sketches.distinctAudit(rel("distinct_audit", args, 0), "text", "source")
+    })
   }
 
   /** Register a custom relation-valued table function, callable from the

@@ -86,8 +86,15 @@ object Importance {
   def dsirResample(df: DataFrame, textCol: String, idCol: String,
                    isTarget: Column, frac: Double,
                    buckets: Int = 1024): DataFrame = {
+    // checkpoint the per-doc score table: the exact-quantile threshold
+    // makes several cheap passes over it (count + ≤6 histogram scans +
+    // the final filter), and without a materialization each pass would
+    // re-run the whole explode/model/fold pipeline. The table is one
+    // narrow (id, n_toks, score) row per document — orders of magnitude
+    // smaller than the corpus it scores
     val scored = dsirScores(df, textCol, idCol, isTarget, buckets)
       .where(col("score").isNotNull)
+      .localCheckpoint()
     val kept = Quantiles.keepTopFraction(scored, "score", frac)
     df.join(kept.select(col("id").as(idCol), col("score")), Seq(idCol))
   }

@@ -60,6 +60,29 @@ class TableFnSpec extends AnyFunSuite {
     assert(out == Seq(0L, 1L, 2L))
   }
 
+  test("dsir_scores / dsir_resample / distinct_audit table functions match the operator API") {
+    val docs = g.catalog.relation("documents")
+    val viaSql = g.sql(
+      "select id, n_toks, score from dsir_scores(documents, 'src0', 64) order by id")
+    val viaApi = graft.operators.Importance
+      .dsirScores(docs, "text", "doc_id", col("source") === "src0", buckets = 64)
+      .orderBy("id")
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+    // resample: double literal frac; kept set is a subset with scores
+    val kept = g.sql(
+      "select doc_id, score from dsir_resample(documents, 'src0', 0.5, 64)")
+    assert(kept.count() > 0 && kept.count() < docs.count())
+    val audit = g.sql(
+      "select source, exact_n, within_tol from distinct_audit(documents) order by source")
+      .collect()
+    assert(audit.nonEmpty && audit.forall(_.getInt(2) == 1))
+    // composes: threshold-filter the scores in plain SQL
+    val top = g.sql(
+      "select count(*) as n from dsir_scores(documents, 'src0', 64) where score > 0")
+      .collect().head.getLong(0)
+    assert(top > 0)
+  }
+
   test("error paths: unknown function, bad relation, bad arity") {
     val e1 = intercept[Exception](g.sql("select * from nope_fn(documents)"))
     assert(e1.getMessage.contains("unknown table function"))
