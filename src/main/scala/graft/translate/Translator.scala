@@ -783,10 +783,14 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     *    scan on non-empty input (and a full scan only when the input IS
     *    empty, i.e. when the main branch found nothing anyway).
     *
-    * Shapes the static row cannot represent fall back to Spark semantics:
-    * `grouping()`/`grouping_id()` projections (the grand row would need
-    * grouping flags, not NULLs) and HAVING/ORDER-BY expressions that mix
-    * aggregates with bare key references (invalid in a global context). */
+    * `grouping()`/`grouping_id()` in the projection/HAVING/ORDER BY are
+    * CONSTANTS on the grand row (every grouping column is grouped away:
+    * flag 1, id all-ones) and are substituted as literals before
+    * evaluation — so `HAVING grouping(k) = 1` keeps the synthetic row and
+    * `= 0` drops it, matching DuckDB (caught by fuzz f078/seed 9303).
+    * Shapes the static row still cannot represent (HAVING/ORDER-BY mixing
+    * aggregates with bare key refs — invalid in a global context) fall
+    * back to Spark semantics via the Try. */
   private def ansiEmptyGrandTotal(df: DataFrame, agged: DataFrame,
       s: Select, gb: Option[GroupBy]): DataFrame = {
     val includesEmptySet = gb.flatMap(_.sets) match {
@@ -799,7 +803,17 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
         acc || n.equalsIgnoreCase("grouping") || n.equalsIgnoreCase("grouping_id")
       case (acc, _) => acc
     }
-    if (s.projection.exists(p => usesGroupingFn(p.expr))) return agged
+    // on the () grouping set every grouping column is aggregated away:
+    // grouping(c) = 1 and grouping_id(...) has every bit set (no-arg
+    // grouping_id covers ALL grouping columns)
+    def substGroupingFlags(e: Expr): Expr = Expr.transform(e) {
+      case FuncCall(n, args, _) if n.equalsIgnoreCase("grouping") && args.nonEmpty =>
+        Lit(1L)
+      case FuncCall(n, args, _) if n.equalsIgnoreCase("grouping_id") =>
+        val nCols = if (args.nonEmpty) args.length
+                    else gb.map(_.exprs.length).getOrElse(0)
+        Lit((1L << nCols) - 1L)
+    }
     val isAgg: String => Boolean = graft.functions.Registry.isAggregate
     // (internal name, source expr) in the exact column order of `agged`
     val meta: Seq[(String, Expr)] =
@@ -817,7 +831,11 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     scala.util.Try {
       val grandCols = agged.schema.fields.toSeq.map { f =>
         metaMap.get(f.name) match {
-          case Some(e) if Expr.hasAggregate(e, isAgg) => expr(e).as(f.name)
+          case Some(e) if Expr.hasAggregate(e, isAgg) || usesGroupingFn(e) =>
+            // cast: substituted grouping literals are BIGINT; the main
+            // branch's column may be narrower (e.g. bare grouping() →
+            // tinyint) and union requires exact types
+            expr(substGroupingFlags(e)).cast(f.dataType).as(f.name)
           case _ => lit(null).cast(f.dataType).as(f.name)
         }
       }

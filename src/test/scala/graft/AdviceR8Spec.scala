@@ -160,6 +160,27 @@ class AdviceR8Spec extends AnyFunSuite {
         "where l_suppkey > 999999999 group by grouping sets ((l_returnflag))")
       .collect()
     assert(gs.isEmpty)
+    // grouping()/grouping_id() are CONSTANTS on the grand row (1 /
+    // all-ones) — projected AND in HAVING (fuzz f078, seed 9303)
+    val gf = g.sql(
+      "select l_returnflag as a, l_linestatus as b, " +
+        "cast(grouping(l_returnflag) as bigint) as ga, " +
+        "cast(grouping(l_linestatus) as bigint) as gb, " +
+        "cast(grouping_id(l_returnflag, l_linestatus) as bigint) as gid, " +
+        "cast(count(*) as bigint) as n from lineitem " +
+        "where l_suppkey > 999999999 group by rollup (l_returnflag, l_linestatus) " +
+        "having grouping(l_linestatus) = 1")
+      .collect()
+    assert(gf.length == 1 && gf.head.isNullAt(0) && gf.head.isNullAt(1) &&
+      gf.head.getLong(2) == 1L && gf.head.getLong(3) == 1L &&
+      gf.head.getLong(4) == 3L && gf.head.getLong(5) == 0L)
+    // ...and HAVING grouping(...) = 0 drops the synthetic row
+    val gf0 = g.sql(
+      "select l_returnflag as a, cast(count(*) as bigint) as n from lineitem " +
+        "where l_suppkey > 999999999 group by rollup (l_returnflag) " +
+        "having grouping(l_returnflag) = 0")
+      .collect()
+    assert(gf0.isEmpty)
     // non-empty input: unchanged totals (grand row not duplicated)
     val full = g.sql(
       "select l_returnflag as a, cast(count(*) as bigint) as n from lineitem " +

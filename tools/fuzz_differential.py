@@ -86,7 +86,41 @@ EVENT_TYPES = ["signup", "error", "click", "view", "purchase"]
 
 
 def gen_query(rng):
-    shape = rng.randrange(30)
+    shape = rng.randrange(34)
+    if shape == 30:  # FILTER (WHERE ...) aggregates + GROUP BY ALL
+        g = rng.choice(INT_COLS)
+        m = rng.randrange(3, 10)
+        return (f"select {g} % {m} as g, "
+                f"cast(count(*) filter (where {gen_pred(rng)}) as bigint) as cf, "
+                f"cast(sum(l_linenumber) filter (where {gen_pred(rng)}) as bigint) as sf, "
+                f"cast(count(*) as bigint) as n "
+                f"from lineitem where {gen_pred(rng)} group by all order by g")
+    if shape == 31:  # VALUES relation in FROM, joined + aggregated
+        m = rng.randrange(2, 5)
+        rows = ", ".join(f"({i}, '{f}')" for i, f in
+                         enumerate(rng.sample(["A", "N", "R"], 2)))
+        return (f"select v.tag as tag, cast(count(*) as bigint) as n, "
+                f"max(l_linenumber) as mx "
+                f"from (values {rows}) as v(tag, f) "
+                f"join lineitem on l_returnflag = v.f "
+                f"where l_suppkey % {m} = 0 and ({gen_pred(rng)}) "
+                f"group by v.tag order by tag")
+    if shape == 32:  # EXTRACT field breadth over naive-encoded event timestamps
+        t1, t2 = gen_ts(rng)
+        flds = rng.sample(["year", "month", "day", "hour", "minute"], 3)
+        cols = ", ".join(f"cast(extract({f} from ts) as bigint) as c{i}"
+                         for i, f in enumerate(flds))
+        return (f"select event_id as k, {cols} "
+                f"from events where ts >= timestamp '{t1}' and ts < timestamp '{t2}' "
+                f"and user_id % {rng.randrange(2, 6)} = 0 order by k")
+    if shape == 33:  # ORDER BY ALL over a grouped projection
+        k1 = rng.choice(STR_COLS)
+        g = rng.choice(INT_COLS)
+        m = rng.randrange(2, 8)
+        return (f"select {k1} as a, {g} % {m} as b, "
+                f"cast(count(*) as bigint) as n, max(l_orderkey) as mx "
+                f"from lineitem where {gen_pred(rng)} "
+                f"group by {k1}, {g} % {m} order by all")
     if shape == 22:  # ordered aggregates: ties order by the VALUE => equal
         # strings regardless of which tied row wins, so deterministic
         s = rng.choice(STR_COLS)
