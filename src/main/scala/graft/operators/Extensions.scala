@@ -993,7 +993,25 @@ object Extensions {
     "x72_dsir_resample" -> ((s, d) =>
       Importance.dsirResample(docs(s, d), "text", "doc_id",
           isTarget = col("source") === "src0", frac = 0.25, buckets = 256)
-        .select(col("doc_id"), col("score")).orderBy("doc_id"))
+        .select(col("doc_id"), col("score")).orderBy("doc_id")),
+    // ---- streaming DSIR: model offline (bounded bucket table), scores
+    // applied per-row on a file-replayed stream — stateless, no shuffle.
+    // The STREAMED scores hash-match the same DuckDB oracle as batch
+    // x71 (sorted fold ⇒ bit-identical), the strongest parity form ----
+    "x73_dsir_stream" -> ((s, d) => {
+      val dd = docs(s, d)
+      val model = Importance.dsirModel(dd, "text", "doc_id",
+        isTarget = col("source") === "src0", buckets = 256)
+      val in = replayStream(s, dd.select("doc_id", "text"))
+      val scored = Importance.applyDsirScore(in, "text", "doc_id", model, 256)
+      val outDir = java.nio.file.Files.createTempDirectory("x73_out_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("x73_ckpt_").toString
+      val q = scored.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir).orderBy("id")
+    })
   )
 
   /** DuckDB lambda syntax for the stopword-hit count used twice below. */
@@ -1354,6 +1372,8 @@ object Extensions {
       // same sorted-fold mean — ln/arithmetic written in the engine's
       // association order so the doubles are bit-identical pre-round
       "x71_dsir_scores" -> (duckDsirScores + " ORDER BY id"),
+      // the streamed scores must equal the batch oracle bit-for-bit
+      "x73_dsir_stream" -> (duckDsirScores + " ORDER BY id"),
       "x72_dsir_resample" -> (
         s"WITH sc AS ($duckDsirScores), " +
         "nn AS (SELECT id, score, row_number() OVER (ORDER BY score) AS rn, " +

@@ -79,6 +79,60 @@ object Importance {
         round(col("s") / col("n_toks"), 6).as("score"))
   }
 
+  /** The offline half of streaming DSIR: fit the two bucket models on a
+    * bounded reference corpus and return the per-bucket log-ratio table.
+    * Driver-held by DESIGN, like the IVF centroids: ≤ `buckets` (few K)
+    * entries regardless of corpus size — only the bucket aggregates come
+    * back from the cluster. Feed it to [[applyDsirScore]]. */
+  def dsirModel(df: DataFrame, textCol: String, idCol: String,
+                isTarget: Column, buckets: Int = 1024,
+                smoothing: Double = 0.5): Array[(Long, Double)] = {
+    val toks = Par.widen(df, idCol)
+      .select(isTarget.as("is_t"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("is_t"), bucketOf(col("tok"), buckets).as("b"))
+    val rows = toks.groupBy(col("b")).agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .collect() // ≤ `buckets` rows by construction
+    val nt = rows.map(_.getLong(1)).sum.toDouble
+    val nr = rows.map(_.getLong(2)).sum.toDouble
+    rows.map { r =>
+      r.getLong(0) ->
+        (math.log((r.getLong(1) + smoothing) / (nt + smoothing * buckets)) -
+          math.log((r.getLong(2) + smoothing) / (nr + smoothing * buckets)))
+    }.sortBy(_._1)
+  }
+
+  /** The online half: score rows — BATCH OR STREAMING — against a
+    * precomputed [[dsirModel]], row-at-a-time with no shuffle, grouping,
+    * or state: tokens → bucket → broadcast-literal map lookup → sorted
+    * fold. Same deploy shape as `Dedup.applyParagraphDedup` (model
+    * offline, stateless apply on live ingest). Per-token log-ratios are
+    * sorted BEFORE folding, so scores are bit-identical to the batch
+    * [[dsirScores]] on the same model corpus — the x73 parity contract.
+    * Unseen buckets (possible when the scored stream has tokens the
+    * model corpus lacked) contribute 0 — no evidence either way.
+    * Output: (id, n_toks, score); token-free rows are dropped. */
+  def applyDsirScore(df: DataFrame, textCol: String, idCol: String,
+                     model: Array[(Long, Double)],
+                     buckets: Int = 1024): DataFrame = {
+    val mlit = map_from_arrays(
+      array(model.map(e => lit(e._1)): _*),
+      array(model.map(e => lit(e._2)): _*))
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => t =!= "")
+    val lrs = transform(toks,
+      t => coalesce(element_at(mlit, bucketOf(t, buckets)), lit(0.0d)))
+    df.select(col(idCol).as("id"), lrs.as("__lrs"))
+      .where(size(col("__lrs")) > 0)
+      .select(col("id"), size(col("__lrs")).cast("long").as("n_toks"),
+        round(
+          aggregate(sort_array(col("__lrs")), lit(0.0d), (a, x) => a + x) /
+            size(col("__lrs")), 6).as("score"))
+  }
+
   /** Score-and-select: keep the most target-like `frac` of the corpus
     * by exact global score quantile. Returns the surviving rows of `df`
     * with their score attached. Token-free (NULL-score) documents are

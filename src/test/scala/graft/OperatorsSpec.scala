@@ -1054,6 +1054,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.subsetOf(Set(1L, 2L, 4L)) && kept.nonEmpty && !kept(3L))
   }
 
+  test("dsirModel + applyDsirScore: per-row apply is bit-identical to batch scores") {
+    val isT = col("source") === "src0"
+    val model = Importance.dsirModel(docs, "text", "doc_id", isT, buckets = 64)
+    assert(model.length <= 64 && model.map(_._1).distinct.length == model.length)
+    val applied = Importance.applyDsirScore(docs, "text", "doc_id", model, buckets = 64)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = Importance.dsirScores(docs, "text", "doc_id", isT, buckets = 64)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(applied.length == batch.length && applied.sameElements(batch))
+    // unseen-bucket path: a model missing buckets contributes 0, not null
+    val tiny = model.take(1)
+    val part = Importance.applyDsirScore(docs, "text", "doc_id", tiny, buckets = 64)
+    assert(part.where(col("score").isNull).count() == 0)
+  }
+
   test("distinctAudit: exact counts right, sketch within tolerance on real corpus") {
     val out = Sketches.distinctAudit(docs, "text", "source").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))

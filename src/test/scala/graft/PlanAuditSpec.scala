@@ -60,7 +60,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // audited by their own specs; skip the expensive harness runs here
     val skip = Set("x51_line_dedup_stream", "x52_interval_join_stream",
       "x55_count_window_stream", "x56_session_window_stream",
-      "x58_stream_dedup", "x64_paragraph_dedup_stream")
+      "x58_stream_dedup", "x64_paragraph_dedup_stream", "x73_dsir_stream")
     val violations = scala.collection.mutable.Buffer.empty[String]
     var audited = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
