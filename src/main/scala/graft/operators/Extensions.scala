@@ -994,6 +994,12 @@ object Extensions {
       Importance.dsirResample(docs(s, d), "text", "doc_id",
           isTarget = col("source") === "src0", frac = 0.25, buckets = 256)
         .select(col("doc_id"), col("score")).orderBy("doc_id")),
+    // ---- embedding-dimension covariance/correlation matrix: ONE
+    // bounded-buffer aggregation pass (dim² state), result dim² rows —
+    // whitening/PCA prep + feature-redundancy audit ----
+    "x74_dim_covariance" -> ((s, d) =>
+      Similarity.dimCovariance(emb(s, d), "embedding", "vec_id")
+        .orderBy("i", "j")),
     // ---- streaming DSIR: model offline (bounded bucket table), scores
     // applied per-row on a file-replayed stream — stateless, no shuffle.
     // The STREAMED scores hash-match the same DuckDB oracle as batch
@@ -1374,6 +1380,21 @@ object Extensions {
       "x71_dsir_scores" -> (duckDsirScores + " ORDER BY id"),
       // the streamed scores must equal the batch oracle bit-for-bit
       "x73_dsir_stream" -> (duckDsirScores + " ORDER BY id"),
+      // corr is recomputed FROM the 6-dp-rounded cov/variances, exactly
+      // mirroring the engine's arithmetic (see Similarity.dimCovariance)
+      "x74_dim_covariance" -> (
+        // `+ 0.0` normalizes IEEE -0.0 (DuckDB ROUND keeps the sign of a
+        // tiny negative; the engine's BigDecimal rounding yields +0.0)
+        "WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "c AS (SELECT i, j, ROUND(covar_pop(v[i], v[j]), 6) + 0.0 AS cov " +
+        "FROM e CROSS JOIN generate_series(1, 64) t1(i) " +
+        "CROSS JOIN generate_series(1, 64) t2(j) WHERE i <= j GROUP BY i, j) " +
+        "SELECT c.i, c.j, c.cov, " +
+        "CASE WHEN vi.cov <= 0 OR vj.cov <= 0 THEN 0.0 " +
+        "ELSE ROUND(c.cov / (sqrt(vi.cov) * sqrt(vj.cov)), 6) + 0.0 END AS corr " +
+        "FROM c JOIN c vi ON vi.i = c.i AND vi.j = c.i " +
+        "JOIN c vj ON vj.i = c.j AND vj.j = c.j " +
+        "ORDER BY c.i, c.j"),
       "x72_dsir_resample" -> (
         s"WITH sc AS ($duckDsirScores), " +
         "nn AS (SELECT id, score, row_number() OVER (ORDER BY score) AS rn, " +

@@ -262,6 +262,89 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Bounded-state second-moment accumulator: sums n, Σv (dim) and the
+    * upper triangle of Σ v vᵀ (dim·(dim+1)/2) in ONE flat double array.
+    * The buffer is dim²-sized and mergeable, so the whole covariance
+    * computation is a single map-side-combined pass — no posexplode²
+    * (dim²× row blowup on the wire) and no per-dim shuffles. */
+  final class SecondMoments(dim: Int)
+      extends Aggregator[Seq[Double], Array[Double], Array[Double]] {
+    private val nTri = dim * (dim + 1) / 2
+    def zero: Array[Double] = new Array[Double](1 + dim + nTri)
+    def reduce(b: Array[Double], v: Seq[Double]): Array[Double] = {
+      val a = v.toArray
+      b(0) += 1.0
+      var i = 0
+      var t = 1 + dim
+      while (i < dim) {
+        b(1 + i) += a(i)
+        var j = i
+        while (j < dim) { b(t) += a(i) * a(j); j += 1; t += 1 }
+        i += 1
+      }
+      b
+    }
+    def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    def finish(r: Array[Double]): Array[Double] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  /** Population covariance and Pearson correlation matrix of the
+    * embedding dimensions — the whitening/PCA prep and the
+    * feature-redundancy audit (which dimensions carry the same signal).
+    *
+    * Output: one row per upper-triangle pair (i, j), 1-based, with
+    * `cov` and `corr` rounded to 6 dp (zero-variance dims → corr 0).
+    *
+    * Determinism: cov = E[xy] − E[x]E[y] from the one-pass sums, ROUNDED
+    * at 6 dp; corr is then computed FROM the rounded cov/variances (the
+    * oracle mirrors that arithmetic), so partial-merge ulp drift
+    * (~1e-13 relative at any realistic scale) cannot leak into the
+    * output — the x38 pattern.
+    *
+    * Scale: ONE aggregation pass with a dim²-bounded buffer
+    * ([[SecondMoments]]); the shuffle carries one dim²-array per
+    * partition, the result is dim² rows — both independent of corpus
+    * size. Compare: `posexplode` twice would put dim²× the corpus on
+    * the wire. */
+  def dimCovariance(emb: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = Par.widen(emb, idCol)
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .as[Seq[Double]]
+    val dim = e.head().length
+    val agg = new SecondMoments(dim).toColumn
+    val m = e.select(agg).head()
+    val n = m(0)
+    def mean(i: Int) = m(1 + i) / n
+    def raw(i: Int, j: Int): Double = { // upper-triangle flat index
+      val t = 1 + dim + (i * (2 * dim - i + 1)) / 2 + (j - i)
+      m(t)
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = for {
+      i <- 0 until dim
+      j <- i until dim
+    } yield {
+      val cov = r6(raw(i, j) / n - mean(i) * mean(j))
+      val vi = r6(raw(i, i) / n - mean(i) * mean(i))
+      val vj = r6(raw(j, j) / n - mean(j) * mean(j))
+      val corr = if (vi <= 0.0 || vj <= 0.0) 0.0
+                 else r6(cov / (math.sqrt(vi) * math.sqrt(vj)))
+      ((i + 1).toLong, (j + 1).toLong, cov, corr)
+    }
+    rows.toDF("i", "j", "cov", "corr")
+  }
+
   /** Per-dimension z-score standardization of an embedding column —
     * the whitening-lite step before cosine/L2 retrieval or clustering
     * when dimensions have wildly different scales (common after

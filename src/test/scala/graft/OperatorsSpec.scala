@@ -1082,6 +1082,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dimCovariance: hand-computed 2-dim case; diagonal corr = 1; partition-invariant") {
+    val d = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)),
+      (3L, Array(3.0f, 6.0f)), (4L, Array(4.0f, 8.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.dimCovariance(d, "embedding", "vec_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    // var(x)=1.25, var(y)=5, cov=2.5, perfectly correlated
+    assert(out((1L, 1L)) == ((1.25, 1.0)))
+    assert(out((2L, 2L)) == ((5.0, 1.0)))
+    assert(out((1L, 2L)) == ((2.5, 1.0)))
+    // real corpus: dim² rows, diagonal corr exactly 1, symmetric
+    // bounds, and invariant under a different partitioning
+    val c1 = Similarity.dimCovariance(emb, "embedding", "vec_id")
+    val rows = c1.collect()
+    assert(rows.length == 64 * 65 / 2)
+    assert(rows.filter(r => r.getLong(0) == r.getLong(1)).forall(_.getDouble(3) == 1.0))
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0))
+    val c2 = Similarity.dimCovariance(emb.repartition(7), "embedding", "vec_id")
+    assert(c1.exceptAll(c2).isEmpty && c2.exceptAll(c1).isEmpty)
+  }
+
   test("standardize: z-scores recompute from raw stats; zero-variance dim maps to 0") {
     val d = Seq(
       (1L, Array(1.0f, 5.0f)), (2L, Array(3.0f, 5.0f)), (3L, Array(5.0f, 5.0f))

@@ -36,6 +36,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q22_rollup" -> (1, "ANSI empty-input grand-total guard: 1-row grand x first-row-probe anti join (both sides <= 1 row by construction)"),
     "q35_cube" -> (1, "ANSI empty-input grand-total guard (see q22)"),
     "q40_grouping_sets" -> (1, "ANSI empty-input grand-total guard (see q22)"),
+    // grouping()/grouping_id() projections now take the grand-total
+    // branch too (constants-substitution fix): same 1-row × 1-row guard
+    "q68_grouping_fn" -> (1, "ANSI empty-input grand-total guard (see q22)"),
+    "q74_rollup_fn" -> (1, "ANSI empty-input grand-total guard (see q22)"),
     "q36_sketches" -> (1, "cross join of 1-row sketch summaries"),
     "q72_table_fns" -> (1, "user query: cross join of two table functions (6x5 rows)"),
     "q77_corr_scalar_native" -> (2, "non-equality correlation is a theta join by semantics; inner side 25 rows, Catalyst-decorrelated"),
