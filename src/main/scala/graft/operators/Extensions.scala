@@ -1000,6 +1000,34 @@ object Extensions {
     "x74_dim_covariance" -> ((s, d) =>
       Similarity.dimCovariance(emb(s, d), "embedding", "vec_id")
         .orderBy("i", "j")),
+    // ---- PCA over embedding dims: model = driver Jacobi on the one-pass
+    // dim² covariance (model-sized, like IVF centroids); projection =
+    // codegen literal-component dots. Eigenvectors have no ANSI oracle →
+    // contract flags: eigenvalue order, orthonormality, and the
+    // end-to-end check var(projection_c) ≈ λ_c over the real corpus ----
+    "x75_pca" -> ((s, d) => {
+      val e = emb(s, d)
+      val model = Similarity.pcaFit(e, "embedding", "vec_id", k = 8)
+      val proj = Similarity.pcaProject(e, "embedding", "vec_id", model)
+        .localCheckpoint() // consumed twice: per-component variances + count
+      val evs = model.eigenvalues
+      val kk = evs.length
+      val sortedOk = evs.zip(evs.tail).forall { case (a, b) => a >= b } &&
+        evs.forall(_ >= 0.0)
+      val ortho = (for { a <- 0 until kk; b <- a until kk } yield {
+        val dp = model.components(a).zip(model.components(b))
+          .map { case (x, y) => x * y }.sum
+        math.abs(dp - (if (a == b) 1.0 else 0.0))
+      }).max < 1e-8
+      val vr = proj.select((0 until kk).map(i =>
+        var_pop(element_at(col("pc"), i + 1)).as(s"v$i")): _*).head()
+      val varOk = (0 until kk).forall(i => math.abs(vr.getDouble(i) - evs(i)) < 1e-4)
+      val nOk = proj.count() == e.count()
+      import s.implicits._
+      Seq((if (sortedOk) 1 else 0, if (ortho) 1 else 0,
+        if (varOk) 1 else 0, if (nOk) 1 else 0))
+        .toDF("eigs_sorted", "orthonormal", "proj_var_matches", "rows_preserved")
+    }),
     // ---- streaming DSIR: model offline (bounded bucket table), scores
     // applied per-row on a file-replayed stream — stateless, no shuffle.
     // The STREAMED scores hash-match the same DuckDB oracle as batch
@@ -1380,6 +1408,9 @@ object Extensions {
       "x71_dsir_scores" -> (duckDsirScores + " ORDER BY id"),
       // the streamed scores must equal the batch oracle bit-for-bit
       "x73_dsir_stream" -> (duckDsirScores + " ORDER BY id"),
+      "x75_pca" -> (
+        "SELECT CAST(1 AS INTEGER) AS eigs_sorted, CAST(1 AS INTEGER) AS orthonormal, " +
+        "CAST(1 AS INTEGER) AS proj_var_matches, CAST(1 AS INTEGER) AS rows_preserved"),
       // corr is recomputed FROM the 6-dp-rounded cov/variances, exactly
       // mirroring the engine's arithmetic (see Similarity.dimCovariance)
       "x74_dim_covariance" -> (

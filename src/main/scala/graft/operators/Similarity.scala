@@ -345,6 +345,92 @@ object Similarity {
     rows.toDF("i", "j", "cov", "corr")
   }
 
+  /** PCA model: eigenvalues (desc) and row-orthonormal components of the
+    * dimension covariance matrix. */
+  final case class PcaModel(eigenvalues: Array[Double],
+                            components: Array[Array[Double]])
+
+  /** Fit PCA over the embedding dimensions — dimensionality reduction
+    * for retrieval/clustering at a fraction of the storage.
+    *
+    * The covariance matrix comes from the SAME one-pass dim²-bounded
+    * [[SecondMoments]] aggregation as [[dimCovariance]] (6-dp-rounded
+    * entries, so the model is identical at any partitioning); the
+    * eigendecomposition runs on the DRIVER over the dim×dim matrix —
+    * model-sized work like the IVF centroid training, NOT a data-scale
+    * step. Cyclic Jacobi rotations (deterministic sweep order, fixed
+    * tolerance) with a sign convention (largest-|loading| coordinate
+    * positive) make the components reproducible. */
+  def pcaFit(emb: DataFrame, vecCol: String, idCol: String, k: Int): PcaModel = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = Par.widen(emb, idCol)
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .as[Seq[Double]]
+    val dim = e.head().length
+    require(k >= 1 && k <= dim, s"k=$k out of range [1, $dim]")
+    val m = e.select(new SecondMoments(dim).toColumn).head()
+    val n = m(0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val a = Array.ofDim[Double](dim, dim)
+    var t = 1 + dim
+    for (i <- 0 until dim; j <- i until dim) {
+      val cov = r6(m(t) / n - (m(1 + i) / n) * (m(1 + j) / n))
+      a(i)(j) = cov; a(j)(i) = cov; t += 1
+    }
+    // cyclic Jacobi: rotate away the largest off-diagonal mass, sweep by
+    // sweep, until convergence — O(dim³) driver work on a 64×64 matrix
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-12 && sweep < 100) {
+      off = 0.0
+      for (p <- 0 until dim; q <- p + 1 until dim) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-15) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val tt = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(tt * tt + 1.0)
+          val s = tt * c
+          for (i <- 0 until dim) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq; a(i)(q) = s * aip + c * aiq
+          }
+          for (i <- 0 until dim) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi; a(q)(i) = s * api + c * aqi
+          }
+          for (i <- 0 until dim) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq; v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until dim).sortBy(i => (-a(i)(i), i))
+    val comps = order.take(k).map { ci =>
+      val w = Array.tabulate(dim)(i => v(i)(ci))
+      // sign convention: the largest-|loading| coordinate is positive
+      val pivot = (0 until dim).maxBy(i => (math.abs(w(i)), -i))
+      if (w(pivot) < 0) w.map(-_) else w
+    }.toArray
+    PcaModel(order.take(k).map(i => math.max(a(i)(i), 0.0)).toArray, comps)
+  }
+
+  /** Project embeddings onto the model's components: k codegen'd
+    * [[dot]] probes against broadcast LITERAL component vectors — one
+    * narrow map over the corpus, no shuffle, no driver data path.
+    * Output: (vec_id, pc array<double>, length k). */
+  def pcaProject(emb: DataFrame, vecCol: String, idCol: String,
+                 model: PcaModel): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val probes = model.components.map(w => dot(v, array(w.map(lit): _*)))
+    Par.widen(emb, idCol)
+      .select(col(idCol).as("vec_id"), array(probes: _*).as("pc"))
+  }
+
   /** Per-dimension z-score standardization of an embedding column —
     * the whitening-lite step before cosine/L2 retrieval or clustering
     * when dimensions have wildly different scales (common after

@@ -1104,6 +1104,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c1.exceptAll(c2).isEmpty && c2.exceptAll(c1).isEmpty)
   }
 
+  test("pcaFit/pcaProject: known 2-dim geometry; components orthonormal; projection variance = eigenvalue") {
+    // points on the line y = 2x (plus symmetric noise on the orthogonal):
+    // first component must align with (1,2)/√5
+    val base = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0))
+    val noise = Seq((2.0 + 2.0 / math.sqrt(5), 4.0 - 1.0 / math.sqrt(5)),
+      (2.0 - 2.0 / math.sqrt(5), 4.0 + 1.0 / math.sqrt(5)))
+    val d = (base ++ noise).zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, Array(x.toFloat, y.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val m = Similarity.pcaFit(d, "embedding", "vec_id", k = 2)
+    assert(m.eigenvalues(0) >= m.eigenvalues(1) && m.eigenvalues(1) >= 0)
+    val w0 = m.components(0)
+    val expect = Array(1.0 / math.sqrt(5), 2.0 / math.sqrt(5))
+    assert(math.abs(math.abs(w0(0) * expect(0) + w0(1) * expect(1)) - 1.0) < 1e-3,
+      s"first component ${w0.toSeq} not aligned with y=2x")
+    // sign convention: largest-|loading| coordinate positive
+    assert(m.components.forall(w => w(w.map(math.abs).zipWithIndex.maxBy(p => (p._1, -p._2))._2) >= 0))
+    // real corpus: k=4 model, projection variance per component ≈ λ and
+    // the model is identical under a different partitioning
+    val m1 = Similarity.pcaFit(emb, "embedding", "vec_id", k = 4)
+    val m2 = Similarity.pcaFit(emb.repartition(7), "embedding", "vec_id", k = 4)
+    assert(m1.eigenvalues.sameElements(m2.eigenvalues))
+    assert(m1.components.zip(m2.components).forall { case (a, b) => a.sameElements(b) })
+    val proj = Similarity.pcaProject(emb, "embedding", "vec_id", m1)
+    val vr = proj.select((0 until 4).map(i =>
+      var_pop(element_at(col("pc"), i + 1)).as(s"v$i")): _*).head()
+    (0 until 4).foreach(i => assert(math.abs(vr.getDouble(i) - m1.eigenvalues(i)) < 1e-4))
+  }
+
   test("standardize: z-scores recompute from raw stats; zero-variance dim maps to 0") {
     val d = Seq(
       (1L, Array(1.0f, 5.0f)), (2L, Array(3.0f, 5.0f)), (3L, Array(5.0f, 5.0f))
