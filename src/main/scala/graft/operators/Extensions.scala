@@ -1000,6 +1000,26 @@ object Extensions {
     "x74_dim_covariance" -> ((s, d) =>
       Similarity.dimCovariance(emb(s, d), "embedding", "vec_id")
         .orderBy("i", "j")),
+    // ---- ANN recall audit: recall@k of the LSH and IVF paths vs the
+    // brute-force truth on the same query sample — the retrieval
+    // analogue of x69's sketch audit. Outputs are deterministic (both
+    // sides content-addressed) but not ANSI-recomputable → exact
+    // query-count plus threshold flags ----
+    "x76_ann_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.where(col("vec_id") % 50 === 0)
+      val truth = Similarity.bruteForceTopK(e, q, k = 10).localCheckpoint()
+      val lsh = Similarity.lshTopK(e, q, k = 10, tables = 8, bits = 4)
+      val ivf = Similarity.ivfTopK(e, q, k = 10, nlist = 8, nprobe = 4)
+      val a = Similarity.annRecall(lsh, truth).select(
+        col("n_queries"), col("mean_recall").as("lsh_mean"), col("min_recall").as("lsh_min"))
+      val b = Similarity.annRecall(ivf, truth).select(
+        col("n_queries").as("nq2"), col("mean_recall").as("ivf_mean"))
+      a.crossJoin(b).select(col("n_queries"),
+        (col("lsh_mean") >= 0.5).cast("int").as("lsh_recall_ok"),
+        (col("ivf_mean") >= 0.5).cast("int").as("ivf_recall_ok"),
+        (col("nq2") === col("n_queries")).cast("int").as("same_queries"))
+    }),
     // ---- PCA over embedding dims: model = driver Jacobi on the one-pass
     // dim² covariance (model-sized, like IVF centroids); projection =
     // codegen literal-component dots. Eigenvectors have no ANSI oracle →
@@ -1411,6 +1431,12 @@ object Extensions {
       "x75_pca" -> (
         "SELECT CAST(1 AS INTEGER) AS eigs_sorted, CAST(1 AS INTEGER) AS orthonormal, " +
         "CAST(1 AS INTEGER) AS proj_var_matches, CAST(1 AS INTEGER) AS rows_preserved"),
+      // query count is ANSI-recomputable; the recall thresholds are
+      // engine-side contract flags (LSH/IVF results have no SQL oracle)
+      "x76_ann_recall" -> (
+        "SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(1 AS INTEGER) AS lsh_recall_ok, " +
+        "CAST(1 AS INTEGER) AS ivf_recall_ok, CAST(1 AS INTEGER) AS same_queries " +
+        "FROM embeddings WHERE vec_id % 50 = 0"),
       // corr is recomputed FROM the 6-dp-rounded cov/variances, exactly
       // mirroring the engine's arithmetic (see Similarity.dimCovariance)
       "x74_dim_covariance" -> (

@@ -176,6 +176,31 @@ object Similarity {
     centroids
   }
 
+  /** ANN recall audit: measure recall@k of an approximate top-k result
+    * against the brute-force truth — the harness that justifies shipping
+    * the LSH/IVF path (the [[graft.operators.Sketches.distinctAudit]]
+    * pattern applied to retrieval). Both inputs are (qid, vec_id, …)
+    * top-k frames; recall = |approx ∩ truth| / |truth| per query.
+    * Output: (n_queries, mean_recall rounded 4, min_recall rounded 4).
+    *
+    * Scale: one keyed (qid, vec_id) semi-join + per-qid count aggregate
+    * over two ALREADY-k-bounded frames (k·|queries| rows) — audit cost
+    * is independent of corpus size; run it on a query sample, then ship
+    * the approximate-only pipeline with evidence. */
+  def annRecall(approx: DataFrame, truth: DataFrame): DataFrame = {
+    val t = truth.select(col("qid"), col("vec_id"))
+    val ap = approx.select(col("qid"), col("vec_id"))
+    val tn = t.groupBy("qid").agg(count(lit(1)).as("tn"))
+    val hit = t.join(ap, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    tn.join(hit, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("tn")).as("r"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("r")), 4).as("mean_recall"),
+        round(min(col("r")), 4).as("min_recall"))
+  }
+
   /** Index of the max-cosine centroid (codegen'd literal probes). */
   private def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>

@@ -1133,6 +1133,19 @@ class OperatorsSpec extends AnyFunSuite {
     (0 until 4).foreach(i => assert(math.abs(vr.getDouble(i) - m1.eigenvalues(i)) < 1e-4))
   }
 
+  test("annRecall: identity = 1.0, disjoint = 0.0, partial overlap exact") {
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)).toDF("qid", "vec_id")
+    val same = Similarity.annRecall(truth, truth).head()
+    assert(same.getLong(0) == 2 && same.getDouble(1) == 1.0 && same.getDouble(2) == 1.0)
+    val disj = Seq((1L, 99L), (2L, 98L)).toDF("qid", "vec_id")
+    val z = Similarity.annRecall(disj, truth).head()
+    assert(z.getDouble(1) == 0.0 && z.getDouble(2) == 0.0)
+    // q1 hits 1/2, q2 hits 2/2 → mean 0.75, min 0.5
+    val part = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L)).toDF("qid", "vec_id")
+    val p = Similarity.annRecall(part, truth).head()
+    assert(p.getDouble(1) == 0.75 && p.getDouble(2) == 0.5)
+  }
+
   test("standardize: z-scores recompute from raw stats; zero-variance dim maps to 0") {
     val d = Seq(
       (1L, Array(1.0f, 5.0f)), (2L, Array(3.0f, 5.0f)), (3L, Array(5.0f, 5.0f))
