@@ -170,6 +170,24 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       arity("distinct_audit", args, 1, 1)
       Sketches.distinctAudit(rel("distinct_audit", args, 0), "text", "source")
     })
+    // vector-corpus convention: embedding + vec_id columns
+    catalog.registerTableFunction("dim_covariance", { args =>
+      arity("dim_covariance", args, 1, 1)
+      graft.operators.Similarity.dimCovariance(
+        rel("dim_covariance", args, 0), "embedding", "vec_id")
+    })
+    catalog.registerTableFunction("standardize", { args =>
+      arity("standardize", args, 1, 1)
+      graft.operators.Similarity.standardize(
+        rel("standardize", args, 0), "embedding", "vec_id")
+    })
+    catalog.registerTableFunction("pca_project", { args =>
+      arity("pca_project", args, 2, 2)
+      val e = rel("pca_project", args, 0)
+      val model = graft.operators.Similarity.pcaFit(
+        e, "embedding", "vec_id", num("pca_project", args, 1, 8L).toInt)
+      graft.operators.Similarity.pcaProject(e, "embedding", "vec_id", model)
+    })
   }
 
   /** Register a custom relation-valued table function, callable from the

@@ -83,6 +83,23 @@ class TableFnSpec extends AnyFunSuite {
     assert(top > 0)
   }
 
+  test("embedding table functions: dim_covariance / standardize / pca_project from SQL") {
+    // diagonal of the covariance matrix has corr exactly 1
+    val diag = g.sql(
+      "select count(*) as n from dim_covariance(embeddings) where i = j and corr = 1.0")
+      .collect().head.getLong(0)
+    assert(diag == 64)
+    // standardized dim 3 has ~zero mean (stats are 6-dp-rounded)
+    val mz = g.sql(
+      "select round(avg(z[3]), 3) as m from standardize(embeddings)")
+      .collect().head.getDouble(0)
+    assert(math.abs(mz) <= 0.001)
+    // projection keeps every vector and emits k components
+    val p = g.sql("select * from pca_project(embeddings, 4)")
+    assert(p.count() == g.catalog.relation("embeddings").count())
+    assert(p.select(size(col("pc"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(4))
+  }
+
   test("error paths: unknown function, bad relation, bad arity") {
     val e1 = intercept[Exception](g.sql("select * from nope_fn(documents)"))
     assert(e1.getMessage.contains("unknown table function"))
