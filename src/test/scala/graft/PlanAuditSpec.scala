@@ -55,6 +55,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "x53_bm25" -> (1, "broadcast 1-row (N, avgdl) corpus stats"),
     "x63_heavy_hitters" -> (1, "broadcast 1-row total-token-count summary"),
     "x70_standardize" -> (1, "broadcast 1-row per-dimension (mean[], std[]) stats"),
+    "x76_ann_recall" -> (1, "1-row × 1-row recall-summary crossJoin"),
     "x54_quantized_topk" -> (1, "broadcast quantization-scale summary (model-sized)"))
 
   test("no gate plans a BroadcastNestedLoopJoin or an engine-chosen global window") {
