@@ -98,4 +98,32 @@ object Curation {
                     budget: Long, shards: Int = 8): DataFrame =
     packSequences(docs, idCol, tokenCol, budget,
       pmod(xxhash64(col(idCol)), lit(shards.toLong)))
+
+  /** Publish the curated corpus as `shards` size-balanced parquet shards —
+    * the final step of a training-data pipeline (downstream loaders want
+    * uniform shard sizes for even data-parallel reads).
+    *
+    * Shard assignment is content-addressed (xxhash64 of the id, the
+    * repo-wide sampling convention): a row lands in the same shard across
+    * runs, partitionings, and cluster sizes, and shard row-counts
+    * concentrate tightly around n/shards (multiplicative Chernoff: ±1% at
+    * 10⁶ rows/shard). `repartition(shards, shardCol)` makes each shard
+    * exactly one task's output file — one shuffle, then a straight
+    * columnar write; no global sort, no driver involvement.
+    *
+    * Returns per-shard (shard, n_rows) read back from the written files —
+    * the audit a publish step should emit. */
+  def writeShards(docs: DataFrame, idCol: String, outDir: String,
+                  shards: Int): DataFrame = {
+    require(shards >= 1, "need at least one shard")
+    val shardCol = pmod(xxhash64(col(idCol)), lit(shards.toLong))
+    docs.withColumn("shard", shardCol)
+      .repartition(shards, col("shard"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(outDir)
+    docs.sparkSession.read.parquet(outDir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
 }

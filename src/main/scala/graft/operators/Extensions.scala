@@ -1000,6 +1000,19 @@ object Extensions {
     "x74_dim_covariance" -> ((s, d) =>
       Similarity.dimCovariance(emb(s, d), "embedding", "vec_id")
         .orderBy("i", "j")),
+    // ---- balanced shard publish: content-addressed shard assignment,
+    // one shuffle, one file per shard; stats read back FROM THE FILES so
+    // the gate checks the real written output (totals ANSI-recomputable;
+    // the xxhash64 placement is engine-side, flag-checked) ----
+    "x77_write_shards" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("x77_shards_").toString
+      val stats = Curation.writeShards(docs(s, d), "doc_id", dir, shards = 8)
+        .localCheckpoint() // aggregated twice below
+      stats.agg(
+        sum(col("n_rows")).as("total_rows"),
+        count(lit(1)).as("n_shards"),
+        (max(col("n_rows")) * 2 < min(col("n_rows")) * 5).cast("int").as("balanced"))
+    }),
     // ---- ANN recall audit: recall@k of the LSH and IVF paths vs the
     // brute-force truth on the same query sample — the retrieval
     // analogue of x69's sketch audit. Outputs are deterministic (both
@@ -1431,6 +1444,9 @@ object Extensions {
       "x75_pca" -> (
         "SELECT CAST(1 AS INTEGER) AS eigs_sorted, CAST(1 AS INTEGER) AS orthonormal, " +
         "CAST(1 AS INTEGER) AS proj_var_matches, CAST(1 AS INTEGER) AS rows_preserved"),
+      "x77_write_shards" -> (
+        "SELECT count(*) AS total_rows, CAST(8 AS BIGINT) AS n_shards, " +
+        "CAST(1 AS INTEGER) AS balanced FROM documents"),
       // query count is ANSI-recomputable; the recall thresholds are
       // engine-side contract flags (LSH/IVF results have no SQL oracle)
       "x76_ann_recall" -> (

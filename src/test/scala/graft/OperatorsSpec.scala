@@ -1133,6 +1133,30 @@ class OperatorsSpec extends AnyFunSuite {
     (0 until 4).foreach(i => assert(math.abs(vr.getDouble(i) - m1.eigenvalues(i)) < 1e-4))
   }
 
+  test("writeShards: disjoint covering, content-addressed placement, one file per shard") {
+    val dir = java.nio.file.Files.createTempDirectory("shards_test_").toString
+    val stats = Curation.writeShards(docs, "doc_id", dir, shards = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats.keySet == Set(0L, 1L, 2L, 3L))
+    assert(stats.values.sum == docs.count())
+    // re-reading assigns every row to the shard its id hashes to
+    val back = docs.sparkSession.read.parquet(dir)
+      .select(col("doc_id"), col("shard").cast("long").as("s"))
+      .where(pmod(xxhash64(col("doc_id")), lit(4L)) =!= col("s"))
+    assert(back.count() == 0)
+    // exactly one data file per shard directory (repartition by shard col)
+    (0 to 3).foreach { sh =>
+      val files = new java.io.File(s"$dir/shard=$sh")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $sh has ${files.length} files")
+    }
+    // idempotent placement: writing again yields identical stats
+    val dir2 = java.nio.file.Files.createTempDirectory("shards_test2_").toString
+    val stats2 = Curation.writeShards(docs.repartition(13), "doc_id", dir2, shards = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats2 == stats)
+  }
+
   test("annRecall: identity = 1.0, disjoint = 0.0, partial overlap exact") {
     val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)).toDF("qid", "vec_id")
     val same = Similarity.annRecall(truth, truth).head()
