@@ -1000,6 +1000,24 @@ object Extensions {
     "x74_dim_covariance" -> ((s, d) =>
       Similarity.dimCovariance(emb(s, d), "embedding", "vec_id")
         .orderBy("i", "j")),
+    // ---- GK quantile-sketch audit: approx_percentile (mergeable
+    // bounded state, the one-pass/streaming quantile path) vs the true
+    // order statistics; the rank-error BOUND is deterministic for any
+    // merge order, so the flags are stable. Complements x68's exact
+    // selection ----
+    "x79_quantile_audit" -> ((s, d) =>
+      Sketches.quantileAudit(docs(s, d), "n_chars", Seq(0.25, 0.5, 0.75))),
+    // ---- canonical text normalization (control/zero-width strip,
+    // whitespace collapse): deterministic dirty-text injection so the
+    // operator has work; md5 of the normalized text is the contract ----
+    "x78_normalize_text" -> ((s, d) => {
+      val injected = concat(col("text"),
+        lit("\u0001 padded\u00A0 tail\u200Bword \u0007end  "))
+      docs(s, d).select(col("doc_id"),
+          md5(TextAnalysis.normalizeText(injected)).as("h"),
+          length(TextAnalysis.normalizeText(injected)).cast("long").as("n_after"))
+        .orderBy("doc_id")
+    }),
     // ---- balanced shard publish: content-addressed shard assignment,
     // one shuffle, one file per shard; stats read back FROM THE FILES so
     // the gate checks the real written output (totals ANSI-recomputable;
@@ -1444,6 +1462,21 @@ object Extensions {
       "x75_pca" -> (
         "SELECT CAST(1 AS INTEGER) AS eigs_sorted, CAST(1 AS INTEGER) AS orthonormal, " +
         "CAST(1 AS INTEGER) AS proj_var_matches, CAST(1 AS INTEGER) AS rows_preserved"),
+      "x79_quantile_audit" -> (
+        "SELECT count(*) AS n, CAST(1 AS INTEGER) AS ok_q25, " +
+        "CAST(1 AS INTEGER) AS ok_q50, CAST(1 AS INTEGER) AS ok_q75 " +
+        "FROM documents WHERE n_chars IS NOT NULL"),
+      // identical injection via chr(); RE2 \x{...} escapes mirror the
+      // Java-regex \uXXXX classes in TextAnalysis.normalizeText
+      "x78_normalize_text" -> (
+        "WITH inj AS (SELECT doc_id, text || chr(1) || ' padded' || chr(160) || " +
+        "' tail' || chr(8203) || 'word ' || chr(7) || 'end  ' AS t FROM documents), " +
+        "n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(t, " +
+        "'[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'), " +
+        "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', ' ', 'g'), " +
+        "'[\\s\\x{00A0}]+', ' ', 'g')) AS nt FROM inj) " +
+        "SELECT doc_id, md5(nt) AS h, CAST(length(nt) AS BIGINT) AS n_after " +
+        "FROM n ORDER BY doc_id"),
       "x77_write_shards" -> (
         "SELECT count(*) AS total_rows, CAST(8 AS BIGINT) AS n_shards, " +
         "CAST(1 AS INTEGER) AS balanced FROM documents"),

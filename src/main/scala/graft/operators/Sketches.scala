@@ -116,6 +116,40 @@ object Sketches {
     * merge is order-insensitive, so the same data yields the same
     * estimate at any parallelism. Output: (group, exact_n, within_tol).
     */
+  /** Quantile-sketch audit: check that `approx_percentile`'s answers
+    * (Greenwald–Khanna summaries — mergeable bounded state, the
+    * streaming/100 TB quantile path) land within their guaranteed rank
+    * error of the true order statistics. For each q the sketch value's
+    * rank interval [#below+1, #atMost] must come within
+    * `n·(1/accuracy + tolFrac)` ranks of ⌊(n−1)q⌋+1. The FLAG is
+    * deterministic even though GK merge order isn't: the bound holds for
+    * any merge order. Complements [[graft.operators.Quantiles]] — exact
+    * selection when the threshold must be reproducible, audited sketch
+    * when a one-pass mergeable summary is the constraint. Output: one
+    * row (n, ok_q1, ok_q2, …). */
+  def quantileAudit(df: DataFrame, colName: String, qs: Seq[Double],
+                    accuracy: Int = 1000, tolFrac: Double = 0.01): DataFrame = {
+    val x = col(colName).cast("long")
+    val base = df.where(x.isNotNull).select(x.as("x"))
+    val n = base.count()
+    val approxes = base.agg(
+      percentile_approx(col("x"), array(qs.map(lit): _*), lit(accuracy)).as("a"))
+      .head().getSeq[Long](0)
+    val tol = math.max(1L, math.ceil(n * (1.0 / accuracy + tolFrac)).toLong)
+    val flags = qs.zip(approxes).map { case (q, a) =>
+      val below = base.where(col("x") < a).count()
+      val atMost = base.where(col("x") <= a).count()
+      val target = math.floor((n - 1) * q).toLong + 1
+      target >= below + 1 - tol && target <= atMost + tol
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, flags.map(f => if (f) 1 else 0))).toDF("n", "oks")
+      .select(col("n") +:
+        qs.indices.map(i => element_at(col("oks"), i + 1)
+          .as(s"ok_q${(qs(i) * 100).round}")): _*)
+  }
+
   def distinctAudit(df: DataFrame, keyCol: String, groupCol: String,
                     rsd: Double = 0.05, tol: Double = 0.15): DataFrame =
     df.groupBy(col(groupCol))

@@ -636,4 +636,21 @@ object TextAnalysis {
         score.as("score"),
         coalesce((score >= 0.5).cast("int"), lit(0)).as("keep"))
   }
+
+  /** Canonical text normalization — the cleanup pass before hashing,
+    * dedup keys, or tokenization: strip C0/C1 control characters and
+    * zero-width/BOM codepoints, collapse every whitespace run (incl.
+    * NBSP) to one space, trim. Pure codegen regexp chain — linear, no
+    * shuffle; RE2-compatible patterns so an external oracle applies the
+    * identical regexes. Deliberately NOT lossy beyond that (no case
+    * folding, no accent stripping — those are policy, composable via
+    * `lower()` where wanted). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        // zero-width/BOM are DELETED (they join word halves); control
+        // chars become spaces (they separate)
+        regexp_replace(text, "[\\u200B\\u200C\\u200D\\uFEFF]", ""),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", " "),
+      "[\\s\\u00A0]+", " "))
 }

@@ -1133,6 +1133,29 @@ class OperatorsSpec extends AnyFunSuite {
     (0 until 4).foreach(i => assert(math.abs(vr.getDouble(i) - m1.eigenvalues(i)) < 1e-4))
   }
 
+  test("normalizeText: control/zero-width strip, whitespace collapse, trim") {
+    val d = Seq(
+      (1L, "a\u0001b"), (2L, "a\u00A0 b"), (3L, "zero\u200Bwidth"),
+      (4L, "  lots   of\t\nspace  "), (5L, "clean text"), (6L, "")
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b")          // control char → space
+    assert(out(2L) == "a b")          // NBSP folded into the run
+    assert(out(3L) == "zerowidth")    // zero-width removed...
+    assert(out(4L) == "lots of space")
+    assert(out(5L) == "clean text")   // already-clean text untouched
+    assert(out(6L) == "")
+  }
+
+  test("quantileAudit: GK sketch within rank tolerance; flags stable under repartition") {
+    val a1 = Sketches.quantileAudit(docs, "n_chars", Seq(0.25, 0.5, 0.75)).head()
+    assert(a1.getLong(0) == docs.where(col("n_chars").isNotNull).count())
+    (1 to 3).foreach(i => assert(a1.getInt(i) == 1, s"flag $i"))
+    val a2 = Sketches.quantileAudit(docs.repartition(7), "n_chars", Seq(0.25, 0.5, 0.75)).head()
+    (1 to 3).foreach(i => assert(a2.getInt(i) == 1))
+  }
+
   test("writeShards: disjoint covering, content-addressed placement, one file per shard") {
     val dir = java.nio.file.Files.createTempDirectory("shards_test_").toString
     val stats = Curation.writeShards(docs, "doc_id", dir, shards = 4)
