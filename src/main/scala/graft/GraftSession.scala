@@ -170,6 +170,16 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       arity("distinct_audit", args, 1, 1)
       Sketches.distinctAudit(rel("distinct_audit", args, 0), "text", "source")
     })
+    // text-cleanup scalar functions in the dialect registry (usable in
+    // any expression position, not just as whole-relation transforms)
+    graft.functions.Registry.registerScalar("normalize_text") { as =>
+      require(as.length == 1, "normalize_text(text)")
+      graft.operators.TextAnalysis.normalizeText(as.head)
+    }
+    graft.functions.Registry.registerScalar("redact_pii") { as =>
+      require(as.length == 1, "redact_pii(text)")
+      graft.operators.TextAnalysis.redactPII(as.head)
+    }
     // vector-corpus convention: embedding + vec_id columns
     catalog.registerTableFunction("dim_covariance", { args =>
       arity("dim_covariance", args, 1, 1)

@@ -100,6 +100,17 @@ class TableFnSpec extends AnyFunSuite {
     assert(p.select(size(col("pc"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(4))
   }
 
+  test("normalize_text / redact_pii scalar functions usable from any SQL expression") {
+    val t = g.sql("select normalize_text(concat('  a', chr(1), 'b   c  ')) as t")
+      .collect().head.getString(0)
+    assert(t == "a b c")
+    val r = g.sql(
+      "select count(*) as n from documents " +
+      "where redact_pii(text || ' x@y.com') like '%<EMAIL>%'")
+      .collect().head.getLong(0)
+    assert(r == g.catalog.relation("documents").count())
+  }
+
   test("error paths: unknown function, bad relation, bad arity") {
     val e1 = intercept[Exception](g.sql("select * from nope_fn(documents)"))
     assert(e1.getMessage.contains("unknown table function"))
