@@ -826,6 +826,15 @@ object SparkEntry {
       "from gopher_flags(documents) as gfl " +
       "join oov_rate(documents, 50) as o on gfl.id = o.id " +
       "order by id")),
+    // ---- q110: grouped exact quantiles via the `percentile` aggregate
+    // (exact interpolated — per-group state is group-sized, the right
+    // tool when groups are bounded; the GLOBAL unbounded case is
+    // Quantiles' histogram selection, x68). Median of ints interpolates
+    // at .5 exactly; p90 rounds at 6 dp on both engines ----
+    "q110_group_quantiles" -> ((s, d) => g(s, d).sql(
+      "select source, round(percentile(n_chars, 0.5), 6) as med, " +
+      "round(percentile(n_chars, 0.9), 6) as p90, " +
+      "count(*) as n from documents group by source order by source")),
     // ---- datetime constructors: field-wise date/timestamp assembly ----
     "q99_datetime_ctor" -> ((s, d) => g(s, d).sql(
       "select o_orderkey as k, " +
@@ -1245,6 +1254,12 @@ object SparkEntry {
       ("SELECT event_id AS k, event_type AS et, ROUND(value, 4) AS v FROM events " +
        "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00' " +
        "AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 12:00:00' ORDER BY k"),
+    // q110: DuckDB quantile_cont uses the same linear interpolation as
+    // Spark's exact percentile; 6-dp round absorbs float assoc noise
+    "q110_group_quantiles" ->
+      ("SELECT source, ROUND(quantile_cont(n_chars, 0.5), 6) AS med, " +
+       "ROUND(quantile_cont(n_chars, 0.9), 6) AS p90, " +
+       "count(*) AS n FROM documents GROUP BY source ORDER BY source"),
     // q109: both table-function pipelines re-derived in DuckDB (gopher
     // keep flag ≡ x65's rule set; oov_rate ≡ x61's with vocabK=50)
     "q109_pipeline_fns" ->
