@@ -23,7 +23,14 @@ class MutationFuzzSpec extends AnyFunSuite {
     "insert into scratch_mut values (1, 'x')",
     "select * from (select n_nationkey as k, n_name from nation) t where t.k between 2 and 9 order by t.k",
     "select l_orderkey as k from lineitem where exists (select 1 from orders o where o.o_orderkey = lineitem.l_orderkey) order by k limit 5",
-    "select string_agg(n_name, ',' order by n_name) as names from nation where n_regionkey = 0")
+    "select string_agg(n_name, ',' order by n_name) as names from nation where n_regionkey = 0",
+    // round-8 surface: FILTER aggregates, GROUP/ORDER BY ALL, VALUES
+    // relations, EXTRACT, table functions, scalar registry fns
+    "select l_returnflag as f, count(*) filter (where l_quantity > 10) as cf, sum(l_linenumber) as sl from lineitem group by all order by all",
+    "select v.tag as tag, count(*) as n from (values (1, 'A'), (2, 'N')) as v(tag, f) join lineitem on l_returnflag = v.f group by v.tag order by tag",
+    "select event_id as k, extract(hour from ts) as h from events where extract(month from ts) = 1 order by k limit 20",
+    "select id, keep from gopher_flags(documents) where n_words > 10 order by id limit 5",
+    "select doc_id, normalize_text(text) as t from documents where redact_pii(text) <> text order by doc_id limit 5")
 
   private val crashClasses: Set[Class[_]] = Set(
     classOf[MatchError], classOf[NullPointerException],
