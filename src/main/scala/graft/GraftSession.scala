@@ -149,9 +149,22 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
           s"$fn: argument ${i + 1} must be a numeric literal" +
             other.fold("")(a => s", got $a"))
       }
+    // corpus convention: dsir/distinct_audit slice on a `source` column —
+    // checked EAGERLY so the dialect error names the convention instead
+    // of a raw Spark unresolved-column failure at action time (r8 advisory)
+    def reqCol(fn: String, df: org.apache.spark.sql.DataFrame, c: String,
+               why: String): org.apache.spark.sql.DataFrame = {
+      if (!df.columns.exists(_.equalsIgnoreCase(c)))
+        throw new graft.translate.GraftAnalysisException(
+          s"$fn: input relation must have a `$c` column ($why); " +
+            s"found columns: ${df.columns.mkString(", ")}")
+      df
+    }
     catalog.registerTableFunction("dsir_scores", { args =>
       arity("dsir_scores", args, 2, 3)
-      graft.operators.Importance.dsirScores(rel("dsir_scores", args, 0),
+      graft.operators.Importance.dsirScores(
+        reqCol("dsir_scores", rel("dsir_scores", args, 0), "source",
+          "the corpus slice the target-literal argument selects"),
         "text", "doc_id",
         isTarget = org.apache.spark.sql.functions.col("source") ===
           str("dsir_scores", args, 1),
@@ -159,16 +172,33 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     })
     catalog.registerTableFunction("dsir_resample", { args =>
       arity("dsir_resample", args, 3, 4)
-      graft.operators.Importance.dsirResample(rel("dsir_resample", args, 0),
+      graft.operators.Importance.dsirResample(
+        reqCol("dsir_resample", rel("dsir_resample", args, 0), "source",
+          "the corpus slice the target-literal argument selects"),
         "text", "doc_id",
         isTarget = org.apache.spark.sql.functions.col("source") ===
           str("dsir_resample", args, 1),
         frac = dbl("dsir_resample", args, 2),
         buckets = num("dsir_resample", args, 3, 1024L).toInt)
     })
+    // grouped quantile_cont with BOUNDED executor state (histogram
+    // refinement) — the documented alternative to the dialect's exact
+    // `percentile` aggregate when one group holds an unbounded corpus
+    // slice (percentile buffers whole groups; this never does)
+    catalog.registerTableFunction("grouped_quantiles", { args =>
+      arity("grouped_quantiles", args, 4, 5)
+      graft.operators.Quantiles.groupedExactQuantiles(
+        rel("grouped_quantiles", args, 0),
+        str("grouped_quantiles", args, 1), str("grouped_quantiles", args, 2),
+        Seq("q" -> dbl("grouped_quantiles", args, 3)),
+        buckets = num("grouped_quantiles", args, 4, 4096L).toInt)
+    })
     catalog.registerTableFunction("distinct_audit", { args =>
       arity("distinct_audit", args, 1, 1)
-      Sketches.distinctAudit(rel("distinct_audit", args, 0), "text", "source")
+      Sketches.distinctAudit(
+        reqCol("distinct_audit", rel("distinct_audit", args, 0), "source",
+          "per-source distinct counts are grouped on it"),
+        "text", "source")
     })
     // text-cleanup scalar functions in the dialect registry (usable in
     // any expression position, not just as whole-relation transforms)

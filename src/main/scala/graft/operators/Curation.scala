@@ -122,8 +122,13 @@ object Curation {
       .write.mode("overwrite")
       .partitionBy("shard")
       .parquet(outDir)
+    // materialize NOW (eager localCheckpoint): the audit must reflect the
+    // files as just written — a lazy frame over the directory would
+    // silently re-read (and change) after any later overwrite of outDir
+    // (round-8 advisory)
     docs.sparkSession.read.parquet(outDir)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint(true)
   }
 }

@@ -28,9 +28,27 @@ object Extensions {
     * does not contractually preserve row order — those keep the
     * single-partition MemoryStream feed. */
   private def replayStream(s: SparkSession, df: DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_replay_").toString
+    val dir = tempDir("graft_replay_")
     df.write.mode("overwrite").parquet(dir)
     s.readStream.schema(df.schema).parquet(dir)
+  }
+
+  /** Gate-harness temp directory, deleted recursively at JVM exit —
+    * repeated bench/verify runs no longer leak disk (round-8 advisory). */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(): Unit
+      }
+      tempDirs.forEach(rm(_))
+    }))
+  }
+  private[graft] def tempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(d.toFile)
+    d.toString
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -152,8 +170,8 @@ object Extensions {
       val streamed = Dedup.applyParagraphDedup(in, "text", "doc_id", hot)
         .select(col("doc_id"), col("n_kept"), col("n_removed"),
           md5(col("cleaned")).as("h"))
-      val outDir = java.nio.file.Files.createTempDirectory("x64_out_").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("x64_ckpt_").toString
+      val outDir = tempDir("x64_out_")
+      val ckpt = tempDir("x64_ckpt_")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = try streamed.writeStream.format("parquet")
@@ -467,8 +485,8 @@ object Extensions {
       val streamed = Dedup.applyLineDedup(in, "text", "doc_id", hot)
         .select(col("doc_id"), col("n_kept"), col("n_removed"),
           md5(col("cleaned")).as("h"))
-      val outDir = java.nio.file.Files.createTempDirectory("x51_out_").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("x51_ckpt_").toString
+      val outDir = tempDir("x51_out_")
+      val ckpt = tempDir("x51_ckpt_")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = try streamed.writeStream.format("parquet")
@@ -966,6 +984,18 @@ object Extensions {
       import s.implicits._
       Seq((q25, q50, q75, nKept)).toDF("q25", "q50", "q75", "n_kept")
     }),
+    // ---- grouped exact INTERPOLATED quantiles with BOUNDED executor
+    // state (r9): iterative histogram refinement over ALL (source, rank)
+    // targets at once — per-pass hash-agg state ≤ tasks·buckets entries
+    // regardless of group sizes, vs dialect `percentile` (q110) whose
+    // buffer is group-sized. quantile_cont semantics, oracle-exact ----
+    "x80_grouped_quantiles" -> ((s, d) =>
+      Quantiles.groupedExactQuantiles(docs(s, d), "source", "n_chars",
+        Seq("q25" -> 0.25, "med" -> 0.5, "p90" -> 0.9))
+        .select(col("source"), round(col("q25"), 6).as("q25"),
+          round(col("med"), 6).as("med"), round(col("p90"), 6).as("p90"),
+          col("n"))
+        .orderBy("source")),
     // ---- HLL++ distinct-count audit: exact-vs-sketch per source; the
     // flag (not the estimate) is the deterministic cross-engine output ----
     "x69_distinct_audit" -> ((s, d) =>
@@ -1023,7 +1053,7 @@ object Extensions {
     // the gate checks the real written output (totals ANSI-recomputable;
     // the xxhash64 placement is engine-side, flag-checked) ----
     "x77_write_shards" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("x77_shards_").toString
+      val dir = tempDir("x77_shards_")
       val stats = Curation.writeShards(docs(s, d), "doc_id", dir, shards = 8)
         .localCheckpoint() // aggregated twice below
       stats.agg(
@@ -1038,7 +1068,13 @@ object Extensions {
     // query-count plus threshold flags ----
     "x76_ann_recall" -> ((s, d) => {
       val e = emb(s, d)
-      val q = e.where(col("vec_id") % 50 === 0)
+      // FIXED query sample (r9): the modulo alone grows the sample with
+      // the corpus, making the brute-force truth quadratic at scale; the
+      // id cap pins it to the sf0.1-sized set (≤ 40 queries — identical
+      // at the sf0.01/sf0.1 gate scales, capped beyond), so the audit is
+      // LINEAR in corpus size — the production posture the scaladoc
+      // prescribes ("run it on a query sample")
+      val q = e.where(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
       val truth = Similarity.bruteForceTopK(e, q, k = 10).localCheckpoint()
       val lsh = Similarity.lshTopK(e, q, k = 10, tables = 8, bits = 4)
       val ivf = Similarity.ivfTopK(e, q, k = 10, nlist = 8, nprobe = 4)
@@ -1089,8 +1125,8 @@ object Extensions {
         isTarget = col("source") === "src0", buckets = 256)
       val in = replayStream(s, dd.select("doc_id", "text"))
       val scored = Importance.applyDsirScore(in, "text", "doc_id", model, 256)
-      val outDir = java.nio.file.Files.createTempDirectory("x73_out_").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("x73_ckpt_").toString
+      val outDir = tempDir("x73_out_")
+      val ckpt = tempDir("x73_ckpt_")
       val q = scored.writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", ckpt)
         .outputMode("append").start()
@@ -1485,7 +1521,15 @@ object Extensions {
       "x76_ann_recall" -> (
         "SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(1 AS INTEGER) AS lsh_recall_ok, " +
         "CAST(1 AS INTEGER) AS ivf_recall_ok, CAST(1 AS INTEGER) AS same_queries " +
-        "FROM embeddings WHERE vec_id % 50 = 0"),
+        "FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000"),
+      // DuckDB quantile_cont: same (n−1)·q fractional-index linear
+      // interpolation the engine computes (decimal-exact index, double
+      // value); 6-dp round absorbs the engines' h-arithmetic ulps
+      "x80_grouped_quantiles" -> (
+        "SELECT source, ROUND(quantile_cont(n_chars, 0.25), 6) AS q25, " +
+        "ROUND(quantile_cont(n_chars, 0.50), 6) AS med, " +
+        "ROUND(quantile_cont(n_chars, 0.90), 6) AS p90, " +
+        "count(n_chars) AS n FROM documents GROUP BY source ORDER BY source"),
       // corr is recomputed FROM the 6-dp-rounded cov/variances, exactly
       // mirroring the engine's arithmetic (see Similarity.dimCovariance)
       "x74_dim_covariance" -> (

@@ -93,14 +93,24 @@ object Quantiles {
     lo
   }
 
+  /** 0-based sorted index ⌊(n−1)·q⌋, computed in DECIMAL arithmetic: `q`
+    * is interpreted at its shortest decimal representation (the number the
+    * caller typed), so q=0.29, n=101 gives exactly 100·0.29 = 29 — double
+    * multiplication yields 28.999999999999996 and floors one rank low,
+    * diverging from any exact-rational oracle (round-8 advisory). */
+  private def lowerIndex(n: Long, q: Double): Long =
+    (BigDecimal(n - 1) * BigDecimal(q))
+      .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+
   /** Exact discrete quantile (numpy `interpolation='lower'`): the value
-    * at 0-based index ⌊(n−1)·q⌋ of the sorted column. q ∈ [0, 1]. */
+    * at 0-based index ⌊(n−1)·q⌋ of the sorted column (index in decimal
+    * arithmetic — see [[lowerIndex]]). q ∈ [0, 1]. */
   def exactQuantileLong(df: DataFrame, colName: String, q: Double,
                         buckets: Int = 4096): Long = {
     require(q >= 0.0 && q <= 1.0, s"quantile $q out of [0, 1]")
     val n = df.where(col(colName).isNotNull).count()
     require(n > 0, "exactQuantileLong on an empty column")
-    kthSmallestLong(df, colName, math.floor((n - 1) * q).toLong + 1, buckets)
+    kthSmallestLong(df, colName, lowerIndex(n, q) + 1, buckets)
   }
 
   /** Keep the rows whose `colName` ≤ the exact global `q`-quantile —
@@ -120,7 +130,166 @@ object Quantiles {
     require(q >= 0.0 && q <= 1.0, s"quantile $q out of [0, 1]")
     val n = df.where(col(colName).isNotNull).count()
     require(n > 0, "exactQuantileDouble on an empty column")
-    kthSmallestDouble(df, colName, math.floor((n - 1) * q).toLong + 1, buckets)
+    kthSmallestDouble(df, colName, lowerIndex(n, q) + 1, buckets)
+  }
+
+  /** Instrumentation from the last [[groupedExactQuantiles]] run on this
+    * thread: refinement passes executed and the largest driver collect
+    * (rows) of any pass — the numbers the bounded-state contract is about
+    * (passes ≤ ⌈64/log₂ buckets⌉, collect ≤ activeTasks·buckets). */
+  final case class GroupedSelectionStats(passes: Int, maxCollectedRows: Long,
+                                         tasks: Int)
+  private val lastStats = new ThreadLocal[GroupedSelectionStats]
+  def lastGroupedStats: Option[GroupedSelectionStats] = Option(lastStats.get)
+
+  /** Exact INTERPOLATED per-group quantiles (SQL `quantile_cont`
+    * semantics: value at fractional index h = (n−1)·q, linear between
+    * the two neighboring order statistics) with BOUNDED executor state —
+    * the grouped complement of the global histogram selection above.
+    *
+    * Spark's exact `percentile` aggregate buffers EVERY group value in
+    * one aggregation buffer: correct when groups are small, unbounded
+    * executor state when one group holds a large corpus slice. This
+    * runs the same iterative histogram refinement as [[kthSmallestLong]]
+    * for ALL (group, rank) targets SIMULTANEOUSLY: each pass joins the
+    * corpus against a broadcast #tasks-row range table, aggregates
+    * per-(task, bin) counts (hash-agg state ≤ tasks·buckets entries —
+    * executor memory independent of group sizes), and the driver narrows
+    * each task's candidate range. ≤ ⌈64/log₂ buckets⌉ passes total
+    * because every active range shrinks ×buckets per pass.
+    *
+    * Posture: built for FEW groups × UNBOUNDED group sizes (quality
+    * tiers, sources, language buckets — the curation shapes). Driver
+    * state is O(#groups · #qs), so a million-group column belongs in the
+    * built-in `percentile` (many small groups) instead; the two are
+    * complementary and documented as such at the dialect surface.
+    *
+    * Output: one row per group — `keyCol`, one DOUBLE column per
+    * (name, q) in `qs`, and `n` (non-null count). Groups whose values
+    * are all NULL keep NULL quantiles. Values are read as LONG (ints);
+    * interpolation is decimal-exact in the index ([[lowerIndex]]) and
+    * double in the value — matching `quantile_cont` on both engines. */
+  def groupedExactQuantiles(df: DataFrame, keyCol: String, valCol: String,
+                            qs: Seq[(String, Double)],
+                            buckets: Int = 4096): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    qs.foreach { case (n, q) =>
+      require(q >= 0.0 && q <= 1.0, s"quantile $n=$q out of [0, 1]") }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val keyField = df.schema(df.schema.fieldIndex(keyCol))
+    val base = df.select(col(keyCol).as("k"), col(valCol).cast("long").as("x"))
+
+    // one pass: per-group n/min/max — #groups rows to the driver (the
+    // documented model-sized bound of this operator)
+    val head = base.groupBy(col("k"))
+      .agg(count(col("x")).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect()
+
+    // (group, 1-based rank) targets, deduped: quantile h = (n−1)·q needs
+    // ranks ⌊h⌋+1 and (if fractional) ⌊h⌋+2
+    final case class Task(id: Long, key: Any, var lo: Long, var hi: Long,
+                          var kk: Long)
+    val tasks = scala.collection.mutable.ArrayBuffer.empty[Task]
+    // per group: key → (n, Map[rank → taskIdx])
+    val groups = head.map { r =>
+      val key = r.get(0)
+      val n = r.getLong(1)
+      val ranks = scala.collection.mutable.Map.empty[Long, Int]
+      if (n > 0) {
+        val lo0 = r.getLong(2); val hi0 = r.getLong(3)
+        qs.foreach { case (_, q) =>
+          val h = (BigDecimal(n - 1) * BigDecimal(q))
+          val kLo = h.setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+          val need = if (h.isWhole) Seq(kLo + 1) else Seq(kLo + 1, kLo + 2)
+          need.foreach { rk =>
+            if (!ranks.contains(rk)) {
+              ranks(rk) = tasks.length
+              tasks += Task(tasks.length.toLong, key, lo0, hi0, rk)
+            }
+          }
+        }
+      }
+      (key, n, ranks.toMap)
+    }
+
+    val taskSchema = StructType(Seq(
+      StructField("tid", LongType, nullable = false),
+      StructField("tk", keyField.dataType, nullable = true),
+      StructField("tlo", LongType, nullable = false),
+      StructField("thi", LongType, nullable = false),
+      StructField("ts", IntegerType, nullable = false),
+      StructField("tlob", LongType, nullable = false)))
+
+    var passes = 0
+    var maxCollected = 0L
+    var active = tasks.filter(t => t.hi > t.lo)
+    while (active.nonEmpty) {
+      passes += 1
+      val taskRows: java.util.List[Row] = new java.util.ArrayList[Row]
+      val shifts = active.map { t =>
+        var s = 0
+        def bins(sh: Int): BigInt = (BigInt(t.hi) >> sh) - (BigInt(t.lo) >> sh)
+        while (bins(s) >= buckets) s += 1
+        taskRows.add(Row(t.id, t.key, t.lo, t.hi, s, t.lo >> s))
+        (t.id, (s, t.lo >> s))
+      }.toMap
+      val taskDf = spark.createDataFrame(taskRows, taskSchema)
+      val hist = base
+        .join(broadcast(taskDf), base("k") <=> taskDf("tk"))
+        .where(col("x").isNotNull && col("x") >= col("tlo") && col("x") <= col("thi"))
+        // per-task shift/offset come from the broadcast row, so one scan
+        // serves every task: bin = (x >> ts) − (lo >> ts), the same
+        // overflow-free arithmetic-shift binning as selectKth
+        .groupBy(col("tid"), (expr("shiftright(x, ts)") - col("tlob")).as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+      maxCollected = math.max(maxCollected, hist.length.toLong)
+      val byTask = hist.groupBy(_.getLong(0))
+      val stillActive = scala.collection.mutable.ArrayBuffer.empty[Task]
+      active.foreach { t =>
+        val (s, lob) = shifts(t.id)
+        val binsSorted = byTask(t.id).map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        var i = 0
+        var chosen = -1L
+        while (i < binsSorted.length && chosen < 0) {
+          val (b, c) = binsSorted(i)
+          if (t.kk > c) { t.kk -= c; i += 1 } else chosen = b
+        }
+        val binLo = (lob + chosen) << s
+        t.lo = if (binLo > t.lo) binLo else t.lo
+        t.hi = (BigInt(t.hi) min (BigInt(binLo) + (BigInt(1) << s) - 1)).toLong
+        if (t.hi > t.lo) stillActive += t
+      }
+      active = stillActive
+    }
+    lastStats.set(GroupedSelectionStats(passes, maxCollected, tasks.length))
+
+    // assemble: per group, interpolate each q from its resolved rank values
+    val outSchema = StructType(
+      keyField.copy(name = keyCol) +:
+        qs.map { case (nm, _) => StructField(nm, DoubleType, nullable = true) } :+
+        StructField("n", LongType, nullable = false))
+    val outRows: java.util.List[Row] = new java.util.ArrayList[Row]
+    groups.foreach { case (key, n, ranks) =>
+      val vals: Seq[Any] = qs.map { case (_, q) =>
+        if (n == 0) null
+        else {
+          val h = BigDecimal(n - 1) * BigDecimal(q)
+          val kLo = h.setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+          val vLo = tasks(ranks(kLo + 1)).lo.toDouble
+          if (h.isWhole) vLo
+          else {
+            val vHi = tasks(ranks(kLo + 2)).lo.toDouble
+            val frac = (h - kLo).toDouble
+            vLo + frac * (vHi - vLo)
+          }
+        }
+      }
+      outRows.add(Row.fromSeq(key +: vals :+ n))
+    }
+    spark.createDataFrame(outRows, outSchema)
   }
 
   /** Keep the rows whose `colName` ≥ the exact global (1−frac)-quantile

@@ -839,7 +839,22 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
           case _ => lit(null).cast(f.dataType).as(f.name)
         }
       }
-      val grand = df.limit(0).select(grandCols: _*) // no-scan 1-row branch
+      // `limit(0).select(...)` is only a 1-row GLOBAL AGGREGATE when some
+      // column contains a real aggregate function; a projection of pure
+      // grouping()/grouping_id() literals and NULLs would stay a plain
+      // Project over the empty relation and yield 0 rows (round-8
+      // advisory) — force the 1-row shape by projecting the literals
+      // OVER a hidden global count
+      // grouping()/grouping_id() register as aggregates but substitute
+      // to LITERALS on the grand row — test the substituted form, else a
+      // grouping-only projection picks the plain-Project branch (0 rows)
+      val hasRealAgg = agged.schema.fields.exists { f =>
+        metaMap.get(f.name).exists(e =>
+          Expr.hasAggregate(substGroupingFlags(e), isAgg))
+      }
+      val grand = // no-scan 1-row branch either way
+        if (hasRealAgg) df.limit(0).select(grandCols: _*)
+        else df.limit(0).agg(count(lit(1)).as("__fga")).select(grandCols: _*)
       val probe = df.limit(1).select(lit(1).as("__ne"))
       val grandWhenEmpty = grand.join(probe, lit(true), "left_anti")
       // force analysis NOW so an invalid grand branch (mixed having etc.)

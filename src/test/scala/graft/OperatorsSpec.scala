@@ -962,6 +962,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == sorted.count(_ <= mid))
   }
 
+  test("groupedExactQuantiles: quantile_cont semantics per group, bounded passes/collects") {
+    // reference: sort per group, h = (n−1)·q in decimal, linear interp
+    def ref(vals: Seq[Long], q: Double): Double = {
+      val s = vals.sorted
+      val h = BigDecimal(s.size - 1) * BigDecimal(q)
+      val k = h.setScale(0, BigDecimal.RoundingMode.FLOOR).toLong.toInt
+      if (h.isWhole) s(k).toDouble
+      else s(k) + (h - k).toDouble * (s(k + 1) - s(k))
+    }
+    val rnd = new scala.util.Random(17)
+    val groups: Map[String, Seq[Long]] = Map(
+      "big"    -> Seq.fill(997)(rnd.nextInt(100000).toLong - 50000L), // odd n
+      "even"   -> Seq(1L, 2L, 3L, 4L),      // fractional index at 0.5
+      "single" -> Seq(42L),
+      "same"   -> Seq.fill(50)(7L),          // lo == hi: zero passes needed
+      "wide"   -> Seq(Long.MinValue / 4, -3L, 0L, 9L, Long.MaxValue / 4))
+    val rows = groups.toSeq.flatMap { case (k, vs) => vs.map(v => (k, v)) } ++
+      Seq(("big", -1L), ("nullv", -1L)) // a dup + group that is all-null below
+    val d0 = rnd.shuffle(rows).toDF("src", "v")
+    val d = d0.select(col("src"),
+      when(col("src") === "nullv", lit(null)).otherwise(col("v")).as("v"))
+    val qs = Seq("q25" -> 0.25, "med" -> 0.5, "p90" -> 0.9, "q29" -> 0.29)
+    val got = Quantiles.groupedExactQuantiles(d, "src", "v", qs)
+      .collect().map(r => r.getString(0) ->
+        ((1 to 4).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i))),
+          r.getLong(5))).toMap
+    val expected = groups + ("big" -> (groups("big") :+ -1L))
+    expected.foreach { case (k, vs) =>
+      val (gq, n) = got(k)
+      assert(n == vs.size.toLong, s"n for $k")
+      qs.zipWithIndex.foreach { case ((nm, q), i) =>
+        assert(gq(i).contains(ref(vs, q)), s"$k.$nm: got ${gq(i)}, want ${ref(vs, q)}")
+      }
+    }
+    // all-null group: present with NULL quantiles and n = 0
+    assert(got("nullv")._1.forall(_.isEmpty) && got("nullv")._2 == 0L)
+    // the bounded-state contract: ≤ ⌈64/log₂ 4096⌉ = 6 refinement passes,
+    // and no driver collect larger than activeTasks·buckets
+    val st = Quantiles.lastGroupedStats.get
+    assert(st.passes <= 6, s"passes ${st.passes}")
+    assert(st.maxCollectedRows <= st.tasks.toLong * 4096L,
+      s"collected ${st.maxCollectedRows} for ${st.tasks} tasks")
+    // real corpus: agrees with the dialect's exact `percentile` aggregate
+    // (group-buffering) — same numbers, bounded state
+    val viaOp = Quantiles.groupedExactQuantiles(docs, "source", "n_chars",
+      Seq("med" -> 0.5, "p90" -> 0.9))
+      .select(col("source"), round(col("med"), 6).as("med"),
+        round(col("p90"), 6).as("p90"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    val viaAgg = TestSpark.session.sql(
+      "select source, round(percentile(n_chars, 0.5), 6) as med, " +
+        "round(percentile(n_chars, 0.9), 6) as p90 from documents group by source")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(viaOp == viaAgg)
+  }
+
   test("DoubleSortableBits: order-preserving bijection incl. ±0, ±Inf, NaN, subnormals") {
     import graft.expr.DoubleSortableBits._
     val rnd = new scala.util.Random(11)
