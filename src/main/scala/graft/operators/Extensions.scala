@@ -219,6 +219,44 @@ object Extensions {
           .localCheckpoint()
       } finally q.stop()
     }),
+    // ---- streaming RESTART RECOVERY (r9): checkpointed writeStream over
+    // a two-phase file replay — phase 1 processes the first half of the
+    // timeline, the query STOPS (simulated failure), a NEW query restarts
+    // from the SAME checkpoint and processes the appended second half.
+    // Every one of the 750 distinct keys occurs in BOTH halves, so the
+    // exactly-once contract is fully load-bearing: a lost state store
+    // would emit ~2× rows (cross-phase duplicates re-admitted), a
+    // double-committed batch would duplicate phase-1 output — either
+    // breaks the hash against DuckDB's SELECT DISTINCT over the full
+    // input. Watermark delay exceeds the replayed timeline, so eviction
+    // never interferes with the recovery semantics under test (eviction
+    // itself is x58/StreamingSpec territory) ----
+    "x81_restart_recovery" -> ((s, d) => {
+      val ev = GraftSession.forDir(s, d).catalog.relation("events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val srcDir = tempDir("x81_src_")
+      val outDir = tempDir("x81_out_")
+      val ckpt = tempDir("x81_ckpt_")
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      def runPhase(): Unit = {
+        val in = s.readStream.schema(ev.schema).parquet(srcDir)
+        val dd = graft.streaming.Dedup.withinWatermark(
+          in, Seq("user_id", "event_type"), "ts", "400 days")
+          .select(col("user_id"), col("event_type"))
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = try dd.writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try q.processAllAvailable() finally q.stop()
+      }
+      ev.where(col("ts") < cut).coalesce(2).write.mode("append").parquet(srcDir)
+      runPhase() // phase 1: first half, checkpoint written, query "dies"
+      ev.where(col("ts") >= cut).coalesce(2).write.mode("append").parquet(srcDir)
+      runPhase() // RESTART from the checkpoint: offsets + dedup state restored
+      s.read.parquet(outDir).orderBy("user_id", "event_type")
+    }),
     // ---- hashed linear classifier scoring (fastText-inference shape);
     // md5-bucketed features + integer weight arithmetic make the scores
     // EXACTLY recomputable by the DuckDB oracle ----
@@ -1419,6 +1457,11 @@ object Extensions {
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) " +
         "WHERE rn <= 25 ORDER BY doc_id"),
       "x58_stream_dedup" -> (
+        "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"),
+      // exactly-once across the kill/restart: the parquet sink after BOTH
+      // phases must hold each key exactly once — the plain DISTINCT of
+      // the full input, nothing doubled, nothing lost
+      "x81_restart_recovery" -> (
         "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"),
       "x64_paragraph_dedup_stream" -> (
         "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +

@@ -226,6 +226,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("checkpoint restart: dedup state + source offsets recover, sink stays exactly-once") {
+    import graft.streaming.{Dedup => SDedup}
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val srcDir = tmp("restart_src_"); val outDir = tmp("restart_out_")
+    val ckpt = tmp("restart_ckpt_")
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val schema = Seq((1L, ts(1, 1))).toDF("k", "ts").schema
+    def runPhase(): Unit = {
+      val in = spark.readStream.schema(schema).parquet(srcDir)
+      val dd = SDedup.withinWatermark(in, Seq("k"), "ts", "365 days").select("k")
+      val q = dd.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      // phase 1: keys 1, 2 (2 dup); query checkpoints and "dies"
+      Seq((1L, ts(1, 1)), (2L, ts(1, 2)), (2L, ts(1, 3)))
+        .toDF("k", "ts").coalesce(1).write.mode("append").parquet(srcDir)
+      runPhase()
+      val mid = spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+      assert(mid == Seq(1L, 2L), s"phase-1 output: $mid")
+      // phase 2 appends: a CROSS-RESTART duplicate of key 1 (dropped only
+      // if the state store was restored from the checkpoint) + new key 3
+      Seq((1L, ts(2, 1)), (3L, ts(2, 2)))
+        .toDF("k", "ts").coalesce(1).write.mode("append").parquet(srcDir)
+      runPhase() // new query instance, same checkpoint
+      val fin = spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+      // exactly-once: phase-1 rows not re-committed, cross-restart dup
+      // deduped, new key present — each key exactly once
+      assert(fin == Seq(1L, 2L, 3L), s"post-restart output: $fin")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(): Unit
+      }
+      Seq(srcDir, outDir, ckpt).foreach(d => rm(new java.io.File(d)))
+    }
+  }
+
   test("content-addressed curation ops run on live streams (narrow filters)") {
     // mixture and splitByHash are pure filters/projections of the key —
     // no state, no shuffle — so the same operators curate streams as-is;
