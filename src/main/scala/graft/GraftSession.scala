@@ -299,9 +299,74 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
           "parse_ms"     -> (t1 - t0) / 1e6,
           "bind_ms"      -> (t2 - t1) / 1e6,
           "translate_ms" -> (t3 - t2) / 1e6)
+        recordDdl(bound) // only after successful execution
         out
     }
   }
+
+  // --- catalog persistence (round 9) ---------------------------------------
+  // CREATE SCHEMA / CREATE STREAM / CTAS / DROP registrations were
+  // session-ephemeral: everything defined through the dialect died with the
+  // JVM. `persistTo` attaches a JSON sidecar holding the catalog-mutating
+  // DDL as SQL TEXT in execution order; on attach, an existing sidecar is
+  // REPLAYED through the ordinary `sql` path, so a new session over the
+  // same base directory reconstructs schemas (incl. `extends` — replay
+  // re-runs the resolution), stream definitions, and CTAS plans (re-planned
+  // lazily against the current base tables, exactly like the live
+  // registration). Scope is METADATA: DML (INSERT/UPDATE/DELETE/MERGE)
+  // mutates in-session copy-on-write snapshots whose data has no
+  // files to reattach — persisting those means persisting data, which is
+  // what writeBucketed/CTAS-to-parquet are for.
+  private var persistPath: Option[java.nio.file.Path] = None
+  private var replaying = false
+  private val ddlJournal = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  /** Attach (and, if present, replay) a catalog sidecar. Statements are
+    * recorded AFTER successful execution, bound-parameter form (via the
+    * round-trip printer), rewritten atomically per DDL. */
+  def persistTo(path: String): this.type = {
+    val p = java.nio.file.Paths.get(path)
+    persistPath = Some(p)
+    if (java.nio.file.Files.exists(p)) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val root = mapper.readTree(p.toFile)
+      val stmts = Option(root.get("statements")).map(_.elements().asScala.toSeq)
+        .getOrElse(Seq.empty).map(_.asText())
+      replaying = true
+      try stmts.foreach { s =>
+        try sql(s)
+        catch { case e: Exception =>
+          throw new GraftAnalysisException(
+            s"catalog sidecar replay failed at `$s` ($path): ${e.getMessage}")
+        }
+        ddlJournal += s
+      } finally replaying = false
+    }
+    this
+  }
+
+  private def isCatalogDdl(s: Statement): Boolean = s match {
+    case _: CreateSchema | _: CreateStream | _: CreateTableAs |
+         _: DropRelation | _: DropSchema => true
+    case _ => false
+  }
+
+  private def recordDdl(stmt: Statement): Unit =
+    if (!replaying && persistPath.nonEmpty && isCatalogDdl(stmt)) {
+      ddlJournal += graft.ast.Pretty.print(stmt)
+      val p = persistPath.get
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val root = mapper.createObjectNode()
+      root.put("version", 1)
+      val arr = root.putArray("statements")
+      ddlJournal.foreach(arr.add)
+      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
 
   /** Per-phase wall times (milliseconds) of the most recent [[sql]]
     * statement (per statement for [[sqlScript]]): `parse_ms` (text → AST),
@@ -693,11 +758,52 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
   private def execute(stmt: Statement): DataFrame = stmt match {
     case q: QueryExpr => translator.query(q)
 
-    case Explain(q) =>
+    case Explain(q, false) =>
       import spark.implicits._
       val plan = translator.query(q).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       Seq(plan).toDF("plan")
+
+    // EXPLAIN ANALYZE (round 9): EXECUTE the query, then render the final
+    // physical plan annotated with its runtime SQLMetrics (output rows,
+    // spill bytes, shuffle bytes, peak memory per operator) — the runtime
+    // complement of PlanAuditSpec's static scale-killer checks: static
+    // audit says "no BNLJ", this says "operator X actually spilled 2 GB /
+    // emitted 10⁹ rows", which is where skew shows up first.
+    case Explain(q, true) =>
+      import spark.implicits._
+      val df = translator.query(q)
+      if (df.isStreaming)
+        throw new GraftAnalysisException(
+          "explain analyze on a streaming query is not supported; run the " +
+            "stream and inspect StreamingQuery.lastProgress instead")
+      // execute THIS QueryExecution's plan (Dataset.foreach/collect would
+      // run a separate deserializing QueryExecution and the metrics would
+      // accumulate on that other plan instance)
+      df.queryExecution.toRdd.foreach(_ => ())
+      def render(p: org.apache.spark.sql.execution.SparkPlan, depth: Int,
+                 sb: StringBuilder): Unit = {
+        val ms = p.metrics.toSeq
+          .map { case (k, m) => (k, m.value) }
+          .filter(_._2 > 0) // untouched metrics stay at initial (0 / -1)
+          .sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }
+        sb.append("  " * depth).append(p.nodeName)
+        if (ms.nonEmpty) sb.append("  [").append(ms.mkString(", ")).append("]")
+        sb.append('\n')
+        val next = p match {
+          // descend into the adaptively-finalized plan, not the pre-AQE one
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(s.plan)
+          case other => other.children
+        }
+        next.foreach(render(_, depth + 1, sb))
+      }
+      val sb = new StringBuilder
+      render(df.queryExecution.executedPlan, 0, sb)
+      Seq(sb.toString).toDF("plan")
 
     case CreateSchema(name, fields, parent) =>
       catalog.createSchema(name, fields, parent)

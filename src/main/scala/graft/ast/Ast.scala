@@ -79,7 +79,7 @@ final case class Update(
 final case class Delete(tables: Seq[TableRef], where: Option[Expr]) extends Statement
 
 /** EXPLAIN <query> — beyond-reference utility: returns the Catalyst plan. */
-final case class Explain(query: QueryExpr) extends Statement
+final case class Explain(query: QueryExpr, analyze: Boolean = false) extends Statement
 
 /** MERGE INTO target USING source ON cond WHEN [NOT] MATCHED … — upsert
   * (beyond-reference extension; the reference has no MERGE). Executes

@@ -42,7 +42,9 @@ object Pretty {
     case Delete(ts, where) =>
       s"delete from ${ts.map(rel).mkString(", ")}" +
         where.fold("")(w => s" where ${expr(w)}")
-    case Explain(q) => s"explain ${query(q)}"
+    case CreateTableAs(n, q) => s"create table $n as ${query(q)}"
+    case Explain(q, an) =>
+      s"explain ${if (an) "analyze " else ""}${query(q)}"
     case ShowRelations(streamsOnly) => if (streamsOnly) "show streams" else "show tables"
     case Describe(r)                => s"describe $r"
     case DescribeQuery(q)           => s"describe (${query(q)})"

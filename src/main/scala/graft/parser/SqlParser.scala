@@ -115,7 +115,8 @@ object SqlParser extends RegexParsers with PackratParsers {
     }
 
   lazy val explainStmt: PackratParser[Statement] =
-    kw("explain") ~> query ^^ Explain.apply
+    kw("explain") ~> kw("analyze") ~> query ^^ (q => Explain(q, analyze = true)) |
+    kw("explain") ~> query ^^ (q => Explain(q))
 
   // ----- queries -----------------------------------------------------------
 

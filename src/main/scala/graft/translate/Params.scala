@@ -48,7 +48,7 @@ object Params {
         case other            => other
       })
       // plan-only wrappers still carry bindable ? parameters in their query
-      case Explain(q)       => Explain(query(q))
+      case Explain(q, an)   => Explain(query(q), an)
       case DescribeQuery(q) => DescribeQuery(query(q))
       case other => other
     }

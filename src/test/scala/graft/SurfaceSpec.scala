@@ -13,6 +13,82 @@ class SurfaceSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
+  test("catalog persistence: DDL survives the session via the JSON sidecar (define -> new session -> query)") {
+    val sidecar = java.nio.file.Files.createTempDirectory("graft_cat_")
+      .resolve("catalog.json").toString
+    try {
+      // session 1: schema (+extends), declared stream, CTAS, and a drop
+      val g1 = new GraftSession(spark).registerDir(TestSpark.sf).persistTo(sidecar)
+      g1.sql("create schema base_ev (id long, ts timestamp)")
+      g1.sql("create schema click_ev (url string) extends base_ev")
+      g1.sql("create stream clicks click_ev")
+      g1.sql("create table nation_small as select n_nationkey as k, n_name as name " +
+        "from nation where n_nationkey < 10")
+      g1.sql("create table doomed as select 1 as x")
+      g1.sql("drop table doomed")
+      // session 2 (fresh catalog over the same base dir): replay on attach
+      val g2 = new GraftSession(spark).registerDir(TestSpark.sf).persistTo(sidecar)
+      // schema with inheritance reconstructed
+      assert(g2.catalog.schema("click_ev").get.fieldNames.toSeq ==
+        Seq("id", "ts", "url"))
+      // stream definition reconstructed (declared, empty, right schema)
+      assert(g2.catalog.isDeclaredStream("clicks"))
+      assert(g2.sql("select * from clicks").columns.toSeq == Seq("id", "ts", "url"))
+      // CTAS plan re-planned against the base tables and queryable
+      val n = g2.sql("select cast(count(*) as bigint) as n from nation_small")
+        .head().getLong(0)
+      assert(n == 10L)
+      // the dropped table stayed dropped (replay preserves order)
+      assert(!g2.catalog.hasRelation("doomed"))
+      // recording continues in the restored session: session 3 sees g2's DDL
+      g2.sql("create table nation_tiny as select k from nation_small where k < 3")
+      val g3 = new GraftSession(spark).registerDir(TestSpark.sf).persistTo(sidecar)
+      assert(g3.sql("select cast(count(*) as bigint) as n from nation_tiny")
+        .head().getLong(0) == 3L)
+      // non-DDL statements are NOT recorded (SELECTs leave the sidecar alone)
+      val before = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sidecar)), "UTF-8")
+      g3.sql("select 1 as one").collect()
+      val after = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sidecar)), "UTF-8")
+      assert(before == after)
+    } finally {
+      val f = new java.io.File(sidecar)
+      f.delete(); f.getParentFile.delete()
+      ()
+    }
+  }
+
+  test("explain analyze: executed physical plan annotated with runtime metrics") {
+    val g = TestSpark.session
+    val out = g.sql(
+      "explain analyze select l_returnflag as f, cast(count(*) as bigint) as n " +
+        "from lineitem group by l_returnflag").head().getString(0)
+    // the aggregate shape, with real executed metrics on the nodes
+    assert(out.contains("HashAggregate"), out)
+    assert(out.contains("numOutputRows="), out)
+    // shuffle node reports exchanged data (bytes written > 0)
+    assert(out.contains("Exchange") || out.contains("ShuffleQueryStage"), out)
+    // plain explain still returns the formatted static plan
+    val stat = g.sql("explain select n_name from nation").head().getString(0)
+    assert(stat.contains("Scan parquet") && !stat.contains("numOutputRows="))
+    // streaming queries are rejected with a dialect error
+    val gs = new GraftSession(spark, streaming = true)
+    gs.sql("create schema an_ev (ts timestamp, v double)")
+    val dir = java.nio.file.Files.createTempDirectory("an_stream_").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "a.csv"))
+    w.println("2024-01-01T01:10:00,3.0"); w.close()
+    gs.sql(s"create stream an_s an_ev source file('${dir.getAbsolutePath}')")
+    // file-backed streams execute as batch here; force the live-stream path
+    val err = intercept[graft.translate.GraftAnalysisException] {
+      val live = new GraftSession(spark, streaming = true)
+      live.catalog.registerStream("live_s",
+        spark.readStream.format("rate").load())
+      live.sql("explain analyze select value from live_s")
+    }
+    assert(err.getMessage.contains("streaming"))
+  }
+
   test("S3 socket source: CSV lines from a TCP socket, parsed to schema") {
     val server = new java.net.ServerSocket(0)
     val port = server.getLocalPort

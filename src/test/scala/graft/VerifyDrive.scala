@@ -148,6 +148,20 @@ object VerifyDrive {
     show("with ties on hidden key", "select o_orderkey as k from orders " +
       "order by o_totalprice desc fetch first 3 rows with ties")
     show("probe: limit past Int.MaxValue", "select n_name from nation limit 987654321987")
+    // round 9: explain analyze (executed metrics) + catalog persistence
+    println("=== explain analyze: " + {
+      val p = g.sql("explain analyze select count(*) as n from nation").head().getString(0)
+      s"has-metrics=${p.contains("numOutputRows=")} lines=${p.linesIterator.size}"
+    })
+    println("=== catalog sidecar: " + {
+      val sc = java.nio.file.Files.createTempDirectory("vd_cat_").resolve("cat.json")
+      val g1 = new GraftSession(spark).registerDir(TestSpark.sf).persistTo(sc.toString)
+      g1.sql("create table vd_small as select n_nationkey as k from nation where n_nationkey < 5")
+      val g2 = new GraftSession(spark).registerDir(TestSpark.sf).persistTo(sc.toString)
+      val n = g2.sql("select cast(count(*) as bigint) as n from vd_small").head().getLong(0)
+      java.nio.file.Files.deleteIfExists(sc); java.nio.file.Files.deleteIfExists(sc.getParent)
+      s"replayed-ctas-count=$n"
+    })
     try {
       val url = "jdbc:derby:memory:drive_card;create=true"
       val c = java.sql.DriverManager.getConnection(url)
