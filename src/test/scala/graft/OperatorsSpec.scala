@@ -962,6 +962,78 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == sorted.count(_ <= mid))
   }
 
+  test("star-cluster recall table: thresholds 0.7/0.8/0.9, cliques and transitive chains") {
+    // The documented loss mode of clusterNearDuplicates: connectivity
+    // flows only through bucket minima, so transitive chains (A~B~C with
+    // A!~C) can fragment when the bucket min is a remote chain element.
+    // This measures PAIR recall vs the all-pairs truth per (scenario,
+    // threshold) — ids ASCEND along each chain, the worst case (the min
+    // is always the chain head, whose Jaccard to deep elements is lowest).
+    val W = 62 // words per doc -> 60 3-shingles
+    def doc(fam: String, mut: Map[Int, String]): String =
+      (0 until W).map(i => mut.getOrElse(i, s"w${fam}_$i")).mkString(" ")
+    // clique: every copy mutates the SAME position -> all-pairs J = 57/63 ~ 0.905
+    def clique(fam: String, n: Int, base: Long): Seq[(Long, String)] =
+      (0 until n).map(c => (base + c, doc(fam, Map(30 -> s"m${fam}_$c"))))
+    // chain: step i replaces a PRIVATE block of `s` words -> adjacent J =
+    // (60-(s+2))/(60+(s+2)), distance-2 already below the threshold
+    def chain(fam: String, len: Int, s: Int, base: Long): Seq[(Long, String)] =
+      (0 until len).map { step =>
+        val muts = (0 until step).flatMap { b =>
+          val off = b * (s + 4)
+          (off until off + s).map(p => p -> s"c${fam}_${b}_$p")
+        }.toMap
+        (base + step, doc(fam, muts))
+      }
+    def recallOf(rows: Seq[(Long, String)], t: Double): (Double, Int) = {
+      val d = rows.toDF("doc_id", "text").localCheckpoint()
+      val ids = rows.map(_._1)
+      val allPairs = (for { a <- ids; b <- ids if a < b } yield (a, b))
+        .toDF("ida", "idb")
+      val truthEdges = Dedup.ngramJaccard(allPairs, d, "text", "doc_id")
+        .where(col("jaccard") >= t).select("ida", "idb")
+      val truthComp = Components.connectedComponents(truthEdges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val starComp = Dedup.clusterNearDuplicates(d, "text", "doc_id", threshold = t)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val truthPairs = for {
+        a <- ids; b <- ids if a < b
+        ca <- truthComp.get(a); cb <- truthComp.get(b) if ca == cb
+      } yield (a, b)
+      val hit = truthPairs.count { case (a, b) =>
+        (starComp.get(a), starComp.get(b)) match {
+          case (Some(x), Some(y)) => x == y
+          case _ => false
+        }
+      }
+      (if (truthPairs.isEmpty) 1.0 else hit.toDouble / truthPairs.size,
+        truthPairs.size)
+    }
+    // block size per threshold keeping adjacent J just above t:
+    // t=0.9 -> s=1 (J=0.905); t=0.8/0.7 -> s=4 (J=0.818)
+    val scenarios = Seq(
+      ("clique12", 0.7, clique("k7", 12, 100L)),
+      ("clique12", 0.8, clique("k8", 12, 200L)),
+      ("clique12", 0.9, clique("k9", 12, 300L)),
+      ("chain4", 0.7, chain("c47", 4, 4, 400L)),
+      ("chain4", 0.8, chain("c48", 4, 4, 500L)),
+      ("chain4", 0.9, chain("c49", 4, 1, 600L)),
+      ("chain7", 0.7, chain("c77", 7, 4, 700L)),
+      ("chain7", 0.8, chain("c78", 7, 4, 800L)),
+      ("chain7", 0.9, chain("c79", 7, 1, 900L)))
+    val table = scenarios.map { case (name, t, rows) =>
+      val (r, np) = recallOf(rows, t)
+      info(f"star recall  $name%-9s t=$t%.1f  pairs=$np%3d  recall=$r%.3f")
+      (name, t, r, np)
+    }
+    // every truth clustering here is one family-wide component; the flag
+    // bar from the round-8 verdict: recall >= 0.9 everywhere
+    table.foreach { case (name, t, r, np) =>
+      assert(np > 0, s"$name@$t produced no truth pairs — construction broken")
+      assert(r >= 0.9, f"star recall $r%.3f < 0.9 for $name at t=$t")
+    }
+  }
+
   test("groupedExactQuantiles: quantile_cont semantics per group, bounded passes/collects") {
     // reference: sort per group, h = (n−1)·q in decimal, linear interp
     def ref(vals: Seq[Long], q: Double): Double = {
