@@ -22,7 +22,10 @@ object FuzzRun {
     var pass = 0; var fail = 0
     entry.findAllMatchIn(text).foreach { m =>
       val (name, sql) = (unesc(m.group(1)), unesc(m.group(2)))
-      try {
+      // `<name>__oracle` entries hold DuckDB-only recomputations for the
+      // window-spec pair shapes (round 9) — consumed by cmp, not by us
+      if (name.endsWith("__oracle")) ()
+      else try {
         g.sql(sql).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         pass += 1
       } catch { case e: Throwable =>

@@ -85,8 +85,81 @@ def gen_ts(rng):
 EVENT_TYPES = ["signup", "error", "click", "view", "purchase"]
 
 
-def gen_query(rng):
-    shape = rng.randrange(34)
+# FSQL window-spec fuzz (round 9): the streaming dialect surface
+# (`[size … every … on … partitioned on …]`, `[session …]`) has no
+# identical-text DuckDB form, so these shapes return a PAIR
+# (graft_sql, duck_sql) — the oracle recomputes the buckets with the
+# q24/q25/q32 gate patterns (epoch-µs floor division, offset unnest,
+# gaps-and-islands). Executed batch-mode, exact-typed aggregates only.
+WINDOW_UNITS = [("min", 60_000_000), ("h", 3_600_000_000)]
+
+
+def bucket_us(every_us):
+    return (f"make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) "
+            f"// {every_us}) * {every_us})")
+
+
+def gen_window_query(rng, shape):
+    if shape == 34:  # tumbling [size N u on ts [partitioned on event_type]]
+        unit, us = rng.choice(WINDOW_UNITS)
+        n = rng.choice([30, 45, 90] if unit == "min" else [1, 2, 4, 6, 12])
+        size_us = n * us
+        part = rng.random() < 0.5
+        if part:
+            graft = (f"select w_start, event_type as et, "
+                     f"cast(count(*) as bigint) as n, max(user_id) as mx "
+                     f"from events [size {n} {unit} on ts partitioned on event_type] "
+                     f"group by event_type order by w_start, et")
+            duck = (f"SELECT {bucket_us(size_us)} AS w_start, event_type AS et, "
+                    f"COUNT(*) AS n, MAX(user_id) AS mx FROM events "
+                    f"GROUP BY 1, 2 ORDER BY 1, 2")
+        else:
+            graft = (f"select w_start, cast(count(*) as bigint) as n, "
+                     f"max(user_id) as mx, cast(sum(user_id) as bigint) as su "
+                     f"from events [size {n} {unit} on ts] "
+                     f"group by w_start order by w_start")
+            duck = (f"SELECT {bucket_us(size_us)} AS w_start, COUNT(*) AS n, "
+                    f"MAX(user_id) AS mx, CAST(SUM(user_id) AS BIGINT) AS su "
+                    f"FROM events GROUP BY 1 ORDER BY 1")
+        return graft, duck
+    if shape == 35:  # sliding [size k*e every e]: row lands in k buckets
+        unit, us = rng.choice(WINDOW_UNITS)
+        e = rng.choice([30, 45] if unit == "min" else [1, 2, 3])
+        k = rng.randrange(2, 5)
+        every_us = e * us
+        graft = (f"select w_start, cast(count(*) as bigint) as n, "
+                 f"max(event_id) as mx "
+                 f"from events [size {k * e} {unit} on ts every {e} {unit}] "
+                 f"group by w_start order by w_start")
+        offs = ", ".join(str(i) for i in range(k))
+        duck = (f"SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) "
+                f"// {every_us} - o.off) * {every_us}) AS w_start, "
+                f"COUNT(*) AS n, MAX(event_id) AS mx "
+                f"FROM events, (SELECT UNNEST([{offs}]) AS off) o "
+                f"GROUP BY 1 ORDER BY 1")
+        return graft, duck
+    # shape 36: session windows [session g u on ts partitioned on event_type]
+    unit, us = rng.choice(WINDOW_UNITS)
+    g = rng.choice([20, 30, 45] if unit == "min" else [1, 2])
+    gap_us = g * us
+    graft = (f"select w_start, w_end, event_type as et, "
+             f"cast(count(*) as bigint) as n "
+             f"from events [session {g} {unit} on ts partitioned on event_type] "
+             f"group by event_type order by et, w_start")
+    duck = (f"WITH x AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), "
+            f"f AS (SELECT *, CASE WHEN LAG(us) OVER (PARTITION BY event_type ORDER BY us) IS NULL "
+            f"OR us - LAG(us) OVER (PARTITION BY event_type ORDER BY us) > {gap_us} THEN 1 ELSE 0 END AS nf FROM x), "
+            f"s AS (SELECT *, SUM(nf) OVER (PARTITION BY event_type ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM f) "
+            f"SELECT make_timestamp(MIN(us)) AS w_start, make_timestamp(MAX(us) + {gap_us}) AS w_end, "
+            f"event_type AS et, COUNT(*) AS n FROM s "
+            f"GROUP BY event_type, sid ORDER BY et, w_start")
+    return graft, duck
+
+
+def gen_query(rng, only=None):
+    shape = rng.choice(only) if only else rng.randrange(37)
+    if shape >= 34:  # window-family pair shapes
+        return gen_window_query(rng, shape)
     if shape == 30:  # FILTER (WHERE ...) aggregates + GROUP BY ALL
         g = rng.choice(INT_COLS)
         m = rng.randrange(3, 10)
@@ -384,9 +457,16 @@ def gen_query(rng):
             f"where {outer_pred} group by t.l_orderkey order by k")
 
 
-def cmd_gen(n, seed, out):
+def cmd_gen(n, seed, out, only=None):
     rng = random.Random(seed)
-    qs = {f"f{i:03d}": gen_query(rng) for i in range(n)}
+    qs = {}
+    for i in range(n):
+        q = gen_query(rng, only)
+        if isinstance(q, tuple):  # (graft, duck) pair: oracle sidecar entry
+            qs[f"f{i:03d}"] = q[0]
+            qs[f"f{i:03d}__oracle"] = q[1]
+        else:
+            qs[f"f{i:03d}"] = q
     json.dump(qs, open(out, "w"), indent=1)
     print(f"[fuzz] wrote {n} queries (seed={seed}) -> {out}")
 
@@ -400,6 +480,9 @@ def cmd_cmp(qfile, spark_dir, sf_dir):
     con = duckdb.connect()
     for t in ("lineitem", "orders", "events"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = {k[:-len("__oracle")]: v for k, v in qs.items()
+               if k.endswith("__oracle")}
+    qs = {k: v for k, v in qs.items() if not k.endswith("__oracle")}
     n_pass = n_fail = 0
     for name, sql in sorted(qs.items()):
         files = glob.glob(os.path.join(spark_dir, name, "*.parquet"))
@@ -412,7 +495,7 @@ def cmd_cmp(qfile, spark_dir, sf_dir):
         # DuckDB's read of the naive source encoding
         got = duckdb.connect().execute(
             f"SELECT * FROM read_parquet({sorted(files)!r})").fetchdf()
-        want = con.execute(sql).df()
+        want = con.execute(oracles.get(name, sql)).df()
         got = got[sorted(got.columns)]
         want = want[sorted(want.columns)]
         if table_hash(got) == table_hash(want):
@@ -427,6 +510,8 @@ def cmd_cmp(qfile, spark_dir, sf_dir):
 
 if __name__ == "__main__":
     if sys.argv[1] == "gen":
-        cmd_gen(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        only = ([int(x) for x in sys.argv[5].split(",")]
+                if len(sys.argv) > 5 else None)
+        cmd_gen(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], only)
     elif sys.argv[1] == "cmp":
         sys.exit(cmd_cmp(sys.argv[2], sys.argv[3], sys.argv[4]))
