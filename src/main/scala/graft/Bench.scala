@@ -68,18 +68,30 @@ object Bench {
         System.err.println(s"[bench] *** SUBSET RUN: ${sub.size}/${SparkEntry.queries.size} queries (SPARK_GRAFT_ONLY=$s) ***")
         sub
     }
-    val pass1 = benchSet.map { case (name, fn) => name -> once(name, fn) }
-    val results = benchSet.map { case (name, fn) =>
-      val first = pass1(name)
-      // a failed query is not retried (its negative marker must survive);
-      // and a transient pass-2 failure must not clobber a pass-1 success
-      val best =
-        if (first < 0) first
-        else {
-          val second = once(name, fn)
-          if (second < 0) first else math.min(first, second)
-        }
-      name -> best
+    // min-of-N with the noise spread IN the artifact (r8 verdict #5): the
+    // committed BENCH_full flipped 154↔179 s for identical code because a
+    // single noisy-neighbor window inflates any one pass 1.5-10×; N passes
+    // + per-query max/min spread makes the artifact itself say how noisy
+    // the VM was. Pass 1 still absorbs codegen/JIT; whole-suite passes
+    // (not per-query repeats) so cache states stay comparable.
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
+    val pass1 = benchSet.map { case (name, fn) => name -> Vector(once(name, fn)) }
+    val allRuns = (2 to nRuns).foldLeft(pass1) { (acc, _) =>
+      benchSet.map { case (name, fn) =>
+        // a failed query is not retried (its negative marker survives);
+        // a transient later failure must not clobber an earlier success
+        val prev = acc(name)
+        name -> (if (prev.head < 0) prev else prev :+ once(name, fn))
+      }
+    }
+    val results = allRuns.map { case (name, ts) =>
+      val ok = ts.filter(_ > 0)
+      name -> (if (ok.isEmpty) ts.min else ok.min)
+    }
+    // per-query noise ratio: slowest/fastest successful pass (1.0 = quiet)
+    val spreads = allRuns.collect { case (name, ts) if ts.count(_ > 0) >= 2 =>
+      val ok = ts.filter(_ > 0)
+      name -> math.rint(ok.max / ok.min * 100) / 100
     }
     // JSON string escape (same contract as Verify.q): a quote/backslash in
     // a path or key must not break the driver's json parse
@@ -91,7 +103,13 @@ object Bench {
     } + "\""
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ > 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"agg":"min","queries":$qs,"sf":${q(sfDir)}}""")
+    // spread summary: median + p90 of the per-query noise ratios
+    val sVals = spreads.values.toSeq.sorted
+    def pct(p: Double): Double =
+      if (sVals.isEmpty) 1.0 else sVals(((sVals.size - 1) * p).toInt)
+    val spreadJson = spreads.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,"agg":"min","queries":$qs,"sf":${q(sfDir)}}""")
     // The driver keeps only the LAST ~2000 chars of output; with 90 queries
     // the full line above is ~4 KB, so its head (and the "{"metric"...`
     // opener) falls outside the window and the driver parses nothing.
@@ -106,7 +124,8 @@ object Bench {
     // compact summary, so round-over-round diffs need this sidecar.
     try {
       val isSubset = sys.env.contains("SPARK_GRAFT_ONLY")
-      val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":2,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"subset":$isSubset,"queries":$qs,"sf":${q(sfDir)}}"""
+      val allSpread = spreads.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+      val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$nRuns,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"subset":$isSubset,"spread_med":${pct(0.5)},"spread_p90":${pct(0.9)},"spread":$allSpread,"queries":$qs,"sf":${q(sfDir)}}"""
       // subset runs write a SEPARATE sidecar UNCONDITIONALLY (the env
       // override is honored only for full runs): a local profiling loop —
       // even one with a stale SPARK_GRAFT_BENCH_FULL in its shell — must
@@ -119,7 +138,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write the per-query sidecar: $e")
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":2,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"queries":$slowest,"sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$nRuns,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"spread_med":${pct(0.5)},"spread_p90":${pct(0.9)},"noisiest":$spreadJson,"queries":$slowest,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }
