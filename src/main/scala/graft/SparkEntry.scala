@@ -831,6 +831,15 @@ object SparkEntry {
     // tool when groups are bounded; the GLOBAL unbounded case is
     // Quantiles' histogram selection, x68). Median of ints interpolates
     // at .5 exactly; p90 rounds at 6 dp on both engines ----
+    // ---- q111: the BOUNDED-state grouped quantile path reached FROM SQL
+    // (r9): grouped_quantiles table function = Quantiles.
+    // groupedExactQuantiles (histogram refinement, executor state ≤
+    // tasks·buckets) — the documented complement of q110's group-buffering
+    // `percentile` aggregate; same quantile_cont oracle shape ----
+    "q111_grouped_quantiles_fn" -> ((s, d) => g(s, d).sql(
+      "select source, round(q, 6) as med, n " +
+      "from grouped_quantiles(documents, 'source', 'n_chars', 0.5) " +
+      "order by source")),
     "q110_group_quantiles" -> ((s, d) => g(s, d).sql(
       "select source, round(percentile(n_chars, 0.5), 6) as med, " +
       "round(percentile(n_chars, 0.9), 6) as p90, " +
@@ -1256,6 +1265,9 @@ object SparkEntry {
        "AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 12:00:00' ORDER BY k"),
     // q110: DuckDB quantile_cont uses the same linear interpolation as
     // Spark's exact percentile; 6-dp round absorbs float assoc noise
+    "q111_grouped_quantiles_fn" ->
+      ("SELECT source, ROUND(quantile_cont(n_chars, 0.5), 6) AS med, " +
+       "count(n_chars) AS n FROM documents GROUP BY source ORDER BY source"),
     "q110_group_quantiles" ->
       ("SELECT source, ROUND(quantile_cont(n_chars, 0.5), 6) AS med, " +
        "ROUND(quantile_cont(n_chars, 0.9), 6) AS p90, " +
