@@ -148,7 +148,11 @@ class SqlParserSpec extends AnyFunSuite {
       "select a, b from t where x = 1 group by a having n > 2 order by b limit 3",
       "select * from s [size 5 min on ts] join r on a = b",
       "with w as (select 1 as x) select x from w union all select 2",
-      "insert into t (a, b) values (1, 'x')")
+      "insert into t (a, b) values (1, 'x')",
+      // round-9 syntax: executed explain + table-fn FROM + session window
+      "explain analyze select count(*) as n from t group by k",
+      "select source, round(q, 6) as med from grouped_quantiles(documents, 'source', 'n_chars', 0.5) order by source",
+      "select w_start, w_end, k from s [session 30 min on ts partitioned on k] group by k")
     val rng = new scala.util.Random(42)
     def mutate(s: String): String = rng.nextInt(6) match {
       case 0 => s.take(rng.nextInt(s.length))                       // truncate
