@@ -121,11 +121,20 @@ object Dedup {
     * (`n_kept` / `cleaned` / `n_removed`; parity gated by x51). */
   def applyLineDedup(docs: DataFrame, textCol: String, idCol: String,
                      hot: DataFrame): DataFrame = {
+    // membership probes run per LINE of every document, and the hot set
+    // is a model that GROWS with the corpus (53 → 2,831 lines on the
+    // 100× sweep): `array_contains` is a linear scan, turning the
+    // stateless filter into lines×|hot| work (x51 673 s at sf10). The
+    // array ships as SORTED xxhash64 keys instead — 8 bytes/entry and an
+    // O(log|hot|) codegen binary search per probe ([[graft.expr.
+    // SortedArrayContains]]); collision contract 2⁻⁶⁴, same as
+    // [[exactByHash]]. sf10 re-measure: 673 s → linear.
     val hotArr = broadcast(hot.agg(
-      sort_array(collect_list(hot(hot.columns.head))).as("__ld_hotarr")))
+      sort_array(collect_list(xxhash64(hot(hot.columns.head))))
+        .as("__ld_hotarr")))
     docs.join(hotArr, lit(true), "inner")
       .withColumn("__ld_kept", filter(split(col(textCol), "\n"),
-        l => !array_contains(col("__ld_hotarr"), l)))
+        l => !graft.expr.SortedArrayContains(col("__ld_hotarr"), xxhash64(l))))
       .withColumn("n_kept", size(col("__ld_kept")).cast("long"))
       .withColumn("cleaned", concat_ws("\n", col("__ld_kept")))
       .withColumn("n_removed",
@@ -177,11 +186,15 @@ object Dedup {
     * [[paragraphDedup]] (parity gated by x64). */
   def applyParagraphDedup(docs: DataFrame, textCol: String, idCol: String,
                           hot: DataFrame): DataFrame = {
+    // sorted-hash probe, not array_contains — see [[applyLineDedup]]'s
+    // growth note (x64 was 663 s at the 100× sweep for the same reason)
     val hotArr = broadcast(hot.agg(
-      sort_array(collect_list(hot(hot.columns.head))).as("__pd_hotarr")))
+      sort_array(collect_list(xxhash64(hot(hot.columns.head))))
+        .as("__pd_hotarr")))
     docs.join(hotArr, lit(true), "inner")
       .withColumn("__pd_kept", filter(split(col(textCol), "\\n\\s*\\n"),
-        p => !array_contains(col("__pd_hotarr"), paragraphKey(p))))
+        p => !graft.expr.SortedArrayContains(col("__pd_hotarr"),
+          xxhash64(paragraphKey(p)))))
       .withColumn("n_kept", size(col("__pd_kept")).cast("long"))
       .withColumn("cleaned", concat_ws("\n\n", col("__pd_kept")))
       .withColumn("n_removed",

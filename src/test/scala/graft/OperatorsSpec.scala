@@ -1090,6 +1090,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaOp == viaAgg)
   }
 
+  test("SortedArrayContains: binary search ≡ linear scan, codegen ≡ eval, edge shapes") {
+    val rnd = new scala.util.Random(23)
+    val arrs = Seq(
+      Seq.empty[Long], Seq(5L), Seq(Long.MinValue, -1L, 0L, 7L, Long.MaxValue),
+      Seq.fill(257)(rnd.nextLong()).distinct.sorted)
+    val probes = Seq(Long.MinValue, -1L, 0L, 5L, 6L, 7L, Long.MaxValue) ++
+      arrs.flatten.take(40) ++ Seq.fill(40)(rnd.nextLong())
+    val rows = for { (a, ai) <- arrs.zipWithIndex; (p, pi) <- probes.zipWithIndex }
+      yield (ai.toLong * 1000 + pi, a.sorted, p)
+    val df = rows.toDF("id", "arr", "x")
+    val got = df.select(col("id"),
+      graft.expr.SortedArrayContains(col("arr"), col("x")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    rows.foreach { case (id, a, p) =>
+      assert(got(id) == a.contains(p), s"id=$id arr=${a.take(5)}… x=$p")
+    }
+    // null propagation like array_contains
+    val n = Seq((1L, Some(Seq(1L, 2L)), Option.empty[Long]),
+      (2L, Option.empty[Seq[Long]], Some(1L)))
+      .toDF("id", "arr", "x")
+      .select(col("id"), graft.expr.SortedArrayContains(col("arr"), col("x")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(n(1L) && n(2L))
+  }
+
   test("DoubleSortableBits: order-preserving bijection incl. ±0, ±Inf, NaN, subnormals") {
     import graft.expr.DoubleSortableBits._
     val rnd = new scala.util.Random(11)
