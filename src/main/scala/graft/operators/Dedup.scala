@@ -33,6 +33,45 @@ object Dedup {
     df.join(keep, keyCols :+ idCol, "left_semi")
   }
 
+  /** Exact dedup keeping the BEST row per duplicate family instead of the
+    * min id — the RefinedWeb/FineWeb representative-selection shape: when
+    * a page is crawled many times, keep the copy with the highest quality
+    * score (longest extraction, best classifier score), not an arbitrary
+    * one. Ties break on min id, so the result is deterministic across
+    * runs, partitionings, and engines (oracle-gated, x82).
+    *
+    * Scale: ONE keyed shuffle — row_number over (key → score desc, id
+    * asc) keeps rank 1; same exchange shape as [[exact]]'s groupBy, and
+    * the window sorts only (score, id) per family. Skewed duplicate families
+    * land one-per-task like any keyed window; the cap is the family's own
+    * row count (the work dedup must do anyway). */
+  def exactKeepBest(df: DataFrame, keyCols: Seq[String], idCol: String,
+                    scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("__kb_rn", row_number().over(w))
+      .where(col("__kb_rn") === 1).drop("__kb_rn")
+  }
+
+  /** [[exactKeepBest]] at near-duplicate granularity: cluster with the
+    * star-edge path ([[clusterNearDuplicates]] — O(rows×bands) under any
+    * skew), then keep each cluster's best-scoring member (ties → min id);
+    * rows in no cluster are kept. One extra keyed window over the
+    * (small) clustered subset — the corpus never re-shuffles. */
+  def keepBestPerCluster(docs: DataFrame, textCol: String, idCol: String,
+                         scoreCol: String, threshold: Double = 0.8): DataFrame = {
+    val comp = clusterNearDuplicates(docs, textCol, idCol, threshold)
+      .select(col("id").as(idCol), col("comp"))
+    val clustered = docs.join(comp, Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp")).orderBy(col(scoreCol).desc, col(idCol).asc)
+    val losers = clustered
+      .withColumn("__kb_rn", row_number().over(w))
+      .where(col("__kb_rn") =!= 1).select(col(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Dedup survivors by content hash — same result as `exact` on a text
     * key but shuffles a 128-bit digest instead of full documents. md5 (not
     * a 64-bit hash): at billions of documents the 64-bit birthday bound

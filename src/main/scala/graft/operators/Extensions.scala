@@ -219,6 +219,17 @@ object Extensions {
           .localCheckpoint()
       } finally q.stop()
     }),
+    // ---- keep-BEST exact dedup (r9): representative selection by
+    // quality score instead of min id (the RefinedWeb re-crawl shape);
+    // score = engine-portable multiplicative hash of the id so the
+    // DuckDB oracle recomputes the exact same argmax ----
+    "x82_keep_best" -> ((s, d) => {
+      val score = (col("doc_id") * lit(2654435761L)) % lit(1000000L)
+      Dedup.exactKeepBest(
+        docs(s, d).withColumn("score", score),
+        Seq("text"), "doc_id", "score")
+        .select(col("doc_id"), col("score")).orderBy("doc_id")
+    }),
     // ---- streaming RESTART RECOVERY (r9): checkpointed writeStream over
     // a two-phase file replay — phase 1 processes the first half of the
     // timeline, the query STOPS (simulated failure), a NEW query restarts
@@ -1458,6 +1469,12 @@ object Extensions {
         "WHERE rn <= 25 ORDER BY doc_id"),
       "x58_stream_dedup" -> (
         "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"),
+      "x82_keep_best" -> (
+        "SELECT doc_id, score FROM (SELECT doc_id, " +
+        "(doc_id * 2654435761) % 1000000 AS score, " +
+        "row_number() OVER (PARTITION BY text ORDER BY " +
+        "(doc_id * 2654435761) % 1000000 DESC, doc_id) AS rn " +
+        "FROM documents) WHERE rn = 1 ORDER BY doc_id"),
       // exactly-once across the kill/restart: the parquet sink after BOTH
       // phases must hold each key exactly once — the plain DISTINCT of
       // the full input, nothing doubled, nothing lost

@@ -1090,6 +1090,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaOp == viaAgg)
   }
 
+  test("exactKeepBest / keepBestPerCluster: argmax representative, ties -> min id") {
+    val d = Seq(
+      (1L, "aa", 5.0), (2L, "aa", 9.0), (3L, "aa", 9.0), // dup family: 2 wins (tie w/ 3 -> min id)
+      (4L, "bb", 1.0),                                    // singleton
+      (5L, "cc", 2.0), (6L, "cc", 7.0)                    // dup family: 6 wins
+    ).toDF("doc_id", "text", "score")
+    val kept = Dedup.exactKeepBest(d, Seq("text"), "doc_id", "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 6L))
+    // near-dup variant: clusters from the star path; best score kept per
+    // cluster, unclustered rows untouched. Docs crafted as exact copies
+    // (always clustered) + one unique doc.
+    val nd = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again", 1.0),
+      (11L, "the quick brown fox jumps over the lazy dog again and again", 8.0),
+      (12L, "completely unrelated text about spark catalyst optimizer internals", 0.5)
+    ).toDF("doc_id", "text", "score")
+    val keptNd = Dedup.keepBestPerCluster(nd, "text", "doc_id", "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptNd == Set(11L, 12L))
+    // real corpus sanity: keep-best count == keep-min count (same families)
+    val dd = docs.withColumn("score", (col("doc_id") * 7919L) % 1000L)
+    assert(Dedup.exactKeepBest(dd, Seq("text"), "doc_id", "score").count() ==
+      Dedup.exact(docs, Seq("text"), "doc_id").count())
+  }
+
   test("SortedArrayContains: binary search ≡ linear scan, codegen ≡ eval, edge shapes") {
     val rnd = new scala.util.Random(23)
     val arrs = Seq(
