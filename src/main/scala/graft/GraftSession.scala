@@ -124,6 +124,19 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       arity("exact_dedup", args, 1, 1)
       Dedup.exact(rel("exact_dedup", args, 0), Seq("text"), "doc_id")
     })
+    catalog.registerTableFunction("keep_best", { args =>
+      arity("keep_best", args, 2, 2)
+      val r = rel("keep_best", args, 0)
+      val scoreCol = args(1) match {
+        case graft.catalog.TfArg.Lit(s: String) => s
+        case other => throw new graft.translate.GraftAnalysisException(
+          s"keep_best: argument 2 must be the score column name (string literal), got $other")
+      }
+      if (!r.columns.exists(_.equalsIgnoreCase(scoreCol)))
+        throw new graft.translate.GraftAnalysisException(
+          s"keep_best: input relation has no `$scoreCol` column; found: ${r.columns.mkString(", ")}")
+      Dedup.exactKeepBest(r, Seq("text"), "doc_id", scoreCol)
+    })
     catalog.registerTableFunction("line_dedup", { args =>
       arity("line_dedup", args, 1, 2)
       Dedup.lineDedup(rel("line_dedup", args, 0), "text", "doc_id",

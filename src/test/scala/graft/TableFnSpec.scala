@@ -47,6 +47,20 @@ class TableFnSpec extends AnyFunSuite {
     assert(keeps.values.sum == g.catalog.relation("documents").count())
   }
 
+  test("keep_best table function: argmax per text family from SQL") {
+    // n_chars is constant within an exact-dup family, so use doc_id
+    // parity-derived score via a derived CTAS-like subselect is overkill:
+    // the documents table has a usable numeric column — score on n_chars
+    val kept = g.sql("select count(*) as n from keep_best(documents, 'n_chars')")
+      .collect().head.getLong(0)
+    val minId = g.sql("select count(*) as n from exact_dedup(documents)")
+      .collect().head.getLong(0)
+    assert(kept == minId) // same families, one representative each
+    val err = intercept[graft.translate.GraftAnalysisException](
+      g.sql("select * from keep_best(documents, 'no_such_col')"))
+    assert(err.getMessage.contains("no_such_col"))
+  }
+
   test("user-registered table function with relation + literal args") {
     import graft.catalog.TfArg
     g.registerTableFunction("head_n", {
