@@ -266,6 +266,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpoint restart: windowed AGGREGATION state recovers (append mode, watermark)") {
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val srcDir = tmp("restart_agg_src_"); val outDir = tmp("restart_agg_out_")
+    val ckpt = tmp("restart_agg_ckpt_")
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val schema = Seq(("a", ts(1, 0))).toDF("k", "ts").schema
+    def runPhase(): Unit = {
+      val in = spark.readStream.schema(schema).parquet(srcDir)
+      val agg = in.withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("n"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def sink(): Map[String, Long] = spark.read.parquet(outDir).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    try {
+      // phase 1: hour-1 window fills (2 events); the 02:05 event advances
+      // the watermark past it -> w1 emits, w2 stays OPEN with count 1 in
+      // the state store; then the query "dies"
+      Seq(("a", ts(1, 10)), ("a", ts(1, 20)), ("a", ts(2, 5)))
+        .toDF("k", "ts").coalesce(1).write.mode("append").parquet(srcDir)
+      runPhase()
+      assert(sink() == Map("2024-01-01 01:00:00.0" -> 2L), sink().toString)
+      // phase 2 appends another hour-2 event + an hour-3 event that closes
+      // w2. The emitted w2 count must include BOTH phases' events — only
+      // possible if the in-flight window state was restored — and w1 must
+      // not re-emit (no double commit)
+      Seq(("a", ts(2, 30)), ("a", ts(3, 10)))
+        .toDF("k", "ts").coalesce(1).write.mode("append").parquet(srcDir)
+      runPhase()
+      assert(sink() == Map(
+        "2024-01-01 01:00:00.0" -> 2L,
+        "2024-01-01 02:00:00.0" -> 2L), sink().toString)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(): Unit
+      }
+      Seq(srcDir, outDir, ckpt).foreach(d => rm(new java.io.File(d)))
+    }
+  }
+
   test("content-addressed curation ops run on live streams (narrow filters)") {
     // mixture and splitByHash are pure filters/projections of the key —
     // no state, no shuffle — so the same operators curate streams as-is;
