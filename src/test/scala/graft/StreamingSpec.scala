@@ -312,6 +312,62 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("RocksDB state store: stateful dedup + checkpoint restart, same results off-heap") {
+    // At 100 TB the HDFS-backed provider keeps every key's state in executor
+    // HEAP; the RocksDB provider (bundled rocksdbjni) spills state to local
+    // disk with bounded block-cache memory. The engine's stateful plans must
+    // run unchanged on it — provider choice is config, not code.
+    import graft.streaming.{Dedup => SDedup}
+    val rocks = spark.newSession() // session-scoped conf: no cross-suite leak
+    rocks.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    rocks.conf.set("spark.sql.shuffle.partitions", "4")
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val srcDir = tmp("rocks_src_"); val outDir = tmp("rocks_out_")
+    val ckpt = tmp("rocks_ckpt_")
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val schema = Seq((1L, ts(1, 1))).toDF("k", "ts").schema
+    def runPhase(): Unit = {
+      val in = rocks.readStream.schema(schema).parquet(srcDir)
+      val dd = SDedup.withinWatermark(in, Seq("k"), "ts", "365 days").select("k")
+      val q = dd.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      Seq((1L, ts(1, 1)), (2L, ts(1, 2)), (2L, ts(1, 3)))
+        .toDF("k", "ts").coalesce(1).write.mode("append").parquet(srcDir)
+      runPhase()
+      // the provider really is RocksDB: its checkpoints are zip/changelog
+      // files, not the HDFS provider's .delta files
+      def stateFiles = {
+        val b = new scala.collection.mutable.ArrayBuffer[String]
+        def walk(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(walk)
+          else b += f.getName
+        }
+        walk(new java.io.File(ckpt, "state")); b.toSeq
+      }
+      assert(stateFiles.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
+        s"expected RocksDB checkpoint files, saw: ${stateFiles.take(8)}")
+      assert(!stateFiles.exists(_.endsWith(".delta")), "HDFS provider files present")
+      // cross-restart dup of key 1 dropped only via restored RocksDB state
+      Seq((1L, ts(2, 1)), (3L, ts(2, 2)))
+        .toDF("k", "ts").coalesce(1).write.mode("append").parquet(srcDir)
+      runPhase()
+      val fin = spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+      assert(fin == Seq(1L, 2L, 3L), s"post-restart output: $fin")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(): Unit
+      }
+      Seq(srcDir, outDir, ckpt).foreach(d => rm(new java.io.File(d)))
+    }
+  }
+
   test("content-addressed curation ops run on live streams (narrow filters)") {
     // mixture and splitByHash are pure filters/projections of the key —
     // no state, no shuffle — so the same operators curate streams as-is;
