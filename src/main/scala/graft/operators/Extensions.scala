@@ -268,6 +268,51 @@ object Extensions {
       runPhase() // RESTART from the checkpoint: offsets + dedup state restored
       s.read.parquet(outDir).orderBy("user_id", "event_type")
     }),
+    // ---- idempotent foreachBatch publish (r9): exactly-once WITHOUT the
+    // file sink's _spark_metadata log (that driver-side compaction log is
+    // itself the bottleneck at 100 TB — see Sinks.idempotentParquet).
+    // The replay is forced through multiple micro-batches
+    // (maxFilesPerTrigger=1); after phase 1 the NEWEST entry in the
+    // checkpoint's commits/ log is DELETED (a crash in the window between
+    // sink publish and checkpoint commit), so the restart re-executes
+    // that batch — same id, same data. Without the commit-marker skip in
+    // publishBatch the replayed batch doubles its rows and breaks the
+    // hash; a lost offsets log would double everything. readCommitted
+    // reads back exactly the committed batch dirs. ----
+    "x83_stream_publish" -> ((s, d) => {
+      val docsDf = GraftSession.forDir(s, d).catalog.relation("documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val srcDir = tempDir("x83_src_")
+      val outDir = tempDir("x83_out_")
+      val ckpt = tempDir("x83_ckpt_")
+      def runPhase(): Unit = {
+        val in = s.readStream.schema(docsDf.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        val q = graft.streaming.Sinks.idempotentParquet(in, outDir, ckpt)
+        // stop() joins the execution thread — awaitTermination alone can
+        // return before the query deregisters, racing the next phase
+        try q.awaitTermination() finally { q.stop(); () }
+        while (s.streams.active.nonEmpty) Thread.sleep(50)
+      }
+      docsDf.where(col("doc_id") % 2 === 0)
+        .repartition(2).write.mode("append").parquet(srcDir)
+      runPhase() // phase 1: ≥2 batches published and committed
+      // crash between sink publish and checkpoint commit: drop the newest
+      // commits/ entry — the restart MUST replay that batch id
+      val commitsDir = new java.io.File(ckpt, "commits")
+      val entries = Option(commitsDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.nonEmpty && f.getName.forall(_.isDigit))
+      require(entries.length >= 2, s"expected >=2 committed batches, got ${entries.length}")
+      val newest = entries.maxBy(_.getName.toLong)
+      // drop the Hadoop checksum sidecar too: a stale .N.crc makes the
+      // local FS reject the re-commit of the replayed batch
+      new java.io.File(commitsDir, s".${newest.getName}.crc").delete(): Unit
+      newest.delete(): Unit
+      docsDf.where(col("doc_id") % 2 =!= 0)
+        .repartition(2).write.mode("append").parquet(srcDir)
+      runPhase() // restart: replays the uncommitted batch, then the rest
+      graft.streaming.Sinks.readCommitted(s, outDir).orderBy("doc_id")
+    }),
     // ---- hashed linear classifier scoring (fastText-inference shape);
     // md5-bucketed features + integer weight arithmetic make the scores
     // EXACTLY recomputable by the DuckDB oracle ----
@@ -1480,6 +1525,11 @@ object Extensions {
       // the full input, nothing doubled, nothing lost
       "x81_restart_recovery" -> (
         "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"),
+      // exactly-once publish across the injected commit-lag crash: the
+      // committed batch dirs after both phases hold every doc exactly
+      // once — the replayed batch id must NOT double its rows
+      "x83_stream_publish" -> (
+        "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"),
       "x64_paragraph_dedup_stream" -> (
         "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(1 AS INTEGER) AS stream_matches_batch FROM documents"),

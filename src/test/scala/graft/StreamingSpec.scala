@@ -368,6 +368,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("idempotent publish: replayed batch ids, torn writes, uncommitted reads") {
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val outDir = tmp("pub_out_")
+    try {
+      val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      // first publish writes; re-publishing the SAME batch id (the
+      // crash-between-publish-and-commit replay) is a no-op
+      assert(Sinks.publishBatch(b0, outDir, 0L))
+      assert(!Sinks.publishBatch(b0, outDir, 0L))
+      assert(spark.read.parquet(s"$outDir/batch=0").count() == 2)
+      // torn write: data present but NO marker (crash mid-write) — the
+      // replay must overwrite the whole directory, not append to it
+      Seq((9L, "junk"), (10L, "junk"), (11L, "junk")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$outDir/batch=1")
+      val b1 = Seq((3L, "c")).toDF("id", "v")
+      assert(Sinks.publishBatch(b1, outDir, 1L))
+      assert(spark.read.parquet(s"$outDir/batch=1").collect()
+        .map(_.getLong(0)).toSeq == Seq(3L))
+      // readCommitted: a torn batch dir without a marker is invisible
+      Seq((99L, "torn")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$outDir/batch=2")
+      val seen = Sinks.readCommitted(spark, outDir)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(seen == Seq(1L, 2L, 3L), s"committed rows: $seen")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(outDir))
+    }
+  }
+
   test("content-addressed curation ops run on live streams (narrow filters)") {
     // mixture and splitByHash are pure filters/projections of the key —
     // no state, no shuffle — so the same operators curate streams as-is;
