@@ -78,17 +78,37 @@ object IntervalJoin {
   }
 
   /** Streaming interval join: watermark both sides and let Spark's
-    * stream-stream join keep state only for the bounded interval. */
+    * stream-stream join keep state only for the bounded interval.
+    *
+    * Scale: the user keys alone can be LOW-CARDINALITY (5 event types over
+    * a 100 TB stream), and the symmetric-hash join probes EVERY stored row
+    * of the matching key before the range predicate runs — per-batch cost
+    * degenerates to |state/key|·|input|. So the streaming plan joins on
+    * the SAME (key, time-bucket) composite as the batch plan: left keeps
+    * its one bucket, right is exploded to the ≤2 buckets its match
+    * interval touches, and state probes only ever see same-bucket rows —
+    * cost proportional to true matches, never the per-key cross product.
+    * Each matching pair shares exactly one bucket (the left row's), so no
+    * dedup pass is needed; the range predicate still references both
+    * event-time columns, so Spark's watermark state eviction is unchanged.
+    */
   def streaming(left: DataFrame, right: DataFrame, keys: Seq[String],
                 lTime: String, rTime: String, beforeUs: Long, afterUs: Long,
                 watermarkDelay: String): DataFrame = {
     require(beforeUs >= 0 && afterUs >= 0, "interval bounds must be >= 0")
+    val width = math.max(beforeUs + afterUs, 1L)
+    def bucket(us: org.apache.spark.sql.Column) =
+      call_function("div", us - pmod(us, lit(width)), lit(width))
     val l = Catalog.normalizeNtz(left).withWatermark(lTime, watermarkDelay)
+      .withColumn("__ib", bucket(unix_micros(col(lTime))))
     val r = Catalog.normalizeNtz(right).withWatermark(rTime, watermarkDelay)
-    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+      .withColumn("__ib",
+        explode(sequence(bucket(unix_micros(col(rTime)) - afterUs),
+          bucket(unix_micros(col(rTime)) + beforeUs))))
+    val keyCond = (keys :+ "__ib").map(k => l(k) === r(k)).reduce(_ && _)
     val range =
       unix_micros(r(rTime)).between(unix_micros(l(lTime)) - beforeUs,
         unix_micros(l(lTime)) + afterUs)
-    l.join(r, keyCond && range, "inner")
+    l.join(r, keyCond && range, "inner").drop("__ib")
   }
 }
