@@ -270,14 +270,25 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
   }
 
   /** Columns stored as parquet TIMESTAMP(NANOS) — detected from the footer's
-    * logical type annotations. */
+    * logical type annotations. `<table>.parquet` may be a single file OR a
+    * directory of part files (all written together, so any one footer is
+    * representative — probe the first). */
   private def nanoTimestampCols(path: String): Set[String] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val f0 = new java.io.File(path)
+    val probe =
+      if (!f0.isDirectory) path
+      else Option(f0.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName).headOption
+        .map(_.getPath)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no part files under parquet directory $path"))
     val inFile = HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(path), spark.sessionState.newHadoopConf())
+      new org.apache.hadoop.fs.Path(probe), spark.sessionState.newHadoopConf())
     val reader = ParquetFileReader.open(inFile)
     try {
       reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {

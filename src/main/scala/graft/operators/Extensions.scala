@@ -1058,10 +1058,15 @@ object Extensions {
         .orderBy("id")),
     // ---- int8-quantized ANN top-k: integer-dot scoring over the
     // quantized corpus (the 4×-smaller resident-memory path), exact
-    // BIGINT dots in the output — hash-matches with no float noise ----
+    // BIGINT dots in the output — hash-matches with no float noise.
+    // Query set is a FIXED sample (≤40 ids), NOT a corpus fraction: with
+    // `% 50` alone the query count grows with the corpus and brute
+    // scoring goes quadratic (306× at the 100× sweep) — same lesson as
+    // x76's recall audit; scoring stays linear in corpus size ----
     "x54_quantized_topk" -> ((s, d) => {
       val e = emb(s, d)
-      Similarity.quantizedTopK(e, e.where(col("vec_id") % 50 === 0), k = 5)
+      Similarity.quantizedTopK(
+        e, e.where(col("vec_id") % 50 === 0 && col("vec_id") < 2000), k = 5)
         .orderBy("qid", "vec_id")
     }),
     // ---- exact global quantiles WITHOUT a global sort (histogram
@@ -1972,7 +1977,7 @@ object Extensions {
         "q AS (SELECT vec_id, CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS s, " +
         "list_transform(v, x -> GREATEST(-127, LEAST(127, CAST(FLOOR(x * " +
         "(CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END) + 0.5) AS BIGINT)))) AS qv FROM m), " +
-        "qq AS (SELECT * FROM q WHERE vec_id % 50 = 0), " +
+        "qq AS (SELECT * FROM q WHERE vec_id % 50 = 0 AND vec_id < 2000), " +
         "sc AS (SELECT qq.vec_id AS qid, c.vec_id AS vec_id, qq.s AS qs, c.s AS ns, " +
         "CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * qq.qv[i])) AS BIGINT) AS dotq " +
         "FROM q c, qq WHERE qq.vec_id <> c.vec_id), " +

@@ -110,19 +110,21 @@ object ScaleGrowth10 {
 
     val dir = new java.io.File(out); dir.mkdirs()
     tables.foreach { case (name, df) =>
-      val tmp = s"$out/__tmp_$name"
       val t0 = System.nanoTime
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file written for $name"))
+      // `<name>.parquet` is a DIRECTORY of 32 part files (spark.read
+      // treats it identically to one file). A single coalesce(1) file
+      // compresses small tables (documents = 65 MB) into ONE parquet row
+      // group, and a row group is the unit of scan parallelism — every
+      // scan then runs on ONE core and the sweep measures single-thread
+      // throughput instead of operator growth (x44 read 298x before this
+      // change, 12x after). Real 100 TB inputs are millions of row
+      // groups; 32 splits is the realistic layout at local[32].
       val dst = new java.io.File(s"$out/$name.parquet")
-      if (dst.exists()) dst.delete()
-      java.nio.file.Files.move(part.toPath, dst.toPath)
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
       }
-      rm(new java.io.File(tmp))
+      if (dst.exists()) rm(dst)
+      df.repartition(32).write.mode("overwrite").parquet(dst.getPath)
       println(f"[scale10] wrote $name%-10s rows=${spark.read.parquet(dst.getPath).count()}%10d  ${(System.nanoTime - t0) / 1e9}%6.1f s")
     }
     println(s"[scale10] synthesized ~sf10 at $out")
