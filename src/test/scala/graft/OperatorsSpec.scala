@@ -379,6 +379,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("clash"))
   }
 
+  test("asof join: time-bucketed path matches the single-window path") {
+    // the bucketed carry-stitch (scale path for low-cardinality keys) is
+    // size-gated off for small inputs; force it and assert identical
+    // results — incl. cross-bucket carries (one quote serving many later
+    // buckets), a no-right-rows key, and a before-all-quotes trade
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("B", 15L, 9.0)
+    ).toDF("sym", "t", "px")
+    val trades = (Seq(
+      ("A", 5L, 100L), ("A", 10L, 101L), ("A", 19L, 102L),
+      ("A", 25L, 103L), ("B", 30L, 104L), ("C", 7L, 105L)
+    ) ++ (0 until 400).map(i => ("A", 1000L + i, 200L + i))) // far buckets: carry px=2.0
+      .toDF("sym", "t", "qty")
+    spark.conf.set("graft.asof.forceBucketed", "true")
+    try {
+      val j = AsOf.join(trades, quotes, Seq("sym"), "t")
+        .collect().map(r => r.getLong(2) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      assert(j(100L) == None && j(101L) == Some(1.0) && j(102L) == Some(1.0))
+      assert(j(103L) == Some(2.0) && j(104L) == Some(9.0) && j(105L) == None)
+      (0 until 400).foreach(i => assert(j(200L + i) == Some(2.0)))
+      assert(j.size == 406)
+    } finally spark.conf.unset("graft.asof.forceBucketed")
+  }
+
   test("chunking: overlapping windows cover all tokens, last chunk short") {
     val d = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
     val c = TextAnalysis.chunk(d, "text", "doc_id", chunkSize = 4, overlap = 1)
