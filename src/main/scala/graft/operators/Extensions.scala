@@ -345,6 +345,46 @@ object Extensions {
     // subset): exact integer/ratio signals + flags, DuckDB-recomputed ----
     "x65_gopher_filters" -> ((s, d) =>
       QualityFilters.gopherFlags(docs(s, d), "text", "doc_id").orderBy("id")),
+    // ---- BPE pair statistics (r9): the distributed half of tokenizer
+    // training — corpus collapses to a word-frequency table in ONE hash
+    // agg, pair counting then runs over the vocabulary-sized table. The
+    // merge loop itself (driver-side, vocab-sized) is bpeTrain /
+    // OperatorsSpec; this gate pins the corpus statistic it consumes ----
+    "x84_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairCounts(
+        TextAnalysis.bpeWordFrequencies(docs(s, d), "text", "doc_id"), k = 30)),
+    // ---- BPE tokenizer application (r9): per-doc token counts under a
+    // FIXED trained merge list (literal on both sides — training
+    // determinism is bpeTrain/OperatorsSpec; the property spec proves
+    // the replace chain ≡ reference BPE on this corpus's vocabulary).
+    // The plan is the 100 TB shape: corpus → vocab hash-distinct, the
+    // per-symbol replace chain runs vocab-×, broadcast join back, one
+    // partial-agged per-doc groupBy. Includes second-order merges
+    // ((m,er),(er,g),(l,ow)) so multi-char tokens are load-bearing ----
+    "x86_bpe_tokenize" -> ((s, d) =>
+      TextAnalysis.tokenizeBpe(docs(s, d), "text", "doc_id", X86_MERGES)
+        .orderBy("id")),
+    // ---- end-to-end curation pipeline (r9): quality filter -> exact
+    // dedup -> per-source cap -> corpus report, composed as ONE lazy plan
+    // (what a user of the engine actually ships). The stages fuse the way
+    // the 100 TB plan should: the gopher predicate is a narrow codegen
+    // filter at the scan, dedup is one keyed shuffle + semi join, the cap
+    // is one window shuffle, the report one partial-agged groupBy — 3
+    // exchanges total, nothing corpus-quadratic. Flags restricted to
+    // wc_ok+mwl_ok because the synthetic corpus has no English stopwords
+    // (full gopher keep would be vacuously 0 rows) ----
+    "x85_curation_pipeline" -> ((s, d) => {
+      val filtered = QualityFilters.gopherFilter(
+        docs(s, d), "text", required = Seq("wc_ok", "mwl_ok"))
+      val deduped = Dedup.exactByHash(filtered, "text", "doc_id")
+      val capped = Sampling.capPerGroup(deduped, "source", cap = 20, orderCol = "doc_id")
+      capped.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
     // ---- C4 line filtering (Raffel et al. 2020 §2.2): newlines injected
     // (raw docs are single-line) plus per-parity tells so both keep=0
     // paths (lorem / brace) and the punctuation+word-count line rules all
@@ -1308,6 +1348,14 @@ object Extensions {
     "GROUP BY 1, 2 ORDER BY 1, 2"
   }
 
+  /** x86's fixed merge list: the corpus's top first-order pairs plus
+    * three second-order merges that consume them (all distinct-pair, as
+    * bpeSpacedApply requires). Single source of truth — the DuckDB
+    * oracle's replace chain is generated from this same value. */
+  val X86_MERGES: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "s" -> "t",
+    "m" -> "er", "er" -> "g", "l" -> "ow")
+
   def oracles: Map[String, String] = {
     val t = "text"
     val nTok = duckTokCount(t)
@@ -1438,6 +1486,47 @@ object Extensions {
         "COALESCE(list_sum(list_transform(list_distinct(ps), x -> length(x))), 0) AS DOUBLE) / " +
         "list_sum(list_transform(ps, x -> length(x))), 6) AS dup_paras_char_frac " +
         "FROM b ORDER BY id"),
+      // mirrors bpeWordFrequencies + bpePairCounts: lowercase [a-z]+ word
+      // runs -> freq table -> adjacent char pairs weighted by freq
+      "x84_bpe_pairs" -> (
+        "WITH w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq FROM " +
+        "(SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok FROM documents) " +
+        "WHERE tok <> '' GROUP BY tok), " +
+        "i AS (SELECT word, freq, unnest(generate_series(1, length(word)-1)) AS i FROM w) " +
+        "SELECT substr(word, CAST(i AS INT), 2) AS pair, CAST(SUM(freq) AS BIGINT) AS n " +
+        "FROM i GROUP BY 1 ORDER BY n DESC, pair LIMIT 30"),
+      // mirrors tokenizeBpe with the SAME X86_MERGES constant: spaced
+      // chars via regexp_replace, the identical double-replace chain
+      // (DuckDB replace is global left-to-right non-overlapping, same
+      // as Spark's), token count = split of the trimmed result
+      "x86_bpe_tokenize" -> {
+        val chain = X86_MERGES.foldLeft(
+          "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')") { case (e, (a, b)) =>
+          s"replace(replace($e, ' $a $b ', ' $a$b '), ' $a $b ', ' $a$b ')"
+        }
+        "WITH words AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w " +
+        "FROM documents), nz AS (SELECT doc_id, w FROM words WHERE w <> ''), " +
+        s"tok AS (SELECT doc_id, len(string_split(trim($chain), ' ')) AS nt FROM nz) " +
+        "SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(nt) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id ORDER BY id"
+      },
+      // mirrors the x85 pipeline stage by stage: the wc/mwl gopher
+      // predicate (x65's proven expressions), min-id exact text dedup
+      // (x01's), per-source row_number cap (x30's), then the lang report
+      "x85_curation_pipeline" -> (
+        "WITH base AS (SELECT doc_id, text, lang, source, n_chars, " +
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS ws FROM documents), " +
+        "f AS (SELECT doc_id, text, lang, source, n_chars FROM base " +
+        "WHERE len(ws) BETWEEN 50 AND 100000 " +
+        "AND ROUND(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE) " +
+        "/ GREATEST(len(ws), 1), 6) BETWEEN 3.0 AND 10.0), " +
+        "dd AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text), " +
+        "k AS (SELECT f.* FROM f JOIN dd USING (doc_id)), " +
+        "c AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM k) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
+        "MIN(doc_id) AS min_id, MAX(doc_id) AS max_id " +
+        "FROM c WHERE rn <= 20 GROUP BY lang ORDER BY lang"),
       "x65_gopher_filters" -> (
         "WITH base AS (SELECT doc_id, text, " +
         "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS ws, " +

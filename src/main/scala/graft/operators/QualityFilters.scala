@@ -33,41 +33,72 @@ object QualityFilters {
     * Output: per-doc signal columns, the 7 flags, and `keep` = AND of
     * all flags. Single-line docs satisfy the line rules trivially (1
     * non-bullet, non-ellipsis line). */
-  def gopherFlags(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = col(textCol)
+  /** The 7 Gopher signal expressions for a text column, in output order.
+    * Single source of truth for [[gopherFlags]] (which materializes them
+    * as columns) and [[gopherFilter]] (which folds them straight into a
+    * predicate — same expressions, so the two can never disagree). */
+  private def gopherSignals(t: Column): Seq[(String, Column)] = {
     val ws = words(t)
     val lines = filter(split(t, "\n"), l => trim(l) =!= "")
     val nw = size(ws).cast("long")
     val nl = greatest(size(lines).cast("long"), lit(1L))
-    val out = df.select(
-      col(idCol).as("id"),
-      nw.as("n_words"),
+    Seq(
+      "n_words" -> nw,
       // mean word length over the words themselves (exact ints / count)
-      round(aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
-        greatest(nw, lit(1L)), 6).as("mean_word_len"),
+      "mean_word_len" -> round(
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+          greatest(nw, lit(1L)), 6),
       // '#' chars + literal '...' runs, counted on the raw text
-      (length(regexp_replace(t, "[^#]", "")).cast("long") +
-        size(split(t, "\\.\\.\\.", -1)).cast("long") - 1L).as("n_symbols"),
-      size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("long").as("n_bullet_lines"),
-      size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("long").as("n_ellipsis_lines"),
-      nl.as("n_lines"),
-      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha_words"),
-      size(filter(
+      "n_symbols" -> (length(regexp_replace(t, "[^#]", "")).cast("long") +
+        size(split(t, "\\.\\.\\.", -1)).cast("long") - 1L),
+      "n_bullet_lines" -> size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("long"),
+      "n_ellipsis_lines" -> size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("long"),
+      "n_lines" -> nl,
+      "n_alpha_words" -> size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long"),
+      "n_stopword_hits" -> size(filter(
         array(lit("the"), lit("be"), lit("to"), lit("of"),
           lit("and"), lit("that"), lit("have"), lit("with")),
-        sw => array_contains(transform(ws, w => lower(w)), sw)))
-        .cast("long").as("n_stopword_hits"))
-    out.select(col("*"))
-      .withColumn("wc_ok", (col("n_words") >= 50L && col("n_words") <= 100000L).cast("int"))
-      .withColumn("mwl_ok", (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).cast("int"))
-      .withColumn("symbol_ok", (col("n_symbols") * 10L < col("n_words")).cast("int"))
-      .withColumn("bullet_ok", (col("n_bullet_lines") * 10L <= col("n_lines") * 9L).cast("int"))
-      .withColumn("ellipsis_ok", (col("n_ellipsis_lines") * 10L <= col("n_lines") * 3L).cast("int"))
-      .withColumn("alpha_ok", (col("n_alpha_words") * 10L >= col("n_words") * 8L).cast("int"))
-      .withColumn("stopword_ok", (col("n_stopword_hits") >= 2L).cast("int"))
-      .withColumn("keep",
-        (col("wc_ok") + col("mwl_ok") + col("symbol_ok") + col("bullet_ok") +
-          col("ellipsis_ok") + col("alpha_ok") + col("stopword_ok") === 7).cast("int"))
+        sw => array_contains(transform(ws, w => lower(w)), sw))).cast("long"))
+  }
+
+  /** The 7 Gopher flags as booleans over a signal resolver (column refs
+    * in [[gopherFlags]], raw signal expressions in [[gopherFilter]]). */
+  private def gopherFlagExprs(sig: String => Column): Seq[(String, Column)] = Seq(
+    "wc_ok" -> (sig("n_words") >= 50L && sig("n_words") <= 100000L),
+    "mwl_ok" -> (sig("mean_word_len") >= 3.0 && sig("mean_word_len") <= 10.0),
+    "symbol_ok" -> (sig("n_symbols") * 10L < sig("n_words")),
+    "bullet_ok" -> (sig("n_bullet_lines") * 10L <= sig("n_lines") * 9L),
+    "ellipsis_ok" -> (sig("n_ellipsis_lines") * 10L <= sig("n_lines") * 3L),
+    "alpha_ok" -> (sig("n_alpha_words") * 10L >= sig("n_words") * 8L),
+    "stopword_ok" -> (sig("n_stopword_hits") >= 2L))
+
+  def gopherFlags(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val out = df.select(
+      (col(idCol).as("id") +:
+        gopherSignals(col(textCol)).map { case (n, c) => c.as(n) }): _*)
+    val flagged = gopherFlagExprs(col).foldLeft(out.select(col("*"))) {
+      case (acc, (n, c)) => acc.withColumn(n, c.cast("int"))
+    }
+    flagged.withColumn("keep",
+      (col("wc_ok") + col("mwl_ok") + col("symbol_ok") + col("bullet_ok") +
+        col("ellipsis_ok") + col("alpha_ok") + col("stopword_ok") === 7).cast("int"))
+  }
+
+  /** Filter a corpus by a SUBSET of the Gopher flags, keeping the input
+    * rows and columns untouched — the shape a curation pipeline wants
+    * (the flag report of [[gopherFlags]] is for auditing, not chaining).
+    * Stays a narrow codegen predicate: no join back, no shuffle, and
+    * Catalyst pushes it against the scan when nothing intervenes. */
+  def gopherFilter(df: DataFrame, textCol: String,
+                   required: Seq[String]): DataFrame = {
+    require(required.nonEmpty, "at least one flag required")
+    val sig = gopherSignals(col(textCol)).toMap
+    val flags = gopherFlagExprs(sig).toMap
+    val unknown = required.filterNot(flags.contains)
+    require(unknown.isEmpty,
+      s"unknown gopher flags: ${unknown.mkString(", ")} " +
+        s"(valid: ${flags.keys.toSeq.sorted.mkString(", ")})")
+    df.where(required.map(flags).reduce(_ && _))
   }
 
   /** Within-document duplicate-line / duplicate-paragraph fractions —

@@ -653,4 +653,152 @@ object TextAnalysis {
         regexp_replace(text, "[\\u200B\\u200C\\u200D\\uFEFF]", ""),
         "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", " "),
       "[\\s\\u00A0]+", " "))
+
+  /** BPE tokenizer training, decomposed the way it actually scales
+    * (Sennrich et al. 2016): the ONLY corpus-sized stage is the word-
+    * frequency table — one hash aggregation with map-side partials. Pair
+    * counting and the merge loop then run over that VOCABULARY-sized
+    * table (the corpus is never re-scanned per merge), which is why BPE
+    * training is tractable at 100 TB: a trillion tokens collapse to a
+    * few million distinct words before any quadratic-ish work starts.
+    *
+    * Words are lowercased maximal `[a-z]+` runs — ASCII-only on purpose
+    * so `substr` indexing agrees byte-for-byte with any external oracle
+    * regardless of Unicode normalization. */
+  def bpeWordFrequencies(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    Par.widen(df, idCol)
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Frequency-weighted adjacent character-pair counts over the word
+    * table — the statistic the first BPE merge maximizes. Input is the
+    * vocabulary-sized output of [[bpeWordFrequencies]], so the explode is
+    * ~(mean word length) x vocab rows, not corpus-sized. Ties in the
+    * top-k cut break on the pair text. Single-char words contribute no
+    * pairs (guarded: Spark's `sequence(1, 0)` would DESCEND, not empty). */
+  def bpePairCounts(wordFreq: DataFrame, k: Int = 30): DataFrame =
+    wordFreq
+      .where(length(col("word")) >= 2)
+      .select(col("freq"), explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
+  /** The BPE merge loop, run where it belongs: on the driver, over the
+    * collected vocabulary-sized word-frequency table (exactly how
+    * reference BPE trainers work — the corpus pass is distributed, the
+    * merge iterations are not). Deterministic: each round merges the
+    * highest-count adjacent symbol pair, ties broken by (left, right)
+    * symbol text; within a word, merges apply left-to-right and do not
+    * overlap. Returns the ordered merge list; stops early when no pair
+    * remains. */
+  /** One BPE merge applied to a symbol sequence: left-to-right,
+    * non-overlapping — the reference semantics [[bpeTokenCounts]]'s
+    * distributed replace-chain must reproduce (and the property spec
+    * checks it does, word by word, on the real corpus vocabulary). */
+  def bpeMergeWord(syms: Vector[String], p: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == p._1 && syms(i + 1) == p._2) {
+        out += (p._1 + p._2); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Segment one word with an ordered, already-trained merge list —
+    * the driver-side reference tokenizer (each merge fully applied in
+    * training order, exactly as [[bpeTrain]] built it). */
+  def bpeSegment(word: String, merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector)(bpeMergeWord)
+
+  def bpeTrain(wordFreq: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    var words: Seq[(Vector[String], Long)] =
+      wordFreq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def mergeWord(syms: Vector[String], p: (String, String)): Vector[String] =
+      bpeMergeWord(syms, p)
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- words; j <- 0 until syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        counts.update(p, counts.getOrElse(p, 0L) + f)
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head._1
+        merges += best
+        words = words.map { case (syms, f) => (mergeWord(syms, best), f) }
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The spaced-symbol replace chain for one ordered merge list: word
+    * "lower" → " l o w e r "; each merge (a,b) is TWO global
+    * `replace(" a b " → " ab ")` passes, all inside whole-stage codegen.
+    * For a != b two passes are EXACTLY left-to-right non-overlapping BPE
+    * ([[bpeMergeWord]]): a pass-1 match is missed only when its leading
+    * space was consumed by the immediately preceding match, two misses
+    * are never adjacent (a merged token separates them), and a
+    * replacement (" ab ") can never mint a new " a b " occurrence (a+b
+    * is a single token distinct from both operands) — so pass 2 catches
+    * every miss and nothing else. For a == b that argument fails (a run
+    * of equal symbols strands singles between merged pairs), hence the
+    * require: same-symbol merges belong on the driver-side
+    * [[bpeSegment]] over a collected vocabulary. */
+  def bpeSpacedApply(word: Column, merges: Seq[(String, String)]): Column = {
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty && !a.contains(" ") && !b.contains(" "),
+        s"bad merge pair ($a, $b)")
+      require(a != b,
+        s"same-symbol merge ($a, $b): the replace chain is exact only for " +
+          "distinct pairs — segment such merge lists with bpeSegment instead")
+    }
+    val spaced = concat(lit(" "), array_join(split(word, ""), " "), lit(" "))
+    merges.foldLeft(spaced) { case (s, (a, b)) =>
+      val from = lit(s" $a $b ")
+      val to = lit(s" $a$b ")
+      replace(replace(s, from, to), from, to)
+    }
+  }
+
+  /** Token count per distinct word under an ordered merge list — the
+    * vocabulary-sized half of distributed tokenization. Input must be a
+    * `word` column of non-empty space-free strings. */
+  def bpeTokenCounts(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    vocab.select(col("word"),
+      size(split(trim(bpeSpacedApply(col("word"), merges)), " ")).cast("long")
+        .as("n_tokens"))
+
+  /** Distributed BPE tokenization: per-doc word and token counts under
+    * an ordered, already-trained merge list. The corpus collapses to
+    * its VOCABULARY before any per-symbol work: the replace chain runs
+    * once per DISTINCT word (one hash-distinct), the corpus-sized side
+    * only explodes words and joins the model-sized count table by
+    * BROADCAST, then one partial-agged groupBy per doc — no shuffle
+    * grows with merge count, and the per-symbol cost is vocab-, not
+    * corpus-, proportional (why tokenizer application is tractable at
+    * 100 TB). Docs with no letter runs are absent from the output (no
+    * words → nothing to count), mirroring the oracle's GROUP BY. */
+  def tokenizeBpe(df: DataFrame, textCol: String, idCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val words = Par.widen(df, idCol)
+      .select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .where(col("word") =!= "")
+    val vocabCounts = bpeTokenCounts(words.select("word").distinct(), merges)
+    words.join(broadcast(vocabCounts), "word")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"))
+  }
 }

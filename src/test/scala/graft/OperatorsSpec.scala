@@ -1417,4 +1417,107 @@ class OperatorsSpec extends AnyFunSuite {
         stddev_pop(element_at(col("z"), 3)).as("s")).head()
     assert(math.abs(zc.getDouble(0)) < 1e-3 && math.abs(zc.getDouble(1) - 1.0) < 1e-3)
   }
+
+  test("bpe word frequencies and pair counts: hand-computed tiny corpus") {
+    // words: "low" x3, "lower" x1, "be" x2 ("Be" lowercases, "42" drops)
+    val d = Seq(
+      (1L, "low low lower"),
+      (2L, "low Be be 42")
+    ).toDF("doc_id", "text")
+    val wf = TextAnalysis.bpeWordFrequencies(d, "text", "doc_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wf == Map("low" -> 3L, "lower" -> 1L, "be" -> 2L))
+    // pairs: lo 3+1, ow 3+1, we 1, er 1, be 2
+    val pc = TextAnalysis.bpePairCounts(
+        TextAnalysis.bpeWordFrequencies(d, "text", "doc_id"), k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(pc.toMap == Map("lo" -> 4L, "ow" -> 4L, "be" -> 2L, "we" -> 1L, "er" -> 1L))
+    // deterministic order: count desc, then pair asc
+    assert(pc.map(_._1).toSeq == Seq("lo", "ow", "be", "er", "we"))
+    // single-char words contribute nothing (and don't crash the sequence)
+    val one = TextAnalysis.bpePairCounts(
+      Seq(("a", 5L)).toDF("word", "freq"), k = 10).count()
+    assert(one == 0L)
+  }
+
+  test("bpeTrain: deterministic merges on the classic corpus") {
+    // Sennrich-style toy vocab. Round 1: "lo"+"ow" tie broken by pair text?
+    // counts: (l,o)=7+3=... compute: low x5, lower x2, newest x6, widest x3
+    val wf = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = TextAnalysis.bpeTrain(wf, numMerges = 4)
+    // pair counts round 1: (e,s)=9, (s,t)=9, (l,o)=7, (o,w)=7, (w,e)=8? -
+    // (w,e): lower 2 + newest 6 = 8; (n,e)=6, (e,w)=6, (w,i)=3, (i,d)=3,
+    // (d,e)=3, (e,r)=2. Max 9 tie (e,s)/(s,t) -> (e,s) by text order.
+    assert(merges.head == ("e", "s"))
+    // round 2: "es"+"t" now 9, wins.
+    assert(merges(1) == ("es", "t"))
+    // merges apply left-to-right without overlap: "aaa" with (a,a) -> ["aa","a"]
+    val m2 = TextAnalysis.bpeTrain(Seq(("aaa", 1L)), numMerges = 10)
+    assert(m2.head == ("a", "a") && m2(1) == ("aa", "a"))
+    // stops early when no pairs remain (single symbol left)
+    assert(m2.length == 2)
+  }
+
+  test("bpeSpacedApply replace chain ≡ reference BPE segmentation on the corpus vocabulary") {
+    val merges = Extensions.X86_MERGES
+    // every distinct word of the real corpus: chain token count must
+    // equal the driver reference tokenizer's, word by word
+    val vocab = docs.select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .where(col("word") =!= "").distinct()
+    val chain = TextAnalysis.bpeTokenCounts(vocab, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(chain.nonEmpty)
+    chain.foreach { case (w, n) =>
+      val ref = TextAnalysis.bpeSegment(w, merges)
+      assert(ref.length.toLong == n,
+        s"word `$w`: chain $n vs reference ${ref.mkString("|")}")
+    }
+    // the tokens themselves (not just counts) on adversarial words:
+    // alternating runs (the pass-2 case), nested second-order merges
+    val hard = Seq("ererer", "erererer", "lowerg", "merger", "ininin",
+      "stowst", "mmerer", "glowing").toDF("word")
+    hard.select(col("word"),
+        trim(TextAnalysis.bpeSpacedApply(col("word"), merges)).as("s"))
+      .collect().foreach { r =>
+        val w = r.getString(0)
+        assert(r.getString(1).split(" ").toVector == TextAnalysis.bpeSegment(w, merges),
+          s"tokens diverge on `$w`: got `${r.getString(1)}`")
+      }
+    // same-symbol merges are rejected eagerly (the chain would be wrong)
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeSpacedApply(col("word"), Seq("a" -> "a"))
+    }
+    assert(err.getMessage.contains("same-symbol"))
+    // tokenizeBpe end-to-end, hand-computed: "lower" -> [low, er] (the
+    // (l,ow) merge needs (o,w)'s output), "stow" -> [st, ow]
+    val out = TextAnalysis.tokenizeBpe(
+      Seq((1L, "lower stow")).toDF("doc_id", "text"), "text", "doc_id", merges)
+      .collect().head
+    assert(out.getLong(1) == 2L && out.getLong(2) == 4L)
+  }
+
+  test("gopherFilter: subset predicate agrees with gopherFlags, preserves rows") {
+    import graft.operators.QualityFilters
+    val good = (("the be to of and that have with " +
+      "plain sensible words continue here ") * 5).trim
+    val d = Seq(
+      (1L, good, "keepme"),
+      (2L, "too short", "x"),
+      (3L, Seq.fill(60)("a").mkString(" "), "y")
+    ).toDF("doc_id", "text", "extra")
+    val out = QualityFilters.gopherFilter(d, "text", Seq("wc_ok", "mwl_ok"))
+    // passes exactly the rows whose wc_ok AND mwl_ok flags are 1
+    val expected = QualityFilters.gopherFlags(d, "text", "doc_id")
+      .where(col("wc_ok") === 1 && col("mwl_ok") === 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.collect().map(_.getLong(0)).toSet == expected)
+    // input schema/columns untouched (pipeline chaining shape)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "extra"))
+    assert(out.where(col("doc_id") === 1L).head().getString(2) == "keepme")
+    // unknown flag name is an eager error naming the valid set
+    val err = intercept[IllegalArgumentException] {
+      QualityFilters.gopherFilter(d, "text", Seq("nope_ok"))
+    }
+    assert(err.getMessage.contains("nope_ok") && err.getMessage.contains("wc_ok"))
+  }
 }
