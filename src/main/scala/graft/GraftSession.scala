@@ -206,6 +206,38 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         Seq("q" -> dbl("grouped_quantiles", args, 3)),
         buckets = num("grouped_quantiles", args, 4, 4096L).toInt)
     })
+    // BPE tokenizer surface (text/doc_id corpus convention):
+    // bpe_pairs(rel[, k]) — top-k frequency-weighted adjacent char pairs;
+    // bpe_tokenize(rel, n) — train n merges on the relation, tokenize it;
+    // bpe_tokenize(rel, 'e r,i n,m er') — apply an ALREADY-TRAINED merge
+    // list (the production shape: the tokenizer is a model artifact)
+    catalog.registerTableFunction("bpe_pairs", { args =>
+      arity("bpe_pairs", args, 1, 2)
+      TextAnalysis.bpePairCounts(
+        TextAnalysis.bpeWordFrequencies(rel("bpe_pairs", args, 0), "text", "doc_id"),
+        k = num("bpe_pairs", args, 1, 30L).toInt)
+    })
+    catalog.registerTableFunction("bpe_tokenize", { args =>
+      arity("bpe_tokenize", args, 2, 2)
+      val r = rel("bpe_tokenize", args, 0)
+      args(1) match {
+        case graft.catalog.TfArg.Lit(n: Long) =>
+          TextAnalysis.tokenizeBpeTrained(r, "text", "doc_id", n.toInt)
+        case graft.catalog.TfArg.Lit(s: String) =>
+          val merges = s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
+            p.split("\\s+") match {
+              case Array(a, b) => (a, b)
+              case _ => throw new graft.translate.GraftAnalysisException(
+                s"bpe_tokenize: each merge must be two space-separated " +
+                  s"symbols, got `$p` (format: 'e r,i n,m er')")
+            }
+          }
+          TextAnalysis.tokenizeBpe(r, "text", "doc_id", merges)
+        case other => throw new graft.translate.GraftAnalysisException(
+          s"bpe_tokenize: argument 2 must be a merge count (integer) or a " +
+            s"merge-list string literal, got $other")
+      }
+    })
     catalog.registerTableFunction("distinct_audit", { args =>
       arity("distinct_audit", args, 1, 1)
       Sketches.distinctAudit(

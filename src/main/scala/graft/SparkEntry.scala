@@ -844,6 +844,17 @@ object SparkEntry {
       "select source, round(percentile(n_chars, 0.5), 6) as med, " +
       "round(percentile(n_chars, 0.9), 6) as p90, " +
       "count(*) as n from documents group by source order by source")),
+    // ---- q112: BPE tokenization reached FROM SQL with an already-
+    // trained merge list passed as the literal model artifact — the
+    // same X86_MERGES constant as the x86 operator gate and its oracle,
+    // composed with a relational filter to show it's an ordinary
+    // relation (train-mode `bpe_tokenize(documents, 8)` is TableFnSpec:
+    // its merges depend on the corpus, so no closed-form SQL oracle) ----
+    "q112_bpe_tokenize_fn" -> ((s, d) => g(s, d).sql(
+      "select id, n_words, n_tokens from bpe_tokenize(documents, '" +
+      graft.operators.Extensions.X86_MERGES
+        .map { case (a, b) => s"$a $b" }.mkString(",") +
+      "') where n_words >= 40 order by id")),
     // ---- datetime constructors: field-wise date/timestamp assembly ----
     "q99_datetime_ctor" -> ((s, d) => g(s, d).sql(
       "select o_orderkey as k, " +
@@ -1272,6 +1283,10 @@ object SparkEntry {
       ("SELECT source, ROUND(quantile_cont(n_chars, 0.5), 6) AS med, " +
        "ROUND(quantile_cont(n_chars, 0.9), 6) AS p90, " +
        "count(*) AS n FROM documents GROUP BY source ORDER BY source"),
+    // q112: x86's generated replace-chain oracle, filtered like the gate
+    "q112_bpe_tokenize_fn" ->
+      (s"SELECT * FROM (${graft.operators.Extensions.oracles("x86_bpe_tokenize")
+        .stripSuffix(" ORDER BY id")}) WHERE n_words >= 40 ORDER BY id"),
     // q109: both table-function pipelines re-derived in DuckDB (gopher
     // keep flag ≡ x65's rule set; oov_rate ≡ x61's with vocabK=50)
     "q109_pipeline_fns" ->

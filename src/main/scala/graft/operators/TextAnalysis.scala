@@ -791,14 +791,42 @@ object TextAnalysis {
     * words → nothing to count), mirroring the oracle's GROUP BY. */
   def tokenizeBpe(df: DataFrame, textCol: String, idCol: String,
                   merges: Seq[(String, String)]): DataFrame = {
-    val words = Par.widen(df, idCol)
+    val words = corpusWords(df, textCol, idCol)
+    docTokenCounts(words,
+      bpeTokenCounts(words.select("word").distinct(), merges))
+  }
+
+  /** Train `numMerges` BPE merges on the corpus and tokenize it in one
+    * call — the SQL-surface composition (`bpe_tokenize(rel, n)`). The
+    * vocabulary is collected ONCE (model-sized, the same boundedness
+    * argument as IVF centroid training); training and per-word token
+    * counts both run on that driver copy with the exact reference
+    * tokenizer ([[bpeSegment]] — handles the same-symbol merges the
+    * distributed chain rejects), then broadcast back. The corpus-sized
+    * side is identical to [[tokenizeBpe]]'s. */
+  def tokenizeBpeTrained(df: DataFrame, textCol: String, idCol: String,
+                         numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = corpusWords(df, textCol, idCol)
+    val wf = bpeWordFrequencies(df, textCol, idCol)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = bpeTrain(wf, numMerges)
+    val vocabCounts = wf
+      .map { case (w, _) => (w, bpeSegment(w, merges).length.toLong) }
+      .toDF("word", "n_tokens")
+    docTokenCounts(words, vocabCounts)
+  }
+
+  private def corpusWords(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    Par.widen(df, idCol)
       .select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
       .where(col("word") =!= "")
-    val vocabCounts = bpeTokenCounts(words.select("word").distinct(), merges)
+
+  private def docTokenCounts(words: DataFrame, vocabCounts: DataFrame): DataFrame =
     words.join(broadcast(vocabCounts), "word")
       .groupBy(col("id"))
       .agg(count(lit(1)).cast("long").as("n_words"),
         sum(col("n_tokens")).as("n_tokens"))
-  }
 }

@@ -30,7 +30,12 @@ class MutationFuzzSpec extends AnyFunSuite {
     "select v.tag as tag, count(*) as n from (values (1, 'A'), (2, 'N')) as v(tag, f) join lineitem on l_returnflag = v.f group by v.tag order by tag",
     "select event_id as k, extract(hour from ts) as h from events where extract(month from ts) = 1 order by k limit 20",
     "select id, keep from gopher_flags(documents) where n_words > 10 order by id limit 5",
-    "select doc_id, normalize_text(text) as t from documents where redact_pii(text) <> text order by doc_id limit 5")
+    "select doc_id, normalize_text(text) as t from documents where redact_pii(text) <> text order by doc_id limit 5",
+    // round-9 surface: BPE table functions (pair stats, apply-mode and
+    // train-mode tokenize)
+    "select pair, n from bpe_pairs(documents, 5) order by n desc, pair",
+    "select id, n_tokens from bpe_tokenize(documents, 'e r,i n') where n_words > 20 order by id limit 5",
+    "select sum(n_tokens) as t from bpe_tokenize(documents, 3)")
 
   private val crashClasses: Set[Class[_]] = Set(
     classOf[MatchError], classOf[NullPointerException],

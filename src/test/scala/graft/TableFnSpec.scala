@@ -136,4 +136,39 @@ class TableFnSpec extends AnyFunSuite {
     assert(g.sql("select count(*) as n from range(1, 6)")
       .collect().head.getLong(0) == 5L)
   }
+
+  test("bpe_pairs / bpe_tokenize table functions: both modes from SQL") {
+    import graft.operators.{Extensions, TextAnalysis}
+    // bpe_pairs ≡ operator API
+    val viaSql = g.sql("select pair, n from bpe_pairs(documents, 10)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaApi = TextAnalysis.bpePairCounts(
+        TextAnalysis.bpeWordFrequencies(
+          g.catalog.relation("documents"), "text", "doc_id"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSql == viaApi && viaSql.length == 10)
+    // apply mode: merge-list literal ≡ tokenizeBpe with X86_MERGES
+    val lit = Extensions.X86_MERGES.map { case (a, b) => s"$a $b" }.mkString(",")
+    val applied = g.sql(
+      s"select id, n_tokens from bpe_tokenize(documents, '$lit') order by id")
+    val expected = TextAnalysis.tokenizeBpe(
+        g.catalog.relation("documents"), "text", "doc_id", Extensions.X86_MERGES)
+      .select("id", "n_tokens").orderBy("id")
+    assert(applied.exceptAll(expected).isEmpty && expected.exceptAll(applied).isEmpty)
+    // train mode: n merges trained on the relation itself; more merges
+    // can only shrink (or keep) the total token count, and 0 merges
+    // means every letter is its own token
+    val t0 = g.sql("select sum(n_tokens) as t from bpe_tokenize(documents, 0)")
+      .collect().head.getLong(0)
+    val t8 = g.sql("select sum(n_tokens) as t from bpe_tokenize(documents, 8)")
+      .collect().head.getLong(0)
+    val letters = g.sql(
+      "select sum(length(regexp_replace(lower(text), '[^a-z]', ''))) as n from documents")
+      .collect().head.getLong(0)
+    assert(t0 == letters && t8 < t0)
+    // malformed merge literal is an eager dialect error
+    val e = intercept[graft.translate.GraftAnalysisException](
+      g.sql("select * from bpe_tokenize(documents, 'e r,zap')"))
+    assert(e.getMessage.contains("space-separated"))
+  }
 }
