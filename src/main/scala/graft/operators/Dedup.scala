@@ -676,4 +676,71 @@ object Dedup {
       .where(col("__cos") >= minCos)
       .select(col("ida"), col("idb"), round(col("__cos"), 4).as("cos"))
   }
+
+  // ------------------------------------------------------------------
+  // cross-document repeated-span excision
+  // ------------------------------------------------------------------
+
+  /** Cross-document repeated-SPAN excision — the transformation of Lee
+    * et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): every `spanWords`-word n-gram occurring in ≥ `minDocFreq`
+    * DISTINCT docs is a shared span; overlapping shared spans merge into
+    * maximal intervals and the covered words are cut from EVERY doc,
+    * keeping the rest in order. The excising complement of
+    * `TextAnalysis.sharedSubstrings` (which only counts), and the
+    * span-level sibling of [[lineDedup]]/[[paragraphDedup]] (boilerplate
+    * that doesn't respect line breaks: navigation crumbs, license
+    * blurbs, templated sentences).
+    *
+    * Word-level rather than char/suffix-array on purpose: intervals are
+    * well-defined under whitespace reflow and the whole plan is 4 narrow
+    * keyed shuffles — gram rows are (id, pos, 8-byte hash), the hot set
+    * is a hash agg with an exact distinct-doc count, flagged positions
+    * come back via a semi join on the hash and collapse to ONE per-doc
+    * sorted array (bounded by doc length) before the interval filter,
+    * which is a per-row HOF. No all-pairs term, nothing driver-side;
+    * under duplicate skew the hot-gram agg stays map-side-partial
+    * (counting, not pairing). Docs shorter than `spanWords` words pass
+    * through untouched.
+    *
+    * Output: (id, n_words, n_removed, cleaned). */
+  def exciseSharedSpans(df: DataFrame, textCol: String, idCol: String,
+                        spanWords: Int = 8, minDocFreq: Long = 2L): DataFrame = {
+    require(spanWords >= 2, "spanWords must be >= 2")
+    require(minDocFreq >= 2L, "minDocFreq must be >= 2 (1 would excise everything)")
+    val L = spanWords
+    val base = Par.widen(df, idCol).select(
+      col(idCol).as("id"),
+      filter(split(trim(col(textCol)), "\\s+"), w => w =!= "").as("__ws"))
+    // grams travel as (id, start-pos, xxhash64 of the joined span) — the
+    // x44 hashing argument: 64-bit equality ≡ span equality up to ~n²/2⁶⁵
+    val grams = base
+      .where(size(col("__ws")) >= L)
+      .select(col("id"),
+        explode(sequence(lit(1), size(col("__ws")) - (L - 1))).as("__p"),
+        col("__ws"))
+      .select(col("id"), col("__p"),
+        xxhash64(array_join(slice(col("__ws"), col("__p"), lit(L)), " ")).as("__gh"))
+    val hot = grams.groupBy(col("__gh"))
+      .agg(countDistinct(col("id")).as("__nd"))
+      .where(col("__nd") >= minDocFreq)
+      .select("__gh")
+    val flagged = grams.join(hot, Seq("__gh"), "left_semi")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("__p"))).as("__flags"))
+    // Spark's sequence(1, 0) DESCENDS rather than returning empty — guard
+    // the zero-word doc (blank text) explicitly
+    val pos = when(size(col("__ws")) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), size(col("__ws"))))
+    base.join(flagged, Seq("id"), "left")
+      .withColumn("__flags",
+        coalesce(col("__flags"), array().cast("array<int>")))
+      .withColumn("__kept",
+        filter(pos, p => !exists(col("__flags"), q => q <= p && p < q + L)))
+      .select(col("id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        (size(col("__ws")) - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(transform(col("__kept"), p => element_at(col("__ws"), p)), " ")
+          .as("cleaned"))
+  }
 }

@@ -364,6 +364,24 @@ object Extensions {
     "x86_bpe_tokenize" -> ((s, d) =>
       TextAnalysis.tokenizeBpe(docs(s, d), "text", "doc_id", X86_MERGES)
         .orderBy("id")),
+    // ---- cross-doc repeated-SPAN excision (r9, Lee et al. 2022): a
+    // 10-word boilerplate sentence appended to every 3rd doc (plus
+    // whatever ≥8-word spans the corpus naturally shares — the near-dup
+    // families make these real) must be cut from every occurrence;
+    // md5(cleaned) pins the surviving text exactly ----
+    "x87_span_dedup" -> ((s, d) => {
+      val injected = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" the quick brown fox jumps over the lazy dog tonight")))
+          .otherwise(col("text")).as("text"))
+        .localCheckpoint()
+      Dedup.exciseSharedSpans(injected, "text", "doc_id",
+          spanWords = 8, minDocFreq = 2L)
+        .select(col("id"), col("n_words"), col("n_removed"),
+          md5(col("cleaned")).as("h"))
+        .orderBy("id")
+    }),
     // ---- end-to-end curation pipeline (r9): quality filter -> exact
     // dedup -> per-source cap -> corpus report, composed as ONE lazy plan
     // (what a user of the engine actually ships). The stages fuse the way
@@ -1510,6 +1528,25 @@ object Extensions {
         "SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_words, " +
         "CAST(sum(nt) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id ORDER BY id"
       },
+      // mirrors exciseSharedSpans: same injection, gram identity is the
+      // joined span STRING (the engine's xxhash64 is equality-preserving
+      // up to 64-bit collisions), same interval-cover filter
+      "x87_span_dedup" -> (
+        "WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text || " +
+        "' the quick brown fox jumps over the lazy dog tonight' ELSE text END AS t FROM documents), " +
+        "w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(t), '\\s+'), x -> x <> '') AS ws FROM inj), " +
+        "i AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS p FROM w WHERE len(ws) >= 8), " +
+        "g AS (SELECT doc_id, CAST(p AS BIGINT) AS p, array_to_string(list_slice(ws, p, p + 7), ' ') AS gram FROM i), " +
+        "hot AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram) WHERE nd >= 2), " +
+        "f AS (SELECT doc_id, list_sort(list(p)) AS flags FROM g JOIN hot USING (gram) GROUP BY doc_id), " +
+        "j AS (SELECT w.doc_id, w.ws, COALESCE(f.flags, []) AS flags FROM w LEFT JOIN f ON w.doc_id = f.doc_id), " +
+        "k AS (SELECT doc_id, ws, list_filter(generate_series(1, len(ws)), " +
+        "p -> len(list_filter(flags, q -> q <= p AND p < q + 8)) = 0) AS kept FROM j) " +
+        "SELECT doc_id AS id, CAST(len(ws) AS BIGINT) AS n_words, " +
+        "CAST(len(ws) - len(kept) AS BIGINT) AS n_removed, " +
+        // COALESCE: DuckDB array_to_string of an EMPTY list is NULL, not ''
+        "md5(COALESCE(array_to_string(list_transform(kept, p -> ws[CAST(p AS INT)]), ' '), '')) AS h " +
+        "FROM k ORDER BY id"),
       // mirrors the x85 pipeline stage by stage: the wc/mwl gopher
       // predicate (x65's proven expressions), min-id exact text dedup
       // (x01's), per-source row_number cap (x30's), then the lang report

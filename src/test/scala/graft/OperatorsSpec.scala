@@ -1496,6 +1496,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.getLong(1) == 2L && out.getLong(2) == 4L)
   }
 
+  test("exciseSharedSpans: hand-computed intervals, overlap merge, short docs untouched") {
+    // shared 3-gram "a b c" in docs 1,2; doc 3 has the OVERLAPPING hot
+    // spans "a b c" (pos 2) and "b c a" (pos 3, shared with doc 4) —
+    // covered words merge into one interval [2..5]
+    val d = Seq(
+      (1L, "x a b c y"),
+      (2L, "a b c z z z"),
+      (3L, "q a b c a w"),
+      (4L, "b c a m m"),
+      (5L, "ab"),           // shorter than span: untouched
+      (6L, "   ")           // blank: zero words, untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseSharedSpans(d, "text", "doc_id", spanWords = 3, minDocFreq = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((5L, 3L, "x y")))
+    assert(out(2L) == ((6L, 3L, "z z z")))
+    assert(out(3L) == ((6L, 4L, "q w")))      // [2..4] ∪ [3..5] merged
+    assert(out(4L) == ((5L, 3L, "m m")))
+    assert(out(5L) == ((1L, 0L, "ab")))
+    assert(out(6L) == ((0L, 0L, "")))
+    // minDocFreq=3: "a b c" is in 3 docs, "b c a" only 2 -> only abc cut
+    val strict = Dedup.exciseSharedSpans(d, "text", "doc_id", spanWords = 3, minDocFreq = 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(strict(3L) == "q a w" && strict(4L) == "b c a m m")
+    // guards: span of 1 and freq of 1 are programmer errors
+    intercept[IllegalArgumentException](
+      Dedup.exciseSharedSpans(d, "text", "doc_id", spanWords = 1))
+    intercept[IllegalArgumentException](
+      Dedup.exciseSharedSpans(d, "text", "doc_id", minDocFreq = 1L))
+    // real corpus: removing words never increases; idempotent-ish sanity
+    val corpus = Dedup.exciseSharedSpans(docs, "text", "doc_id", 8, 2L)
+    val agg = corpus.agg(sum("n_removed"), sum("n_words")).head()
+    assert(agg.getLong(0) >= 0L && agg.getLong(0) < agg.getLong(1))
+  }
+
   test("gopherFilter: subset predicate agrees with gopherFlags, preserves rows") {
     import graft.operators.QualityFilters
     val good = (("the be to of and that have with " +
