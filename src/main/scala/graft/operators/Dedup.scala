@@ -704,23 +704,70 @@ object Dedup {
     * through untouched.
     *
     * Output: (id, n_words, n_removed, cleaned). */
+  /** (id, word array) rows — the shared tokenization of the span family. */
+  private def spanBase(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    Par.widen(df, idCol).select(
+      col(idCol).as("id"),
+      filter(split(trim(col(textCol)), "\\s+"), w => w =!= "").as("__ws"))
+
+  /** Span identity for the gram starting at 1-based position `p`: a
+    * rotate-xor fold of the L sliced words' xxhash64 values —
+    * order-sensitive, overflow-free (ANSI mode bars the usual multiply
+    * polynomial), and bounded at L short-string hashes per position.
+    * Deliberately computed from the raw word array in BOTH the exploded
+    * batch path and the apply-side HOF lambda: a precomputed whole-doc
+    * hash-array alias gets CollapseProject-inlined into its use site
+    * (the Generate's per-gram projection, or worse, a filter lambda
+    * evaluated per element) and degrades to n² hashes per doc — both
+    * variants measured (2× on the x87 gate, 10× on x88's stream).
+    * 64-bit equality ≡ span equality up to fold collisions
+    * (full-entropy inputs — ~n²/2⁶⁴, the x44 bound).
+    *
+    * The fold is UNROLLED over the compile-time L rather than written
+    * as aggregate(transform(slice(...))): nested HOFs are interpreted
+    * per element with per-call array allocation (the slice + the
+    * transform), while the unrolled tree is plain element_at/xxhash64/
+    * shift expressions — whole-stage-codegen'd in the exploded batch
+    * projection and cheap even inside the apply-side filter lambda
+    * (measured: the HOF form spent multiple ms per doc). */
+  private def spanKeyFromWords(words: Column, p: Column, L: Int): Column =
+    (0 until L).foldLeft(lit(0L)) { (acc, j) =>
+      shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
+        .bitwiseXOR(xxhash64(element_at(words, (p + lit(j)).cast("int"))))
+    }
+
+  /** Gram rows (id, start position, 8-byte span key). */
+  private def spanGrams(base: DataFrame, L: Int): DataFrame =
+    base.where(size(col("__ws")) >= L)
+      .select(col("id"),
+        explode(sequence(lit(1), size(col("__ws")) - (L - 1))).as("__p"),
+        col("__ws"))
+      .select(col("id"), col("__p"),
+        spanKeyFromWords(col("__ws"), col("__p"), L).as("__gh"))
+
+  /** The hot-span MODEL: 8-byte hashes of every `spanWords`-word gram in
+    * ≥ `minDocFreq` distinct docs — small by construction (shared
+    * boilerplate, not the corpus). Compute offline, feed
+    * [[applySpanExcision]] row-at-a-time (batch or streaming), exactly
+    * as [[hotLines]]/[[hotParagraphs]] feed their apply steps. */
+  def hotSpans(df: DataFrame, textCol: String, idCol: String,
+               spanWords: Int = 8, minDocFreq: Long = 2L): DataFrame = {
+    require(spanWords >= 2, "spanWords must be >= 2")
+    require(minDocFreq >= 2L, "minDocFreq must be >= 2 (1 would excise everything)")
+    spanGrams(spanBase(df, textCol, idCol), spanWords)
+      .groupBy(col("__gh"))
+      .agg(countDistinct(col("id")).as("__nd"))
+      .where(col("__nd") >= minDocFreq)
+      .select(col("__gh").as("key"))
+  }
+
   def exciseSharedSpans(df: DataFrame, textCol: String, idCol: String,
                         spanWords: Int = 8, minDocFreq: Long = 2L): DataFrame = {
     require(spanWords >= 2, "spanWords must be >= 2")
     require(minDocFreq >= 2L, "minDocFreq must be >= 2 (1 would excise everything)")
     val L = spanWords
-    val base = Par.widen(df, idCol).select(
-      col(idCol).as("id"),
-      filter(split(trim(col(textCol)), "\\s+"), w => w =!= "").as("__ws"))
-    // grams travel as (id, start-pos, xxhash64 of the joined span) — the
-    // x44 hashing argument: 64-bit equality ≡ span equality up to ~n²/2⁶⁵
-    val grams = base
-      .where(size(col("__ws")) >= L)
-      .select(col("id"),
-        explode(sequence(lit(1), size(col("__ws")) - (L - 1))).as("__p"),
-        col("__ws"))
-      .select(col("id"), col("__p"),
-        xxhash64(array_join(slice(col("__ws"), col("__p"), lit(L)), " ")).as("__gh"))
+    val base = spanBase(df, textCol, idCol)
+    val grams = spanGrams(base, L)
     val hot = grams.groupBy(col("__gh"))
       .agg(countDistinct(col("id")).as("__nd"))
       .where(col("__nd") >= minDocFreq)
@@ -741,6 +788,54 @@ object Dedup {
         size(col("__ws")).cast("long").as("n_words"),
         (size(col("__ws")) - size(col("__kept"))).cast("long").as("n_removed"),
         array_join(transform(col("__kept"), p => element_at(col("__ws"), p)), " ")
+          .as("cleaned"))
+  }
+
+  /** Apply a precomputed hot-span set ([[hotSpans]]) PER ROW — no
+    * explode, no grouping, no state: the hot hashes collapse to one
+    * broadcast sorted array and each doc probes its own gram positions
+    * with the codegen binary search (`SortedArrayContains` — NOT
+    * `array_contains`, whose linear probe went superlinear at the 100×
+    * sweep), then runs the same interval-cover filter as
+    * [[exciseSharedSpans]]. Streaming-safe (stateless stream-static
+    * join): the model refreshes offline, the stream curates
+    * row-at-a-time; output contract matches [[exciseSharedSpans]]
+    * (parity gated by x88). Per-row cost O(words·log|hot| +
+    * words·|flags-in-doc|). */
+  def applySpanExcision(docs: DataFrame, textCol: String, idCol: String,
+                        hot: DataFrame, spanWords: Int = 8): DataFrame = {
+    require(spanWords >= 2, "spanWords must be >= 2")
+    val L = spanWords
+    val hotArr = broadcast(hot.agg(
+      sort_array(collect_list(hot(hot.columns.head))).as("__sp_hotarr")))
+    docs.join(hotArr, lit(true), "inner")
+      .withColumn("__sp_ws",
+        filter(split(trim(col(textCol)), "\\s+"), w => w =!= ""))
+      .withColumn("__sp_pos",
+        when(size(col("__sp_ws")) === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(col("__sp_ws")))))
+      // spanKeyFromWords (hash the L sliced words per position), NOT a
+      // precomputed whole-doc hash array: a once-referenced alias gets
+      // CollapseProject-inlined INTO this lambda and re-evaluated per
+      // element — n² hashing per doc (measured 19 s vs 3 s at sf0.1)
+      .withColumn("__sp_flags",
+        filter(col("__sp_pos"), p =>
+          p <= size(col("__sp_ws")) - (L - 1) &&
+            graft.expr.SortedArrayContains(col("__sp_hotarr"),
+              spanKeyFromWords(col("__sp_ws"), p, L))))
+      // the no-flag fast path ALSO keeps __sp_flags referenced twice:
+      // a once-referenced non-cheap alias gets CollapseProject-inlined
+      // into the kept lambda and re-evaluated PER POSITION — the whole
+      // flags filter (hashes and all) times n positions, an n²·L blowup
+      // measured at 666 s/5k docs before this guard
+      .withColumn("__sp_kept",
+        when(size(col("__sp_flags")) === 0, col("__sp_pos"))
+          .otherwise(filter(col("__sp_pos"), p =>
+            !exists(col("__sp_flags"), q => q <= p && p < q + L))))
+      .select(col(idCol).as("id"),
+        size(col("__sp_ws")).cast("long").as("n_words"),
+        (size(col("__sp_ws")) - size(col("__sp_kept"))).cast("long").as("n_removed"),
+        array_join(transform(col("__sp_kept"), p => element_at(col("__sp_ws"), p)), " ")
           .as("cleaned"))
   }
 }

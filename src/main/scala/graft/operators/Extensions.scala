@@ -382,6 +382,57 @@ object Extensions {
           md5(col("cleaned")).as("h"))
         .orderBy("id")
     }),
+    // ---- streaming span excision (r9): the x87 transformation applied
+    // STATELESS on a stream — hot-span model precomputed batch-side
+    // (broadcast sorted hashes), each streamed doc excises its own
+    // intervals row-at-a-time; md5-exact parity vs the batch operator,
+    // same contract as x51/x64's hot-set streaming dedups ----
+    "x88_span_dedup_stream" -> ((s, d) => {
+      import s.implicits._
+      val injected = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" the quick brown fox jumps over the lazy dog tonight")))
+          .otherwise(col("text")).as("text"))
+        .localCheckpoint()
+      val batchOut = Dedup.exciseSharedSpans(injected, "text", "doc_id",
+          spanWords = 8, minDocFreq = 2L)
+        .select(col("id"), col("n_words"), col("n_removed"),
+          md5(col("cleaned")).as("h"))
+        .localCheckpoint()
+      // localCheckpoint: the hot model is re-read per micro-batch and by
+      // the parity excepts — freeze it, don't replan the gram pipeline
+      val hot = Dedup.hotSpans(injected, "text", "doc_id",
+          spanWords = 8, minDocFreq = 2L)
+        .localCheckpoint()
+      // repartition the replay: the docs table is ONE parquet file, and
+      // the file stream source parallelizes by file — without the spread
+      // the whole micro-batch (per-row interval filters included) runs
+      // as a single task on one core
+      val in = replayStream(s, injected.select("doc_id", "text").repartition(32))
+      val streamed = Dedup.applySpanExcision(in, "text", "doc_id", hot,
+          spanWords = 8)
+        .select(col("id"), col("n_words"), col("n_removed"),
+          md5(col("cleaned")).as("h"))
+      val outDir = tempDir("x88_out_")
+      val ckpt = tempDir("x88_ckpt_")
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try streamed.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      val (nDocs, eq) = try {
+        q.processAllAvailable()
+        val got = s.read.parquet(outDir)
+          .select(col("id"), col("n_words"), col("n_removed"), col("h"))
+        val n = batchOut.count()
+        (n, n > 0 && got.count() == n &&
+          got.except(batchOut).isEmpty && batchOut.except(got).isEmpty)
+      } finally q.stop()
+      Seq((nDocs, if (eq) 1 else 0))
+        .toDF("n_docs", "stream_matches_batch")
+    }),
     // ---- end-to-end curation pipeline (r9): quality filter -> exact
     // dedup -> per-source cap -> corpus report, composed as ONE lazy plan
     // (what a user of the engine actually ships). The stages fuse the way
@@ -1662,6 +1713,11 @@ object Extensions {
       "x83_stream_publish" -> (
         "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"),
       "x64_paragraph_dedup_stream" -> (
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(1 AS INTEGER) AS stream_matches_batch FROM documents"),
+      // x88: the parity flag IS the assertion (batch side is x87's
+      // fully-oracled operator); the oracle pins doc count + flag
+      "x88_span_dedup_stream" -> (
         "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(1 AS INTEGER) AS stream_matches_batch FROM documents"),
       // exact score recompute: same md5 bucketing, same integer weight

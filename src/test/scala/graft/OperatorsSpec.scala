@@ -1531,6 +1531,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(agg.getLong(0) >= 0L && agg.getLong(0) < agg.getLong(1))
   }
 
+  test("applySpanExcision with hotSpans ≡ exciseSharedSpans, row for row") {
+    val d = Seq(
+      (1L, "x a b c y"), (2L, "a b c z z z"), (3L, "q a b c a w"),
+      (4L, "b c a m m"), (5L, "ab"), (6L, "   ")
+    ).toDF("doc_id", "text")
+    val hot = Dedup.hotSpans(d, "text", "doc_id", spanWords = 3, minDocFreq = 2L)
+    // the model is the two shared grams
+    assert(hot.count() == 2L)
+    val applied = Dedup.applySpanExcision(d, "text", "doc_id", hot, spanWords = 3)
+    val batch = Dedup.exciseSharedSpans(d, "text", "doc_id", spanWords = 3, minDocFreq = 2L)
+    assert(applied.exceptAll(batch).isEmpty && batch.exceptAll(applied).isEmpty)
+    // empty hot model: everything passes through verbatim
+    val none = Dedup.applySpanExcision(d, "text", "doc_id",
+      hot.where(lit(false)), spanWords = 3)
+    assert(none.agg(sum("n_removed")).head().getLong(0) == 0L)
+    // real corpus parity (the x88 gate's property at unit scale)
+    val ch = Dedup.hotSpans(docs, "text", "doc_id", 8, 2L)
+    val ca = Dedup.applySpanExcision(docs, "text", "doc_id", ch, 8)
+    val cb = Dedup.exciseSharedSpans(docs, "text", "doc_id", 8, 2L)
+    assert(ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty)
+  }
+
   test("gopherFilter: subset predicate agrees with gopherFlags, preserves rows") {
     import graft.operators.QualityFilters
     val good = (("the be to of and that have with " +
