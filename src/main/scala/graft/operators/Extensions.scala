@@ -564,6 +564,17 @@ object Extensions {
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), k = 5)
         .orderBy(col("qid"), col("cos").desc, col("vec_id"))
     }),
+    // hard-negative mining (r9): per query, the k most-similar
+    // DIFFERENT-label vectors inside the [floor, ceiling) cosine band —
+    // exact brute path (the TopK bounded-heap partial agg), full DuckDB
+    // recompute as oracle; the IVF scale variant is recall-audited in
+    // OperatorsSpec via annRecall against this truth
+    "x89_hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.hardNegatives(e, e.where(col("vec_id") < 10), k = 5,
+          dupCeiling = 0.98, floor = 0.0)
+        .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+    }),
     // ANN results aren't DuckDB-reproducible (seeded hyperplanes); the gate
     // checks the deterministic contract: full k per query, cosines bounded,
     // and recall against the exact brute-force top-k above a floor.
@@ -1492,6 +1503,21 @@ object Extensions {
         "FROM embeddings e, q WHERE e.vec_id <> q.qid) " +
         "SELECT qid, vec_id, cos FROM (SELECT qid, vec_id, ROUND(dp / (na * nb), 4) AS cos, " +
         "row_number() OVER (PARTITION BY qid ORDER BY ROUND(dp / (na * nb), 4) DESC, vec_id) AS rn FROM s) " +
+        "WHERE rn <= 5 ORDER BY qid, cos DESC, vec_id"),
+      // x89: the x07 recompute plus the different-label constraint and
+      // the [floor, ceiling) band — band applied to the 4-dp ROUNDED
+      // cosine on both engines so boundary membership is portable
+      "x89_hard_negatives" -> (
+        "WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel " +
+        "FROM embeddings WHERE vec_id < 10), " +
+        "s AS (SELECT q.qid, e.vec_id, " +
+        "(SELECT SUM(x*y) FROM (SELECT UNNEST(CAST(e.embedding AS DOUBLE[])) AS x, UNNEST(CAST(q.qv AS DOUBLE[])) AS y)) AS dp, " +
+        "sqrt((SELECT SUM(x*x) FROM (SELECT UNNEST(CAST(e.embedding AS DOUBLE[])) AS x))) AS na, " +
+        "sqrt((SELECT SUM(y*y) FROM (SELECT UNNEST(CAST(q.qv AS DOUBLE[])) AS y))) AS nb " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.qid AND e.label IS DISTINCT FROM q.qlabel) " +
+        "SELECT qid, vec_id, cos FROM (SELECT qid, vec_id, ROUND(dp / (na * nb), 4) AS cos, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY ROUND(dp / (na * nb), 4) DESC, vec_id) AS rn FROM s " +
+        "WHERE ROUND(dp / (na * nb), 4) >= 0.0 AND ROUND(dp / (na * nb), 4) < 0.98) " +
         "WHERE rn <= 5 ORDER BY qid, cos DESC, vec_id"),
       "x09_text_stats" -> (
         s"SELECT doc_id, $nTok AS n_tokens, " +

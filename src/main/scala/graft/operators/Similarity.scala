@@ -551,4 +551,66 @@ object Similarity {
       .select(col("qid"), col("vec_id"),
         intDot(col("nv"), col("qv")).as("dotq"), col("score"))
   }
+
+  /** Hard-negative mining for contrastive training data: for each query
+    * vector, the `k` highest-cosine corpus vectors whose `labelCol`
+    * DIFFERS from the query's, with cosine in [`floor`, `dupCeiling`) —
+    * above the floor (easy negatives teach a contrastive model nothing),
+    * strictly below the ceiling (a near-duplicate carrying a different
+    * label is a probable labeling error / false negative, not a hard
+    * negative). Band and comparisons apply to the 4-dp ROUNDED cosine so
+    * results are engine-portable. Output: (qid, vec_id, cos), ties by
+    * lower vec_id.
+    *
+    * Scale: the [[bruteForceTopKPartial]] posture — queries broadcast
+    * with their labels, corpus scored in place with the codegen
+    * [[cosine]] (never shuffled), the label + band filters drop
+    * candidates BEFORE the bounded-heap [[TopK]] partial agg, so the
+    * only shuffle carries ≤ k rows per (query, partition). Exact over
+    * whatever candidate set it is given; for corpus-sized query sets use
+    * [[hardNegativesIVF]]. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    dupCeiling: Double = 0.95, floor: Double = -1.0,
+                    vecCol: String = "embedding", idCol: String = "vec_id",
+                    labelCol: String = "label"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      col(labelCol).as("qlabel")))
+    val scored = Par.widen(corpus, idCol)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"), col(labelCol).as("nlabel"))
+      .join(q, col("qid") =!= col("vec_id"))
+      .where(!(col("nlabel") <=> col("qlabel")))
+      .select(col("qid"), col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("cos"))
+      .where(col("cos") >= floor && col("cos") < dupCeiling)
+    val topk = udaf(new TopK(k))
+    scored.groupBy(col("qid"))
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e._2").as("vec_id"), col("e._1").as("cos"))
+  }
+
+  /** IVF-bucketed hard-negative mining — the corpus-sized-query-set
+    * configuration: corpus vectors bucket by nearest centroid (the same
+    * write-once partitioning column as [[ivfTopK]]), each query scores
+    * only its `nprobe` most promising buckets, then the identical
+    * label/band/top-k contract as [[hardNegatives]]. Recall < 1 by
+    * design; audit with [[annRecall]] against a brute sample before
+    * shipping (the x76 pattern). */
+  def hardNegativesIVF(corpus: DataFrame, queries: DataFrame, k: Int,
+                       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+                       dupCeiling: Double = 0.95, floor: Double = -1.0,
+                       vecCol: String = "embedding", idCol: String = "vec_id",
+                       labelCol: String = "label"): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, nlist, iters, vecCol, idCol)
+    val indexed = Par.widen(corpus, idCol).select(col(idCol).as("vec_id"),
+      col(vecCol).as("v"), col(labelCol).as("nlabel"),
+      nearestCentroid(col(vecCol), centroids).as("c"))
+    val probes = broadcast(queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col(labelCol).as("qlabel"),
+        explode(probeCentroids(col(vecCol), centroids, nprobe)).as("c")))
+    val scored = indexed.join(probes, "c")
+      .where(col("qid") =!= col("vec_id") && !(col("nlabel") <=> col("qlabel")))
+      .select(col("qid"), col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("cos"))
+      .where(col("cos") >= floor && col("cos") < dupCeiling)
+    topKPerGroup(scored, k)
+  }
 }

@@ -153,6 +153,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c1.flatten.toSeq == c2.flatten.toSeq)
   }
 
+  test("hardNegatives: different-label band top-k equals an in-memory recompute") {
+    val all = emb.select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dp / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = all.filter(_._1 < 3).flatMap { case (qid, ql, qv) =>
+      all.filter { case (vid, vl, _) => vid != qid && vl != ql }
+        .map { case (vid, _, v) => (qid, vid, cos(qv, v)) }
+        .filter { case (_, _, c) => c >= 0.0 && c < 0.98 }
+        .sortBy { case (_, vid, c) => (-c, vid) }.take(5)
+    }.toSet
+    val got = Similarity.hardNegatives(emb, emb.where(col("vec_id") < 3), k = 5,
+        dupCeiling = 0.98, floor = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    // self-label queries only: a query whose label covers the whole corpus
+    // yields nothing (no same-label candidates survive)
+    val mono = emb.limit(20).withColumn("label", lit(7))
+    assert(Similarity.hardNegatives(mono, mono.limit(2), k = 3).isEmpty)
+  }
+
+  test("hardNegativesIVF: contract holds, recall vs brute truth is decent") {
+    val q = emb.where(col("vec_id") < 10)
+    val truth = Similarity.hardNegatives(emb, q, k = 5, dupCeiling = 0.98, floor = 0.0)
+    val approx = Similarity.hardNegativesIVF(emb, q, k = 5, nlist = 8, nprobe = 4,
+      dupCeiling = 0.98, floor = 0.0)
+    val labelOf = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    approx.collect().foreach { r =>
+      assert(labelOf(r.getLong(1)) != labelOf(r.getLong(0)), "same-label leak")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 0.98, "band leak")
+    }
+    val rec = Similarity.annRecall(approx, truth).head()
+    assert(rec.getDouble(1) >= 0.4, s"mean recall ${rec.getDouble(1)} too low")
+  }
+
   test("text analysis components") {
     val d = Seq(
       ("the cat sat on the mat", 6, 0.0),
