@@ -206,6 +206,26 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         Seq("q" -> dbl("grouped_quantiles", args, 3)),
         buckets = num("grouped_quantiles", args, 4, 4096L).toInt)
     })
+    // hard-negative mining surface (embeddings corpus convention:
+    // vec_id/embedding/label — checked eagerly so the dialect error
+    // names the convention): hard_negatives(corpus, queries, k
+    // [, ceiling [, floor]]) — per query the k most-similar
+    // DIFFERENT-label vectors with 4-dp cosine in [floor, ceiling)
+    catalog.registerTableFunction("hard_negatives", { args =>
+      arity("hard_negatives", args, 3, 5)
+      val corpus = rel("hard_negatives", args, 0)
+      val queries = rel("hard_negatives", args, 1)
+      Seq(corpus -> "argument 1", queries -> "argument 2").foreach { case (df, which) =>
+        Seq("vec_id", "embedding", "label").foreach { c =>
+          reqCol("hard_negatives", df, c,
+            s"$which must follow the embeddings corpus convention")
+        }
+      }
+      graft.operators.Similarity.hardNegatives(corpus, queries,
+        k = num("hard_negatives", args, 2, 8L).toInt,
+        dupCeiling = if (args.length > 3) dbl("hard_negatives", args, 3) else 0.95,
+        floor = if (args.length > 4) dbl("hard_negatives", args, 4) else -1.0)
+    })
     // BPE tokenizer surface (text/doc_id corpus convention):
     // bpe_pairs(rel[, k]) — top-k frequency-weighted adjacent char pairs;
     // bpe_tokenize(rel, n) — train n merges on the relation, tokenize it;

@@ -855,6 +855,18 @@ object SparkEntry {
       graft.operators.Extensions.X86_MERGES
         .map { case (a, b) => s"$a $b" }.mkString(",") +
       "') where n_words >= 40 order by id")),
+    // ---- q113: hard-negative mining reached FROM SQL — the query
+    // sample registered via CTAS, then the table function composed with
+    // projection/ORDER BY like any relation; same parameters and DuckDB
+    // recompute as the x89 operator gate ----
+    "q113_hard_negatives_fn" -> ((s, d) => {
+      val e = g(s, d)
+      e.sql("create table q113_q as select vec_id, embedding, label " +
+        "from embeddings where vec_id < 10")
+      e.sql("select qid, vec_id, cos from " +
+        "hard_negatives(embeddings, q113_q, 5, 0.98, 0.0) " +
+        "order by qid, cos desc, vec_id")
+    }),
     // ---- datetime constructors: field-wise date/timestamp assembly ----
     "q99_datetime_ctor" -> ((s, d) => g(s, d).sql(
       "select o_orderkey as k, " +
@@ -1283,6 +1295,9 @@ object SparkEntry {
       ("SELECT source, ROUND(quantile_cont(n_chars, 0.5), 6) AS med, " +
        "ROUND(quantile_cont(n_chars, 0.9), 6) AS p90, " +
        "count(*) AS n FROM documents GROUP BY source ORDER BY source"),
+    // q113: the SQL path produces exactly the x89 operator result
+    "q113_hard_negatives_fn" ->
+      graft.operators.Extensions.oracles("x89_hard_negatives"),
     // q112: x86's generated replace-chain oracle, filtered like the gate
     "q112_bpe_tokenize_fn" ->
       (s"SELECT * FROM (${graft.operators.Extensions.oracles("x86_bpe_tokenize")

@@ -171,4 +171,23 @@ class TableFnSpec extends AnyFunSuite {
       g.sql("select * from bpe_tokenize(documents, 'e r,zap')"))
     assert(e.getMessage.contains("space-separated"))
   }
+
+  test("hard_negatives(corpus, queries, k, ceiling, floor) equals the operator API") {
+    val viaSql = g.sql(
+      "select qid, vec_id, cos from hard_negatives(embeddings, embeddings, 3, 0.98, 0.0) " +
+      "where qid < 5 order by qid, cos desc, vec_id")
+    val e = g.catalog.relation("embeddings")
+    val viaApi = graft.operators.Similarity.hardNegatives(e, e, k = 3,
+        dupCeiling = 0.98, floor = 0.0)
+      .where(col("qid") < 5).orderBy(col("qid"), col("cos").desc, col("vec_id"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+    assert(viaSql.count() > 0)
+    // defaults: k only (ceiling 0.95, floor -1) still runs
+    assert(g.sql("select * from hard_negatives(embeddings, embeddings, 2)")
+      .columns.toSeq == Seq("qid", "vec_id", "cos"))
+    // corpus-convention violation is an eager dialect error naming the column
+    val err = intercept[graft.translate.GraftAnalysisException](
+      g.sql("select * from hard_negatives(documents, embeddings, 3)"))
+    assert(err.getMessage.contains("vec_id") || err.getMessage.contains("embedding"))
+  }
 }
