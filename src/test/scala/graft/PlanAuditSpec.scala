@@ -56,7 +56,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "x63_heavy_hitters" -> (1, "broadcast 1-row total-token-count summary"),
     "x70_standardize" -> (1, "broadcast 1-row per-dimension (mean[], std[]) stats"),
     "x76_ann_recall" -> (1, "1-row × 1-row recall-summary crossJoin"),
-    "x54_quantized_topk" -> (1, "broadcast quantization-scale summary (model-sized)"))
+    "x54_quantized_topk" -> (1, "broadcast quantization-scale summary (model-sized)"),
+    "x89_hard_negatives" -> (1, "broadcast query sample vs corpus — the x07 brute shape with label+band filters"),
+    "q113_hard_negatives_fn" -> (1, "same brute shape reached from SQL (x89)"))
 
   test("no gate plans a BroadcastNestedLoopJoin or an engine-chosen global window") {
     val spark = TestSpark.spark
