@@ -33,6 +33,24 @@ object Extensions {
     s.readStream.schema(df.schema).parquet(dir)
   }
 
+  /** Files a frame's scan ACTUALLY reads: executes THIS QueryExecution
+    * (a Dataset action would run a separate deserializing one and leave
+    * these metrics at zero) and sums FileSourceScan numFiles, descending
+    * through AQE. `DataFrame.inputFiles` can NOT prove pruning — it
+    * lists the relation's files ignoring filters. */
+  private[graft] def filesScanned(df: DataFrame): Long = {
+    df.queryExecution.toRdd.foreach(_ => ())
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics.get("numFiles").map(_.value).getOrElse(0L)
+      case other => other.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   /** Gate-harness temp directory, deleted recursively at JVM exit —
     * repeated bench/verify runs no longer leak disk (round-8 advisory). */
   private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]
@@ -563,6 +581,37 @@ object Extensions {
       val e = emb(s, d)
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), k = 5)
         .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+    }),
+    // persisted IVF index (r9): train-once/serve-many — centroids +
+    // bucket-partitioned corpus written to disk, queries served with a
+    // literal probe-bucket filter (static partition pruning). Parity is
+    // EXACT vs the fresh in-memory ivfTopK (deterministic training);
+    // pruned_scan asserts the scan really skipped unprobed buckets
+    "x90_ivf_index" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d).localCheckpoint()
+      val q = e.where(col("vec_id") < 10)
+      val dir = tempDir("x90_ivf_")
+      Similarity.saveIvfIndex(e, dir, nlist = 16, iters = 2)
+      // the in-memory reference runs on the PERSISTED model (training
+      // determinism itself is the spec's loaded≡retrained assert) —
+      // the gate isolates the layout + serve path
+      val centroids = Similarity.loadIvfCentroids(s, dir)
+      val fresh = Similarity.ivfTopKWith(e, q, k = 5, centroids, nprobe = 4)
+      val served = Similarity.ivfTopKIndexed(s, dir, q, k = 5, nprobe = 4)
+      val matches = served.count() > 0 &&
+        served.except(fresh).isEmpty && fresh.except(served).isEmpty
+      // pruning is observable, not assumed: the serve-side literal
+      // bucket filter must READ strictly fewer files (numFiles metric)
+      // than the layout holds (16 buckets; if the probe set ever covered
+      // all of them the flag fails loudly instead of passing vacuously)
+      val corpus = s.read.parquet(s"$dir/corpus")
+      val needed = Similarity.probeBuckets(q, centroids, nprobe = 4)
+      val pruned = filesScanned(
+        corpus.where(col("c").isin(needed.map(Int.box): _*))) <
+        corpus.inputFiles.length
+      Seq((q.count(), if (matches) 1 else 0, if (pruned) 1 else 0))
+        .toDF("n_queries", "served_matches_fresh", "scan_pruned")
     }),
     // hard-negative mining (r9): per query, the k most-similar
     // DIFFERENT-label vectors inside the [floor, ceiling) cosine band —
@@ -1504,6 +1553,11 @@ object Extensions {
         "SELECT qid, vec_id, cos FROM (SELECT qid, vec_id, ROUND(dp / (na * nb), 4) AS cos, " +
         "row_number() OVER (PARTITION BY qid ORDER BY ROUND(dp / (na * nb), 4) DESC, vec_id) AS rn FROM s) " +
         "WHERE rn <= 5 ORDER BY qid, cos DESC, vec_id"),
+      // x90: served-from-disk ≡ fresh in-memory is the assertion (both
+      // engine-side, exact); the oracle pins the query count + flags
+      "x90_ivf_index" -> (
+        "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS served_matches_fresh, " +
+        "CAST(1 AS INTEGER) AS scan_pruned FROM embeddings WHERE vec_id < 10"),
       // x89: the x07 recompute plus the different-label constraint and
       // the [floor, ceiling) band — band applied to the 4-dp ROUNDED
       // cosine on both engines so boundary membership is portable

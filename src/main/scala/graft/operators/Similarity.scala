@@ -226,8 +226,15 @@ object Similarity {
     * the vector table (write once, probe many). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
-              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val centroids = trainIvfCentroids(corpus, nlist, iters, vecCol, idCol)
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    ivfTopKWith(corpus, queries, k,
+      trainIvfCentroids(corpus, nlist, iters, vecCol, idCol), nprobe, vecCol, idCol)
+
+  /** [[ivfTopK]] against an ALREADY-TRAINED centroid model (yours, or
+    * [[loadIvfCentroids]]'): assignment + probing without retraining. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                  centroids: Array[Array[Double]], nprobe: Int = 4,
+                  vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val indexed = Par.widen(corpus, idCol).select(col(idCol).as("vec_id"), col(vecCol).as("v"),
       nearestCentroid(col(vecCol), centroids).as("c"))
     val probes = broadcast(queries
@@ -237,6 +244,70 @@ object Similarity {
       .select(col("qid"), col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("cos"))
     topKPerGroup(scored, k)
   }
+
+  /** Persist an IVF index — the "write once, probe many" layout the
+    * serving path needs at 100 TB: centroids (nlist×dim, model-sized) in
+    * `dir/centroids`, the corpus assigned and PARTITIONED BY its bucket
+    * in `dir/corpus`. Training is [[trainIvfCentroids]] (deterministic),
+    * so an index built twice from the same corpus is identical, and
+    * [[ivfTopKIndexed]] over the saved layout returns EXACTLY what
+    * [[ivfTopK]] computes fresh — gated by x90. The bucket directories
+    * are what make serving cheap: a query batch touching `nprobe` of
+    * `nlist` buckets scans only those directories (static partition
+    * pruning, asserted in the spec via `inputFiles`). */
+  def saveIvfIndex(corpus: DataFrame, dir: String, nlist: Int = 16, iters: Int = 2,
+                   vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val centroids = trainIvfCentroids(corpus, nlist, iters, vecCol, idCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("c", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    Par.widen(corpus, idCol)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        nearestCentroid(col(vecCol), centroids).as("c"))
+      // co-locate each bucket before the partitioned write: one file per
+      // bucket per holding task instead of (tasks × buckets) small files —
+      // AQE splits oversized buckets; the object-store layout stays tight
+      .repartition(col("c"))
+      .write.mode("overwrite").partitionBy("c").parquet(s"$dir/corpus")
+  }
+
+  /** The persisted centroid model, bucket-ordered (nlist×dim — driver-
+    * held by design, like the in-memory trainer's output). */
+  def loadIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids").select("c", "centroid")
+      .orderBy("c").collect().map(_.getSeq[Double](1).toArray)
+
+  /** ANN top-k served from a [[saveIvfIndex]] layout. The query batch is
+    * bounded by definition (it is the probe side), so its distinct probe
+    * buckets collapse to a LITERAL `c IN (…)` filter on the partitioned
+    * corpus — static partition pruning: only the probed bucket
+    * directories are read, the other `nlist − |buckets|` never leave the
+    * object store. Same output contract as [[ivfTopK]], and exactly its
+    * result for the same (nlist, iters, nprobe). */
+  def ivfTopKIndexed(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+                     nprobe: Int = 4, vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    val centroids = loadIvfCentroids(spark, dir)
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      explode(probeCentroids(col(vecCol), centroids, nprobe)).as("c"))
+    val needed = probeBuckets(queries, centroids, nprobe, vecCol)
+    val indexed = spark.read.parquet(s"$dir/corpus")
+      .where(col("c").isin(needed.map(Int.box): _*))
+    val scored = indexed.join(broadcast(probes), "c")
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("cos"))
+    topKPerGroup(scored, k)
+  }
+
+  /** The distinct buckets a query batch probes (≤ min(nlist,
+    * |queries|·nprobe) values — bounded because the query side is).
+    * This is the literal partition filter the serve scan prunes on. */
+  def probeBuckets(queries: DataFrame, centroids: Array[Array[Double]],
+                   nprobe: Int, vecCol: String = "embedding"): Array[Int] =
+    queries.select(explode(probeCentroids(col(vecCol), centroids, nprobe)).as("c"))
+      .distinct().collect().map(_.getInt(0)).sorted
 
   /** Exact per-group top-k: collect (cos, id) per qid, sort desc with id
     * tiebreak, slice k, re-explode. Deterministic. */

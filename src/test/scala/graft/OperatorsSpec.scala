@@ -178,6 +178,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Similarity.hardNegatives(mono, mono.limit(2), k = 3).isEmpty)
   }
 
+  test("saveIvfIndex/ivfTopKIndexed: served equals fresh, layout prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_").toString
+    try {
+      Similarity.saveIvfIndex(emb, dir, nlist = 8, iters = 2)
+      val q = emb.where(col("vec_id") < 3)
+      val fresh = Similarity.ivfTopK(emb, q, k = 5, nlist = 8, nprobe = 3, iters = 2)
+      val served = Similarity.ivfTopKIndexed(spark, dir, q, k = 5, nprobe = 3)
+      assert(served.count() > 0)
+      assert(served.except(fresh).isEmpty && fresh.except(served).isEmpty)
+      // persisted centroids == retrained centroids (training is deterministic)
+      val loaded = Similarity.loadIvfCentroids(spark, dir)
+      val trained = Similarity.trainIvfCentroids(emb, nlist = 8, iters = 2)
+      assert(loaded.flatten.toSeq == trained.flatten.toSeq)
+      // the bucket filter prunes: 3 queries x 3 probes cover < 8 buckets
+      // here, and the executed scan must READ fewer files (numFiles
+      // metric — inputFiles ignores filters and can't prove this)
+      val corpus = spark.read.parquet(s"$dir/corpus")
+      val needed = Similarity.probeBuckets(q, loaded, nprobe = 3)
+      assert(needed.length < 8)
+      assert(graft.operators.Extensions.filesScanned(
+        corpus.where(col("c").isin(needed.map(Int.box): _*))) <
+        graft.operators.Extensions.filesScanned(corpus))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("hardNegativesIVF: contract holds, recall vs brute truth is decent") {
     val q = emb.where(col("vec_id") < 10)
     val truth = Similarity.hardNegatives(emb, q, k = 5, dupCeiling = 0.98, floor = 0.0)
