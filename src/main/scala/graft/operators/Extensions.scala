@@ -613,6 +613,37 @@ object Extensions {
       Seq((q.count(), if (matches) 1 else 0, if (pruned) 1 else 0))
         .toDF("n_queries", "served_matches_fresh", "scan_pruned")
     }),
+    // streaming ANN serve (r9): the production retrieval pipeline E2E —
+    // query batches stream in, each micro-batch is served from the
+    // PERSISTED x90 index (per-batch literal probe-bucket pruning) and
+    // published exactly-once via the x83 idempotent sink; committed
+    // output ≡ the batch serve of the same query set (top-k is per-qid,
+    // so micro-batch boundaries cannot change any result)
+    "x91_ann_serve_stream" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d).localCheckpoint()
+      val dir = tempDir("x91_idx_")
+      Similarity.saveIvfIndex(e, dir, nlist = 16, iters = 2)
+      val queries = e.where(col("vec_id") < 40)
+        .select("vec_id", "embedding").localCheckpoint()
+      val batchOut = Similarity.ivfTopKIndexed(s, dir, queries, k = 5, nprobe = 4)
+        .localCheckpoint()
+      val srcDir = tempDir("x91_src_")
+      val outDir = tempDir("x91_out_")
+      val ckpt = tempDir("x91_ckpt_")
+      queries.repartition(4).write.mode("overwrite").parquet(srcDir)
+      val in = s.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir) // ≥2 micro-batches
+      val q = graft.streaming.Sinks.idempotentServe(in, outDir, ckpt,
+        b => Similarity.ivfTopKIndexed(s, dir, b, k = 5, nprobe = 4))
+      try q.awaitTermination() finally { q.stop(); () }
+      while (s.streams.active.nonEmpty) Thread.sleep(50)
+      val got = graft.streaming.Sinks.readCommitted(s, outDir)
+      val eq = got.count() == batchOut.count() &&
+        got.except(batchOut).isEmpty && batchOut.except(got).isEmpty
+      Seq((queries.count(), if (eq) 1 else 0))
+        .toDF("n_queries", "stream_matches_batch")
+    }),
     // hard-negative mining (r9): per query, the k most-similar
     // DIFFERENT-label vectors inside the [floor, ceiling) cosine band —
     // exact brute path (the TopK bounded-heap partial agg), full DuckDB
@@ -1553,6 +1584,11 @@ object Extensions {
         "SELECT qid, vec_id, cos FROM (SELECT qid, vec_id, ROUND(dp / (na * nb), 4) AS cos, " +
         "row_number() OVER (PARTITION BY qid ORDER BY ROUND(dp / (na * nb), 4) DESC, vec_id) AS rn FROM s) " +
         "WHERE rn <= 5 ORDER BY qid, cos DESC, vec_id"),
+      // x91: stream≡batch parity IS the assertion (the batch side is the
+      // x90-gated serve); the oracle pins the query count + flag
+      "x91_ann_serve_stream" -> (
+        "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS stream_matches_batch " +
+        "FROM embeddings WHERE vec_id < 40"),
       // x90: served-from-disk ≡ fresh in-memory is the assertion (both
       // engine-side, exact); the oracle pins the query count + flags
       "x90_ivf_index" -> (

@@ -71,6 +71,25 @@ object Sinks {
       .trigger(trigger)
       .start()
 
+  /** [[idempotentParquet]] with a per-batch TRANSFORM before the publish —
+    * the online-serving shape: each micro-batch of requests is mapped
+    * (e.g. ANN-served against a persisted index, scored against a
+    * broadcast model) and the RESULT is published exactly-once. The
+    * guarantee is unchanged: a replayed batch id re-serves the same
+    * input rows and [[publishBatch]] skips the already-committed id, so
+    * `serve` must be deterministic per batch (every serve path in this
+    * library is). */
+  def idempotentServe(df: DataFrame, outDir: String, checkpoint: String,
+                      serve: DataFrame => DataFrame,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        publishBatch(serve(b.toDF()), outDir, id); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Read back only COMMITTED batches from an [[idempotentParquet]] output
     * dir — uncommitted (crash-torn) batch directories are excluded, so a
     * reader running concurrently with the stream never sees a partial

@@ -401,6 +401,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("idempotentServe: per-batch transform published exactly-once") {
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val srcDir = tmp("srv_src_"); val outDir = tmp("srv_out_"); val ckpt = tmp("srv_ck_")
+    try {
+      val input = Seq((1L, 2.0), (2L, 3.0), (3L, 5.0), (4L, 7.0)).toDF("id", "x")
+      input.repartition(2).write.mode("overwrite").parquet(srcDir)
+      val in = spark.readStream.schema(input.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir) // 2 micro-batches
+      val q = Sinks.idempotentServe(in, outDir, ckpt,
+        b => b.select(col("id"), (col("x") * 10).as("served")))
+      try q.awaitTermination() finally { q.stop(); () }
+      while (spark.streams.active.nonEmpty) Thread.sleep(50)
+      val got = Sinks.readCommitted(spark, outDir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      assert(got == Seq((1L, 20.0), (2L, 30.0), (3L, 50.0), (4L, 70.0)))
+      // ≥2 committed batch dirs (the transform ran per micro-batch)
+      val dirs = Option(new java.io.File(outDir).listFiles())
+        .getOrElse(Array.empty[java.io.File]).count(_.getName.startsWith("batch="))
+      assert(dirs >= 2, s"expected >=2 batch dirs, got $dirs")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(): Unit
+      }
+      Seq(srcDir, outDir, ckpt).foreach(p => rm(new java.io.File(p)))
+    }
+  }
+
   test("content-addressed curation ops run on live streams (narrow filters)") {
     // mixture and splitByHash are pure filters/projections of the key —
     // no state, no shuffle — so the same operators curate streams as-is;
