@@ -226,6 +226,27 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         dupCeiling = if (args.length > 3) dbl("hard_negatives", args, 3) else 0.95,
         floor = if (args.length > 4) dbl("hard_negatives", args, 4) else -1.0)
     })
+    // ANN serving surface: ann_topk(queries, 'index_dir', k[, nprobe])
+    // — top-k cosine neighbors served from a persisted IVF index layout
+    // (Similarity.saveIvfIndex: centroids + bucket-partitioned corpus);
+    // the index path is the model-artifact literal, like bpe_tokenize's
+    // merge list. Missing layout is an eager dialect error.
+    catalog.registerTableFunction("ann_topk", { args =>
+      arity("ann_topk", args, 3, 4)
+      val q = rel("ann_topk", args, 0)
+      Seq("vec_id", "embedding").foreach(c =>
+        reqCol("ann_topk", q, c, "query relation must follow the embeddings convention"))
+      val dir = str("ann_topk", args, 1)
+      val centroidsPath = new org.apache.hadoop.fs.Path(dir, "centroids")
+      val fs = centroidsPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(centroidsPath))
+        throw new graft.translate.GraftAnalysisException(
+          s"ann_topk: no IVF index layout at '$dir' (expected a " +
+            "Similarity.saveIvfIndex output with centroids/ and corpus/)")
+      graft.operators.Similarity.ivfTopKIndexed(spark, dir, q,
+        k = num("ann_topk", args, 2, 8L).toInt,
+        nprobe = num("ann_topk", args, 3, 4L).toInt)
+    })
     // BPE tokenizer surface (text/doc_id corpus convention):
     // bpe_pairs(rel[, k]) — top-k frequency-weighted adjacent char pairs;
     // bpe_tokenize(rel, n) — train n merges on the relation, tokenize it;

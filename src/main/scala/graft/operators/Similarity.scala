@@ -273,6 +273,27 @@ object Similarity {
       .write.mode("overwrite").partitionBy("c").parquet(s"$dir/corpus")
   }
 
+  /** Grow a [[saveIvfIndex]] layout WITHOUT retraining — the daily-
+    * ingest path: new vectors are assigned to the EXISTING centroids and
+    * appended to their bucket directories (append-mode partitioned
+    * write; parquet appends are new files, never rewrites, so a serving
+    * query concurrent with the append sees either layout, both
+    * complete). The coarse quantizer drifts from the true k-means of the
+    * grown corpus — periodic re-train + re-save is the rebuild story,
+    * exactly like any IVF system. Serve parity after append is exact:
+    * probing the appended layout ≡ [[ivfTopKWith]] over old ∪ new with
+    * the SAME centroids (spec-asserted). */
+  def appendToIvfIndex(newVectors: DataFrame, dir: String,
+                       vecCol: String = "embedding",
+                       idCol: String = "vec_id"): Unit = {
+    val centroids = loadIvfCentroids(newVectors.sparkSession, dir)
+    Par.widen(newVectors, idCol)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        nearestCentroid(col(vecCol), centroids).as("c"))
+      .repartition(col("c"))
+      .write.mode("append").partitionBy("c").parquet(s"$dir/corpus")
+  }
+
   /** The persisted centroid model, bucket-ordered (nlist×dim — driver-
     * held by design, like the in-memory trainer's output). */
   def loadIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =

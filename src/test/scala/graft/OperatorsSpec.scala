@@ -208,6 +208,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("appendToIvfIndex: grown layout serves exactly old ∪ new (same centroids)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp_").toString
+    try {
+      val old = emb.where(col("vec_id") % 2 === 0)
+      val fresh = emb.where(col("vec_id") % 2 =!= 0)
+      Similarity.saveIvfIndex(old, dir, nlist = 8, iters = 2)
+      Similarity.appendToIvfIndex(fresh, dir)
+      val q = emb.where(col("vec_id") < 3)
+      val served = Similarity.ivfTopKIndexed(spark, dir, q, k = 5, nprobe = 3)
+      val expected = Similarity.ivfTopKWith(emb, q, k = 5,
+        Similarity.loadIvfCentroids(spark, dir), nprobe = 3)
+      assert(served.count() > 0)
+      assert(served.except(expected).isEmpty && expected.except(served).isEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("hardNegativesIVF: contract holds, recall vs brute truth is decent") {
     val q = emb.where(col("vec_id") < 10)
     val truth = Similarity.hardNegatives(emb, q, k = 5, dupCeiling = 0.98, floor = 0.0)

@@ -172,6 +172,31 @@ class TableFnSpec extends AnyFunSuite {
     assert(e.getMessage.contains("space-separated"))
   }
 
+  test("ann_topk(queries, 'index_dir', k, nprobe) serves a persisted IVF index") {
+    val dir = java.nio.file.Files.createTempDirectory("annfn_").toString
+    try {
+      val e = g.catalog.relation("embeddings")
+      graft.operators.Similarity.saveIvfIndex(e, dir, nlist = 8, iters = 2)
+      val viaSql = g.sql(
+        s"select qid, vec_id, cos from ann_topk(embeddings, '$dir', 5, 3) " +
+        "where qid < 3 order by qid, cos desc, vec_id")
+      val viaApi = graft.operators.Similarity
+        .ivfTopKIndexed(spark, dir, e.where(col("vec_id") < 3), k = 5, nprobe = 3)
+        .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+      assert(viaSql.count() > 0)
+      assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+      // missing layout is an eager dialect error naming the convention
+      val err = intercept[graft.translate.GraftAnalysisException](
+        g.sql("select * from ann_topk(embeddings, '/nonexistent/idx', 5)"))
+      assert(err.getMessage.contains("no IVF index layout"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("hard_negatives(corpus, queries, k, ceiling, floor) equals the operator API") {
     val viaSql = g.sql(
       "select qid, vec_id, cos from hard_negatives(embeddings, embeddings, 3, 0.98, 0.0) " +
