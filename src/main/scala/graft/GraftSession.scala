@@ -226,6 +226,16 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         dupCeiling = if (args.length > 3) dbl("hard_negatives", args, 3) else 0.95,
         floor = if (args.length > 4) dbl("hard_negatives", args, 4) else -1.0)
     })
+    // leakage-safe split surface (text/doc_id corpus convention):
+    // duplicate families never straddle train/test
+    catalog.registerTableFunction("leakage_safe_split", { args =>
+      arity("leakage_safe_split", args, 2, 2)
+      val r = rel("leakage_safe_split", args, 0)
+      Seq("text", "doc_id").foreach(c =>
+        reqCol("leakage_safe_split", r, c, "document corpus convention"))
+      graft.operators.Sampling.leakageSafeSplit(r, "text", "doc_id",
+        testPercent = num("leakage_safe_split", args, 1, 10L).toInt)
+    })
     // ANN serving surface: ann_topk(queries, 'index_dir', k[, nprobe])
     // — top-k cosine neighbors served from a persisted IVF index layout
     // (Similarity.saveIvfIndex: centroids + bucket-partitioned corpus);

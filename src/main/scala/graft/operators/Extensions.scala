@@ -613,6 +613,14 @@ object Extensions {
       Seq((q.count(), if (matches) 1 else 0, if (pruned) 1 else 0))
         .toDF("n_queries", "served_matches_fresh", "scan_pruned")
     }),
+    // leakage-safe split (r9): duplicate families (exact text identity
+    // here; near-dup clusters via the families override) can never
+    // straddle train/test — the full (id, rep, split) assignment is
+    // hash-matched against a DuckDB recompute (portable multiplicative
+    // hash on the min-id representative), the strongest oracle form
+    "x92_leakage_safe_split" -> ((s, d) =>
+      Sampling.leakageSafeSplit(docs(s, d), "text", "doc_id", testPercent = 10)
+        .orderBy("id")),
     // streaming ANN serve (r9): the production retrieval pipeline E2E —
     // query batches stream in, each micro-batch is served from the
     // PERSISTED x90 index (per-batch literal probe-bucket pruning) and
@@ -1584,6 +1592,14 @@ object Extensions {
         "SELECT qid, vec_id, cos FROM (SELECT qid, vec_id, ROUND(dp / (na * nb), 4) AS cos, " +
         "row_number() OVER (PARTITION BY qid ORDER BY ROUND(dp / (na * nb), 4) DESC, vec_id) AS rn FROM s) " +
         "WHERE rn <= 5 ORDER BY qid, cos DESC, vec_id"),
+      // x92: full assignment recompute — same min-id family rep, same
+      // bounded multiplicative hash, same threshold
+      "x92_leakage_safe_split" -> (
+        "SELECT doc_id AS id, rep, " +
+        "CASE WHEN ((rep % 1000000) * 2654435761) % 1000000 < 100000 " +
+        "THEN 'test' ELSE 'train' END AS split " +
+        "FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep " +
+        "FROM documents) ORDER BY id"),
       // x91: stream≡batch parity IS the assertion (the batch side is the
       // x90-gated serve); the oracle pins the query count + flag
       "x91_ann_serve_stream" -> (

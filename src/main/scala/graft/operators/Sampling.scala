@@ -42,6 +42,56 @@ object Sampling {
       when(hashBucket(col(keyCol), seed) < testPercent, "test").otherwise("train"))
   }
 
+  /** Leakage-safe split: train/test membership is decided per duplicate
+    * FAMILY, not per row — two copies of the same document can never
+    * straddle the split boundary, the classic eval-contamination bug
+    * that [[splitByHash]] on ids permits. Families default to exact text
+    * identity (min-id representative, grouped on the 64-bit text hash —
+    * the [[graft.operators.Dedup.exact]] exchange; the x44 collision
+    * argument applies). Callers holding NEAR-dup clusters pass their own
+    * (id, rep) frame — e.g. `clusterNearDuplicates` components — and get
+    * the same guarantee at the cluster level.
+    *
+    * The split hash is the engine-portable multiplicative hash on the
+    * representative id, pre-bounded with pmod so it can never overflow
+    * at any id scale (ANSI mode would error): assignment is
+    * content-addressed, stable as the corpus grows, and exactly
+    * recomputable by the DuckDB oracle (x92 hash-matches the full
+    * (id, rep, split) assignment, not just counts).
+    *
+    * Scale: one keyed hash shuffle (family agg) + one same-key join
+    * back. Output: (id, rep, split). */
+  def leakageSafeSplit(df: DataFrame, textCol: String, idCol: String,
+                       testPercent: Int,
+                       families: Option[DataFrame] = None): DataFrame = {
+    require(testPercent >= 0 && testPercent <= 100, "testPercent in [0,100]")
+    val fam = families match {
+      case Some(f) =>
+        // cluster maps (first two columns = member id, family label —
+        // e.g. connectedComponents' (id, comp)) usually cover only the
+        // CLUSTERED rows; uncovered rows default to their own family
+        require(f.columns.length >= 2,
+          s"families needs (id, rep) columns, got ${f.columns.mkString(", ")}")
+        val fr = f.select(col(f.columns(0)).as("id"), col(f.columns(1)).as("rep"))
+        df.select(col(idCol).as("id"))
+          .join(fr, Seq("id"), "left")
+          .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+      case None =>
+        val keyed = df.select(col(idCol).as("id"),
+          xxhash64(col(textCol)).as("__fh"))
+        keyed.join(
+          keyed.groupBy(col("__fh")).agg(min(col("id")).as("rep")), "__fh")
+          .select(col("id"), col("rep"))
+    }
+    // ((rep mod 10^6) * 2654435761) mod 10^6 — bounded before the
+    // multiply (max product ~2.7e15 << 2^63), identical in DuckDB
+    val bucket = pmod(pmod(col("rep"), lit(1000000L)) * lit(2654435761L),
+      lit(1000000L))
+    fam.select(col("id"), col("rep"),
+      when(bucket < testPercent * 10000L, "test").otherwise("train")
+        .as("split"))
+  }
+
   /** Cap rows per group (per-domain/per-source caps — the RefinedWeb/C4
     * trick against one domain dominating a crawl): keep the first `cap`
     * rows of each `groupCol` value in `orderCol` order (ties broken by

@@ -229,6 +229,39 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("leakageSafeSplit: families never straddle; override path; bounds") {
+    val d = Seq(
+      (1L, "same text"), (7L, "same text"), (999999L, "same text"),
+      (2L, "other"), (3L, "third")
+    ).toDF("doc_id", "text")
+    val s0 = Sampling.leakageSafeSplit(d, "text", "doc_id", testPercent = 10)
+    val rows = s0.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // all three copies share the min-id rep and therefore the split
+    val fam = rows.filter(r => Set(1L, 7L, 999999L)(r._1))
+    assert(fam.forall(_._2 == 1L) && fam.map(_._3).distinct.length == 1)
+    assert(rows.length == 5 && rows.forall(r => Set("test", "train")(r._3)))
+    // degenerate percents
+    assert(Sampling.leakageSafeSplit(d, "text", "doc_id", 100)
+      .where(col("split") =!= "test").isEmpty)
+    assert(Sampling.leakageSafeSplit(d, "text", "doc_id", 0)
+      .where(col("split") =!= "train").isEmpty)
+    // caller-provided near-dup families (connectedComponents shape:
+    // (id, comp), clustered rows ONLY — uncovered rows self-default)
+    val overrides = Seq((1L, 1L), (7L, 1L), (999999L, 1L), (2L, 1L))
+      .toDF("id", "comp")
+    val s1full = Sampling.leakageSafeSplit(d, "text", "doc_id", 10, Some(overrides))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val s1 = s1full.map(r => (r._1, r._3)).toMap
+    assert(s1full.length == 5, "uncovered rows must still be assigned")
+    assert(s1full.find(_._1 == 3L).get._2 == 3L, "uncovered row keeps own family")
+    assert(Seq(1L, 7L, 999999L, 2L).map(s1).distinct.length == 1)
+    // corpus property: no family straddles the boundary
+    val straddlers = Sampling.leakageSafeSplit(docs, "text", "doc_id", 10)
+      .groupBy("rep").agg(countDistinct("split").as("k"))
+      .where(col("k") > 1).count()
+    assert(straddlers == 0L)
+  }
+
   test("hardNegativesIVF: contract holds, recall vs brute truth is decent") {
     val q = emb.where(col("vec_id") < 10)
     val truth = Similarity.hardNegatives(emb, q, k = 5, dupCeiling = 0.98, floor = 0.0)

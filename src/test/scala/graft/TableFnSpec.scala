@@ -172,6 +172,18 @@ class TableFnSpec extends AnyFunSuite {
     assert(e.getMessage.contains("space-separated"))
   }
 
+  test("leakage_safe_split(documents, pct) equals the operator API") {
+    val viaSql = g.sql(
+      "select id, rep, split from leakage_safe_split(documents, 10) order by id")
+    val viaApi = graft.operators.Sampling
+      .leakageSafeSplit(g.catalog.relation("documents"), "text", "doc_id", 10)
+      .orderBy("id")
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+    val err = intercept[graft.translate.GraftAnalysisException](
+      g.sql("select * from leakage_safe_split(embeddings, 10)"))
+    assert(err.getMessage.contains("text"))
+  }
+
   test("ann_topk(queries, 'index_dir', k, nprobe) serves a persisted IVF index") {
     val dir = java.nio.file.Files.createTempDirectory("annfn_").toString
     try {
