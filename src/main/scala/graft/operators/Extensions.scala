@@ -1130,6 +1130,15 @@ object Extensions {
     "x33_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramScore(docs(s, d), "text", "doc_id")
         .orderBy("id")),
+    // ---- cross-corpus perplexity (r9, the CCNet shape): LM trained on
+    // a reference slice (every 4th source), ALL docs scored with OOV
+    // backoff; full DuckDB recompute incl. the smoothing floor ----
+    "x93_cross_entropy" -> ((s, d) => {
+      val all = docs(s, d)
+      val ref = all.where(substring(col("source"), 4, 10).cast("int") % 4 === 0)
+      TextAnalysis.bigramCrossEntropy(ref, all, "text", "doc_id")
+        .orderBy("id")
+    }),
     // ---- deterministic train/test split: every row lands in one of the
     // two splits and the test fraction is near the requested 10% — both
     // engine-checkable as flags, one narrow pass ----
@@ -2089,6 +2098,27 @@ object Extensions {
         "ROUND(avg(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS lm_score " +
         "FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v GROUP BY 1) " +
         "SELECT d2.doc_id AS id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.lm_score " +
+        "FROM documents d2 LEFT JOIN s ON s.doc_id = d2.doc_id ORDER BY id"),
+      // x93: x33's recompute with the model CTEs sliced to the reference
+      // sources, LEFT joins + COALESCE for the OOV floor, negated mean;
+      // CAST the HUGEINT context sum to DOUBLE before the 0.5 arithmetic
+      "x93_cross_entropy" -> (
+        "WITH r AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws " +
+        "FROM documents WHERE CAST(substr(source, 4) AS INT) % 4 = 0), " +
+        "t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+        "rbg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (SELECT doc_id, " +
+        "unnest([struct_pack(w1 := ws[i], w2 := ws[i+1]) for i in range(1, len(ws))]) AS b " +
+        "FROM r WHERE len(ws) >= 2)), " +
+        "tbg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (SELECT doc_id, " +
+        "unnest([struct_pack(w1 := ws[i], w2 := ws[i+1]) for i in range(1, len(ws))]) AS b " +
+        "FROM t WHERE len(ws) >= 2)), " +
+        "c2 AS (SELECT w1, w2, count(*) AS c2 FROM rbg GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM rbg GROUP BY 1), " +
+        "v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(ws) AS tok FROM r) WHERE tok <> ''), " +
+        "s AS (SELECT tbg.doc_id, count(*) AS n_bigrams, " +
+        "ROUND(-avg(ln((COALESCE(c2.c2, 0) + 0.5) / (COALESCE(c1.c1, 0) + 0.5 * v.v))), 6) AS xent " +
+        "FROM tbg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v GROUP BY 1) " +
+        "SELECT d2.doc_id AS id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.xent " +
         "FROM documents d2 LEFT JOIN s ON s.doc_id = d2.doc_id ORDER BY id"),
       // bigram mirror of shingleRows (w=2): lower/trim, \s+ split, short
       // docs collapse to the whole text; occurrence counts kept (no

@@ -381,19 +381,26 @@ object TextAnalysis {
     * table on (w1,w2) — hash-partitionable, AQE-skewable — and the V
     * scalar broadcasts. Docs with <2 tokens score NULL (0 bigrams).
     * Output: (id, n_bigrams, lm_score). */
-  def bigramScore(df: DataFrame, textCol: String, idCol: String,
-                  k: Double = 0.5): DataFrame = {
-    val ws = split(lower(trim(col(textCol))), "\\s+")
-    val base = Par.widen(df, idCol)
-      .select(col(idCol).as("id"), ws.as("__ws"))
-    // consecutive pairs: one narrow explode, tokens stay in their scan
-    // partition (no window/lead shuffle)
-    val bg = base.where(size(col("__ws")) >= 2)
+  /** (id, array of lowercased whitespace tokens) — the bigram family's
+    * shared tokenization. */
+  private def bigramBase(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    Par.widen(df, idCol)
+      .select(col(idCol).as("id"), split(lower(trim(col(textCol))), "\\s+").as("__ws"))
+
+  /** Consecutive word pairs as (id, w1, w2) rows: one narrow explode over
+    * the split-once token array (no window/lead shuffle). */
+  private def bigramRows(base: DataFrame): DataFrame =
+    base.where(size(col("__ws")) >= 2)
       .select(col("id"), explode(transform(
         sequence(lit(1), size(col("__ws")) - 1),
         i => struct(element_at(col("__ws"), i).as("w1"),
                     element_at(col("__ws"), i + 1).as("w2")))).as("__b"))
       .select(col("id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+
+  def bigramScore(df: DataFrame, textCol: String, idCol: String,
+                  k: Double = 0.5): DataFrame = {
+    val base = bigramBase(df, textCol, idCol)
+    val bg = bigramRows(base)
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     // context counts derive from the bigram table — C(w1,·) = Σ_w2 C(w1,w2)
     // — so the corpus-sized bigram stream shuffles ONCE (for c2); the c1
@@ -412,6 +419,44 @@ object TextAnalysis {
     df.select(col(idCol).as("id")).join(scored, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("lm_score"))
+  }
+
+  /** Cross-corpus bigram cross-entropy — the CCNet filtering shape: the
+    * LM trains on a REFERENCE corpus (a curated slice) and scores a
+    * TARGET corpus. Bigrams unseen in the reference back off to the
+    * add-k floor k/(C(w1,·)+k·V), and unseen contexts to 1/V — the
+    * standard smoothed treatment, so out-of-domain text scores high
+    * cross-entropy instead of NULL. Output: (id, n_bigrams, xent) with
+    * xent = −mean ln p (nats; exp(xent) = perplexity, LOW = reference-
+    * like — keep the head, drop the tail). Docs with <2 tokens score
+    * NULL (0 bigrams), matching [[bigramScore]].
+    *
+    * Scale: the model is two hash aggregations over the reference (the
+    * (w1,w2) table shuffles once; contexts derive from it); scoring
+    * LEFT-joins target bigrams to the count tables — hash-partitionable,
+    * AQE-skewable — and the vocab scalar broadcasts. Nothing is
+    * corpus-quadratic and the reference is scanned exactly once. */
+  def bigramCrossEntropy(reference: DataFrame, target: DataFrame,
+                         textCol: String, idCol: String,
+                         k: Double = 0.5): DataFrame = {
+    val rbase = bigramBase(reference, textCol, idCol)
+    val c2 = bigramRows(rbase).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocabSize = rbase
+      .select(explode(col("__ws")).as("tok")).where(col("tok") =!= "")
+      .agg(count_distinct(col("tok")).as("v"))
+    val scored = bigramRows(bigramBase(target, textCol, idCol))
+      .join(c2, Seq("w1", "w2"), "left_outer")
+      .join(c1, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(vocabSize))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log((coalesce(col("c2"), lit(0L)) + k) /
+          (coalesce(col("c1"), lit(0L)) + col("v") * k))), 6).as("xent"))
+    target.select(col(idCol).as("id")).join(scored, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("xent"))
   }
 
   /** Rolling-hash fingerprint at scale: min over all k-gram xxhash64

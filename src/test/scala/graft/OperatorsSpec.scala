@@ -229,6 +229,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramCrossEntropy: OOV floor, hand-computed values, self-consistency") {
+    val ref = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // model: C(a,b)=2 C(b,a)=1 C(a,c)=1; C(a,·)=3 C(b,·)=1; V=3; k=0.5
+    val tgt = Seq(
+      (10L, "a b"),     // ln((2+.5)/(3+1.5)) = ln(2.5/4.5)
+      (11L, "a z"),     // seen context, unseen bigram: ln(.5/4.5)
+      (12L, "q z"),     // unseen context: ln(.5/1.5) = ln(1/3)
+      (13L, "solo"), (14L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramCrossEntropy(ref, tgt, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) == ((1L, Some(r6(-math.log(2.5 / 4.5))))))
+    assert(got(11L) == ((1L, Some(r6(-math.log(0.5 / 4.5))))))
+    assert(got(12L) == ((1L, Some(r6(-math.log(0.5 / 1.5))))))
+    assert(got(13L) == ((0L, None)) && got(14L) == ((0L, None)))
+    // self-scoring consistency: xent(df, df) == -lm_score(df) (same k)
+    val self = TextAnalysis.bigramCrossEntropy(docs, docs, "text", "doc_id")
+      .select(col("id"), col("xent"))
+    val neg = TextAnalysis.bigramScore(docs, "text", "doc_id")
+      .select(col("id"), (-col("lm_score")).as("s"))
+    val drift = self.join(neg, "id")
+      .where(col("xent").isNotNull && abs(col("xent") - col("s")) > 1e-6).count()
+    assert(drift == 0L)
+  }
+
   test("leakageSafeSplit: families never straddle; override path; bounds") {
     val d = Seq(
       (1L, "same text"), (7L, "same text"), (999999L, "same text"),
