@@ -58,6 +58,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "x76_ann_recall" -> (1, "1-row × 1-row recall-summary crossJoin"),
     "x54_quantized_topk" -> (1, "broadcast quantization-scale summary (model-sized)"),
     "x89_hard_negatives" -> (1, "broadcast query sample vs corpus — the x07 brute shape with label+band filters"),
+    "x93_cross_entropy" -> (1, "broadcast 1-row reference-vocabulary-size aggregate (the x33 shape)"),
     "q113_hard_negatives_fn" -> (1, "same brute shape reached from SQL (x89)"))
 
   test("no gate plans a BroadcastNestedLoopJoin or an engine-chosen global window") {
