@@ -35,7 +35,11 @@ class MutationFuzzSpec extends AnyFunSuite {
     // train-mode tokenize)
     "select pair, n from bpe_pairs(documents, 5) order by n desc, pair",
     "select id, n_tokens from bpe_tokenize(documents, 'e r,i n') where n_words > 20 order by id limit 5",
-    "select sum(n_tokens) as t from bpe_tokenize(documents, 3)")
+    "select sum(n_tokens) as t from bpe_tokenize(documents, 3)",
+    // round-9 late surface: hard negatives, index serving, leakage split
+    "select qid, vec_id, cos from hard_negatives(embeddings, embeddings, 3, 0.98, 0.0) where qid < 5 order by qid, cos desc, vec_id",
+    "select split, count(*) as n from leakage_safe_split(documents, 10) group by split order by split",
+    "select * from ann_topk(embeddings, '/no/such/index', 5)")
 
   private val crashClasses: Set[Class[_]] = Set(
     classOf[MatchError], classOf[NullPointerException],
