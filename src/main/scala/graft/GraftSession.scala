@@ -259,7 +259,10 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     })
     // BPE tokenizer surface (text/doc_id corpus convention):
     // bpe_pairs(rel[, k]) — top-k frequency-weighted adjacent char pairs;
-    // bpe_tokenize(rel, n) — train n merges on the relation, tokenize it;
+    // bpe_tokenize(rel, n[, cap]) — train n merges on the relation (model
+    // vocabulary capped at `cap` words, default 65536 — the bound that
+    // keeps the driver copy model-sized on an unbounded corpus; words
+    // below the cut segment one-token-per-char), tokenize it;
     // bpe_tokenize(rel, 'e r,i n,m er') — apply an ALREADY-TRAINED merge
     // list (the production shape: the tokenizer is a model artifact)
     catalog.registerTableFunction("bpe_pairs", { args =>
@@ -269,11 +272,15 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         k = num("bpe_pairs", args, 1, 30L).toInt)
     })
     catalog.registerTableFunction("bpe_tokenize", { args =>
-      arity("bpe_tokenize", args, 2, 2)
+      arity("bpe_tokenize", args, 2, 3)
       val r = rel("bpe_tokenize", args, 0)
       args(1) match {
         case graft.catalog.TfArg.Lit(n: Long) =>
-          TextAnalysis.tokenizeBpeTrained(r, "text", "doc_id", n.toInt)
+          val cap = num("bpe_tokenize", args, 2,
+            TextAnalysis.DefaultBpeVocabCap.toLong).toInt
+          if (cap <= 0) throw new graft.translate.GraftAnalysisException(
+            s"bpe_tokenize: vocab cap must be positive, got $cap")
+          TextAnalysis.tokenizeBpeTrained(r, "text", "doc_id", n.toInt, cap)
         case graft.catalog.TfArg.Lit(s: String) =>
           val merges = s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
             p.split("\\s+") match {
@@ -283,6 +290,9 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
                   s"symbols, got `$p` (format: 'e r,i n,m er')")
             }
           }
+          if (args.length > 2) throw new graft.translate.GraftAnalysisException(
+            "bpe_tokenize: a vocab cap only applies to train mode " +
+              "(integer merge count); an explicit merge list is already a model")
           TextAnalysis.tokenizeBpe(r, "text", "doc_id", merges)
         case other => throw new graft.translate.GraftAnalysisException(
           s"bpe_tokenize: argument 2 must be a merge count (integer) or a " +
@@ -433,12 +443,18 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     * round-trip printer), rewritten atomically per DDL. */
   def persistTo(path: String): this.type = {
     val p = java.nio.file.Paths.get(path)
-    persistPath = Some(p)
     if (java.nio.file.Files.exists(p)) {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper
       val root = mapper.readTree(p.toFile)
       val stmts = Option(root.get("statements")).map(_.elements().asScala.toSeq)
         .getOrElse(Seq.empty).map(_.asText())
+      // the FULL sidecar enters the journal before replay starts, and
+      // persistPath is assigned only after replay succeeds: a replay
+      // that fails partway can therefore never cause a later DDL's
+      // atomic rewrite to silently drop the unreplayed suffix — either
+      // the journal already holds every statement, or no rewrite path
+      // is armed at all
+      ddlJournal ++= stmts
       replaying = true
       try stmts.foreach { s =>
         try sql(s)
@@ -446,9 +462,9 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
           throw new GraftAnalysisException(
             s"catalog sidecar replay failed at `$s` ($path): ${e.getMessage}")
         }
-        ddlJournal += s
       } finally replaying = false
     }
+    persistPath = Some(p)
     this
   }
 

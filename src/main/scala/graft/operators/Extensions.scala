@@ -310,7 +310,7 @@ object Extensions {
         // stop() joins the execution thread — awaitTermination alone can
         // return before the query deregisters, racing the next phase
         try q.awaitTermination() finally { q.stop(); () }
-        while (s.streams.active.nonEmpty) Thread.sleep(50)
+        graft.streaming.Sinks.awaitDeregistered(q)
       }
       docsDf.where(col("doc_id") % 2 === 0)
         .repartition(2).write.mode("append").parquet(srcDir)
@@ -381,6 +381,16 @@ object Extensions {
     // ((m,er),(er,g),(l,ow)) so multi-char tokens are load-bearing ----
     "x86_bpe_tokenize" -> ((s, d) =>
       TextAnalysis.tokenizeBpe(docs(s, d), "text", "doc_id", X86_MERGES)
+        .orderBy("id")),
+    // ---- BPE with a CAPPED model vocabulary (r10): the bound that
+    // keeps the trained path's driver collect model-sized on an
+    // unbounded corpus. cap=12 of this corpus's 31 words, so the
+    // rare-word fallback (one token per char, via the left join's
+    // coalesce) is load-bearing on every doc; the cut order
+    // (freq DESC, word) is replayed exactly by the oracle ----
+    "x94_bpe_capped" -> ((s, d) =>
+      TextAnalysis.tokenizeBpe(docs(s, d), "text", "doc_id", X86_MERGES,
+          vocabCap = 12)
         .orderBy("id")),
     // ---- cross-doc repeated-SPAN excision (r9, Lee et al. 2022): a
     // 10-word boilerplate sentence appended to every 3rd doc (plus
@@ -645,7 +655,7 @@ object Extensions {
       val q = graft.streaming.Sinks.idempotentServe(in, outDir, ckpt,
         b => Similarity.ivfTopKIndexed(s, dir, b, k = 5, nprobe = 4))
       try q.awaitTermination() finally { q.stop(); () }
-      while (s.streams.active.nonEmpty) Thread.sleep(50)
+      graft.streaming.Sinks.awaitDeregistered(q)
       val got = graft.streaming.Sinks.readCommitted(s, outDir)
       val eq = got.count() == batchOut.count() &&
         got.except(batchOut).isEmpty && batchOut.except(got).isEmpty
@@ -1598,7 +1608,10 @@ object Extensions {
         "sqrt((SELECT SUM(x*x) FROM (SELECT UNNEST(CAST(e.embedding AS DOUBLE[])) AS x))) AS na, " +
         "sqrt((SELECT SUM(y*y) FROM (SELECT UNNEST(CAST(q.qv AS DOUBLE[])) AS y))) AS nb " +
         "FROM embeddings e, q WHERE e.vec_id <> q.qid) " +
-        "SELECT qid, vec_id, cos FROM (SELECT qid, vec_id, ROUND(dp / (na * nb), 4) AS cos, " +
+        // `+ 0.0` on the projection normalizes IEEE -0.0 (x74 lesson):
+        // a tiny-negative dot product rounds to -0.0 in DuckDB but +0.0
+        // through Spark's BigDecimal round
+        "SELECT qid, vec_id, cos FROM (SELECT qid, vec_id, ROUND(dp / (na * nb), 4) + 0.0 AS cos, " +
         "row_number() OVER (PARTITION BY qid ORDER BY ROUND(dp / (na * nb), 4) DESC, vec_id) AS rn FROM s) " +
         "WHERE rn <= 5 ORDER BY qid, cos DESC, vec_id"),
       // x92: full assignment recompute — same min-id family rep, same
@@ -1630,7 +1643,9 @@ object Extensions {
         "sqrt((SELECT SUM(x*x) FROM (SELECT UNNEST(CAST(e.embedding AS DOUBLE[])) AS x))) AS na, " +
         "sqrt((SELECT SUM(y*y) FROM (SELECT UNNEST(CAST(q.qv AS DOUBLE[])) AS y))) AS nb " +
         "FROM embeddings e, q WHERE e.vec_id <> q.qid AND e.label IS DISTINCT FROM q.qlabel) " +
-        "SELECT qid, vec_id, cos FROM (SELECT qid, vec_id, ROUND(dp / (na * nb), 4) AS cos, " +
+        // `+ 0.0` on the projection normalizes IEEE -0.0 (x74 lesson);
+        // the band/order comparisons don't need it (-0.0 >= 0.0 is true)
+        "SELECT qid, vec_id, cos FROM (SELECT qid, vec_id, ROUND(dp / (na * nb), 4) + 0.0 AS cos, " +
         "row_number() OVER (PARTITION BY qid ORDER BY ROUND(dp / (na * nb), 4) DESC, vec_id) AS rn FROM s " +
         "WHERE ROUND(dp / (na * nb), 4) >= 0.0 AND ROUND(dp / (na * nb), 4) < 0.98) " +
         "WHERE rn <= 5 ORDER BY qid, cos DESC, vec_id"),
@@ -1717,6 +1732,23 @@ object Extensions {
         "WITH words AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w " +
         "FROM documents), nz AS (SELECT doc_id, w FROM words WHERE w <> ''), " +
         s"tok AS (SELECT doc_id, len(string_split(trim($chain), ' ')) AS nt FROM nz) " +
+        "SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(nt) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id ORDER BY id"
+      },
+      // x94: the x86 chain restricted to the top-12 vocabulary by
+      // (freq DESC, word) — the exact cut tokenizeBpe(vocabCap=12)
+      // makes — with out-of-vocab words segmented one-token-per-char
+      "x94_bpe_capped" -> {
+        val chain = X86_MERGES.foldLeft(
+          "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')") { case (e, (a, b)) =>
+          s"replace(replace($e, ' $a $b ', ' $a$b '), ' $a $b ', ' $a$b ')"
+        }
+        "WITH words AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w " +
+        "FROM documents), nz AS (SELECT doc_id, w FROM words WHERE w <> ''), " +
+        "v AS (SELECT w AS vw FROM (SELECT w, count(*) AS freq FROM nz GROUP BY w) " +
+        "ORDER BY freq DESC, w LIMIT 12), " +
+        s"tok AS (SELECT doc_id, CASE WHEN w IN (SELECT vw FROM v) " +
+        s"THEN len(string_split(trim($chain), ' ')) ELSE length(w) END AS nt FROM nz) " +
         "SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_words, " +
         "CAST(sum(nt) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id ORDER BY id"
       },

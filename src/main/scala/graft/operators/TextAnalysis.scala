@@ -824,38 +824,78 @@ object TextAnalysis {
       size(split(trim(bpeSpacedApply(col("word"), merges)), " ")).cast("long")
         .as("n_tokens"))
 
+  /** Default model-vocabulary cap for trained/capped tokenization. 2^16
+    * words is generous for a merge-statistics model (GPT-2's whole token
+    * vocab is 50k) while bounding the driver copy to a few MB regardless
+    * of corpus size — the property that makes `bpe_tokenize(rel, n)`
+    * safe on an unbounded corpus (web-scale vocabularies grow ~N^0.5
+    * with no ceiling; an uncapped collect is a driver OOM). */
+  val DefaultBpeVocabCap: Int = 1 << 16
+
+  /** The capped model vocabulary: top `cap` words by (freq DESC, word) —
+    * a deterministic total order, so the cut is exactly reproducible by
+    * any external oracle. This is the ONLY table the trained path ever
+    * collects; its size is min(cap, |vocab|) by construction. */
+  def bpeCappedVocab(df: DataFrame, textCol: String, idCol: String,
+                     cap: Int): DataFrame = {
+    require(cap > 0, s"vocabCap must be positive, got $cap")
+    bpeWordFrequencies(df, textCol, idCol)
+      .orderBy(col("freq").desc, col("word"))
+      .limit(cap)
+  }
+
   /** Distributed BPE tokenization: per-doc word and token counts under
     * an ordered, already-trained merge list. The corpus collapses to
     * its VOCABULARY before any per-symbol work: the replace chain runs
     * once per DISTINCT word (one hash-distinct), the corpus-sized side
-    * only explodes words and joins the model-sized count table by
-    * BROADCAST, then one partial-agged groupBy per doc — no shuffle
-    * grows with merge count, and the per-symbol cost is vocab-, not
-    * corpus-, proportional (why tokenizer application is tractable at
-    * 100 TB). Docs with no letter runs are absent from the output (no
-    * words → nothing to count), mirroring the oracle's GROUP BY. */
+    * only explodes words and joins the count table back (AQE picks
+    * broadcast when the vocab is small, shuffle when it isn't), then
+    * one partial-agged groupBy per doc — no shuffle grows with merge
+    * count, and the per-symbol cost is vocab-, not corpus-,
+    * proportional (why tokenizer application is tractable at 100 TB).
+    *
+    * `vocabCap` bounds the REPLACE-CHAIN side to the top-cap words by
+    * (freq DESC, word); words outside the cap segment by the standard
+    * rare-word fallback — one token per character (`length(word)`),
+    * computed inline on the corpus side, no model row needed. The
+    * default (no cap) runs the chain over the full distinct-word table,
+    * which stays fully distributed either way. Docs with no letter runs
+    * are absent from the output (no words → nothing to count),
+    * mirroring the oracle's GROUP BY. */
   def tokenizeBpe(df: DataFrame, textCol: String, idCol: String,
-                  merges: Seq[(String, String)]): DataFrame = {
+                  merges: Seq[(String, String)],
+                  vocabCap: Int = Int.MaxValue): DataFrame = {
     val words = corpusWords(df, textCol, idCol)
-    docTokenCounts(words,
-      bpeTokenCounts(words.select("word").distinct(), merges))
+    val vocab =
+      if (vocabCap == Int.MaxValue) words.select("word").distinct()
+      else bpeCappedVocab(df, textCol, idCol, vocabCap).select("word")
+    docTokenCounts(words, bpeTokenCounts(vocab, merges))
   }
 
   /** Train `numMerges` BPE merges on the corpus and tokenize it in one
-    * call — the SQL-surface composition (`bpe_tokenize(rel, n)`). The
-    * vocabulary is collected ONCE (model-sized, the same boundedness
-    * argument as IVF centroid training); training and per-word token
-    * counts both run on that driver copy with the exact reference
-    * tokenizer ([[bpeSegment]] — handles the same-symbol merges the
-    * distributed chain rejects), then broadcast back. The corpus-sized
-    * side is identical to [[tokenizeBpe]]'s. */
+    * call — the SQL-surface composition (`bpe_tokenize(rel, n[, cap])`).
+    * The driver copy is the CAPPED vocabulary ([[bpeCappedVocab]], ≤
+    * `vocabCap` rows — bounded regardless of corpus size, unlike IVF
+    * centroids this table would otherwise grow with the corpus);
+    * training and per-word token counts both run on that copy with the
+    * exact reference tokenizer ([[bpeSegment]] — handles the
+    * same-symbol merges the distributed chain rejects). Words below the
+    * frequency cut segment by the standard rare-word fallback (one
+    * token per character) — they contribute ~nothing to merge
+    * statistics, which is why capping is how production BPE trainers
+    * bound their driver state too. The corpus-sized side is identical
+    * to [[tokenizeBpe]]'s; the model join is NOT hint-forced, so AQE
+    * broadcasts the (small) model and would shuffle-join a huge one. */
   def tokenizeBpeTrained(df: DataFrame, textCol: String, idCol: String,
-                         numMerges: Int): DataFrame = {
+                         numMerges: Int,
+                         vocabCap: Int = DefaultBpeVocabCap): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val words = corpusWords(df, textCol, idCol)
-    val wf = bpeWordFrequencies(df, textCol, idCol)
+    val wf = bpeCappedVocab(df, textCol, idCol, vocabCap)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(wf.length <= vocabCap,
+      s"collected model vocab ${wf.length} exceeds cap $vocabCap")
     val merges = bpeTrain(wf, numMerges)
     val vocabCounts = wf
       .map { case (w, _) => (w, bpeSegment(w, merges).length.toLong) }
@@ -869,9 +909,17 @@ object TextAnalysis {
         explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
       .where(col("word") =!= "")
 
+  /** Corpus side × model side. LEFT join + char-count fallback: a word
+    * absent from the model vocabulary still counts (as `length(word)`
+    * tokens — character segmentation), so a capped model changes token
+    * counts only for rare words and never drops them from `n_words`.
+    * No join hint: the model is usually broadcast-sized and AQE will
+    * broadcast it; when it isn't (huge uncapped vocab), forcing a
+    * broadcast would be exactly the wrong call. */
   private def docTokenCounts(words: DataFrame, vocabCounts: DataFrame): DataFrame =
-    words.join(broadcast(vocabCounts), "word")
+    words.join(vocabCounts, Seq("word"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).cast("long").as("n_words"),
-        sum(col("n_tokens")).as("n_tokens"))
+        sum(coalesce(col("n_tokens"), length(col("word")).cast("long")))
+          .as("n_tokens"))
 }

@@ -94,19 +94,55 @@ object Sinks {
     * dir — uncommitted (crash-torn) batch directories are excluded, so a
     * reader running concurrently with the stream never sees a partial
     * batch. Returns rows without the `batch` partition column.
+    *
+    * A reader polling BEFORE the first commit is a valid state, not an
+    * error: it gets an empty DataFrame, with the schema taken from
+    * `schema` if given, else inferred from any (possibly torn) batch
+    * directory's files. The hard failure is reserved for a missing
+    * `outDir` (wrong path) or an empty-and-uninferable one with no
+    * schema to answer with.
     */
   def readCommitted(spark: org.apache.spark.sql.SparkSession,
-                    outDir: String): DataFrame = {
+                    outDir: String,
+                    schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val committed =
-      if (!fs.exists(root)) Array.empty[String]
-      else fs.listStatus(root).collect {
-        case st if st.isDirectory &&
-          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")) =>
-          st.getPath.toString
+    require(fs.exists(root), s"output dir $outDir does not exist")
+    val dirs = fs.listStatus(root).filter(_.isDirectory)
+    val committed = dirs.collect {
+      case st if fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")) =>
+        st.getPath.toString
+    }
+    if (committed.nonEmpty) spark.read.parquet(committed.toIndexedSeq: _*)
+    else {
+      val s = schema.orElse(
+        dirs.map(_.getPath.toString).sorted.collectFirst(Function.unlift { p =>
+          scala.util.Try(spark.read.parquet(p).schema).toOption
+        }))
+      s match {
+        case Some(st) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
+        case None => throw new IllegalArgumentException(
+          s"no committed or readable batches under $outDir and no schema " +
+            "given — pass an expected schema for an empty-but-valid view")
       }
-    require(committed.nonEmpty, s"no committed batches under $outDir")
-    spark.read.parquet(committed.toIndexedSeq: _*)
+    }
+  }
+
+  /** Block (bounded) until `q` is deregistered from its session's active
+    * list. `stop()` joins the execution thread but deregistration from
+    * `streams.active` is asynchronous — gates that assert on the drained
+    * state need this barrier. Scoped to THIS query's id (a query leaked
+    * by unrelated code can't wedge the wait) and fails loudly at the
+    * timeout instead of hanging the run. */
+  def awaitDeregistered(q: StreamingQuery, timeoutMs: Long = 120000L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (q.sparkSession.streams.active.exists(_.id == q.id)) {
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"streaming query ${q.id} still registered after ${timeoutMs} ms")
+      Thread.sleep(50)
+    }
   }
 }

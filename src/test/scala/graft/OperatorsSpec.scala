@@ -1609,6 +1609,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m2.length == 2)
   }
 
+  test("BPE vocab cap: bounded model, deterministic cut, char fallback for OOV") {
+    // the trained path's only driver collect is bpeCappedVocab — its
+    // row count respects the cap by construction
+    assert(TextAnalysis.bpeCappedVocab(docs, "text", "doc_id", 12).count() == 12L)
+    assert(TextAnalysis.bpeCappedVocab(docs, "text", "doc_id", 1000000).count() ==
+      TextAnalysis.bpeWordFrequencies(docs, "text", "doc_id").count())
+    // the cut is exactly top-K by (freq DESC, word)
+    val all = TextAnalysis.bpeWordFrequencies(docs, "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (w, f) => (-f, w) }
+    val capped = TextAnalysis.bpeCappedVocab(docs, "text", "doc_id", 12)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (w, f) => (-f, w) }
+    assert(capped.toSeq == all.take(12).toSeq)
+    // hand-computed capped tokenization: cap=1 keeps only the most
+    // frequent word (aa/bb tie at 2 broken by word text); OOV words
+    // fall back to one token per char, and still count in n_words
+    val tiny = Seq((1L, "aa bb aa"), (2L, "bb lower")).toDF("doc_id", "text")
+    val m = Seq("l" -> "o", "w" -> "e")
+    val out = TextAnalysis.tokenizeBpe(tiny, "text", "doc_id", m, vocabCap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // vocab by (freq desc, word): aa(2) wins the cap. Doc 1: aa(chain:
+    // 2 toks) + bb(OOV: 2 chars) + aa(2) = 6 over 3 words. Doc 2:
+    // bb(OOV 2) + lower(OOV 5 chars) = 7 over 2 words.
+    assert(out == Seq((1L, 3L, 6L), (2L, 2L, 7L)))
+    // trained path under a cap: merge statistics come from capped vocab
+    // only; uncapped ≡ the historical behavior on this small corpus
+    val trainedCapped = TextAnalysis.tokenizeBpeTrained(tiny, "text", "doc_id",
+        numMerges = 2, vocabCap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // training on {aa:2}: merges (a,a) then exhausted -> aa = 1 token;
+    // OOV bb=2, lower=5
+    assert(trainedCapped == Seq((1L, 3L, 4L), (2L, 2L, 7L)))
+    // real corpus, generous cap ≡ uncapped trained result
+    val a = TextAnalysis.tokenizeBpeTrained(docs, "text", "doc_id", 8)
+      .orderBy("id").collect().toSeq
+    val b = TextAnalysis.tokenizeBpeTrained(docs, "text", "doc_id", 8,
+      vocabCap = 1000000).orderBy("id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeCappedVocab(docs, "text", "doc_id", 0))
+  }
+
   test("bpeSpacedApply replace chain ≡ reference BPE segmentation on the corpus vocabulary") {
     val merges = Extensions.X86_MERGES
     // every distinct word of the real corpus: chain token count must

@@ -392,6 +392,18 @@ class StreamingSpec extends AnyFunSuite {
       val seen = Sinks.readCommitted(spark, outDir)
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(seen == Seq(1L, 2L, 3L), s"committed rows: $seen")
+      // a reader polling BEFORE any commit sees an empty-but-valid view,
+      // not a crash: schema from the caller, or inferred from torn files
+      val pre = tmp("pub_pre_")
+      val empty = Sinks.readCommitted(spark, pre, Some(b0.schema))
+      assert(empty.isEmpty && empty.schema == b0.schema)
+      Seq((7L, "torn")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$pre/batch=0")
+      val inferred = Sinks.readCommitted(spark, pre)
+      assert(inferred.isEmpty && inferred.schema.fieldNames.toSeq == Seq("id", "v"))
+      // hard failure is reserved for a missing outDir / nothing to infer
+      intercept[IllegalArgumentException](
+        Sinks.readCommitted(spark, s"$outDir/does_not_exist"))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
@@ -412,7 +424,7 @@ class StreamingSpec extends AnyFunSuite {
       val q = Sinks.idempotentServe(in, outDir, ckpt,
         b => b.select(col("id"), (col("x") * 10).as("served")))
       try q.awaitTermination() finally { q.stop(); () }
-      while (spark.streams.active.nonEmpty) Thread.sleep(50)
+      Sinks.awaitDeregistered(q)
       val got = Sinks.readCommitted(spark, outDir)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
       assert(got == Seq((1L, 20.0), (2L, 30.0), (3L, 50.0), (4L, 70.0)))

@@ -59,6 +59,40 @@ class SurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog persistence: a failed mid-replay never truncates the sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat_fail_")
+    val sidecar = dir.resolve("catalog.json").toString
+    try {
+      val g1 = new GraftSession(spark).registerDir(TestSpark.sf).persistTo(sidecar)
+      g1.sql("create schema ok_one (id long)")
+      g1.sql("create schema ok_two (v string)")
+      // sabotage the MIDDLE statement so replay fails partway, with a
+      // good statement still unreplayed after the failure point
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val root = mapper.readTree(new java.io.File(sidecar))
+      val stmts = root.get("statements").asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val tail = stmts.get(1).asText()
+      stmts.set(1, new com.fasterxml.jackson.databind.node.TextNode("create schema broken (x nosuchtype)"))
+      stmts.add(tail)
+      mapper.writerWithDefaultPrettyPrinter().writeValue(new java.io.File(sidecar), root)
+      val before = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sidecar)), "UTF-8")
+      val g2 = new GraftSession(spark).registerDir(TestSpark.sf)
+      intercept[Exception](g2.persistTo(sidecar))
+      // the failed session is still usable — and a DDL issued on it must
+      // NOT rewrite the sidecar from a truncated journal (persistPath is
+      // only armed after a successful replay)
+      g2.sql("create schema after_fail (y long)")
+      val after = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sidecar)), "UTF-8")
+      assert(before == after, "failed replay must leave the sidecar untouched")
+    } finally {
+      val f = new java.io.File(sidecar)
+      f.delete(); f.getParentFile.delete()
+      ()
+    }
+  }
+
   test("explain analyze: executed physical plan annotated with runtime metrics") {
     val g = TestSpark.session
     val out = g.sql(

@@ -170,6 +170,31 @@ class TableFnSpec extends AnyFunSuite {
     val e = intercept[graft.translate.GraftAnalysisException](
       g.sql("select * from bpe_tokenize(documents, 'e r,zap')"))
     assert(e.getMessage.contains("space-separated"))
+    // train mode with a vocab cap: generous cap ≡ default (corpus vocab
+    // is under both), tight cap changes counts only upward (char
+    // fallback can never beat a merged segmentation) and never n_words
+    val base = g.sql("select id, n_words, n_tokens from bpe_tokenize(documents, 8) order by id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val wide = g.sql("select id, n_words, n_tokens from bpe_tokenize(documents, 8, 1000000) order by id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(base == wide)
+    // tight cap: n_words unchanged (OOV words still count via the char
+    // fallback), and the SQL surface ≡ the operator API call
+    val tight = g.sql("select id, n_words, n_tokens from bpe_tokenize(documents, 8, 5) order by id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tight.map(t => (t._1, t._2)) == base.map(t => (t._1, t._2)))
+    val tightApi = TextAnalysis.tokenizeBpeTrained(
+        g.catalog.relation("documents"), "text", "doc_id", 8, vocabCap = 5)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tight == tightApi)
+    // cap guards: non-positive cap, cap with an explicit merge list
+    val e2 = intercept[graft.translate.GraftAnalysisException](
+      g.sql("select * from bpe_tokenize(documents, 8, 0)"))
+    assert(e2.getMessage.contains("positive"))
+    val e3 = intercept[graft.translate.GraftAnalysisException](
+      g.sql("select * from bpe_tokenize(documents, 'e r', 5)"))
+    assert(e3.getMessage.contains("train mode"))
   }
 
   test("leakage_safe_split(documents, pct) equals the operator API") {
