@@ -1665,13 +1665,17 @@ object Extensions {
         s"(SELECT lang, $qualityExpr AS quality, " +
         s"CASE WHEN length(trim($t)) = 0 THEN 0 ELSE CAST((SELECT SUM(CAST(CEIL(CAST(length(w) AS DOUBLE) / 4.0) AS BIGINT)) FROM (SELECT UNNEST(${duckTokens(t)}) AS w)) AS BIGINT) END AS token_est " +
         "FROM d) WHERE quality >= 0.5 GROUP BY lang ORDER BY lang"),
+      // x13: png rows are REAL PNGs decoded by ImageIO — the oracle
+      // recomputes the synthesis dimensions (pure fns of media_id), so a
+      // pass proves the encode→decode round-trip, not a stub echo; the
+      // audio/video rows keep the deterministic stub formulas
       "x13_mm_decode" -> (
         "SELECT doc_id AS media_id, " +
         "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime, " +
-        "CAST(64 + (octet_length(encode(text)) % 960) AS INTEGER) AS width, " +
-        "CAST(64 + ((octet_length(encode(text)) * 31) % 960) AS INTEGER) AS height, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id % 24) ELSE 64 + (octet_length(encode(text)) % 960) END AS INTEGER) AS width, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + ((doc_id * 7) % 24) ELSE 64 + ((octet_length(encode(text)) * 31) % 960) END AS INTEGER) AS height, " +
         "CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS INTEGER) AS channels, " +
-        "octet_length(encode(text)) > 0 AS ok " +
+        "(doc_id % 3 = 0) OR octet_length(encode(text)) > 0 AS ok " +
         "FROM documents ORDER BY media_id"),
       "x17_text_tfidf" -> (
         "WITH toks AS (SELECT doc_id AS id, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term FROM documents), " +
@@ -1680,9 +1684,12 @@ object Extensions {
         "n AS (SELECT COUNT(*) AS n FROM documents) " +
         "SELECT id, term, tf, ROUND(tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf " +
         "FROM tf JOIN dfreq USING (term) CROSS JOIN n WHERE id < 20 ORDER BY id, term"),
+      // x14: a png payload is always ≥4 bytes (any PNG is ≥ ~60), so all
+      // 4 frame slots land; audio/video rows keep the text-byte formula
       "x14_mm_frames" -> (
-        "SELECT doc_id AS media_id, CAST(LEAST(4, octet_length(encode(text))) AS BIGINT) AS n_frames " +
-        "FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY media_id"),
+        "SELECT doc_id AS media_id, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE LEAST(4, octet_length(encode(text))) END AS BIGINT) AS n_frames " +
+        "FROM documents WHERE doc_id % 3 = 0 OR octet_length(encode(text)) > 0 ORDER BY media_id"),
       "x26_mm_features" -> (
         "SELECT count(*) AS n_media, CAST(1 AS INTEGER) AS dim_ok, " +
         "CAST(1 AS INTEGER) AS norm_ok FROM documents"),

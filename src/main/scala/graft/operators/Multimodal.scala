@@ -6,13 +6,17 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (SURVEY §7.2 M4): image/audio/video payloads
   * as opaque `binary` columns with typed metadata, batch-decoded per
-  * partition. The decode kernels are STUBS — this container has no
-  * image/audio libraries — but everything Spark-side is real: schema,
-  * partition-parallel batch decode, pushdown-friendly metadata columns.
+  * partition. IMAGE decode is REAL — `javax.imageio` (JDK-bundled, no
+  * external library) parses the PNG/JPEG payload on the executor and the
+  * decoded width/height/channels are what the gate oracles check. The
+  * audio/video kernels remain deterministic stubs (no codec libraries in
+  * this container), kept as the fallback for unknown mimes, so the
+  * plumbing — schema, partition-parallel batch decode, pushdown-friendly
+  * metadata columns — is exercised end-to-end either way.
   *
   * The decode path mirrors the `mapInPandas` batch model: one iterator of
   * rows per partition, decode amortized across the batch, typed output
-  * schema declared up front. Swap `decodeStub` for a JNI/FFM image kernel
+  * schema declared up front. Swap the kernel for a JNI/FFM codec call
   * without touching the plumbing.
   */
 object Multimodal {
@@ -24,24 +28,66 @@ object Multimodal {
     StructField("mime", StringType),
     StructField("n_bytes", LongType)))
 
-  /** Deterministic synthetic media table derived from `documents` —
-    * payload = utf8 bytes of the text (a stand-in for image bytes). */
-  def synthesize(docs: DataFrame): DataFrame =
-    Par.widen(docs, "doc_id").select(
-      col("doc_id").as("media_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      when(col("doc_id") % 3 === 0, "image/png")
-        .when(col("doc_id") % 3 === 1, "audio/wav")
-        .otherwise("video/mp4").as("mime"),
-      length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+  /** Deterministic dimensions for the synthetic PNGs: small (8..31 px per
+    * side) so encoding 1/3 of the corpus costs microseconds per row, and
+    * pure functions of media_id so an external oracle can recompute the
+    * EXPECTED decode output without parsing a byte of PNG. */
+  def synthPngWidth(id: Long): Int = 8 + (id % 24).toInt
+  def synthPngHeight(id: Long): Int = 8 + ((id * 7) % 24).toInt
+
+  /** A real PNG payload: solid-color TYPE_INT_RGB image of the synthetic
+    * dimensions, encoded by the JDK's ImageIO PNG writer. */
+  def synthPngBytes(id: Long): Array[Byte] = {
+    val w = synthPngWidth(id)
+    val h = synthPngHeight(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 31) % 256)).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic media table derived from `documents`: the
+    * image/png rows carry REAL PNG bytes ([[synthPngBytes]] — dimensions
+    * a pure function of media_id, so decode output is oracle-checkable);
+    * audio/video rows carry the utf8 text bytes (stand-in payloads for
+    * the stub kernels). Payload synthesis is a mapPartitions kernel, not
+    * a per-row UDF, matching the decode side's batch shape. */
+  def synthesize(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Par.widen(docs, "doc_id").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no executor-disk scratch
+        it.map { case (id, text) =>
+          val mime =
+            if (id % 3 == 0) "image/png"
+            else if (id % 3 == 1) "audio/wav"
+            else "video/mp4"
+          val payload: Array[Byte] =
+            if (id % 3 == 0) synthPngBytes(id)
+            else Option(text).getOrElse("").getBytes("UTF-8")
+          (id, payload, mime, payload.length.toLong)
+        }
+      }
+      .toDF("media_id", "payload", "mime", "n_bytes")
+  }
 
   final case class Decoded(media_id: Long, mime: String, width: Int,
                            height: Int, channels: Int, ok: Boolean)
 
-  /** STUB decode kernel: a real implementation would parse the container
-    * header (PNG IHDR / WAV fmt / MP4 moov). The stub derives deterministic
-    * pseudo-dimensions from payload bytes so the distributed plumbing is
-    * testable end-to-end. */
+  /** STUB decode kernel for the codec-less mimes (audio/video): a real
+    * implementation would parse the container header (WAV fmt / MP4
+    * moov). The stub derives deterministic pseudo-dimensions from payload
+    * bytes so the distributed plumbing is testable end-to-end. */
   private def decodeStub(payload: Array[Byte], mime: String): (Int, Int, Int) = {
     val n = if (payload == null) 0 else payload.length
     val w = 64 + (n % 960)          // 64..1023 "pixels"
@@ -50,20 +96,42 @@ object Multimodal {
     (w, h, c)
   }
 
+  /** REAL image decode: ImageIO (JDK) parses the payload; None when the
+    * bytes aren't a decodable image (decoder missing or payload corrupt),
+    * which the caller reports as ok=false rather than throwing — one bad
+    * file must not kill a 100 TB scan. */
+  private def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    if (payload == null || payload.isEmpty) None
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else Some((img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Partition-parallel batch decode: binary payload → typed metadata.
-    * mapPartitions (not per-row UDF) so a real decoder can amortize
-    * codec/context setup across the batch — the Scala analog of
-    * mapInPandas. */
+    * Image mimes decode for REAL via ImageIO; other mimes fall back to
+    * the deterministic stub. mapPartitions (not per-row UDF) so decoder
+    * setup amortizes across the batch — the Scala analog of mapInPandas. */
   def decode(media: DataFrame): Dataset[Decoded] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "payload", "mime")
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
-        // per-partition decoder init would go here (codec contexts etc.)
+        javax.imageio.ImageIO.setUseCache(false) // per-partition decoder init
         it.map { case (id, payload, mime) =>
-          val (w, h, c) = decodeStub(payload, mime)
-          Decoded(id, mime, w, h, c, ok = payload != null && payload.nonEmpty)
+          val isImage = mime != null && mime.startsWith("image/")
+          (if (isImage) decodeImage(payload) else None) match {
+            case Some((w, h, c)) => Decoded(id, mime, w, h, c, ok = true)
+            case None =>
+              val (w, h, c) = decodeStub(payload, mime)
+              // an IMAGE that failed real decode is a decode failure even
+              // when bytes are present; stub mimes keep the old contract
+              Decoded(id, mime, w, h, c,
+                ok = !isImage && payload != null && payload.nonEmpty)
+          }
         }
       }
   }

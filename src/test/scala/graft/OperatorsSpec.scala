@@ -387,8 +387,24 @@ class OperatorsSpec extends AnyFunSuite {
     val media = Multimodal.synthesize(docs.limit(100))
     val dec = Multimodal.decode(media).toDF()
     assert(dec.count() == 100)
-    val r = dec.select("width", "height").head()
-    assert(r.getInt(0) >= 64 && r.getInt(0) < 1024)
+    // png rows decode for REAL: ImageIO-read dims equal the synthesis
+    // formulas, 3 channels, ok=true on every image
+    dec.where(col("mime") === "image/png").collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(2) == Multimodal.synthPngWidth(id) &&
+        r.getInt(3) == Multimodal.synthPngHeight(id) &&
+        r.getInt(4) == 3 && r.getBoolean(5),
+        s"media $id: real decode mismatch $r")
+    }
+    // stub mimes keep the deterministic pseudo-dim contract
+    val s = dec.where(col("mime") =!= "image/png")
+      .select("width", "height").head()
+    assert(s.getInt(0) >= 64 && s.getInt(0) < 1024)
+    // a corrupt image payload is ok=false, not an exception
+    val corrupt = Seq((7L, Array[Byte](1, 2, 3), "image/png", 3L))
+      .toDF("media_id", "payload", "mime", "n_bytes")
+    val cr = Multimodal.decode(corrupt).collect().head
+    assert(!cr.ok)
     val resized = Multimodal.resizePlan(dec, maxSide = 256)
       .agg(max("out_width"), max("out_height")).head()
     assert(resized.getInt(0) <= 256 && resized.getInt(1) <= 256)
