@@ -900,33 +900,11 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         throw new GraftAnalysisException(
           "explain analyze on a streaming query is not supported; run the " +
             "stream and inspect StreamingQuery.lastProgress instead")
-      // execute THIS QueryExecution's plan (Dataset.foreach/collect would
-      // run a separate deserializing QueryExecution and the metrics would
-      // accumulate on that other plan instance)
-      df.queryExecution.toRdd.foreach(_ => ())
-      def render(p: org.apache.spark.sql.execution.SparkPlan, depth: Int,
-                 sb: StringBuilder): Unit = {
-        val ms = p.metrics.toSeq
-          .map { case (k, m) => (k, m.value) }
-          .filter(_._2 > 0) // untouched metrics stay at initial (0 / -1)
-          .sortBy(_._1)
-          .map { case (k, v) => s"$k=$v" }
-        sb.append("  " * depth).append(p.nodeName)
-        if (ms.nonEmpty) sb.append("  [").append(ms.mkString(", ")).append("]")
-        sb.append('\n')
-        val next = p match {
-          // descend into the adaptively-finalized plan, not the pre-AQE one
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            Seq(a.executedPlan)
-          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-            Seq(s.plan)
-          case other => other.children
-        }
-        next.foreach(render(_, depth + 1, sb))
-      }
-      val sb = new StringBuilder
-      render(df.queryExecution.executedPlan, 0, sb)
-      Seq(sb.toString).toDF("plan")
+      // PlanMetrics executes THIS QueryExecution's plan (Dataset.foreach/
+      // collect would run a separate deserializing QueryExecution and the
+      // metrics would accumulate on that other plan instance) and renders
+      // the AQE-finalized tree
+      Seq(PlanMetrics.executeAndRender(df)).toDF("plan")
 
     case CreateSchema(name, fields, parent) =>
       catalog.createSchema(name, fields, parent)

@@ -72,6 +72,56 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** The WHOLE training-data pipeline as one composition — the 100 TB
+    * dress rehearsal (gate x95 at sf0.01; the DressRehearsal main runs it
+    * at sf10 and dumps per-operator SQLMetrics):
+    * normalize → Gopher wc/mwl filter → exact dedup → near-dup families
+    * (LSH candidates + exact-Jaccard verify + connected components) →
+    * leakage-safe split BY FAMILY (near-dups are kept but never straddle
+    * train/test) → per-(split, bucket) sequence packing. Returns the
+    * packed corpus (id, rep, split, bucket, token_est, shard, bin),
+    * ready for [[writeShards]].
+    *
+    * Scale notes: the two `localCheckpoint`s are corpus-sized but each
+    * cuts a ≥3-way re-execution of the whole upstream (survivors feed
+    * the pair mining, the token stats, AND the split; MEMORY_AND_DISK,
+    * so they spill rather than OOM). At true 100 TB you'd land the
+    * deduped survivors on parquet at that seam instead — same plan
+    * shape, durable materialization. Shard/bin hashing uses the portable
+    * multiplicative hash so external systems can recompute placement. */
+  def fullPipeline(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", testPercent: Int = 10,
+                   budget: Long = 2048L, buckets: Int = 4,
+                   nearDupThreshold: Double = 0.8): DataFrame = {
+    val normed = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.normalizeText(col(textCol)).as("text"))
+    val filtered = QualityFilters.gopherFilter(
+      normed, "text", required = Seq("wc_ok", "mwl_ok"))
+    val kept = Dedup.exactByHash(filtered, "text", "doc_id")
+      .localCheckpoint() // read 3×: pair mining, token stats, split
+    val pairs = Dedup.nearDuplicates(kept, "text", "doc_id",
+        threshold = nearDupThreshold)
+      .select(col("ida"), col("idb")).localCheckpoint()
+    val fams = Components.connectedComponents(pairs)
+    val splits = Sampling.leakageSafeSplit(kept, "text", "doc_id",
+      testPercent, Some(fams))
+    val tokens = kept
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("__tok"))
+      .where(col("__tok") =!= "")
+      .groupBy(col("doc_id"))
+      .agg(sum(ceil(length(col("__tok")).cast("double") / 4.0).cast("long"))
+        .as("token_est"))
+    val bucket = pmod(
+      pmod(col("id"), lit(1000000L)) * lit(2654435761L) % lit(1000000L),
+      lit(buckets.toLong))
+    val assigned = splits.join(tokens, splits("id") === tokens("doc_id"))
+      .select(col("id"), col("rep"), col("split"),
+        bucket.as("bucket"), col("token_est"))
+    packSequences(assigned, "id", "token_est", budget,
+      shard = concat(col("split"), lit("#"), col("bucket").cast("string")))
+  }
+
   /** Sequence packing: assign each document to a fixed token-budget bin
     * (the pretraining batch-assembly step). Deterministic running-sum
     * binning — bin = floor(tokens-before-this-doc / budget) within a

@@ -482,6 +482,36 @@ object Extensions {
           max(col("doc_id")).as("max_id"))
         .orderBy("lang")
     }),
+    // ---- 100 TB dress rehearsal (r10): the WHOLE training-data pipeline
+    // as one lazy composition — normalize → Gopher wc/mwl filter → exact
+    // dedup → near-dup families (LSH + exact verify + connected
+    // components) → leakage-safe split BY FAMILY → per-(split,shard)
+    // sequence packing → content-addressed shard publish. The oracle
+    // recomputes every stage (the x78/x65/x01/x27/x92 fragments chained),
+    // so a pass pins the composition, not just the parts. Shard/bin
+    // hashing uses the portable multiplicative hash (xxhash64 has no
+    // DuckDB equivalent); writeShards' own publish is audited by the
+    // published_ok flag (read-back row total == kept docs). The sf10
+    // metrics run of this same pipeline is the DressRehearsal main. ----
+    "x95_dress_rehearsal" -> ((s, d) => {
+      val packed = Curation.fullPipeline(docs(s, d))
+        .localCheckpoint() // published AND aggregated below
+      val audit = Curation.writeShards(
+        packed.select("id", "split", "bucket", "bin", "token_est"),
+        "id", tempDir("x95_out_"), shards = 8)
+      val publishedOk =
+        audit.agg(sum(col("n_rows"))).head().getLong(0) == packed.count()
+      val straddles = packed.groupBy(col("rep"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .where(col("ns") > 1).count()
+      packed.groupBy(col("split"), col("bucket").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("token_est")).as("n_tokens"),
+          countDistinct(col("bin")).as("n_bins"))
+        .withColumn("families_intact", lit(if (straddles == 0L) 1 else 0))
+        .withColumn("published_ok", lit(if (publishedOk) 1 else 0))
+        .orderBy("split", "shard")
+    }),
     // ---- C4 line filtering (Raffel et al. 2020 §2.2): newlines injected
     // (raw docs are single-line) plus per-parity tells so both keep=0
     // paths (lorem / brace) and the punctuation+word-count line rules all
@@ -661,6 +691,39 @@ object Extensions {
         got.except(batchOut).isEmpty && batchOut.except(got).isEmpty
       Seq((queries.count(), if (eq) 1 else 0))
         .toDF("n_queries", "stream_matches_batch")
+    }),
+    // ---- IVF index lifecycle (r10): append-without-retrain drifts the
+    // coarse quantizer; the recall audit on a FIXED probe set detects it
+    // and triggers a blue/green rebuild. Drift is manufactured
+    // deterministically: the index trains on the first half of the
+    // corpus, then the second half arrives SIGN-MASKED (one fixed ±1
+    // pattern — decorrelated from every trained centroid, so the
+    // appended vectors scatter across buckets and probe recall on them
+    // collapses). After the rebuild the retrained centroids cover the
+    // mirrored clusters and recall recovers. Flags oracle (recall values
+    // are engine-exact but not ANSI-recomputable): the fixed query count
+    // is DuckDB-recomputed, drift/retrain/recovery are pinned. ----
+    "x96_ivf_lifecycle" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d).localCheckpoint()
+      val mask = (v: org.apache.spark.sql.Column) =>
+        transform(v, (x, j) => when(pmod(hash(lit("drift"), j), lit(2)) === 0, x)
+          .otherwise(-x))
+      val dir = tempDir("x96_idx_")
+      val rebuildDir = tempDir("x96_idx_v2_")
+      Similarity.saveIvfIndex(e.where(col("vec_id") < 250), dir,
+        nlist = 8, iters = 2)
+      val appended = e.where(col("vec_id") >= 250)
+        .select(col("vec_id"), mask(col("embedding")).as("embedding"))
+        .localCheckpoint()
+      Similarity.appendToIvfIndex(appended, dir)
+      val queries = appended.where(col("vec_id") < 290) // fixed 40-probe set
+      val report = Similarity.refreshIvfIndexIfDrifted(s, dir, rebuildDir,
+        queries, k = 10, nprobe = 2, minRecall = 0.9, nlist = 8, iters = 2)
+        .head()
+      Seq((queries.count(), report.getInt(2), report.getInt(3),
+          if (report.getDouble(4) > report.getDouble(1)) 1 else 0))
+        .toDF("n_queries", "drifted", "retrained", "recall_recovered")
     }),
     // hard-negative mining (r9): per query, the k most-similar
     // DIFFERENT-label vectors inside the [floor, ceiling) cosine band —
@@ -1632,6 +1695,13 @@ object Extensions {
       "x90_ivf_index" -> (
         "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS served_matches_fresh, " +
         "CAST(1 AS INTEGER) AS scan_pruned FROM embeddings WHERE vec_id < 10"),
+      // x96: the fixed probe-set count is recomputed; the lifecycle flags
+      // (drift detected on the masked append, rebuild ran, recall
+      // recovered vs before) are engine-side assertions, pinned
+      "x96_ivf_lifecycle" -> (
+        "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS drifted, " +
+        "CAST(1 AS INTEGER) AS retrained, CAST(1 AS INTEGER) AS recall_recovered " +
+        "FROM embeddings WHERE vec_id >= 250 AND vec_id < 290"),
       // x89: the x07 recompute plus the different-label constraint and
       // the [floor, ceiling) band — band applied to the 4-dp ROUNDED
       // cosine on both engines so boundary membership is portable
@@ -1795,6 +1865,49 @@ object Extensions {
         "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
         "MIN(doc_id) AS min_id, MAX(doc_id) AS max_id " +
         "FROM c WHERE rn <= 20 GROUP BY lang ORDER BY lang"),
+      // x95: the whole pipeline recomputed stage by stage — x78's
+      // normalization, x85's wc/mwl predicate + min-id exact dedup,
+      // x27's recursive-closure components over the exact-Jaccard pair
+      // graph (on the FILTERED survivors), x92's split hash keyed by the
+      // family rep, the x15 token estimator, then the portable
+      // multiplicative shard hash and the running-sum packing window.
+      // published_ok is pinned (engine-side read-back audit of the
+      // xxhash64-sharded publish, not ANSI-recomputable).
+      "x95_dress_rehearsal" -> (
+        "WITH RECURSIVE " +
+        "nrm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'), " +
+        "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', ' ', 'g'), " +
+        "'[\\s\\x{00A0}]+', ' ', 'g')) AS text FROM documents), " +
+        "w AS (SELECT doc_id, text, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws FROM nrm), " +
+        "f AS (SELECT doc_id, text, ws FROM w WHERE len(ws) BETWEEN 50 AND 100000 " +
+        "AND ROUND(CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS DOUBLE) / GREATEST(len(ws), 1), 6) BETWEEN 3.0 AND 10.0), " +
+        "dd AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text), " +
+        "k AS (SELECT f.* FROM f JOIN dd USING (doc_id)), " +
+        "g AS (SELECT doc_id, CASE WHEN len(ws2) < 3 THEN [array_to_string(ws2,' ')] " +
+        "ELSE list_distinct([array_to_string(ws2[i:i+2],' ') for i in range(1, len(ws2)-1)]) END AS grams " +
+        "FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws2 FROM k)), " +
+        "p AS (SELECT a.doc_id AS ida, b.doc_id AS idb FROM g a JOIN g b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.grams,b.grams)) AS DOUBLE)/len(list_distinct(a.grams || b.grams)) >= 0.8), " +
+        "e AS (SELECT ida AS s, idb AS t FROM p UNION SELECT idb, ida FROM p), " +
+        "walk AS (SELECT s AS id, t AS reach FROM e UNION SELECT s, s FROM e " +
+        "UNION SELECT wk.id, e2.t FROM walk wk JOIN e e2 ON wk.reach = e2.s), " +
+        "comp AS (SELECT id, MIN(reach) AS comp FROM walk GROUP BY id), " +
+        "fam AS (SELECT k.doc_id AS id, COALESCE(comp.comp, k.doc_id) AS rep FROM k LEFT JOIN comp ON k.doc_id = comp.id), " +
+        "spl AS (SELECT id, rep, CASE WHEN ((rep % 1000000) * 2654435761) % 1000000 < 100000 THEN 'test' ELSE 'train' END AS split FROM fam), " +
+        "tok AS (SELECT doc_id, CAST(SUM(CAST(CEIL(CAST(length(x) AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT) AS token_est " +
+        "FROM (SELECT doc_id, unnest(ws) AS x FROM k) GROUP BY doc_id), " +
+        "asg AS (SELECT s.id, s.rep, s.split, ((((s.id % 1000000) * 2654435761) % 1000000) % 4) AS bucket, t.token_est " +
+        "FROM spl s JOIN tok t ON s.id = t.doc_id), " +
+        "binned AS (SELECT id, split, bucket, token_est, COALESCE(SUM(token_est) OVER " +
+        "(PARTITION BY split, bucket ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bfr FROM asg), " +
+        "fin AS (SELECT split, bucket, token_est, CAST(FLOOR(CAST(bfr AS DOUBLE) / 2048.0) AS BIGINT) AS bin FROM binned), " +
+        "straddle AS (SELECT COUNT(*) AS n FROM (SELECT rep FROM spl GROUP BY rep HAVING COUNT(DISTINCT split) > 1)) " +
+        "SELECT split, CAST(bucket AS BIGINT) AS shard, COUNT(*) AS n_docs, " +
+        "CAST(SUM(token_est) AS BIGINT) AS n_tokens, COUNT(DISTINCT bin) AS n_bins, " +
+        "CAST(CASE WHEN (SELECT n FROM straddle) = 0 THEN 1 ELSE 0 END AS INTEGER) AS families_intact, " +
+        "CAST(1 AS INTEGER) AS published_ok " +
+        "FROM fin GROUP BY split, bucket ORDER BY split, shard"),
       "x65_gopher_filters" -> (
         "WITH base AS (SELECT doc_id, text, " +
         "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '') AS ws, " +

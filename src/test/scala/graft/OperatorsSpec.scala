@@ -153,6 +153,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c1.flatten.toSeq == c2.flatten.toSeq)
   }
 
+  test("IVF lifecycle: masked append drifts the index, audit detects, rebuild recovers") {
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val spark = TestSpark.spark
+    val e = emb.localCheckpoint()
+    val dir = tmp("ivf_life_"); val dir2 = tmp("ivf_life_v2_")
+    val dir3 = tmp("ivf_life_v3_")
+    Similarity.saveIvfIndex(e.where(col("vec_id") < 250), dir, nlist = 8, iters = 2)
+    // no-drift arm: in-distribution probes over the freshly-trained index
+    // with a floor the index easily clears — no rebuild, report echoes
+    val easyQ = e.where(col("vec_id") < 20)
+    val noDrift = Similarity.refreshIvfIndexIfDrifted(spark, dir, dir2,
+      easyQ, k = 10, nprobe = 4, minRecall = 0.05, nlist = 8, iters = 2).head()
+    assert(noDrift.getInt(2) == 0 && noDrift.getInt(3) == 0)
+    assert(noDrift.getDouble(1) == noDrift.getDouble(4))
+    assert(!new java.io.File(dir2, "centroids").exists(),
+      "no-drift arm must not write a rebuild layout")
+    // drift arm: append the second half under one fixed sign mask —
+    // decorrelated from every trained centroid
+    val mask = (v: org.apache.spark.sql.Column) =>
+      transform(v, (x, j) => when(pmod(hash(lit("drift"), j), lit(2)) === 0, x)
+        .otherwise(-x))
+    val appended = e.where(col("vec_id") >= 250)
+      .select(col("vec_id"), mask(col("embedding")).as("embedding"))
+      .localCheckpoint()
+    Similarity.appendToIvfIndex(appended, dir)
+    val probes = appended.where(col("vec_id") < 290)
+    val audit = Similarity.ivfIndexRecallAudit(spark, dir, probes,
+      k = 10, nprobe = 2).head()
+    assert(audit.getLong(0) == 40L)
+    val report = Similarity.refreshIvfIndexIfDrifted(spark, dir, dir3,
+      probes, k = 10, nprobe = 2, minRecall = 0.9, nlist = 8, iters = 2).head()
+    assert(report.getInt(2) == 1 && report.getInt(3) == 1,
+      s"drift not detected: $report")
+    assert(report.getDouble(1) == audit.getDouble(1)) // audit ≡ refresh's before
+    assert(report.getDouble(4) > report.getDouble(1),
+      s"rebuild did not recover recall: $report")
+    // the rebuilt layout serves and covers the grown corpus
+    assert(new java.io.File(dir3, "centroids").exists())
+    val served = Similarity.ivfTopKIndexed(spark, dir3, probes, k = 5, nprobe = 8)
+    assert(served.groupBy("qid").count().count() == 40L)
+  }
+
   test("hardNegatives: different-label band top-k equals an in-memory recompute") {
     val all = emb.select(col("vec_id"), col("label"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
