@@ -246,7 +246,16 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       val q = rel("ann_topk", args, 0)
       Seq("vec_id", "embedding").foreach(c =>
         reqCol("ann_topk", q, c, "query relation must follow the embeddings convention"))
-      val dir = str("ann_topk", args, 1)
+      // the string arg is a registered MODEL NAME first, a literal
+      // layout path second (model names are the cross-session contract;
+      // a wrong-kind model is an eager error, not a path fallback)
+      val dirArg = str("ann_topk", args, 1)
+      val dir = catalog.model(dirArg) match {
+        case Some(m) if m.kind == "ivf" => m.path
+        case Some(m) => throw new graft.translate.GraftAnalysisException(
+          s"ann_topk: model '$dirArg' has kind '${m.kind}', expected 'ivf'")
+        case None => dirArg
+      }
       val centroidsPath = new org.apache.hadoop.fs.Path(dir, "centroids")
       val fs = centroidsPath.getFileSystem(spark.sessionState.newHadoopConf())
       if (!fs.exists(centroidsPath))
@@ -281,18 +290,31 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
           if (cap <= 0) throw new graft.translate.GraftAnalysisException(
             s"bpe_tokenize: vocab cap must be positive, got $cap")
           TextAnalysis.tokenizeBpeTrained(r, "text", "doc_id", n.toInt, cap)
+        case graft.catalog.TfArg.Lit(s: String) if catalog.hasModel(s) =>
+          // registered model name: load the persisted merge list and
+          // apply it (handles same-symbol merges via the bounded-vocab
+          // driver segmenter; distinct-pair lists stay fully distributed)
+          val m = catalog.model(s).get
+          if (m.kind != "bpe") throw new graft.translate.GraftAnalysisException(
+            s"bpe_tokenize: model '$s' has kind '${m.kind}', expected 'bpe'")
+          val cap = num("bpe_tokenize", args, 2,
+            TextAnalysis.DefaultBpeVocabCap.toLong).toInt
+          TextAnalysis.tokenizeBpeModel(r, "text", "doc_id",
+            TextAnalysis.loadBpeMerges(spark, m.path), cap)
         case graft.catalog.TfArg.Lit(s: String) =>
           val merges = s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
             p.split("\\s+") match {
               case Array(a, b) => (a, b)
               case _ => throw new graft.translate.GraftAnalysisException(
                 s"bpe_tokenize: each merge must be two space-separated " +
-                  s"symbols, got `$p` (format: 'e r,i n,m er')")
+                  s"symbols, got `$p` (format: 'e r,i n,m er', or a " +
+                  "registered model name)")
             }
           }
           if (args.length > 2) throw new graft.translate.GraftAnalysisException(
             "bpe_tokenize: a vocab cap only applies to train mode " +
-              "(integer merge count); an explicit merge list is already a model")
+              "(integer merge count) or a registered model; an explicit " +
+              "merge list is already a model")
           TextAnalysis.tokenizeBpe(r, "text", "doc_id", merges)
         case other => throw new graft.translate.GraftAnalysisException(
           s"bpe_tokenize: argument 2 must be a merge count (integer) or a " +
@@ -470,8 +492,37 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
 
   private def isCatalogDdl(s: Statement): Boolean = s match {
     case _: CreateSchema | _: CreateStream | _: CreateTableAs |
-         _: DropRelation | _: DropSchema => true
+         _: DropRelation | _: DropSchema |
+         _: CreateModel | _: DropModel => true
     case _ => false
+  }
+
+  /** Content hash of a model artifact at registration time: md5 over the
+    * model-sized files (a BPE merge file; an IVF layout's centroids
+    * parquet — NOT its corpus, which is data, not model), part files in
+    * name order so the hash is layout-stable. */
+  private def artifactHash(kind: String, path: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def feed(p: org.apache.hadoop.fs.Path): Unit = {
+      val fs = p.getFileSystem(conf)
+      val files: Seq[org.apache.hadoop.fs.Path] =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(_.isFile).map(_.getPath)
+            .filterNot(_.getName.startsWith("_")).sortBy(_.getName).toSeq
+        else Seq(p)
+      files.foreach { f =>
+        val in = fs.open(f)
+        try {
+          val buf = new Array[Byte](65536)
+          var n = in.read(buf)
+          while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      }
+    }
+    feed(new org.apache.hadoop.fs.Path(
+      if (kind == "ivf") s"$path/centroids" else path))
+    md.digest().map("%02x".format(_)).mkString
   }
 
   private def recordDdl(stmt: Statement): Unit =
@@ -909,6 +960,42 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     case CreateSchema(name, fields, parent) =>
       catalog.createSchema(name, fields, parent)
       spark.emptyDataFrame
+
+    // model artifacts: validated eagerly (a registration pointing at a
+    // missing/torn artifact is a bug NOW, not at first use), hashed so
+    // SHOW MODELS can audit drift between registration and disk
+    case CreateModel(name, kindRaw, path) =>
+      val kind = kindRaw.toLowerCase(java.util.Locale.ROOT)
+      kind match {
+        case "ivf" =>
+          val c = new org.apache.hadoop.fs.Path(path, "centroids")
+          val fs = c.getFileSystem(spark.sessionState.newHadoopConf())
+          if (!fs.exists(c)) throw new GraftAnalysisException(
+            s"create model $name: no IVF layout at '$path' (expected a " +
+              "Similarity.saveIvfIndex output with centroids/ and corpus/)")
+        case "bpe" =>
+          try graft.operators.TextAnalysis.loadBpeMerges(spark, path)
+          catch { case e: Exception => throw new GraftAnalysisException(
+            s"create model $name: '$path' is not a BPE merge-list " +
+              s"artifact (${e.getMessage})") }
+        case other => throw new GraftAnalysisException(
+          s"create model $name: unknown kind '$other' (valid: ivf, bpe)")
+      }
+      catalog.registerModel(name, kind, path, artifactHash(kind, path))
+      spark.emptyDataFrame
+
+    case DropModel(name, ifExists) =>
+      if (!catalog.hasModel(name) && !ifExists)
+        throw new GraftAnalysisException(s"unknown model: $name " +
+          s"(known: ${catalog.modelNames.mkString(", ")})")
+      catalog.dropModel(name)
+      spark.emptyDataFrame
+
+    case ShowModels() =>
+      import spark.implicits._
+      catalog.modelNames
+        .map { n => val m = catalog.model(n).get; (n, m.kind, m.path, m.hash) }
+        .toDF("name", "kind", "path", "hash")
 
     case CreateTableAs(name, q) =>
       // batch CTAS: register the derived plan LAZILY — downstream queries

@@ -105,6 +105,15 @@ final case class DescribeQuery(query: QueryExpr) extends Statement
 final case class DropRelation(name: String, ifExists: Boolean,
                               table: Boolean = false) extends Statement
 final case class DropSchema(name: String, ifExists: Boolean) extends Statement
+/** `CREATE MODEL <name> KIND '<kind>' AT '<path>'` — register a trained
+  * model artifact (an IVF index layout, a BPE merge list, …) as a NAMED
+  * catalog entry. The registration records (kind, path, content hash)
+  * and rides the DDL sidecar, so `ann_topk`/`bpe_tokenize` can reference
+  * models by name across sessions. */
+final case class CreateModel(name: String, kind: String,
+                             path: String) extends Statement
+final case class DropModel(name: String, ifExists: Boolean) extends Statement
+final case class ShowModels() extends Statement
 
 sealed trait MergeAction { def cond: Option[Expr] }
 final case class MergeUpdate(cond: Option[Expr], set: Seq[(ColRef, Expr)]) extends MergeAction

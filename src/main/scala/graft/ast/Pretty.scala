@@ -51,6 +51,9 @@ object Pretty {
     case DropRelation(n, ie, tbl)   =>
       s"drop ${if (tbl) "table" else "stream"}${if (ie) " if exists" else ""} $n"
     case DropSchema(n, ie)          => s"drop schema${if (ie) " if exists" else ""} $n"
+    case CreateModel(n, k, p)       => s"create model $n kind '$k' at '$p'"
+    case DropModel(n, ie)           => s"drop model${if (ie) " if exists" else ""} $n"
+    case ShowModels()               => "show models"
     case Merge(t, src, on, actions) =>
       val acts = actions.map {
         case MergeUpdate(c, set) =>

@@ -72,6 +72,22 @@ final class Catalog {
 
   def hasSchema(name: String): Boolean = schemas.contains(norm(name))
 
+  // --- model artifacts -------------------------------------------------------
+  // Named pointers to trained model artifacts on storage (an IVF index
+  // layout, a BPE merge-list file, …): (kind, path, content hash). The
+  // hash is computed at registration so a later SHOW MODELS can audit
+  // whether the artifact on disk still matches what was registered.
+
+  final case class ModelEntry(kind: String, path: String, hash: String)
+  private val models = mutable.Map.empty[String, ModelEntry]
+
+  def registerModel(name: String, kind: String, path: String, hash: String): Unit =
+    models(norm(name)) = ModelEntry(kind, path, hash)
+  def model(name: String): Option[ModelEntry] = models.get(norm(name))
+  def hasModel(name: String): Boolean = models.contains(norm(name))
+  def dropModel(name: String): Unit = { models.remove(norm(name)); () }
+  def modelNames: Seq[String] = models.keys.toSeq.sorted
+
   def dropRelation(name: String): Unit = {
     relations.remove(norm(name))
     streamNames.remove(norm(name))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-training-data pipelines (SURVEY §7.2 M4;
@@ -901,6 +901,82 @@ object TextAnalysis {
       .map { case (w, _) => (w, bpeSegment(w, merges).length.toLong) }
       .toDF("word", "n_tokens")
     docTokenCounts(words, vocabCounts)
+  }
+
+  /** Apply an ALREADY-TRAINED merge list that may contain same-symbol
+    * merges (which [[bpeTrain]] legitimately produces and the distributed
+    * replace chain rejects): distinct-pair lists take the fully
+    * distributed [[tokenizeBpe]] path; otherwise the capped vocabulary is
+    * collected and segmented with the exact driver tokenizer
+    * ([[bpeSegment]]), out-of-vocab words falling back to chars — the
+    * same bounded-model shape as [[tokenizeBpeTrained]]. This is the
+    * apply path behind a `CREATE MODEL … KIND 'bpe'` reference. */
+  def tokenizeBpeModel(df: DataFrame, textCol: String, idCol: String,
+                       merges: Seq[(String, String)],
+                       vocabCap: Int = DefaultBpeVocabCap): DataFrame =
+    if (merges.forall { case (a, b) => a != b })
+      tokenizeBpe(df, textCol, idCol, merges)
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val words = corpusWords(df, textCol, idCol)
+      val wf = bpeCappedVocab(df, textCol, idCol, vocabCap)
+        .collect().map(r => r.getString(0)).toSeq
+      val vocabCounts = wf
+        .map(w => (w, bpeSegment(w, merges).length.toLong))
+        .toDF("word", "n_tokens")
+      docTokenCounts(words, vocabCounts)
+    }
+
+  /** Persist an ordered merge list as a model artifact — one `a b` line
+    * per merge, order-preserving (BPE merges are order-sensitive).
+    * Hadoop FS so the artifact lands wherever the cluster's storage is. */
+  def saveBpeMerges(spark: SparkSession, merges: Seq[(String, String)],
+                    path: String): Unit = {
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty && !a.contains(" ") && !b.contains(" ") &&
+        !a.contains("\n") && !b.contains("\n"), s"unsaveable merge pair ($a, $b)")
+    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(merges.map { case (a, b) => s"$a $b" }.mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Load a [[saveBpeMerges]] artifact, order preserved. */
+  def loadBpeMerges(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      line.split(" ") match {
+        case Array(a, b) => (a, b)
+        case _ => throw new IllegalArgumentException(
+          s"malformed BPE merge line `$line` in $path (expected `a b`)")
+      }
+    }.toSeq
+  }
+
+  /** Train a BPE model on the corpus (capped vocabulary, same bound as
+    * [[tokenizeBpeTrained]]) and persist the merge list at `path` — the
+    * train-then-register flow behind `CREATE MODEL … KIND 'bpe'`. */
+  def trainBpeModel(df: DataFrame, textCol: String, idCol: String,
+                    numMerges: Int, path: String,
+                    vocabCap: Int = DefaultBpeVocabCap): Seq[(String, String)] = {
+    val wf = bpeCappedVocab(df, textCol, idCol, vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = bpeTrain(wf, numMerges)
+    saveBpeMerges(df.sparkSession, merges, path)
+    merges
   }
 
   private def corpusWords(df: DataFrame, textCol: String, idCol: String): DataFrame =

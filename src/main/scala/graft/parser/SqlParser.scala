@@ -93,13 +93,15 @@ object SqlParser extends RegexParsers with PackratParsers {
     }
 
   lazy val stmt: PackratParser[Statement] =
-    createSchemaStmt | createStreamStmt | createTableStmt | insertStmt | updateStmt |
+    createSchemaStmt | createStreamStmt | createTableStmt | createModelStmt |
+    insertStmt | updateStmt |
     deleteStmt | mergeStmt | explainStmt | showStmt | describeStmt |
     dropStmt | query
 
   lazy val showStmt: PackratParser[Statement] =
     kw("show") ~> (kw("streams") ^^^ ShowRelations(streamsOnly = true) |
-                   kw("tables") ^^^ ShowRelations(streamsOnly = false))
+                   kw("tables") ^^^ ShowRelations(streamsOnly = false) |
+                   kw("models") ^^^ ShowModels())
 
   lazy val describeStmt: PackratParser[Statement] =
     (kw("describe") | kw("desc")) ~> "(" ~> query <~ ")" ^^ DescribeQuery.apply |
@@ -112,6 +114,9 @@ object SqlParser extends RegexParsers with PackratParsers {
       } |
     kw("drop") ~> kw("schema") ~> opt(kw("if") ~> kw("exists")) ~ ident ^^ {
       case ie ~ n => DropSchema(n, ie.isDefined)
+    } |
+    kw("drop") ~> kw("model") ~> opt(kw("if") ~> kw("exists")) ~ ident ^^ {
+      case ie ~ n => DropModel(n, ie.isDefined)
     }
 
   lazy val explainStmt: PackratParser[Statement] =
@@ -896,6 +901,12 @@ object SqlParser extends RegexParsers with PackratParsers {
     kw("create") ~> kw("table") ~> ident ~ (kw("as") ~> query) ^^ {
       case n ~ q => CreateTableAs(n, q)
     }
+
+  lazy val createModelStmt: PackratParser[Statement] =
+    kw("create") ~> kw("model") ~> ident ~ (kw("kind") ~> stringLit) ~
+      (kw("at") ~> stringLit) ^^ {
+        case n ~ k ~ p => CreateModel(n, k, p)
+      }
 
   lazy val schemaRef: PackratParser[SchemaRef] =
     "(" ~> rep1sep(fieldDef, ",") <~ ")" ^^ InlineSchema.apply |

@@ -59,6 +59,66 @@ class SurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("model artifacts: train -> create model -> sidecar round-trip -> apply by name") {
+    import graft.operators.{Similarity, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("graft_models_")
+    val sidecar = dir.resolve("catalog.json").toString
+    val mergesPath = dir.resolve("bpe_merges.txt").toString
+    val ivfDir = dir.resolve("ivf").toString
+    try {
+      val g1 = new GraftSession(spark).registerDir(TestSpark.sf).persistTo(sidecar)
+      val docs = g1.catalog.relation("documents")
+      // train + persist the two artifact kinds
+      val merges = TextAnalysis.trainBpeModel(docs, "text", "doc_id",
+        numMerges = 8, path = mergesPath)
+      assert(merges.nonEmpty)
+      assert(TextAnalysis.loadBpeMerges(spark, mergesPath) == merges)
+      Similarity.saveIvfIndex(g1.catalog.relation("embeddings"), ivfDir,
+        nlist = 8, iters = 2)
+      g1.sql(s"create model toktok kind 'bpe' at '$mergesPath'")
+      g1.sql(s"create model annidx kind 'ivf' at '$ivfDir'")
+      val shown = g1.sql("show models").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(3))).toSeq.sorted
+      assert(shown.map(t => (t._1, t._2)) == Seq(("annidx", "ivf"), ("toktok", "bpe")))
+      assert(shown.forall(_._3.length == 32)) // md5 content hashes recorded
+      // apply by name ≡ the direct operator call with the same merges
+      val byName = g1.sql(
+        "select id, n_tokens from bpe_tokenize(documents, 'toktok') order by id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val direct = TextAnalysis.tokenizeBpeModel(docs, "text", "doc_id", merges)
+        .orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(byName == direct && byName.nonEmpty)
+      // NEW session over the same sidecar: models replay, names resolve
+      val g2 = new GraftSession(spark).registerDir(TestSpark.sf).persistTo(sidecar)
+      assert(g2.catalog.hasModel("toktok") && g2.catalog.hasModel("annidx"))
+      g2.sql("create table annq as select vec_id, embedding from embeddings where vec_id < 5")
+      val served = g2.sql("select qid, vec_id from ann_topk(annq, 'annidx', 5, 8)")
+      assert(served.groupBy("qid").count().count() == 5L)
+      // wrong-kind references are eager errors
+      val e1 = intercept[graft.translate.GraftAnalysisException](
+        g2.sql("select * from bpe_tokenize(documents, 'annidx')"))
+      assert(e1.getMessage.contains("expected 'bpe'"))
+      val e2 = intercept[graft.translate.GraftAnalysisException](
+        g2.sql("select * from ann_topk(annq, 'toktok', 5)"))
+      assert(e2.getMessage.contains("expected 'ivf'"))
+      // a registration pointing nowhere is rejected eagerly
+      val e3 = intercept[graft.translate.GraftAnalysisException](
+        g2.sql(s"create model ghost kind 'ivf' at '$dir/nope'"))
+      assert(e3.getMessage.contains("no IVF layout"))
+      // DROP MODEL is journaled too: gone in the next session
+      g2.sql("drop model toktok")
+      val g3 = new GraftSession(spark).registerDir(TestSpark.sf).persistTo(sidecar)
+      assert(!g3.catalog.hasModel("toktok") && g3.catalog.hasModel("annidx"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("catalog persistence: a failed mid-replay never truncates the sidecar") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cat_fail_")
     val sidecar = dir.resolve("catalog.json").toString
