@@ -156,8 +156,78 @@ def gen_window_query(rng, shape):
     return graft, duck
 
 
+# M4 table-function fuzz (round 10): the registered table functions
+# (bpe_tokenize, leakage_safe_split, grouped_quantiles, …) have no DuckDB
+# form, so these shapes return (graft, duck) PAIRS generalizing the
+# q110/q112 gate-oracle patterns — random params, random filters on the
+# fn output, and a join back to the source relation.
+
+BPE_PAIR_POOL = [("e", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("a", "t"),
+                 ("c", "h"), ("l", "o"), ("m", "e"), ("d", "a"), ("r", "o"),
+                 ("h", "a"), ("s", "c"), ("u", "s"), ("t", "c"), ("a", "n")]
+
+
+def gen_tablefn_query(rng, shape):
+    if shape == 37:  # bpe_tokenize: random merge list + random output filter
+        merges = rng.sample(BPE_PAIR_POOL, rng.randrange(2, 6))
+        if rng.random() < 0.5:
+            # a second-order merge consuming the first merge's output —
+            # multi-char symbols keep the replace chain load-bearing
+            a0, b0 = merges[0]
+            merges.append((a0 + b0, rng.choice("aeiorst")))
+        lit = ",".join(f"{a} {b}" for a, b in merges)
+        pred = rng.choice([
+            f"id % {rng.randrange(2, 7)} = {rng.randrange(0, 2)}",
+            f"n_words >= {rng.randrange(30, 60)}",
+            f"id % 3 = 0 and n_tokens > {rng.randrange(50, 150)}",
+        ])
+        graft = (f"select id, n_words, n_tokens from bpe_tokenize(documents, "
+                 f"'{lit}') where {pred} order by id")
+        chain = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+        for a, b in merges:
+            chain = (f"replace(replace({chain}, ' {a} {b} ', ' {a}{b} '), "
+                     f"' {a} {b} ', ' {a}{b} ')")
+        duck = ("WITH words AS (SELECT doc_id, unnest(regexp_split_to_array("
+                "lower(text), '[^a-z]+')) AS w FROM documents), "
+                "nz AS (SELECT doc_id, w FROM words WHERE w <> ''), "
+                f"tok AS (SELECT doc_id, len(string_split(trim({chain}), ' ')) AS nt FROM nz), "
+                "agg AS (SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_words, "
+                "CAST(sum(nt) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id) "
+                f"SELECT id, n_words, n_tokens FROM agg WHERE {pred} ORDER BY id")
+        return graft, duck
+    if shape == 38:  # leakage_safe_split: random pct, joined back + grouped
+        p = rng.randrange(1, 51)
+        graft = (f"select s.split as split, d.lang as lang, "
+                 f"cast(count(*) as bigint) as n, min(s.id) as mn, "
+                 f"max(s.rep) as mx "
+                 f"from leakage_safe_split(documents, {p}) as s "
+                 f"join documents as d on s.id = d.doc_id "
+                 f"group by s.split, d.lang order by split, lang")
+        duck = ("WITH fam AS (SELECT doc_id AS id, MIN(doc_id) OVER "
+                "(PARTITION BY text) AS rep FROM documents), "
+                "spl AS (SELECT id, rep, CASE WHEN ((rep % 1000000) * 2654435761) "
+                f"% 1000000 < {p * 10000} THEN 'test' ELSE 'train' END AS split FROM fam) "
+                "SELECT s.split AS split, d.lang AS lang, COUNT(*) AS n, "
+                "MIN(s.id) AS mn, MAX(s.rep) AS mx "
+                "FROM spl s JOIN documents d ON s.id = d.doc_id "
+                "GROUP BY 1, 2 ORDER BY 1, 2")
+        return graft, duck
+    # shape 39: grouped_quantiles — random group col, value col, quantile
+    g = rng.choice(["source", "lang"])
+    c = rng.choice(["n_chars", "doc_id"])
+    qv = rng.choice(["0.25", "0.5", "0.75", "0.9"])
+    graft = (f"select {g} as grp, round(q, 6) as v, n "
+             f"from grouped_quantiles(documents, '{g}', '{c}', {qv}) "
+             f"order by grp")
+    duck = (f"SELECT {g} AS grp, ROUND(quantile_cont({c}, {qv}), 6) AS v, "
+            f"count(*) AS n FROM documents GROUP BY {g} ORDER BY grp")
+    return graft, duck
+
+
 def gen_query(rng, only=None):
-    shape = rng.choice(only) if only else rng.randrange(37)
+    shape = rng.choice(only) if only else rng.randrange(40)
+    if shape >= 37:  # table-function pair shapes
+        return gen_tablefn_query(rng, shape)
     if shape >= 34:  # window-family pair shapes
         return gen_window_query(rng, shape)
     if shape == 30:  # FILTER (WHERE ...) aggregates + GROUP BY ALL
@@ -478,7 +548,7 @@ def cmd_cmp(qfile, spark_dir, sf_dir):
     import pandas as pd
     qs = json.load(open(qfile))
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "events"):
+    for t in ("lineitem", "orders", "events", "documents"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = {k[:-len("__oracle")]: v for k, v in qs.items()
                if k.endswith("__oracle")}
