@@ -39,7 +39,14 @@ class MutationFuzzSpec extends AnyFunSuite {
     // round-9 late surface: hard negatives, index serving, leakage split
     "select qid, vec_id, cos from hard_negatives(embeddings, embeddings, 3, 0.98, 0.0) where qid < 5 order by qid, cos desc, vec_id",
     "select split, count(*) as n from leakage_safe_split(documents, 10) group by split order by split",
-    "select * from ann_topk(embeddings, '/no/such/index', 5)")
+    "select * from ann_topk(embeddings, '/no/such/index', 5)",
+    // round-10 surface: model artifacts, capped BPE train, grouped
+    // quantiles table function
+    "create model mm kind 'bpe' at '/no/such/merges.txt'",
+    "drop model if exists mm",
+    "show models",
+    "select id, n_tokens from bpe_tokenize(documents, 4, 12) where id % 2 = 0 order by id limit 5",
+    "select source, round(q, 6) as v, n from grouped_quantiles(documents, 'source', 'n_chars', 0.75) order by source")
 
   private val crashClasses: Set[Class[_]] = Set(
     classOf[MatchError], classOf[NullPointerException],
