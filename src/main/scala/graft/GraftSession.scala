@@ -321,6 +321,40 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
             s"merge-list string literal, got $other")
       }
     })
+    // bpe_encode(rel, 'e r,i n' | 'model_name'[, cap]) — the token-id
+    // STREAM (id, wpos, tpos, token, token_id), the form packing and
+    // shard writers consume; ids dense over the emitted token vocabulary
+    catalog.registerTableFunction("bpe_encode", { args =>
+      arity("bpe_encode", args, 2, 3)
+      val r = rel("bpe_encode", args, 0)
+      val cap = num("bpe_encode", args, 2, Int.MaxValue.toLong).toInt
+      if (cap <= 0) throw new graft.translate.GraftAnalysisException(
+        s"bpe_encode: vocab cap must be positive, got $cap")
+      val merges = args(1) match {
+        case graft.catalog.TfArg.Lit(s: String) if catalog.hasModel(s) =>
+          val m = catalog.model(s).get
+          if (m.kind != "bpe") throw new graft.translate.GraftAnalysisException(
+            s"bpe_encode: model '$s' has kind '${m.kind}', expected 'bpe'")
+          TextAnalysis.loadBpeMerges(spark, m.path)
+        case graft.catalog.TfArg.Lit(s: String) =>
+          s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
+            p.split("\\s+") match {
+              case Array(a, b) => (a, b)
+              case _ => throw new graft.translate.GraftAnalysisException(
+                s"bpe_encode: each merge must be two space-separated " +
+                  s"symbols, got `$p` (format: 'e r,i n', or a model name)")
+            }
+          }
+        case other => throw new graft.translate.GraftAnalysisException(
+          s"bpe_encode: argument 2 must be a merge-list string literal or " +
+            s"a registered bpe model name, got $other")
+      }
+      val effCap =
+        if (cap == Int.MaxValue && merges.exists(m => m._1 == m._2))
+          TextAnalysis.DefaultBpeVocabCap // trained lists may carry
+        else cap                          // same-symbol merges: bound them
+      TextAnalysis.bpeEncode(r, "text", "doc_id", merges, effCap)
+    })
     catalog.registerTableFunction("distinct_audit", { args =>
       arity("distinct_audit", args, 1, 1)
       Sketches.distinctAudit(

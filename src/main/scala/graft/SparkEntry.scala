@@ -867,6 +867,16 @@ object SparkEntry {
         "hard_negatives(embeddings, q113_q, 5, 0.98, 0.0) " +
         "order by qid, cos desc, vec_id")
     }),
+    // ---- q114: BPE ENCODING reached from SQL — the token-id stream
+    // (x97's model: same X86 merges, same cap-12 cut), aggregated per
+    // doc with the id range as the cross-engine witness ----
+    "q114_bpe_encode_fn" -> ((s, d) => g(s, d).sql(
+      "select id, cast(count(*) as bigint) as n_tokens, " +
+      "min(token_id) as mn, max(token_id) as mx " +
+      "from bpe_encode(documents, '" +
+      graft.operators.Extensions.X86_MERGES
+        .map { case (a, b) => s"$a $b" }.mkString(",") +
+      "', 12) group by id order by id")),
     // ---- datetime constructors: field-wise date/timestamp assembly ----
     "q99_datetime_ctor" -> ((s, d) => g(s, d).sql(
       "select o_orderkey as k, " +
@@ -1298,6 +1308,12 @@ object SparkEntry {
     // q113: the SQL path produces exactly the x89 operator result
     "q113_hard_negatives_fn" ->
       graft.operators.Extensions.oracles("x89_hard_negatives"),
+    // q114: the x97 encode CTEs aggregated per doc
+    "q114_bpe_encode_fn" ->
+      (s"WITH ${graft.operators.Extensions.duckBpeEncodeCtes} " +
+       "SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+       "MIN(token_id) AS mn, MAX(token_id) AS mx " +
+       "FROM j GROUP BY doc_id ORDER BY id"),
     // q112: x86's generated replace-chain oracle, filtered like the gate
     "q112_bpe_tokenize_fn" ->
       (s"SELECT * FROM (${graft.operators.Extensions.oracles("x86_bpe_tokenize")

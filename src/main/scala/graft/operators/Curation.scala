@@ -149,6 +149,31 @@ object Curation {
     packSequences(docs, idCol, tokenCol, budget,
       pmod(xxhash64(col(idCol)), lit(shards.toLong)))
 
+  /** Pack a TOKEN STREAM ([[TextAnalysis.bpeEncode]] output) into
+    * fixed-length training sequences — the pretraining batch-assembly
+    * step proper: within each shard, documents concatenate in (id, wpos,
+    * tpos) order and the stream is cut every `seqLen` tokens, documents
+    * crossing sequence boundaries exactly as LLM packing does. Output
+    * adds (shard, seq_id, offset); (shard, seq_id, offset) is a total
+    * address of every token.
+    *
+    * Scale: one window per shard with single-counter state (row_number)
+    * — shards pack independently and in parallel, no global sort; the
+    * shard expression is the caller's (content-addressed hashing keeps
+    * placement reproducible). */
+  def packTokenStream(tokens: DataFrame, seqLen: Int,
+                      shard: org.apache.spark.sql.Column): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = Window.partitionBy(col("__shard"))
+      .orderBy(col("id"), col("wpos"), col("tpos"))
+    tokens.withColumn("__shard", shard)
+      .withColumn("__i", row_number().over(w).cast("long") - 1L)
+      .select(col("__shard").as("shard"),
+        floor(col("__i") / seqLen).cast("long").as("seq_id"),
+        (col("__i") % seqLen).as("offset"),
+        col("id"), col("token_id"))
+  }
+
   /** Publish the curated corpus as `shards` size-balanced parquet shards —
     * the final step of a training-data pipeline (downstream loaders want
     * uniform shard sizes for even data-parallel reads).

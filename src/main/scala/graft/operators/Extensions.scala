@@ -392,6 +392,41 @@ object Extensions {
       TextAnalysis.tokenizeBpe(docs(s, d), "text", "doc_id", X86_MERGES,
           vocabCap = 12)
         .orderBy("id")),
+    // ---- BPE ENCODING to token-id streams (r10): the training-pipeline
+    // form — per-token rows totally ordered by (wpos, tpos), ids dense
+    // over the emitted token vocabulary; capped at 12 so the char
+    // fallback is load-bearing. Hash = md5 of the ordered id sequence ----
+    "x97_bpe_encode" -> ((s, d) => {
+      val enc = TextAnalysis.bpeEncode(docs(s, d), "text", "doc_id",
+        X86_MERGES, vocabCap = 12)
+      enc.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("wpos"), col("tpos"),
+              col("token_id")))),
+            e => e.getField("token_id").cast("string")))).as("h"))
+        .orderBy("id")
+    }),
+    // ---- fixed-length sequence packing over the token stream (r10):
+    // documents concatenate per shard and cut every 256 tokens — the
+    // LLM batch-assembly step; (shard, seq_id) rows hash the exact
+    // offset-ordered id sequence. 8 shards: a packing shard is a
+    // training FILE, so shard count scales with the corpus (each shard
+    // is one window task — the documented parallelism unit) ----
+    "x98_pack_tokens" -> ((s, d) => {
+      val enc = TextAnalysis.bpeEncode(docs(s, d), "text", "doc_id",
+        X86_MERGES, vocabCap = 12)
+      val packed = Curation.packTokenStream(enc, seqLen = 256,
+        shard = pmod(
+          pmod(col("id"), lit(1000000L)) * lit(2654435761L) % lit(1000000L),
+          lit(8L)))
+      packed.groupBy(col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("offset"), col("token_id")))),
+            e => e.getField("token_id").cast("string")))).as("h"))
+        .orderBy("shard", "seq_id")
+    }),
     // ---- cross-doc repeated-SPAN excision (r9, Lee et al. 2022): a
     // 10-word boilerplate sentence appended to every 3rd doc (plus
     // whatever ≥8-word spans the corpus naturally shares — the near-dup
@@ -1606,6 +1641,32 @@ object Extensions {
     "e" -> "r", "i" -> "n", "o" -> "w", "s" -> "t",
     "m" -> "er", "er" -> "g", "l" -> "ow")
 
+  /** Shared CTEs for the x97/x98 oracles: the full BPE ENCODE recompute —
+    * positioned word explode (positions over the raw split array, empties
+    * filtered AFTER, mirroring posexplode-then-filter), the top-12 vocab
+    * cut, the X86 replace chain for in-vocab words / per-char lists for
+    * OOV, positioned token explode, and dense ids by token-text order. */
+  private[graft] def duckBpeEncodeCtes: String = {
+    val chain = X86_MERGES.foldLeft(
+      "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')") { case (e, (a, b)) =>
+      s"replace(replace($e, ' $a $b ', ' $a$b '), ' $a $b ', ' $a$b ')"
+    }
+    "d AS (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z]+') AS ws FROM documents), " +
+    "iw AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS p, ws FROM d), " +
+    "w AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS wpos, ws[CAST(p AS INT)] AS word " +
+    "FROM iw WHERE ws[CAST(p AS INT)] <> ''), " +
+    "v AS (SELECT word AS vw FROM (SELECT word, count(*) AS freq FROM w GROUP BY word) " +
+    "ORDER BY freq DESC, word LIMIT 12), " +
+    s"sg AS (SELECT doc_id, wpos, CASE WHEN word IN (SELECT vw FROM v) " +
+    s"THEN string_split(trim($chain), ' ') " +
+    "ELSE [word[i] for i in range(1, len(word)+1)] END AS toks FROM w), " +
+    "it AS (SELECT doc_id, wpos, unnest(generate_series(1, len(toks))) AS tp, toks FROM sg), " +
+    "tt AS (SELECT doc_id, wpos, CAST(tp - 1 AS BIGINT) AS tpos, toks[CAST(tp AS INT)] AS token FROM it), " +
+    "ids AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS token_id " +
+    "FROM (SELECT DISTINCT token FROM tt)), " +
+    "j AS (SELECT doc_id, wpos, tpos, token_id FROM tt JOIN ids USING (token))"
+  }
+
   def oracles: Map[String, String] = {
     val t = "text"
     val nTok = duckTokCount(t)
@@ -1865,6 +1926,21 @@ object Extensions {
         "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
         "MIN(doc_id) AS min_id, MAX(doc_id) AS max_id " +
         "FROM c WHERE rn <= 20 GROUP BY lang ORDER BY lang"),
+      // x97/x98: the encode recompute ([[duckBpeEncodeCtes]]) hashed as
+      // the ordered per-doc id sequence / the per-(shard, seq) cut
+      "x97_bpe_encode" -> (
+        s"WITH $duckBpeEncodeCtes " +
+        "SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "md5(string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY wpos, tpos)) AS h " +
+        "FROM j GROUP BY doc_id ORDER BY id"),
+      "x98_pack_tokens" -> (
+        s"WITH $duckBpeEncodeCtes, " +
+        "sh AS (SELECT *, ((((doc_id % 1000000) * 2654435761) % 1000000) % 8) AS shard FROM j), " +
+        "rn AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id, wpos, tpos) - 1 AS BIGINT) AS i FROM sh) " +
+        "SELECT CAST(shard AS BIGINT) AS shard, CAST(i // 256 AS BIGINT) AS seq_id, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "md5(string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY i % 256)) AS h " +
+        "FROM rn GROUP BY 1, 2 ORDER BY 1, 2"),
       // x95: the whole pipeline recomputed stage by stage — x78's
       // normalization, x85's wc/mwl predicate + min-id exact dedup,
       // x27's recursive-closure components over the exact-Jaccard pair

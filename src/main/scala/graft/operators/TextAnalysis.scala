@@ -816,6 +816,72 @@ object TextAnalysis {
     }
   }
 
+  /** Token SEQUENCE per distinct word under an ordered merge list —
+    * (word, tokens array<string>), the vocabulary-sized model table
+    * behind [[bpeEncode]]. Same replace chain as [[bpeTokenCounts]],
+    * split instead of counted. */
+  def bpeWordTokens(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    vocab.select(col("word"),
+      split(trim(bpeSpacedApply(col("word"), merges)), " ").as("toks"))
+
+  /** Distributed BPE ENCODING: the actual token-id stream a training
+    * pipeline consumes, not just counts. Output: one row per token —
+    * (id, wpos, tpos, token, token_id), totally ordered per doc by
+    * (wpos, tpos). The flattened-stream form is deliberate: a
+    * collect_list re-assembly would materialize per-doc arrays through
+    * the aggregation buffer; the stream form feeds [[packTokenStream]]
+    * (and any writer) with nothing wider than a row.
+    *
+    * Scale shape: per-symbol work is VOCAB-sized ([[bpeWordTokens]] runs
+    * the codegen replace chain once per distinct in-cap word; OOV words
+    * segment to chars inline on the corpus side — the same capped-model
+    * contract as [[tokenizeBpe]]); the corpus side is one posexplode,
+    * one model join (AQE-broadcast), one posexplode of the (mean ~4
+    * tokens) word segmentation. Token ids are assigned from the
+    * model-sized token vocabulary by `row_number() over (order by
+    * token)` — deterministic, reproducible by any external system, and
+    * the id table is itself a registrable model artifact. */
+  def bpeEncode(df: DataFrame, textCol: String, idCol: String,
+                merges: Seq[(String, String)],
+                vocabCap: Int = Int.MaxValue): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = Par.widen(df, idCol)
+      .select(col(idCol).as("id"),
+        posexplode(split(lower(col(textCol)), "[^a-z]+")).as(Seq("wpos", "word")))
+      .where(col("word") =!= "")
+    val distinctPairs = merges.forall { case (a, b) => a != b }
+    require(distinctPairs || vocabCap != Int.MaxValue,
+      "same-symbol merges segment on the driver and need a bounded model: " +
+        "pass a vocabCap (the [[tokenizeBpeModel]] contract)")
+    val segmented =
+      if (distinctPairs) {
+        val vocab =
+          if (vocabCap == Int.MaxValue) words.select("word").distinct()
+          else bpeCappedVocab(df, textCol, idCol, vocabCap).select("word")
+        bpeWordTokens(vocab, merges)
+      } else
+        bpeCappedVocab(df, textCol, idCol, vocabCap)
+          .collect().map(r => r.getString(0))
+          .map(w => (w, bpeSegment(w, merges)))
+          .toSeq.toDF("word", "toks")
+    // OOV fallback: one token per char, computed inline (split("") on a
+    // non-empty string is its exact char sequence)
+    val withToks = words.join(segmented, Seq("word"), "left")
+      .select(col("id"), col("wpos"),
+        coalesce(col("toks"), split(col("word"), "")).as("toks"))
+      .select(col("id"), col("wpos"),
+        posexplode(col("toks")).as(Seq("tpos", "token")))
+    // deterministic dense token ids over the emitted token vocabulary
+    val tokenIds = withToks.select("token").distinct()
+      .select(col("token"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("token"))).cast("long").as("token_id"))
+    withToks.join(tokenIds, "token")
+      .select(col("id"), col("wpos"), col("tpos"),
+        col("token"), col("token_id"))
+  }
+
   /** Token count per distinct word under an ordered merge list — the
     * vocabulary-sized half of distributed tokenization. Input must be a
     * `word` column of non-empty space-free strings. */

@@ -1710,6 +1710,44 @@ class OperatorsSpec extends AnyFunSuite {
       TextAnalysis.bpeCappedVocab(docs, "text", "doc_id", 0))
   }
 
+  test("bpeEncode: ordered token-id streams; packTokenStream cuts fixed-length sequences") {
+    val merges = Extensions.X86_MERGES
+    val tiny = Seq((1L, "lower stow"), (2L, "ab lower")).toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeEncode(tiny, "text", "doc_id", merges)
+    val rows = enc.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    // lower -> [low, er], stow -> [st, ow], ab (no merge) -> [a, b];
+    // token vocab sorted: a b er low ow st -> ids 1..6
+    assert(rows == Seq(
+      (1L, 0, 0, "low", 4L), (1L, 0, 1, "er", 3L),
+      (1L, 1, 0, "st", 6L), (1L, 1, 1, "ow", 5L),
+      (2L, 0, 0, "a", 1L), (2L, 0, 1, "b", 2L),
+      (2L, 1, 0, "low", 4L), (2L, 1, 1, "er", 3L)), rows.toString)
+    // encode token counts agree with tokenizeBpe's
+    val encCounts = enc.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    TextAnalysis.tokenizeBpe(tiny, "text", "doc_id", merges).collect()
+      .foreach(r => assert(encCounts(r.getLong(0)) == r.getLong(2)))
+    // capped encode: OOV words stream one token per char, in order
+    val capped = TextAnalysis.bpeEncode(tiny, "text", "doc_id", merges,
+        vocabCap = 1) // keeps only "lower" (freq 2)
+      .where(col("id") === 2L && col("wpos") === 0)
+      .orderBy("tpos").collect().map(_.getString(3)).toSeq
+    assert(capped == Seq("a", "b"))
+    // pack at seqLen=3, one shard: stream order (id, wpos, tpos) =
+    // low er st ow a b low er -> seqs [4,3,6], [5,1,2], [4,3]
+    val packed = Curation.packTokenStream(enc, seqLen = 3, shard = lit(0L))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(packed == Seq(
+      (0L, 0L, 4L), (0L, 1L, 3L), (0L, 2L, 6L),
+      (1L, 0L, 5L), (1L, 1L, 1L), (1L, 2L, 2L),
+      (2L, 0L, 4L), (2L, 1L, 3L)), packed.toString)
+    intercept[IllegalArgumentException](
+      Curation.packTokenStream(enc, seqLen = 0, shard = lit(0L)))
+  }
+
   test("bpeSpacedApply replace chain ≡ reference BPE segmentation on the corpus vocabulary") {
     val merges = Extensions.X86_MERGES
     // every distinct word of the real corpus: chain token count must

@@ -195,6 +195,24 @@ class TableFnSpec extends AnyFunSuite {
     val e3 = intercept[graft.translate.GraftAnalysisException](
       g.sql("select * from bpe_tokenize(documents, 'e r', 5)"))
     assert(e3.getMessage.contains("train mode"))
+    // bpe_encode: the token-id STREAM — per-doc counts agree with
+    // bpe_tokenize under the same merges, ids are a dense 1..V range
+    val encAgg = g.sql(
+      s"select id, cast(count(*) as bigint) as n from bpe_encode(documents, '$lit') " +
+      "group by id order by id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val tokAgg = g.sql(
+      s"select id, n_tokens from bpe_tokenize(documents, '$lit') order by id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(encAgg == tokAgg)
+    val idRange = g.sql(
+      s"select min(token_id) as mn, max(token_id) as mx, " +
+      s"cast(count(distinct token_id) as bigint) as nv " +
+      s"from bpe_encode(documents, '$lit')").collect().head
+    assert(idRange.getLong(0) == 1L && idRange.getLong(1) == idRange.getLong(2))
+    val e4 = intercept[graft.translate.GraftAnalysisException](
+      g.sql("select * from bpe_encode(documents, 'e r', 0)"))
+    assert(e4.getMessage.contains("positive"))
   }
 
   test("leakage_safe_split(documents, pct) equals the operator API") {
