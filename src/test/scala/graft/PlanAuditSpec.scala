@@ -24,7 +24,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q67_ignore_nulls" -> "user query: LOCF via over (order by …), no partition by",
     "x32_global_shuffle" -> "deterministicShuffle IS a global sort by definition (SCALE.md honest limits)",
     "x97_bpe_encode" -> "dense token ids: row_number over the TOKEN VOCABULARY (model-sized, not corpus-sized)",
-    "x98_pack_tokens" -> "same encode stage: the id window runs over the model-sized token vocabulary")
+    "x98_pack_tokens" -> "same encode stage: the id window runs over the model-sized token vocabulary",
+    "q114_bpe_encode_fn" -> "same encode stage reached from SQL: model-sized token-id window")
 
   /** gate -> (max allowed BNLJ nodes, why they are bounded): 1-row
     * aggregate summaries, model tables, or an explicit user cross join of
