@@ -760,6 +760,31 @@ object Extensions {
           if (report.getDouble(4) > report.getDouble(1)) 1 else 0))
         .toDF("n_queries", "drifted", "retrained", "recall_recovered")
     }),
+    // ---- product quantization (r10, Jégou et al. 2011): the
+    // memory-compressed ANN complement of IVF — 16 subspaces × 32
+    // sub-centroids = 16× compression of the 64-dim corpus; the raw ADC
+    // scan recall and the exact-rerank (shortlist 50) recall are both
+    // audited against the brute truth on a fixed 10-query sample.
+    // Recall values are engine-exact but not ANSI-recomputable → the
+    // x76 flag-oracle pattern ----
+    "x99_pq_ann" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d).localCheckpoint()
+      val q = e.where(col("vec_id") < 10)
+      val truth = Similarity.bruteForceTopK(e, q, k = 10).localCheckpoint()
+      val cb = Similarity.pqTrain(e, m = 16, k = 32, iters = 3)
+      val codes = Similarity.pqEncode(e, cb).localCheckpoint()
+      val adc = Similarity.annRecall(
+        Similarity.pqTopK(codes, cb, q, k = 10), truth).head()
+      val rr = Similarity.annRecall(
+        Similarity.pqTopKRerank(codes, cb, e, q, k = 10, shortlist = 50),
+        truth).head()
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      Seq((adc.getLong(0), dim * 4L / 16L,
+          if (adc.getDouble(1) >= 0.4) 1 else 0,
+          if (rr.getDouble(1) >= 0.8) 1 else 0))
+        .toDF("n_queries", "compression_x", "adc_recall_ok", "rerank_recall_ok")
+    }),
     // hard-negative mining (r9): per query, the k most-similar
     // DIFFERENT-label vectors inside the [floor, ceiling) cosine band —
     // exact brute path (the TopK bounded-heap partial agg), full DuckDB
@@ -1756,6 +1781,13 @@ object Extensions {
       "x90_ivf_index" -> (
         "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS served_matches_fresh, " +
         "CAST(1 AS INTEGER) AS scan_pruned FROM embeddings WHERE vec_id < 10"),
+      // x99: fixed query count + compression factor recomputed; recall
+      // threshold flags pinned (the x76 pattern)
+      "x99_pq_ann" -> (
+        "SELECT count(*) AS n_queries, " +
+        "CAST(MAX(len(embedding)) * 4 / 16 AS BIGINT) AS compression_x, " +
+        "CAST(1 AS INTEGER) AS adc_recall_ok, CAST(1 AS INTEGER) AS rerank_recall_ok " +
+        "FROM embeddings WHERE vec_id < 10"),
       // x96: the fixed probe-set count is recomputed; the lifecycle flags
       // (drift detected on the masked append, rebuild ran, recall
       // recovered vs before) are engine-side assertions, pinned

@@ -345,6 +345,139 @@ object Similarity {
     }
   }
 
+  // --- product quantization (Jégou et al. 2011) -----------------------------
+  // The memory-compressed complement of IVF: vectors split into m
+  // subspaces, each sub-vector quantized to one of k sub-centroids; a
+  // vector becomes m small ints (m bytes at k ≤ 256) instead of dim
+  // floats — dim·4/m× compression. Scoring is ASYMMETRIC (ADC): the
+  // query stays exact, the corpus side is reconstructed from its code.
+
+  /** Train PQ codebooks: per subspace, deterministic k-means over the
+    * sub-vectors (same first-k init + mean-update scheme as
+    * [[trainIvfCentroids]], L2 assignment — `argmax (v·c − |c|²/2)` is
+    * exactly argmin L2 without materializing distances). All m subspaces
+    * assign in ONE pass per iteration (a single explode over an
+    * m-struct array), so training costs iters corpus scans, not
+    * iters × m. Model: m × k × (dim/m) = k·dim doubles — model-sized. */
+  def pqTrain(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2,
+              vecCol: String = "embedding",
+              idCol: String = "vec_id"): Array[Array[Array[Double]]] = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k > 1, "k must be at least 2")
+    val sub = dim / m
+    val seed = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seed.length == k, s"corpus has < $k vectors")
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seed.map(_.slice(j * sub, (j + 1) * sub)))
+    val wcorpus = Par.widen(corpus, idCol)
+    for (_ <- 0 until iters) {
+      val parts = (0 until m).map { j =>
+        val sv = slice(col(vecCol), j * sub + 1, sub)
+        struct(lit(j).as("j"),
+          nearestSubCentroid(sv, codebooks(j)).as("c"), sv.as("sv"))
+      }
+      val means = wcorpus
+        .select(explode(array(parts: _*)).as("e"))
+        .select(col("e.j"), col("e.c"), posexplode(col("e.sv")).as(Seq("pos", "x")))
+        .groupBy(col("j"), col("c"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mu"))
+        .collect()
+      val byKey = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      codebooks = Array.tabulate(m)(j => Array.tabulate(k) { c =>
+        byKey.get((j, c)) match {
+          case Some(rows) => rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+          case None       => codebooks(j)(c) // empty cluster unchanged
+        }
+      })
+    }
+    codebooks
+  }
+
+  /** L2-nearest sub-centroid index: argmax of (v·c − |c|²/2) over the k
+    * literal probes — codegen `vec_dot`s, ties to the lower index. */
+  private def nearestSubCentroid(sv: Column,
+                                 subCentroids: Array[Array[Double]]): Column = {
+    val scored = subCentroids.zipWithIndex.map { case (c, i) =>
+      val norm2 = c.map(x => x * x).sum
+      struct((dot(sv, typedLit(c.toSeq)) - lit(norm2 / 2.0)).as("s"),
+        lit(-i).as("negIdx"))
+    }
+    -array_max(array(scored: _*)).getField("negIdx")
+  }
+
+  /** PQ-encode the corpus: (vec_id, code array<int> of length m) — the
+    * compressed representation (m bytes/vector at k ≤ 256 vs dim·4). */
+  def pqEncode(corpus: DataFrame, codebooks: Array[Array[Array[Double]]],
+               vecCol: String = "embedding",
+               idCol: String = "vec_id"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    Par.widen(corpus, idCol).select(col(idCol).as("vec_id"),
+      array((0 until m).map(j =>
+        nearestSubCentroid(slice(col(vecCol), j * sub + 1, sub),
+          codebooks(j))): _*).as("code"))
+  }
+
+  /** Reconstruct the quantized vector from its code — m O(1)
+    * `element_at` lookups into dense literal codebook arrays (the
+    * dense-literal pattern SCALE.md prescribes over map literals). */
+  def pqReconstruct(code: Column,
+                    codebooks: Array[Array[Array[Double]]]): Column =
+    flatten(array(codebooks.zipWithIndex.map { case (cb, j) =>
+      element_at(typedLit(cb.map(_.toSeq).toSeq),
+        element_at(code, j + 1) + 1)
+    }.toIndexedSeq: _*))
+
+  /** ADC top-k over PQ codes: queries exact (broadcast), corpus
+    * reconstructed per row from its code, cosine scored with the codegen
+    * expression, bounded-heap `TopK` partial agg — the [[bruteForceTopKPartial]]
+    * plan shape over the 32×-compressed corpus. Approximate by nature;
+    * audit with [[annRecall]] like every approximate path here. */
+  def pqTopK(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+             queries: DataFrame, k: Int,
+             vecCol: String = "embedding",
+             idCol: String = "vec_id"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val scored = codes
+      .select(col("vec_id"), pqReconstruct(col("code"), codebooks).as("vhat"))
+      .join(q, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("vhat"), col("qv")), 4).as("cos"))
+    val topk = udaf(new TopK(k))
+    scored.groupBy(col("qid"))
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e._2").as("vec_id"), col("e._1").as("cos"))
+  }
+
+  /** PQ with exact RE-RANKING — the shipping configuration: the ADC scan
+    * over the compressed codes produces a `shortlist`-sized candidate
+    * set per query, and only those ids fetch their ORIGINAL vectors for
+    * exact cosine scoring (a semi-join of shortlist×|queries| rows
+    * against the corpus — at 100 TB the codes fit in memory for the
+    * scan and the originals are touched ~shortlist rows per query, not
+    * per corpus row). Recall is set by the shortlist size, exactness of
+    * the final ordering by the re-rank. */
+  def pqTopKRerank(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+                   corpus: DataFrame, queries: DataFrame, k: Int,
+                   shortlist: Int = 50,
+                   vecCol: String = "embedding",
+                   idCol: String = "vec_id"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = pqTopK(codes, codebooks, queries, shortlist, vecCol, idCol)
+      .select(col("qid"), col("vec_id"))
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val exact = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(cand, "vec_id")
+      .join(q, "qid")
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 4).as("cos"))
+    topKPerGroup(exact, k)
+  }
+
   /** The persisted centroid model, bucket-ordered (nlist×dim — driver-
     * held by design, like the in-memory trainer's output). */
   def loadIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =

@@ -195,6 +195,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(served.groupBy("qid").count().count() == 40L)
   }
 
+  test("product quantization: exact round-trip at k=corpus, decent ADC recall") {
+    // k ≥ distinct sub-vectors with iters that converge to the points
+    // themselves → codes reconstruct EXACTLY (each sub-vector its own
+    // centroid), so ADC top-k ≡ brute force on the tiny frame
+    val tiny = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)), (3L, Array(0f, 0f, 0f, 2f))
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(tiny, m = 2, k = 4, iters = 3)
+    assert(cb.length == 2 && cb(0).length == 4 && cb(0)(0).length == 2)
+    val codes = Similarity.pqEncode(tiny, cb).localCheckpoint()
+    assert(codes.collect().forall(r =>
+      r.getSeq[Int](1).forall(c => c >= 0 && c < 4)))
+    // reconstruction is exact: every original sub-vector IS a centroid
+    val recon = codes.select(col("vec_id"),
+        Similarity.pqReconstruct(col("code"), cb).as("vhat"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val orig = tiny.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toMap
+    orig.foreach { case (id, v) => assert(recon(id) == v, s"id $id: ${recon(id)}") }
+    val adc = Similarity.pqTopK(codes, cb, tiny, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Similarity.bruteForceTopK(tiny, tiny, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(adc == brute)
+    // real corpus (near-random unit vectors — PQ's WORST case): at 16x
+    // compression the raw ADC scan still finds a usable shortlist, and
+    // the exact re-rank of 50 candidates recovers most of the true
+    // top-10 — the shipping configuration
+    val q = emb.where(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(emb, q, k = 10).localCheckpoint()
+    val cb2 = Similarity.pqTrain(emb, m = 16, k = 32, iters = 3)
+    val codes2 = Similarity.pqEncode(emb, cb2).localCheckpoint()
+    val rec = Similarity.annRecall(
+      Similarity.pqTopK(codes2, cb2, q, k = 10), truth).head()
+    assert(rec.getLong(0) == 10L)
+    assert(rec.getDouble(1) >= 0.4, s"PQ ADC mean recall ${rec.getDouble(1)} too low")
+    val rr = Similarity.annRecall(
+      Similarity.pqTopKRerank(codes2, cb2, emb, q, k = 10, shortlist = 50),
+      truth).head()
+    assert(rr.getDouble(1) >= 0.8, s"PQ rerank mean recall ${rr.getDouble(1)} too low")
+    intercept[IllegalArgumentException](
+      Similarity.pqTopKRerank(codes2, cb2, emb, q, k = 10, shortlist = 5))
+    // training is deterministic
+    val cb3 = Similarity.pqTrain(emb, m = 16, k = 32, iters = 3)
+    assert(cb2.flatten.flatten.toSeq == cb3.flatten.flatten.toSeq)
+  }
+
   test("hardNegatives: different-label band top-k equals an in-memory recompute") {
     val all = emb.select(col("vec_id"), col("label"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
