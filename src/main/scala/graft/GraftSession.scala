@@ -321,6 +321,33 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
             s"merge-list string literal, got $other")
       }
     })
+    // pq_topk(queries, 'model'|'dir', k[, shortlist]) — PQ ANN serve
+    // from a persisted savePqIndex layout: ADC over the compressed
+    // codes, exact re-rank of the shortlist against the layout's
+    // originals
+    catalog.registerTableFunction("pq_topk", { args =>
+      arity("pq_topk", args, 3, 4)
+      val q = rel("pq_topk", args, 0)
+      Seq("vec_id", "embedding").foreach(c =>
+        reqCol("pq_topk", q, c, "query relation must follow the embeddings convention"))
+      val dirArg = str("pq_topk", args, 1)
+      val dir = catalog.model(dirArg) match {
+        case Some(m) if m.kind == "pq" => m.path
+        case Some(m) => throw new graft.translate.GraftAnalysisException(
+          s"pq_topk: model '$dirArg' has kind '${m.kind}', expected 'pq'")
+        case None => dirArg
+      }
+      val cbPath = new org.apache.hadoop.fs.Path(dir, "codebooks")
+      val fs = cbPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(cbPath))
+        throw new graft.translate.GraftAnalysisException(
+          s"pq_topk: no PQ index layout at '$dir' (expected a " +
+            "Similarity.savePqIndex output with codebooks/, codes/, corpus/)")
+      val k = num("pq_topk", args, 2, 8L).toInt
+      val shortlist = num("pq_topk", args, 3, math.max(50L, k.toLong)).toInt
+      graft.operators.Similarity.pqTopKIndexed(spark, dir, q, k,
+        shortlist = math.max(shortlist, k))
+    })
     // bpe_encode(rel, 'e r,i n' | 'model_name'[, cap]) — the token-id
     // STREAM (id, wpos, tpos, token, token_id), the form packing and
     // shard writers consume; ids dense over the emitted token vocabulary
@@ -554,8 +581,11 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         } finally in.close()
       }
     }
-    feed(new org.apache.hadoop.fs.Path(
-      if (kind == "ivf") s"$path/centroids" else path))
+    feed(new org.apache.hadoop.fs.Path(kind match {
+      case "ivf" => s"$path/centroids"  // not the corpus: hash the MODEL
+      case "pq"  => s"$path/codebooks"
+      case _     => path
+    }))
     md.digest().map("%02x".format(_)).mkString
   }
 
@@ -1012,8 +1042,14 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
           catch { case e: Exception => throw new GraftAnalysisException(
             s"create model $name: '$path' is not a BPE merge-list " +
               s"artifact (${e.getMessage})") }
+        case "pq" =>
+          val c = new org.apache.hadoop.fs.Path(path, "codebooks")
+          val fs = c.getFileSystem(spark.sessionState.newHadoopConf())
+          if (!fs.exists(c)) throw new GraftAnalysisException(
+            s"create model $name: no PQ layout at '$path' (expected a " +
+              "Similarity.savePqIndex output with codebooks/, codes/, corpus/)")
         case other => throw new GraftAnalysisException(
-          s"create model $name: unknown kind '$other' (valid: ivf, bpe)")
+          s"create model $name: unknown kind '$other' (valid: ivf, bpe, pq)")
       }
       catalog.registerModel(name, kind, path, artifactHash(kind, path))
       spark.emptyDataFrame

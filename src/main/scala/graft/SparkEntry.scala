@@ -877,6 +877,33 @@ object SparkEntry {
       graft.operators.Extensions.X86_MERGES
         .map { case (a, b) => s"$a $b" }.mkString(",") +
       "', 12) group by id order by id")),
+    // ---- q115: PQ ANN serve reached FROM SQL via a REGISTERED MODEL
+    // NAME — build the savePqIndex layout, CREATE MODEL it, serve with
+    // pq_topk and assert exact parity with the operator API (recall
+    // itself is x99's job; this pins the SQL/model-resolution path) ----
+    "q115_pq_topk_fn" -> ((s, d) => {
+      import s.implicits._
+      val e = g(s, d)
+      val embT = e.catalog.relation("embeddings")
+      val dir = java.nio.file.Files.createTempDirectory("q115_pq_").toString
+      graft.operators.Similarity.savePqIndex(embT, dir, m = 16, k = 16, iters = 1)
+      e.sql(s"create model q115_pq kind 'pq' at '$dir'")
+      e.sql("create table q115_q as select vec_id, embedding from embeddings where vec_id < 5")
+      val viaSql = e.sql(
+        "select qid, vec_id, cos from pq_topk(q115_q, 'q115_pq', 5, 50) " +
+        "order by qid, cos desc, vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val viaApi = graft.operators.Similarity.pqTopKIndexed(s, dir,
+          embT.where(org.apache.spark.sql.functions.col("vec_id") < 5),
+          k = 5, shortlist = 50)
+        .orderBy(org.apache.spark.sql.functions.col("qid"),
+          org.apache.spark.sql.functions.col("cos").desc,
+          org.apache.spark.sql.functions.col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      Seq((viaSql.map(_._1).distinct.length.toLong,
+          if (viaSql == viaApi && viaSql.nonEmpty) 1 else 0))
+        .toDF("n_queries", "sql_matches_api")
+    }),
     // ---- datetime constructors: field-wise date/timestamp assembly ----
     "q99_datetime_ctor" -> ((s, d) => g(s, d).sql(
       "select o_orderkey as k, " +
@@ -1308,6 +1335,11 @@ object SparkEntry {
     // q113: the SQL path produces exactly the x89 operator result
     "q113_hard_negatives_fn" ->
       graft.operators.Extensions.oracles("x89_hard_negatives"),
+    // q115: SQL/model-resolution parity flag; the query count is the
+    // recomputable half (x99 carries the recall audit)
+    "q115_pq_topk_fn" -> (
+      "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS sql_matches_api " +
+      "FROM embeddings WHERE vec_id < 5"),
     // q114: the x97 encode CTEs aggregated per doc
     "q114_bpe_encode_fn" ->
       (s"WITH ${graft.operators.Extensions.duckBpeEncodeCtes} " +

@@ -478,6 +478,54 @@ object Similarity {
     topKPerGroup(exact, k)
   }
 
+  /** Persist a PQ index: `dir/codebooks` (the m×k sub-centroid model),
+    * `dir/codes` (the compressed corpus — the table a serving scan
+    * reads), and `dir/corpus` (the original vectors, touched ONLY by the
+    * re-rank join for shortlist ids — the IVF-PQ-with-refinement layout:
+    * codes for the scan, originals on cheap storage for the refine). */
+  def savePqIndex(corpus: DataFrame, dir: String, m: Int = 8, k: Int = 16,
+                  iters: Int = 2, vecCol: String = "embedding",
+                  idCol: String = "vec_id"): Unit = {
+    val codebooks = pqTrain(corpus, m, k, iters, vecCol, idCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toSeq.toDF("j", "c", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    pqEncode(corpus, codebooks, vecCol, idCol)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    Par.widen(corpus, idCol)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+  }
+
+  /** The persisted PQ codebook model, (subspace, centroid)-ordered. */
+  def loadPqCodebooks(spark: SparkSession,
+                      dir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .select("j", "c", "centroid").orderBy("j", "c").collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+    }.toArray
+  }
+
+  /** PQ serve from a [[savePqIndex]] layout: ADC over the compressed
+    * codes, exact re-rank against the layout's own originals. Same
+    * result as [[pqTopKRerank]] with the same model (spec-asserted). */
+  def pqTopKIndexed(spark: SparkSession, dir: String, queries: DataFrame,
+                    k: Int, shortlist: Int = 50,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val codebooks = loadPqCodebooks(spark, dir)
+    // the layout always stores (vec_id, embedding); align to the
+    // caller's column convention before the shared rerank path
+    val originals = spark.read.parquet(s"$dir/corpus")
+      .select(col("vec_id").as(idCol), col("embedding").as(vecCol))
+    pqTopKRerank(spark.read.parquet(s"$dir/codes"), codebooks,
+      originals, queries, k, shortlist, vecCol, idCol)
+  }
+
   /** The persisted centroid model, bucket-ordered (nlist×dim — driver-
     * held by design, like the in-memory trainer's output). */
   def loadIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =

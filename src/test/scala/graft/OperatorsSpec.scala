@@ -241,6 +241,18 @@ class OperatorsSpec extends AnyFunSuite {
     // training is deterministic
     val cb3 = Similarity.pqTrain(emb, m = 16, k = 32, iters = 3)
     assert(cb2.flatten.flatten.toSeq == cb3.flatten.flatten.toSeq)
+    // persisted layout serves EXACTLY the in-memory rerank result
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx_").toString
+    Similarity.savePqIndex(emb, dir, m = 16, k = 32, iters = 3)
+    val lcb = Similarity.loadPqCodebooks(TestSpark.spark, dir)
+    assert(lcb.flatten.flatten.toSeq == cb2.flatten.flatten.toSeq)
+    val served = Similarity.pqTopKIndexed(TestSpark.spark, dir, q,
+        k = 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Similarity.pqTopKRerank(codes2, cb2, emb, q,
+        k = 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served == direct)
   }
 
   test("hardNegatives: different-label band top-k equals an in-memory recompute") {

@@ -106,10 +106,21 @@ class SurfaceSpec extends AnyFunSuite {
       val e3 = intercept[graft.translate.GraftAnalysisException](
         g2.sql(s"create model ghost kind 'ivf' at '$dir/nope'"))
       assert(e3.getMessage.contains("no IVF layout"))
+      // PQ index as a third model kind: register + serve by name
+      val pqDir = dir.resolve("pq").toString
+      graft.operators.Similarity.savePqIndex(
+        g2.catalog.relation("embeddings"), pqDir, m = 16, k = 16, iters = 1)
+      g2.sql(s"create model pqidx kind 'pq' at '$pqDir'")
+      val pqServed = g2.sql("select qid, vec_id from pq_topk(annq, 'pqidx', 5, 50)")
+      assert(pqServed.groupBy("qid").count().count() == 5L)
+      val e4 = intercept[graft.translate.GraftAnalysisException](
+        g2.sql("select * from pq_topk(annq, 'annidx', 5)"))
+      assert(e4.getMessage.contains("expected 'pq'"))
       // DROP MODEL is journaled too: gone in the next session
       g2.sql("drop model toktok")
       val g3 = new GraftSession(spark).registerDir(TestSpark.sf).persistTo(sidecar)
-      assert(!g3.catalog.hasModel("toktok") && g3.catalog.hasModel("annidx"))
+      assert(!g3.catalog.hasModel("toktok") && g3.catalog.hasModel("annidx") &&
+        g3.catalog.hasModel("pqidx"))
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
