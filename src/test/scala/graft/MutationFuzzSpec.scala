@@ -46,7 +46,11 @@ class MutationFuzzSpec extends AnyFunSuite {
     "drop model if exists mm",
     "show models",
     "select id, n_tokens from bpe_tokenize(documents, 4, 12) where id % 2 = 0 order by id limit 5",
-    "select source, round(q, 6) as v, n from grouped_quantiles(documents, 'source', 'n_chars', 0.75) order by source")
+    "select source, round(q, 6) as v, n from grouped_quantiles(documents, 'source', 'n_chars', 0.75) order by source",
+    // round-10 late surface: token-id streams, PQ serve
+    "select id, wpos, tpos, token_id from bpe_encode(documents, 'e r,i n', 12) where id < 3 order by id, wpos, tpos",
+    "select * from pq_topk(embeddings, '/no/such/pq', 5, 50)",
+    "create model pp kind 'pq' at '/no/such/layout'")
 
   private val crashClasses: Set[Class[_]] = Set(
     classOf[MatchError], classOf[NullPointerException],
