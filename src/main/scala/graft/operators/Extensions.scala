@@ -547,6 +547,33 @@ object Extensions {
         .withColumn("published_ok", lit(if (publishedOk) 1 else 0))
         .orderBy("split", "shard")
     }),
+    // ---- the COMPLETE LLM data pipeline (r10): raw crawl → packed
+    // token sequences in one gate — x95's curation (normalize → filter →
+    // exact+near dedup → leakage-safe split) feeding x97's BPE encoding
+    // (capped model over the SURVIVOR vocabulary) feeding x98's
+    // fixed-length packing per (split, bucket). The oracle chains all
+    // three recomputations; every (split, bucket, seq) hashes its exact
+    // offset-ordered token-id sequence ----
+    "x100_tokens_pipeline" -> ((s, d) => {
+      val packed = Curation.fullPipeline(docs(s, d))
+        .select(col("id"), col("split"), col("bucket")).localCheckpoint()
+      val survivors = docs(s, d)
+        .select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("text"))
+        .join(packed.select(col("id").as("doc_id")), "doc_id")
+        .localCheckpoint() // encoded once, vocab-counted once
+      val enc = TextAnalysis.bpeEncode(survivors, "text", "doc_id",
+        X86_MERGES, vocabCap = 12)
+      val withSplit = enc.join(packed, "id")
+      val seqs = Curation.packTokenStream(withSplit, seqLen = 256,
+        shard = concat(col("split"), lit("#"), col("bucket").cast("string")))
+      seqs.select(col("shard"), col("seq_id"), col("offset"), col("token_id"))
+        .groupBy(col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("offset"), col("token_id")))),
+            x => x.getField("token_id").cast("string")))).as("h"))
+        .orderBy("shard", "seq_id")
+    }),
     // ---- C4 line filtering (Raffel et al. 2020 §2.2): newlines injected
     // (raw docs are single-line) plus per-parity tells so both keep=0
     // paths (lorem / brace) and the punctuation+word-count line rules all
@@ -1671,26 +1698,60 @@ object Extensions {
     * filtered AFTER, mirroring posexplode-then-filter), the top-12 vocab
     * cut, the X86 replace chain for in-vocab words / per-char lists for
     * OOV, positioned token explode, and dense ids by token-text order. */
-  private[graft] def duckBpeEncodeCtes: String = {
+  private[graft] def duckBpeEncodeCtes: String = duckBpeEncodeCtes("documents", "")
+
+  /** Parameterized form: `src` is the relation/CTE holding (doc_id,
+    * text); `x` prefixes every CTE name so the block composes with other
+    * CTE chains (x100 chains it after the x95 pipeline prefix). The
+    * final CTE is `${x}j` (doc_id, wpos, tpos, token_id). */
+  private[graft] def duckBpeEncodeCtes(src: String, x: String): String = {
     val chain = X86_MERGES.foldLeft(
       "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')") { case (e, (a, b)) =>
       s"replace(replace($e, ' $a $b ', ' $a$b '), ' $a $b ', ' $a$b ')"
     }
-    "d AS (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z]+') AS ws FROM documents), " +
-    "iw AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS p, ws FROM d), " +
-    "w AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS wpos, ws[CAST(p AS INT)] AS word " +
-    "FROM iw WHERE ws[CAST(p AS INT)] <> ''), " +
-    "v AS (SELECT word AS vw FROM (SELECT word, count(*) AS freq FROM w GROUP BY word) " +
+    s"${x}d AS (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z]+') AS ws FROM $src), " +
+    s"${x}iw AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS p, ws FROM ${x}d), " +
+    s"${x}w AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS wpos, ws[CAST(p AS INT)] AS word " +
+    s"FROM ${x}iw WHERE ws[CAST(p AS INT)] <> ''), " +
+    s"${x}v AS (SELECT word AS vw FROM (SELECT word, count(*) AS freq FROM ${x}w GROUP BY word) " +
     "ORDER BY freq DESC, word LIMIT 12), " +
-    s"sg AS (SELECT doc_id, wpos, CASE WHEN word IN (SELECT vw FROM v) " +
+    s"${x}sg AS (SELECT doc_id, wpos, CASE WHEN word IN (SELECT vw FROM ${x}v) " +
     s"THEN string_split(trim($chain), ' ') " +
-    "ELSE [word[i] for i in range(1, len(word)+1)] END AS toks FROM w), " +
-    "it AS (SELECT doc_id, wpos, unnest(generate_series(1, len(toks))) AS tp, toks FROM sg), " +
-    "tt AS (SELECT doc_id, wpos, CAST(tp - 1 AS BIGINT) AS tpos, toks[CAST(tp AS INT)] AS token FROM it), " +
-    "ids AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS token_id " +
-    "FROM (SELECT DISTINCT token FROM tt)), " +
-    "j AS (SELECT doc_id, wpos, tpos, token_id FROM tt JOIN ids USING (token))"
+    s"ELSE [word[i] for i in range(1, len(word)+1)] END AS toks FROM ${x}w), " +
+    s"${x}it AS (SELECT doc_id, wpos, unnest(generate_series(1, len(toks))) AS tp, toks FROM ${x}sg), " +
+    s"${x}tt AS (SELECT doc_id, wpos, CAST(tp - 1 AS BIGINT) AS tpos, toks[CAST(tp AS INT)] AS token FROM ${x}it), " +
+    s"${x}ids AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS token_id " +
+    s"FROM (SELECT DISTINCT token FROM ${x}tt)), " +
+    s"${x}j AS (SELECT doc_id, wpos, tpos, token_id FROM ${x}tt JOIN ${x}ids USING (token))"
   }
+
+  /** The x95 pipeline's CTE prefix — normalization (x78's regexes),
+    * Gopher wc/mwl predicate (x85's), min-id exact dedup (x01's),
+    * exact-Jaccard components over the SURVIVORS (x27's recursive
+    * closure), family split hash (x92's) — ending at `spl` (id, rep,
+    * split) with `k` holding the surviving (doc_id, text, ws). Chained
+    * by x95 and x100 (must follow a `WITH RECURSIVE`). */
+  private val duckPipelinePrefixCtes: String =
+    "nrm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(text, " +
+    "'[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'), " +
+    "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', ' ', 'g'), " +
+    "'[\\s\\x{00A0}]+', ' ', 'g')) AS text FROM documents), " +
+    "w AS (SELECT doc_id, text, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws FROM nrm), " +
+    "f AS (SELECT doc_id, text, ws FROM w WHERE len(ws) BETWEEN 50 AND 100000 " +
+    "AND ROUND(CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS DOUBLE) / GREATEST(len(ws), 1), 6) BETWEEN 3.0 AND 10.0), " +
+    "dd AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text), " +
+    "k AS (SELECT f.* FROM f JOIN dd USING (doc_id)), " +
+    "g AS (SELECT doc_id, CASE WHEN len(ws2) < 3 THEN [array_to_string(ws2,' ')] " +
+    "ELSE list_distinct([array_to_string(ws2[i:i+2],' ') for i in range(1, len(ws2)-1)]) END AS grams " +
+    "FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws2 FROM k)), " +
+    "p AS (SELECT a.doc_id AS ida, b.doc_id AS idb FROM g a JOIN g b ON a.doc_id < b.doc_id " +
+    "WHERE CAST(len(list_intersect(a.grams,b.grams)) AS DOUBLE)/len(list_distinct(a.grams || b.grams)) >= 0.8), " +
+    "e AS (SELECT ida AS s, idb AS t FROM p UNION SELECT idb, ida FROM p), " +
+    "walk AS (SELECT s AS id, t AS reach FROM e UNION SELECT s, s FROM e " +
+    "UNION SELECT wk.id, e2.t FROM walk wk JOIN e e2 ON wk.reach = e2.s), " +
+    "comp AS (SELECT id, MIN(reach) AS comp FROM walk GROUP BY id), " +
+    "fam AS (SELECT k.doc_id AS id, COALESCE(comp.comp, k.doc_id) AS rep FROM k LEFT JOIN comp ON k.doc_id = comp.id), " +
+    "spl AS (SELECT id, rep, CASE WHEN ((rep % 1000000) * 2654435761) % 1000000 < 100000 THEN 'test' ELSE 'train' END AS split FROM fam)"
 
   def oracles: Map[String, String] = {
     val t = "text"
@@ -1973,6 +2034,21 @@ object Extensions {
         "CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
         "md5(string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY i % 256)) AS h " +
         "FROM rn GROUP BY 1, 2 ORDER BY 1, 2"),
+      // x100: the full chain — pipeline prefix (survivors + split), the
+      // encode block re-pointed at the survivors (prefix `t`, so its
+      // vocab cut is over the SURVIVOR word frequencies), then the
+      // x98-style pack window per (split, bucket) shard string
+      "x100_tokens_pipeline" -> (
+        "WITH RECURSIVE " + duckPipelinePrefixCtes + ", " +
+        "kk AS (SELECT doc_id, text FROM k), " +
+        duckBpeEncodeCtes("kk", "t") + ", " +
+        "sb AS (SELECT s.id, s.split, ((((s.id % 1000000) * 2654435761) % 1000000) % 4) AS bucket FROM spl s), " +
+        "jt AS (SELECT tj.doc_id, tj.wpos, tj.tpos, tj.token_id, " +
+        "sb.split || '#' || CAST(sb.bucket AS VARCHAR) AS shard FROM tj JOIN sb ON tj.doc_id = sb.id), " +
+        "rn AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id, wpos, tpos) - 1 AS BIGINT) AS i FROM jt) " +
+        "SELECT shard, CAST(i // 256 AS BIGINT) AS seq_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "md5(string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY i % 256)) AS h " +
+        "FROM rn GROUP BY 1, 2 ORDER BY 1, 2"),
       // x95: the whole pipeline recomputed stage by stage — x78's
       // normalization, x85's wc/mwl predicate + min-id exact dedup,
       // x27's recursive-closure components over the exact-Jaccard pair
@@ -1982,27 +2058,7 @@ object Extensions {
       // published_ok is pinned (engine-side read-back audit of the
       // xxhash64-sharded publish, not ANSI-recomputable).
       "x95_dress_rehearsal" -> (
-        "WITH RECURSIVE " +
-        "nrm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(text, " +
-        "'[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'), " +
-        "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', ' ', 'g'), " +
-        "'[\\s\\x{00A0}]+', ' ', 'g')) AS text FROM documents), " +
-        "w AS (SELECT doc_id, text, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws FROM nrm), " +
-        "f AS (SELECT doc_id, text, ws FROM w WHERE len(ws) BETWEEN 50 AND 100000 " +
-        "AND ROUND(CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS DOUBLE) / GREATEST(len(ws), 1), 6) BETWEEN 3.0 AND 10.0), " +
-        "dd AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text), " +
-        "k AS (SELECT f.* FROM f JOIN dd USING (doc_id)), " +
-        "g AS (SELECT doc_id, CASE WHEN len(ws2) < 3 THEN [array_to_string(ws2,' ')] " +
-        "ELSE list_distinct([array_to_string(ws2[i:i+2],' ') for i in range(1, len(ws2)-1)]) END AS grams " +
-        "FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws2 FROM k)), " +
-        "p AS (SELECT a.doc_id AS ida, b.doc_id AS idb FROM g a JOIN g b ON a.doc_id < b.doc_id " +
-        "WHERE CAST(len(list_intersect(a.grams,b.grams)) AS DOUBLE)/len(list_distinct(a.grams || b.grams)) >= 0.8), " +
-        "e AS (SELECT ida AS s, idb AS t FROM p UNION SELECT idb, ida FROM p), " +
-        "walk AS (SELECT s AS id, t AS reach FROM e UNION SELECT s, s FROM e " +
-        "UNION SELECT wk.id, e2.t FROM walk wk JOIN e e2 ON wk.reach = e2.s), " +
-        "comp AS (SELECT id, MIN(reach) AS comp FROM walk GROUP BY id), " +
-        "fam AS (SELECT k.doc_id AS id, COALESCE(comp.comp, k.doc_id) AS rep FROM k LEFT JOIN comp ON k.doc_id = comp.id), " +
-        "spl AS (SELECT id, rep, CASE WHEN ((rep % 1000000) * 2654435761) % 1000000 < 100000 THEN 'test' ELSE 'train' END AS split FROM fam), " +
+        "WITH RECURSIVE " + duckPipelinePrefixCtes + ", " +
         "tok AS (SELECT doc_id, CAST(SUM(CAST(CEIL(CAST(length(x) AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT) AS token_est " +
         "FROM (SELECT doc_id, unnest(ws) AS x FROM k) GROUP BY doc_id), " +
         "asg AS (SELECT s.id, s.rep, s.split, ((((s.id % 1000000) * 2654435761) % 1000000) % 4) AS bucket, t.token_est " +

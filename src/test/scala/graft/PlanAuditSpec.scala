@@ -25,7 +25,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x32_global_shuffle" -> "deterministicShuffle IS a global sort by definition (SCALE.md honest limits)",
     "x97_bpe_encode" -> "dense token ids: row_number over the TOKEN VOCABULARY (model-sized, not corpus-sized)",
     "x98_pack_tokens" -> "same encode stage: the id window runs over the model-sized token vocabulary",
-    "q114_bpe_encode_fn" -> "same encode stage reached from SQL: model-sized token-id window")
+    "q114_bpe_encode_fn" -> "same encode stage reached from SQL: model-sized token-id window",
+    "x100_tokens_pipeline" -> "the encode stage's model-sized token-id window (see x97)")
 
   /** gate -> (max allowed BNLJ nodes, why they are bounded): 1-row
     * aggregate summaries, model tables, or an explicit user cross join of
