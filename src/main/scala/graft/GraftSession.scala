@@ -354,7 +354,12 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     catalog.registerTableFunction("bpe_encode", { args =>
       arity("bpe_encode", args, 2, 3)
       val r = rel("bpe_encode", args, 0)
-      val cap = num("bpe_encode", args, 2, Int.MaxValue.toLong).toInt
+      // default bounds the dense-id window (bpeEncode's own default):
+      // an uncapped encode of a web-scale corpus would push a Heaps-law
+      // vocabulary through one row_number task. Callers wanting the
+      // uncapped full-vocab encode pass the cap explicitly.
+      val cap = num("bpe_encode", args, 2,
+        TextAnalysis.DefaultBpeVocabCap.toLong).toInt
       if (cap <= 0) throw new graft.translate.GraftAnalysisException(
         s"bpe_encode: vocab cap must be positive, got $cap")
       val merges = args(1) match {
@@ -376,11 +381,7 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
           s"bpe_encode: argument 2 must be a merge-list string literal or " +
             s"a registered bpe model name, got $other")
       }
-      val effCap =
-        if (cap == Int.MaxValue && merges.exists(m => m._1 == m._2))
-          TextAnalysis.DefaultBpeVocabCap // trained lists may carry
-        else cap                          // same-symbol merges: bound them
-      TextAnalysis.bpeEncode(r, "text", "doc_id", merges, effCap)
+      TextAnalysis.bpeEncode(r, "text", "doc_id", merges, cap)
     })
     catalog.registerTableFunction("distinct_audit", { args =>
       arity("distinct_audit", args, 1, 1)
@@ -536,12 +537,19 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       // that fails partway can therefore never cause a later DDL's
       // atomic rewrite to silently drop the unreplayed suffix — either
       // the journal already holds every statement, or no rewrite path
-      // is armed at all
+      // is armed at all. A FAILED replay rolls the journal back to its
+      // pre-attach snapshot: the session's catalog holds only the
+      // replayed prefix, so keeping the full (partly broken) sidecar in
+      // the journal would let a later successful persistTo — this path
+      // or a fresh one — rewrite the poisoned statement list as truth.
+      val journalSnapshot = ddlJournal.toVector
       ddlJournal ++= stmts
       replaying = true
       try stmts.foreach { s =>
         try sql(s)
         catch { case e: Exception =>
+          ddlJournal.clear()
+          ddlJournal ++= journalSnapshot
           throw new GraftAnalysisException(
             s"catalog sidecar replay failed at `$s` ($path): ${e.getMessage}")
         }
@@ -562,6 +570,33 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     * model-sized files (a BPE merge file; an IVF layout's centroids
     * parquet — NOT its corpus, which is data, not model), part files in
     * name order so the hash is layout-stable. */
+  /** Eager model-artifact validation (a registration pointing at a
+    * missing/torn artifact is a bug NOW, not at first use). Throws
+    * [[GraftAnalysisException]] on an unknown kind or a layout that
+    * does not match the kind's save contract. */
+  private def validateModelArtifact(name: String, kind: String,
+                                    path: String): Unit = kind match {
+    case "ivf" =>
+      val c = new org.apache.hadoop.fs.Path(path, "centroids")
+      val fs = c.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(c)) throw new GraftAnalysisException(
+        s"create model $name: no IVF layout at '$path' (expected a " +
+          "Similarity.saveIvfIndex output with centroids/ and corpus/)")
+    case "bpe" =>
+      try { graft.operators.TextAnalysis.loadBpeMerges(spark, path); () }
+      catch { case e: Exception => throw new GraftAnalysisException(
+        s"create model $name: '$path' is not a BPE merge-list " +
+          s"artifact (${e.getMessage})") }
+    case "pq" =>
+      val c = new org.apache.hadoop.fs.Path(path, "codebooks")
+      val fs = c.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(c)) throw new GraftAnalysisException(
+        s"create model $name: no PQ layout at '$path' (expected a " +
+          "Similarity.savePqIndex output with codebooks/, codes/, corpus/)")
+    case other => throw new GraftAnalysisException(
+      s"create model $name: unknown kind '$other' (valid: ivf, bpe, pq)")
+  }
+
   private def artifactHash(kind: String, path: String): String = {
     val conf = spark.sessionState.newHadoopConf()
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -1030,28 +1065,21 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     // SHOW MODELS can audit drift between registration and disk
     case CreateModel(name, kindRaw, path) =>
       val kind = kindRaw.toLowerCase(java.util.Locale.ROOT)
-      kind match {
-        case "ivf" =>
-          val c = new org.apache.hadoop.fs.Path(path, "centroids")
-          val fs = c.getFileSystem(spark.sessionState.newHadoopConf())
-          if (!fs.exists(c)) throw new GraftAnalysisException(
-            s"create model $name: no IVF layout at '$path' (expected a " +
-              "Similarity.saveIvfIndex output with centroids/ and corpus/)")
-        case "bpe" =>
-          try graft.operators.TextAnalysis.loadBpeMerges(spark, path)
-          catch { case e: Exception => throw new GraftAnalysisException(
-            s"create model $name: '$path' is not a BPE merge-list " +
-              s"artifact (${e.getMessage})") }
-        case "pq" =>
-          val c = new org.apache.hadoop.fs.Path(path, "codebooks")
-          val fs = c.getFileSystem(spark.sessionState.newHadoopConf())
-          if (!fs.exists(c)) throw new GraftAnalysisException(
-            s"create model $name: no PQ layout at '$path' (expected a " +
-              "Similarity.savePqIndex output with codebooks/, codes/, corpus/)")
-        case other => throw new GraftAnalysisException(
-          s"create model $name: unknown kind '$other' (valid: ivf, bpe, pq)")
-      }
-      catalog.registerModel(name, kind, path, artifactHash(kind, path))
+      val hash =
+        try { validateModelArtifact(name, kind, path); artifactHash(kind, path) }
+        catch {
+          // during sidecar replay a missing/moved artifact must DEGRADE,
+          // not poison: failing here would make the entire catalog
+          // sidecar unloadable (and persistence unarmable) over one lost
+          // model. The entry registers with hash 'missing' (visible in
+          // SHOW MODELS) so the user can DROP MODEL it; first USE of the
+          // model still fails with the artifact-level error.
+          case e: GraftAnalysisException if replaying =>
+            Console.err.println(s"[graft] sidecar replay: model '$name' " +
+              s"registered degraded (artifact unavailable: ${e.getMessage})")
+            "missing"
+        }
+      catalog.registerModel(name, kind, path, hash)
       spark.emptyDataFrame
 
     case DropModel(name, ifExists) =>

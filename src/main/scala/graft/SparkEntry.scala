@@ -885,8 +885,13 @@ object SparkEntry {
       import s.implicits._
       val e = g(s, d)
       val embT = e.catalog.relation("embeddings")
-      val dir = java.nio.file.Files.createTempDirectory("q115_pq_").toString
+      // gate hygiene (r11 advisory): re-runs in one session must not
+      // collide on the model/table names, and the temp layout is
+      // registered for shutdown cleanup like every Extensions.tempDir
+      val dir = graft.operators.Extensions.tempDir("q115_pq_")
       graft.operators.Similarity.savePqIndex(embT, dir, m = 16, k = 16, iters = 1)
+      e.sql("drop model if exists q115_pq")
+      e.sql("drop table if exists q115_q")
       e.sql(s"create model q115_pq kind 'pq' at '$dir'")
       e.sql("create table q115_q as select vec_id, embedding from embeddings where vec_id < 5")
       val viaSql = e.sql(

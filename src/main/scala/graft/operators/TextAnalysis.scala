@@ -840,10 +840,17 @@ object TextAnalysis {
     * tokens) word segmentation. Token ids are assigned from the
     * model-sized token vocabulary by `row_number() over (order by
     * token)` — deterministic, reproducible by any external system, and
-    * the id table is itself a registrable model artifact. */
+    * the id table is itself a registrable model artifact.
+    *
+    * The cap DEFAULTS to [[DefaultBpeVocabCap]] (the same bound as the
+    * trained/model tokenize paths) because the dense-id window is only
+    * model-sized when the vocabulary is: an uncapped web-scale corpus
+    * pushes a Heaps-law vocabulary (10⁸+ distinct noisy "words") through
+    * ONE row_number task. Callers wanting the uncapped full-vocabulary
+    * encode must say `vocabCap = Int.MaxValue` explicitly. */
   def bpeEncode(df: DataFrame, textCol: String, idCol: String,
                 merges: Seq[(String, String)],
-                vocabCap: Int = Int.MaxValue): DataFrame = {
+                vocabCap: Int = DefaultBpeVocabCap): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val words = Par.widen(df, idCol)
@@ -976,12 +983,17 @@ object TextAnalysis {
     * collected and segmented with the exact driver tokenizer
     * ([[bpeSegment]]), out-of-vocab words falling back to chars — the
     * same bounded-model shape as [[tokenizeBpeTrained]]. This is the
-    * apply path behind a `CREATE MODEL … KIND 'bpe'` reference. */
+    * apply path behind a `CREATE MODEL … KIND 'bpe'` reference.
+    *
+    * The cap applies on BOTH branches (the distinct-pair path forwards
+    * it to [[tokenizeBpe]], whose replace chain then runs over the
+    * top-cap vocabulary with the char fallback below the cut) — a model
+    * apply is a bounded-model contract regardless of merge shape. */
   def tokenizeBpeModel(df: DataFrame, textCol: String, idCol: String,
                        merges: Seq[(String, String)],
                        vocabCap: Int = DefaultBpeVocabCap): DataFrame =
     if (merges.forall { case (a, b) => a != b })
-      tokenizeBpe(df, textCol, idCol, merges)
+      tokenizeBpe(df, textCol, idCol, merges, vocabCap)
     else {
       val spark = df.sparkSession
       import spark.implicits._

@@ -1808,6 +1808,35 @@ class OperatorsSpec extends AnyFunSuite {
       Curation.packTokenStream(enc, seqLen = 0, shard = lit(0L)))
   }
 
+  test("bpeEncode: the dense-id window input is cap-bounded (default = DefaultBpeVocabCap, r11)") {
+    val merges = Seq(("e", "r"))
+    // many distinct OOV words, cap 2: the emitted token vocabulary may
+    // contain multi-char tokens ONLY from the in-cap words ("person",
+    // "wower" — both emit "er") — every OOV word streams single chars.
+    // The row_number window therefore sees at most cap·maxWordLen +
+    // |alphabet| distinct tokens no matter how many distinct words the
+    // corpus holds — the scale contract the default cap now enforces.
+    val wide = (1L to 60L)
+      .map(i => (i, s"wower person w${"x" * (i % 7).toInt}q person"))
+      .toDF("doc_id", "text")
+    val cap = 2
+    val enc = TextAnalysis.bpeEncode(wide, "text", "doc_id", merges, cap)
+    val toks = enc.select("token").distinct().collect().map(_.getString(0))
+    val multi = toks.filter(_.length > 1).toSet
+    assert(toks.length <= cap * 16 + 26, s"${toks.length} distinct tokens")
+    // in-cap chains: person -> p er s o n; wower -> w o w er; every OOV
+    // w…xq word must have fallen back to chars, contributing none
+    assert(multi == Set("er"), multi.toString)
+    // the default cap IS DefaultBpeVocabCap: default-call ≡ explicit call
+    val tiny = Seq((1L, "lower stow"), (2L, "ab lower")).toDF("doc_id", "text")
+    val viaDefault = TextAnalysis.bpeEncode(tiny, "text", "doc_id", merges)
+      .orderBy("id", "wpos", "tpos").collect().map(_.toSeq).toSeq
+    val viaExplicit = TextAnalysis.bpeEncode(tiny, "text", "doc_id", merges,
+        TextAnalysis.DefaultBpeVocabCap)
+      .orderBy("id", "wpos", "tpos").collect().map(_.toSeq).toSeq
+    assert(viaDefault == viaExplicit && viaDefault.nonEmpty)
+  }
+
   test("bpeSpacedApply replace chain ≡ reference BPE segmentation on the corpus vocabulary") {
     val merges = Extensions.X86_MERGES
     // every distinct word of the real corpus: chain token count must

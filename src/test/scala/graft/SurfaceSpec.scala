@@ -164,6 +164,109 @@ class SurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("failed replay rolls the journal back: a later persistTo writes a clean sidecar (r11 advisory)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat_rb_")
+    val poisoned = dir.resolve("poisoned.json").toString
+    val fresh = dir.resolve("fresh.json").toString
+    try {
+      val g1 = new GraftSession(spark).registerDir(TestSpark.sf).persistTo(poisoned)
+      g1.sql("create schema rb_one (id long)")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val root = mapper.readTree(new java.io.File(poisoned))
+      val stmts = root.get("statements").asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      stmts.add(new com.fasterxml.jackson.databind.node.TextNode("create schema rb_broken (x nosuchtype)"))
+      mapper.writerWithDefaultPrettyPrinter().writeValue(new java.io.File(poisoned), root)
+      val g2 = new GraftSession(spark).registerDir(TestSpark.sf)
+      intercept[Exception](g2.persistTo(poisoned))
+      // the rolled-back session re-arms against a FRESH path: the new
+      // sidecar must hold only DDL that actually executed on g2 — not the
+      // poisoned journal of the failed attach
+      g2.persistTo(fresh)
+      g2.sql("create schema rb_clean (y long)")
+      val freshText = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(fresh)), "UTF-8")
+      assert(freshText.contains("rb_clean"), freshText)
+      assert(!freshText.contains("rb_broken") && !freshText.contains("rb_one"),
+        s"poisoned journal leaked into the fresh sidecar: $freshText")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+  }
+
+  test("sidecar replay degrades a model whose artifact vanished instead of poisoning the catalog (r11 advisory)") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat_deg_")
+    val sidecar = dir.resolve("catalog.json").toString
+    val mergesPath = dir.resolve("m.txt")
+    try {
+      TextAnalysis.saveBpeMerges(spark, Seq(("e", "r")), mergesPath.toString)
+      val g1 = new GraftSession(spark).registerDir(TestSpark.sf).persistTo(sidecar)
+      g1.sql(s"create model deg_model kind 'bpe' at '$mergesPath'")
+      g1.sql("create table deg_keep as select n_nationkey as k from nation where n_nationkey < 3")
+      java.nio.file.Files.delete(mergesPath)
+      // replay: the lost artifact degrades ONE entry; the rest of the
+      // catalog (and persistence) stays alive
+      val g2 = new GraftSession(spark).registerDir(TestSpark.sf).persistTo(sidecar)
+      assert(g2.sql("select cast(count(*) as bigint) as n from deg_keep")
+        .head().getLong(0) == 3L)
+      assert(g2.catalog.model("deg_model").exists(_.hash == "missing"))
+      // SHOW MODELS surfaces the degraded hash; the user can DROP it
+      val shown = g2.sql("show models").collect()
+        .find(_.getString(0) == "deg_model").get
+      assert(shown.getString(3) == "missing")
+      // first USE still fails with the artifact-level error
+      intercept[Exception](
+        g2.sql("select * from bpe_tokenize(documents, 'deg_model')").collect())
+      g2.sql("drop model deg_model")
+      val g3 = new GraftSession(spark).registerDir(TestSpark.sf).persistTo(sidecar)
+      assert(!g3.catalog.hasModel("deg_model") && g3.catalog.hasRelation("deg_keep"))
+      // OUTSIDE replay, a missing artifact is still an eager error
+      intercept[graft.translate.GraftAnalysisException](
+        g3.sql(s"create model deg2 kind 'bpe' at '$mergesPath'"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+  }
+
+  test("bpe_tokenize by model name applies an explicit vocab cap on distinct-pair models (r11 advisory)") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_cap_")
+    val mergesPath = dir.resolve("m.txt").toString
+    try {
+      TextAnalysis.saveBpeMerges(spark, Seq(("e", "r")), mergesPath)
+      val g = new GraftSession(spark).registerDir(TestSpark.sf)
+      g.sql(s"create model cap_model kind 'bpe' at '$mergesPath'")
+      val docs = g.catalog.relation("documents")
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val viaSql = rows(g.sql(
+        "select id, n_tokens from bpe_tokenize(documents, 'cap_model', 1) order by id"))
+      val direct = rows(TextAnalysis
+        .tokenizeBpe(docs, "text", "doc_id", Seq(("e", "r")), vocabCap = 1)
+        .orderBy("id").selectExpr("id", "n_tokens"))
+      assert(viaSql == direct && viaSql.nonEmpty)
+      // the cap is load-bearing: capping to 1 word changes some count
+      // (OOV words segment per char instead of through the merge chain)
+      val uncapped = rows(g.sql(
+        "select id, n_tokens from bpe_tokenize(documents, 'cap_model') order by id"))
+      assert(viaSql != uncapped, "cap=1 must differ from the capped-default apply")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("explain analyze: executed physical plan annotated with runtime metrics") {
     val g = TestSpark.session
     val out = g.sql(
