@@ -348,6 +348,36 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       graft.operators.Similarity.pqTopKIndexed(spark, dir, q, k,
         shortlist = math.max(shortlist, k))
     })
+    // ivfpq_topk(queries, 'model'|'dir', k[, nprobe[, shortlist]]) — the
+    // composed serving path: coarse-bucket partition pruning (only the
+    // probed directories are scanned), ADC over the pruned codes, exact
+    // re-rank of the shortlist against the layout's originals
+    catalog.registerTableFunction("ivfpq_topk", { args =>
+      arity("ivfpq_topk", args, 3, 5)
+      val q = rel("ivfpq_topk", args, 0)
+      Seq("vec_id", "embedding").foreach(c =>
+        reqCol("ivfpq_topk", q, c, "query relation must follow the embeddings convention"))
+      val dirArg = str("ivfpq_topk", args, 1)
+      val dir = catalog.model(dirArg) match {
+        case Some(m) if m.kind == "ivfpq" => m.path
+        case Some(m) => throw new graft.translate.GraftAnalysisException(
+          s"ivfpq_topk: model '$dirArg' has kind '${m.kind}', expected 'ivfpq'")
+        case None => dirArg
+      }
+      val cbPath = new org.apache.hadoop.fs.Path(dir, "codebooks")
+      val cenPath = new org.apache.hadoop.fs.Path(dir, "centroids")
+      val fs = cbPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(cbPath) || !fs.exists(cenPath))
+        throw new graft.translate.GraftAnalysisException(
+          s"ivfpq_topk: no IVF-PQ index layout at '$dir' (expected a " +
+            "Similarity.saveIvfPqIndex output with centroids/, codebooks/, " +
+            "codes/, corpus/)")
+      val k = num("ivfpq_topk", args, 2, 8L).toInt
+      val nprobe = num("ivfpq_topk", args, 3, 4L).toInt
+      val shortlist = num("ivfpq_topk", args, 4, math.max(50L, k.toLong)).toInt
+      graft.operators.Similarity.ivfPqTopK(spark, dir, q, k, nprobe,
+        shortlist = math.max(shortlist, k))
+    })
     // bpe_encode(rel, 'e r,i n' | 'model_name'[, cap]) — the token-id
     // STREAM (id, wpos, tpos, token, token_id), the form packing and
     // shard writers consume; ids dense over the emitted token vocabulary
@@ -593,8 +623,16 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       if (!fs.exists(c)) throw new GraftAnalysisException(
         s"create model $name: no PQ layout at '$path' (expected a " +
           "Similarity.savePqIndex output with codebooks/, codes/, corpus/)")
+    case "ivfpq" =>
+      val cen = new org.apache.hadoop.fs.Path(path, "centroids")
+      val cb = new org.apache.hadoop.fs.Path(path, "codebooks")
+      val fs = cen.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(cen) || !fs.exists(cb)) throw new GraftAnalysisException(
+        s"create model $name: no IVF-PQ layout at '$path' (expected a " +
+          "Similarity.saveIvfPqIndex output with centroids/, codebooks/, " +
+          "codes/, corpus/)")
     case other => throw new GraftAnalysisException(
-      s"create model $name: unknown kind '$other' (valid: ivf, bpe, pq)")
+      s"create model $name: unknown kind '$other' (valid: ivf, bpe, pq, ivfpq)")
   }
 
   private def artifactHash(kind: String, path: String): String = {
@@ -616,11 +654,13 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         } finally in.close()
       }
     }
-    feed(new org.apache.hadoop.fs.Path(kind match {
-      case "ivf" => s"$path/centroids"  // not the corpus: hash the MODEL
-      case "pq"  => s"$path/codebooks"
-      case _     => path
-    }))
+    val modelParts = kind match {
+      case "ivf"   => Seq(s"$path/centroids") // not the corpus: hash the MODEL
+      case "pq"    => Seq(s"$path/codebooks")
+      case "ivfpq" => Seq(s"$path/centroids", s"$path/codebooks")
+      case _       => Seq(path)
+    }
+    modelParts.foreach(p => feed(new org.apache.hadoop.fs.Path(p)))
     md.digest().map("%02x".format(_)).mkString
   }
 

@@ -886,10 +886,10 @@ object SparkEntry {
       val e = g(s, d)
       val embT = e.catalog.relation("embeddings")
       // gate hygiene (r11 advisory): re-runs in one session must not
-      // collide on the model/table names, and the temp layout is
-      // registered for shutdown cleanup like every Extensions.tempDir
-      val dir = graft.operators.Extensions.tempDir("q115_pq_")
-      graft.operators.Similarity.savePqIndex(embT, dir, m = 16, k = 16, iters = 1)
+      // collide on the model/table names; the layout is the shared
+      // deterministic fixture (r11) — identical bytes to a per-gate
+      // build, minus the repeated training cost
+      val dir = graft.operators.Extensions.pqIndexFixture(s, d)
       e.sql("drop model if exists q115_pq")
       e.sql("drop table if exists q115_q")
       e.sql(s"create model q115_pq kind 'pq' at '$dir'")
@@ -901,6 +901,34 @@ object SparkEntry {
       val viaApi = graft.operators.Similarity.pqTopKIndexed(s, dir,
           embT.where(org.apache.spark.sql.functions.col("vec_id") < 5),
           k = 5, shortlist = 50)
+        .orderBy(org.apache.spark.sql.functions.col("qid"),
+          org.apache.spark.sql.functions.col("cos").desc,
+          org.apache.spark.sql.functions.col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      Seq((viaSql.map(_._1).distinct.length.toLong,
+          if (viaSql == viaApi && viaSql.nonEmpty) 1 else 0))
+        .toDF("n_queries", "sql_matches_api")
+    }),
+    // ---- q116: IVF-PQ serve reached FROM SQL via the fourth model
+    // kind ('ivfpq') — register the composed layout, serve with
+    // ivfpq_topk, assert exact parity with the operator API (recall +
+    // pruning are x101's job; this pins SQL/model resolution) ----
+    "q116_ivfpq_topk_fn" -> ((s, d) => {
+      import s.implicits._
+      val e = g(s, d)
+      val embT = e.catalog.relation("embeddings")
+      val dir = graft.operators.Extensions.ivfPqIndexFixture(s, d)
+      e.sql("drop model if exists q116_ivfpq")
+      e.sql("drop table if exists q116_q")
+      e.sql(s"create model q116_ivfpq kind 'ivfpq' at '$dir'")
+      e.sql("create table q116_q as select vec_id, embedding from embeddings where vec_id < 5")
+      val viaSql = e.sql(
+        "select qid, vec_id, cos from ivfpq_topk(q116_q, 'q116_ivfpq', 5, 4, 50) " +
+        "order by qid, cos desc, vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val viaApi = graft.operators.Similarity.ivfPqTopK(s, dir,
+          embT.where(org.apache.spark.sql.functions.col("vec_id") < 5),
+          k = 5, nprobe = 4, shortlist = 50)
         .orderBy(org.apache.spark.sql.functions.col("qid"),
           org.apache.spark.sql.functions.col("cos").desc,
           org.apache.spark.sql.functions.col("vec_id"))
@@ -1343,6 +1371,11 @@ object SparkEntry {
     // q115: SQL/model-resolution parity flag; the query count is the
     // recomputable half (x99 carries the recall audit)
     "q115_pq_topk_fn" -> (
+      "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS sql_matches_api " +
+      "FROM embeddings WHERE vec_id < 5"),
+    // q116: the same parity-flag shape for the composed IVF-PQ serve
+    // (x101 carries the recall + pruning audit)
+    "q116_ivfpq_topk_fn" -> (
       "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS sql_matches_api " +
       "FROM embeddings WHERE vec_id < 5"),
     // q114: the x97 encode CTEs aggregated per doc

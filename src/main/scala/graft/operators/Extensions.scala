@@ -69,6 +69,42 @@ object Extensions {
     d.toString
   }
 
+  /** Session-scoped prebuilt index fixtures (r11): serving gates whose
+    * oracle does NOT pin training determinism itself share ONE
+    * deterministic layout per (kind, sfDir) instead of re-training per
+    * gate — training is deterministic (first-k seeds, fixed iterations),
+    * so the shared layout is bit-identical to what each gate would have
+    * built, and the suite stops paying the same index build 4×.
+    * Lifecycle gates that MUTATE their layout (x96's append + rebuild)
+    * must keep building their own. */
+  private val fixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def fixture(key: String)(build: String => Unit): String =
+    fixtures.computeIfAbsent(key, { _ =>
+      val dir = tempDir("graft_fixture_")
+      build(dir)
+      dir
+    })
+
+  /** Shared saveIvfIndex layout (nlist 16, iters 2) over the dir's
+    * embeddings — the x90/x91 serve layout. */
+  private[graft] def ivfIndexFixture(s: SparkSession, d: String): String =
+    fixture(s"ivf:$d")(dir =>
+      Similarity.saveIvfIndex(emb(s, d), dir, nlist = 16, iters = 2))
+
+  /** Shared savePqIndex layout (m 16, k 16, iters 1) — the q115 serve
+    * layout. */
+  private[graft] def pqIndexFixture(s: SparkSession, d: String): String =
+    fixture(s"pq:$d")(dir =>
+      Similarity.savePqIndex(emb(s, d), dir, m = 16, k = 16, iters = 1))
+
+  /** Shared saveIvfPqIndex layout (nlist 16, m 16, k 32, iters 2) — the
+    * composed x101/q116 serve layout. */
+  private[graft] def ivfPqIndexFixture(s: SparkSession, d: String): String =
+    fixture(s"ivfpq:$d")(dir =>
+      Similarity.saveIvfPqIndex(emb(s, d), dir, nlist = 16, m = 16, k = 32,
+        iters = 2))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----
     "x01_dedup_exact" -> ((s, d) =>
@@ -693,11 +729,11 @@ object Extensions {
       import s.implicits._
       val e = emb(s, d).localCheckpoint()
       val q = e.where(col("vec_id") < 10)
-      val dir = tempDir("x90_ivf_")
-      Similarity.saveIvfIndex(e, dir, nlist = 16, iters = 2)
+      val dir = ivfIndexFixture(s, d)
       // the in-memory reference runs on the PERSISTED model (training
       // determinism itself is the spec's loaded≡retrained assert) —
-      // the gate isolates the layout + serve path
+      // the gate isolates the layout + serve path; the layout is the
+      // shared fixture (r11): identical bytes to a per-gate build
       val centroids = Similarity.loadIvfCentroids(s, dir)
       val fresh = Similarity.ivfTopKWith(e, q, k = 5, centroids, nprobe = 4)
       val served = Similarity.ivfTopKIndexed(s, dir, q, k = 5, nprobe = 4)
@@ -732,8 +768,7 @@ object Extensions {
     "x91_ann_serve_stream" -> ((s, d) => {
       import s.implicits._
       val e = emb(s, d).localCheckpoint()
-      val dir = tempDir("x91_idx_")
-      Similarity.saveIvfIndex(e, dir, nlist = 16, iters = 2)
+      val dir = ivfIndexFixture(s, d) // shared x90 layout (read-only here)
       val queries = e.where(col("vec_id") < 40)
         .select("vec_id", "embedding").localCheckpoint()
       val batchOut = Similarity.ivfTopKIndexed(s, dir, queries, k = 5, nprobe = 4)
@@ -811,6 +846,44 @@ object Extensions {
           if (adc.getDouble(1) >= 0.4) 1 else 0,
           if (rr.getDouble(1) >= 0.8) 1 else 0))
         .toDF("n_queries", "compression_x", "adc_recall_ok", "rerank_recall_ok")
+    }),
+    // ---- IVF-PQ composed serving (r11): coarse-bucket partition
+    // pruning × PQ code compression × exact re-rank — the actual
+    // serving architecture the two halves (x90 pruning, x99 ADC)
+    // existed for. Flags: the served result is audited against (a) the
+    // flat pqTopKRerank over ALL codes with the same codebooks — the
+    // only loss vs flat is probe misses, so high recall proves the
+    // pruned ADC + re-rank path is faithful — and (b) the brute-force
+    // truth; scan_pruned asserts via the executed scan's numFiles that
+    // the code scan actually skipped unprobed bucket directories ----
+    "x101_ivfpq_ann" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d).localCheckpoint()
+      val q = e.where(col("vec_id") < 10)
+      val dir = ivfPqIndexFixture(s, d)
+      val served = Similarity.ivfPqTopK(s, dir, q, k = 10, nprobe = 4,
+        shortlist = 50).localCheckpoint()
+      val codebooks = Similarity.loadPqCodebooks(s, dir)
+      val codes = s.read.parquet(s"$dir/codes")
+      val flat = Similarity.pqTopKRerank(
+        codes.select(col("vec_id"), col("code")), codebooks,
+        s.read.parquet(s"$dir/corpus")
+          .select(col("vec_id"), col("v").as("embedding")),
+        q, k = 10, shortlist = 50)
+      val vsFlat = Similarity.annRecall(served, flat).head()
+      val vsTruth = Similarity.annRecall(served,
+        Similarity.bruteForceTopK(e, q, k = 10)).head()
+      val centroids = Similarity.loadIvfCentroids(s, dir)
+      val needed = Similarity.probeBuckets(q, centroids, nprobe = 4)
+      val pruned = filesScanned(
+        codes.where(col("c").isin(needed.map(Int.box): _*))) <
+        codes.inputFiles.length
+      Seq((vsFlat.getLong(0),
+          if (vsFlat.getDouble(1) >= 0.7) 1 else 0,
+          if (vsTruth.getDouble(1) >= 0.6) 1 else 0,
+          if (pruned) 1 else 0))
+        .toDF("n_queries", "matches_flat_rerank", "recall_vs_truth_ok",
+          "scan_pruned")
     }),
     // hard-negative mining (r9): per query, the k most-similar
     // DIFFERENT-label vectors inside the [floor, ceiling) cosine band —
@@ -1848,6 +1921,14 @@ object Extensions {
         "SELECT count(*) AS n_queries, " +
         "CAST(MAX(len(embedding)) * 4 / 16 AS BIGINT) AS compression_x, " +
         "CAST(1 AS INTEGER) AS adc_recall_ok, CAST(1 AS INTEGER) AS rerank_recall_ok " +
+        "FROM embeddings WHERE vec_id < 10"),
+      // x101: fixed query count recomputed; the composed-serve flags
+      // (pruned-ADC faithful to flat rerank, recall vs brute truth,
+      // partition pruning observed on the executed scan) are
+      // engine-side assertions, pinned (the x90/x99 pattern)
+      "x101_ivfpq_ann" -> (
+        "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS matches_flat_rerank, " +
+        "CAST(1 AS INTEGER) AS recall_vs_truth_ok, CAST(1 AS INTEGER) AS scan_pruned " +
         "FROM embeddings WHERE vec_id < 10"),
       // x96: the fixed probe-set count is recomputed; the lifecycle flags
       // (drift detected on the masked append, rebuild ran, recall

@@ -526,6 +526,106 @@ object Similarity {
       originals, queries, k, shortlist, vecCol, idCol)
   }
 
+  // --- IVF-PQ: coarse pruning COMPOSED with code compression --------------
+  // The actual serving architecture (Jégou et al. 2011 §IV): the coarse
+  // quantizer prunes the scan to nprobe of nlist bucket directories, the
+  // PQ codes make the scanned residue 16-32× smaller than float32, and
+  // the exact re-rank touches originals only for the shortlist. The two
+  // halves exist separately as saveIvfIndex (partition-pruned probes,
+  // x90) and savePqIndex (ADC + re-rank, x99); composed, per-query serve
+  // cost is (corpus/nlist)·nprobe code rows instead of corpus — the
+  // difference between corpus-linear and bucket-linear at 100 TB.
+
+  /** Persist an IVF-PQ index: `dir/centroids` (coarse model, nlist×dim),
+    * `dir/codebooks` (PQ model, m×k sub-centroids), `dir/codes` (the
+    * compressed corpus — (vec_id, code), PARTITIONED BY coarse bucket
+    * `c`, the layout the ADC scan prunes on), `dir/corpus` (originals,
+    * partitioned the same way, touched only by the shortlist re-rank).
+    * Training is deterministic (first-k seeds, fixed iteration count),
+    * so a rebuild from the same corpus is bit-identical. */
+  def saveIvfPqIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
+                     m: Int = 8, k: Int = 16, iters: Int = 2,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): Unit = {
+    val centroids = trainIvfCentroids(corpus, nlist, iters, vecCol, idCol)
+    val codebooks = pqTrain(corpus, m, k, iters, vecCol, idCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("c", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toSeq.toDF("j", "c", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    val sub = codebooks(0)(0).length
+    // one pass assigns the coarse bucket AND the m sub-codes; co-locate
+    // each bucket before the partitioned write (the saveIvfIndex layout
+    // discipline: one file per bucket per holding task)
+    val encoded = Par.widen(corpus, idCol).select(
+      col(idCol).as("vec_id"),
+      array((0 until m).map(j =>
+        nearestSubCentroid(slice(col(vecCol), j * sub + 1, sub),
+          codebooks(j))): _*).as("code"),
+      nearestCentroid(col(vecCol), centroids).as("c"))
+    encoded.repartition(col("c"))
+      .write.mode("overwrite").partitionBy("c").parquet(s"$dir/codes")
+    Par.widen(corpus, idCol)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        nearestCentroid(col(vecCol), centroids).as("c"))
+      .repartition(col("c"))
+      .write.mode("overwrite").partitionBy("c").parquet(s"$dir/corpus")
+  }
+
+  /** Serve top-k from a [[saveIvfPqIndex]] layout: the query batch's
+    * distinct probe buckets collapse to a LITERAL `c IN (…)` filter on
+    * the partitioned code table (static partition pruning — only the
+    * probed bucket directories are read, the x90 discipline), the ADC
+    * scan reconstructs ONLY those codes (the x99 discipline), the
+    * bounded-heap [[TopK]] keeps a `shortlist` per query, and the exact
+    * re-rank fetches originals from the SAME pruned buckets. Recall is
+    * bounded above by the probe recall (a true neighbor outside every
+    * probed bucket is unreachable — audit with [[annRecall]], the x76
+    * pattern); within the probed buckets the shortlist/re-rank contract
+    * is exactly [[pqTopKRerank]]'s. */
+  def ivfPqTopK(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+                nprobe: Int = 4, shortlist: Int = 50,
+                vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val centroids = loadIvfCentroids(spark, dir)
+    val codebooks = loadPqCodebooks(spark, dir)
+    val needed = probeBuckets(queries, centroids, nprobe, vecCol)
+    val probes = broadcast(queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        explode(probeCentroids(col(vecCol), centroids, nprobe)).as("c")))
+    val codes = spark.read.parquet(s"$dir/codes")
+      .where(col("c").isin(needed.map(Int.box): _*))
+    // every code row lives in exactly ONE bucket and a query's probe
+    // buckets are distinct, so the (c) join pairs each (query, code) at
+    // most once — no candidate dedup needed
+    val scored = codes.join(probes, "c")
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(pqReconstruct(col("code"), codebooks), col("qv")), 4)
+          .as("cos"))
+    val topsl = udaf(new TopK(shortlist))
+    val cand = scored.groupBy(col("qid"))
+      .agg(topsl(col("cos"), col("vec_id")).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e._2").as("vec_id"))
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    // shortlist ids can only come from probed buckets: the re-rank scan
+    // prunes to the same directories
+    val originals = spark.read.parquet(s"$dir/corpus")
+      .where(col("c").isin(needed.map(Int.box): _*))
+      .select(col("vec_id"), col("v"))
+    val exact = originals.join(cand, "vec_id").join(q, "qid")
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 4).as("cos"))
+    topKPerGroup(exact, k)
+  }
+
   /** The persisted centroid model, bucket-ordered (nlist×dim — driver-
     * held by design, like the in-memory trainer's output). */
   def loadIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =

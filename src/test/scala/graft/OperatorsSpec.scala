@@ -310,6 +310,59 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("saveIvfPqIndex/ivfPqTopK: pruned serve ≡ flat rerank at full probe; partial probes prune and stay faithful (r11)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_").toString
+    try {
+      Similarity.saveIvfPqIndex(emb, dir, nlist = 8, m = 16, k = 32, iters = 2)
+      val q = emb.where(col("vec_id") < 10)
+      val served = Similarity.ivfPqTopK(spark, dir, q, k = 10, nprobe = 3,
+        shortlist = 50).localCheckpoint()
+      // full k per query
+      assert(served.groupBy("qid").count().collect()
+        .forall(_.getLong(1) == 10L))
+      val cb = Similarity.loadPqCodebooks(spark, dir)
+      val codes = spark.read.parquet(s"$dir/codes")
+      val corpus = spark.read.parquet(s"$dir/corpus")
+        .select(col("vec_id"), col("v").as("embedding"))
+      val flat = Similarity.pqTopKRerank(
+        codes.select(col("vec_id"), col("code")), cb, corpus, q,
+        k = 10, shortlist = 50).localCheckpoint()
+      // probing EVERY bucket removes the only approximation the coarse
+      // quantizer adds: the composed serve must equal the flat rerank
+      // EXACTLY (same codebooks, same shortlist, same tie-breaks)
+      val full = Similarity.ivfPqTopK(spark, dir, q, k = 10, nprobe = 8,
+        shortlist = 50)
+      assert(full.except(flat).isEmpty && flat.except(full).isEmpty)
+      // partial probes: faithful within the probe recall
+      val vsFlat = Similarity.annRecall(served, flat).head()
+      val vsTruth = Similarity.annRecall(served,
+        Similarity.bruteForceTopK(emb, q, k = 10)).head()
+      info(s"nprobe=3/8: vs flat mean=${vsFlat.getDouble(1)} " +
+        s"min=${vsFlat.getDouble(2)}; vs truth mean=${vsTruth.getDouble(1)}")
+      assert(vsFlat.getDouble(1) >= 0.7,
+        s"pruned serve diverged from flat rerank: ${vsFlat.getDouble(1)}")
+      assert(vsTruth.getDouble(1) >= 0.5,
+        s"composed recall vs truth too low: ${vsTruth.getDouble(1)}")
+      // pruning is observable on the EXECUTED code scan (numFiles) — a
+      // small query batch, the serving-path shape (10 queries × 3 probes
+      // can legitimately cover all 8 buckets of this tiny corpus)
+      val centroids = Similarity.loadIvfCentroids(spark, dir)
+      val needed = Similarity.probeBuckets(
+        emb.where(col("vec_id") < 2), centroids, nprobe = 3)
+      assert(needed.length < 8)
+      assert(graft.operators.Extensions.filesScanned(
+        codes.where(col("c").isin(needed.map(Int.box): _*))) <
+        graft.operators.Extensions.filesScanned(codes))
+      intercept[IllegalArgumentException](
+        Similarity.ivfPqTopK(spark, dir, q, k = 10, nprobe = 2, shortlist = 5))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("appendToIvfIndex: grown layout serves exactly old ∪ new (same centroids)") {
     val dir = java.nio.file.Files.createTempDirectory("ivfapp_").toString
     try {
