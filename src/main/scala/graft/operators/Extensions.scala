@@ -1974,13 +1974,22 @@ object Extensions {
       // recomputes the synthesis dimensions (pure fns of media_id), so a
       // pass proves the encode→decode round-trip, not a stub echo; the
       // audio/video rows keep the deterministic stub formulas
+      // x13: every payload is a REAL container (PNG pixels, RIFF WAV fmt
+      // chunk, MP4 tkhd box) — the oracle recomputes the synthesis
+      // parameters (pure fns of media_id), so a pass proves each
+      // encode→parse round-trip, not a stub echo. width/height map to
+      // (sample_rate, frames) for wav and (track_w, track_h) for mp4
       "x13_mm_decode" -> (
         "SELECT doc_id AS media_id, " +
         "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime, " +
-        "CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id % 24) ELSE 64 + (octet_length(encode(text)) % 960) END AS INTEGER) AS width, " +
-        "CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + ((doc_id * 7) % 24) ELSE 64 + ((octet_length(encode(text)) * 31) % 960) END AS INTEGER) AS height, " +
-        "CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS INTEGER) AS channels, " +
-        "(doc_id % 3 = 0) OR octet_length(encode(text)) > 0 AS ok " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id % 24) " +
+        "WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 1000 " +
+        "ELSE 160 + (doc_id % 32) * 8 END AS INTEGER) AS width, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + ((doc_id * 7) % 24) " +
+        "WHEN doc_id % 3 = 1 THEN 16 + (doc_id % 32) " +
+        "ELSE 120 + ((doc_id * 5) % 32) * 8 END AS INTEGER) AS height, " +
+        "CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + (doc_id % 2) ELSE 3 END AS INTEGER) AS channels, " +
+        "TRUE AS ok " +
         "FROM documents ORDER BY media_id"),
       "x17_text_tfidf" -> (
         "WITH toks AS (SELECT doc_id AS id, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term FROM documents), " +
@@ -1989,12 +1998,11 @@ object Extensions {
         "n AS (SELECT COUNT(*) AS n FROM documents) " +
         "SELECT id, term, tf, ROUND(tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf " +
         "FROM tf JOIN dfreq USING (term) CROSS JOIN n WHERE id < 20 ORDER BY id, term"),
-      // x14: a png payload is always ≥4 bytes (any PNG is ≥ ~60), so all
-      // 4 frame slots land; audio/video rows keep the text-byte formula
+      // x14: every real container payload is ≥ 44 bytes (WAV header; PNG
+      // ≥ ~60; MP4 ≥ ~130), so all 4 frame slots land for every row
       "x14_mm_frames" -> (
-        "SELECT doc_id AS media_id, " +
-        "CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE LEAST(4, octet_length(encode(text))) END AS BIGINT) AS n_frames " +
-        "FROM documents WHERE doc_id % 3 = 0 OR octet_length(encode(text)) > 0 ORDER BY media_id"),
+        "SELECT doc_id AS media_id, CAST(4 AS BIGINT) AS n_frames " +
+        "FROM documents ORDER BY media_id"),
       "x26_mm_features" -> (
         "SELECT count(*) AS n_media, CAST(1 AS INTEGER) AS dim_ok, " +
         "CAST(1 AS INTEGER) AS norm_ok FROM documents"),

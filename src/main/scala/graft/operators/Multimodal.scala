@@ -6,13 +6,14 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (SURVEY §7.2 M4): image/audio/video payloads
   * as opaque `binary` columns with typed metadata, batch-decoded per
-  * partition. IMAGE decode is REAL — `javax.imageio` (JDK-bundled, no
-  * external library) parses the PNG/JPEG payload on the executor and the
-  * decoded width/height/channels are what the gate oracles check. The
-  * audio/video kernels remain deterministic stubs (no codec libraries in
-  * this container), kept as the fallback for unknown mimes, so the
-  * plumbing — schema, partition-parallel batch decode, pushdown-friendly
-  * metadata columns — is exercised end-to-end either way.
+  * partition. CONTAINER decode is REAL for all three synthetic mimes —
+  * `javax.imageio` (JDK-bundled) parses PNG/JPEG pixels, the RIFF walker
+  * reads the WAV fmt/data chunks (sample rate, frames, channels), and the
+  * ISO-BMFF walker reads the MP4 tkhd box (track width/height) — no
+  * external codec library anywhere. Full SAMPLE decode (PCM frames, video
+  * pictures) would need codecs this container doesn't ship; the
+  * deterministic stub remains only for unknown mimes, and corrupt
+  * payloads of known mimes report ok=false instead of throwing.
   *
   * The decode path mirrors the `mapInPandas` batch model: one iterator of
   * rows per partition, decode amortized across the batch, typed output
@@ -54,12 +55,91 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Deterministic synthetic media table derived from `documents`: the
-    * image/png rows carry REAL PNG bytes ([[synthPngBytes]] — dimensions
-    * a pure function of media_id, so decode output is oracle-checkable);
-    * audio/video rows carry the utf8 text bytes (stand-in payloads for
-    * the stub kernels). Payload synthesis is a mapPartitions kernel, not
-    * a per-row UDF, matching the decode side's batch shape. */
+  /** Deterministic WAV parameters for the synthetic audio rows — pure
+    * functions of media_id so an external oracle recomputes the EXPECTED
+    * decode output without parsing a byte of RIFF. */
+  def synthWavRate(id: Long): Int = 8000 + (id % 8).toInt * 1000
+  def synthWavChannels(id: Long): Int = 1 + (id % 2).toInt
+  def synthWavFrames(id: Long): Int = 16 + (id % 32).toInt
+
+  /** A real RIFF/WAVE payload: canonical 44-byte header (PCM fmt chunk,
+    * 16-bit) + [[synthWavFrames]] frames of silence. Any standard WAV
+    * reader parses it. */
+  def synthWavBytes(id: Long): Array[Byte] = {
+    val rate = synthWavRate(id)
+    val ch = synthWavChannels(id)
+    val frames = synthWavFrames(id)
+    val bits = 16
+    val dataSize = frames * ch * (bits / 8)
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(ch.toShort).putInt(rate)
+      .putInt(rate * ch * bits / 8)
+      .putShort((ch * bits / 8).toShort).putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    bb.array() // remaining dataSize bytes are zero = PCM silence
+  }
+
+  /** Deterministic MP4 track dimensions for the synthetic video rows. */
+  def synthMp4Width(id: Long): Int = 160 + (id % 32).toInt * 8
+  def synthMp4Height(id: Long): Int = 120 + ((id * 5) % 32).toInt * 8
+
+  /** A real (minimal) MP4 container: `ftyp` + `moov(mvhd, trak(tkhd))`
+    * boxes, big-endian sizes, tkhd width/height in 16.16 fixed point —
+    * the standard box grammar any MP4 demuxer walks. No media data
+    * (a zero-sample video), which is legal and keeps the payload tiny. */
+  def synthMp4Bytes(id: Long): Array[Byte] = {
+    val w = synthMp4Width(id)
+    val h = synthMp4Height(id)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    val ftyp = java.nio.ByteBuffer.allocate(20)
+    ftyp.putInt(20).put(ascii("ftyp")).put(ascii("isom")).putInt(0)
+      .put(ascii("isom"))
+    val mvhd = java.nio.ByteBuffer.allocate(108)
+    mvhd.putInt(108).put(ascii("mvhd")).putInt(0) // v0 + flags
+      .putInt(0).putInt(0)         // creation, modification
+      .putInt(1000)                // timescale
+      .putInt(0)                   // duration (no samples)
+      .putInt(0x00010000)          // rate 1.0
+      .putShort(0x0100.toShort)    // volume 1.0
+      .putShort(0.toShort).putInt(0).putInt(0) // reserved(10)
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(v => { mvhd.putInt(v); () })        // identity matrix
+    (0 until 6).foreach(_ => mvhd.putInt(0)) // pre_defined
+    mvhd.putInt(2)                 // next track id
+    val tkhd = java.nio.ByteBuffer.allocate(92)
+    tkhd.putInt(92).put(ascii("tkhd")).putInt(0x00000007) // v0, enabled
+      .putInt(0).putInt(0)         // creation, modification
+      .putInt(1)                   // track id
+      .putInt(0)                   // reserved
+      .putInt(0)                   // duration
+      .putInt(0).putInt(0)         // reserved(8)
+      .putShort(0.toShort).putShort(0.toShort) // layer, alternate_group
+      .putShort(0.toShort).putShort(0.toShort) // volume (video), reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(v => { tkhd.putInt(v); () })        // identity matrix
+    tkhd.putInt(w << 16).putInt(h << 16) // 16.16 fixed
+    val trakSize = 8 + 92
+    val moovSize = 8 + 108 + trakSize
+    val out = java.nio.ByteBuffer.allocate(20 + moovSize)
+    out.put(ftyp.array())
+    out.putInt(moovSize).put(ascii("moov"))
+    out.put(mvhd.array())
+    out.putInt(trakSize).put(ascii("trak"))
+    out.put(tkhd.array())
+    out.array()
+  }
+
+  /** Deterministic synthetic media table derived from `documents`: every
+    * mime carries a REAL container — PNG bytes ([[synthPngBytes]]), RIFF
+    * WAV ([[synthWavBytes]]), MP4 ftyp+moov ([[synthMp4Bytes]]) — with
+    * dimensions/rates that are pure functions of media_id, so decode
+    * output is oracle-checkable without the oracle parsing any container.
+    * Payload synthesis is a mapPartitions kernel, not a per-row UDF,
+    * matching the decode side's batch shape. */
   def synthesize(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -67,14 +147,11 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // no executor-disk scratch
-        it.map { case (id, text) =>
-          val mime =
-            if (id % 3 == 0) "image/png"
-            else if (id % 3 == 1) "audio/wav"
-            else "video/mp4"
-          val payload: Array[Byte] =
-            if (id % 3 == 0) synthPngBytes(id)
-            else Option(text).getOrElse("").getBytes("UTF-8")
+        it.map { case (id, _) =>
+          val (mime, payload) =
+            if (id % 3 == 0) ("image/png", synthPngBytes(id))
+            else if (id % 3 == 1) ("audio/wav", synthWavBytes(id))
+            else ("video/mp4", synthMp4Bytes(id))
           (id, payload, mime, payload.length.toLong)
         }
       }
@@ -84,10 +161,9 @@ object Multimodal {
   final case class Decoded(media_id: Long, mime: String, width: Int,
                            height: Int, channels: Int, ok: Boolean)
 
-  /** STUB decode kernel for the codec-less mimes (audio/video): a real
-    * implementation would parse the container header (WAV fmt / MP4
-    * moov). The stub derives deterministic pseudo-dimensions from payload
-    * bytes so the distributed plumbing is testable end-to-end. */
+  /** STUB decode kernel for UNKNOWN mimes and corrupt payloads: derives
+    * deterministic pseudo-dimensions from payload bytes so the
+    * distributed plumbing stays testable for mimes with no parser. */
   private def decodeStub(payload: Array[Byte], mime: String): (Int, Int, Int) = {
     val n = if (payload == null) 0 else payload.length
     val w = 64 + (n % 960)          // 64..1023 "pixels"
@@ -95,6 +171,83 @@ object Multimodal {
     val c = if (mime != null && mime.startsWith("audio")) 1 else 3
     (w, h, c)
   }
+
+  /** REAL WAV decode: walk the RIFF chunk list (ids ASCII, sizes little-
+    * endian), read the PCM `fmt ` chunk and the `data` chunk size — pure
+    * JDK byte parsing, no codec library. Returns (sample_rate,
+    * frames_per_channel, channels) mapped onto the (width, height,
+    * channels) metadata columns; None on anything malformed. */
+  private def decodeWav(p: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      if (p == null || p.length < 44) None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(p)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourcc(off: Int) = new String(p, off, 4, "US-ASCII")
+        if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE") None
+        else {
+          var off = 12
+          var fmt: Option[(Int, Int, Int)] = None // (rate, bits, channels)
+          var dataSize = -1L
+          var bad = false
+          while (!bad && off + 8 <= p.length && (fmt.isEmpty || dataSize < 0)) {
+            val id = fourcc(off)
+            val sz = bb.getInt(off + 4).toLong & 0xffffffffL
+            if (id == "fmt ") {
+              if (sz < 16 || off + 8 + 16 > p.length) bad = true
+              else fmt = Some((bb.getInt(off + 12),
+                bb.getShort(off + 22) & 0xffff, bb.getShort(off + 10) & 0xffff))
+            } else if (id == "data") dataSize = sz
+            off += (8L + sz + (sz & 1L)).toInt // chunks are word-aligned
+            if (off < 0) bad = true            // overflowed size field
+          }
+          if (bad) None
+          else fmt.flatMap { case (rate, bits, ch) =>
+            if (rate <= 0 || bits < 8 || bits % 8 != 0 || ch <= 0 ||
+                dataSize < 0) None
+            else Some((rate, (dataSize / (ch.toLong * (bits / 8))).toInt, ch))
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL MP4 decode: walk the ISO-BMFF box tree (big-endian sizes) down
+    * `moov` → `trak` → `tkhd` and read the track's 16.16-fixed width and
+    * height (version 0 and 1 layouts) — pure JDK byte parsing. Returns
+    * (width, height, 3); None on anything malformed. */
+  private def decodeMp4(p: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      if (p == null || p.length < 16) None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(p) // big-endian by default
+        def fourcc(off: Int) = new String(p, off, 4, "US-ASCII")
+        // first child box of `typ` inside [start, end): (contentStart, contentEnd)
+        def findBox(start: Int, end: Int, typ: String): Option[(Int, Int)] = {
+          var off = start
+          var found: Option[(Int, Int)] = None
+          while (found.isEmpty && off + 8 <= end) {
+            val sz = bb.getInt(off)
+            if (sz < 8 || off + sz > end) off = end // malformed: stop
+            else {
+              if (fourcc(off + 4) == typ) found = Some((off + 8, off + sz))
+              off += sz
+            }
+          }
+          found
+        }
+        for {
+          (ms, me) <- findBox(0, p.length, "moov")
+          (ts, te) <- findBox(ms, me, "trak")
+          (ks, ke) <- findBox(ts, te, "tkhd")
+          version = p(ks) & 0xff
+          whOff = ks + (if (version == 1) 88 else 76)
+          if ke >= whOff + 8
+          w = bb.getInt(whOff) >>> 16
+          h = bb.getInt(whOff + 4) >>> 16
+          if w > 0 && h > 0
+        } yield (w, h, 3)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL image decode: ImageIO (JDK) parses the payload; None when the
     * bytes aren't a decodable image (decoder missing or payload corrupt),
@@ -111,9 +264,14 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Partition-parallel batch decode: binary payload → typed metadata.
-    * Image mimes decode for REAL via ImageIO; other mimes fall back to
-    * the deterministic stub. mapPartitions (not per-row UDF) so decoder
-    * setup amortizes across the batch — the Scala analog of mapInPandas. */
+    * Image mimes decode for REAL via ImageIO, audio/wav parses the RIFF
+    * fmt chunk, video/mp4 walks the box tree to tkhd — all pure-JDK.
+    * Only unknown mimes fall back to the deterministic stub; a KNOWN
+    * mime whose payload fails its parser reports ok=false (with stub
+    * dims for schema stability) rather than throwing — one bad file
+    * must not kill a 100 TB scan. mapPartitions (not per-row UDF) so
+    * decoder setup amortizes across the batch — the Scala analog of
+    * mapInPandas. */
   def decode(media: DataFrame): Dataset[Decoded] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -122,15 +280,23 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // per-partition decoder init
         it.map { case (id, payload, mime) =>
-          val isImage = mime != null && mime.startsWith("image/")
-          (if (isImage) decodeImage(payload) else None) match {
+          val m = Option(mime).getOrElse("")
+          val known = m.startsWith("image/") || m == "audio/wav" ||
+            m == "audio/x-wav" || m == "video/mp4"
+          val parsed =
+            if (m.startsWith("image/")) decodeImage(payload)
+            else if (m == "audio/wav" || m == "audio/x-wav") decodeWav(payload)
+            else if (m == "video/mp4") decodeMp4(payload)
+            else None
+          parsed match {
             case Some((w, h, c)) => Decoded(id, mime, w, h, c, ok = true)
             case None =>
               val (w, h, c) = decodeStub(payload, mime)
-              // an IMAGE that failed real decode is a decode failure even
-              // when bytes are present; stub mimes keep the old contract
+              // a KNOWN mime that failed its real parser is a decode
+              // failure even when bytes are present; unknown mimes keep
+              // the stub contract (ok when there is a payload at all)
               Decoded(id, mime, w, h, c,
-                ok = !isImage && payload != null && payload.nonEmpty)
+                ok = !known && payload != null && payload.nonEmpty)
           }
         }
       }

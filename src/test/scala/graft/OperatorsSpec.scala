@@ -551,15 +551,35 @@ class OperatorsSpec extends AnyFunSuite {
         r.getInt(4) == 3 && r.getBoolean(5),
         s"media $id: real decode mismatch $r")
     }
-    // stub mimes keep the deterministic pseudo-dim contract
-    val s = dec.where(col("mime") =!= "image/png")
-      .select("width", "height").head()
-    assert(s.getInt(0) >= 64 && s.getInt(0) < 1024)
-    // a corrupt image payload is ok=false, not an exception
-    val corrupt = Seq((7L, Array[Byte](1, 2, 3), "image/png", 3L))
+    // wav rows decode for REAL: the RIFF walker reads back the exact
+    // synthesis parameters (rate, frames, channels) from the fmt/data
+    // chunks
+    dec.where(col("mime") === "audio/wav").collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(2) == Multimodal.synthWavRate(id) &&
+        r.getInt(3) == Multimodal.synthWavFrames(id) &&
+        r.getInt(4) == Multimodal.synthWavChannels(id) && r.getBoolean(5),
+        s"media $id: real wav decode mismatch $r")
+    }
+    // mp4 rows decode for REAL: the box walker reads the tkhd track dims
+    dec.where(col("mime") === "video/mp4").collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(2) == Multimodal.synthMp4Width(id) &&
+        r.getInt(3) == Multimodal.synthMp4Height(id) &&
+        r.getInt(4) == 3 && r.getBoolean(5),
+        s"media $id: real mp4 decode mismatch $r")
+    }
+    // corrupt payloads of KNOWN mimes are ok=false, never an exception;
+    // unknown mimes keep the deterministic stub contract (ok with bytes)
+    val corrupt = Seq(
+      (7L, Array[Byte](1, 2, 3), "image/png", 3L),
+      (8L, Array[Byte](82, 73, 70, 70, 1, 2, 3), "audio/wav", 7L),
+      (9L, "not an mp4 at all ............".getBytes("UTF-8"), "video/mp4", 30L),
+      (10L, Array[Byte](1, 2, 3), "application/x-unknown", 3L))
       .toDF("media_id", "payload", "mime", "n_bytes")
-    val cr = Multimodal.decode(corrupt).collect().head
-    assert(!cr.ok)
+    val cr = Multimodal.decode(corrupt).collect()
+      .map(x => x.media_id -> x.ok).toMap
+    assert(!cr(7L) && !cr(8L) && !cr(9L) && cr(10L), cr.toString)
     val resized = Multimodal.resizePlan(dec, maxSide = 256)
       .agg(max("out_width"), max("out_height")).head()
     assert(resized.getInt(0) <= 256 && resized.getInt(1) <= 256)
@@ -645,8 +665,13 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("multimodal feature extraction: histogram features, unit norm") {
-    val d = Seq((1L, "aaaa"), (2L, "")).toDF("doc_id", "text")
-    val f = Multimodal.features(Multimodal.synthesize(d), dim = 4)
+    // direct media frame: the kernel contract is a byte histogram of the
+    // payload (synthesize now emits real containers, not raw text bytes)
+    val media = Seq(
+      (1L, "aaaa".getBytes("UTF-8"), "application/x-raw", 4L),
+      (2L, Array.empty[Byte], "application/x-raw", 0L))
+      .toDF("media_id", "payload", "mime", "n_bytes")
+    val f = Multimodal.features(media, dim = 4)
       .collect().map(x => x.media_id -> x.feature).toMap
     // "aaaa" = 4 bytes of 0x61 = 97; 97 % 4 = 1 -> all mass in slot 1, unit norm
     assert(f(1L).toSeq == Seq(0f, 1f, 0f, 0f))
