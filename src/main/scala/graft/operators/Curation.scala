@@ -174,6 +174,30 @@ object Curation {
         col("id"), col("token_id"))
   }
 
+  /** [[packTokenStream]] with the shard count DERIVED from the corpus
+    * instead of pinned by the caller — the production sizing rule the
+    * fixed-shard scaladoc prescribes ("shards ∝ corpus"), automated:
+    * `nShards = ceil(total_tokens / targetTokensPerShard)`, so per-shard
+    * work (one window-sort task over ~targetTokensPerShard rows) stays
+    * CONSTANT as the corpus grows. Pass `estimatedTokens` when upstream
+    * already knows the total (the curation stats do); otherwise one
+    * cheap columnar count() of the stream derives it. Shard assignment
+    * is the portable multiplicative hash of the doc id (the x98
+    * convention) — placement is reproducible by any external system
+    * from (id, nShards) alone, and every token keeps a total
+    * (shard, seq_id, offset) address. */
+  def packTokenStreamAuto(tokens: DataFrame, seqLen: Int,
+                          targetTokensPerShard: Long,
+                          estimatedTokens: Option[Long] = None): DataFrame = {
+    require(targetTokensPerShard > 0, "targetTokensPerShard must be positive")
+    val total = estimatedTokens.getOrElse(tokens.count())
+    val nShards =
+      math.max(1L, (total + targetTokensPerShard - 1) / targetTokensPerShard)
+    packTokenStream(tokens, seqLen,
+      pmod(pmod(col("id"), lit(1000000L)) * lit(2654435761L) % lit(1000000L),
+        lit(nShards)))
+  }
+
   /** Publish the curated corpus as `shards` size-balanced parquet shards —
     * the final step of a training-data pipeline (downstream loaders want
     * uniform shard sizes for even data-parallel reads).

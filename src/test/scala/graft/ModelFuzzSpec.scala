@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-artifact lifecycle fuzz (r11): seeded random interleavings of
+  * CREATE MODEL / DROP MODEL / serve-by-name / wrong-kind use / SHOW
+  * MODELS / sidecar re-attach, cross-checked three ways on every step —
+  *
+  *  1. the session catalog's model set must equal a driver-side mirror
+  *     of the DDL applied so far (and survive every re-attach);
+  *  2. serving through a registered NAME must return exactly the rows
+  *     the literal path/merge-list form returns (name resolution adds
+  *     indirection, never data);
+  *  3. using a model through the wrong function must raise the eager
+  *     wrong-kind analysis error, never a crash class.
+  *
+  * Seeded, so any failure reproduces. Complements the differential SQL
+  * fuzz (which cannot reach DDL — DuckDB has no model catalog). */
+class ModelFuzzSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("300-op seeded model-lifecycle fuzz: catalog mirror, name≡path serving, clean wrong-kind errors") {
+    import graft.operators.{Similarity, TextAnalysis}
+    val base = java.nio.file.Files.createTempDirectory("graft_modelfuzz_")
+    try {
+      val g0 = new GraftSession(spark).registerDir(TestSpark.sf)
+      val embT = g0.catalog.relation("embeddings")
+      val mergesList = "e r,i n"
+      val mergesPath = base.resolve("merges.txt").toString
+      TextAnalysis.saveBpeMerges(spark,
+        Seq(("e", "r"), ("i", "n")), mergesPath)
+      val ivfDir = base.resolve("ivf").toString
+      Similarity.saveIvfIndex(embT, ivfDir, nlist = 8, iters = 1)
+      val pqDir = base.resolve("pq").toString
+      Similarity.savePqIndex(embT, pqDir, m = 16, k = 8, iters = 1)
+      val ivfpqDir = base.resolve("ivfpq").toString
+      Similarity.saveIvfPqIndex(embT, ivfpqDir, nlist = 8, m = 16, k = 8,
+        iters = 1)
+      val artifacts =
+        Map("bpe" -> mergesPath, "ivf" -> ivfDir, "pq" -> pqDir,
+          "ivfpq" -> ivfpqDir)
+      // by-name vs literal-form query pairs per kind; %s is the model
+      // name or its literal equivalent (path; merge list for bpe)
+      def serveSql(kind: String, ref: String): String = kind match {
+        case "bpe" =>
+          s"select id, n_tokens from bpe_tokenize(documents, '$ref') " +
+            "where id < 40 order by id"
+        case "ivf" =>
+          s"select qid, vec_id, cos from ann_topk(fuzzq, '$ref', 4, 2) " +
+            "order by qid, cos desc, vec_id"
+        case "pq" =>
+          s"select qid, vec_id, cos from pq_topk(fuzzq, '$ref', 4, 20) " +
+            "order by qid, cos desc, vec_id"
+        case "ivfpq" =>
+          s"select qid, vec_id, cos from ivfpq_topk(fuzzq, '$ref', 4, 2, 20) " +
+            "order by qid, cos desc, vec_id"
+      }
+      def literalRef(kind: String): String =
+        if (kind == "bpe") mergesList else artifacts(kind)
+      val sidecar = base.resolve("catalog.json").toString
+      var g = new GraftSession(spark).registerDir(TestSpark.sf)
+        .persistTo(sidecar)
+      g.sql("create table fuzzq as select vec_id, embedding from embeddings where vec_id < 3")
+      val mirror = scala.collection.mutable.Map.empty[String, String]
+      val names = (0 until 6).map(i => s"fm$i")
+      val kinds = Seq("bpe", "ivf", "pq", "ivfpq")
+      val rnd = new scala.util.Random(20260815L)
+      var serves = 0
+      var wrongKinds = 0
+      var reattaches = 0
+      val crash: Set[Class[_]] = Set(classOf[MatchError],
+        classOf[NullPointerException], classOf[ClassCastException],
+        classOf[scala.NotImplementedError])
+      for (op <- 0 until 300) {
+        val registered = mirror.keys.toSeq.sorted
+        rnd.nextInt(10) match {
+          case 0 | 1 | 2 => // create (overwrite allowed, like CREATE SCHEMA)
+            val n = names(rnd.nextInt(names.length))
+            val k = kinds(rnd.nextInt(kinds.length))
+            g.sql(s"create model $n kind '$k' at '${artifacts(k)}'")
+            mirror(n) = k
+          case 3 => // drop: existing, if-exists missing, or bare-missing error
+            val n = names(rnd.nextInt(names.length))
+            if (mirror.contains(n)) { g.sql(s"drop model $n"); mirror -= n }
+            else if (rnd.nextBoolean()) g.sql(s"drop model if exists $n")
+            else {
+              val e = intercept[Exception](g.sql(s"drop model $n"))
+              assert(e.getMessage.contains("unknown model"), e.toString)
+            }
+          case 4 | 5 | 6 if registered.nonEmpty => // serve: name ≡ literal
+            val n = registered(rnd.nextInt(registered.length))
+            val k = mirror(n)
+            def rows(sql: String): Seq[String] =
+              g.sql(sql).collect().map(_.mkString("|")).toSeq
+            val byName = rows(serveSql(k, n))
+            val byLiteral = rows(serveSql(k, literalRef(k)))
+            assert(byName == byLiteral && byName.nonEmpty,
+              s"op $op: model $n ($k) name-form diverged from literal form")
+            serves += 1
+          case 7 if registered.nonEmpty => // wrong-kind: eager clean error
+            val n = registered(rnd.nextInt(registered.length))
+            val k = mirror(n)
+            val other = kinds(rnd.nextInt(kinds.length))
+            if (other != k) {
+              val e = intercept[Exception](g.sql(serveSql(other, n)))
+              assert(!crash.contains(e.getClass), e.toString)
+              assert(e.getMessage.contains(s"expected '$other'"), e.toString)
+              wrongKinds += 1
+            }
+          case 8 => // SHOW MODELS mirrors the catalog (with content hashes)
+            val shown = g.sql("show models").collect()
+              .map(r => r.getString(0) -> r.getString(1)).toMap
+            assert(shown == mirror.toMap, s"op $op: $shown vs $mirror")
+          case 9 => // re-attach: a NEW session over the same sidecar
+            g = new GraftSession(spark).registerDir(TestSpark.sf)
+              .persistTo(sidecar)
+            reattaches += 1
+          case _ => // serve/wrong-kind with empty catalog: nothing to do
+        }
+        assert(g.catalog.modelNames.toSet == mirror.keys.toSet,
+          s"op $op: catalog ${g.catalog.modelNames} != mirror ${mirror.keys}")
+      }
+      info(s"300 ops: $serves name≡literal serves, $wrongKinds wrong-kind " +
+        s"errors, $reattaches sidecar re-attaches")
+      assert(serves >= 40 && wrongKinds >= 5 && reattaches >= 10)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(base.toFile)
+    }
+  }
+}

@@ -50,7 +50,10 @@ class MutationFuzzSpec extends AnyFunSuite {
     // round-10 late surface: token-id streams, PQ serve
     "select id, wpos, tpos, token_id from bpe_encode(documents, 'e r,i n', 12) where id < 3 order by id, wpos, tpos",
     "select * from pq_topk(embeddings, '/no/such/pq', 5, 50)",
-    "create model pp kind 'pq' at '/no/such/layout'")
+    "create model pp kind 'pq' at '/no/such/layout'",
+    // round-11 surface: composed IVF-PQ serving + fourth model kind
+    "select * from ivfpq_topk(embeddings, '/no/such/ivfpq', 5, 4, 50)",
+    "create model qq kind 'ivfpq' at '/no/such/layout'")
 
   private val crashClasses: Set[Class[_]] = Set(
     classOf[MatchError], classOf[NullPointerException],

@@ -1886,6 +1886,42 @@ class OperatorsSpec extends AnyFunSuite {
       Curation.packTokenStream(enc, seqLen = 0, shard = lit(0L)))
   }
 
+  test("packTokenStreamAuto: shard count tracks the corpus; totals invariant at any shard count (r11)") {
+    val merges = Extensions.X86_MERGES
+    val d = docs.limit(200)
+    val enc = TextAnalysis.bpeEncode(d, "text", "doc_id", merges,
+      vocabCap = 12).localCheckpoint()
+    val total = enc.count()
+    def packedTotals(df: org.apache.spark.sql.DataFrame): (Long, Map[Long, Long]) =
+      (df.count(), df.groupBy("id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // auto sizing: ceil(total / target) shards, every token addressed
+    val target = math.max(1L, total / 5)
+    val auto = Curation.packTokenStreamAuto(enc, seqLen = 64, target)
+    val expShards = (total + target - 1) / target
+    assert(auto.select("shard").distinct().count() <= expShards)
+    assert(auto.select(max(col("shard")).cast("long")).head().getLong(0)
+      < expShards)
+    // per-doc token counts are invariant: sharding moves tokens between
+    // windows, never drops or duplicates them
+    val (nAuto, byDocAuto) = packedTotals(auto)
+    val (nFixed, byDocFixed) = packedTotals(
+      Curation.packTokenStream(enc, seqLen = 64,
+        shard = pmod(xxhash64(col("id")), lit(3L))))
+    assert(nAuto == total && nFixed == total && byDocAuto == byDocFixed)
+    // every sequence holds ≤ seqLen tokens with dense offsets
+    val bad = auto.groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n"), max(col("offset")).as("mx"))
+      .where(col("n") > 64 || col("mx") =!= col("n") - 1)
+    assert(bad.isEmpty)
+    // upstream estimate path: same plan, no count() scan
+    val viaEst = Curation.packTokenStreamAuto(enc, seqLen = 64, target,
+      estimatedTokens = Some(total))
+    assert(viaEst.count() == total)
+    intercept[IllegalArgumentException](
+      Curation.packTokenStreamAuto(enc, seqLen = 64, 0L))
+  }
+
   test("bpeEncode: the dense-id window input is cap-bounded (default = DefaultBpeVocabCap, r11)") {
     val merges = Seq(("e", "r"))
     // many distinct OOV words, cap 2: the emitted token vocabulary may
