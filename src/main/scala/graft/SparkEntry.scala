@@ -937,6 +937,51 @@ object SparkEntry {
           if (viaSql == viaApi && viaSql.nonEmpty) 1 else 0))
         .toDF("n_queries", "sql_matches_api")
     }),
+    // ---- q117: the SOCKET source (S3) driven hermetically — a local
+    // ephemeral TCP server feeds the dir's nation rows as CSV lines, a
+    // streaming session declares the stream over host/port, and the
+    // parsed rows are hash-checked against the SAME parquet table via
+    // DuckDB: the last §2 row that had no driver gate ----
+    "q117_socket_source" -> ((s, d) => {
+      val nation = g(s, d).catalog.relation("nation")
+        .select(org.apache.spark.sql.functions.col("n_nationkey").cast("long"),
+          org.apache.spark.sql.functions.col("n_name"))
+        .orderBy("n_nationkey")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val server = new java.net.ServerSocket(0)
+      val port = server.getLocalPort
+      val feeder = new Thread(() => {
+        try {
+          val sock = server.accept()
+          val w = new java.io.PrintWriter(sock.getOutputStream)
+          nation.foreach { case (k, n) => w.println(s"$k,$n") }
+          w.flush()
+          Thread.sleep(20000) // hold the socket open while the stream reads
+          sock.close()
+        } catch { case _: Throwable => () }
+      })
+      feeder.setDaemon(true)
+      feeder.start()
+      val gs = new GraftSession(s, streaming = true)
+      gs.sql(s"create stream socknat (k long, name string) source host('localhost', $port)")
+      val df = gs.catalog.relation("socknat")
+      val sink = s"q117_sock_${System.nanoTime()}"
+      val q = graft.streaming.Sinks.memory(df, sink,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        var done = false
+        while (!done && System.currentTimeMillis() < deadline) {
+          q.processAllAvailable()
+          done = s.table(sink).count() >= nation.length
+          if (!done) Thread.sleep(200)
+        }
+      } finally { q.stop(); server.close() }
+      s.table(sink)
+        .select(org.apache.spark.sql.functions.col("k"),
+          org.apache.spark.sql.functions.col("name"))
+        .orderBy("k").localCheckpoint()
+    }),
     // ---- datetime constructors: field-wise date/timestamp assembly ----
     "q99_datetime_ctor" -> ((s, d) => g(s, d).sql(
       "select o_orderkey as k, " +
@@ -1378,6 +1423,10 @@ object SparkEntry {
     "q116_ivfpq_topk_fn" -> (
       "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS sql_matches_api " +
       "FROM embeddings WHERE vec_id < 5"),
+    // q117: the socket-fed rows ARE the nation table — full row/hash
+    // recompute from the same parquet (the strongest oracle form)
+    "q117_socket_source" -> (
+      "SELECT n_nationkey AS k, n_name AS name FROM nation ORDER BY k"),
     // q114: the x97 encode CTEs aggregated per doc
     "q114_bpe_encode_fn" ->
       (s"WITH ${graft.operators.Extensions.duckBpeEncodeCtes} " +
