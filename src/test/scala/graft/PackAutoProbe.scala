@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures packTokenStreamAuto at scale (r11, VERDICT #5 "Done"):
+  * auto-derived shard counts must keep per-shard window wall-time ~flat
+  * as the target shrinks (more shards → more parallelism at constant
+  * per-shard work), matching the round-10 fixed-shard finding (2 shards
+  * 357 s vs 8 shards 138 s on the sf10 survivor stream).
+  *
+  *   sbt "Test/runMain graft.PackAutoProbe /tmp/sfsynth10"
+  */
+object PackAutoProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sfsynth10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = GraftSession.forDir(spark, sfDir).catalog.relation("documents")
+    // the x98 shape: capped encode of the full corpus into a token stream
+    val enc = operators.TextAnalysis.bpeEncode(docs, "text", "doc_id",
+      operators.Extensions.X86_MERGES, vocabCap = 12).localCheckpoint()
+    val total = enc.count()
+    println(s"[packauto] token stream: $total tokens")
+    def time(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[packauto] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    // fixed-8 baseline (the r10 measurement's configuration)
+    time("fixed shards=8")(operators.Curation.packTokenStream(enc,
+      seqLen = 256, shard = pmod(xxhash64(col("id")), lit(8L))))
+    // auto at the same effective shard count: target = total/8
+    time(s"auto target=${total / 8} (~8 shards)")(
+      operators.Curation.packTokenStreamAuto(enc, seqLen = 256, total / 8,
+        estimatedTokens = Some(total)))
+    // auto sized for the cluster: target = total/32 (~32 shards)
+    time(s"auto target=${total / 32} (~32 shards)")(
+      operators.Curation.packTokenStreamAuto(enc, seqLen = 256, total / 32,
+        estimatedTokens = Some(total)))
+    spark.stop()
+  }
+}
