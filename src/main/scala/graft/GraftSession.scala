@@ -103,6 +103,10 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       arity("quality_classifier", args, 1, 1)
       TextAnalysis.hashedLinearScore(rel("quality_classifier", args, 0), "text", "doc_id")
     })
+    catalog.registerTableFunction("compression_ratio", { args =>
+      arity("compression_ratio", args, 1, 1)
+      TextAnalysis.compressionRatio(rel("compression_ratio", args, 0), "text", "doc_id")
+    })
     catalog.registerTableFunction("oov_rate", { args =>
       arity("oov_rate", args, 1, 2)
       TextAnalysis.oovRate(rel("oov_rate", args, 0), "text", "doc_id",

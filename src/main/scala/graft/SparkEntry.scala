@@ -142,6 +142,12 @@ object SparkEntry {
     "q25_window_sliding" -> ((s, d) => g(s, d).sql(
       "select w_start, count(*) as n from events [size 2 d on ts every 1 d] " +
       "group by w_start order by w_start")),
+    // ---- W3 gap form (r11): every > size — rows in gaps belong to NO
+    // window and are dropped; starts align to `every`, w_end = start+size ----
+    "q118_window_gap" -> ((s, d) => g(s, d).sql(
+      "select w_start, w_end, count(*) as n, round(sum(value), 4) as v " +
+      "from events [size 1 d on ts every 2 d] " +
+      "group by w_start, w_end order by w_start")),
     // ---- W5: partitioned (per-key) window ----
     "q26_window_partitioned" -> ((s, d) => g(s, d).sql(
       "select w_start, event_type as et, round(sum(value), 4) as v " +
@@ -942,6 +948,12 @@ object SparkEntry {
     // streaming session declares the stream over host/port, and the
     // parsed rows are hash-checked against the SAME parquet table via
     // DuckDB: the last §2 row that had no driver gate ----
+    // ---- compression-ratio table fn (r11): per-doc UTF-8 byte counts
+    // are EXACT against DuckDB strlen; the deflate side is pinned by a
+    // per-doc sanity flag (x104 carries the quality-inequality audit) ----
+    "q119_compression_ratio_fn" -> ((s, d) => g(s, d).sql(
+      "select id, n_bytes, cast(ratio > 0 and n_deflated > 0 as int) as ok " +
+      "from compression_ratio(documents) order by id")),
     "q117_socket_source" -> ((s, d) => {
       val nation = g(s, d).catalog.relation("nation")
         .select(org.apache.spark.sql.functions.col("n_nationkey").cast("long"),
@@ -1102,6 +1114,13 @@ object SparkEntry {
     "q25_window_sliding" ->
       ("SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 - o.off) * 86400000000) AS w_start, " +
        "COUNT(*) AS n FROM events, (SELECT UNNEST([0, 1]) AS off) o GROUP BY 1 ORDER BY 1"),
+    // q118: gap window — keep rows in the first day of each 2-day period
+    "q118_window_gap" ->
+      (s"SELECT ${bucketUs("ts", 172800000000L)} AS w_start, " +
+       s"${bucketUs("ts", 172800000000L)} + INTERVAL 1 DAY AS w_end, " +
+       "COUNT(*) AS n, ROUND(SUM(value), 4) AS v FROM events " +
+       "WHERE epoch_us(CAST(ts AS TIMESTAMP)) % 172800000000 < 86400000000 " +
+       "GROUP BY 1, 2 ORDER BY 1"),
     "q26_window_partitioned" ->
       (s"SELECT ${bucketUs("ts", 86400000000L)} AS w_start, event_type AS et, " +
        "ROUND(SUM(value), 4) AS v FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
@@ -1427,6 +1446,10 @@ object SparkEntry {
     // recompute from the same parquet (the strongest oracle form)
     "q117_socket_source" -> (
       "SELECT n_nationkey AS k, n_name AS name FROM nation ORDER BY k"),
+    // q119: UTF-8 byte length recomputed exactly; deflate pinned by flag
+    "q119_compression_ratio_fn" -> (
+      "SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+      "CAST(1 AS INTEGER) AS ok FROM documents ORDER BY id"),
     // q114: the x97 encode CTEs aggregated per doc
     "q114_bpe_encode_fn" ->
       (s"WITH ${graft.operators.Extensions.duckBpeEncodeCtes} " +

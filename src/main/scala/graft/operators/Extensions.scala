@@ -789,6 +789,37 @@ object Extensions {
       Seq((queries.count(), if (eq) 1 else 0))
         .toDF("n_queries", "stream_matches_batch")
     }),
+    // ---- streaming IVF-PQ serving (r11): the composed x101 architecture
+    // (bucket-pruned ADC shortlist + exact re-rank from the same pruned
+    // buckets) behind the SAME exactly-once idempotent serve used for the
+    // plain-IVF x91 — per micro-batch of queries, only the probed bucket
+    // directories of codes/corpus are read. Parity: streamed micro-batch
+    // results ≡ one batch ivfPqTopK over all queries (both engine-side
+    // deterministic; per-query results depend only on the query row) ----
+    "x103_ivfpq_serve_stream" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d).localCheckpoint()
+      val dir = ivfPqIndexFixture(s, d) // shared x101 layout (read-only)
+      val queries = e.where(col("vec_id") < 40)
+        .select("vec_id", "embedding").localCheckpoint()
+      val batchOut = Similarity.ivfPqTopK(s, dir, queries, k = 5,
+        nprobe = 4, shortlist = 25).localCheckpoint()
+      val srcDir = tempDir("x103_src_")
+      val outDir = tempDir("x103_out_")
+      val ckpt = tempDir("x103_ckpt_")
+      queries.repartition(4).write.mode("overwrite").parquet(srcDir)
+      val in = s.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir) // ≥2 micro-batches
+      val q = graft.streaming.Sinks.idempotentServe(in, outDir, ckpt,
+        b => Similarity.ivfPqTopK(s, dir, b, k = 5, nprobe = 4, shortlist = 25))
+      try q.awaitTermination() finally { q.stop(); () }
+      graft.streaming.Sinks.awaitDeregistered(q)
+      val got = graft.streaming.Sinks.readCommitted(s, outDir)
+      val eq = got.count() == batchOut.count() &&
+        got.except(batchOut).isEmpty && batchOut.except(got).isEmpty
+      Seq((queries.count(), if (eq) 1 else 0))
+        .toDF("n_queries", "stream_matches_batch")
+    }),
     // ---- IVF index lifecycle (r10): append-without-retrain drifts the
     // coarse quantizer; the recall audit on a FIXED probe set detects it
     // and triggers a blue/green rebuild. Drift is manufactured
@@ -918,6 +949,27 @@ object Extensions {
     // ---- text analysis ----
     "x09_text_stats" -> ((s, d) =>
       TextAnalysis.stats(docs(s, d), "text", "doc_id").orderBy("doc_id")),
+    // ---- compression-ratio quality signal (r11, the CCNet heuristic):
+    // deflate is not ANSI-recomputable, so the oracle pins per-bucket
+    // counts and EXACT UTF-8 byte sums (doubling recomputed as 2×strlen)
+    // plus the load-bearing inequality: doubled docs (injected 4th) must
+    // compress strictly better ON AVERAGE than the untouched ones ----
+    "x104_compression_ratio" -> ((s, d) => {
+      import s.implicits._
+      val injected = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, concat(col("text"), col("text")))
+          .otherwise(col("text")).as("text"))
+      val r = TextAnalysis.compressionRatio(injected, "text", "doc_id")
+        .withColumn("doubled", (col("id") % 4 === 0).cast("int"))
+        .localCheckpoint() // deflate once; means + buckets both read it
+      val m = r.groupBy(col("doubled")).agg(avg(col("ratio")).as("m"))
+        .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+      val meanLt = if (m(1) < m(0)) 1 else 0
+      r.groupBy(col("doubled"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("sum_bytes"))
+        .withColumn("mean_lt", lit(meanLt))
+        .orderBy("doubled")
+    }),
     "x10_text_quality" -> ((s, d) =>
       TextAnalysis.quality(docs(s, d), "text", "doc_id")
         .select(col("doc_id"), round(col("quality"), 6).as("quality"))
@@ -1181,6 +1233,49 @@ object Extensions {
       } finally q.stop()
       Seq((batch.length.toLong, if (eq) 1 else 0))
         .toDF("n_sessions", "stream_matches_batch")
+    }),
+    // ---- streaming ≡ batch parity for GAP windows (r11): `every` >
+    // `size` through the DIALECT on a real stream — rows in gaps drop,
+    // starts align to `every`, w_end = w_start + size. The streamed side
+    // is the translator's own streaming plan (tumble-by-every + offset
+    // filter), not a hand-built operator, so this pins the FSQL surface ----
+    "x102_gap_window_stream" -> ((s, d) => {
+      import s.implicits._
+      val g = GraftSession.forDir(s, d)
+      val fsql = "select w_start, w_end, count(*) as n, " +
+        "round(sum(value), 4) as v from %s [size 1 d on ts every 2 d] " +
+        "group by w_start, w_end"
+      val batch = g.sql(fsql.format(
+          "(select * from events where event_id % 20 = 0) as e"))
+        .collect().map(r => (r.getTimestamp(0).getTime,
+          r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3))).sorted
+      // file-backed replay through a streaming session: the subset lands
+      // on parquet and the dialect's CREATE STREAM file source reads it
+      val dir = tempDir("x102_feed_") + "/feed.parquet"
+      g.catalog.relation("events")
+        .where(col("event_id") % 20 === 0)
+        .select(col("ts"), col("value"))
+        .write.mode("overwrite").parquet(dir)
+      val gs = new GraftSession(s, streaming = true)
+      gs.sql(s"create stream gapev (ts timestamp, value double) source file('$dir')")
+      val streamed = gs.sql(fsql.format("gapev"))
+      assert(streamed.isStreaming, "x102 must exercise the streaming plan")
+      val sink = "x102_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // complete mode: emit every window without waiting on the watermark
+      val q = try streamed.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      val eq = try {
+        q.processAllAvailable()
+        val got = s.table(sink).collect()
+          .map(r => (r.getTimestamp(0).getTime,
+            r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3))).sorted
+        got.toSeq == batch.toSeq && got.nonEmpty
+      } finally q.stop()
+      Seq((batch.length.toLong, if (eq) 1 else 0))
+        .toDF("n_windows", "stream_matches_batch")
     }),
     // tf-idf restricted to a doc slice so the gate output stays bounded
     "x17_text_tfidf" -> ((s, d) =>
@@ -1910,6 +2005,11 @@ object Extensions {
       "x91_ann_serve_stream" -> (
         "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS stream_matches_batch " +
         "FROM embeddings WHERE vec_id < 40"),
+      // x103: same parity-flag form — the streamed IVF-PQ serve must
+      // equal the batch ivfPqTopK result exactly
+      "x103_ivfpq_serve_stream" -> (
+        "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS stream_matches_batch " +
+        "FROM embeddings WHERE vec_id < 40"),
       // x90: served-from-disk ≡ fresh in-memory is the assertion (both
       // engine-side, exact); the oracle pins the query count + flags
       "x90_ivf_index" -> (
@@ -1954,6 +2054,13 @@ object Extensions {
         "row_number() OVER (PARTITION BY qid ORDER BY ROUND(dp / (na * nb), 4) DESC, vec_id) AS rn FROM s " +
         "WHERE ROUND(dp / (na * nb), 4) >= 0.0 AND ROUND(dp / (na * nb), 4) < 0.98) " +
         "WHERE rn <= 5 ORDER BY qid, cos DESC, vec_id"),
+      "x104_compression_ratio" -> (
+        "SELECT CAST((doc_id % 4 = 0) AS INTEGER) AS doubled, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 2 * strlen(text) " +
+        "ELSE strlen(text) END) AS BIGINT) AS sum_bytes, " +
+        "CAST(1 AS INTEGER) AS mean_lt " +
+        "FROM documents GROUP BY 1 ORDER BY 1"),
       "x09_text_stats" -> (
         s"SELECT doc_id, $nTok AS n_tokens, " +
         s"CASE WHEN length(trim($t)) = 0 THEN 0 ELSE CAST((SELECT SUM(CAST(CEIL(CAST(length(w) AS DOUBLE) / 4.0) AS BIGINT)) FROM (SELECT UNNEST(${duckTokens(t)}) AS w)) AS BIGINT) END AS token_est, " +
@@ -2629,6 +2736,15 @@ object Extensions {
         "SELECT CAST(count(*) AS BIGINT) AS n_sessions, " +
         "CAST(1 AS INTEGER) AS stream_matches_batch " +
         "FROM (SELECT event_type, sess FROM sid GROUP BY event_type, sess)"),
+      // gap windows: the oracle recomputes the distinct surviving window
+      // starts (rows in the second day of each 2-day period are in NO
+      // window) and the parity bit must be 1
+      "x102_gap_window_stream" -> (
+        "SELECT CAST(count(*) AS BIGINT) AS n_windows, " +
+        "CAST(1 AS INTEGER) AS stream_matches_batch FROM (" +
+        "SELECT DISTINCT (epoch_us(CAST(ts AS TIMESTAMP)) // 172800000000) AS w " +
+        "FROM events WHERE event_id % 20 = 0 " +
+        "AND epoch_us(CAST(ts AS TIMESTAMP)) % 172800000000 < 86400000000)"),
       "x52_interval_join_stream" -> (
         "WITH l AS (SELECT event_id AS l_id, event_type, CAST(ts AS TIMESTAMP) AS l_ts " +
         "FROM events WHERE event_id % 200 = 0), " +

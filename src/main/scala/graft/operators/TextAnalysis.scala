@@ -1076,4 +1076,43 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_words"),
         sum(coalesce(col("n_tokens"), length(col("word")).cast("long")))
           .as("n_tokens"))
+
+  /** Compression-ratio quality signal (the CCNet/RedPajama heuristic):
+    * highly repetitive or templated text deflates far below natural prose,
+    * and near-random noise deflates above it — both tails are low-quality.
+    * Returns (id, n_bytes, n_deflated, ratio = deflated/raw; 0-byte docs
+    * → ratio 1.0 by convention).
+    *
+    * Scale shape: a mapPartitions batch kernel (one `Deflater` allocated
+    * and reused per TASK, not per row — the same discipline as
+    * [[Multimodal.decode]]'s codec kernel), embarrassingly parallel, no
+    * shuffle, output a fixed 4-column row per doc. Deflate level 6 with
+    * the default strategy is deterministic for a given input on the JDK's
+    * zlib, so the operator is replay-stable; it is NOT recomputable in
+    * ANSI SQL, so gates pin counts + ordering contracts (the ANN-family
+    * oracle form), and the spec pins hand-checkable inequalities. */
+  def compressionRatio(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+    src.mapPartitions { it =>
+      val deflater = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](64 * 1024)
+      it.map { case (id, text) =>
+        val raw = if (text == null) Array.emptyByteArray
+          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (raw.isEmpty) (id, 0L, 0L, 1.0)
+        else {
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          (id, raw.length.toLong, n,
+            math.rint(n.toDouble / raw.length * 1e6) / 1e6)
+        }
+      }
+    }.toDF("id", "n_bytes", "n_deflated", "ratio")
+  }
 }

@@ -1576,14 +1576,20 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
     * works (the struct carries the event-time watermark metadata; plain
     * derived `w_start` columns don't — verified empirically, StreamProbe
     * shapes C vs D). `w_start`/`w_end` stay materialized for projections
-    * and windowed joins. */
+    * and windowed joins.
+    *
+    * Gap windows (`every` > `size`): Spark's native `window()` rejects
+    * slide > duration, but a gap window is a tumbling window of period
+    * `every` restricted to rows whose offset within the period is <
+    * `size` — so: filter `pmod(t, every) < size`, tumble by `every`, and
+    * override `w_end = w_start + size`. This reproduces the batch path's
+    * semantics exactly (rows in gaps dropped; starts aligned to `every`).
+    * The `__w` group struct keeps end = start + every, which only delays
+    * append-mode eviction of a finished window by (every - size) — safe,
+    * never early. */
   private def applyStreamingTimeWindow(df: DataFrame, timeField: String,
       sizeUs: Long, everyUs: Option[Long], partCols: Seq[String],
       watermarkUs: Option[Long] = None): (DataFrame, Seq[String]) = {
-    if (everyUs.exists(_ > sizeUs))
-      throw new GraftAnalysisException(
-        "streaming windows with `every` > `size` (gaps) are not supported; " +
-          "use a batch source or every <= size")
     // delay: explicit `watermark N unit` in the spec, else the window size
     val delayUs = watermarkUs.getOrElse(sizeUs)
     val isTs = df.schema(timeField).dataType.typeName == "timestamp"
@@ -1594,13 +1600,22 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
           .withWatermark("__evt", s"$delayUs microseconds")
         (d, "__evt")
       }
+    val gapSlide = everyUs.filter(_ > sizeUs)
+    val base = gapSlide match {
+      case Some(slide) =>
+        wdf.where(pmod(unix_micros(col(evtName)), lit(slide)) < lit(sizeUs))
+      case None => wdf
+    }
     val win = everyUs match {
       case None | Some(`sizeUs`) => window(col(evtName), s"$sizeUs microseconds")
+      case Some(slide) if slide > sizeUs => window(col(evtName), s"$slide microseconds")
       case Some(slide) => window(col(evtName), s"$sizeUs microseconds", s"$slide microseconds")
     }
-    val out = wdf.withColumn("__w", win)
+    val out = base.withColumn("__w", win)
       .withColumn("w_start", col("__w.start"))
-      .withColumn("w_end", col("__w.end"))
+      .withColumn("w_end", if (gapSlide.isDefined)
+        timestamp_micros(unix_micros(col("__w.start")) + sizeUs)
+      else col("__w.end"))
     (out, Seq("__w", "w_start", "w_end") ++ partCols)
   }
 

@@ -2070,4 +2070,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("nope_ok") && err.getMessage.contains("wc_ok"))
   }
+
+  test("compressionRatio: repetitive text deflates below prose; exact bytes; deterministic (r11)") {
+    import spark.implicits._
+    val prose = "The five boxing wizards jump quickly over the lazy dog while " +
+      "sixty jovial zebras watch from a quartz balcony in June."
+    val d = Seq(
+      (1L, prose),
+      (2L, Seq.fill(40)("spam spam spam").mkString(" ")), // highly repetitive
+      (3L, ""),                                           // empty: ratio 1.0 by convention
+      (4L, prose + prose)                                 // doubled prose
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // exact UTF-8 byte counts
+    assert(out(1L)._1 == prose.getBytes("UTF-8").length.toLong)
+    assert(out(4L)._1 == 2L * prose.getBytes("UTF-8").length)
+    // repetitive text compresses far better than prose
+    assert(out(2L)._3 < out(1L)._3 * 0.5, s"repetitive not compressed: $out")
+    // doubling adds redundancy: deflated(2x) < 2 * deflated(1x)
+    assert(out(4L)._2 < 2L * out(1L)._2)
+    // empty-doc convention
+    assert(out(3L) == ((0L, 0L, 1.0)))
+    // deterministic replay: a second run is byte-identical
+    val again = TextAnalysis.compressionRatio(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(again == out)
+  }
 }

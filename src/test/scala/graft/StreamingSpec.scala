@@ -114,6 +114,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dialect GAP window (every > size) on a stream: gap rows dropped, w_end = start + size") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gap_stream").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "a.csv"))
+    w.println("2024-01-01T00:10:00,1.0") // hour 0 of a 3h period -> window [00:00, 01:00)
+    w.println("2024-01-01T00:40:00,2.0") // same window
+    w.println("2024-01-01T01:30:00,4.0") // gap (hours 1-2 of the period): NO window
+    w.println("2024-01-01T03:20:00,8.0") // next period's window [03:00, 04:00)
+    w.println("2024-01-02T00:00:00,0.5") // advances the watermark past everything
+    w.close()
+    val g = new GraftSession(spark, streaming = true)
+    g.sql("create stream gapv (ts timestamp, v double) source file('" + dir.getAbsolutePath + "')")
+    val agg = g.sql(
+      "select w_start, w_end, count(*) as n, sum(v) as s from gapv [size 1 h on ts every 3 h] group by w_start, w_end")
+    assert(agg.isStreaming)
+    val q = Sinks.memory(agg, "gap_append_out", OutputMode.Append())
+    try {
+      q.processAllAvailable()
+      // second batch pushes the watermark so earlier windows finalize
+      val w2 = new java.io.PrintWriter(new java.io.File(dir, "b.csv"))
+      w2.println("2024-01-03T00:00:00,0.25")
+      w2.close()
+      q.processAllAvailable()
+      val rows = spark.table("gap_append_out").collect()
+        .map(r => r.getTimestamp(0).toString ->
+          (r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3))).toMap
+      assert(rows.contains("2024-01-01 00:00:00.0"), s"first gap window not emitted: $rows")
+      assert(rows("2024-01-01 00:00:00.0") == (("2024-01-01 01:00:00.0", 2L, 3.0)))
+      assert(rows.contains("2024-01-01 03:00:00.0"), s"second period window missing: $rows")
+      assert(rows("2024-01-01 03:00:00.0") == (("2024-01-01 04:00:00.0", 1L, 8.0)))
+      // the 01:30 row fell in the gap: no window starting 01:00/02:00/03:00-with-it
+      assert(!rows.keys.exists(_.startsWith("2024-01-01 01:")), s"gap row leaked: $rows")
+      assert(!rows.keys.exists(_.startsWith("2024-01-01 02:")), s"gap row leaked: $rows")
+    } finally q.stop()
+  }
+
   test("streaming session windows via Sessions.aggregate") {
     val in = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
     val df = in.toDF().toDF("ts", "k", "v")

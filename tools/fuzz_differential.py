@@ -99,7 +99,47 @@ def bucket_us(every_us):
             f"// {every_us}) * {every_us})")
 
 
+def bucket_end_us(every_us, size_us):
+    return (f"make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) "
+            f"// {every_us}) * {every_us} + {size_us})")
+
+
 def gen_window_query(rng, shape):
+    if shape == 40:  # GAP window [size s u on ts every e u], e > s (r11):
+        # rows with pmod(t, every) >= size are in NO window and drop
+        unit, us = rng.choice(WINDOW_UNITS)
+        if unit == "min":
+            s_n = rng.choice([10, 20, 30])
+            e_n = s_n + rng.choice([15, 30, 60])
+        else:
+            s_n = rng.choice([1, 2, 3])
+            e_n = s_n + rng.choice([1, 2, 6])
+        size_us, every_us = s_n * us, e_n * us
+        part = rng.random() < 0.5
+        if part:
+            graft = (f"select w_start, w_end, event_type as et, "
+                     f"cast(count(*) as bigint) as n, max(event_id) as mx "
+                     f"from events [size {s_n} {unit} on ts every {e_n} {unit} "
+                     f"partitioned on event_type] "
+                     f"group by event_type order by w_start, et")
+            duck = (f"SELECT {bucket_us(every_us)} AS w_start, "
+                    f"{bucket_end_us(every_us, size_us)} AS w_end, "
+                    f"event_type AS et, COUNT(*) AS n, MAX(event_id) AS mx "
+                    f"FROM events "
+                    f"WHERE epoch_us(CAST(ts AS TIMESTAMP)) % {every_us} < {size_us} "
+                    f"GROUP BY 1, 2, 3 ORDER BY 1, 3")
+        else:
+            graft = (f"select w_start, w_end, cast(count(*) as bigint) as n, "
+                     f"cast(sum(user_id) as bigint) as su "
+                     f"from events [size {s_n} {unit} on ts every {e_n} {unit}] "
+                     f"group by w_start, w_end order by w_start")
+            duck = (f"SELECT {bucket_us(every_us)} AS w_start, "
+                    f"{bucket_end_us(every_us, size_us)} AS w_end, "
+                    f"COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS su "
+                    f"FROM events "
+                    f"WHERE epoch_us(CAST(ts AS TIMESTAMP)) % {every_us} < {size_us} "
+                    f"GROUP BY 1, 2 ORDER BY 1")
+        return graft, duck
     if shape == 34:  # tumbling [size N u on ts [partitioned on event_type]]
         unit, us = rng.choice(WINDOW_UNITS)
         n = rng.choice([30, 45, 90] if unit == "min" else [1, 2, 4, 6, 12])
@@ -225,7 +265,9 @@ def gen_tablefn_query(rng, shape):
 
 
 def gen_query(rng, only=None):
-    shape = rng.choice(only) if only else rng.randrange(40)
+    shape = rng.choice(only) if only else rng.randrange(41)
+    if shape == 40:  # gap-window pair shape (r11: every > size)
+        return gen_window_query(rng, shape)
     if shape >= 37:  # table-function pair shapes
         return gen_tablefn_query(rng, shape)
     if shape >= 34:  # window-family pair shapes
