@@ -156,6 +156,18 @@ object SparkEntry {
     "q27_count_window" -> ((s, d) => g(s, d).sql(
       "select w_id, event_type as et, count(*) as n " +
       "from events [size 100 on event_id partitioned on event_type] group by event_type order by et, w_id")),
+    // ---- W2 sliding form (r11): every < size — rows land in up to
+    // ceil(size/every) overlapping count windows ----
+    "q120_count_window_sliding" -> ((s, d) => g(s, d).sql(
+      "select w_id, event_type as et, count(*) as n " +
+      "from events [size 100 every 40 on event_id partitioned on event_type] " +
+      "group by event_type order by et, w_id")),
+    // ---- W2 gap form (r11): every > size on the UNKEYED path (pinned
+    // zipWithIndex flatMap) — rows between windows belong to none ----
+    "q121_count_window_gap" -> ((s, d) => g(s, d).sql(
+      "select w_id, count(*) as n, min(event_id) as mn, max(event_id) as mx " +
+      "from events [size 50 every 120 on event_id] " +
+      "group by w_id order by w_id")),
     // ---- W6: windowed stream-stream join (equi-join on window bucket) ----
     "q28_windowed_join" -> ((s, d) => g(s, d).sql(
       "select count(*) as n from events [size 1 h on ts] as e1 " +
@@ -1128,6 +1140,20 @@ object SparkEntry {
       ("SELECT w_id, et, COUNT(*) AS n FROM (SELECT (row_number() OVER " +
        "(PARTITION BY event_type ORDER BY event_id) - 1) // 100 AS w_id, event_type AS et " +
        "FROM events) GROUP BY 1, 2 ORDER BY 2, 1"),
+    // q120/q121: window j covers per-key row indexes
+    // [(j+1)*s - n, (j+1)*s - 1]  =>  row r is in j from r//s
+    // to (r+n)//s - 1 (generate_series is empty when stop < start)
+    "q120_count_window_sliding" ->
+      ("SELECT w_id, et, COUNT(*) AS n FROM (" +
+       "SELECT event_type AS et, UNNEST(generate_series(r // 40, (r + 100) // 40 - 1)) AS w_id " +
+       "FROM (SELECT event_type, (row_number() OVER " +
+       "(PARTITION BY event_type ORDER BY event_id) - 1) AS r FROM events)) " +
+       "GROUP BY 1, 2 ORDER BY 2, 1"),
+    "q121_count_window_gap" ->
+      ("SELECT w_id, COUNT(*) AS n, MIN(event_id) AS mn, MAX(event_id) AS mx FROM (" +
+       "SELECT event_id, UNNEST(generate_series(r // 120, (r + 50) // 120 - 1)) AS w_id " +
+       "FROM (SELECT event_id, (row_number() OVER (ORDER BY event_id) - 1) AS r FROM events)) " +
+       "GROUP BY 1 ORDER BY 1"),
     "q28_windowed_join" ->
       ("SELECT COUNT(*) AS n FROM " +
        "(SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS b, event_type FROM events) e1 " +

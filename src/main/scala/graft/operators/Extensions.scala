@@ -949,6 +949,49 @@ object Extensions {
     // ---- text analysis ----
     "x09_text_stats" -> ((s, d) =>
       TextAnalysis.stats(docs(s, d), "text", "doc_id").orderBy("doc_id")),
+    // ---- bucketed co-located join (r11): the 100 TB shuffle-avoidance
+    // lever DEMONSTRATED — both sides land as bucketed tables on the join
+    // key (8 buckets, sorted), broadcast is disabled inside the gate so
+    // the sort-merge join must rely on bucketing alone, and the per-key
+    // aggregation rides the SAME bucket partitioning: the executed plan
+    // of join+agg carries ZERO ShuffleExchange nodes (asserted by a
+    // physical-plan walk through AQE). Values are exact vs DuckDB ----
+    "x105_bucketed_join" -> ((s, d) => {
+      val g0 = GraftSession.forDir(s, d)
+      val orders = g0.catalog.relation("orders")
+      val lineitem = g0.catalog.relation("lineitem")
+      orders.write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", tempDir("x105_o_")).saveAsTable("x105_orders")
+      lineitem.write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", tempDir("x105_l_")).saveAsTable("x105_lineitem")
+      val savedBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (rows, nShuffles) = try {
+        val joined = s.table("x105_lineitem")
+          .join(s.table("x105_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .where(col("o_orderkey") < 200)
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+        joined.queryExecution.toRdd.foreach(_ => ())
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(st.plan)
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            1L + e.children.map(walk).sum
+          case other => other.children.map(walk).sum
+        }
+        (joined.localCheckpoint(),
+          walk(joined.queryExecution.executedPlan))
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+      rows.withColumn("zero_shuffles", lit(if (nShuffles == 0) 1 else 0))
+        .orderBy("o_orderkey")
+    }),
     // ---- compression-ratio quality signal (r11, the CCNet heuristic):
     // deflate is not ANSI-recomputable, so the oracle pins per-bucket
     // counts and EXACT UTF-8 byte sums (doubling recomputed as 2×strlen)
@@ -1177,6 +1220,45 @@ object Extensions {
         in.toDF().toDF("id", "event_type"), 9, Seq("event_type"))
       val sink = "x55_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // one replay batch → 4 state partitions beat 32 (conf captured at start)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try assigned.select(col("id"), col("w_id")).writeStream
+        .format("memory").queryName(sink).outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      val eq = try {
+        in.addData(rows: _*) // one block → one partition → stable order
+        q.processAllAvailable()
+        val got = s.table(sink).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted
+        got.toSeq == batch.toSeq && got.nonEmpty
+      } finally q.stop()
+      Seq((batch.length.toLong, if (eq) 1 else 0))
+        .toDF("n_rows", "stream_matches_batch")
+    }),
+    // ---- streaming ≡ batch parity for SLIDING count windows (r11):
+    // slide 4 < size 9, so every row lands in up to 3 overlapping
+    // windows — the stateful counter must emit the SAME (row, w_id)
+    // multiset as the batch row_number explode ----
+    "x106_count_window_sliding_stream" -> ((s, d) => {
+      import s.implicits._
+      val g = GraftSession.forDir(s, d)
+      val batch = g.sql(
+          "select event_id as id, w_id from " +
+          "(select * from events where event_id % 20 = 0) as e " +
+          "[size 9 every 4 on event_id partitioned on event_type]")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val rows = g.catalog.relation("events")
+        .where(col("event_id") % 20 === 0)
+        .select(col("event_id"), col("event_type"))
+        .orderBy("event_id") // arrival order = batch's `on`-field order
+        .collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+      // arrival-ORDER-sensitive: single-partition MemoryStream feed (one
+      // pre-start block = one ordered batch), the x55 discipline
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](s)
+      val assigned = graft.streaming.CountWindow.assign(
+        in.toDF().toDF("id", "event_type"), 9, Seq("event_type"), slide = 4)
+      val sink = "x106_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = try assigned.select(col("id"), col("w_id")).writeStream
@@ -2054,6 +2136,12 @@ object Extensions {
         "row_number() OVER (PARTITION BY qid ORDER BY ROUND(dp / (na * nb), 4) DESC, vec_id) AS rn FROM s " +
         "WHERE ROUND(dp / (na * nb), 4) >= 0.0 AND ROUND(dp / (na * nb), 4) < 0.98) " +
         "WHERE rn <= 5 ORDER BY qid, cos DESC, vec_id"),
+      "x105_bucketed_join" -> (
+        "SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_items, " +
+        "ROUND(SUM(l_extendedprice), 2) AS revenue, " +
+        "CAST(1 AS INTEGER) AS zero_shuffles " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderkey < 200 GROUP BY 1 ORDER BY 1"),
       "x104_compression_ratio" -> (
         "SELECT CAST((doc_id % 4 = 0) AS INTEGER) AS doubled, " +
         "CAST(count(*) AS BIGINT) AS n_docs, " +
@@ -2724,6 +2812,14 @@ object Extensions {
         "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(1 AS INTEGER) AS stream_matches_batch " +
         "FROM events WHERE event_id % 20 = 0"),
+      // x106: the oracle recomputes the exploded (row, w_id) count —
+      // each of the N rows lands in (r+9)//4 - r//4 windows — and the
+      // parity bit must be 1
+      "x106_count_window_sliding_stream" -> (
+        "SELECT CAST(SUM((r + 9) // 4 - r // 4) AS BIGINT) AS n_rows, " +
+        "CAST(1 AS INTEGER) AS stream_matches_batch FROM " +
+        "(SELECT (row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1) AS r " +
+        "FROM events WHERE event_id % 20 = 0)"),
       "x56_session_window_stream" -> (
         "WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events " +
         "WHERE event_id % 20 = 0), " +

@@ -1666,20 +1666,58 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
           .drop("w_start_us")
         (withTs, Seq("w_start", "w_end") ++ partCols)
 
-      case None => // count window [size N]
+      case None => // count window [size N [every S]]
         val n = w.size.value
+        // Sliding/gap count windows (reference grammar: `every` is
+        // policy-based like `size`, fsql/parser.scala:169; Flink
+        // `countWindow(size, slide)` semantics): window j covers per-key
+        // row indexes [(j+1)·s − n, (j+1)·s − 1], so row r belongs to
+        // j ∈ [⌊r/s⌋, ⌊(r+n)/s⌋ − 1] — one id when s = n (tumbling),
+        // several when s < n (overlap), possibly none when s > n (gap).
+        val slide = w.every.map { e =>
+          if (e.timeUnit.isDefined)
+            throw new GraftAnalysisException(
+              "count window (no time unit on `size`) cannot take a " +
+                "time-based `every`; use a count-based `every N`")
+          if (e.value <= 0)
+            throw new GraftAnalysisException(
+              s"count window `every` must be positive, got ${e.value}")
+          e.value
+        }.getOrElse(n)
+        // row r (0-based) → explode of its window ids; Spark's sequence()
+        // DESCENDS when stop < start, so the gap case needs the guard.
+        // Column `/` is DOUBLE division — exact integral floor via
+        // (a − pmod(a, b)) / b (numerator a multiple of b, so the double
+        // quotient is exact), matching DuckDB's `//` oracle.
+        def idiv(a: Column, b: Long): Column =
+          ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+        def slideIds(r: Column): Column = {
+          val jMin = idiv(r, slide)
+          val jMax = idiv(r + n, slide) - 1
+          explode(when(jMax >= jMin, sequence(jMin, jMax))
+            .otherwise(array().cast("array<long>")))
+        }
         if (df.isStreaming) {
           // row_number is illegal on streams — use the stateful per-key
           // counter operator (streaming W2, flatMapGroupsWithState).
-          val out = graft.streaming.CountWindow.assign(df, n.toInt, partCols)
+          val out = graft.streaming.CountWindow.assign(df, n.toInt, partCols,
+            slide.toInt)
           (out, Seq("w_id") ++ partCols)
         } else {
           val orderCol = w.size.onField.map(f => col(f.name))
             .getOrElse(col(df.columns.head))
           if (partCols.nonEmpty) {
             val win = Window.partitionBy(partCols.map(col): _*).orderBy(orderCol)
-            val out = df.withColumn("w_id",
-              ((row_number().over(win) - 1) / n).cast("long"))
+            val out =
+              if (slide == n)
+                df.withColumn("w_id",
+                  ((row_number().over(win) - 1) / n).cast("long"))
+              else
+                // the generator cannot wrap the window fn in one Project:
+                // materialize the row index, then explode over it
+                df.withColumn("__r", (row_number().over(win) - 1).cast("long"))
+                  .withColumn("w_id", slideIds(col("__r")))
+                  .drop("__r")
             (out, Seq("w_id") ++ partCols)
           } else {
             // Unkeyed batch count window without a single global sort, and
@@ -1710,8 +1748,15 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
             val pinned = sorted.rdd
             pinned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             catalog.registerPinned(pinned) // explicit release: GraftSession.releaseOperatorCaches()
-            val indexed = pinned.zipWithIndex.map { case (r, i) =>
-              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i / n)) }
+            val (nn, ss) = (n, slide) // stable locals for the task closure
+            val indexed =
+              if (ss == nn)
+                pinned.zipWithIndex.map { case (r, i) =>
+                  org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i / nn)) }
+              else
+                pinned.zipWithIndex.flatMap { case (r, i) =>
+                  graft.streaming.CountWindow.windowIds(i, nn, ss)
+                    .map(j => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ j)) }
             val out = spark.createDataFrame(indexed,
               sorted.schema.add("w_id",
                 org.apache.spark.sql.types.LongType, nullable = false))

@@ -243,6 +243,46 @@ class EngineSpec extends AnyFunSuite {
     assert(full == total / 100)
   }
 
+  test("sliding count window [size 3 every 2]: hand-computed overlap (r11)") {
+    import TestSpark.spark.implicits._
+    val g2 = new GraftSession(TestSpark.spark)
+    g2.catalog.registerTable("five",
+      Seq(0L, 1L, 2L, 3L, 4L).toDF("r"))
+    val got = g2.sql(
+        "select r, w_id from five [size 3 every 2 on r] order by r, w_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    // window j = rows [(j+1)*2-3, (j+1)*2-1]: w0={0,1}, w1={1,2,3}, w2={3,4}
+    assert(got == Seq((0L, 0L), (1L, 0L), (1L, 1L), (2L, 1L),
+      (3L, 1L), (3L, 2L), (4L, 2L)), s"got $got")
+  }
+
+  test("gap count window [size 2 every 3]: rows between windows get none (r11)") {
+    import TestSpark.spark.implicits._
+    val g2 = new GraftSession(TestSpark.spark)
+    g2.catalog.registerTable("seven",
+      (0L to 6L).toDF("r"))
+    val got = g2.sql(
+        "select r, w_id from seven [size 2 every 3 on r] order by r, w_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    // window j = rows [(j+1)*3-2, (j+1)*3-1]: w0={1,2}, w1={4,5}; 0,3,6 drop
+    assert(got == Seq((1L, 0L), (2L, 0L), (4L, 1L), (5L, 1L)), s"got $got")
+    // partitioned sliding path: same formula per key
+    g2.catalog.registerTable("keyed",
+      Seq(("a", 0L), ("a", 1L), ("a", 2L), ("b", 0L), ("b", 1L))
+        .toDF("k", "r"))
+    val keyed = g2.sql(
+        "select k, r, w_id from keyed [size 3 every 2 on r partitioned on k] " +
+        "order by k, r, w_id")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(keyed == Seq(("a", 0L, 0L), ("a", 1L, 0L), ("a", 1L, 1L),
+      ("a", 2L, 1L), ("b", 0L, 0L), ("b", 1L, 0L), ("b", 1L, 1L)), s"got $keyed")
+    // mixed policy is a loud error, not a silent drop
+    val err = intercept[graft.translate.GraftAnalysisException] {
+      g2.sql("select r, w_id from seven [size 2 every 1 h on r]")
+    }
+    assert(err.getMessage.contains("time-based"))
+  }
+
   test("windowed join buckets co-windowed rows") {
     // window specs make downstream aggregation implicitly per-window (FSQL
     // semantics): sum the per-window counts and compare with the total

@@ -88,6 +88,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("W2 sliding via the dialect: count window with every on a streaming source (r11)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cws_stream").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "in.csv"))
+    (1 to 5).foreach(i => w.println(s"k,$i"))
+    w.close()
+    val g = new GraftSession(spark, streaming = true)
+    g.sql("create stream cwslide (k string, v long) source file('" + dir.getAbsolutePath + "')")
+    val df = g.sql("select k, v, w_id from cwslide [size 3 every 2 partitioned on k]")
+    assert(df.isStreaming)
+    val q = Sinks.memory(df, "cw_slide_out", OutputMode.Append())
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cw_slide_out").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+      // r=v-1: w0={v1,v2}, w1={v2,v3,v4}, w2={v4,v5}
+      assert(rows == Seq((1L, 0L), (2L, 0L), (2L, 1L), (3L, 1L),
+        (4L, 1L), (4L, 2L), (5L, 2L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("dialect windowed agg on a stream runs APPEND mode with watermark eviction") {
     val dir = java.nio.file.Files.createTempDirectory("graft_append_stream").toFile
     val w = new java.io.PrintWriter(new java.io.File(dir, "a.csv"))

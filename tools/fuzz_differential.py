@@ -105,6 +105,21 @@ def bucket_end_us(every_us, size_us):
 
 
 def gen_window_query(rng, shape):
+    if shape == 41:  # count window with every: sliding (s < n) or gap (s > n)
+        n = rng.choice([20, 50, 100])
+        slide = rng.choice([max(1, n // 3), max(1, n // 2), n * 2, n * 3])
+        graft = (f"select w_id, event_type as et, "
+                 f"cast(count(*) as bigint) as n, max(event_id) as mx "
+                 f"from events [size {n} every {slide} on event_id "
+                 f"partitioned on event_type] "
+                 f"group by event_type order by et, w_id")
+        duck = (f"SELECT w_id, et, COUNT(*) AS n, MAX(event_id) AS mx FROM ("
+                f"SELECT event_id, event_type AS et, "
+                f"UNNEST(generate_series(r // {slide}, (r + {n}) // {slide} - 1)) AS w_id "
+                f"FROM (SELECT event_id, event_type, (row_number() OVER "
+                f"(PARTITION BY event_type ORDER BY event_id) - 1) AS r FROM events)) "
+                f"GROUP BY 1, 2 ORDER BY 2, 1")
+        return graft, duck
     if shape == 40:  # GAP window [size s u on ts every e u], e > s (r11):
         # rows with pmod(t, every) >= size are in NO window and drop
         unit, us = rng.choice(WINDOW_UNITS)
@@ -265,8 +280,8 @@ def gen_tablefn_query(rng, shape):
 
 
 def gen_query(rng, only=None):
-    shape = rng.choice(only) if only else rng.randrange(41)
-    if shape == 40:  # gap-window pair shape (r11: every > size)
+    shape = rng.choice(only) if only else rng.randrange(42)
+    if shape in (40, 41):  # r11 pair shapes: gap time window / count-every
         return gen_window_query(rng, shape)
     if shape >= 37:  # table-function pair shapes
         return gen_tablefn_query(rng, shape)
