@@ -853,6 +853,35 @@ object Extensions {
           if (report.getDouble(4) > report.getDouble(1)) 1 else 0))
         .toDF("n_queries", "drifted", "retrained", "recall_recovered")
     }),
+    // ---- IVF-PQ index lifecycle (r11): the x96 drift story on the
+    // COMPOSED index — append-without-retrain encodes new vectors with
+    // BOTH persisted quantizers (coarse centroids + PQ codebooks); the
+    // sign-masked drift batch decorrelates from both, the fixed-probe
+    // recall audit detects it, and the blue/green rebuild retrains both
+    // quantizers into a NEW directory. Same flags-oracle form as x96 ----
+    "x107_ivfpq_lifecycle" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d).localCheckpoint()
+      val mask = (v: org.apache.spark.sql.Column) =>
+        transform(v, (x, j) => when(pmod(hash(lit("drift"), j), lit(2)) === 0, x)
+          .otherwise(-x))
+      val dir = tempDir("x107_idx_")
+      val rebuildDir = tempDir("x107_idx_v2_")
+      Similarity.saveIvfPqIndex(e.where(col("vec_id") < 250), dir,
+        nlist = 8, m = 16, k = 32, iters = 2)
+      val appended = e.where(col("vec_id") >= 250)
+        .select(col("vec_id"), mask(col("embedding")).as("embedding"))
+        .localCheckpoint()
+      Similarity.appendToIvfPqIndex(appended, dir)
+      val queries = appended.where(col("vec_id") < 290) // fixed 40-probe set
+      val report = Similarity.refreshIvfPqIndexIfDrifted(s, dir, rebuildDir,
+        queries, k = 10, nprobe = 2, shortlist = 50, minRecall = 0.9,
+        nlist = 8, m = 16, kSub = 32, iters = 2)
+        .head()
+      Seq((queries.count(), report.getInt(2), report.getInt(3),
+          if (report.getDouble(4) > report.getDouble(1)) 1 else 0))
+        .toDF("n_queries", "drifted", "retrained", "recall_recovered")
+    }),
     // ---- product quantization (r10, Jégou et al. 2011): the
     // memory-compressed ANN complement of IVF — 16 subspaces × 32
     // sub-centroids = 16× compression of the 64-dim corpus; the raw ADC
@@ -2116,6 +2145,12 @@ object Extensions {
       // (drift detected on the masked append, rebuild ran, recall
       // recovered vs before) are engine-side assertions, pinned
       "x96_ivf_lifecycle" -> (
+        "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS drifted, " +
+        "CAST(1 AS INTEGER) AS retrained, CAST(1 AS INTEGER) AS recall_recovered " +
+        "FROM embeddings WHERE vec_id >= 250 AND vec_id < 290"),
+      // x107: same form — the composed-index lifecycle must detect the
+      // injected drift and recover after the blue/green rebuild
+      "x107_ivfpq_lifecycle" -> (
         "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS drifted, " +
         "CAST(1 AS INTEGER) AS retrained, CAST(1 AS INTEGER) AS recall_recovered " +
         "FROM embeddings WHERE vec_id >= 250 AND vec_id < 290"),

@@ -626,6 +626,81 @@ object Similarity {
     topKPerGroup(exact, k)
   }
 
+  /** Append new vectors to a [[saveIvfPqIndex]] layout WITHOUT retraining
+    * either quantizer: coarse bucket from the persisted centroids, PQ
+    * code from the persisted codebooks, appended to the same
+    * bucket-partitioned codes/corpus directories (only the touched bucket
+    * partitions gain files). Same drift contract as [[appendToIvfIndex]]:
+    * as appends pull the distribution away from BOTH trained quantizers,
+    * probe recall decays — audit with [[ivfPqIndexRecallAudit]]. */
+  def appendToIvfPqIndex(newVectors: DataFrame, dir: String,
+                         vecCol: String = "embedding",
+                         idCol: String = "vec_id"): Unit = {
+    val spark = newVectors.sparkSession
+    val centroids = loadIvfCentroids(spark, dir)
+    val codebooks = loadPqCodebooks(spark, dir)
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    Par.widen(newVectors, idCol).select(
+      col(idCol).as("vec_id"),
+      array((0 until m).map(j =>
+        nearestSubCentroid(slice(col(vecCol), j * sub + 1, sub),
+          codebooks(j))): _*).as("code"),
+      nearestCentroid(col(vecCol), centroids).as("c"))
+      .repartition(col("c"))
+      .write.mode("append").partitionBy("c").parquet(s"$dir/codes")
+    Par.widen(newVectors, idCol)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        nearestCentroid(col(vecCol), centroids).as("c"))
+      .repartition(col("c"))
+      .write.mode("append").partitionBy("c").parquet(s"$dir/corpus")
+  }
+
+  /** Recall audit of a persisted IVF-PQ layout against the brute-force
+    * truth over the index's OWN corpus rows, on a caller-fixed query
+    * sample (the x76 discipline) — the drift detector for
+    * [[appendToIvfPqIndex]]'s append-without-retrain lifecycle. */
+  def ivfPqIndexRecallAudit(spark: SparkSession, dir: String,
+                            queries: DataFrame, k: Int = 10,
+                            nprobe: Int = 4,
+                            shortlist: Int = 50): DataFrame = {
+    val corpus = spark.read.parquet(s"$dir/corpus")
+      .select(col("vec_id"), col("v").as("embedding"))
+    annRecall(
+      ivfPqTopK(spark, dir, queries, k, nprobe, shortlist),
+      bruteForceTopK(corpus, queries, k))
+  }
+
+  /** Drift-triggered blue/green retrain of the COMPOSED index: below
+    * `minRecall`, BOTH quantizers retrain on the current (grown) corpus
+    * into a NEW directory — never in place (the [[refreshIvfIndexIfDrifted]]
+    * discipline). Returns the same one-row report shape. */
+  def refreshIvfPqIndexIfDrifted(spark: SparkSession, dir: String,
+                                 rebuildDir: String, queries: DataFrame,
+                                 k: Int = 10, nprobe: Int = 4,
+                                 shortlist: Int = 50,
+                                 minRecall: Double = 0.8, nlist: Int = 16,
+                                 m: Int = 8, kSub: Int = 16,
+                                 iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val before = ivfPqIndexRecallAudit(spark, dir, queries, k, nprobe, shortlist)
+      .head()
+    val nq = before.getLong(0)
+    val recallBefore = before.getDouble(1)
+    if (recallBefore >= minRecall)
+      Seq((nq, recallBefore, 0, 0, recallBefore))
+        .toDF("n_queries", "recall_before", "drifted", "retrained", "recall_after")
+    else {
+      val corpus = spark.read.parquet(s"$dir/corpus")
+        .select(col("vec_id"), col("v").as("embedding"))
+      saveIvfPqIndex(corpus, rebuildDir, nlist, m, kSub, iters)
+      val after = ivfPqIndexRecallAudit(spark, rebuildDir, queries, k,
+        nprobe, shortlist).head().getDouble(1)
+      Seq((nq, recallBefore, 1, 1, after))
+        .toDF("n_queries", "recall_before", "drifted", "retrained", "recall_after")
+    }
+  }
+
   /** The persisted centroid model, bucket-ordered (nlist×dim — driver-
     * held by design, like the in-memory trainer's output). */
   def loadIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =

@@ -384,6 +384,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("appendToIvfPqIndex: grown layout's full-probe serve ≡ flat rerank over old ∪ new (r11)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqapp_").toString
+    try {
+      val old = emb.where(col("vec_id") % 2 === 0)
+      val fresh = emb.where(col("vec_id") % 2 =!= 0)
+      Similarity.saveIvfPqIndex(old, dir, nlist = 8, m = 16, k = 32, iters = 2)
+      Similarity.appendToIvfPqIndex(fresh, dir)
+      val q = emb.where(col("vec_id") < 3)
+      // probing every bucket on the GROWN layout must equal the flat
+      // rerank over the grown codes (both quantizers are the persisted
+      // ones — append added data, not new centroids/codebooks)
+      val served = Similarity.ivfPqTopK(spark, dir, q, k = 5, nprobe = 8,
+        shortlist = 25)
+      val cb = Similarity.loadPqCodebooks(spark, dir)
+      val codes = spark.read.parquet(s"$dir/codes")
+      val corpus = spark.read.parquet(s"$dir/corpus")
+        .select(col("vec_id"), col("v").as("embedding"))
+      assert(codes.count() == emb.count() && corpus.count() == emb.count())
+      val flat = Similarity.pqTopKRerank(
+        codes.select(col("vec_id"), col("code")), cb, corpus, q,
+        k = 5, shortlist = 25)
+      assert(served.count() > 0)
+      assert(served.except(flat).isEmpty && flat.except(served).isEmpty)
+      // the audit runs on the grown layout and reports a sane recall
+      val audit = Similarity.ivfPqIndexRecallAudit(spark, dir, q, k = 5,
+        nprobe = 8, shortlist = 25).head()
+      assert(audit.getLong(0) == 3L && audit.getDouble(1) > 0.0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("bigramCrossEntropy: OOV floor, hand-computed values, self-consistency") {
     val ref = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     // model: C(a,b)=2 C(b,a)=1 C(a,c)=1; C(a,·)=3 C(b,·)=1; V=3; k=0.5
