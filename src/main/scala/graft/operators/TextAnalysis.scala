@@ -1094,7 +1094,10 @@ object TextAnalysis {
   def compressionRatio(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val src = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // deflate is CPU-bound: widen a single-file input to the cluster's
+    // parallelism (no-op at scale, where thousands of splits exist)
+    val src = Par.widen(df, idCol)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
     src.mapPartitions { it =>
       val deflater = new java.util.zip.Deflater(6)

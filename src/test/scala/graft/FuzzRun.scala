@@ -32,7 +32,11 @@ object FuzzRun {
         fail += 1
         System.err.println(s"[fuzz] $name THREW: ${e.toString.linesIterator.next()}")
         System.err.println(s"[fuzz]   sql: ${sql.take(300)}")
-      }
+      } finally
+        // unkeyed count windows pin a range-partitioned RDD per statement
+        // (the Verify discipline): release between queries so a long fuzz
+        // batch cannot accumulate pinned blocks
+        try g.releaseOperatorCaches() catch { case _: Throwable => () }
     }
     println(s"[fuzz] executed $pass, threw $fail")
     if (fail > 0) sys.exit(1)

@@ -108,6 +108,19 @@ def gen_window_query(rng, shape):
     if shape == 41:  # count window with every: sliding (s < n) or gap (s > n)
         n = rng.choice([20, 50, 100])
         slide = rng.choice([max(1, n // 3), max(1, n // 2), n * 2, n * 3])
+        if rng.random() < 0.3:  # unkeyed: the pinned zipWithIndex path
+            graft = (f"select w_id, cast(count(*) as bigint) as n, "
+                     f"min(event_id) as mn, max(event_id) as mx "
+                     f"from events [size {n} every {slide} on event_id] "
+                     f"group by w_id order by w_id")
+            duck = (f"SELECT w_id, COUNT(*) AS n, MIN(event_id) AS mn, "
+                    f"MAX(event_id) AS mx FROM ("
+                    f"SELECT event_id, "
+                    f"UNNEST(generate_series(r // {slide}, (r + {n}) // {slide} - 1)) AS w_id "
+                    f"FROM (SELECT event_id, (row_number() OVER "
+                    f"(ORDER BY event_id) - 1) AS r FROM events)) "
+                    f"GROUP BY 1 ORDER BY 1")
+            return graft, duck
         graft = (f"select w_id, event_type as et, "
                  f"cast(count(*) as bigint) as n, max(event_id) as mx "
                  f"from events [size {n} every {slide} on event_id "
