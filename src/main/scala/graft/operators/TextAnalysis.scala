@@ -1101,6 +1101,9 @@ object TextAnalysis {
       .as[(Long, String)]
     src.mapPartitions { it =>
       val deflater = new java.util.zip.Deflater(6)
+      // release the native zlib state at task end, not at finalization
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
       val buf = new Array[Byte](64 * 1024)
       it.map { case (id, text) =>
         val raw = if (text == null) Array.emptyByteArray
