@@ -414,11 +414,21 @@ object Dedup {
   }
 
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3): DataFrame =
     // materialize once (rows × 16 bytes): both sides of the bucket
     // self-join read the signatures, and the two sides alias differently
     // so exchange reuse cannot deduplicate the agg subtree on its own
-    val withSig = simhashSignatures(df, textCol, idCol).localCheckpoint()
+    hammingCandidatesFromSig(
+      simhashSignatures(df, textCol, idCol).localCheckpoint(), maxHamming)
+
+  /** Banded Hamming candidate pairs over ANY precomputed 64-bit signature
+    * relation (id, sh) — the SimHash bucketing machinery, reusable for
+    * other perceptual signatures (e.g. `Multimodal.dHash` image hashes):
+    * a pair within Hamming distance <= 3 must share one of the four
+    * 16-bit chunks, so the N×N comparison collapses to four bucket
+    * equi-joins. Returns (ida, idb, hamming) filtered to `maxHamming`. */
+  def hammingCandidatesFromSig(withSig: DataFrame,
+                               maxHamming: Int = 3): DataFrame = {
     val chunked = withSig.select(col("id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk"),

@@ -983,6 +983,43 @@ object Extensions {
     // ---- text analysis ----
     "x09_text_stats" -> ((s, d) =>
       TextAnalysis.stats(docs(s, d), "text", "doc_id").orderBy("doc_id")),
+    // ---- perceptual image dedup (r11): dHash over DECODED PIXELS finds
+    // the copies byte-level dedup cannot — each 5-member family is the
+    // SAME pattern re-encoded at five different resolutions (all byte
+    // hashes distinct, all dHashes identical). Counts are pure doc_id
+    // arithmetic → exact DuckDB oracle; the banded Hamming machinery
+    // (SimHash's, reused) must surface every within-family pair ----
+    "x108_image_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val ids = docs(s, d).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val leader = id - id % 5
+          (id, Multimodal.synthPatternPngBytes(leader, 4 + (id % 5).toInt))
+        }
+      }.toDF("media_id", "payload").localCheckpoint()
+      val hashed = Multimodal.dHash(media).localCheckpoint()
+      val nImages = media.count()
+      val byteGroups = media.select(sha2(col("payload"), 256))
+        .distinct().count()
+      val phashGroups = hashed.where(col("ok"))
+        .select(col("phash")).distinct().count()
+      val famPairs = Dedup.hammingCandidatesFromSig(
+          hashed.select(col("id"), col("phash").as("sh")), maxHamming = 0)
+        .where(col("ida") - pmod(col("ida"), lit(5)) ===
+          col("idb") - pmod(col("idb"), lit(5)))
+        .count()
+      val expectedPairs = ids.toDF("id")
+        .groupBy((col("id") - pmod(col("id"), lit(5))).as("f"))
+        .agg(count(lit(1)).as("g"))
+        .agg(sum(col("g") * (col("g") - 1) / 2).cast("long"))
+        .head().getLong(0)
+      Seq((nImages, byteGroups, phashGroups,
+          if (famPairs == expectedPairs) 1 else 0))
+        .toDF("n_images", "n_byte_groups", "n_phash_groups",
+          "family_pairs_complete")
+    }),
     // ---- bucketed co-located join (r11): the 100 TB shuffle-avoidance
     // lever DEMONSTRATED — both sides land as bucketed tables on the join
     // key (8 buckets, sorted), broadcast is disabled inside the gate so
@@ -2176,6 +2213,15 @@ object Extensions {
         "row_number() OVER (PARTITION BY qid ORDER BY ROUND(dp / (na * nb), 4) DESC, vec_id) AS rn FROM s " +
         "WHERE ROUND(dp / (na * nb), 4) >= 0.0 AND ROUND(dp / (na * nb), 4) < 0.98) " +
         "WHERE rn <= 5 ORDER BY qid, cos DESC, vec_id"),
+      // x108: every count is doc_id arithmetic — images per doc, byte
+      // groups all distinct BY CONSTRUCTION (each family member encodes
+      // at its own resolution), dHash groups = one per 5-member family
+      "x108_image_phash_dedup" -> (
+        "SELECT CAST(count(*) AS BIGINT) AS n_images, " +
+        "CAST(count(*) AS BIGINT) AS n_byte_groups, " +
+        "CAST(COUNT(DISTINCT doc_id - doc_id % 5) AS BIGINT) AS n_phash_groups, " +
+        "CAST(1 AS INTEGER) AS family_pairs_complete " +
+        "FROM documents"),
       "x105_bucketed_join" -> (
         "SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_items, " +
         "ROUND(SUM(l_extendedprice), 2) AS revenue, " +

@@ -390,4 +390,110 @@ object Multimodal {
       round(col("width") * scale).cast("int").as("out_width"),
       round(col("height") * scale).cast("int").as("out_height"))
   }
+
+  /** Structured pattern PNG for perceptual-hash work: a 9×8 grid of
+    * macro-blocks, each block a solid luma decided by one bit of a
+    * multiplicative hash of (key, block) — so the image's [[dHash]] is a
+    * pure function of `key` alone, while `blockSize` controls the pixel
+    * resolution. Re-encoding the SAME key at a different blockSize yields
+    * different bytes (different dimensions) but the identical dHash —
+    * the near-duplicate class byte-level dedup cannot see. */
+  def synthPatternPngBytes(key: Long, blockSize: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9 * blockSize, 8 * blockSize, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 9) {
+        // murmur-style finalizer: a LINEAR v (key·A + block·B) leaves
+        // single-bit block patterns correlated across nearby keys (100
+        // leaders collapsed to ~28 distinct hashes before mixing)
+        var v = key * 6364136223846793005L +
+          (by * 9 + bx) * 1442695040888963407L
+        v ^= v >>> 33; v *= 0xff51afd7ed558ccdL; v ^= v >>> 33
+        val luma = if ((v & 1L) == 1L) 220 else 35
+        val rgb = (luma << 16) | (luma << 8) | luma
+        var y = by * blockSize
+        while (y < (by + 1) * blockSize) {
+          var x = bx * blockSize
+          while (x < (bx + 1) * blockSize) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Difference hash (dHash) over decoded pixels — the perceptual
+    * image-dedup signature: box-average the luma onto a 9×8 grid, then
+    * bit (y, x) = mean(x+1, y) > mean(x, y), packed into one long.
+    * Catches re-encoded / resized copies whose BYTES differ (md5/sha
+    * dedup misses them) while distinct content lands ~32 bits apart.
+    * Same mapPartitions batch-kernel shape as [[decode]]; undecodable
+    * payloads report ok=false with hash 0, never a thrown task. Feed the
+    * output to `Dedup.hammingCandidatesFromSig` for banded near-dup
+    * candidate pairs (the SimHash machinery, reused). */
+  def dHash(media: DataFrame, payloadCol: String = "payload",
+            idCol: String = "media_id"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) =>
+          val img =
+            try {
+              if (payload == null || payload.isEmpty) null
+              else javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload))
+            } catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null || img.getWidth < 1 || img.getHeight < 1)
+            (id, 0L, false)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            // box means on the 9×8 grid: block (gx, gy) covers pixel
+            // columns [gx·w/9, (gx+1)·w/9) — exact for multiples, a
+            // deterministic partition for any size
+            val means = Array.ofDim[Double](8, 9)
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 9) {
+                val x0 = gx * w / 9; val x1 = math.max((gx + 1) * w / 9, x0 + 1)
+                val y0 = gy * h / 8; val y1 = math.max((gy + 1) * h / 8, y0 + 1)
+                var sum = 0.0; var n = 0
+                var y = y0
+                while (y < y1 && y < h) {
+                  var x = x0
+                  while (x < x1 && x < w) {
+                    val rgb = img.getRGB(x, y)
+                    sum += 0.299 * ((rgb >> 16) & 0xFF) +
+                      0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+                    n += 1; x += 1
+                  }
+                  y += 1
+                }
+                means(gy)(gx) = if (n == 0) 0.0 else sum / n
+                gx += 1
+              }
+              gy += 1
+            }
+            var hash = 0L
+            var i = 0
+            while (i < 64) {
+              val gy = i / 8; val gx = i % 8
+              if (means(gy)(gx + 1) > means(gy)(gx)) hash |= (1L << i)
+              i += 1
+            }
+            (id, hash, true)
+          }
+        }
+      }
+      .toDF("id", "phash", "ok")
+  }
 }

@@ -419,6 +419,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash: resolution-invariant per key, discriminative across keys, corrupt-safe (r11)") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.synthPatternPngBytes(42L, 4)),
+      (2L, Multimodal.synthPatternPngBytes(42L, 7)),  // same pattern, 63x56 vs 36x32
+      (3L, Multimodal.synthPatternPngBytes(99L, 4)),  // different pattern
+      (4L, Array[Byte](1, 2, 3))                       // not a PNG
+    ).toDF("media_id", "payload")
+    val out = Multimodal.dHash(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // bytes differ (different dimensions) but the perceptual hash agrees
+    assert(media.select(sha2(col("payload"), 256)).distinct().count() == 4)
+    assert(out(1L)._2 && out(2L)._2 && out(3L)._2)
+    assert(out(1L)._1 == out(2L)._1, s"same pattern hashed apart: $out")
+    assert(out(1L)._1 != out(3L)._1, s"distinct patterns collided: $out")
+    assert(out(4L) == ((0L, false)))
+    // the banded machinery surfaces the resolution-pair at hamming 0
+    val sig = Multimodal.dHash(media.where(col("media_id") < 4))
+      .select(col("id"), col("phash").as("sh"))
+    val pairs = Dedup.hammingCandidatesFromSig(sig, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("bigramCrossEntropy: OOV floor, hand-computed values, self-consistency") {
     val ref = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     // model: C(a,b)=2 C(b,a)=1 C(a,c)=1; C(a,·)=3 C(b,·)=1; V=3; k=0.5
