@@ -107,6 +107,14 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       arity("compression_ratio", args, 1, 1)
       TextAnalysis.compressionRatio(rel("compression_ratio", args, 0), "text", "doc_id")
     })
+    // image_phash(rel[, payloadCol[, idCol]]) — perceptual dHash over a
+    // binary image column (media convention: media_id, payload)
+    catalog.registerTableFunction("image_phash", { args =>
+      arity("image_phash", args, 1, 3)
+      val payloadCol = if (args.length > 1) str("image_phash", args, 1) else "payload"
+      val idCol = if (args.length > 2) str("image_phash", args, 2) else "media_id"
+      graft.operators.Multimodal.dHash(rel("image_phash", args, 0), payloadCol, idCol)
+    })
     catalog.registerTableFunction("oov_rate", { args =>
       arity("oov_rate", args, 1, 2)
       TextAnalysis.oovRate(rel("oov_rate", args, 0), "text", "doc_id",

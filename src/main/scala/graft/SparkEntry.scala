@@ -960,6 +960,26 @@ object SparkEntry {
     // streaming session declares the stream over host/port, and the
     // parsed rows are hash-checked against the SAME parquet table via
     // DuckDB: the last §2 row that had no driver gate ----
+    // ---- image_phash table fn (r11): the x108 resolution families
+    // through the SQL surface — distinct-phash count is pure doc_id
+    // arithmetic (one group per 5-member family) ----
+    "q122_image_phash_fn" -> ((s, d) => {
+      import s.implicits._
+      val e = g(s, d)
+      val media = e.catalog.relation("documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"))
+        .as[Long].mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val leader = id - id % 5
+            (id, graft.operators.Multimodal
+              .synthPatternPngBytes(leader, 4 + (id % 5).toInt))
+          }
+        }.toDF("media_id", "payload")
+      e.catalog.registerTable("q122_media", media)
+      e.sql("select count(distinct phash) as n_groups, count(*) as n, " +
+        "min(cast(ok as int)) as all_ok from image_phash(q122_media)")
+    }),
     // ---- compression-ratio table fn (r11): per-doc UTF-8 byte counts
     // are EXACT against DuckDB strlen; the deflate side is pinned by a
     // per-doc sanity flag (x104 carries the quality-inequality audit) ----
@@ -1472,6 +1492,11 @@ object SparkEntry {
     // recompute from the same parquet (the strongest oracle form)
     "q117_socket_source" -> (
       "SELECT n_nationkey AS k, n_name AS name FROM nation ORDER BY k"),
+    // q122: one dHash group per 5-member resolution family
+    "q122_image_phash_fn" -> (
+      "SELECT COUNT(DISTINCT doc_id - doc_id % 5) AS n_groups, " +
+      "CAST(count(*) AS BIGINT) AS n, CAST(1 AS INTEGER) AS all_ok " +
+      "FROM documents"),
     // q119: UTF-8 byte length recomputed exactly; deflate pinned by flag
     "q119_compression_ratio_fn" -> (
       "SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +

@@ -37,4 +37,34 @@ object Decontaminate {
       .select(col("id").as(idCol))
     train.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** The benchmark shingle hot set as 64-bit hashes — the batch-side
+    * MODEL for [[applyClean]] (small by definition: the benchmark side). */
+  def benchShingleHashes(bench: DataFrame, textCol: String, idCol: String,
+                         w: Int = 8): DataFrame =
+    Dedup.shingleRows(bench, textCol, idCol, w)
+      .select(xxhash64(col("sh")).as("h")).distinct()
+
+  /** STATELESS streaming decontamination — the hot-set discipline of the
+    * streaming line/paragraph/span dedups applied to benchmark removal:
+    * the benchmark's distinct shingle hashes broadcast as ONE sorted
+    * array (8 bytes/entry), and each arriving doc counts its own distinct
+    * shingles against it with the O(log |bench|) codegen binary search
+    * (`SortedArrayContains`); docs reaching `minHits` drop. Row-at-a-time,
+    * no state store, works identically on batch frames — parity with
+    * [[clean]] is gated (x109). */
+  def applyClean(docs: DataFrame, textCol: String, idCol: String,
+                 benchHashes: DataFrame, w: Int = 8,
+                 minHits: Int = 1): DataFrame = {
+    val hotArr = broadcast(benchHashes.agg(
+      sort_array(collect_list(col(benchHashes.columns.head)))
+        .as("__dc_hotarr")))
+    docs.join(hotArr, lit(true), "inner")
+      .withColumn("__dc_hits",
+        size(filter(array_distinct(Dedup.shingles(col(textCol), w)),
+          s => graft.expr.SortedArrayContains(col("__dc_hotarr"),
+            xxhash64(s)))).cast("long"))
+      .where(col("__dc_hits") < minHits)
+      .drop("__dc_hotarr", "__dc_hits")
+  }
 }

@@ -1497,6 +1497,36 @@ object Extensions {
         dd.where(col("doc_id") % 97 === 0),
         "text", "doc_id", w = 3).orderBy("id")
     }),
+    // ---- STREAMING decontamination (r11): the x20 removal as a
+    // stateless stream filter — benchmark shingle hashes broadcast as one
+    // sorted array, each arriving doc probes with the codegen binary
+    // search; surviving-id parity with the batch `clean` composition ----
+    "x109_decontaminate_stream" -> ((s, d) => {
+      import s.implicits._
+      val dd = docs(s, d).localCheckpoint()
+      val train = dd.where(col("doc_id") % 97 =!= 0)
+      val bench = dd.where(col("doc_id") % 97 === 0)
+      val batchIds = Decontaminate.clean(train, bench, "text", "doc_id",
+          w = 3, minHits = 1)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      val hot = Decontaminate.benchShingleHashes(bench, "text", "doc_id",
+        w = 3).localCheckpoint()
+      val in = replayStream(s, train.select("doc_id", "text"))
+      val streamed = Decontaminate.applyClean(in, "text", "doc_id", hot,
+        w = 3, minHits = 1).select("doc_id")
+      val outDir = tempDir("x109_out_")
+      val ckpt = tempDir("x109_ckpt_")
+      val q = streamed.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val eq = try {
+        q.processAllAvailable()
+        val got = s.read.parquet(outDir).collect().map(_.getLong(0)).sorted
+        got.nonEmpty && got.toSeq == batchIds.toSeq
+      } finally q.stop()
+      Seq((batchIds.length.toLong, if (eq) 1 else 0))
+        .toDF("n_clean", "stream_matches_batch")
+    }),
     // ---- PII redaction: emails/IPs/long digit runs → typed placeholders
     // (synthetic PII injected deterministically so the operator has work) ----
     "x21_pii_redact" -> ((s, d) => {
@@ -2719,6 +2749,18 @@ object Extensions {
         "t AS (SELECT doc_id, unnest(grams) AS sh FROM g WHERE doc_id % 97 <> 0) " +
         "SELECT t.doc_id AS id, CAST(count(*) AS BIGINT) AS hits FROM t JOIN b USING (sh) " +
         "GROUP BY 1 ORDER BY id"),
+      // x109: the x20 gram recompute flipped to the SURVIVOR count (train
+      // docs with zero benchmark-shingle hits) + the parity bit
+      "x109_decontaminate_stream" -> (
+        "WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws,' ')] " +
+        "ELSE list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) END AS grams FROM d), " +
+        "b AS (SELECT DISTINCT unnest(grams) AS sh FROM g WHERE doc_id % 97 = 0), " +
+        "t AS (SELECT doc_id, unnest(grams) AS sh FROM g WHERE doc_id % 97 <> 0), " +
+        "f AS (SELECT DISTINCT t.doc_id FROM t JOIN b USING (sh)) " +
+        "SELECT CAST((SELECT count(*) FROM d WHERE doc_id % 97 <> 0) - " +
+        "(SELECT count(*) FROM f) AS BIGINT) AS n_clean, " +
+        "CAST(1 AS INTEGER) AS stream_matches_batch"),
       "x21_pii_redact" -> (
         "WITH inj AS (SELECT doc_id, text || CASE WHEN doc_id % 50 = 0 " +
         "THEN ' contact john.doe@example.com or 192.168.1.77 or call 5551234567' ELSE '' END AS orig FROM documents), " +

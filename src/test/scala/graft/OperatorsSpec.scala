@@ -419,6 +419,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("applyClean: hot-set streaming decontamination ≡ batch clean (r11)") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over"), // shares 'quick brown fox' w=3
+      (2L, "completely unrelated training text here"),
+      (3L, "another clean document with words")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox appears")).toDF("doc_id", "text")
+    val batch = Decontaminate.clean(train, bench, "text", "doc_id",
+      w = 3, minHits = 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch == Set(2L, 3L))
+    val hot = Decontaminate.benchShingleHashes(bench, "text", "doc_id", w = 3)
+    val streamed = Decontaminate.applyClean(train, "text", "doc_id", hot,
+      w = 3, minHits = 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    // minHits > 1: doc 1 shares exactly two w=3 shingles with the bench
+    // ('quick brown fox' only) — a higher floor keeps it
+    val lenient = Decontaminate.applyClean(train, "text", "doc_id", hot,
+      w = 3, minHits = 2).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lenient == Set(1L, 2L, 3L))
+  }
+
   test("dHash: resolution-invariant per key, discriminative across keys, corrupt-safe (r11)") {
     import spark.implicits._
     val media = Seq(
