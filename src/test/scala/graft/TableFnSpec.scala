@@ -125,6 +125,23 @@ class TableFnSpec extends AnyFunSuite {
     assert(r == g.catalog.relation("documents").count())
   }
 
+  test("image_phash: custom column names, arity guard (r11)") {
+    import TestSpark.spark.implicits._
+    val media = Seq(
+      (1L, graft.operators.Multimodal.synthPatternPngBytes(7L, 4)),
+      (2L, graft.operators.Multimodal.synthPatternPngBytes(7L, 5))
+    ).toDF("img_id", "img_bytes")
+    g.catalog.registerTable("phash_media", media)
+    val got = g.sql(
+        "select id, phash, ok from image_phash(phash_media, 'img_bytes', 'img_id') order by id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == 2 && got.forall(_._3))
+    assert(got(0)._2 == got(1)._2) // same pattern at two resolutions
+    val e = intercept[Exception](
+      g.sql("select * from image_phash(phash_media, 'a', 'b', 'c')"))
+    assert(e.getMessage.contains("argument"))
+  }
+
   test("error paths: unknown function, bad relation, bad arity") {
     val e1 = intercept[Exception](g.sql("select * from nope_fn(documents)"))
     assert(e1.getMessage.contains("unknown table function"))
