@@ -115,6 +115,30 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       val idCol = if (args.length > 2) str("image_phash", args, 2) else "media_id"
       graft.operators.Multimodal.dHash(rel("image_phash", args, 0), payloadCol, idCol)
     })
+    // hamming_pairs(rel[, maxHamming]) — banded near-dup candidate pairs
+    // over a precomputed 64-bit signature relation (id, sh)
+    catalog.registerTableFunction("hamming_pairs", { args =>
+      arity("hamming_pairs", args, 1, 2)
+      val sig = rel("hamming_pairs", args, 0)
+      Seq("id", "sh").foreach(c => reqCol("hamming_pairs", sig, c,
+        "signature relation must have (id, sh) columns"))
+      graft.operators.Dedup.hammingCandidatesFromSig(sig,
+        maxHamming = num("hamming_pairs", args, 1, 3L).toInt)
+    })
+    // decontaminate(train, bench[, w[, minHits]]) — training rows whose
+    // w-shingles do NOT overlap the benchmark set (text/doc_id convention)
+    catalog.registerTableFunction("decontaminate", { args =>
+      arity("decontaminate", args, 2, 4)
+      val train = rel("decontaminate", args, 0)
+      val bench = rel("decontaminate", args, 1)
+      Seq(train -> "argument 1", bench -> "argument 2").foreach { case (df, which) =>
+        Seq("text", "doc_id").foreach(c => reqCol("decontaminate", df, c,
+          s"$which must follow the text/doc_id corpus convention"))
+      }
+      graft.operators.Decontaminate.clean(train, bench, "text", "doc_id",
+        w = num("decontaminate", args, 2, 8L).toInt,
+        minHits = num("decontaminate", args, 3, 1L).toInt)
+    })
     catalog.registerTableFunction("oov_rate", { args =>
       arity("oov_rate", args, 1, 2)
       TextAnalysis.oovRate(rel("oov_rate", args, 0), "text", "doc_id",

@@ -980,6 +980,37 @@ object SparkEntry {
       e.sql("select count(distinct phash) as n_groups, count(*) as n, " +
         "min(cast(ok as int)) as all_ok from image_phash(q122_media)")
     }),
+    // ---- hamming_pairs table fn (r11): banded candidates over the x108
+    // family signatures — within-family pair count is pure arithmetic ----
+    "q123_hamming_pairs_fn" -> ((s, d) => {
+      import s.implicits._
+      val e = g(s, d)
+      val sig = e.catalog.relation("documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"))
+        .as[Long].mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { id =>
+            val leader = id - id % 5
+            (id, graft.operators.Multimodal
+              .synthPatternPngBytes(leader, 4 + (id % 5).toInt))
+          }
+        }.toDF("media_id", "payload")
+      e.catalog.registerTable("q123_sig",
+        graft.operators.Multimodal.dHash(sig)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("phash").as("sh")))
+      e.sql("select count(*) as n_pairs from hamming_pairs(q123_sig, 0) " +
+        "where ida - ida % 5 = idb - idb % 5")
+    }),
+    // ---- decontaminate table fn (r11): the x20 removal from SQL ----
+    "q124_decontaminate_fn" -> ((s, d) => {
+      val e = g(s, d)
+      e.sql("drop table if exists q124_train")
+      e.sql("drop table if exists q124_bench")
+      e.sql("create table q124_train as select doc_id, text from documents where doc_id % 97 <> 0")
+      e.sql("create table q124_bench as select doc_id, text from documents where doc_id % 97 = 0")
+      e.sql("select doc_id from decontaminate(q124_train, q124_bench, 3) order by doc_id")
+    }),
     // ---- compression-ratio table fn (r11): per-doc UTF-8 byte counts
     // are EXACT against DuckDB strlen; the deflate side is pinned by a
     // per-doc sanity flag (x104 carries the quality-inequality audit) ----
@@ -1492,6 +1523,20 @@ object SparkEntry {
     // recompute from the same parquet (the strongest oracle form)
     "q117_socket_source" -> (
       "SELECT n_nationkey AS k, n_name AS name FROM nation ORDER BY k"),
+    // q123: within-family candidate pairs at hamming 0 = sum g·(g−1)/2
+    "q123_hamming_pairs_fn" ->
+      ("SELECT CAST(SUM(g * (g - 1) // 2) AS BIGINT) AS n_pairs FROM " +
+       "(SELECT count(*) AS g FROM documents GROUP BY doc_id - doc_id % 5)"),
+    // q124: the x20 gram recompute flipped to SURVIVING train ids
+    "q124_decontaminate_fn" ->
+      ("WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+       "g AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws,' ')] " +
+       "ELSE list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) END AS grams FROM d), " +
+       "b AS (SELECT DISTINCT unnest(grams) AS sh FROM g WHERE doc_id % 97 = 0), " +
+       "t AS (SELECT doc_id, unnest(grams) AS sh FROM g WHERE doc_id % 97 <> 0), " +
+       "f AS (SELECT DISTINCT t.doc_id FROM t JOIN b USING (sh)) " +
+       "SELECT doc_id FROM d WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM f) " +
+       "ORDER BY doc_id"),
     // q122: one dHash group per 5-member resolution family
     "q122_image_phash_fn" -> (
       "SELECT COUNT(DISTINCT doc_id - doc_id % 5) AS n_groups, " +
