@@ -31,7 +31,13 @@ object Bench {
     // a 100 TB job compiles once and runs for hours), and min-of-2 damps
     // the VM's noisy-neighbor windows, which can inflate any single
     // measurement 1.5-10x. Methodology recorded in the JSON ("runs": 2).
+    // Silent-degradation watchdog (r11 verdict): count codegen compile
+    // failures per gate — a 64 KB-limit fallback keeps results correct
+    // while the hot loop runs interpreted, invisible in the time alone.
+    CodegenGuard.install()
+    val fallbacks = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      CodegenGuard.reset()
       val t0 = System.nanoTime()
       // noop sink materializes the FULL plan — count() would let Catalyst
       // prune projections and eliminate sorts, timing only scan+filter.
@@ -53,6 +59,7 @@ object Bench {
       // must stay a per-query failure, not kill the run pre-JSON.
       try GraftSession.forDir(spark, sfDir).releaseOperatorCaches()
       catch { case _: Throwable => () }
+      fallbacks(name) += CodegenGuard.current
       if (ok) dt else -dt
     }
     // local profiling convenience: SPARK_GRAFT_ONLY=x44,x27 benches the
@@ -125,7 +132,10 @@ object Bench {
     try {
       val isSubset = sys.env.contains("SPARK_GRAFT_ONLY")
       val allSpread = spreads.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-      val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$nRuns,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"subset":$isSubset,"spread_med":${pct(0.5)},"spread_p90":${pct(0.9)},"spread":$allSpread,"queries":$qs,"sf":${q(sfDir)}}"""
+      val fbNonzero = fallbacks.toSeq.filter(_._2 > 0).sortBy(-_._2)
+        .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+      val fbTotal = fallbacks.values.sum
+      val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$nRuns,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"subset":$isSubset,"spread_med":${pct(0.5)},"spread_p90":${pct(0.9)},"codegen_fallback_total":$fbTotal,"codegen_fallbacks":$fbNonzero,"spread":$allSpread,"queries":$qs,"sf":${q(sfDir)}}"""
       // subset runs write a SEPARATE sidecar UNCONDITIONALLY (the env
       // override is honored only for full runs): a local profiling loop —
       // even one with a stale SPARK_GRAFT_BENCH_FULL in its shell — must
@@ -138,7 +148,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write the per-query sidecar: $e")
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$nRuns,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"spread_med":${pct(0.5)},"spread_p90":${pct(0.9)},"noisiest":$spreadJson,"queries":$slowest,"sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$nRuns,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"codegen_fallback_total":${fallbacks.values.sum},"spread_med":${pct(0.5)},"spread_p90":${pct(0.9)},"noisiest":$spreadJson,"queries":$slowest,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

@@ -111,4 +111,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(violations.isEmpty,
       "scale-killer plan shapes found:\n  " + violations.mkString("\n  "))
   }
+
+  test("ANN family executes with ZERO codegen compile fallbacks (r11 weak)") {
+    // Spark keeps results correct when generated Java exceeds Janino's
+    // 64 KB method limit — it logs and silently drops to interpreted
+    // execution. The literal-unrolled IVF/PQ model trees did exactly that
+    // for two rounds (31 occurrences per test run at the shipped
+    // parameters) while every gate stayed green. EXECUTE the family that
+    // regressed and assert the log detector saw nothing.
+    val spark = TestSpark.spark
+    val sf = TestSpark.sf
+    CodegenGuard.install()
+    val family = Seq("x16_sim_ivf_topk", "x76_ann_recall", "x90_ivf_index",
+      "x99_pq_ann", "x101_ivfpq_ann", "q115_pq_topk_fn", "q116_ivfpq_topk_fn")
+    CodegenGuard.reset()
+    family.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, sf).write.format("noop").mode("overwrite").save()
+      val n = CodegenGuard.current
+      assert(n == 0, s"$name triggered $n codegen compile fallback(s): " +
+        CodegenGuard.recentSamples.mkString(" | "))
+    }
+    // sanity: the detector actually sees compile-failure logs (guards
+    // against a silently detached appender making this test vacuous) —
+    // emit the marker through Spark's own CodeGenerator logger name, so
+    // the check exercises the same logger → level filter → root appender
+    // path the real fallback warning takes.
+    CodegenGuard.reset()
+    org.apache.logging.log4j.LogManager
+      .getLogger("org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
+      .warn("Failed to compile the generated Java code. (CodegenGuard self-check)")
+    assert(CodegenGuard.current > 0,
+      "detector self-check: a marker logged through the CodeGenerator " +
+        "logger never reached the guard — the appender is detached or the " +
+        "logger level filters WARN")
+    CodegenGuard.reset()
+  }
 }
