@@ -113,7 +113,15 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       arity("image_phash", args, 1, 3)
       val payloadCol = if (args.length > 1) str("image_phash", args, 1) else "payload"
       val idCol = if (args.length > 2) str("image_phash", args, 2) else "media_id"
-      graft.operators.Multimodal.dHash(rel("image_phash", args, 0), payloadCol, idCol)
+      val media = rel("image_phash", args, 0)
+      // eager convention-naming check (the r8 advisory the sibling
+      // hamming_pairs/decontaminate registrations follow): a missing or
+      // typoed payload/id column fails at ANALYSIS with the dialect's
+      // message, not at action time with a raw unresolved-column error
+      Seq(idCol, payloadCol).foreach(c => reqCol("image_phash", media, c,
+        "media relation must have (media_id, payload) columns " +
+          "(or pass payload/id column names as arguments 2 and 3)"))
+      graft.operators.Multimodal.dHash(media, payloadCol, idCol)
     })
     // hamming_pairs(rel[, maxHamming]) — banded near-dup candidate pairs
     // over a precomputed 64-bit signature relation (id, sh)

@@ -1014,8 +1014,12 @@ object SparkEntry {
     // ---- compression-ratio table fn (r11): per-doc UTF-8 byte counts
     // are EXACT against DuckDB strlen; the deflate side is pinned by a
     // per-doc sanity flag (x104 carries the quality-inequality audit) ----
+    // ok must hold for EMPTY docs too: compressionRatio reports
+    // (0, 0, 1.0) for empty/null text, so the sanity flag is "empty or
+    // the deflate produced bytes" — matching the oracle's unconditional
+    // 1 on any corpus, not just one without empty documents (r11 advice)
     "q119_compression_ratio_fn" -> ((s, d) => g(s, d).sql(
-      "select id, n_bytes, cast(ratio > 0 and n_deflated > 0 as int) as ok " +
+      "select id, n_bytes, cast(n_bytes = 0 or n_deflated > 0 as int) as ok " +
       "from compression_ratio(documents) order by id")),
     "q117_socket_source" -> ((s, d) => {
       val nation = g(s, d).catalog.relation("nation")

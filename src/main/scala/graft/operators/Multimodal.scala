@@ -441,11 +441,24 @@ object Multimodal {
             idCol: String = "media_id"): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // a non-numeric id would cast to NULL and a NULL would decode as 0L
+    // in the primitive-tuple Dataset, silently collapsing rows onto id 0
+    // and corrupting every downstream candidate pair — fail eagerly on
+    // the type and loudly (boxed decode + throw) on null values (r11)
+    val idType = media.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"dHash: id column '$idCol' must be numeric, got ${idType.simpleString}")
     media.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
+      .as[(java.lang.Long, Array[Byte])](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.LONG,
+          org.apache.spark.sql.Encoders.BINARY))
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
-        it.map { case (id, payload) =>
+        it.map { case (idBoxed, payload) =>
+          if (idBoxed == null) throw new IllegalArgumentException(
+            s"dHash: NULL id in column '$idCol' — ids must be non-null")
+          val id = idBoxed.longValue
           val img =
             try {
               if (payload == null || payload.isEmpty) null

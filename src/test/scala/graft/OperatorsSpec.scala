@@ -422,7 +422,10 @@ class OperatorsSpec extends AnyFunSuite {
   test("applyClean: hot-set streaming decontamination ≡ batch clean (r11)") {
     import spark.implicits._
     val train = Seq(
-      (1L, "the quick brown fox jumps over"), // shares 'quick brown fox' w=3
+      // shares EXACTLY two w=3 shingles with the bench: 'quick brown fox'
+      // and 'brown fox appears' ('the quick brown' / 'fox appears here'
+      // have no bench counterpart) — so the minHits boundary is at 2
+      (1L, "the quick brown fox appears here"),
       (2L, "completely unrelated training text here"),
       (3L, "another clean document with words")
     ).toDF("doc_id", "text")
@@ -434,11 +437,14 @@ class OperatorsSpec extends AnyFunSuite {
     val streamed = Decontaminate.applyClean(train, "text", "doc_id", hot,
       w = 3, minHits = 1).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(streamed == batch, s"streamed $streamed != batch $batch")
-    // minHits > 1: doc 1 shares exactly two w=3 shingles with the bench
-    // ('quick brown fox' only) — a higher floor keeps it
-    val lenient = Decontaminate.applyClean(train, "text", "doc_id", hot,
+    // the boundary, pinned from both sides: hits == minHits still DROPS …
+    val atFloor = Decontaminate.applyClean(train, "text", "doc_id", hot,
       w = 3, minHits = 2).select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(lenient == Set(1L, 2L, 3L))
+    assert(atFloor == Set(2L, 3L), s"hits==minHits must drop: $atFloor")
+    // … and hits == minHits − 1 KEEPS
+    val aboveFloor = Decontaminate.applyClean(train, "text", "doc_id", hot,
+      w = 3, minHits = 3).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(aboveFloor == Set(1L, 2L, 3L), s"hits<minHits must keep: $aboveFloor")
   }
 
   test("dHash: resolution-invariant per key, discriminative across keys, corrupt-safe (r11)") {

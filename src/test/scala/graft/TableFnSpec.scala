@@ -140,6 +140,33 @@ class TableFnSpec extends AnyFunSuite {
     val e = intercept[Exception](
       g.sql("select * from image_phash(phash_media, 'a', 'b', 'c')"))
     assert(e.getMessage.contains("argument"))
+    // convention-naming check is EAGER (r11 advice): a relation without
+    // the default (media_id, payload) columns — or a typoed custom name —
+    // fails at analysis with the dialect's message, not at action time
+    val e2 = intercept[graft.translate.GraftAnalysisException](
+      g.sql("select * from image_phash(documents)"))
+    assert(e2.getMessage.contains("media_id") || e2.getMessage.contains("payload"))
+    val e3 = intercept[graft.translate.GraftAnalysisException](
+      g.sql("select * from image_phash(phash_media, 'img_bytez', 'img_id')"))
+    assert(e3.getMessage.contains("img_bytez") || e3.getMessage.contains("payload"))
+  }
+
+  test("dHash: id column must be numeric and non-null (r11 advice)") {
+    import TestSpark.spark.implicits._
+    // non-numeric id type fails eagerly, before any action
+    val badType = Seq(("a", Array[Byte](1))).toDF("media_id", "payload")
+    val e1 = intercept[IllegalArgumentException](
+      graft.operators.Multimodal.dHash(badType))
+    assert(e1.getMessage.contains("numeric"))
+    // a NULL id fails loudly at action time instead of aliasing onto 0L
+    val withNull = Seq(
+      (java.lang.Long.valueOf(1L), graft.operators.Multimodal.synthPatternPngBytes(7L, 4)),
+      (null.asInstanceOf[java.lang.Long], graft.operators.Multimodal.synthPatternPngBytes(7L, 5))
+    ).toDF("media_id", "payload")
+    val e2 = intercept[Exception](
+      graft.operators.Multimodal.dHash(withNull).collect())
+    assert(e2.toString.contains("NULL id") ||
+      Option(e2.getCause).exists(_.toString.contains("NULL id")))
   }
 
   test("error paths: unknown function, bad relation, bad arity") {
