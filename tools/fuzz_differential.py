@@ -107,7 +107,8 @@ def bucket_end_us(every_us, size_us):
 def gen_window_query(rng, shape):
     if shape == 41:  # count window with every: sliding (s < n) or gap (s > n)
         n = rng.choice([20, 50, 100])
-        slide = rng.choice([max(1, n // 3), max(1, n // 2), n * 2, n * 3])
+        # overlap (slide < n), degenerate tumbling (slide == n), gap (> n)
+        slide = rng.choice([max(1, n // 3), max(1, n // 2), n, n * 2, n * 3])
         if rng.random() < 0.3:  # unkeyed: the pinned zipWithIndex path
             graft = (f"select w_id, cast(count(*) as bigint) as n, "
                      f"min(event_id) as mn, max(event_id) as mx "
