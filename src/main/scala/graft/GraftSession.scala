@@ -217,6 +217,20 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
             s"found columns: ${df.columns.mkString(", ")}")
       df
     }
+    // a model registered DEGRADED during sidecar replay (artifact missing
+    // at replay, hash 'missing' in SHOW MODELS) must fail SERVING with the
+    // dialect's eager error — not whatever filesystem exception the stale
+    // path produces downstream. Remedy is DROP MODEL + re-CREATE, which
+    // re-validates the artifact and records a real hash.
+    def servable(fn: String, name: String,
+                 m: graft.catalog.Catalog#ModelEntry): String = {
+      if (m.hash == "missing")
+        throw new graft.translate.GraftAnalysisException(
+          s"$fn: model '$name' is degraded (its artifact was unavailable " +
+            "when the catalog sidecar replayed) — DROP MODEL and " +
+            "re-CREATE it to re-validate the artifact")
+      m.path
+    }
     catalog.registerTableFunction("dsir_scores", { args =>
       arity("dsir_scores", args, 2, 3)
       graft.operators.Importance.dsirScores(
@@ -295,7 +309,7 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       // a wrong-kind model is an eager error, not a path fallback)
       val dirArg = str("ann_topk", args, 1)
       val dir = catalog.model(dirArg) match {
-        case Some(m) if m.kind == "ivf" => m.path
+        case Some(m) if m.kind == "ivf" => servable("ann_topk", dirArg, m)
         case Some(m) => throw new graft.translate.GraftAnalysisException(
           s"ann_topk: model '$dirArg' has kind '${m.kind}', expected 'ivf'")
         case None => dirArg
@@ -344,7 +358,8 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
           val cap = num("bpe_tokenize", args, 2,
             TextAnalysis.DefaultBpeVocabCap.toLong).toInt
           TextAnalysis.tokenizeBpeModel(r, "text", "doc_id",
-            TextAnalysis.loadBpeMerges(spark, m.path), cap)
+            TextAnalysis.loadBpeMerges(spark,
+              servable("bpe_tokenize", s, m)), cap)
         case graft.catalog.TfArg.Lit(s: String) =>
           val merges = s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
             p.split("\\s+") match {
@@ -376,7 +391,7 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         reqCol("pq_topk", q, c, "query relation must follow the embeddings convention"))
       val dirArg = str("pq_topk", args, 1)
       val dir = catalog.model(dirArg) match {
-        case Some(m) if m.kind == "pq" => m.path
+        case Some(m) if m.kind == "pq" => servable("pq_topk", dirArg, m)
         case Some(m) => throw new graft.translate.GraftAnalysisException(
           s"pq_topk: model '$dirArg' has kind '${m.kind}', expected 'pq'")
         case None => dirArg
@@ -403,7 +418,8 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         reqCol("ivfpq_topk", q, c, "query relation must follow the embeddings convention"))
       val dirArg = str("ivfpq_topk", args, 1)
       val dir = catalog.model(dirArg) match {
-        case Some(m) if m.kind == "ivfpq" => m.path
+        case Some(m) if m.kind == "ivfpq" =>
+          servable("ivfpq_topk", dirArg, m)
         case Some(m) => throw new graft.translate.GraftAnalysisException(
           s"ivfpq_topk: model '$dirArg' has kind '${m.kind}', expected 'ivfpq'")
         case None => dirArg
@@ -441,7 +457,7 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
           val m = catalog.model(s).get
           if (m.kind != "bpe") throw new graft.translate.GraftAnalysisException(
             s"bpe_encode: model '$s' has kind '${m.kind}', expected 'bpe'")
-          TextAnalysis.loadBpeMerges(spark, m.path)
+          TextAnalysis.loadBpeMerges(spark, servable("bpe_encode", s, m))
         case graft.catalog.TfArg.Lit(s: String) =>
           s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
             p.split("\\s+") match {

@@ -1111,7 +1111,8 @@ object Extensions {
     // ---- multimodal ----
     "x13_mm_decode" -> ((s, d) =>
       Multimodal.decode(Multimodal.synthesize(docs(s, d))).toDF()
-        .select("media_id", "mime", "width", "height", "channels", "ok")
+        .select("media_id", "mime", "width", "height", "channels", "ok",
+          "pcm_checksum")
         .orderBy("media_id")),
     "x14_mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.synthesize(docs(s, d)))
@@ -2289,7 +2290,11 @@ object Extensions {
       // chunk, MP4 tkhd box) — the oracle recomputes the synthesis
       // parameters (pure fns of media_id), so a pass proves each
       // encode→parse round-trip, not a stub echo. width/height map to
-      // (sample_rate, frames) for wav and (track_w, track_h) for mp4
+      // (sample_rate, frames) for wav and (track_w, track_h) for mp4.
+      // pcm_checksum closes the WAV loop at the SAMPLE level: the oracle
+      // re-sums the synthetic waveform formula over generate_series, so a
+      // match proves the decoder read every int16 sample in the data
+      // chunk, the way PNG pixels/dHash did for images
       "x13_mm_decode" -> (
         "SELECT doc_id AS media_id, " +
         "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime, " +
@@ -2300,7 +2305,12 @@ object Extensions {
         "WHEN doc_id % 3 = 1 THEN 16 + (doc_id % 32) " +
         "ELSE 120 + ((doc_id * 5) % 32) * 8 END AS INTEGER) AS height, " +
         "CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + (doc_id % 2) ELSE 3 END AS INTEGER) AS channels, " +
-        "TRUE AS ok " +
+        "TRUE AS ok, " +
+        "CAST(CASE WHEN doc_id % 3 = 1 THEN (" +
+        "SELECT SUM(((doc_id * 131 + s.i * 17) % 65536) - 32768) " +
+        "FROM generate_series(0, 95) AS s(i) " +
+        "WHERE s.i < (16 + doc_id % 32) * (1 + doc_id % 2)" +
+        ") ELSE 0 END AS BIGINT) AS pcm_checksum " +
         "FROM documents ORDER BY media_id"),
       "x17_text_tfidf" -> (
         "WITH toks AS (SELECT doc_id AS id, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term FROM documents), " +

@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   * `javax.imageio` (JDK-bundled) parses PNG/JPEG pixels, the RIFF walker
   * reads the WAV fmt/data chunks (sample rate, frames, channels), and the
   * ISO-BMFF walker reads the MP4 tkhd box (track width/height) — no
-  * external codec library anywhere. Full SAMPLE decode (PCM frames, video
-  * pictures) would need codecs this container doesn't ship; the
-  * deterministic stub remains only for unknown mimes, and corrupt
-  * payloads of known mimes report ok=false instead of throwing.
+  * external codec library anywhere. WAV decode is SAMPLE-level: PCM-16 is
+  * uncompressed, so the data chunk IS the audio, and [[Decoded.pcm_checksum]]
+  * (sum of all interleaved int16 samples) proves the decoder read the
+  * content, not just the header. Video picture decode would need codecs
+  * this container doesn't ship; the deterministic stub remains only for
+  * unknown mimes, and corrupt payloads of known mimes report ok=false
+  * instead of throwing.
   *
   * The decode path mirrors the `mapInPandas` batch model: one iterator of
   * rows per partition, decode amortized across the batch, typed output
@@ -62,9 +65,28 @@ object Multimodal {
   def synthWavChannels(id: Long): Int = 1 + (id % 2).toInt
   def synthWavFrames(id: Long): Int = 16 + (id % 32).toInt
 
+  /** Deterministic PCM sample i (interleaved index across channels) of
+    * the synthetic WAV for media_id `id` — a pure arithmetic formula an
+    * external oracle can recompute per sample, full int16 range. */
+  def synthWavSample(id: Long, i: Int): Short =
+    (((id * 131 + i.toLong * 17) % 65536) - 32768).toShort
+
+  /** Sum of all interleaved samples of the synthetic WAV — the expected
+    * [[Decoded.pcm_checksum]] for the row, recomputable by the oracle as
+    * SUM over generate_series without parsing RIFF. */
+  def synthWavChecksum(id: Long): Long = {
+    val n = synthWavFrames(id) * synthWavChannels(id)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += synthWavSample(id, i); i += 1 }
+    s
+  }
+
   /** A real RIFF/WAVE payload: canonical 44-byte header (PCM fmt chunk,
-    * 16-bit) + [[synthWavFrames]] frames of silence. Any standard WAV
-    * reader parses it. */
+    * 16-bit) + [[synthWavFrames]] frames of [[synthWavSample]] PCM — a
+    * genuine non-silent waveform, so the decoder's sample-level checksum
+    * proves it read the audio CONTENT, not just the header. Any standard
+    * WAV reader parses it. */
   def synthWavBytes(id: Long): Array[Byte] = {
     val rate = synthWavRate(id)
     val ch = synthWavChannels(id)
@@ -80,7 +102,10 @@ object Multimodal {
       .putInt(rate * ch * bits / 8)
       .putShort((ch * bits / 8).toShort).putShort(bits.toShort)
     bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
-    bb.array() // remaining dataSize bytes are zero = PCM silence
+    var i = 0
+    val n = frames * ch
+    while (i < n) { bb.putShort(synthWavSample(id, i)); i += 1 }
+    bb.array()
   }
 
   /** Deterministic MP4 track dimensions for the synthetic video rows. */
@@ -159,7 +184,8 @@ object Multimodal {
   }
 
   final case class Decoded(media_id: Long, mime: String, width: Int,
-                           height: Int, channels: Int, ok: Boolean)
+                           height: Int, channels: Int, ok: Boolean,
+                           pcm_checksum: Long = 0L)
 
   /** STUB decode kernel for UNKNOWN mimes and corrupt payloads: derives
     * deterministic pseudo-dimensions from payload bytes so the
@@ -173,11 +199,15 @@ object Multimodal {
   }
 
   /** REAL WAV decode: walk the RIFF chunk list (ids ASCII, sizes little-
-    * endian), read the PCM `fmt ` chunk and the `data` chunk size — pure
-    * JDK byte parsing, no codec library. Returns (sample_rate,
-    * frames_per_channel, channels) mapped onto the (width, height,
-    * channels) metadata columns; None on anything malformed. */
-  private def decodeWav(p: Array[Byte]): Option[(Int, Int, Int)] =
+    * endian), read the PCM `fmt ` chunk and the `data` chunk — pure JDK
+    * byte parsing, no codec library. Returns (sample_rate,
+    * frames_per_channel, channels, pcm_checksum) with the first three
+    * mapped onto the (width, height, channels) metadata columns; the
+    * checksum is the sum of all interleaved int16 samples actually
+    * present in the data chunk (0 for non-16-bit formats), a sample-
+    * level proof the decoder read the audio CONTENT. None on anything
+    * malformed. */
+  private def decodeWav(p: Array[Byte]): Option[(Int, Int, Int, Long)] =
     try {
       if (p == null || p.length < 44) None
       else {
@@ -189,6 +219,7 @@ object Multimodal {
           var off = 12
           var fmt: Option[(Int, Int, Int)] = None // (rate, bits, channels)
           var dataSize = -1L
+          var dataOff = -1
           var bad = false
           while (!bad && off + 8 <= p.length && (fmt.isEmpty || dataSize < 0)) {
             val id = fourcc(off)
@@ -197,7 +228,7 @@ object Multimodal {
               if (sz < 16 || off + 8 + 16 > p.length) bad = true
               else fmt = Some((bb.getInt(off + 12),
                 bb.getShort(off + 22) & 0xffff, bb.getShort(off + 10) & 0xffff))
-            } else if (id == "data") dataSize = sz
+            } else if (id == "data") { dataSize = sz; dataOff = off + 8 }
             off += (8L + sz + (sz & 1L)).toInt // chunks are word-aligned
             if (off < 0) bad = true            // overflowed size field
           }
@@ -205,7 +236,18 @@ object Multimodal {
           else fmt.flatMap { case (rate, bits, ch) =>
             if (rate <= 0 || bits < 8 || bits % 8 != 0 || ch <= 0 ||
                 dataSize < 0) None
-            else Some((rate, (dataSize / (ch.toLong * (bits / 8))).toInt, ch))
+            else {
+              // sum int16 samples actually present (truncated payloads
+              // sum what exists rather than reading out of bounds)
+              var cksum = 0L
+              if (bits == 16 && dataOff >= 0) {
+                val end = math.min(dataOff + dataSize, p.length.toLong).toInt
+                var i = dataOff
+                while (i + 2 <= end) { cksum += bb.getShort(i); i += 2 }
+              }
+              Some((rate, (dataSize / (ch.toLong * (bits / 8))).toInt, ch,
+                cksum))
+            }
           }
         }
       }
@@ -284,12 +326,14 @@ object Multimodal {
           val known = m.startsWith("image/") || m == "audio/wav" ||
             m == "audio/x-wav" || m == "video/mp4"
           val parsed =
-            if (m.startsWith("image/")) decodeImage(payload)
+            if (m.startsWith("image/")) decodeImage(payload).map {
+              case (w, h, c) => (w, h, c, 0L) }
             else if (m == "audio/wav" || m == "audio/x-wav") decodeWav(payload)
-            else if (m == "video/mp4") decodeMp4(payload)
+            else if (m == "video/mp4") decodeMp4(payload).map {
+              case (w, h, c) => (w, h, c, 0L) }
             else None
           parsed match {
-            case Some((w, h, c)) => Decoded(id, mime, w, h, c, ok = true)
+            case Some((w, h, c, ck)) => Decoded(id, mime, w, h, c, ok = true, ck)
             case None =>
               val (w, h, c) = decodeStub(payload, mime)
               // a KNOWN mime that failed its real parser is a decode

@@ -69,6 +69,7 @@ class ModelFuzzSpec extends AnyFunSuite {
       var serves = 0
       var wrongKinds = 0
       var reattaches = 0
+      var degradedReattaches = 0
       val crash: Set[Class[_]] = Set(classOf[MatchError],
         classOf[NullPointerException], classOf[ClassCastException],
         classOf[scala.NotImplementedError])
@@ -112,9 +113,39 @@ class ModelFuzzSpec extends AnyFunSuite {
             val shown = g.sql("show models").collect()
               .map(r => r.getString(0) -> r.getString(1)).toMap
             assert(shown == mirror.toMap, s"op $op: $shown vs $mirror")
-          case 9 => // re-attach: a NEW session over the same sidecar
-            g = new GraftSession(spark).registerDir(TestSpark.sf)
-              .persistTo(sidecar)
+          case 9 => // re-attach: a NEW session over the same sidecar —
+            // sometimes with the bpe artifact DELETED underneath, so
+            // replay exercises the degraded-registration path end-to-end
+            val bpeNames = mirror.collect { case (n, "bpe") => n }.toSeq.sorted
+            if (rnd.nextBoolean() && bpeNames.nonEmpty) {
+              val mp = java.nio.file.Paths.get(mergesPath)
+              val bak = base.resolve("merges.bak")
+              java.nio.file.Files.move(mp, bak)
+              try {
+                g = new GraftSession(spark).registerDir(TestSpark.sf)
+                  .persistTo(sidecar)
+                bpeNames.foreach { n =>
+                  // the lost artifact degrades the entry (hash 'missing'),
+                  // never poisons the catalog or the other model kinds
+                  assert(g.catalog.model(n).exists(_.hash == "missing"),
+                    s"op $op: $n should be degraded")
+                  // serving a degraded model is an EAGER dialect error
+                  val e = intercept[graft.translate.GraftAnalysisException](
+                    g.sql(serveSql("bpe", n)))
+                  assert(e.getMessage.contains("degraded"), e.toString)
+                }
+                // a degraded entry DROPs like any other
+                g.sql(s"drop model ${bpeNames.head}")
+                mirror -= bpeNames.head
+              } finally java.nio.file.Files.move(bak, mp)
+              // artifact restored: re-CREATE the remaining degraded names
+              // (the documented remedy) so later serves see real hashes
+              bpeNames.tail.foreach(n =>
+                g.sql(s"create model $n kind 'bpe' at '$mergesPath'"))
+              degradedReattaches += 1
+            } else
+              g = new GraftSession(spark).registerDir(TestSpark.sf)
+                .persistTo(sidecar)
             reattaches += 1
           case _ => // serve/wrong-kind with empty catalog: nothing to do
         }
@@ -122,8 +153,10 @@ class ModelFuzzSpec extends AnyFunSuite {
           s"op $op: catalog ${g.catalog.modelNames} != mirror ${mirror.keys}")
       }
       info(s"300 ops: $serves name≡literal serves, $wrongKinds wrong-kind " +
-        s"errors, $reattaches sidecar re-attaches")
-      assert(serves >= 40 && wrongKinds >= 5 && reattaches >= 10)
+        s"errors, $reattaches sidecar re-attaches " +
+        s"($degradedReattaches with a deleted artifact)")
+      assert(serves >= 40 && wrongKinds >= 5 && reattaches >= 10 &&
+        degradedReattaches >= 3)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)

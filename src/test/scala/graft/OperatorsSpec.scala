@@ -638,15 +638,18 @@ class OperatorsSpec extends AnyFunSuite {
         r.getInt(4) == 3 && r.getBoolean(5),
         s"media $id: real decode mismatch $r")
     }
-    // wav rows decode for REAL: the RIFF walker reads back the exact
-    // synthesis parameters (rate, frames, channels) from the fmt/data
-    // chunks
+    // wav rows decode for REAL at the SAMPLE level: the RIFF walker reads
+    // back the exact synthesis parameters (rate, frames, channels) from
+    // the fmt/data chunks AND the sum of every int16 PCM sample matches
+    // the synthetic waveform formula
     dec.where(col("mime") === "audio/wav").collect().foreach { r =>
       val id = r.getLong(0)
       assert(r.getInt(2) == Multimodal.synthWavRate(id) &&
         r.getInt(3) == Multimodal.synthWavFrames(id) &&
         r.getInt(4) == Multimodal.synthWavChannels(id) && r.getBoolean(5),
         s"media $id: real wav decode mismatch $r")
+      assert(r.getLong(6) == Multimodal.synthWavChecksum(id),
+        s"media $id: pcm checksum mismatch $r")
     }
     // mp4 rows decode for REAL: the box walker reads the tkhd track dims
     dec.where(col("mime") === "video/mp4").collect().foreach { r =>

@@ -218,9 +218,12 @@ class SurfaceSpec extends AnyFunSuite {
       val shown = g2.sql("show models").collect()
         .find(_.getString(0) == "deg_model").get
       assert(shown.getString(3) == "missing")
-      // first USE still fails with the artifact-level error
-      intercept[Exception](
-        g2.sql("select * from bpe_tokenize(documents, 'deg_model')").collect())
+      // first USE fails EAGERLY with the dialect's degraded-model error
+      // (at sql() time, not a filesystem exception at action time)
+      val degErr = intercept[graft.translate.GraftAnalysisException](
+        g2.sql("select * from bpe_tokenize(documents, 'deg_model')"))
+      assert(degErr.getMessage.contains("degraded") &&
+        degErr.getMessage.contains("DROP MODEL"), degErr.getMessage)
       g2.sql("drop model deg_model")
       val g3 = new GraftSession(spark).registerDir(TestSpark.sf).persistTo(sidecar)
       assert(!g3.catalog.hasModel("deg_model") && g3.catalog.hasRelation("deg_keep"))
