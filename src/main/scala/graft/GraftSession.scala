@@ -133,6 +133,26 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       graft.operators.Dedup.hammingCandidatesFromSig(sig,
         maxHamming = num("hamming_pairs", args, 1, 3L).toInt)
     })
+    // audio_stats(rel) — sample-level WAV quality signals (silence /
+    // clipping / energy) over a media relation (media_id, payload, mime)
+    catalog.registerTableFunction("audio_stats", { args =>
+      arity("audio_stats", args, 1, 1)
+      val media = rel("audio_stats", args, 0)
+      Seq("media_id", "payload", "mime").foreach(c =>
+        reqCol("audio_stats", media, c,
+          "media relation must have (media_id, payload, mime) columns"))
+      graft.operators.Multimodal.audioStats(media).toDF()
+    })
+    // pii_redact(rel) — per-document PII detection counts + redacted
+    // text (the auditable form of the x21 hygiene pass) over the
+    // documents convention (doc_id, text)
+    catalog.registerTableFunction("pii_redact", { args =>
+      arity("pii_redact", args, 1, 1)
+      val docs = rel("pii_redact", args, 0)
+      Seq("doc_id", "text").foreach(c => reqCol("pii_redact", docs, c,
+        "input relation must follow the documents convention"))
+      TextAnalysis.piiStats(docs, "text", "doc_id")
+    })
     // decontaminate(train, bench[, w[, minHits]]) — training rows whose
     // w-shingles do NOT overlap the benchmark set (text/doc_id convention)
     catalog.registerTableFunction("decontaminate", { args =>

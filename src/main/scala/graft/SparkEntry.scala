@@ -1021,6 +1021,33 @@ object SparkEntry {
     "q119_compression_ratio_fn" -> ((s, d) => g(s, d).sql(
       "select id, n_bytes, cast(n_bytes = 0 or n_deflated > 0 as int) as ok " +
       "from compression_ratio(documents) order by id")),
+    // ---- audio_stats table fn (r12): sample-level WAV quality signals
+    // through the SQL surface; every count is an exact integer recompute
+    // of the synthetic waveform formula ----
+    "q125_audio_stats_fn" -> ((s, d) => {
+      val e = g(s, d)
+      e.catalog.registerTable("q125_media",
+        graft.operators.Multimodal.synthesize(e.catalog.relation("documents")))
+      e.sql("select media_id, cast(ok as int) as ok, n_samples, sum_sq, " +
+        "n_silent, n_clipped from audio_stats(q125_media) order by media_id")
+    }),
+    // ---- pii_redact table fn (r12): deterministic PII injected per
+    // doc_id, counts + redacted text recomputed by the oracle with the
+    // IDENTICAL RE2-compatible regexes ----
+    "q126_pii_redact_fn" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = g(s, d)
+      val injected = e.catalog.relation("documents").select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 5 === 0,
+          concat(lit(" mail bob"), (col("doc_id") % 9).cast("string"),
+            lit("@site.org from 10."), (col("doc_id") % 200).cast("string"),
+            lit(".3.44 ref "),
+            (lit(1000000) + col("doc_id") % 999999).cast("string")))
+          .otherwise(lit(""))).as("text"))
+      e.catalog.registerTable("q126_docs", injected)
+      e.sql("select id, n_emails, n_ipv4, n_digit_runs, text_redacted " +
+        "from pii_redact(q126_docs) order by id")
+    }),
     "q117_socket_source" -> ((s, d) => {
       val nation = g(s, d).catalog.relation("nation")
         .select(org.apache.spark.sql.functions.col("n_nationkey").cast("long"),
@@ -1550,6 +1577,38 @@ object SparkEntry {
     "q119_compression_ratio_fn" -> (
       "SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
       "CAST(1 AS INTEGER) AS ok FROM documents ORDER BY id"),
+    // q125: x110's waveform-formula recompute through the SQL surface
+    "q125_audio_stats_fn" -> (
+      "WITH st AS (SELECT doc_id, (16 + doc_id % 32) * (1 + doc_id % 2) AS n, " +
+      "(SELECT list(((doc_id * 131 + g.i * 17) % 65536) - 32768) " +
+      " FROM generate_series(0, 95) AS g(i) " +
+      " WHERE g.i < (16 + doc_id % 32) * (1 + doc_id % 2)) AS ss " +
+      "FROM documents WHERE doc_id % 3 = 1) " +
+      "SELECT doc_id AS media_id, CAST(1 AS INTEGER) AS ok, " +
+      "CAST(n AS BIGINT) AS n_samples, " +
+      "CAST(list_sum(list_transform(ss, s -> s * s)) AS BIGINT) AS sum_sq, " +
+      "CAST(list_sum(list_transform(ss, s -> CASE WHEN abs(s) < 1024 THEN 1 ELSE 0 END)) AS BIGINT) AS n_silent, " +
+      "CAST(list_sum(list_transform(ss, s -> CASE WHEN s = 32767 OR s = -32768 THEN 1 ELSE 0 END)) AS BIGINT) AS n_clipped " +
+      "FROM st " +
+      "UNION ALL " +
+      "SELECT doc_id, CAST(0 AS INTEGER), 0, 0, 0, 0 FROM documents WHERE doc_id % 3 <> 1 " +
+      "ORDER BY media_id"),
+    // q126: identical injection + identical RE2-compatible regex family
+    // recomputed in DuckDB (counts AND the replaced text)
+    "q126_pii_redact_fn" -> (
+      "WITH inj AS (SELECT doc_id, text || CASE WHEN doc_id % 5 = 0 THEN " +
+      "' mail bob' || CAST(doc_id % 9 AS VARCHAR) || '@site.org from 10.' || " +
+      "CAST(doc_id % 200 AS VARCHAR) || '.3.44 ref ' || " +
+      "CAST(1000000 + doc_id % 999999 AS VARCHAR) ELSE '' END AS t FROM documents) " +
+      "SELECT doc_id AS id, " +
+      "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+      "CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, " +
+      "CAST(len(regexp_extract_all(t, '\\b\\d{7,15}\\b')) AS BIGINT) AS n_digit_runs, " +
+      "regexp_replace(regexp_replace(regexp_replace(t, " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+      "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
+      "'\\b\\d{7,15}\\b', '<NUM>', 'g') AS text_redacted " +
+      "FROM inj ORDER BY id"),
     // q114: the x97 encode CTEs aggregated per doc
     "q114_bpe_encode_fn" ->
       (s"WITH ${graft.operators.Extensions.duckBpeEncodeCtes} " +

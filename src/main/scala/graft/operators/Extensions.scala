@@ -1118,6 +1118,15 @@ object Extensions {
       Multimodal.sampleFrames(Multimodal.synthesize(docs(s, d)))
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id")),
+    // ---- audio quality signals (r12): silence / clipping / energy over
+    // the PCM-16 data chunk — every count recomputed by the oracle from
+    // the synthetic waveform formula, so a pass proves the kernel read
+    // and classified every SAMPLE (the audio analog of the dHash gate) ----
+    "x110_audio_stats" -> ((s, d) =>
+      Multimodal.audioStats(Multimodal.synthesize(docs(s, d))).toDF()
+        .select("media_id", "ok", "n_samples", "sum_sq", "n_silent",
+          "n_clipped")
+        .orderBy("media_id")),
     // feature extraction: payload → unit-norm embedding column, verified by
     // contract flags (dimension, L2 norm) + DuckDB-recomputed media count
     "x26_mm_features" -> ((s, d) => {
@@ -2324,6 +2333,24 @@ object Extensions {
       "x14_mm_frames" -> (
         "SELECT doc_id AS media_id, CAST(4 AS BIGINT) AS n_frames " +
         "FROM documents ORDER BY media_id"),
+      // x110: every stat re-derived from the synthetic waveform formula
+      // s(i) = ((id*131 + i*17) % 65536) - 32768 over the sample index
+      // series — an exact integer recompute of energy/silence/clipping,
+      // proving the kernel classified every PCM sample
+      "x110_audio_stats" -> (
+        "WITH st AS (SELECT doc_id, (16 + doc_id % 32) * (1 + doc_id % 2) AS n, " +
+        "(SELECT list(((doc_id * 131 + g.i * 17) % 65536) - 32768) " +
+        " FROM generate_series(0, 95) AS g(i) " +
+        " WHERE g.i < (16 + doc_id % 32) * (1 + doc_id % 2)) AS ss " +
+        "FROM documents WHERE doc_id % 3 = 1) " +
+        "SELECT doc_id AS media_id, TRUE AS ok, CAST(n AS BIGINT) AS n_samples, " +
+        "CAST(list_sum(list_transform(ss, s -> s * s)) AS BIGINT) AS sum_sq, " +
+        "CAST(list_sum(list_transform(ss, s -> CASE WHEN abs(s) < 1024 THEN 1 ELSE 0 END)) AS BIGINT) AS n_silent, " +
+        "CAST(list_sum(list_transform(ss, s -> CASE WHEN s = 32767 OR s = -32768 THEN 1 ELSE 0 END)) AS BIGINT) AS n_clipped " +
+        "FROM st " +
+        "UNION ALL " +
+        "SELECT doc_id, FALSE, 0, 0, 0, 0 FROM documents WHERE doc_id % 3 <> 1 " +
+        "ORDER BY media_id"),
       "x26_mm_features" -> (
         "SELECT count(*) AS n_media, CAST(1 AS INTEGER) AS dim_ok, " +
         "CAST(1 AS INTEGER) AS norm_ok FROM documents"),

@@ -346,6 +346,77 @@ object Multimodal {
       }
   }
 
+  /** Per-file audio sample statistics: silence / clipping / energy over
+    * the PCM-16 data chunk. */
+  final case class AudioStatsRow(media_id: Long, ok: Boolean,
+                                 n_samples: Long, sum_sq: Long,
+                                 n_silent: Long, n_clipped: Long)
+
+  /** |sample| below this (of 32768) counts as silence — ~3% full scale,
+    * the classic "digital near-silence" gate. */
+  val SilenceThreshold = 1024
+
+  /** Audio QUALITY SIGNALS for a corpus filter: walk the WAV data chunk
+    * and count per file (a) total samples, (b) energy (sum of squares —
+    * exact integer, so an oracle recomputes it bit-for-bit), (c) near-
+    * silent samples (|s| < [[SilenceThreshold]]) and (d) clipped samples
+    * (s at the int16 rails). A pipeline drops files that are mostly
+    * silence (dead recordings) or heavily clipped (distorted) the way
+    * Gopher rules drop degenerate text. Same batch kernel shape as
+    * [[decode]]: mapPartitions, one pass over the payload, no shuffle;
+    * non-WAV or malformed rows report ok=false with zeroed stats rather
+    * than throwing — one bad file must not kill a 100 TB scan. */
+  def audioStats(media: DataFrame): Dataset[AudioStatsRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload", "mime")
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, p, mime) =>
+          val m = Option(mime).getOrElse("")
+          val wav = (m == "audio/wav" || m == "audio/x-wav") && p != null &&
+            p.length >= 44 && new String(p, 0, 4, "US-ASCII") == "RIFF" &&
+            new String(p, 8, 4, "US-ASCII") == "WAVE"
+          if (!wav) AudioStatsRow(id, ok = false, 0L, 0L, 0L, 0L)
+          else {
+            val bb = java.nio.ByteBuffer.wrap(p)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            // chunk walk (same discipline as decodeWav): find fmt + data
+            var off = 12
+            var bits = -1
+            var dataOff = -1
+            var dataSize = -1L
+            var bad = false
+            while (!bad && off + 8 <= p.length && (bits < 0 || dataSize < 0)) {
+              val cid = new String(p, off, 4, "US-ASCII")
+              val sz = bb.getInt(off + 4).toLong & 0xffffffffL
+              if (cid == "fmt ") {
+                if (sz < 16 || off + 8 + 16 > p.length) bad = true
+                else bits = bb.getShort(off + 22) & 0xffff
+              } else if (cid == "data") { dataSize = sz; dataOff = off + 8 }
+              off += (8L + sz + (sz & 1L)).toInt
+              if (off < 0) bad = true
+            }
+            if (bad || bits != 16 || dataOff < 0)
+              AudioStatsRow(id, ok = false, 0L, 0L, 0L, 0L)
+            else {
+              val end = math.min(dataOff + dataSize, p.length.toLong).toInt
+              var i = dataOff
+              var n = 0L; var sq = 0L; var silent = 0L; var clipped = 0L
+              while (i + 2 <= end) {
+                val s = bb.getShort(i).toInt
+                n += 1; sq += s.toLong * s
+                if (math.abs(s) < SilenceThreshold) silent += 1
+                if (s == 32767 || s == -32768) clipped += 1
+                i += 2
+              }
+              AudioStatsRow(id, ok = true, n, sq, silent, clipped)
+            }
+          }
+        }
+      }
+  }
+
   /** "Frame sampling": deterministic byte-range slices of the payload —
     * the partitioning/batching shape of real video frame extraction.
     * Emits `frames` slices of `frameBytes` bytes each (fewer when the

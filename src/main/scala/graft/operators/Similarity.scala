@@ -574,6 +574,7 @@ object Similarity {
                 vecCol: String = "embedding",
                 idCol: String = "vec_id"): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    requireBoundedQueries("ivfPqTopK", queries)
     val centroids = loadIvfCentroids(spark, dir)
     val codebooks = loadPqCodebooks(spark, dir)
     val needed = probeBuckets(queries, centroids, nprobe, vecCol)
@@ -704,6 +705,24 @@ object Similarity {
       .where(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("cos"))
     topKPerGroup(scored, k)
+  }
+
+  /** The serve paths BROADCAST the query batch (probes + re-rank), so a
+    * corpus-sized frame passed as `queries` would broadcast the corpus —
+    * a driver OOM at scale, not a slow plan. Guarded with a LIMIT-bounded
+    * count, so the check's cost is capped regardless of the frame's true
+    * size. Corpus-as-queries workloads (mine neighbors for EVERY corpus
+    * row) belong on the bucket-join path — [[hardNegativesIVF]] — which
+    * co-partitions both sides and never broadcasts the big one. */
+  val MaxServeQueryRows: Int = 65536
+  private def requireBoundedQueries(fn: String, queries: DataFrame): Unit = {
+    val n = queries.limit(MaxServeQueryRows + 1).count()
+    if (n > MaxServeQueryRows)
+      throw new IllegalArgumentException(
+        s"$fn: query batch exceeds $MaxServeQueryRows rows; the serve path " +
+          "broadcasts queries, so a corpus-sized batch would broadcast the " +
+          "corpus - for corpus-as-queries workloads use the bucket-join " +
+          "path (hardNegativesIVF)")
   }
 
   /** The distinct buckets a query batch probes (≤ min(nlist,

@@ -237,15 +237,35 @@ object TextAnalysis {
     * IPv4 → <IP>, long digit runs (phone-ish, 7+) → <NUM>. Pure
     * regexp_replace chain — codegen'd, linear, no shuffle. Patterns are
     * RE2-compatible so the DuckDB oracle applies the identical regexes. */
-  def redactPII(text: Column): Column = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ipv4  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    val phone = "\\b\\d{7,15}\\b"
+  /** The [[redactPII]] pattern family, shared with [[piiStats]]. */
+  val PiiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4Pattern  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiDigitRunPattern = "\\b\\d{7,15}\\b"
+
+  def redactPII(text: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(text, email, "<EMAIL>"),
-        ipv4, "<IP>"),
-      phone, "<NUM>")
+        regexp_replace(text, PiiEmailPattern, "<EMAIL>"),
+        PiiIpv4Pattern, "<IP>"),
+      PiiDigitRunPattern, "<NUM>")
+
+  /** Per-document PII DETECTION COUNTS plus the [[redactPII]] output —
+    * the auditable form of the hygiene pass (a pipeline wants to know
+    * HOW MUCH it redacted per document/source before shipping, not just
+    * the clean text). Counts are taken before redaction; the replacement
+    * order email → IPv4 → digit-run is pinned (an IPv4 inside an email's
+    * domain fails the alphabetic-TLD requirement, so the families are
+    * disjoint on any one span, but the order fixes semantics anyway).
+    * All builtin codegen expressions (regexp_count/regexp_replace), no
+    * UDF, no shuffle — embarrassingly parallel at 100 TB. */
+  def piiStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol).cast("string")
+    df.select(
+      col(idCol).cast("long").as("id"),
+      regexp_count(t, lit(PiiEmailPattern)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PiiIpv4Pattern)).cast("long").as("n_ipv4"),
+      regexp_count(t, lit(PiiDigitRunPattern)).cast("long").as("n_digit_runs"),
+      redactPII(t).as("text_redacted"))
   }
 
   /** Corpus-level vocabulary: the `k` most frequent tokens with counts

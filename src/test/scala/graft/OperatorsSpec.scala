@@ -355,6 +355,16 @@ class OperatorsSpec extends AnyFunSuite {
         graft.operators.Extensions.filesScanned(codes))
       intercept[IllegalArgumentException](
         Similarity.ivfPqTopK(spark, dir, q, k = 10, nprobe = 2, shortlist = 5))
+      // broadcast guard: a corpus-sized query frame is rejected EAGERLY
+      // (the serve path broadcasts queries) with the bucket-join remedy
+      // named; the check never touches the layout, so it fires before
+      // any scan of the frame's true (possibly unbounded) size
+      val oversized = spark.range(Similarity.MaxServeQueryRows + 1L)
+        .select(col("id").as("vec_id"),
+          array(lit(1.0), lit(0.0)).as("embedding"))
+      val g = intercept[IllegalArgumentException](
+        Similarity.ivfPqTopK(spark, dir, oversized, k = 4))
+      assert(g.getMessage.contains("hardNegativesIVF"), g.getMessage)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
@@ -678,6 +688,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(perDoc.agg(max("count")).head().getLong(0) <= 4)
     // frame payloads are binary slices
     assert(frames.schema("frame").dataType.typeName == "binary")
+  }
+
+  test("audioStats: sample-exact energy/silence/clipping; non-wav and corrupt rows report ok=false") {
+    val media = Multimodal.synthesize(docs.limit(60))
+    val st = Multimodal.audioStats(media).collect().map(r => r.media_id -> r).toMap
+    st.values.foreach { r =>
+      if (r.media_id % 3 == 1) {
+        // recompute every stat from the waveform formula
+        val n = Multimodal.synthWavFrames(r.media_id) *
+          Multimodal.synthWavChannels(r.media_id)
+        val samples = (0 until n).map(i => Multimodal.synthWavSample(r.media_id, i).toInt)
+        assert(r.ok && r.n_samples == n &&
+          r.sum_sq == samples.map(s => s.toLong * s).sum &&
+          r.n_silent == samples.count(s => math.abs(s) < Multimodal.SilenceThreshold) &&
+          r.n_clipped == samples.count(s => s == 32767 || s == -32768), r.toString)
+      } else assert(!r.ok && r.n_samples == 0, r.toString)
+    }
+    // corrupt/truncated wav payloads classify, never throw
+    val corrupt = Seq(
+      (1L, Array[Byte](82, 73, 70, 70, 1, 2), "audio/wav", 6L),
+      (2L, null.asInstanceOf[Array[Byte]], "audio/wav", 0L))
+      .toDF("media_id", "payload", "mime", "n_bytes")
+    Multimodal.audioStats(corrupt).collect().foreach(r => assert(!r.ok))
+  }
+
+  test("piiStats: exact counts + redaction, idempotent on already-redacted text") {
+    val df = Seq(
+      (1L, "reach me at a.b+c@mail-host.org or 10.0.0.1 ticket 12345678"),
+      (2L, "no pii here just words"),
+      (3L, "two mails x@y.io z@w.co one ip 192.168.0.255 short digits 123456"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiStats(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 1 && out(1L).getLong(2) == 1 && out(1L).getLong(3) == 1)
+    assert(out(1L).getString(4) ==
+      "reach me at <EMAIL> or <IP> ticket <NUM>")
+    assert(out(2L).getLong(1) == 0 && out(2L).getLong(2) == 0 && out(2L).getLong(3) == 0)
+    // 6-digit run is below the 7-digit floor; both emails counted
+    assert(out(3L).getLong(1) == 2 && out(3L).getLong(2) == 1 && out(3L).getLong(3) == 0)
+    // idempotence: placeholders contain no redactable spans
+    val again = TextAnalysis.piiStats(
+      TextAnalysis.piiStats(df, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("text_redacted").as("text")),
+      "text", "doc_id").collect()
+    again.foreach(r => assert(r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0, r.toString))
   }
 
   test("decontamination flags exactly the overlapping docs") {
