@@ -430,6 +430,25 @@ class SurfaceSpec extends AnyFunSuite {
     assert(grouped.count() == 3)
   }
 
+  test("audio_stats / pii_redact: eager convention-naming errors (r8 advisory pattern)") {
+    val g1 = new GraftSession(spark).registerDir(TestSpark.sf)
+    // documents lacks media_id/payload/mime → audio_stats names the
+    // media convention at ANALYSIS time, not unresolved-column at action
+    val e1 = intercept[graft.translate.GraftAnalysisException](
+      g1.sql("select * from audio_stats(documents)"))
+    assert(e1.getMessage.contains("media_id") &&
+      e1.getMessage.contains("audio_stats"), e1.getMessage)
+    // a relation without text → pii_redact names the documents convention
+    val e2 = intercept[graft.translate.GraftAnalysisException](
+      g1.sql("select * from pii_redact(nation)"))
+    assert(e2.getMessage.contains("pii_redact") &&
+      e2.getMessage.contains("documents convention"), e2.getMessage)
+    // happy path through SQL: counts are zero on the clean base corpus
+    val clean = g1.sql("select cast(sum(n_emails) + sum(n_ipv4) as bigint) " +
+      "as n from pii_redact(documents)").head().getLong(0)
+    assert(clean == 0L)
+  }
+
   test("vec_dot / vec_cosine usable from the dialect (custom codegen expressions)") {
     val g = TestSpark.session
     val r = g.sql(
