@@ -526,9 +526,16 @@ object Similarity {
     * `c`, the layout the ADC scan prunes on), `dir/corpus` (originals,
     * partitioned the same way, touched only by the shortlist re-rank).
     * Training is deterministic (first-k seeds, fixed iteration count),
-    * so a rebuild from the same corpus is bit-identical. */
+    * so a rebuild from the same corpus is bit-identical.
+    *
+    * Parameter defaults are data-backed (r12 sf10 study, SCALE.md): PQ
+    * precision is the PRIMARY recall lever — m=16/k=32 reached 0.89
+    * recall@10 where m=8/k=16 plateaued at 0.28 at identical serve cost
+    * (dim/m ≈ 4 dims per subspace is the working rule). nlist defaults
+    * small for small corpora; production sizes it ≈ √n, bounded below
+    * by enough rows per bucket that bucket files stay IO-efficient. */
   def saveIvfPqIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
-                     m: Int = 8, k: Int = 16, iters: Int = 2,
+                     m: Int = 16, k: Int = 32, iters: Int = 2,
                      vecCol: String = "embedding",
                      idCol: String = "vec_id"): Unit = {
     val centroids = trainIvfCentroids(corpus, nlist, iters, vecCol, idCol)
@@ -658,7 +665,7 @@ object Similarity {
                                  k: Int = 10, nprobe: Int = 4,
                                  shortlist: Int = 50,
                                  minRecall: Double = 0.8, nlist: Int = 16,
-                                 m: Int = 8, kSub: Int = 16,
+                                 m: Int = 16, kSub: Int = 32,
                                  iters: Int = 2): DataFrame = {
     import spark.implicits._
     val before = ivfPqIndexRecallAudit(spark, dir, queries, k, nprobe, shortlist)
