@@ -35,9 +35,15 @@ object Bench {
     // failures per gate — a 64 KB-limit fallback keeps results correct
     // while the hot loop runs interpreted, invisible in the time alone.
     CodegenGuard.install()
+    // spill watchdog (r12, same discipline): per-gate memory+disk spill
+    // bytes in the sidecar — a spilling gate is slow for a reason the
+    // wall clock alone never names
+    SpillGuard.install(spark)
     val fallbacks = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val spills = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       CodegenGuard.reset()
+      SpillGuard.reset()
       val t0 = System.nanoTime()
       // noop sink materializes the FULL plan — count() would let Catalyst
       // prune projections and eliminate sorts, timing only scan+filter.
@@ -60,6 +66,7 @@ object Bench {
       try GraftSession.forDir(spark, sfDir).releaseOperatorCaches()
       catch { case _: Throwable => () }
       fallbacks(name) += CodegenGuard.current
+      spills(name) += SpillGuard.current
       if (ok) dt else -dt
     }
     // local profiling convenience: SPARK_GRAFT_ONLY=x44,x27 benches the
@@ -135,7 +142,10 @@ object Bench {
       val fbNonzero = fallbacks.toSeq.filter(_._2 > 0).sortBy(-_._2)
         .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
       val fbTotal = fallbacks.values.sum
-      val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$nRuns,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"subset":$isSubset,"spread_med":${pct(0.5)},"spread_p90":${pct(0.9)},"codegen_fallback_total":$fbTotal,"codegen_fallbacks":$fbNonzero,"spread":$allSpread,"queries":$qs,"sf":${q(sfDir)}}"""
+      val spNonzero = spills.toSeq.filter(_._2 > 0).sortBy(-_._2)
+        .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+      val spTotal = spills.values.sum
+      val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$nRuns,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"subset":$isSubset,"spread_med":${pct(0.5)},"spread_p90":${pct(0.9)},"codegen_fallback_total":$fbTotal,"codegen_fallbacks":$fbNonzero,"spill_bytes_total":$spTotal,"spill_bytes":$spNonzero,"spread":$allSpread,"queries":$qs,"sf":${q(sfDir)}}"""
       // subset runs write a SEPARATE sidecar UNCONDITIONALLY (the env
       // override is honored only for full runs): a local profiling loop —
       // even one with a stale SPARK_GRAFT_BENCH_FULL in its shell — must
@@ -148,7 +158,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write the per-query sidecar: $e")
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$nRuns,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"codegen_fallback_total":${fallbacks.values.sum},"spread_med":${pct(0.5)},"spread_p90":${pct(0.9)},"noisiest":$spreadJson,"queries":$slowest,"sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$nRuns,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"codegen_fallback_total":${fallbacks.values.sum},"spill_bytes_total":${spills.values.sum},"spread_med":${pct(0.5)},"spread_p90":${pct(0.9)},"noisiest":$spreadJson,"queries":$slowest,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

@@ -581,10 +581,21 @@ object Similarity {
                 vecCol: String = "embedding",
                 idCol: String = "vec_id"): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    requireBoundedQueries("ivfPqTopK", queries)
     val centroids = loadIvfCentroids(spark, dir)
     val codebooks = loadPqCodebooks(spark, dir)
-    val needed = probeBuckets(queries, centroids, nprobe, vecCol)
+    // ONE job computes the probe-bucket set AND guards the broadcast
+    // contract: the serve path broadcasts queries (probes + re-rank), so
+    // a corpus-sized frame passed as `queries` would broadcast the
+    // corpus. No LIMIT (a global limit inserts a single-partition
+    // exchange that cost x103 ~35 ms per micro-batch): the count rides
+    // the same parallel aggregation that collects the bucket set, so a
+    // pathological frame costs one linear pass before the error — and
+    // never reaches the broadcast. Each row explodes to exactly
+    // min(nprobe, nlist) probes. Corpus-as-queries workloads belong on
+    // the bucket-join path (hardNegativesIVF), which never broadcasts
+    // the big side.
+    val needed = guardedProbeBuckets("ivfPqTopK", queries, centroids,
+      nprobe, vecCol)
     val probes = broadcast(queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"),
         explode(probeCentroids(col(vecCol), centroids, nprobe)).as("c")))
@@ -705,7 +716,8 @@ object Similarity {
     val centroids = loadIvfCentroids(spark, dir)
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       explode(probeCentroids(col(vecCol), centroids, nprobe)).as("c"))
-    val needed = probeBuckets(queries, centroids, nprobe, vecCol)
+    val needed = guardedProbeBuckets("ivfTopKIndexed", queries, centroids,
+      nprobe, vecCol)
     val indexed = spark.read.parquet(s"$dir/corpus")
       .where(col("c").isin(needed.map(Int.box): _*))
     val scored = indexed.join(broadcast(probes), "c")
@@ -716,20 +728,35 @@ object Similarity {
 
   /** The serve paths BROADCAST the query batch (probes + re-rank), so a
     * corpus-sized frame passed as `queries` would broadcast the corpus —
-    * a driver OOM at scale, not a slow plan. Guarded with a LIMIT-bounded
-    * count, so the check's cost is capped regardless of the frame's true
-    * size. Corpus-as-queries workloads (mine neighbors for EVERY corpus
-    * row) belong on the bucket-join path — [[hardNegativesIVF]] — which
+    * a driver OOM at scale, not a slow plan. [[ivfPqTopK]] and
+    * [[ivfTopKIndexed]] enforce this bound inside the probe-bucket job
+    * they already run (zero extra jobs — the r12 bench showed a
+    * standalone LIMIT-count guard cost x103 one job per micro-batch).
+    * Corpus-as-queries workloads (mine neighbors for EVERY corpus row)
+    * belong on the bucket-join path — [[hardNegativesIVF]] — which
     * co-partitions both sides and never broadcasts the big one. */
   val MaxServeQueryRows: Int = 65536
-  private def requireBoundedQueries(fn: String, queries: DataFrame): Unit = {
-    val n = queries.limit(MaxServeQueryRows + 1).count()
-    if (n > MaxServeQueryRows)
+
+  /** [[probeBuckets]] with the broadcast-contract guard riding the same
+    * aggregation: `groupBy(c).count` has the identical partial-agg plan
+    * shape as `distinct` (≤ nlist rows collected either way), and the
+    * count sum says how many probe rows the batch exploded to — each
+    * query row contributes exactly min(nprobe, nlist), so the ceiling
+    * detects an oversized batch in the job the serve needed anyway. */
+  private def guardedProbeBuckets(fn: String, queries: DataFrame,
+                                  centroids: Array[Array[Double]],
+                                  nprobe: Int, vecCol: String): Array[Int] = {
+    val perRow = math.min(nprobe, centroids.length).toLong
+    val probeRows = queries
+      .select(explode(probeCentroids(col(vecCol), centroids, nprobe)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n")).collect()
+    if (probeRows.map(_.getLong(1)).sum > MaxServeQueryRows.toLong * perRow)
       throw new IllegalArgumentException(
-        s"$fn: query batch exceeds $MaxServeQueryRows rows; the serve path " +
-          "broadcasts queries, so a corpus-sized batch would broadcast the " +
-          "corpus - for corpus-as-queries workloads use the bucket-join " +
+        s"$fn: query batch exceeds $MaxServeQueryRows rows; the serve " +
+          "path broadcasts queries, so a corpus-sized batch would broadcast " +
+          "the corpus - for corpus-as-queries workloads use the bucket-join " +
           "path (hardNegativesIVF)")
+    probeRows.map(_.getInt(0)).sorted
   }
 
   /** The distinct buckets a query batch probes (≤ min(nlist,

@@ -365,6 +365,11 @@ class OperatorsSpec extends AnyFunSuite {
       val g = intercept[IllegalArgumentException](
         Similarity.ivfPqTopK(spark, dir, oversized, k = 4))
       assert(g.getMessage.contains("hardNegativesIVF"), g.getMessage)
+      // the plain-IVF serve shares the guard (same broadcast contract,
+      // same probe-bucket job; the ivfpq layout carries centroids too)
+      val g2 = intercept[IllegalArgumentException](
+        Similarity.ivfTopKIndexed(spark, dir, oversized, k = 4))
+      assert(g2.getMessage.contains("ivfTopKIndexed"), g2.getMessage)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
