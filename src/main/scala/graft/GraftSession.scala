@@ -133,6 +133,20 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       graft.operators.Dedup.hammingCandidatesFromSig(sig,
         maxHamming = num("hamming_pairs", args, 1, 3L).toInt)
     })
+    // audio_fingerprint(rel[, payloadCol[, idCol]]) — volume-invariant
+    // energy-envelope fingerprint over a binary WAV column (the audio
+    // sibling of image_phash; output (id, afp, ok) feeds hamming_pairs
+    // via afp AS sh)
+    catalog.registerTableFunction("audio_fingerprint", { args =>
+      arity("audio_fingerprint", args, 1, 3)
+      val payloadCol = if (args.length > 1) str("audio_fingerprint", args, 1) else "payload"
+      val idCol = if (args.length > 2) str("audio_fingerprint", args, 2) else "media_id"
+      val media = rel("audio_fingerprint", args, 0)
+      Seq(idCol, payloadCol).foreach(c => reqCol("audio_fingerprint", media, c,
+        "media relation must have (media_id, payload) columns " +
+          "(or pass payload/id column names as arguments 2 and 3)"))
+      graft.operators.Multimodal.audioFingerprint(media, payloadCol, idCol)
+    })
     // audio_stats(rel) — sample-level WAV quality signals (silence /
     // clipping / energy) over a media relation (media_id, payload, mime)
     catalog.registerTableFunction("audio_stats", { args =>

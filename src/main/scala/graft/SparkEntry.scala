@@ -1031,6 +1031,25 @@ object SparkEntry {
       e.sql("select media_id, cast(ok as int) as ok, n_samples, sum_sq, " +
         "n_silent, n_clipped from audio_stats(q125_media) order by media_id")
     }),
+    // ---- audio_fingerprint table fn (r12): the x112 volume-family
+    // construction through the SQL surface — one fingerprint per
+    // 3-recording family, counts pure doc_id arithmetic ----
+    "q127_audio_fingerprint_fn" -> ((s, d) => {
+      import s.implicits._
+      val e = g(s, d)
+      val media = e.catalog.relation("documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"))
+        .as[Long].mapPartitions { it =>
+          it.map { id =>
+            val leader = id - id % 3
+            (id, graft.operators.Multimodal
+              .synthToneWavBytes(leader, 1 << (id % 3).toInt))
+          }
+        }.toDF("media_id", "payload")
+      e.catalog.registerTable("q127_media", media)
+      e.sql("select count(distinct afp) as n_fp, count(*) as n, " +
+        "min(cast(ok as int)) as all_ok from audio_fingerprint(q127_media)")
+    }),
     // ---- pii_redact table fn (r12): deterministic PII injected per
     // doc_id, counts + redacted text recomputed by the oracle with the
     // IDENTICAL RE2-compatible regexes ----
@@ -1593,6 +1612,11 @@ object SparkEntry {
       "UNION ALL " +
       "SELECT doc_id, CAST(0 AS INTEGER), 0, 0, 0, 0 FROM documents WHERE doc_id % 3 <> 1 " +
       "ORDER BY media_id"),
+    // q127: one fingerprint per 3-member volume family
+    "q127_audio_fingerprint_fn" -> (
+      "SELECT CAST(count(DISTINCT doc_id - doc_id % 3) AS BIGINT) AS n_fp, " +
+      "CAST(count(*) AS BIGINT) AS n, CAST(1 AS INTEGER) AS all_ok " +
+      "FROM documents"),
     // q126: identical injection + identical RE2-compatible regex family
     // recomputed in DuckDB (counts AND the replaced text)
     "q126_pii_redact_fn" -> (

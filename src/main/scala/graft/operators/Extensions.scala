@@ -1127,6 +1127,34 @@ object Extensions {
         .select("media_id", "ok", "n_samples", "sum_sq", "n_silent",
           "n_clipped")
         .orderBy("media_id")),
+    // ---- perceptual AUDIO dedup (r12): volume-invariant energy-envelope
+    // fingerprint finds gain-shifted copies whose BYTES differ (the audio
+    // analog of x108's dHash story). Families of 3 recordings per leader
+    // at gains 1×/½×/¼× — window amplitudes are multiples of 4, so the
+    // gain variants divide exactly and fingerprints collide by
+    // construction; distinct leaders separate. Counts are pure doc_id
+    // arithmetic for the oracle ----
+    "x112_audio_fp_dedup" -> ((s, d) => {
+      import s.implicits._
+      val media = docs(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val leader = id - id % 3
+            (id, Multimodal.synthToneWavBytes(leader, 1 << (id % 3).toInt))
+          }
+        }.toDF("media_id", "payload")
+      val sig = Multimodal.audioFingerprint(media).localCheckpoint()
+      val fam = col("id") - col("id") % 3
+      sig.agg(
+        count(lit(1)).as("n_media"),
+        count_distinct(fam).as("n_families"),
+        (count_distinct(struct(fam, col("afp"))) === count_distinct(fam))
+          .cast("int").as("gain_invariant"),
+        (count_distinct(col("afp")) === count_distinct(fam))
+          .cast("int").as("families_separate"),
+        (sum(col("ok").cast("int")) === count(lit(1)))
+          .cast("int").as("all_ok"))
+    }),
     // feature extraction: payload → unit-norm embedding column, verified by
     // contract flags (dimension, L2 norm) + DuckDB-recomputed media count
     "x26_mm_features" -> ((s, d) => {
@@ -2351,6 +2379,15 @@ object Extensions {
         "UNION ALL " +
         "SELECT doc_id, FALSE, 0, 0, 0, 0 FROM documents WHERE doc_id % 3 <> 1 " +
         "ORDER BY media_id"),
+      // x112: family structure is pure doc_id arithmetic — 3 gain
+      // variants per leader collapse to ONE fingerprint (flags), one
+      // fingerprint per family
+      "x112_audio_fp_dedup" -> (
+        "SELECT CAST(count(*) AS BIGINT) AS n_media, " +
+        "CAST(count(DISTINCT doc_id - doc_id % 3) AS BIGINT) AS n_families, " +
+        "CAST(1 AS INTEGER) AS gain_invariant, " +
+        "CAST(1 AS INTEGER) AS families_separate, " +
+        "CAST(1 AS INTEGER) AS all_ok FROM documents"),
       "x26_mm_features" -> (
         "SELECT count(*) AS n_media, CAST(1 AS INTEGER) AS dim_ok, " +
         "CAST(1 AS INTEGER) AS norm_ok FROM documents"),

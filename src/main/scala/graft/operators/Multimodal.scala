@@ -417,6 +417,138 @@ object Multimodal {
       }
   }
 
+  /** Deterministic "recording" for the audio-dedup gates: 650 samples
+    * (65 exact 10-sample windows) of a per-window constant envelope
+    * a_w = 4·(250 + (mix64(leader, w) mod 7000)), divided by
+    * `gainDiv` ∈ {1, 2, 4}. The splitmix-style bit mix makes the
+    * adjacent-window comparison pattern effectively random PER LEADER
+    * (a plain linear congruence shares wrap patterns across leaders and
+    * collides fingerprints — found by the x112 oracle preflight). Every
+    * window amplitude is a multiple of 4, so the gain variants divide
+    * EXACTLY: the energy-envelope comparisons — hence
+    * [[audioFingerprint]] — are bit-identical across volumes while the
+    * payload bytes all differ (the family structure an external oracle
+    * recomputes as pure id arithmetic). */
+  def synthToneWavBytes(leader: Long, gainDiv: Int): Array[Byte] = {
+    require(gainDiv == 1 || gainDiv == 2 || gainDiv == 4,
+      s"gainDiv must be 1, 2 or 4, got $gainDiv")
+    val n = 650
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(8000)
+      .putInt(8000 * 2).putShort(2.toShort).putShort(16.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      val w = i / 10
+      var h = leader * 0x9E3779B97F4A7C15L + w * 0xBF58476D1CE4E5B9L
+      h ^= (h >>> 31)
+      h *= 0x94D049BB133111EBL
+      h ^= (h >>> 29)
+      val a = 4 * (250 + java.lang.Math.floorMod(h, 7000L).toInt)
+      bb.putShort((a / gainDiv).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Volume-invariant perceptual AUDIO fingerprint — the audio analog of
+    * [[dHash]] (chromaprint's energy-difference idea reduced to one
+    * band): parse the WAV PCM, partition the sample stream into 65 equal
+    * time windows, bit i of the 64-bit fingerprint = (mean |amplitude|
+    * of window i) > (mean of window i+1). The envelope SHAPE survives
+    * what byte-hash dedup cannot: the same material re-recorded at a
+    * different gain scales every window mean by the same factor and
+    * preserves every comparison, so volume-shifted copies collide —
+    * feed the output to [[Dedup.hammingCandidatesFromSig]] exactly like
+    * image signatures (`sh` column convention via `.as("sh")`).
+    * Output (id, afp, ok); non-WAV, unparseable, non-PCM-16, or
+    * shorter-than-65-sample rows are (id, 0, false) — one bad file must
+    * not kill a 100 TB scan. Same batch kernel shape as [[decode]]:
+    * mapPartitions, one pass, no shuffle. */
+  def audioFingerprint(media: DataFrame, payloadCol: String = "payload",
+                       idCol: String = "media_id"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val idType = media.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"audioFingerprint: id column '$idCol' must be numeric, got ${idType.simpleString}")
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(java.lang.Long, Array[Byte])](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.LONG,
+          org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (idBoxed, p) =>
+          if (idBoxed == null) throw new IllegalArgumentException(
+            s"audioFingerprint: NULL id in column '$idCol' — ids must be non-null")
+          val id = idBoxed.longValue
+          val fp: Option[Long] =
+            try {
+              if (p == null || p.length < 44 ||
+                  new String(p, 0, 4, "US-ASCII") != "RIFF" ||
+                  new String(p, 8, 4, "US-ASCII") != "WAVE") None
+              else {
+                val bb = java.nio.ByteBuffer.wrap(p)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                var off = 12
+                var bits = -1
+                var dataOff = -1
+                var dataSize = -1L
+                var bad = false
+                while (!bad && off + 8 <= p.length && (bits < 0 || dataSize < 0)) {
+                  val cid = new String(p, off, 4, "US-ASCII")
+                  val sz = bb.getInt(off + 4).toLong & 0xffffffffL
+                  if (cid == "fmt ") {
+                    if (sz < 16 || off + 8 + 16 > p.length) bad = true
+                    else bits = bb.getShort(off + 22) & 0xffff
+                  } else if (cid == "data") { dataSize = sz; dataOff = off + 8 }
+                  off += (8L + sz + (sz & 1L)).toInt
+                  if (off < 0) bad = true
+                }
+                val end =
+                  if (dataOff < 0) -1
+                  else math.min(dataOff + dataSize, p.length.toLong).toInt
+                val n = if (end < 0) 0 else (end - dataOff) / 2
+                if (bad || bits != 16 || n < 65) None
+                else {
+                  // 65 equal windows of mean |amplitude| → 64 gradient bits
+                  val means = new Array[Double](65)
+                  var w = 0
+                  while (w < 65) {
+                    val s0 = (w.toLong * n / 65).toInt
+                    val s1 = math.max(((w + 1).toLong * n / 65).toInt, s0 + 1)
+                    var sum = 0.0
+                    var i = s0
+                    while (i < s1) {
+                      sum += math.abs(bb.getShort(dataOff + 2 * i).toInt)
+                      i += 1
+                    }
+                    means(w) = sum / (s1 - s0)
+                    w += 1
+                  }
+                  var h = 0L
+                  var b = 0
+                  while (b < 64) {
+                    if (means(b) > means(b + 1)) h |= (1L << b)
+                    b += 1
+                  }
+                  Some(h)
+                }
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          fp match {
+            case Some(h) => (id, h, true)
+            case None => (id, 0L, false)
+          }
+        }
+      }
+      .toDF("id", "afp", "ok")
+  }
+
   /** "Frame sampling": deterministic byte-range slices of the payload —
     * the partitioning/batching shape of real video frame extraction.
     * Emits `frames` slices of `frameBytes` bytes each (fewer when the

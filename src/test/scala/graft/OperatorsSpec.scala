@@ -718,6 +718,38 @@ class OperatorsSpec extends AnyFunSuite {
     Multimodal.audioStats(corrupt).collect().foreach(r => assert(!r.ok))
   }
 
+  test("audioFingerprint: gain-invariant, leader-separating, composes with hamming banding") {
+    val rows = for (leader <- Seq(0L, 30L, 600L); g <- Seq(1, 2, 4))
+      yield (leader * 10 + g, Multimodal.synthToneWavBytes(leader, g))
+    val media = rows.toDF("media_id", "payload")
+    val sig = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(sig.values.forall(_._2), "every tone wav must parse ok")
+    // within a family the three volumes fingerprint IDENTICALLY
+    for (leader <- Seq(0L, 30L, 600L)) {
+      val fps = Seq(1, 2, 4).map(g => sig(leader * 10 + g)._1).distinct
+      assert(fps.size == 1, s"family $leader split: $fps")
+    }
+    // distinct leaders separate
+    assert(Seq(0L, 30L, 600L).map(l => sig(l * 10 + 1)._1).distinct.size == 3)
+    // feeds the image-dedup banding machinery unchanged: 3 within-family
+    // pairs per family at hamming 0, no cross-family pair at maxHamming 3
+    val pairs = Dedup.hammingCandidatesFromSig(
+      Multimodal.audioFingerprint(media)
+        .select(col("id"), col("afp").as("sh")), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == 9 &&
+      pairs.forall { case (a, b) => a / 10 == b / 10 }, pairs.mkString(","))
+    // too-short / corrupt / non-wav payloads classify, never throw
+    val bad = Seq(
+      (1L, Multimodal.synthWavBytes(7L)),          // real wav, < 65 samples
+      (2L, Array[Byte](1, 2, 3)),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    Multimodal.audioFingerprint(bad).collect()
+      .foreach(r => assert(!r.getBoolean(2), r.toString))
+  }
+
   test("piiStats: exact counts + redaction, idempotent on already-redacted text") {
     val df = Seq(
       (1L, "reach me at a.b+c@mail-host.org or 10.0.0.1 ticket 12345678"),
