@@ -162,6 +162,25 @@ object VerifyDrive {
       java.nio.file.Files.deleteIfExists(sc); java.nio.file.Files.deleteIfExists(sc.getParent)
       s"replayed-ctas-count=$n"
     })
+    // round 12: audio + PII surfaces
+    println("=== pii_redact: " + {
+      val r = g.sql("select cast(sum(n_emails) + sum(n_ipv4) + " +
+        "sum(n_digit_runs) as bigint) as n from pii_redact(documents)").head()
+      s"clean-corpus-hits=${r.getLong(0)}"
+    })
+    println("=== audio surfaces: " + {
+      import spark.implicits._
+      val media = (0L until 9L).map { id =>
+        (id, graft.operators.Multimodal.synthToneWavBytes(id - id % 3,
+          1 << (id % 3).toInt), "audio/wav")
+      }.toDF("media_id", "payload", "mime")
+      g.catalog.registerTable("vd_media", media)
+      val fp = g.sql("select count(distinct afp) as nfp, min(cast(ok as int)) " +
+        "as ok from audio_fingerprint(vd_media)").head()
+      val st = g.sql("select min(cast(ok as int)) as ok, min(n_samples) as n " +
+        "from audio_stats(vd_media)").head()
+      s"families=${fp.getLong(0)} fp-ok=${fp.getInt(1)} stats-ok=${st.getInt(0)} n>=650=${st.getLong(1) >= 650}"
+    })
     try {
       val url = "jdbc:derby:memory:drive_card;create=true"
       val c = java.sql.DriverManager.getConnection(url)
