@@ -122,8 +122,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     val sf = TestSpark.sf
     CodegenGuard.install()
+    // x96/x107 (lifecycle: train + append + audit + rebuild) pin the
+    // encode/assignment paths the serve gates don't re-train (r12)
     val family = Seq("x16_sim_ivf_topk", "x76_ann_recall", "x90_ivf_index",
-      "x99_pq_ann", "x101_ivfpq_ann", "q115_pq_topk_fn", "q116_ivfpq_topk_fn")
+      "x99_pq_ann", "x101_ivfpq_ann", "q115_pq_topk_fn", "q116_ivfpq_topk_fn",
+      "x96_ivf_lifecycle", "x107_ivfpq_lifecycle")
     CodegenGuard.reset()
     family.foreach { name =>
       val fn = SparkEntry.queries(name)
