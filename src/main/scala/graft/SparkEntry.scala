@@ -931,6 +931,33 @@ object SparkEntry {
     // kind ('ivfpq') — register the composed layout, serve with
     // ivfpq_topk, assert exact parity with the operator API (recall +
     // pruning are x101's job; this pins SQL/model resolution) ----
+    // ---- residual-IVFADC SQL serve (r12): ivfpq_topk AUTO-DETECTS the
+    // layout's residual meta through a registered model name, and the
+    // SQL result must equal the API serve row-for-row ----
+    "q128_ivfpq_residual_fn" -> ((s, d) => {
+      import s.implicits._
+      val e = g(s, d)
+      val embT = e.catalog.relation("embeddings")
+      val dir = graft.operators.Extensions.ivfPqResidualIndexFixture(s, d)
+      e.sql("drop model if exists q128_ivfpq")
+      e.sql("drop table if exists q128_q")
+      e.sql(s"create model q128_ivfpq kind 'ivfpq' at '$dir'")
+      e.sql("create table q128_q as select vec_id, embedding from embeddings where vec_id < 5")
+      val viaSql = e.sql(
+        "select qid, vec_id, cos from ivfpq_topk(q128_q, 'q128_ivfpq', 5, 4, 50) " +
+        "order by qid, cos desc, vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val viaApi = graft.operators.Similarity.ivfPqTopK(s, dir,
+          embT.where(org.apache.spark.sql.functions.col("vec_id") < 5),
+          k = 5, nprobe = 4, shortlist = 50)
+        .orderBy(org.apache.spark.sql.functions.col("qid"),
+          org.apache.spark.sql.functions.col("cos").desc,
+          org.apache.spark.sql.functions.col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      Seq((viaSql.map(_._1).distinct.length.toLong,
+          if (viaSql == viaApi && viaSql.nonEmpty) 1 else 0))
+        .toDF("n_queries", "sql_matches_api")
+    }),
     "q116_ivfpq_topk_fn" -> ((s, d) => {
       import s.implicits._
       val e = g(s, d)
@@ -1567,6 +1594,10 @@ object SparkEntry {
     // q116: the same parity-flag shape for the composed IVF-PQ serve
     // (x101 carries the recall + pruning audit)
     "q116_ivfpq_topk_fn" -> (
+      "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS sql_matches_api " +
+      "FROM embeddings WHERE vec_id < 5"),
+    // q128: the residual layout served by model name — same contract
+    "q128_ivfpq_residual_fn" -> (
       "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS sql_matches_api " +
       "FROM embeddings WHERE vec_id < 5"),
     // q117: the socket-fed rows ARE the nation table — full row/hash

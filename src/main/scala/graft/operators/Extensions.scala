@@ -105,6 +105,14 @@ object Extensions {
       Similarity.saveIvfPqIndex(emb(s, d), dir, nlist = 16, m = 16, k = 32,
         iters = 2))
 
+  /** Shared RESIDUAL saveIvfPqIndex layout — identical parameters to the
+    * raw fixture so x113's residual-vs-raw recall comparison isolates
+    * the encoding, not the configuration. */
+  private[graft] def ivfPqResidualIndexFixture(s: SparkSession, d: String): String =
+    fixture(s"ivfpqres:$d")(dir =>
+      Similarity.saveIvfPqIndex(emb(s, d), dir, nlist = 16, m = 16, k = 32,
+        iters = 2, residual = true))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----
     "x01_dedup_exact" -> ((s, d) =>
@@ -921,6 +929,38 @@ object Extensions {
     // pruned ADC + re-rank path is faithful — and (b) the brute-force
     // truth; scan_pruned asserts via the executed scan's numFiles that
     // the code scan actually skipped unprobed bucket directories ----
+    // ---- residual IVFADC (r12): PQ codes over r = x − centroid(x), the
+    // actual Jégou §IV.2 encoding — the PQ's precision describes the
+    // small within-bucket displacement instead of re-describing the
+    // bucket's position, so recall must not lose to the raw layout at
+    // IDENTICAL parameters (deterministic training ⇒ the comparison is
+    // frozen, not flaky); serve pruning contract unchanged ----
+    "x113_ivfpq_residual_ann" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d).localCheckpoint()
+      val q = e.where(col("vec_id") < 10)
+      val dirRes = ivfPqResidualIndexFixture(s, d)
+      val dirRaw = ivfPqIndexFixture(s, d)
+      val truth = Similarity.bruteForceTopK(e, q, k = 10).localCheckpoint()
+      def recall(dir: String): Double = Similarity.annRecall(
+        Similarity.ivfPqTopK(s, dir, q, k = 10, nprobe = 4, shortlist = 50),
+        truth).head().getDouble(1)
+      val rRes = recall(dirRes)
+      val rRaw = recall(dirRaw)
+      val centroids = Similarity.loadIvfCentroids(s, dirRes)
+      val needed = Similarity.probeBuckets(q, centroids, nprobe = 4)
+      val codes = s.read.parquet(s"$dirRes/codes")
+      val pruned = filesScanned(
+        codes.where(col("c").isin(needed.map(Int.box): _*))) <
+        codes.inputFiles.length
+      Seq((q.count(),
+          if (rRes >= 0.6) 1 else 0,
+          if (rRes >= rRaw) 1 else 0,
+          if (pruned) 1 else 0,
+          if (Similarity.loadIvfPqResidualFlag(s, dirRes)) 1 else 0))
+        .toDF("n_queries", "recall_ok", "residual_ge_raw", "scan_pruned",
+          "meta_residual")
+    }),
     "x101_ivfpq_ann" -> ((s, d) => {
       import s.implicits._
       val e = emb(s, d).localCheckpoint()
@@ -2250,6 +2290,14 @@ object Extensions {
       "x101_ivfpq_ann" -> (
         "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS matches_flat_rerank, " +
         "CAST(1 AS INTEGER) AS recall_vs_truth_ok, CAST(1 AS INTEGER) AS scan_pruned " +
+        "FROM embeddings WHERE vec_id < 10"),
+      // x113: deterministic training freezes the residual-vs-raw recall
+      // comparison — the flags are contracts, not samples
+      "x113_ivfpq_residual_ann" -> (
+        "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS recall_ok, " +
+        "CAST(1 AS INTEGER) AS residual_ge_raw, " +
+        "CAST(1 AS INTEGER) AS scan_pruned, " +
+        "CAST(1 AS INTEGER) AS meta_residual " +
         "FROM embeddings WHERE vec_id < 10"),
       // x96: the fixed probe-set count is recomputed; the lifecycle flags
       // (drift detected on the masked append, rebuild ran, recall

@@ -534,14 +534,63 @@ object Similarity {
     * (dim/m ≈ 4 dims per subspace is the working rule). nlist defaults
     * small for small corpora; production sizes it ≈ √n, bounded below
     * by enough rows per bucket that bucket files stay IO-efficient. */
+  /** v − centroids[c], materialized as array<float> so the PQ trainer
+    * and encoder see the same representation for raw and residual
+    * vectors. The centroid table rides as ONE complex-type literal
+    * (a reference in generated code, not unrolled — the 64 KB lesson);
+    * `element_at` is 1-based. */
+  private def residualExpr(v: Column, c: Column,
+                           centroids: Array[Array[Double]]): Column = {
+    val lit2d = typedLit(centroids.map(_.toSeq).toSeq)
+    zip_with(v.cast("array<double>"), element_at(lit2d, c + lit(1)),
+      (a, b) => a - b).cast("array<float>")
+  }
+
+  /** ADC reconstruction: codebook decode, plus the coarse centroid when
+    * the layout stores RESIDUAL codes (Jégou et al. 2011 §IV.2 — the
+    * actual IVFADC: quantizing r = x − q1(x) spends the PQ's precision
+    * on the small within-bucket displacement instead of re-describing
+    * the bucket's position, so recall rises at identical serve cost). */
+  private def adcReconstruct(code: Column, c: Column,
+                             codebooks: Array[Array[Array[Double]]],
+                             centroids: Array[Array[Double]],
+                             residual: Boolean): Column =
+    if (!residual) pqReconstruct(code, codebooks)
+    else {
+      val lit2d = typedLit(centroids.map(_.toSeq).toSeq)
+      zip_with(element_at(lit2d, c + lit(1)), pqReconstruct(code, codebooks),
+        (a, b) => a + b)
+    }
+
+  /** Whether a [[saveIvfPqIndex]] layout stores residual codes. Layouts
+    * written before the meta file existed are raw (false). */
+  def loadIvfPqResidualFlag(spark: SparkSession, dir: String): Boolean =
+    try spark.read.parquet(s"$dir/meta").select("residual").head().getBoolean(0)
+    catch { case scala.util.control.NonFatal(_) => false }
+
   def saveIvfPqIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
                      m: Int = 16, k: Int = 32, iters: Int = 2,
                      vecCol: String = "embedding",
-                     idCol: String = "vec_id"): Unit = {
+                     idCol: String = "vec_id",
+                     residual: Boolean = false): Unit = {
     val centroids = trainIvfCentroids(corpus, nlist, iters, vecCol, idCol)
-    val codebooks = pqTrain(corpus, m, k, iters, vecCol, idCol)
     val spark = corpus.sparkSession
     import spark.implicits._
+    // residual mode: PQ model trained on (and codes stored for) the
+    // within-bucket displacement r = x − centroid(x)
+    val assigned = Par.widen(corpus, idCol).select(col(idCol), col(vecCol),
+      nearestCentroid(col(vecCol), centroids).as("__c"))
+    val encodeVec =
+      if (residual) residualExpr(col(vecCol), col("__c"), centroids)
+      else col(vecCol)
+    val codebooks =
+      if (residual)
+        pqTrain(assigned.select(col(idCol),
+          residualExpr(col(vecCol), col("__c"), centroids).as(vecCol)),
+          m, k, iters, vecCol, idCol)
+      else pqTrain(corpus, m, k, iters, vecCol, idCol)
+    Seq(Tuple1(residual)).toDF("residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("c", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
@@ -552,10 +601,10 @@ object Similarity {
     // one pass assigns the coarse bucket AND the m sub-codes; co-locate
     // each bucket before the partitioned write (the saveIvfIndex layout
     // discipline: one file per bucket per holding task)
-    val encoded = Par.widen(corpus, idCol).select(
+    val encoded = assigned.select(
       col(idCol).as("vec_id"),
-      graft.expr.AnnModelOps.pqEncode(col(vecCol), codebooks).as("code"),
-      nearestCentroid(col(vecCol), centroids).as("c"))
+      graft.expr.AnnModelOps.pqEncode(encodeVec, codebooks).as("code"),
+      col("__c").as("c"))
     encoded.repartition(col("c"))
       .write.mode("overwrite").partitionBy("c").parquet(s"$dir/codes")
     Par.widen(corpus, idCol)
@@ -599,6 +648,7 @@ object Similarity {
     val probes = broadcast(queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"),
         explode(probeCentroids(col(vecCol), centroids, nprobe)).as("c")))
+    val residual = loadIvfPqResidualFlag(spark, dir)
     val codes = spark.read.parquet(s"$dir/codes")
       .where(col("c").isin(needed.map(Int.box): _*))
     // every code row lives in exactly ONE bucket and a query's probe
@@ -607,7 +657,9 @@ object Similarity {
     val scored = codes.join(probes, "c")
       .where(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        round(cosine(pqReconstruct(col("code"), codebooks), col("qv")), 4)
+        round(cosine(
+          adcReconstruct(col("code"), col("c"), codebooks, centroids,
+            residual), col("qv")), 4)
           .as("cos"))
     val topsl = udaf(new TopK(shortlist))
     val cand = scored.groupBy(col("qid"))
@@ -639,10 +691,16 @@ object Similarity {
     val spark = newVectors.sparkSession
     val centroids = loadIvfCentroids(spark, dir)
     val codebooks = loadPqCodebooks(spark, dir)
-    Par.widen(newVectors, idCol).select(
+    val residual = loadIvfPqResidualFlag(spark, dir)
+    val assigned = Par.widen(newVectors, idCol).select(col(idCol),
+      col(vecCol), nearestCentroid(col(vecCol), centroids).as("__c"))
+    val encodeVec =
+      if (residual) residualExpr(col(vecCol), col("__c"), centroids)
+      else col(vecCol)
+    assigned.select(
       col(idCol).as("vec_id"),
-      graft.expr.AnnModelOps.pqEncode(col(vecCol), codebooks).as("code"),
-      nearestCentroid(col(vecCol), centroids).as("c"))
+      graft.expr.AnnModelOps.pqEncode(encodeVec, codebooks).as("code"),
+      col("__c").as("c"))
       .repartition(col("c"))
       .write.mode("append").partitionBy("c").parquet(s"$dir/codes")
     Par.widen(newVectors, idCol)
@@ -689,7 +747,9 @@ object Similarity {
     else {
       val corpus = spark.read.parquet(s"$dir/corpus")
         .select(col("vec_id"), col("v").as("embedding"))
-      saveIvfPqIndex(corpus, rebuildDir, nlist, m, kSub, iters)
+      // the rebuild preserves the old layout's residual mode
+      saveIvfPqIndex(corpus, rebuildDir, nlist, m, kSub, iters,
+        residual = loadIvfPqResidualFlag(spark, dir))
       val after = ivfPqIndexRecallAudit(spark, rebuildDir, queries, k,
         nprobe, shortlist).head().getDouble(1)
       Seq((nq, recallBefore, 1, 1, after))

@@ -30,6 +30,7 @@ object IvfPqParamStudy {
     val shortlist = a.lift(3).map(_.toInt).getOrElse(50)
     val nlists = a.lift(4).map(_.split(",").toSeq.map(_.toInt))
       .getOrElse(Seq(16, 256, 2048))
+    val residual = a.lift(5).exists(_.toBoolean)
     val spark = TestSpark.spark
     val emb = GraftSession.forDir(spark, sfDir).catalog.relation("embeddings")
       .localCheckpoint()
@@ -51,7 +52,7 @@ object IvfPqParamStudy {
       rm(new java.io.File(dir))
       val t0 = System.nanoTime
       Similarity.saveIvfPqIndex(emb, dir, nlist = nlist, m = m, k = kSub,
-        iters = 2)
+        iters = 2, residual = residual)
       val trainS = (System.nanoTime - t0) / 1e9
       val centroids = Similarity.loadIvfCentroids(spark, dir)
       for (nprobe <- ladders(nlist)) {
@@ -66,7 +67,7 @@ object IvfPqParamStudy {
           Similarity.ivfPqTopK(spark, dir, q, k = 10, nprobe = nprobe,
             shortlist = shortlist), truth).head().getDouble(1)
         val probed = Similarity.probeBuckets(q, centroids, nprobe).length
-        println(f"[study] m=$m%2d k=$kSub%2d sl=$shortlist%3d nlist=$nlist%5d nprobe=$nprobe%4d train=$trainS%6.1fs " +
+        println(f"[study] res=$residual m=$m%2d k=$kSub%2d sl=$shortlist%3d nlist=$nlist%5d nprobe=$nprobe%4d train=$trainS%6.1fs " +
           f"serve=$lat%6.2fs recall@10=$recall%.3f probed=$probed%4d/$nlist " +
           f"candRowsPerQ~${n * math.min(nprobe, nlist) / nlist}%7d")
       }

@@ -378,6 +378,48 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("residual IVFADC: meta round-trip, append preserves mode, recall >= raw at coarse PQ") {
+    val dirRaw = java.nio.file.Files.createTempDirectory("ivfpqraw_").toString
+    val dirRes = java.nio.file.Files.createTempDirectory("ivfpqres_").toString
+    try {
+      // deliberately COARSE PQ (8 codes/subspace) so the quantization
+      // error dominates: spending it on the within-bucket displacement
+      // instead of the bucket's absolute position must not lose recall
+      Similarity.saveIvfPqIndex(emb, dirRaw, nlist = 8, m = 16, k = 8, iters = 2)
+      Similarity.saveIvfPqIndex(emb, dirRes, nlist = 8, m = 16, k = 8, iters = 2,
+        residual = true)
+      assert(!Similarity.loadIvfPqResidualFlag(spark, dirRaw))
+      assert(Similarity.loadIvfPqResidualFlag(spark, dirRes))
+      val q = emb.where(col("vec_id") < 10)
+      val truth = Similarity.bruteForceTopK(emb, q, k = 10).localCheckpoint()
+      def recall(dir: String): Double = Similarity.annRecall(
+        Similarity.ivfPqTopK(spark, dir, q, k = 10, nprobe = 8,
+          shortlist = 50), truth).head().getDouble(1)
+      val (rRaw, rRes) = (recall(dirRaw), recall(dirRes))
+      info(s"recall raw=$rRaw residual=$rRes")
+      assert(rRes >= rRaw, s"residual $rRes must not lose to raw $rRaw")
+      // append inherits the layout's residual mode: grown full-probe
+      // serve returns new ids scored through centroid+residual decode
+      val fresh = emb.where(col("vec_id") >= 400)
+        .select(col("vec_id") + 10000, col("embedding"))
+        .toDF("vec_id", "embedding")
+      Similarity.appendToIvfPqIndex(fresh, dirRes)
+      val served = Similarity.ivfPqTopK(spark, dirRes,
+        fresh.where(col("vec_id") < 10405), k = 5, nprobe = 8,
+        shortlist = 400)
+        .collect()
+      // an appended vector's residual-decoded twin (same embedding,
+      // shifted id) must surface in its own top-k
+      assert(served.nonEmpty && served.exists(_.getLong(1) >= 10000),
+        served.take(5).mkString(","))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dirRaw)); rm(new java.io.File(dirRes))
+    }
+  }
+
   test("appendToIvfIndex: grown layout serves exactly old ∪ new (same centroids)") {
     val dir = java.nio.file.Files.createTempDirectory("ivfapp_").toString
     try {
