@@ -58,6 +58,7 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
 
   // native vector expressions usable from the dialect (vec_dot/vec_cosine)
   graft.expr.VectorOps.register(spark)
+  graft.expr.Int8Ops.register(spark)
 
   // --- relation-valued table functions: the SQL surface for the M4
   // pipeline operators (`select * from gopher_flags(documents) where
@@ -166,6 +167,54 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       Seq("doc_id", "text").foreach(c => reqCol("pii_redact", docs, c,
         "input relation must follow the documents convention"))
       TextAnalysis.piiStats(docs, "text", "doc_id")
+    })
+    // url_normalize(rel[, urlCol[, idCol]]) — canonical URL + host +
+    // registered domain per row (C4/RefinedWeb web-hygiene stage);
+    // output (id, url_norm, host, domain)
+    catalog.registerTableFunction("url_normalize", { args =>
+      arity("url_normalize", args, 1, 3)
+      val urlCol = if (args.length > 1) str("url_normalize", args, 1) else "url"
+      val idCol = if (args.length > 2) str("url_normalize", args, 2) else "doc_id"
+      val r = rel("url_normalize", args, 0)
+      Seq(idCol, urlCol).foreach(c => reqCol("url_normalize", r, c,
+        "input relation must have (doc_id, url) columns " +
+          "(or pass url/id column names as arguments 2 and 3)"))
+      graft.operators.UrlCuration.normalize(r, urlCol, idCol)
+    })
+    // url_dedup(rel[, urlCol[, idCol]]) — keep the lowest-id row per
+    // canonical URL (url-exact crawl dedup with canonicalization in front)
+    catalog.registerTableFunction("url_dedup", { args =>
+      arity("url_dedup", args, 1, 3)
+      val urlCol = if (args.length > 1) str("url_dedup", args, 1) else "url"
+      val idCol = if (args.length > 2) str("url_dedup", args, 2) else "doc_id"
+      val r = rel("url_dedup", args, 0)
+      Seq(idCol, urlCol).foreach(c => reqCol("url_dedup", r, c,
+        "input relation must have (doc_id, url) columns " +
+          "(or pass url/id column names as arguments 2 and 3)"))
+      graft.operators.UrlCuration.urlDedup(r, urlCol, idCol)
+    })
+    // domain_stats(rel[, urlCol]) — per-registered-domain page count and
+    // distinct canonical hosts (the domain scoreboard caps/blocklists key on)
+    catalog.registerTableFunction("domain_stats", { args =>
+      arity("domain_stats", args, 1, 2)
+      val urlCol = if (args.length > 1) str("domain_stats", args, 1) else "url"
+      val r = rel("domain_stats", args, 0)
+      reqCol("domain_stats", r, urlCol,
+        "input relation must have a url column (or pass its name as argument 2)")
+      graft.operators.UrlCuration.domainStats(r, urlCol)
+    })
+    // int8_quantize(rel[, vecCol[, idCol]]) — symmetric per-vector int8
+    // scalar quantization (SQ8, the embedding storage tier): output
+    // (id, scale, codes array<tinyint>), all via codegen loop expressions
+    catalog.registerTableFunction("int8_quantize", { args =>
+      arity("int8_quantize", args, 1, 3)
+      val vecCol = if (args.length > 1) str("int8_quantize", args, 1) else "embedding"
+      val idCol = if (args.length > 2) str("int8_quantize", args, 2) else "vec_id"
+      val r = rel("int8_quantize", args, 0)
+      Seq(idCol, vecCol).foreach(c => reqCol("int8_quantize", r, c,
+        "input relation must have (vec_id, embedding) columns " +
+          "(or pass vector/id column names as arguments 2 and 3)"))
+      graft.operators.Similarity.quantizeInt8(r, vecCol, idCol)
     })
     // decontaminate(train, bench[, w[, minHits]]) — training rows whose
     // w-shingles do NOT overlap the benchmark set (text/doc_id convention)

@@ -1094,6 +1094,47 @@ object SparkEntry {
       e.sql("select id, n_emails, n_ipv4, n_digit_runs, text_redacted " +
         "from pii_redact(q126_docs) order by id")
     }),
+    // ---- url_normalize table fn (r12): canonical URL + host +
+    // registered domain over the deterministic messy-URL fixture; the
+    // oracle derives every canonical component by doc_id ARITHMETIC,
+    // independent of the normalizer's regex chain ----
+    "q129_url_normalize_fn" -> ((s, d) => {
+      val e = g(s, d)
+      e.catalog.registerTable("q129_urls",
+        graft.operators.UrlCuration.synthUrls(e.catalog.relation("documents")))
+      e.sql("select id, url_norm, host, domain " +
+        "from url_normalize(q129_urls) order by id")
+    }),
+    // ---- domain_stats table fn (r12): the per-domain scoreboard —
+    // counts and distinct hosts recomputed from the same arithmetic ----
+    "q130_domain_stats_fn" -> ((s, d) => {
+      val e = g(s, d)
+      e.catalog.registerTable("q130_urls",
+        graft.operators.UrlCuration.synthUrls(e.catalog.relation("documents")))
+      e.sql("select domain, n_docs, n_hosts " +
+        "from domain_stats(q130_urls) order by domain")
+    }),
+    // ---- int8_quantize table fn (r12): SQ8 embedding storage through
+    // the SQL surface (x45's quantizer — qscale = 127/max|v|, codes
+    // clamp(floor(v·qscale+0.5))). The codes column (array<tinyint>) is
+    // not hash-comparable across engines, so the gate compares EXACT
+    // integer functionals of the codes (count, sum, sum-of-squares,
+    // max |code|) plus the scale at fixed precision — every one
+    // recomputed by DuckDB from the same parquet floats with the same
+    // engine-portable floor(x+0.5) half-handling ----
+    "q131_int8_quantize_fn" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = g(s, d)
+      val out = e.sql("select vec_id, qvec, qscale from int8_quantize(embeddings)")
+      out.select(col("vec_id").as("id"),
+        round(col("qscale") * lit(1e6)).cast("long").as("qscale_e6"),
+        size(col("qvec")).cast("long").as("n_dims"),
+        aggregate(col("qvec"), lit(0L), (a, c) => a + c.cast("long")).as("sum_codes"),
+        graft.expr.Int8Ops.dotCodes(col("qvec"), col("qvec")).as("sum_sq"),
+        array_max(transform(col("qvec"), c => abs(c.cast("int")))).cast("long")
+          .as("max_abs"))
+        .orderBy("id")
+    }),
     "q117_socket_source" -> ((s, d) => {
       val nation = g(s, d).catalog.relation("nation")
         .select(org.apache.spark.sql.functions.col("n_nationkey").cast("long"),
@@ -1168,6 +1209,19 @@ object SparkEntry {
   /** Epoch-µs floor-bucket arithmetic, same semantics as Translator.applyWindow. */
   private def bucketUs(col: String, us: Long): String =
     s"make_timestamp((epoch_us(CAST($col AS TIMESTAMP)) // $us) * $us)"
+
+  /** The canonical components of [[graft.operators.UrlCuration.synthUrl]]
+    * as doc_id arithmetic — shared by the q129/q130 oracles. */
+  private val duckSynthUrlCte: String =
+    "SELECT doc_id, " +
+    "(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) AS scheme, " +
+    "(CASE WHEN doc_id % 8 = 0 THEN 'blog.' ELSE '' END) AS sub, " +
+    "'site' || CAST(doc_id % 37 AS VARCHAR) || '.' || " +
+    "(CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk' " +
+    "WHEN 3 THEN 'net' ELSE 'ac.jp' END) AS dom, " +
+    "'/p/' || CAST(doc_id % 11 AS VARCHAR) AS pth, " +
+    "(CASE WHEN doc_id % 6 <= 2 THEN '?q=' || CAST(doc_id % 13 AS VARCHAR) " +
+    "ELSE '' END) AS qq FROM documents"
 
   private def relationalOracles: Map[String, String] = Map(
     "q01_project_where" ->
@@ -1664,6 +1718,36 @@ object SparkEntry {
       "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
       "'\\b\\d{7,15}\\b', '<NUM>', 'g') AS text_redacted " +
       "FROM inj ORDER BY id"),
+    // q129/q130: every canonical URL component is doc_id arithmetic —
+    // the oracle builds the expected strings directly, never running a
+    // normalizer of its own
+    "q129_url_normalize_fn" ->
+      (s"WITH u AS ($duckSynthUrlCte) " +
+       "SELECT doc_id AS id, scheme || '://' || sub || dom || pth || qq AS url_norm, " +
+       "sub || dom AS host, dom AS domain FROM u ORDER BY id"),
+    "q130_domain_stats_fn" ->
+      (s"WITH u AS ($duckSynthUrlCte) " +
+       "SELECT dom AS domain, CAST(count(*) AS BIGINT) AS n_docs, " +
+       "CAST(count(DISTINCT sub || dom) AS BIGINT) AS n_hosts " +
+       "FROM u GROUP BY dom ORDER BY domain"),
+    // q131: full quantizer recompute — qscale = 127/max|v| and every
+    // code clamp(floor(v·qscale+0.5)) derived from the same parquet
+    // floats (double-widened) with the engine-portable floor
+    // half-handling; all code comparisons exact integers
+    "q131_int8_quantize_fn" ->
+      ("WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM b), " +
+       "c AS (SELECT vec_id, " +
+       "CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS qscale, " +
+       "CASE WHEN mx > 0 THEN list_transform(v, x -> CAST(greatest(-127, " +
+       "least(127, floor(x * (127.0 / mx) + 0.5))) AS BIGINT)) " +
+       "ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes FROM m) " +
+       "SELECT vec_id AS id, CAST(round(qscale * 1e6) AS BIGINT) AS qscale_e6, " +
+       "CAST(len(codes) AS BIGINT) AS n_dims, " +
+       "CAST(list_sum(codes) AS BIGINT) AS sum_codes, " +
+       "CAST(list_sum(list_transform(codes, c -> c * c)) AS BIGINT) AS sum_sq, " +
+       "CAST(list_max(list_transform(codes, c -> abs(c))) AS BIGINT) AS max_abs " +
+       "FROM c ORDER BY id"),
     // q114: the x97 encode CTEs aggregated per doc
     "q114_bpe_encode_fn" ->
       (s"WITH ${graft.operators.Extensions.duckBpeEncodeCtes} " +

@@ -1195,6 +1195,52 @@ object Extensions {
         (sum(col("ok").cast("int")) === count(lit(1)))
           .cast("int").as("all_ok"))
     }),
+    // ---- URL dedup (r12): canonicalize-then-dedup, the C4/RefinedWeb
+    // crawl-hygiene stage. 3-variant families per leader — identical
+    // canonical URL wearing different noise (www + fragment / appended
+    // tracking param), bytes differ, normalization collapses them; the
+    // keeper set is pure doc_id arithmetic for the oracle ----
+    "x114_url_dedup" -> ((s, d) => {
+      val leader = col("doc_id") - col("doc_id") % 3
+      val canon = UrlCuration.synthCanonicalUrl(leader)
+      val url = when(col("doc_id") % 3 === 0, canon)
+        .when(col("doc_id") % 3 === 1,
+          concat(regexp_replace(canon, "://", "://www."),
+            lit("#v"), col("doc_id").cast("string")))
+        .otherwise(when(instr(canon, "?") > 0,
+            concat(canon, lit("&utm_campaign=y")))
+          .otherwise(concat(canon, lit("?utm_source=x"))))
+      val in = docs(s, d).select(col("doc_id"), url.as("url"))
+      val kept = UrlCuration.urlDedup(in, "url", "doc_id").localCheckpoint()
+      kept.agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("sum_kept"),
+        (sum((col("url_norm") === UrlCuration.synthCanonicalUrl(
+            col("doc_id") - col("doc_id") % 3)).cast("int")) === count(lit(1)))
+          .cast("int").as("all_canonical"))
+    }),
+    // ---- int8 (SQ8) ANN serve (r12): cosine over int8 codes alone —
+    // scales cancel, scoring is exact integer dots. Recall vs the exact
+    // brute-force truth must be near-lossless (8-bit quantization noise
+    // only), and the int8 score must sit within the quantization error
+    // envelope of the exact score on every overlapping pair ----
+    "x115_int8_ann" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.where(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("qid"), col("vec_id"), col("cos").as("bcos"), lit(1).as("b"))
+      val i8 = Similarity.int8CosineTopK(e, q, k = 5)
+        .select(col("qid"), col("vec_id"), col("cos"), lit(1).as("l"))
+      i8.join(brute, Seq("qid", "vec_id"), "full_outer").agg(
+        (sum(when(col("l").isNotNull && col("b").isNotNull, 1).otherwise(0)) * 10 >=
+          sum(col("b")) * 9).cast("int").as("recall_ok"),
+        (sum(col("l")) === count_distinct(col("qid")) * 5)
+          .cast("int").as("k_complete"),
+        (max(abs(col("cos"))) <= 1.0000001).cast("int").as("cos_bounded"),
+        (max(when(col("l").isNotNull && col("b").isNotNull,
+          abs(col("cos") - col("bcos"))).otherwise(0.0)) <= 0.02)
+          .cast("int").as("err_bounded"))
+    }),
     // feature extraction: payload → unit-norm embedding column, verified by
     // contract flags (dimension, L2 norm) + DuckDB-recomputed media count
     "x26_mm_features" -> ((s, d) => {
@@ -2436,6 +2482,19 @@ object Extensions {
         "CAST(1 AS INTEGER) AS gain_invariant, " +
         "CAST(1 AS INTEGER) AS families_separate, " +
         "CAST(1 AS INTEGER) AS all_ok FROM documents"),
+      // x114: the keeper set (min doc_id per 3-variant family) is pure
+      // arithmetic; all_canonical is asserted Spark-side
+      "x114_url_dedup" -> (
+        "SELECT CAST(count(*) AS BIGINT) AS n_kept, " +
+        "CAST(sum(mn) AS BIGINT) AS sum_kept, " +
+        "CAST(1 AS INTEGER) AS all_canonical " +
+        "FROM (SELECT min(doc_id) AS mn FROM documents " +
+        "GROUP BY doc_id - doc_id % 3)"),
+      // x115: contract flags (the x16 pattern — recall/shape/error
+      // envelope asserted Spark-side, pinned 1 by the oracle)
+      "x115_int8_ann" -> (
+        "SELECT CAST(1 AS INTEGER) AS recall_ok, CAST(1 AS INTEGER) AS k_complete, " +
+        "CAST(1 AS INTEGER) AS cos_bounded, CAST(1 AS INTEGER) AS err_bounded"),
       "x26_mm_features" -> (
         "SELECT count(*) AS n_media, CAST(1 AS INTEGER) AS dim_ok, " +
         "CAST(1 AS INTEGER) AS norm_ok FROM documents"),

@@ -1091,22 +1091,51 @@ object Similarity {
     * are bit-exact reproducible). A quantized dot product rescales by
     * `1/(scale_a·scale_b)`. Zero vectors quantize to all-zero, scale 0.
     * One narrow projection, no shuffle; cost is per-element map work. */
-  def quantizeInt8(emb: DataFrame, vecCol: String, idCol: String): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    def scaleOf(vv: Column): Column = {
-      val amax = array_max(transform(vv, x => abs(x)))
-      when(amax > 0, lit(127.0) / amax).otherwise(lit(0.0))
-    }
-    Par.widen(emb, idCol).select(
-      col(idCol),
-      transform(v, x => greatest(lit(-127L), least(lit(127L),
-        floor(x * scaleOf(v) + lit(0.5)).cast("long")))).as("qvec"),
-      scaleOf(v).as("qscale"))
-  }
+  def quantizeInt8(emb: DataFrame, vecCol: String, idCol: String): DataFrame =
+    // both kernels are graft.expr.Int8Ops codegen loops (r12 — the HOF
+    // formulation was CodegenFallback with boxed per-element lambdas, and
+    // recomputed the scale's array_max per ELEMENT); identical contract,
+    // but qvec is now array<byte> — the ACTUAL 4×-vs-float32 resident
+    // representation, not long-boxed codes
+    Par.widen(emb, idCol)
+      .select(col(idCol), col(vecCol).as("__v"),
+        graft.expr.Int8Ops.scale(col(vecCol)).as("qscale"))
+      .select(col(idCol),
+        graft.expr.Int8Ops.encode(col("__v"), col("qscale")).as("qvec"),
+        col("qscale"))
 
-  /** Integer dot product of two quantized vectors (exact — BIGINT). */
+  /** Integer dot product of two quantized code arrays (exact — BIGINT);
+    * a codegen'd primitive loop (graft.expr.Int8Dot). */
   def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.expr.Int8Ops.dotCodes(a, b)
+
+  /** (id, vec array<double>) reconstructed from a [[quantizeInt8]] frame
+    * (`idCol`, qvec, qscale) — the lossy-but-bounded inverse: element
+    * error ≤ 0.5/qscale; zero-scale rows dequantize to zero vectors. */
+  def dequantizeInt8(quantized: DataFrame, idCol: String = "vec_id"): DataFrame =
+    quantized.select(col(idCol),
+      graft.expr.Int8Ops.decode(col("qvec"), col("qscale")).as("vec"))
+
+  /** Brute-force cosine top-k over int8 codes — the SQ8 cosine serve
+    * path: the per-vector scales CANCEL in dot/(‖a‖‖b‖), so scoring is
+    * one exact integer dot plus two integer norms per pair — no
+    * dequantize, no float reads, all inside whole-stage codegen. Same
+    * output shape and contract as [[bruteForceTopK]] (cos rounded to 4);
+    * recall loss is the 8-bit quantization noise only. Queries ride one
+    * broadcast; the corpus never shuffles. Complements [[quantizedTopK]]
+    * (which serves the rescaled DOT metric with exact BIGINT outputs). */
+  def int8CosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cq = quantizeInt8(corpus, vecCol, idCol)
+      .select(col(idCol).as("vec_id"), col("qvec"))
+    val qq = broadcast(quantizeInt8(queries, vecCol, idCol)
+      .select(col(idCol).as("qid"), col("qvec").as("qq")))
+    val scored = cq.join(qq, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.expr.Int8Ops.cosineFromCodes(col("qvec"), col("qq")), 4)
+          .as("cos"))
+    topKPerGroup(scored, k)
+  }
 
   /** Quantized brute-force top-k: int8-quantize corpus and queries once,
     * score with EXACT integer dot products, rescale by 1/(sa·sb) to

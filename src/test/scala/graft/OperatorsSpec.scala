@@ -1262,7 +1262,7 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, Array(2.0f, 1.0f, -0.5f))).toDF("vec_id", "embedding")
     val q = Similarity.quantizeInt8(e, "embedding", "vec_id")
       .collect().map(r => r.getLong(0) ->
-        (r.getSeq[Long](1), r.getDouble(2))).toMap
+        (r.getSeq[Byte](1).map(_.toLong), r.getDouble(2))).toMap
     // vec 1: amax=1.0 → scale 127; components 63.5→floor(64.0)=64? (0.5*127+0.5=64)
     assert(q(1L)._1 == Seq(64L, -127L, 32L) && q(1L)._2 == 127.0)
     assert(q(2L)._1 == Seq(0L, 0L, 0L) && q(2L)._2 == 0.0)

@@ -334,7 +334,7 @@ class PropertySpec extends AnyFunSuite {
     val df = vecs.zipWithIndex.flatMap { case ((a, b), i) =>
       Seq((i * 2L, a), (i * 2L + 1, b)) }.toDF("vec_id", "embedding")
     val q = graft.operators.Similarity.quantizeInt8(df, "embedding", "vec_id")
-      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getDouble(2))).toMap
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Byte](1).map(_.toLong), r.getDouble(2))).toMap
     vecs.zipWithIndex.foreach { case ((a, b), i) =>
       val (qa, sa) = q(i * 2L); val (qb, sb) = q(i * 2L + 1)
       if (sa > 0 && sb > 0) {

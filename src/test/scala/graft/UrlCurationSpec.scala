@@ -1,0 +1,143 @@
+package graft
+
+import graft.operators.{Dedup, UrlCuration}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** URL/domain curation semantics (M4 round 12): every canonical component
+  * of the synthetic fixture is pure doc_id arithmetic, so these specs (and
+  * the q129/q130/x114 oracles) derive the EXPECTED form independently of
+  * the normalizer chain under test. */
+class UrlCurationSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private lazy val docs: DataFrame = TestSpark.session.catalog.relation("documents")
+
+  test("normalizeUrl(synthUrl) equals the arithmetic canonical form on 600 ids") {
+    val ids = spark.range(0, 600).toDF("id")
+    val bad = ids.select(
+        UrlCuration.normalizeUrl(UrlCuration.synthUrl(col("id"))).as("got"),
+        UrlCuration.synthCanonicalUrl(col("id")).as("want"))
+      .where(col("got") =!= col("want"))
+    assert(bad.count() === 0L)
+  }
+
+  test("host and registered domain match their arithmetic derivations") {
+    val ids = spark.range(0, 600).toDF("id")
+    val u = UrlCuration.synthUrl(col("id"))
+    val bad = ids.select(
+        UrlCuration.canonicalHost(u).as("h"),
+        UrlCuration.synthHost(col("id")).as("hw"),
+        UrlCuration.registeredDomain(u).as("d"),
+        UrlCuration.synthDomain(col("id")).as("dw"))
+      .where(col("h") =!= col("hw") || col("d") =!= col("dw"))
+    assert(bad.count() === 0L)
+  }
+
+  test("normalization families: case, ports, www, tracking, fragment, slash") {
+    val cases = Seq(
+      // lowercase scheme+authority, path case preserved
+      ("HTTP://WWW.Example.COM/Path/X", "http://example.com/Path/X"),
+      // default port stripped per scheme; non-default kept
+      ("https://a.com:443/x", "https://a.com/x"),
+      ("http://a.com:80/x", "http://a.com/x"),
+      ("http://a.com:8080/x", "http://a.com:8080/x"),
+      ("https://a.com:80/x", "https://a.com:80/x"), // 80 is not https's default
+      // tracking-only query drops the '?'; mixed query keeps the rest
+      ("http://a.com/x?utm_source=s&fbclid=1", "http://a.com/x"),
+      ("http://a.com/x?a=1&utm_medium=m&b=2", "http://a.com/x?a=1&b=2"),
+      // ref= is tracking, but prefix matches must not overreach: refid= kept
+      ("http://a.com/x?ref=tw&refid=7", "http://a.com/x?refid=7"),
+      // fragment stripped even when it contains a '?'
+      ("http://a.com/x#frag?notquery", "http://a.com/x"),
+      // trailing slashes collapse; root path becomes empty
+      ("http://a.com/x///", "http://a.com/x"),
+      ("http://a.com/", "http://a.com"),
+      // non-URL strings pass through untouched
+      ("not a url", "not a url"),
+      ("", ""))
+    val out = cases.toDF("url", "want")
+      .select(UrlCuration.normalizeUrl(col("url")).as("got"), col("want"), col("url"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"url=${r.getString(2)}"))
+  }
+
+  test("null url normalizes to null, host/domain of non-urls are empty") {
+    val d = Seq[(java.lang.Long, String)]((1L, null), (2L, "plain text"))
+      .toDF("id", "url")
+    val rows = d.select(UrlCuration.normalizeUrl(col("url")).as("n"),
+        UrlCuration.canonicalHost(col("url")).as("h"),
+        UrlCuration.registeredDomainOfHost(
+          UrlCuration.canonicalHost(col("url"))).as("dom"))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getString(1) === "")
+  }
+
+  test("registeredDomain: PSL two-level suffixes, bare hosts, deep subdomains") {
+    val cases = Seq(
+      ("http://blog.site.co.uk/x", "site.co.uk"),
+      ("http://a.b.c.site.ac.jp/x", "site.ac.jp"),
+      ("http://blog.site.com/x", "site.com"),
+      ("http://www.site.org/x", "site.org"), // www stripped before domain
+      ("http://site.net/x", "site.net"),
+      ("http://localhost/x", "localhost"))
+    cases.toDF("url", "want")
+      .select(UrlCuration.registeredDomain(col("url")).as("got"), col("want"))
+      .collect()
+      .foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("urlDedup collapses canonically-equal variants, keeps min id per family") {
+    // 3-variant families over the real corpus ids: variant bytes differ
+    // (www + fragment / appended tracking param) but canonicalize to the
+    // leader's form — the image/audio family-fixture pattern on URLs
+    val leader = col("doc_id") - col("doc_id") % 3
+    val canon = UrlCuration.synthCanonicalUrl(leader)
+    val url = when(col("doc_id") % 3 === 0, canon)
+      .when(col("doc_id") % 3 === 1,
+        concat(regexp_replace(canon, "://", "://www."),
+          lit("#v"), col("doc_id").cast("string")))
+      .otherwise(when(instr(canon, "?") > 0, concat(canon, lit("&utm_campaign=y")))
+        .otherwise(concat(canon, lit("?utm_source=x"))))
+    val d = docs.select(col("doc_id"), url.as("url"))
+    val kept = UrlCuration.urlDedup(d, "url", "doc_id")
+    val expect = d.groupBy((col("doc_id") - col("doc_id") % 3).as("fam"))
+      .agg(min("doc_id").as("doc_id"))
+    assert(kept.count() === expect.count())
+    assert(kept.join(expect, Seq("doc_id"), "left_anti").count() === 0L)
+    // and the survivors carry the canonical url
+    assert(kept.where(col("url_norm") =!= UrlCuration.synthCanonicalUrl(
+      col("doc_id") - col("doc_id") % 3)).count() === 0L)
+  }
+
+  test("domainStats counts docs and distinct hosts per registered domain") {
+    val d = UrlCuration.synthUrls(docs)
+    val got = UrlCuration.domainStats(d, "url")
+    // independent arithmetic recompute: domain = f(id%37, id%5), host adds
+    // a blog. subdomain on id%8=0
+    val want = docs.select(col("doc_id"),
+        UrlCuration.synthDomain(col("doc_id")).as("domain"),
+        UrlCuration.synthHost(col("doc_id")).as("host"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("host")).as("n_hosts"))
+    assert(got.join(want, Seq("domain"))
+      .where(got("n_docs") =!= want("n_docs") || got("n_hosts") =!= want("n_hosts"))
+      .count() === 0L)
+    assert(got.count() === want.count())
+  }
+
+  test("domainBlocklistFilter drops exactly the listed domains") {
+    val d = UrlCuration.synthUrls(docs)
+    val block = Seq("site0.com", "site7.co.uk")
+    val out = UrlCuration.domainBlocklistFilter(d, block, "url")
+    val expected = docs.where(!UrlCuration.synthDomain(col("doc_id"))
+      .isin(block: _*)).count()
+    assert(out.count() === expected)
+    assert(out.where(UrlCuration.registeredDomain(col("url"))
+      .isin(block: _*)).count() === 0L)
+  }
+}

@@ -181,6 +181,23 @@ object VerifyDrive {
         "from audio_stats(vd_media)").head()
       s"families=${fp.getLong(0)} fp-ok=${fp.getInt(1)} stats-ok=${st.getInt(0)} n>=650=${st.getLong(1) >= 650}"
     })
+    // round 12: URL curation + int8 quantization surfaces
+    println("=== url surfaces: " + {
+      val urls = graft.operators.UrlCuration.synthUrls(
+        g.catalog.relation("documents"))
+      g.catalog.registerTable("vd_urls", urls)
+      val n = g.sql("select count(*) as n, count(distinct domain) as nd " +
+        "from url_normalize(vd_urls)").head()
+      val dd = g.sql("select count(*) as n from url_dedup(vd_urls)").head()
+      val ds = g.sql("select max(n_docs) as mx from domain_stats(vd_urls)").head()
+      s"rows=${n.getLong(0)} domains=${n.getLong(1)} deduped=${dd.getLong(0)} " +
+        s"max-domain-docs=${ds.getLong(0)}"
+    })
+    println("=== int8 surfaces: " + {
+      val r = g.sql("select min(cast(qscale > 0 as int)) as pos, " +
+        "max(int8_dot(qvec, qvec)) as mxdot from int8_quantize(embeddings)").head()
+      s"all-scales-pos=${r.getInt(0)} max-selfdot=${r.getLong(1)}"
+    })
     try {
       val url = "jdbc:derby:memory:drive_card;create=true"
       val c = java.sql.DriverManager.getConnection(url)
