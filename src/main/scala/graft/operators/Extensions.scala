@@ -1152,7 +1152,7 @@ object Extensions {
     "x13_mm_decode" -> ((s, d) =>
       Multimodal.decode(Multimodal.synthesize(docs(s, d))).toDF()
         .select("media_id", "mime", "width", "height", "channels", "ok",
-          "pcm_checksum")
+          "content_checksum")
         .orderBy("media_id")),
     "x14_mm_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.synthesize(docs(s, d)))
@@ -2422,10 +2422,12 @@ object Extensions {
       // parameters (pure fns of media_id), so a pass proves each
       // encode→parse round-trip, not a stub echo. width/height map to
       // (sample_rate, frames) for wav and (track_w, track_h) for mp4.
-      // pcm_checksum closes the WAV loop at the SAMPLE level: the oracle
-      // re-sums the synthetic waveform formula over generate_series, so a
-      // match proves the decoder read every int16 sample in the data
-      // chunk, the way PNG pixels/dHash did for images
+      // content_checksum closes BOTH media loops at the content level:
+      // the oracle re-sums the synthetic waveform formula (WAV int16
+      // samples) and the synthetic mdat byte formula (MP4 media data)
+      // over generate_series, so a match proves the decoders read every
+      // sample / every media byte, the way PNG pixels/dHash did for
+      // images
       "x13_mm_decode" -> (
         "SELECT doc_id AS media_id, " +
         "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime, " +
@@ -2441,7 +2443,11 @@ object Extensions {
         "SELECT SUM(((doc_id * 131 + s.i * 17) % 65536) - 32768) " +
         "FROM generate_series(0, 95) AS s(i) " +
         "WHERE s.i < (16 + doc_id % 32) * (1 + doc_id % 2)" +
-        ") ELSE 0 END AS BIGINT) AS pcm_checksum " +
+        ") WHEN doc_id % 3 = 2 THEN (" +
+        "SELECT SUM((doc_id * 131 + s.i * 17) % 256) " +
+        "FROM generate_series(0, 71) AS s(i) " +
+        "WHERE s.i < 24 + doc_id % 48" +
+        ") ELSE 0 END AS BIGINT) AS content_checksum " +
         "FROM documents ORDER BY media_id"),
       "x17_text_tfidf" -> (
         "WITH toks AS (SELECT doc_id AS id, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term FROM documents), " +

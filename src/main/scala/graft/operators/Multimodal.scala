@@ -112,10 +112,24 @@ object Multimodal {
   def synthMp4Width(id: Long): Int = 160 + (id % 32).toInt * 8
   def synthMp4Height(id: Long): Int = 120 + ((id * 5) % 32).toInt * 8
 
-  /** A real (minimal) MP4 container: `ftyp` + `moov(mvhd, trak(tkhd))`
-    * boxes, big-endian sizes, tkhd width/height in 16.16 fixed point —
-    * the standard box grammar any MP4 demuxer walks. No media data
-    * (a zero-sample video), which is legal and keeps the payload tiny. */
+  /** mdat content formulas for the synthetic video rows — the video
+    * analog of the WAV sample formulas (r12): the mdat payload is what a
+    * demuxer hands the codec, so a checksum match proves the box walker
+    * read the media DATA, not just the moov metadata. */
+  def synthMp4MdatLen(id: Long): Int = 24 + (id % 48).toInt
+  def synthMp4MdatByte(id: Long, j: Int): Int = ((id * 131 + j * 17) % 256).toInt
+  def synthMp4MdatChecksum(id: Long): Long = {
+    var s = 0L; var j = 0; val n = synthMp4MdatLen(id)
+    while (j < n) { s += synthMp4MdatByte(id, j); j += 1 }
+    s
+  }
+
+  /** A real (minimal) MP4 container: `ftyp` + `moov(mvhd, trak(tkhd))` +
+    * `mdat` boxes, big-endian sizes, tkhd width/height in 16.16 fixed
+    * point — the standard box grammar any MP4 demuxer walks. The mdat
+    * carries [[synthMp4MdatLen]] deterministic content bytes
+    * ([[synthMp4MdatByte]]) so the decoder's content checksum is
+    * oracle-recomputable. */
   def synthMp4Bytes(id: Long): Array[Byte] = {
     val w = synthMp4Width(id)
     val h = synthMp4Height(id)
@@ -149,12 +163,16 @@ object Multimodal {
     tkhd.putInt(w << 16).putInt(h << 16) // 16.16 fixed
     val trakSize = 8 + 92
     val moovSize = 8 + 108 + trakSize
-    val out = java.nio.ByteBuffer.allocate(20 + moovSize)
+    val nMdat = synthMp4MdatLen(id)
+    val out = java.nio.ByteBuffer.allocate(20 + moovSize + 8 + nMdat)
     out.put(ftyp.array())
     out.putInt(moovSize).put(ascii("moov"))
     out.put(mvhd.array())
     out.putInt(trakSize).put(ascii("trak"))
     out.put(tkhd.array())
+    out.putInt(8 + nMdat).put(ascii("mdat"))
+    var j = 0
+    while (j < nMdat) { out.put(synthMp4MdatByte(id, j).toByte); j += 1 }
     out.array()
   }
 
@@ -183,9 +201,12 @@ object Multimodal {
       .toDF("media_id", "payload", "mime", "n_bytes")
   }
 
+  /** content_checksum is the per-mime CONTENT proof (r12): sum of every
+    * int16 PCM sample for WAV, unsigned-byte sum of the mdat media data
+    * for MP4, 0 for images (whose pixels the dHash gates prove). */
   final case class Decoded(media_id: Long, mime: String, width: Int,
                            height: Int, channels: Int, ok: Boolean,
-                           pcm_checksum: Long = 0L)
+                           content_checksum: Long = 0L)
 
   /** STUB decode kernel for UNKNOWN mimes and corrupt payloads: derives
     * deterministic pseudo-dimensions from payload bytes so the
@@ -257,12 +278,33 @@ object Multimodal {
     * `moov` → `trak` → `tkhd` and read the track's 16.16-fixed width and
     * height (version 0 and 1 layouts) — pure JDK byte parsing. Returns
     * (width, height, 3); None on anything malformed. */
-  private def decodeMp4(p: Array[Byte]): Option[(Int, Int, Int)] =
+  private def decodeMp4(p: Array[Byte]): Option[(Int, Int, Int, Long)] =
     try {
       if (p == null || p.length < 16) None
       else {
         val bb = java.nio.ByteBuffer.wrap(p) // big-endian by default
         def fourcc(off: Int) = new String(p, off, 4, "US-ASCII")
+        // unsigned byte sum over every top-level mdat's content — the
+        // media DATA a demuxer hands the codec. Lenient like the WAV
+        // walker: a declared size past the buffer sums what exists (a
+        // truncated tail must not zero the whole file's evidence); no
+        // mdat (a legal zero-sample video) sums to 0.
+        def mdatSum: Long = {
+          var off = 0; var s = 0L
+          while (off + 8 <= p.length) {
+            val sz = bb.getInt(off)
+            if (sz < 8) off = p.length // malformed size: stop walking
+            else {
+              if (fourcc(off + 4) == "mdat") {
+                val end = math.min(off.toLong + sz, p.length.toLong).toInt
+                var j = off + 8
+                while (j < end) { s += (p(j) & 0xff); j += 1 }
+              }
+              off = if (off.toLong + sz > p.length) p.length else off + sz
+            }
+          }
+          s
+        }
         // first child box of `typ` inside [start, end): (contentStart, contentEnd)
         def findBox(start: Int, end: Int, typ: String): Option[(Int, Int)] = {
           var off = start
@@ -287,7 +329,7 @@ object Multimodal {
           w = bb.getInt(whOff) >>> 16
           h = bb.getInt(whOff + 4) >>> 16
           if w > 0 && h > 0
-        } yield (w, h, 3)
+        } yield (w, h, 3, mdatSum)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -329,8 +371,7 @@ object Multimodal {
             if (m.startsWith("image/")) decodeImage(payload).map {
               case (w, h, c) => (w, h, c, 0L) }
             else if (m == "audio/wav" || m == "audio/x-wav") decodeWav(payload)
-            else if (m == "video/mp4") decodeMp4(payload).map {
-              case (w, h, c) => (w, h, c, 0L) }
+            else if (m == "video/mp4") decodeMp4(payload)
             else None
           parsed match {
             case Some((w, h, c, ck)) => Decoded(id, mime, w, h, c, ok = true, ck)

@@ -709,12 +709,29 @@ class OperatorsSpec extends AnyFunSuite {
         s"media $id: pcm checksum mismatch $r")
     }
     // mp4 rows decode for REAL: the box walker reads the tkhd track dims
+    // AND the unsigned-byte sum of the mdat media data matches the
+    // synthesis formula (the video analog of the WAV sample checksum)
     dec.where(col("mime") === "video/mp4").collect().foreach { r =>
       val id = r.getLong(0)
       assert(r.getInt(2) == Multimodal.synthMp4Width(id) &&
         r.getInt(3) == Multimodal.synthMp4Height(id) &&
         r.getInt(4) == 3 && r.getBoolean(5),
         s"media $id: real mp4 decode mismatch $r")
+      assert(r.getLong(6) == Multimodal.synthMp4MdatChecksum(id),
+        s"media $id: mdat checksum mismatch $r")
+    }
+    // a truncated mdat sums the bytes that exist (lenient, like the WAV
+    // walker) while the moov metadata keeps the row ok
+    locally {
+      val full = Multimodal.synthMp4Bytes(5L)
+      val cut = java.util.Arrays.copyOf(full, full.length - 10)
+      val n = Multimodal.synthMp4MdatLen(5L)
+      val want = (0 until n - 10).map(j =>
+        Multimodal.synthMp4MdatByte(5L, j).toLong).sum
+      val r = Multimodal.decode(Seq((5L, cut, "video/mp4", cut.length.toLong))
+        .toDF("media_id", "payload", "mime", "n_bytes")).collect().head
+      assert(r.ok && r.content_checksum == want,
+        s"truncated mdat: got ${r.content_checksum}, want $want")
     }
     // corrupt payloads of KNOWN mimes are ok=false, never an exception;
     // unknown mimes keep the deterministic stub contract (ok with bytes)
