@@ -130,6 +130,35 @@ class UrlCurationSpec extends AnyFunSuite {
     assert(got.count() === want.count())
   }
 
+  test("property: normalization is idempotent over 2000 random messy URLs") {
+    // canonicalization must be a projection (f∘f = f) — a second pass
+    // finding more to strip would mean dedup keys depend on HOW MANY
+    // times a pipeline stage ran
+    val rnd = new scala.util.Random(20260816L)
+    def seg(n: Int) = (1 to n).map(_ =>
+      "abcdefghijklmnopqrstuvwxyz0123456789"(rnd.nextInt(36))).mkString
+    val urls = (0 until 2000).map { _ =>
+      val scheme = Seq("http", "HTTP", "https", "HtTpS", "ftp")(rnd.nextInt(5))
+      val www = Seq("", "www.", "WWW.")(rnd.nextInt(3))
+      val host = (seg(1 + rnd.nextInt(8)) + "." +
+        Seq("com", "org", "co.uk", "ac.jp", "net")(rnd.nextInt(5)))
+      val hostCase = if (rnd.nextBoolean()) host.toUpperCase else host
+      val port = Seq("", ":80", ":443", ":8080")(rnd.nextInt(4))
+      val path = Seq("", "/", s"/${seg(3)}", s"/${seg(2)}/${seg(4)}///")(rnd.nextInt(4))
+      val query = Seq("", s"?q=${seg(2)}", s"?utm_source=${seg(3)}",
+        s"?a=1&ref=${seg(2)}&b=2", s"?fbclid=${seg(5)}&gclid=x")(rnd.nextInt(5))
+      val frag = Seq("", s"#${seg(3)}", "#?notaquery")(rnd.nextInt(3))
+      s"$scheme://$www$hostCase$port$path$query$frag"
+    } ++ Seq("", "not a url", "http//missing.colon", "weird:%%%")
+    val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val once = UrlCuration.normalizeUrl(col("url"))
+    val bad = df.select(once.as("n1"),
+        UrlCuration.normalizeUrl(once).as("n2"), col("url"))
+      .where(col("n1") =!= col("n2"))
+    assert(bad.count() === 0L,
+      bad.limit(3).collect().mkString("; "))
+  }
+
   test("domainBlocklistFilter drops exactly the listed domains") {
     val d = UrlCuration.synthUrls(docs)
     val block = Seq("site0.com", "site7.co.uk")
