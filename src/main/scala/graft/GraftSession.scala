@@ -216,6 +216,21 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
           "(or pass vector/id column names as arguments 2 and 3)"))
       graft.operators.Similarity.quantizeInt8(r, vecCol, idCol)
     })
+    // cluster_sample(rel, cap[, k]) — cluster-balanced diversity
+    // sampling (SemDeDup/DCLM shape): k-means the embedding space, keep
+    // a deterministic content-addressed sample of ≤ cap rows per cluster
+    catalog.registerTableFunction("cluster_sample", { args =>
+      arity("cluster_sample", args, 2, 3)
+      val r = rel("cluster_sample", args, 0)
+      Seq("vec_id", "embedding").foreach(c => reqCol("cluster_sample", r, c,
+        "input relation must have (vec_id, embedding) columns"))
+      val cap = num("cluster_sample", args, 1, 64L).toInt
+      if (cap <= 0)
+        throw new graft.translate.GraftAnalysisException(
+          s"cluster_sample: cap must be positive, got $cap")
+      val k = num("cluster_sample", args, 2, 16L).toInt
+      graft.operators.Similarity.clusterBalancedSample(r, cap, nlist = k)
+    })
     // decontaminate(train, bench[, w[, minHits]]) — training rows whose
     // w-shingles do NOT overlap the benchmark set (text/doc_id convention)
     catalog.registerTableFunction("decontaminate", { args =>

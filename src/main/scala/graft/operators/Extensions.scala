@@ -1241,6 +1241,35 @@ object Extensions {
           abs(col("cos") - col("bcos"))).otherwise(0.0)) <= 0.02)
           .cast("int").as("err_bounded"))
     }),
+    // ---- cluster-balanced sampling (r12): SemDeDup/DCLM diversity
+    // selection — cap dense semantic clusters. k-means isn't DuckDB-
+    // recomputable, so the gate pins the CONTRACT: kept = Σ min(cap, |c|)
+    // over the audited assignment, no cluster over cap, cluster ids in
+    // range, and the content-addressed sample is run-deterministic;
+    // n_in is the DuckDB-matched anchor ----
+    "x116_cluster_balanced" -> ((s, d) => {
+      val e = emb(s, d)
+      val cap = 40
+      val asg = Similarity.clusterAssignments(e).localCheckpoint()
+      val kept = Sampling.uniformPerGroup(asg, "cluster", cap, "vec_id")
+        .localCheckpoint()
+      val kept2 = Similarity.clusterBalancedSample(e, cap)
+        .select(col("vec_id"))
+      val expected = asg.groupBy("cluster").count()
+        .agg(sum(least(col("count"), lit(cap.toLong)))).head().getLong(0)
+      val perCluster = kept.groupBy("cluster").agg(count(lit(1)).as("n"))
+      val deterministic = kept.select(col("vec_id"))
+        .union(kept2).distinct().count() == kept.count()
+      kept.agg(
+        lit(e.count()).as("n_in"),
+        (count(lit(1)) === expected).cast("int").as("kept_eq_sum_min"),
+        lit(if (deterministic) 1 else 0).as("deterministic"))
+        .crossJoin(perCluster.agg(
+          (max(col("n")) <= cap).cast("int").as("caps_ok")))
+        .crossJoin(asg.agg(
+          (min(col("cluster")) >= 0 && max(col("cluster")) < 16)
+            .cast("int").as("clusters_bounded")))
+    }),
     // feature extraction: payload → unit-norm embedding column, verified by
     // contract flags (dimension, L2 norm) + DuckDB-recomputed media count
     "x26_mm_features" -> ((s, d) => {
@@ -2501,6 +2530,15 @@ object Extensions {
       "x115_int8_ann" -> (
         "SELECT CAST(1 AS INTEGER) AS recall_ok, CAST(1 AS INTEGER) AS k_complete, " +
         "CAST(1 AS INTEGER) AS cos_bounded, CAST(1 AS INTEGER) AS err_bounded"),
+      // x116: contract flags (k-means isn't DuckDB-recomputable — the
+      // kept count is audited Spark-side against Σ min(cap, |cluster|)
+      // via kept_eq_sum_min); n_in anchors to the real table
+      "x116_cluster_balanced" -> (
+        "SELECT CAST(1 AS INTEGER) AS kept_eq_sum_min, " +
+        "CAST(1 AS INTEGER) AS deterministic, " +
+        "CAST(1 AS INTEGER) AS caps_ok, " +
+        "CAST(1 AS INTEGER) AS clusters_bounded, " +
+        "CAST(count(*) AS BIGINT) AS n_in FROM embeddings"),
       "x26_mm_features" -> (
         "SELECT count(*) AS n_media, CAST(1 AS INTEGER) AS dim_ok, " +
         "CAST(1 AS INTEGER) AS norm_ok FROM documents"),

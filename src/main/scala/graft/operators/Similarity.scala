@@ -216,6 +216,35 @@ object Similarity {
                              nprobe: Int): Column =
     graft.expr.AnnModelOps.probeCentroids(v, centroids, nprobe)
 
+  /** Every input row plus its nearest-centroid `cluster` id under a
+    * freshly trained deterministic spherical k-means model — the
+    * semantic-partitioning primitive cluster-balanced selection and
+    * per-topic audits build on. One training pass + one codegen argmax
+    * projection; no shuffle beyond training's bounded aggregations. */
+  def clusterAssignments(emb: DataFrame, nlist: Int = 16, iters: Int = 2,
+                         vecCol: String = "embedding",
+                         idCol: String = "vec_id"): DataFrame = {
+    val centroids = trainIvfCentroids(emb, nlist, iters, vecCol, idCol)
+    Par.widen(emb, idCol)
+      .withColumn("cluster", nearestCentroid(col(vecCol), centroids))
+  }
+
+  /** Cluster-balanced sampling — the SemDeDup/DCLM diversity-selection
+    * shape: cluster the embedding space, then keep at most `cap` rows
+    * PER CLUSTER so dense semantic regions (boilerplate, template
+    * families) stop dominating the surviving corpus. The per-cluster
+    * sample is [[Sampling.uniformPerGroup]]'s content-addressed md5
+    * rank: uniform within the cluster yet fully deterministic across
+    * runs, partitionings and engines. Output: input columns + `cluster`.
+    * Scale: training + one codegen assignment projection + ONE keyed
+    * window shuffle on `cluster`. */
+  def clusterBalancedSample(emb: DataFrame, cap: Int, nlist: Int = 16,
+                            iters: Int = 2, vecCol: String = "embedding",
+                            idCol: String = "vec_id"): DataFrame =
+    Sampling.uniformPerGroup(
+      clusterAssignments(emb, nlist, iters, vecCol, idCol),
+      "cluster", cap, idCol)
+
   /** IVF ANN top-k: corpus vectors are bucketed by nearest centroid;
     * each query scores only the `nprobe` most promising buckets.
     * Recall < 1 by design; same output shape as brute force. At scale the

@@ -1272,6 +1272,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(4L) == ((2L, 2L, 1.0)))
   }
 
+  test("clusterBalancedSample: per-cluster cap honored, deterministic, assignment total preserved") {
+    val cap = 25
+    val asg = Similarity.clusterAssignments(emb)
+    assert(asg.count() == emb.count()) // assignment is total
+    val kept = Similarity.clusterBalancedSample(emb, cap)
+    // no cluster exceeds the cap; total = Σ min(cap, |cluster|)
+    val per = kept.groupBy("cluster").count().collect().map(_.getLong(1))
+    assert(per.forall(_ <= cap))
+    val expected = asg.groupBy("cluster").count()
+      .agg(sum(least(col("count"), lit(cap.toLong)))).head().getLong(0)
+    assert(kept.count() == expected)
+    // content-addressed: identical winner set on a re-run
+    val again = Similarity.clusterBalancedSample(emb, cap).select("vec_id")
+    assert(kept.select("vec_id").except(again).count() == 0L)
+    // a small cap strictly reduces a corpus bigger than cap*nlist
+    if (emb.count() > 16L * cap) assert(kept.count() < emb.count())
+    // SQL surface agrees with the API
+    val viaSql = TestSpark.session
+      .sql(s"select vec_id from cluster_sample(embeddings, $cap)")
+    assert(viaSql.count() == kept.count())
+    assert(viaSql.except(kept.select("vec_id")).count() == 0L)
+    // eager error: bad cap
+    val err = intercept[Exception](TestSpark.session
+      .sql("select * from cluster_sample(embeddings, 0)"))
+    assert(err.getMessage.contains("cap must be positive"))
+  }
+
   test("quantizeInt8: values clamp to ±127, max component hits ±127, zero vec → scale 0") {
     val e = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
