@@ -231,6 +231,15 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       val k = num("cluster_sample", args, 2, 16L).toInt
       graft.operators.Similarity.clusterBalancedSample(r, cap, nlist = k)
     })
+    // script_stats(rel) — per-document Unicode-script counts + mojibake
+    // signals (replacement/control chars) over the documents convention
+    catalog.registerTableFunction("script_stats", { args =>
+      arity("script_stats", args, 1, 1)
+      val docs = rel("script_stats", args, 0)
+      Seq("doc_id", "text").foreach(c => reqCol("script_stats", docs, c,
+        "input relation must follow the documents convention"))
+      TextAnalysis.scriptStats(docs, "text", "doc_id")
+    })
     // decontaminate(train, bench[, w[, minHits]]) — training rows whose
     // w-shingles do NOT overlap the benchmark set (text/doc_id convention)
     catalog.registerTableFunction("decontaminate", { args =>

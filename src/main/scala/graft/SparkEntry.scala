@@ -1135,6 +1135,30 @@ object SparkEntry {
           .as("max_abs"))
         .orderBy("id")
     }),
+    // ---- script_stats table fn (r12): Unicode-script + mojibake
+    // detection through the SQL surface. Non-Latin text is INJECTED
+    // deterministically per doc_id (the q126 pattern) so every script
+    // branch and the encoding flags are exercised; the oracle recomputes
+    // every count with the IDENTICAL ranges in RE2 spelling ----
+    "q132_script_stats_fn" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = g(s, d)
+      val suffix =
+        when(col("doc_id") % 5 === 1, lit(" Привет мир")) // 9 cyrillic
+          .when(col("doc_id") % 5 === 2, lit(" 你好世界")) // 4 cjk
+          .when(col("doc_id") % 5 === 3, lit(" مرحبا"))   // 5 arabic
+          .when(col("doc_id") % 5 === 4, lit(" bad\uFFFD\uFFFDtext"))
+          .otherwise(lit(""))
+      // every 7th doc keeps ONLY the injected suffix, so the non-Latin
+      // dominant branches (and 'und' at %5=0) actually fire in the gate
+      val injected = e.catalog.relation("documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, suffix)
+          .otherwise(concat(col("text"), suffix)).as("text"))
+      e.catalog.registerTable("q132_docs", injected)
+      e.sql("select id, n_latin, n_cyrillic, n_cjk, n_arabic, " +
+        "n_replacement, n_control, script, ok_encoding " +
+        "from script_stats(q132_docs) order by id")
+    }),
     "q117_socket_source" -> ((s, d) => {
       val nation = g(s, d).catalog.relation("nation")
         .select(org.apache.spark.sql.functions.col("n_nationkey").cast("long"),
@@ -1747,6 +1771,32 @@ object SparkEntry {
        "CAST(list_sum(codes) AS BIGINT) AS sum_codes, " +
        "CAST(list_sum(list_transform(codes, c -> c * c)) AS BIGINT) AS sum_sq, " +
        "CAST(list_max(list_transform(codes, c -> abs(c))) AS BIGINT) AS max_abs " +
+       "FROM c ORDER BY id"),
+    // q132: identical injection; every range count recomputed with the
+    // SAME Unicode ranges in RE2 spelling; script argmax + tie priority
+    // and both encoding flags recomputed in SQL
+    "q132_script_stats_fn" ->
+      ("WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN '' ELSE text END || " +
+       "CASE doc_id % 5 WHEN 1 THEN ' Привет мир' WHEN 2 THEN ' 你好世界' " +
+       "WHEN 3 THEN ' مرحبا' WHEN 4 THEN ' bad' || chr(65533) || chr(65533) || 'text' " +
+       "ELSE '' END AS t FROM documents), " +
+       "c AS (SELECT doc_id, t, " +
+       "len(regexp_extract_all(t, '[A-Za-z]')) AS lat, " +
+       "len(regexp_extract_all(t, '[\\x{0400}-\\x{04FF}]')) AS cyr, " +
+       "len(regexp_extract_all(t, '[\\x{4E00}-\\x{9FFF}]')) AS cjk, " +
+       "len(regexp_extract_all(t, '[\\x{0600}-\\x{06FF}]')) AS ara, " +
+       "len(regexp_extract_all(t, '\\x{FFFD}')) AS rep, " +
+       "len(regexp_extract_all(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]')) AS ctl " +
+       "FROM inj) " +
+       "SELECT doc_id AS id, CAST(lat AS BIGINT) AS n_latin, " +
+       "CAST(cyr AS BIGINT) AS n_cyrillic, CAST(cjk AS BIGINT) AS n_cjk, " +
+       "CAST(ara AS BIGINT) AS n_arabic, CAST(rep AS BIGINT) AS n_replacement, " +
+       "CAST(ctl AS BIGINT) AS n_control, " +
+       "CASE WHEN lat + cyr + cjk + ara = 0 THEN 'und' " +
+       "WHEN lat >= cyr AND lat >= cjk AND lat >= ara THEN 'latin' " +
+       "WHEN cyr >= cjk AND cyr >= ara THEN 'cyrillic' " +
+       "WHEN cjk >= ara THEN 'cjk' ELSE 'arabic' END AS script, " +
+       "CAST(CASE WHEN rep = 0 AND ctl = 0 THEN 1 ELSE 0 END AS INTEGER) AS ok_encoding " +
        "FROM c ORDER BY id"),
     // q114: the x97 encode CTEs aggregated per doc
     "q114_bpe_encode_fn" ->

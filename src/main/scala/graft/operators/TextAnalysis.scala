@@ -268,6 +268,56 @@ object TextAnalysis {
       redactPII(t).as("text_redacted"))
   }
 
+  /** Unicode script ranges for [[scriptStats]] — Java regex on the Spark
+    * side; the oracle uses the RE2 `\x{…}` spelling of the SAME ranges.
+    * A pragmatic 4-script subset (the detector is rangecount-based; add
+    * ranges to extend). */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[\\u0400-\\u04FF]",
+    "cjk" -> "[\\u4E00-\\u9FFF]",
+    "arabic" -> "[\\u0600-\\u06FF]")
+
+  /** Matches normalizeText's control-char class (C0 minus tab/LF/CR, plus
+    * DEL) — text that still contains these after extraction is suspect. */
+  val ControlCharPattern: String = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Per-document SCRIPT detection + mojibake signals (the hygiene pass
+    * langId does not cover: langId separates languages that share a
+    * script; this separates SCRIPTS, catches encoding damage, and routes
+    * documents to per-script pipelines). Counts characters in each
+    * [[ScriptRanges]] class, U+FFFD replacement characters (the
+    * footprint of a bad charset transcode) and stray control characters;
+    * `script` is the argmax with a fixed priority order on ties
+    * (latin ≻ cyrillic ≻ cjk ≻ arabic), "und" when no script char
+    * occurs; `ok_encoding` = no replacement AND no control chars.
+    * One codegen regexp_count projection — no shuffle, no UDF; every
+    * count is an exact integer a DuckDB oracle recomputes with the
+    * identical RE2 ranges. */
+  def scriptStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol).cast("string")
+    val counts = ScriptRanges.map { case (name, re) =>
+      name -> regexp_count(t, lit(re)).cast("long")
+    }
+    val m = counts.toMap
+    val (lat, cyr, cjk, ara) =
+      (m("latin"), m("cyrillic"), m("cjk"), m("arabic"))
+    val script =
+      when(lat + cyr + cjk + ara === 0, "und")
+        .when(lat >= cyr && lat >= cjk && lat >= ara, "latin")
+        .when(cyr >= cjk && cyr >= ara, "cyrillic")
+        .when(cjk >= ara, "cjk")
+        .otherwise("arabic")
+    val nRepl = regexp_count(t, lit("\\uFFFD")).cast("long")
+    val nCtl = regexp_count(t, lit(ControlCharPattern)).cast("long")
+    val out = col(idCol).cast("long").as("id") +:
+      (counts.map { case (n, c) => c.as(s"n_$n") } :+
+        nRepl.as("n_replacement") :+ nCtl.as("n_control") :+
+        script.as("script") :+
+        (nRepl === 0 && nCtl === 0).cast("int").as("ok_encoding"))
+    df.select(out: _*)
+  }
+
   /** Corpus-level vocabulary: the `k` most frequent tokens with counts
     * (tokenization identical to [[tfidf]]/[[repetition]]: lower, trim,
     * split on \s+, drop empties). Ties broken by token text so the cut is

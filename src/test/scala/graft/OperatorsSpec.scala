@@ -1272,6 +1272,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(4L) == ((2L, 2L, 1.0)))
   }
 
+  test("scriptStats: range counts, argmax with tie priority, mojibake and control flags") {
+    val d = Seq(
+      (1L, "hello world"),               // pure latin
+      (2L, "\u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"), // pure cyrillic
+      (3L, "\u4f60\u597d\u4e16\u754c"),       // pure cjk
+      (4L, "\u0645\u0631\u062d\u0628\u0627"), // pure arabic
+      (5L, "ab \u041f\u0440"),           // tie 2-2 -> priority: latin
+      (6L, "1234 ..."),                  // no script chars -> und
+      (7L, "ok\uFFFDtext"),              // replacement char -> not ok
+      (8L, "ctl\u0007here"),             // control char (BEL) -> not ok
+      (9L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.scriptStats(d, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[String]("script") == "latin" &&
+      r(1L).getAs[Long]("n_latin") == 10L)
+    assert(r(2L).getAs[String]("script") == "cyrillic" &&
+      r(2L).getAs[Long]("n_cyrillic") == 9L)
+    assert(r(3L).getAs[String]("script") == "cjk" &&
+      r(3L).getAs[Long]("n_cjk") == 4L)
+    assert(r(4L).getAs[String]("script") == "arabic" &&
+      r(4L).getAs[Long]("n_arabic") == 5L)
+    assert(r(5L).getAs[String]("script") == "latin") // tie breaks by priority
+    assert(r(6L).getAs[String]("script") == "und")
+    assert(r(7L).getAs[Long]("n_replacement") == 1L &&
+      r(7L).getAs[Int]("ok_encoding") == 0)
+    assert(r(8L).getAs[Long]("n_control") == 1L &&
+      r(8L).getAs[Int]("ok_encoding") == 0)
+    assert(r(9L).getAs[String]("script") == "und" &&
+      r(9L).getAs[Int]("ok_encoding") == 1)
+    // clean rows are ok
+    assert(Seq(1L, 2L, 3L, 4L, 5L, 6L).forall(i =>
+      r(i).getAs[Int]("ok_encoding") == 1))
+  }
+
   test("clusterBalancedSample: per-cluster cap honored, deterministic, assignment total preserved") {
     val cap = 25
     val asg = Similarity.clusterAssignments(emb)

@@ -52,6 +52,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "x08_sim_lsh_topk" -> (1, "broadcast LSH probe set (bounded)"),
     "x16_sim_ivf_topk" -> (1, "broadcast IVF centroids (model-sized)"),
     "x115_int8_ann" -> (2, "broadcast query codes vs corpus twice by design: the exact brute-force truth plus the int8 serve under audit"),
+    "x116_cluster_balanced" -> (2, "three 1-row flag frames crossJoined: kept aggregate × per-cluster cap audit × assignment range audit"),
     "x18_sample_dialect" -> (1, "broadcast 1-row sampling-rate summary"),
     "x31_mixture" -> (1, "broadcast per-source weight table (#sources rows)"),
     "x33_bigram_lm" -> (1, "broadcast 1-row vocabulary-size aggregate"),

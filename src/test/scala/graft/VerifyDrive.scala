@@ -193,6 +193,16 @@ object VerifyDrive {
       s"rows=${n.getLong(0)} domains=${n.getLong(1)} deduped=${dd.getLong(0)} " +
         s"max-domain-docs=${ds.getLong(0)}"
     })
+    println("=== script_stats: " + {
+      val r = g.sql("select count(distinct script) as ns, " +
+        "min(cast(ok_encoding as int)) as ok from script_stats(documents)").head()
+      s"scripts=${r.getLong(0)} clean-corpus-ok=${r.getInt(1)}"
+    })
+    println("=== cluster_sample: " + {
+      val r = g.sql("select count(*) as n, count(distinct cluster) as nc " +
+        "from cluster_sample(embeddings, 20)").head()
+      s"kept=${r.getLong(0)} clusters=${r.getLong(1)}"
+    })
     println("=== int8 surfaces: " + {
       val r = g.sql("select min(cast(qscale > 0 as int)) as pos, " +
         "max(int8_dot(qvec, qvec)) as mxdot from int8_quantize(embeddings)").head()
