@@ -514,6 +514,34 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       graft.operators.Similarity.pqTopKIndexed(spark, dir, q, k,
         shortlist = math.max(shortlist, k))
     })
+    // ivfsq8_topk(queries, 'model'|'dir', k[, nprobe]) — coarse-bucket
+    // partition pruning over the int8-compressed tier (FAISS "IVF,SQ8"):
+    // only the probed bucket directories are scanned, scoring is
+    // scale-free integer-dot cosine, no re-rank tier
+    catalog.registerTableFunction("ivfsq8_topk", { args =>
+      arity("ivfsq8_topk", args, 3, 4)
+      val q = rel("ivfsq8_topk", args, 0)
+      Seq("vec_id", "embedding").foreach(c =>
+        reqCol("ivfsq8_topk", q, c, "query relation must follow the embeddings convention"))
+      val dirArg = str("ivfsq8_topk", args, 1)
+      val dir = catalog.model(dirArg) match {
+        case Some(m) if m.kind == "ivfsq8" =>
+          servable("ivfsq8_topk", dirArg, m)
+        case Some(m) => throw new graft.translate.GraftAnalysisException(
+          s"ivfsq8_topk: model '$dirArg' has kind '${m.kind}', expected 'ivfsq8'")
+        case None => dirArg
+      }
+      val cenPath = new org.apache.hadoop.fs.Path(dir, "centroids")
+      val cdPath = new org.apache.hadoop.fs.Path(dir, "codes")
+      val fs = cenPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(cenPath) || !fs.exists(cdPath))
+        throw new graft.translate.GraftAnalysisException(
+          s"ivfsq8_topk: no IVF+SQ8 index layout at '$dir' (expected a " +
+            "Similarity.saveIvfSq8Index output with centroids/ and codes/)")
+      val k = num("ivfsq8_topk", args, 2, 8L).toInt
+      val nprobe = num("ivfsq8_topk", args, 3, 4L).toInt
+      graft.operators.Similarity.ivfSq8TopK(spark, dir, q, k, nprobe)
+    })
     // ivfpq_topk(queries, 'model'|'dir', k[, nprobe[, shortlist]]) — the
     // composed serving path: coarse-bucket partition pruning (only the
     // probed directories are scanned), ADC over the pruned codes, exact
@@ -798,8 +826,15 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         s"create model $name: no IVF-PQ layout at '$path' (expected a " +
           "Similarity.saveIvfPqIndex output with centroids/, codebooks/, " +
           "codes/, corpus/)")
+    case "ivfsq8" =>
+      val cen = new org.apache.hadoop.fs.Path(path, "centroids")
+      val cd = new org.apache.hadoop.fs.Path(path, "codes")
+      val fs = cen.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(cen) || !fs.exists(cd)) throw new GraftAnalysisException(
+        s"create model $name: no IVF+SQ8 layout at '$path' (expected a " +
+          "Similarity.saveIvfSq8Index output with centroids/ and codes/)")
     case other => throw new GraftAnalysisException(
-      s"create model $name: unknown kind '$other' (valid: ivf, bpe, pq, ivfpq)")
+      s"create model $name: unknown kind '$other' (valid: ivf, bpe, pq, ivfpq, ivfsq8)")
   }
 
   private def artifactHash(kind: String, path: String): String = {
@@ -825,6 +860,7 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       case "ivf"   => Seq(s"$path/centroids") // not the corpus: hash the MODEL
       case "pq"    => Seq(s"$path/codebooks")
       case "ivfpq" => Seq(s"$path/centroids", s"$path/codebooks")
+      case "ivfsq8" => Seq(s"$path/centroids") // the model is the coarse quantizer; codes are data
       case _       => Seq(path)
     }
     modelParts.foreach(p => feed(new org.apache.hadoop.fs.Path(p)))

@@ -934,6 +934,33 @@ object SparkEntry {
     // ---- residual-IVFADC SQL serve (r12): ivfpq_topk AUTO-DETECTS the
     // layout's residual meta through a registered model name, and the
     // SQL result must equal the API serve row-for-row ----
+    // ---- ivfsq8_topk table fn (r12): the IVF+SQ8 composed serve by
+    // MODEL NAME through the SQL surface ≡ the API serve over the same
+    // layout — fifth model kind 'ivfsq8' ----
+    "q133_ivfsq8_topk_fn" -> ((s, d) => {
+      import s.implicits._
+      val e = g(s, d)
+      val embT = e.catalog.relation("embeddings")
+      val dir = graft.operators.Extensions.ivfSq8IndexFixture(s, d)
+      e.sql("drop model if exists q133_ivfsq8")
+      e.sql("drop table if exists q133_q")
+      e.sql(s"create model q133_ivfsq8 kind 'ivfsq8' at '$dir'")
+      e.sql("create table q133_q as select vec_id, embedding from embeddings where vec_id < 5")
+      val viaSql = e.sql(
+        "select qid, vec_id, cos from ivfsq8_topk(q133_q, 'q133_ivfsq8', 5, 4) " +
+        "order by qid, cos desc, vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val viaApi = graft.operators.Similarity.ivfSq8TopK(s, dir,
+          embT.where(org.apache.spark.sql.functions.col("vec_id") < 5),
+          k = 5, nprobe = 4)
+        .orderBy(org.apache.spark.sql.functions.col("qid"),
+          org.apache.spark.sql.functions.col("cos").desc,
+          org.apache.spark.sql.functions.col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      Seq((viaSql.map(_._1).distinct.length.toLong,
+          if (viaSql == viaApi && viaSql.nonEmpty) 1 else 0))
+        .toDF("n_queries", "sql_matches_api")
+    }),
     "q128_ivfpq_residual_fn" -> ((s, d) => {
       import s.implicits._
       val e = g(s, d)
@@ -1676,6 +1703,9 @@ object SparkEntry {
       "FROM embeddings WHERE vec_id < 5"),
     // q128: the residual layout served by model name — same contract
     "q128_ivfpq_residual_fn" -> (
+      "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS sql_matches_api " +
+      "FROM embeddings WHERE vec_id < 5"),
+    "q133_ivfsq8_topk_fn" -> (
       "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS sql_matches_api " +
       "FROM embeddings WHERE vec_id < 5"),
     // q117: the socket-fed rows ARE the nation table — full row/hash

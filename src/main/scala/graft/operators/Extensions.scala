@@ -113,6 +113,12 @@ object Extensions {
       Similarity.saveIvfPqIndex(emb(s, d), dir, nlist = 16, m = 16, k = 32,
         iters = 2, residual = true))
 
+  /** Shared saveIvfSq8Index layout (nlist 16, iters 2) — the x117/q133
+    * IVF+SQ8 serve layout. */
+  private[graft] def ivfSq8IndexFixture(s: SparkSession, d: String): String =
+    fixture(s"ivfsq8:$d")(dir =>
+      Similarity.saveIvfSq8Index(emb(s, d), dir, nlist = 16, iters = 2))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----
     "x01_dedup_exact" -> ((s, d) =>
@@ -989,6 +995,37 @@ object Extensions {
           if (pruned) 1 else 0))
         .toDF("n_queries", "matches_flat_rerank", "recall_vs_truth_ok",
           "scan_pruned")
+    }),
+    // ---- IVF+SQ8 composed serving (r12): coarse pruning over an int8-
+    // compressed resident tier (FAISS "IVF,SQ8") — 4× fewer scanned
+    // bytes than the raw IVF layout at near-lossless cosine recall and
+    // no re-rank tier (scales cancel in cosine; scoring is integer
+    // dots). Flags: layout serve EXACTLY equals the in-memory
+    // composition; recall vs the float brute truth; static partition
+    // pruning proven on the executed scan's numFiles ----
+    "x117_ivfsq8_ann" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d).localCheckpoint()
+      val q = e.where(col("vec_id") < 10)
+      val dir = ivfSq8IndexFixture(s, d)
+      val served = Similarity.ivfSq8TopK(s, dir, q, k = 5, nprobe = 4)
+        .localCheckpoint()
+      val centroids = Similarity.loadIvfCentroids(s, dir)
+      val flat = Similarity.ivfSq8TopKWith(e, q, k = 5, centroids, nprobe = 4)
+      val matchesFlat = served.except(flat).count() == 0 &&
+        flat.except(served).count() == 0
+      val vsTruth = Similarity.annRecall(served,
+        Similarity.bruteForceTopK(e, q, k = 5)).head()
+      val codes = s.read.parquet(s"$dir/codes")
+      val needed = Similarity.probeBuckets(q, centroids, nprobe = 4)
+      val pruned = filesScanned(
+        codes.where(col("c").isin(needed.map(Int.box): _*))) <
+        codes.inputFiles.length
+      Seq((vsTruth.getLong(0),
+          if (matchesFlat) 1 else 0,
+          if (vsTruth.getDouble(1) >= 0.6) 1 else 0,
+          if (pruned) 1 else 0))
+        .toDF("n_queries", "matches_flat", "recall_vs_truth_ok", "scan_pruned")
     }),
     // hard-negative mining (r9): per query, the k most-similar
     // DIFFERENT-label vectors inside the [floor, ceiling) cosine band —
@@ -2362,6 +2399,11 @@ object Extensions {
       // (pruned-ADC faithful to flat rerank, recall vs brute truth,
       // partition pruning observed on the executed scan) are
       // engine-side assertions, pinned (the x90/x99 pattern)
+      // x117: contract flags (the x101 pattern on the SQ8 tier)
+      "x117_ivfsq8_ann" -> (
+        "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS matches_flat, " +
+        "CAST(1 AS INTEGER) AS recall_vs_truth_ok, CAST(1 AS INTEGER) AS scan_pruned " +
+        "FROM embeddings WHERE vec_id < 10"),
       "x101_ivfpq_ann" -> (
         "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS matches_flat_rerank, " +
         "CAST(1 AS INTEGER) AS recall_vs_truth_ok, CAST(1 AS INTEGER) AS scan_pruned " +

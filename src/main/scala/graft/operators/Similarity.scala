@@ -539,6 +539,89 @@ object Similarity {
       originals, queries, k, shortlist, vecCol, idCol)
   }
 
+  // --- IVF + SQ8: coarse pruning over an int8-compressed resident tier ---
+  // The FAISS "IVF,SQ8" configuration — the middle point between the raw
+  // IVF layout (full floats per bucket) and IVF-PQ (heavily lossy codes
+  // that need an exact re-rank tier): buckets prune the scan to nprobe
+  // of nlist directories AND the scanned rows are 4× smaller than
+  // float32 at near-lossless cosine recall, with NO re-rank pass —
+  // cosine over int8 codes is scale-free (the factors cancel), so
+  // serving is pure integer-dot work inside whole-stage codegen.
+
+  /** (vec_id, qvec, qscale, c) — each corpus row SQ8-encoded and
+    * assigned to its coarse bucket, one codegen projection. */
+  private def ivfSq8Encode(corpus: DataFrame, centroids: Array[Array[Double]],
+                           vecCol: String, idCol: String): DataFrame =
+    Par.widen(corpus, idCol)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__v"),
+        graft.expr.Int8Ops.scale(col(vecCol)).as("qscale"),
+        nearestCentroid(col(vecCol), centroids).as("c"))
+      .select(col("vec_id"),
+        graft.expr.Int8Ops.encode(col("__v"), col("qscale")).as("qvec"),
+        col("qscale"), col("c"))
+
+  /** In-memory IVF+SQ8 serve against an already-trained centroid model:
+    * probe pruning + int8-cosine scoring. [[ivfSq8TopK]] over a saved
+    * layout returns EXACTLY this (spec/gate-asserted parity). */
+  def ivfSq8TopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                     centroids: Array[Array[Double]], nprobe: Int = 4,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    val indexed = ivfSq8Encode(corpus, centroids, vecCol, idCol)
+    sq8Serve(indexed, queries, k, centroids, nprobe, vecCol, idCol)
+  }
+
+  private def sq8Serve(indexed: DataFrame, queries: DataFrame, k: Int,
+                       centroids: Array[Array[Double]], nprobe: Int,
+                       vecCol: String, idCol: String): DataFrame = {
+    val probes = broadcast(queries
+      .select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+        graft.expr.Int8Ops.scale(col(vecCol)).as("__qs"),
+        explode(probeCentroids(col(vecCol), centroids, nprobe)).as("c"))
+      .select(col("qid"),
+        graft.expr.Int8Ops.encode(col("__qv"), col("__qs")).as("qq"),
+        col("c")))
+    val scored = indexed.join(probes, "c")
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.expr.Int8Ops.cosineFromCodes(col("qvec"), col("qq")), 4)
+          .as("cos"))
+    topKPerGroup(scored, k)
+  }
+
+  /** Persist an IVF+SQ8 index: `dir/centroids` (the coarse model) and
+    * `dir/codes` — (vec_id, qvec array<byte>, qscale) PARTITIONED BY
+    * coarse bucket, the 4×-compressed layout the serve prunes on.
+    * Deterministic training, so rebuilds are bit-identical. */
+  def saveIvfSq8Index(corpus: DataFrame, dir: String, nlist: Int = 16,
+                      iters: Int = 2, vecCol: String = "embedding",
+                      idCol: String = "vec_id"): Unit = {
+    val centroids = trainIvfCentroids(corpus, nlist, iters, vecCol, idCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("c", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfSq8Encode(corpus, centroids, vecCol, idCol)
+      .repartition(col("c"))
+      .write.mode("overwrite").partitionBy("c").parquet(s"$dir/codes")
+  }
+
+  /** Serve from a [[saveIvfSq8Index]] layout: probe buckets collapse to
+    * a literal partition filter (static pruning — only nprobe bucket
+    * directories are read), then int8 cosine over the probed codes.
+    * Same broadcast-contract guard as the other indexed serves. */
+  def ivfSq8TopK(spark: SparkSession, dir: String, queries: DataFrame,
+                 k: Int, nprobe: Int = 4, vecCol: String = "embedding",
+                 idCol: String = "vec_id"): DataFrame = {
+    val centroids = loadIvfCentroids(spark, dir)
+    val needed = guardedProbeBuckets("ivfSq8TopK", queries, centroids,
+      nprobe, vecCol)
+    val indexed = spark.read.parquet(s"$dir/codes")
+      .where(col("c").isin(needed.map(Int.box): _*))
+    sq8Serve(indexed, queries, k, centroids, nprobe, vecCol, idCol)
+  }
+
   // --- IVF-PQ: coarse pruning COMPOSED with code compression --------------
   // The actual serving architecture (Jégou et al. 2011 §IV): the coarse
   // quantizer prunes the scan to nprobe of nlist bucket directories, the

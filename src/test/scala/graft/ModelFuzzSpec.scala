@@ -37,9 +37,11 @@ class ModelFuzzSpec extends AnyFunSuite {
       val ivfpqDir = base.resolve("ivfpq").toString
       Similarity.saveIvfPqIndex(embT, ivfpqDir, nlist = 8, m = 16, k = 8,
         iters = 1)
+      val ivfsq8Dir = base.resolve("ivfsq8").toString
+      Similarity.saveIvfSq8Index(embT, ivfsq8Dir, nlist = 8, iters = 1)
       val artifacts =
         Map("bpe" -> mergesPath, "ivf" -> ivfDir, "pq" -> pqDir,
-          "ivfpq" -> ivfpqDir)
+          "ivfpq" -> ivfpqDir, "ivfsq8" -> ivfsq8Dir)
       // by-name vs literal-form query pairs per kind; %s is the model
       // name or its literal equivalent (path; merge list for bpe)
       def serveSql(kind: String, ref: String): String = kind match {
@@ -55,6 +57,9 @@ class ModelFuzzSpec extends AnyFunSuite {
         case "ivfpq" =>
           s"select qid, vec_id, cos from ivfpq_topk(fuzzq, '$ref', 4, 2, 20) " +
             "order by qid, cos desc, vec_id"
+        case "ivfsq8" =>
+          s"select qid, vec_id, cos from ivfsq8_topk(fuzzq, '$ref', 4, 2) " +
+            "order by qid, cos desc, vec_id"
       }
       def literalRef(kind: String): String =
         if (kind == "bpe") mergesList else artifacts(kind)
@@ -64,7 +69,7 @@ class ModelFuzzSpec extends AnyFunSuite {
       g.sql("create table fuzzq as select vec_id, embedding from embeddings where vec_id < 3")
       val mirror = scala.collection.mutable.Map.empty[String, String]
       val names = (0 until 6).map(i => s"fm$i")
-      val kinds = Seq("bpe", "ivf", "pq", "ivfpq")
+      val kinds = Seq("bpe", "ivf", "pq", "ivfpq", "ivfsq8")
       val rnd = new scala.util.Random(20260815L)
       var serves = 0
       var wrongKinds = 0
