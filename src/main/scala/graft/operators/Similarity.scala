@@ -607,6 +607,23 @@ object Similarity {
       .write.mode("overwrite").partitionBy("c").parquet(s"$dir/codes")
   }
 
+  /** Grow a [[saveIvfSq8Index]] layout WITHOUT retraining — the
+    * daily-ingest arm of the lifecycle, mirroring [[appendToIvfIndex]]:
+    * new vectors are SQ8-encoded and assigned with the EXISTING
+    * centroids, appended to their bucket directories (append-mode
+    * partitioned write — new files, never rewrites, so a concurrent
+    * serve sees either layout, both complete). Drift/rebuild discipline
+    * is the same as the other two indexed layouts: audit recall on a
+    * fixed probe set, blue/green retrain when it decays. */
+  def appendToIvfSq8Index(newVectors: DataFrame, dir: String,
+                          vecCol: String = "embedding",
+                          idCol: String = "vec_id"): Unit = {
+    val centroids = loadIvfCentroids(newVectors.sparkSession, dir)
+    ivfSq8Encode(newVectors, centroids, vecCol, idCol)
+      .repartition(col("c"))
+      .write.mode("append").partitionBy("c").parquet(s"$dir/codes")
+  }
+
   /** Serve from a [[saveIvfSq8Index]] layout: probe buckets collapse to
     * a literal partition filter (static pruning — only nprobe bucket
     * directories are read), then int8 cosine over the probed codes.

@@ -99,6 +99,24 @@ class Int8Spec extends AnyFunSuite {
     assert(overlap * 10 >= brute.count() * 9, s"overlap=$overlap")
   }
 
+  test("IVF+SQ8: layout serve ≡ in-memory composition; append grows buckets with serve parity") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq8_spec_").toString
+    val old = emb.where(col("vec_id") % 3 =!= 0)
+    val fresh = emb.where(col("vec_id") % 3 === 0)
+    val q = emb.where(col("vec_id") < 6)
+    Similarity.saveIvfSq8Index(old, dir)
+    val centroids = Similarity.loadIvfCentroids(spark, dir)
+    // layout serve is exactly the in-memory composition
+    val served = Similarity.ivfSq8TopK(spark, dir, q, k = 4, nprobe = 3)
+    val flat = Similarity.ivfSq8TopKWith(old, q, k = 4, centroids, nprobe = 3)
+    assert(served.except(flat).count() === 0L && flat.except(served).count() === 0L)
+    // append: grown layout ≡ composition over old ∪ new with SAME centroids
+    Similarity.appendToIvfSq8Index(fresh, dir)
+    val grown = Similarity.ivfSq8TopK(spark, dir, q, k = 4, nprobe = 3)
+    val flatAll = Similarity.ivfSq8TopKWith(emb, q, k = 4, centroids, nprobe = 3)
+    assert(grown.except(flatAll).count() === 0L && flatAll.except(grown).count() === 0L)
+  }
+
   test("int8 SQL functions and the int8_quantize table function surface") {
     val e = TestSpark.session
     val r = e.sql("select vec_id, qvec, qscale from int8_quantize(embeddings)")
