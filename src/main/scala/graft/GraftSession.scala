@@ -576,6 +576,16 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     // bpe_encode(rel, 'e r,i n' | 'model_name'[, cap]) — the token-id
     // STREAM (id, wpos, tpos, token, token_id), the form packing and
     // shard writers consume; ids dense over the emitted token vocabulary
+    // bpe_decode(rel) — detokenize a bpe_encode output relation back to
+    // text: (id, text_detok); decode(encode(x)) reproduces the lowercase
+    // word normalization of x exactly (merges are concatenative)
+    catalog.registerTableFunction("bpe_decode", { args =>
+      arity("bpe_decode", args, 1, 1)
+      val r = rel("bpe_decode", args, 0)
+      Seq("id", "wpos", "tpos", "token").foreach(c => reqCol("bpe_decode", r, c,
+        "input must be a bpe_encode output relation (id, wpos, tpos, token, token_id)"))
+      TextAnalysis.bpeDecode(r)
+    })
     catalog.registerTableFunction("bpe_encode", { args =>
       arity("bpe_encode", args, 2, 3)
       val r = rel("bpe_encode", args, 0)

@@ -1186,6 +1186,22 @@ object SparkEntry {
         "n_replacement, n_control, script, ok_encoding " +
         "from script_stats(q132_docs) order by id")
     }),
+    // ---- bpe_decode table fn (r12): the full encode→decode round trip
+    // through the SQL surface. The oracle derives the expected
+    // detokenization from the RAW corpus text alone (lowercase
+    // [a-z]+-word normalization), so a pass proves BOTH codecs —
+    // encode lost nothing, decode reassembled exactly ----
+    "q134_bpe_roundtrip_fn" -> ((s, d) => {
+      val e = g(s, d)
+      // LAZY registration: the encode fuses into the decode pipeline —
+      // a `create table as` here materialized the full token relation
+      // (~50M rows at the 100× sweep) just to re-shuffle it
+      e.catalog.registerTable("q134_enc",
+        graft.operators.TextAnalysis.bpeEncode(
+          e.catalog.relation("documents"), "text", "doc_id",
+          Seq(("e", "r"), ("i", "n"), ("t", "h"), ("a", "n"))))
+      e.sql("select id, text_detok from bpe_decode(q134_enc) order by id")
+    }),
     "q117_socket_source" -> ((s, d) => {
       val nation = g(s, d).catalog.relation("nation")
         .select(org.apache.spark.sql.functions.col("n_nationkey").cast("long"),
@@ -1828,6 +1844,15 @@ object SparkEntry {
        "WHEN cjk >= ara THEN 'cjk' ELSE 'arabic' END AS script, " +
        "CAST(CASE WHEN rep = 0 AND ctl = 0 THEN 1 ELSE 0 END AS INTEGER) AS ok_encoding " +
        "FROM c ORDER BY id"),
+    // q134: the expected detokenization derives from the RAW text —
+    // independent of both the encoder and decoder under test. Docs with
+    // no [a-z] word at all produce no encode rows and are rightly absent
+    "q134_bpe_roundtrip_fn" ->
+      ("SELECT doc_id AS id, array_to_string(list_filter(" +
+       "regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> ''), ' ') AS text_detok " +
+       "FROM documents " +
+       "WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '')) > 0 " +
+       "ORDER BY id"),
     // q114: the x97 encode CTEs aggregated per doc
     "q114_bpe_encode_fn" ->
       (s"WITH ${graft.operators.Extensions.duckBpeEncodeCtes} " +

@@ -959,6 +959,53 @@ object TextAnalysis {
         col("token"), col("token_id"))
   }
 
+  /** Detokenize a [[bpeEncode]] frame back to text — the inspection /
+    * debugging path every packed-token pipeline needs (what do these
+    * token ids SAY?). BPE merges are concatenative, so no information is
+    * lost: tokens concatenate within each word (tpos order), words join
+    * with single spaces (wpos order), and the round-trip contract
+    * decode(encode(x)) = the lowercase `[a-z]+`-word normalization of x
+    * is EXACT (oracle-gated — the oracle derives the expected text from
+    * the RAW corpus, independent of both codecs). Two keyed
+    * partial-aggregatable aggregations; per-group arrays are word- and
+    * document-sized. Output: (id, text_detok). */
+  def bpeDecode(encoded: DataFrame): DataFrame = {
+    // ONE hash shuffle on id + an in-partition UnsafeExternalSort, then a
+    // streaming assembler holding a single document's string at a time.
+    // The obvious two-level collect_list formulation buffered every
+    // token struct in aggregation state — 36 GB of spill at the 100×
+    // sweep; this shape spills only if one PARTITION outgrows memory,
+    // and then through the radix sorter, not object aggregation maps.
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    encoded.select(col("id").cast("long"), col("wpos").cast("int"),
+        col("tpos").cast("int"), col("token").cast("string"))
+      .repartition(col("id"))
+      .sortWithinPartitions("id", "wpos", "tpos")
+      .as[(Long, Int, Int, String)]
+      .mapPartitions { it =>
+        new Iterator[(Long, String)] {
+          private var cur: Option[(Long, Int, Int, String)] =
+            if (it.hasNext) Some(it.next()) else None
+          def hasNext: Boolean = cur.isDefined
+          def next(): (Long, String) = {
+            val (id, w0, _, t0) = cur.get
+            val sb = new java.lang.StringBuilder(t0)
+            var lastW = w0
+            var nxt = if (it.hasNext) Some(it.next()) else None
+            while (nxt.exists(_._1 == id)) {
+              val (_, w, _, t) = nxt.get
+              if (w != lastW) { sb.append(' '); lastW = w }
+              sb.append(t)
+              nxt = if (it.hasNext) Some(it.next()) else None
+            }
+            cur = nxt
+            (id, sb.toString)
+          }
+        }
+      }.toDF("id", "text_detok")
+  }
+
   /** Token count per distinct word under an ordered merge list — the
     * vocabulary-sized half of distributed tokenization. Input must be a
     * `word` column of non-empty space-free strings. */

@@ -1272,6 +1272,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(4L) == ((2L, 2L, 1.0)))
   }
 
+  test("bpeDecode: decode(encode(x)) reproduces the word normalization; OOV and caps covered") {
+    val d = Seq(
+      (1L, "The quick, brown FOX!"),
+      (2L, "zzzqqq xyzzy"),          // OOV words: char-split then reassembled
+      (3L, "12345 !!!"),             // no [a-z] word: absent from output
+      (4L, "interesting anthem")).toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeEncode(d, "text", "doc_id",
+      Seq(("e", "r"), ("i", "n"), ("t", "h")))
+    val dec = TextAnalysis.bpeDecode(enc)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec(1L) == "the quick brown fox")
+    assert(dec(2L) == "zzzqqq xyzzy")
+    assert(dec(4L) == "interesting anthem")
+    assert(!dec.contains(3L))
+    // real corpus: every decoded doc equals its normalization
+    val want = docs.select(col("doc_id").as("id"),
+      array_join(filter(split(lower(col("text")), "[^a-z]+"),
+        w => length(w) > 0), " ").as("w"))
+    val got = TextAnalysis.bpeDecode(
+      TextAnalysis.bpeEncode(docs, "text", "doc_id", Seq(("e", "r"))))
+    assert(got.join(want, "id").where(col("text_detok") =!= col("w")).count() === 0L)
+  }
+
   test("scriptStats: range counts, argmax with tie priority, mojibake and control flags") {
     val d = Seq(
       (1L, "hello world"),               // pure latin
