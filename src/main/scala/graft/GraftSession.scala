@@ -203,6 +203,21 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         "input relation must have a url column (or pass its name as argument 2)")
       graft.operators.UrlCuration.domainStats(r, urlCol)
     })
+    // domain_split(rel, testPercent[, urlCol]) — domain-disjoint
+    // train/test split: pages of one registered domain never straddle
+    // the eval boundary (provenance-level leakage guard)
+    catalog.registerTableFunction("domain_split", { args =>
+      arity("domain_split", args, 2, 3)
+      val r = rel("domain_split", args, 0)
+      val pct = num("domain_split", args, 1, 10L).toInt
+      if (pct < 0 || pct > 100)
+        throw new graft.translate.GraftAnalysisException(
+          s"domain_split: test percent must be in [0,100], got $pct")
+      val urlCol = if (args.length > 2) str("domain_split", args, 2) else "url"
+      reqCol("domain_split", r, urlCol,
+        "input relation must have a url column (or pass its name as argument 3)")
+      graft.operators.UrlCuration.domainDisjointSplit(r, pct, urlCol)
+    })
     // int8_quantize(rel[, vecCol[, idCol]]) — symmetric per-vector int8
     // scalar quantization (SQ8, the embedding storage tier): output
     // (id, scale, codes array<tinyint>), all via codegen loop expressions

@@ -1202,6 +1202,16 @@ object SparkEntry {
           Seq(("e", "r"), ("i", "n"), ("t", "h"), ("a", "n"))))
       e.sql("select id, text_detok from bpe_decode(q134_enc) order by id")
     }),
+    // ---- domain_split table fn (r12): the FULL per-row assignment
+    // (domain + split) is recomputed by DuckDB — md5-of-domain with
+    // exact integer bucket arithmetic is engine-portable ----
+    "q135_domain_split_fn" -> ((s, d) => {
+      val e = g(s, d)
+      e.catalog.registerTable("q135_urls",
+        graft.operators.UrlCuration.synthUrls(e.catalog.relation("documents")))
+      e.sql("select doc_id as id, domain, split " +
+        "from domain_split(q135_urls, 25) order by id")
+    }),
     "q117_socket_source" -> ((s, d) => {
       val nation = g(s, d).catalog.relation("nation")
         .select(org.apache.spark.sql.functions.col("n_nationkey").cast("long"),
@@ -1853,6 +1863,14 @@ object SparkEntry {
        "FROM documents " +
        "WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '')) > 0 " +
        "ORDER BY id"),
+    // q135: full assignment recompute — same domain arithmetic, same
+    // md5 bucket, same integer threshold
+    "q135_domain_split_fn" ->
+      (s"WITH u AS ($duckSynthUrlCte) " +
+       "SELECT doc_id AS id, dom AS domain, " +
+       "CASE WHEN CAST(('0x' || substr(md5(dom), 1, 4)) AS BIGINT) * 100 " +
+       "< 25 * 65536 THEN 'test' ELSE 'train' END AS split " +
+       "FROM u ORDER BY id"),
     // q114: the x97 encode CTEs aggregated per doc
     "q114_bpe_encode_fn" ->
       (s"WITH ${graft.operators.Extensions.duckBpeEncodeCtes} " +

@@ -205,6 +205,28 @@ object UrlCuration {
   def synthUrls(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol), synthUrl(col(idCol)).as("url"))
 
+  /** Domain-disjoint train/test split — the web-corpus leakage guard:
+    * membership is decided per REGISTERED DOMAIN, never per page, so two
+    * pages of one site can never straddle the eval boundary (near-dup
+    * and templated pages cluster within sites — an id-hashed split leaks
+    * them across; [[Sampling.leakageSafeSplit]] closes the same bug by
+    * CONTENT, this closes it by PROVENANCE). Assignment is
+    * content-addressed on md5 of the domain string with exact integer
+    * arithmetic (bucket/65536 < pct/100), so it is engine-portable
+    * (DuckDB recomputes the full assignment), deterministic across runs
+    * and stable as the corpus grows. Pure projection — no shuffle.
+    * Output: input columns + (domain, split). */
+  def domainDisjointSplit(df: DataFrame, testPercent: Int,
+                          urlCol: String = "url"): DataFrame = {
+    require(testPercent >= 0 && testPercent <= 100, "testPercent in [0,100]")
+    val domain = registeredDomain(col(urlCol))
+    val bucket = conv(substring(md5(domain), 1, 4), 16, 10).cast("long")
+    df.withColumn("domain", domain)
+      .withColumn("split",
+        when(bucket * 100 < lit(testPercent.toLong * 65536L), "test")
+          .otherwise("train"))
+  }
+
   /** Drop rows whose registered domain is on a blocklist. The list is a
     * driver-side constant (blocklists are config, thousands of entries at
     * most) — compiled to a codegen'd isin / broadcast-semantics filter,

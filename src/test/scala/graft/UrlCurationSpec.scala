@@ -159,6 +159,29 @@ class UrlCurationSpec extends AnyFunSuite {
       bad.limit(3).collect().mkString("; "))
   }
 
+  test("domainDisjointSplit: domains never straddle, fraction tracks pct, deterministic") {
+    val d = UrlCuration.synthUrls(docs)
+    val s25 = UrlCuration.domainDisjointSplit(d, 25)
+    // provenance guarantee: every domain lands wholly on one side
+    assert(s25.groupBy("domain")
+      .agg(countDistinct(col("split")).as("ns"))
+      .where(col("ns") > 1).count() === 0L)
+    // the test fraction tracks 25% (domains are the sampling unit — wide
+    // tolerance at 185 domains)
+    val nd = s25.select("domain").distinct().count().toDouble
+    val ndTest = s25.where(col("split") === "test")
+      .select("domain").distinct().count().toDouble
+    assert(ndTest / nd > 0.10 && ndTest / nd < 0.40, s"test frac ${ndTest / nd}")
+    // deterministic across runs; 0 and 100 are total
+    val again = UrlCuration.domainDisjointSplit(d, 25)
+    assert(s25.select("doc_id", "split").except(
+      again.select("doc_id", "split")).count() === 0L)
+    assert(UrlCuration.domainDisjointSplit(d, 0)
+      .where(col("split") === "test").count() === 0L)
+    assert(UrlCuration.domainDisjointSplit(d, 100)
+      .where(col("split") === "train").count() === 0L)
+  }
+
   test("domainBlocklistFilter drops exactly the listed domains") {
     val d = UrlCuration.synthUrls(docs)
     val block = Seq("site0.com", "site7.co.uk")
