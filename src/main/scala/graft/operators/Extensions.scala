@@ -287,6 +287,39 @@ object Extensions {
           .localCheckpoint()
       } finally q.stop()
     }),
+    // ---- streaming URL dedup (r12): the x114 canonicalize-then-dedup
+    // hygiene on a STREAM — normalization is a stateless codegen
+    // projection riding in front of the watermark-bounded exact-dedup
+    // state (the x58 discipline); the surviving key set is ONE canonical
+    // URL per 3-variant family, and the canonical STRINGS themselves are
+    // leader arithmetic the oracle rebuilds ----
+    "x118_url_dedup_stream" -> ((s, d) => {
+      val leader = col("doc_id") - col("doc_id") % 3
+      val canon = UrlCuration.synthCanonicalUrl(leader)
+      val url = when(col("doc_id") % 3 === 0, canon)
+        .when(col("doc_id") % 3 === 1,
+          concat(regexp_replace(canon, "://", "://www."),
+            lit("#v"), col("doc_id").cast("string")))
+        .otherwise(when(instr(canon, "?") > 0,
+            concat(canon, lit("&utm_campaign=y")))
+          .otherwise(concat(canon, lit("?utm_source=x"))))
+      val in0 = docs(s, d).select(col("doc_id"), url.as("url"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"))
+      val in = replayStream(s, in0)
+        .withColumn("url_norm", UrlCuration.normalizeUrl(col("url")))
+      val deduped = graft.streaming.Dedup.withinWatermark(
+        in, Seq("url_norm"), "ts", "1 hour")
+      val sink = "x118_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try deduped.select(col("url_norm"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        q.processAllAvailable()
+        s.table(sink).orderBy("url_norm").localCheckpoint()
+      } finally q.stop()
+    }),
     // ---- keep-BEST exact dedup (r9): representative selection by
     // quality score instead of min id (the RefinedWeb re-crawl shape);
     // score = engine-portable multiplicative hash of the id so the
@@ -2559,6 +2592,19 @@ object Extensions {
         "CAST(1 AS INTEGER) AS gain_invariant, " +
         "CAST(1 AS INTEGER) AS families_separate, " +
         "CAST(1 AS INTEGER) AS all_ok FROM documents"),
+      // x118: the surviving key set is the canonical URL of each
+      // 3-variant family — rebuilt string-for-string from leader
+      // arithmetic (d = doc_id - doc_id % 3)
+      "x118_url_dedup_stream" -> (
+        "WITH l AS (SELECT DISTINCT doc_id - doc_id % 3 AS d FROM documents) " +
+        "SELECT (CASE WHEN d % 2 = 0 THEN 'https' ELSE 'http' END) || '://' || " +
+        "(CASE WHEN d % 8 = 0 THEN 'blog.' ELSE '' END) || " +
+        "'site' || CAST(d % 37 AS VARCHAR) || '.' || " +
+        "(CASE d % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk' " +
+        "WHEN 3 THEN 'net' ELSE 'ac.jp' END) || " +
+        "'/p/' || CAST(d % 11 AS VARCHAR) || " +
+        "(CASE WHEN d % 6 <= 2 THEN '?q=' || CAST(d % 13 AS VARCHAR) ELSE '' END) " +
+        "AS url_norm FROM l ORDER BY url_norm"),
       // x114: the keeper set (min doc_id per 3-variant family) is pure
       // arithmetic; all_canonical is asserted Spark-side
       "x114_url_dedup" -> (
