@@ -650,6 +650,21 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       require(as.length == 1, "redact_pii(text)")
       graft.operators.TextAnalysis.redactPII(as.head)
     }
+    // URL scalar functions (r12): the canonicalization family in any
+    // expression position — `where url_domain(u) = 'x.com'`, join keys,
+    // SELECT lists — not just through the whole-relation table fns
+    graft.functions.Registry.registerScalar("url_canonical") { as =>
+      require(as.length == 1, "url_canonical(url)")
+      graft.operators.UrlCuration.normalizeUrl(as.head)
+    }
+    graft.functions.Registry.registerScalar("url_host") { as =>
+      require(as.length == 1, "url_host(url)")
+      graft.operators.UrlCuration.canonicalHost(as.head)
+    }
+    graft.functions.Registry.registerScalar("url_domain") { as =>
+      require(as.length == 1, "url_domain(url)")
+      graft.operators.UrlCuration.registeredDomain(as.head)
+    }
     // vector-corpus convention: embedding + vec_id columns
     catalog.registerTableFunction("dim_covariance", { args =>
       arity("dim_covariance", args, 1, 1)

@@ -1212,6 +1212,18 @@ object SparkEntry {
       e.sql("select doc_id as id, domain, split " +
         "from domain_split(q135_urls, 25) order by id")
     }),
+    // ---- URL scalar fns (r12): the canonicalization family in
+    // EXPRESSION position through the dialect translator (q129 proves
+    // the table-fn path; this proves scalar composition — a WHERE on
+    // url_domain rides the same call) ----
+    "q136_url_scalar_fns" -> ((s, d) => {
+      val e = g(s, d)
+      e.catalog.registerTable("q136_urls",
+        graft.operators.UrlCuration.synthUrls(e.catalog.relation("documents")))
+      e.sql("select doc_id as id, url_canonical(url) as cu, url_host(url) as h, " +
+        "url_domain(url) as dom from q136_urls " +
+        "where url_domain(url) <> 'nosuch.example' order by id")
+    }),
     "q117_socket_source" -> ((s, d) => {
       val nation = g(s, d).catalog.relation("nation")
         .select(org.apache.spark.sql.functions.col("n_nationkey").cast("long"),
@@ -1871,6 +1883,11 @@ object SparkEntry {
        "CASE WHEN CAST(('0x' || substr(md5(dom), 1, 4)) AS BIGINT) * 100 " +
        "< 25 * 65536 THEN 'test' ELSE 'train' END AS split " +
        "FROM u ORDER BY id"),
+    // q136: scalar-position recompute — same arithmetic as q129
+    "q136_url_scalar_fns" ->
+      (s"WITH u AS ($duckSynthUrlCte) " +
+       "SELECT doc_id AS id, scheme || '://' || sub || dom || pth || qq AS cu, " +
+       "sub || dom AS h, dom AS dom FROM u ORDER BY id"),
     // q114: the x97 encode CTEs aggregated per doc
     "q114_bpe_encode_fn" ->
       (s"WITH ${graft.operators.Extensions.duckBpeEncodeCtes} " +

@@ -128,7 +128,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // encode/assignment paths the serve gates don't re-train (r12)
     val family = Seq("x16_sim_ivf_topk", "x76_ann_recall", "x90_ivf_index",
       "x99_pq_ann", "x101_ivfpq_ann", "q115_pq_topk_fn", "q116_ivfpq_topk_fn",
-      "x96_ivf_lifecycle", "x107_ivfpq_lifecycle")
+      "x96_ivf_lifecycle", "x107_ivfpq_lifecycle",
+      // r12: the int8 loop-expression family (quantize/dot/cosine) and
+      // the composed IVF+SQ8 serve join the pinned set — same silent-
+      // degradation surface as the IVF/PQ trees this audit exists for
+      "x115_int8_ann", "x117_ivfsq8_ann", "q131_int8_quantize_fn")
     CodegenGuard.reset()
     family.foreach { name =>
       val fn = SparkEntry.queries(name)
