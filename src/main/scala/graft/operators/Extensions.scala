@@ -320,6 +320,35 @@ object Extensions {
         s.table(sink).orderBy("url_norm").localCheckpoint()
       } finally q.stop()
     }),
+    // ---- the WEB curation pipeline (r12): the round-12 family as ONE
+    // composition — canonical-URL dedup (re-crawl removal) → encoding
+    // hygiene (mojibake drop) → PII redaction → Gopher wc/mwl keep.
+    // The oracle re-runs every stage in DuckDB and the gate emits the
+    // FULL survivor id list, so a pass pins every keep/drop decision of
+    // the composed chain, not just counts ----
+    "x119_web_pipeline" -> ((s, d) => {
+      val leader = col("doc_id") - col("doc_id") % 3
+      val canon = UrlCuration.synthCanonicalUrl(leader)
+      val url = when(col("doc_id") % 3 === 0, canon)
+        .when(col("doc_id") % 3 === 1,
+          concat(regexp_replace(canon, "://", "://www."),
+            lit("#v"), col("doc_id").cast("string")))
+        .otherwise(when(instr(canon, "?") > 0,
+            concat(canon, lit("&utm_campaign=y")))
+          .otherwise(concat(canon, lit("?utm_source=x"))))
+      // every 11th-mod-5 doc gets transcode damage the hygiene stage drops
+      val crawl = docs(s, d).select(col("doc_id"), url.as("url"),
+        concat(col("text"), when(col("doc_id") % 11 === 5,
+          lit(" bad\uFFFDtext")).otherwise(lit(""))).as("text"))
+      val afterUrl = UrlCuration.urlDedup(crawl, "url", "doc_id")
+        .select("doc_id", "text")
+      val cleanIds = TextAnalysis.scriptStats(afterUrl, "text", "doc_id")
+        .where(col("ok_encoding") === 1).select(col("id").as("doc_id"))
+      val redacted = afterUrl.join(cleanIds, "doc_id")
+        .select(col("doc_id"), TextAnalysis.redactPII(col("text")).as("text"))
+      QualityFilters.gopherFilter(redacted, "text", Seq("wc_ok", "mwl_ok"))
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     // ---- keep-BEST exact dedup (r9): representative selection by
     // quality score instead of min id (the RefinedWeb re-crawl shape);
     // score = engine-portable multiplicative hash of the id so the
@@ -2592,6 +2621,29 @@ object Extensions {
         "CAST(1 AS INTEGER) AS gain_invariant, " +
         "CAST(1 AS INTEGER) AS families_separate, " +
         "CAST(1 AS INTEGER) AS all_ok FROM documents"),
+      // x119: every stage re-run in DuckDB — family min-id (url dedup),
+      // the q132 encoding regexes, the q126 redaction chain, the x65
+      // word/mean-word-len signals — and the FULL survivor list compared
+      "x119_web_pipeline" -> (
+        "WITH fam AS (SELECT min(doc_id) AS doc_id FROM documents " +
+        "GROUP BY doc_id - doc_id % 3), " +
+        "crawl AS (SELECT d.doc_id, d.text || CASE WHEN d.doc_id % 11 = 5 " +
+        "THEN ' bad' || chr(65533) || 'text' ELSE '' END AS t " +
+        "FROM documents d JOIN fam ON d.doc_id = fam.doc_id), " +
+        "clean AS (SELECT doc_id, t FROM crawl " +
+        "WHERE len(regexp_extract_all(t, '\\x{FFFD}')) = 0 " +
+        "AND len(regexp_extract_all(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]')) = 0), " +
+        "red AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
+        "'\\b\\d{7,15}\\b', '<NUM>', 'g') AS t FROM clean), " +
+        "base AS (SELECT doc_id, " +
+        "list_filter(regexp_split_to_array(trim(t), '\\s+'), w -> w <> '') AS ws FROM red), " +
+        "sig AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
+        "ROUND(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE) " +
+        "/ GREATEST(len(ws), 1), 6) AS mwl FROM base) " +
+        "SELECT doc_id FROM sig WHERE n_words >= 50 AND n_words <= 100000 " +
+        "AND mwl >= 3.0 AND mwl <= 10.0 ORDER BY doc_id"),
       // x118: the surviving key set is the canonical URL of each
       // 3-variant family — rebuilt string-for-string from leader
       // arithmetic (d = doc_id - doc_id % 3)
