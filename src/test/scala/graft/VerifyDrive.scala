@@ -203,6 +203,24 @@ object VerifyDrive {
         "from cluster_sample(embeddings, 20)").head()
       s"kept=${r.getLong(0)} clusters=${r.getLong(1)}"
     })
+    println("=== domain_split: " + {
+      val r = g.sql("select count(distinct split) as ns, count(*) as n " +
+        "from domain_split(vd_urls, 25)").head()
+      s"splits=${r.getLong(0)} rows=${r.getLong(1)}"
+    })
+    println("=== url scalars: " + {
+      val r = g.sql("select count(distinct url_domain(url)) as nd from vd_urls " +
+        "where url_host(url) <> '' and url_canonical(url) like 'http%'").head()
+      s"domains-via-scalar=${r.getLong(0)}"
+    })
+    println("=== bpe round trip: " + {
+      g.catalog.registerTable("vd_enc",
+        graft.operators.TextAnalysis.bpeEncode(
+          g.catalog.relation("documents"), "text", "doc_id", Seq(("e", "r"))))
+      val r = g.sql("select count(*) as n, min(length(text_detok)) as mn " +
+        "from bpe_decode(vd_enc)").head()
+      s"docs=${r.getLong(0)} min-len=${r.getInt(1)}"
+    })
     println("=== int8 surfaces: " + {
       val r = g.sql("select min(cast(qscale > 0 as int)) as pos, " +
         "max(int8_dot(qvec, qvec)) as mxdot from int8_quantize(embeddings)").head()
