@@ -624,6 +624,51 @@ object Similarity {
       .write.mode("append").partitionBy("c").parquet(s"$dir/codes")
   }
 
+  /** Recall audit of a persisted IVF+SQ8 layout against brute-force
+    * truth over the layout's own DEQUANTIZED rows (the SQ8 layout keeps
+    * no original floats — dequantized codes ARE its ground truth; the
+    * ≤0.5/qscale element error is part of the layout, the probe misses
+    * are what drift adds). Fixed query sample, the x76 discipline. */
+  def ivfSq8RecallAudit(spark: SparkSession, dir: String, queries: DataFrame,
+                        k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val corpus = dequantizeInt8(spark.read.parquet(s"$dir/codes"))
+      .select(col("vec_id"), col("vec").as("embedding"))
+    annRecall(
+      ivfSq8TopK(spark, dir, queries, k, nprobe),
+      bruteForceTopK(corpus, queries, k))
+  }
+
+  /** Drift-triggered blue/green rebuild for the IVF+SQ8 lifecycle — the
+    * same arm the other two indexed layouts have: audit on `dir`; below
+    * `minRecall`, retrain on the CURRENT dequantized corpus into
+    * `rebuildDir` (a NEW directory — a server keeps probing the old
+    * layout until the swap). Same 1-row report shape as
+    * [[refreshIvfIndexIfDrifted]]. */
+  def refreshIvfSq8IndexIfDrifted(spark: SparkSession, dir: String,
+                                  rebuildDir: String, queries: DataFrame,
+                                  k: Int = 10, nprobe: Int = 4,
+                                  minRecall: Double = 0.8, nlist: Int = 16,
+                                  iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val before = ivfSq8RecallAudit(spark, dir, queries, k, nprobe).head()
+    val nq = before.getLong(0)
+    val recallBefore = before.getDouble(1)
+    if (recallBefore >= minRecall)
+      Seq((nq, recallBefore, 0, 0, recallBefore))
+        .toDF("n_queries", "recall_before", "drifted", "retrained", "recall_after")
+    else {
+      // float32 at the retrain boundary: the original corpus WAS float32
+      // and the trainer's seed collect reads floats
+      val corpus = dequantizeInt8(spark.read.parquet(s"$dir/codes"))
+        .select(col("vec_id"), col("vec").cast("array<float>").as("embedding"))
+      saveIvfSq8Index(corpus, rebuildDir, nlist, iters)
+      val after = ivfSq8RecallAudit(spark, rebuildDir, queries, k, nprobe)
+        .head().getDouble(1)
+      Seq((nq, recallBefore, 1, 1, after))
+        .toDF("n_queries", "recall_before", "drifted", "retrained", "recall_after")
+    }
+  }
+
   /** Serve from a [[saveIvfSq8Index]] layout: probe buckets collapse to
     * a literal partition filter (static pruning — only nprobe bucket
     * directories are read), then int8 cosine over the probed codes.

