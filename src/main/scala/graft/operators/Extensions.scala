@@ -896,6 +896,34 @@ object Extensions {
       Seq((queries.count(), if (eq) 1 else 0))
         .toDF("n_queries", "stream_matches_batch")
     }),
+    // ---- streaming IVF+SQ8 serve (r12): the x117 composed serve on a
+    // query STREAM behind the exactly-once idempotent sink — per
+    // micro-batch only the probed bucket directories of int8 codes are
+    // read (the x103 discipline on the SQ8 tier) ----
+    "x120_ivfsq8_serve_stream" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d).localCheckpoint()
+      val dir = ivfSq8IndexFixture(s, d) // shared x117/q133 layout (read-only)
+      val queries = e.where(col("vec_id") < 40)
+        .select("vec_id", "embedding").localCheckpoint()
+      val batchOut = Similarity.ivfSq8TopK(s, dir, queries, k = 5, nprobe = 4)
+        .localCheckpoint()
+      val srcDir = tempDir("x120_src_")
+      val outDir = tempDir("x120_out_")
+      val ckpt = tempDir("x120_ckpt_")
+      queries.repartition(4).write.mode("overwrite").parquet(srcDir)
+      val in = s.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir) // ≥2 micro-batches
+      val q = graft.streaming.Sinks.idempotentServe(in, outDir, ckpt,
+        b => Similarity.ivfSq8TopK(s, dir, b, k = 5, nprobe = 4))
+      try q.awaitTermination() finally { q.stop(); () }
+      graft.streaming.Sinks.awaitDeregistered(q)
+      val got = graft.streaming.Sinks.readCommitted(s, outDir)
+      val eq = got.count() == batchOut.count() &&
+        got.except(batchOut).isEmpty && batchOut.except(got).isEmpty
+      Seq((queries.count(), if (eq) 1 else 0))
+        .toDF("n_queries", "stream_matches_batch")
+    }),
     // ---- IVF index lifecycle (r10): append-without-retrain drifts the
     // coarse quantizer; the recall audit on a FIXED probe set detects it
     // and triggers a blue/green rebuild. Drift is manufactured
@@ -2443,6 +2471,10 @@ object Extensions {
       // x103: same parity-flag form — the streamed IVF-PQ serve must
       // equal the batch ivfPqTopK result exactly
       "x103_ivfpq_serve_stream" -> (
+        "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS stream_matches_batch " +
+        "FROM embeddings WHERE vec_id < 40"),
+      // x120: same parity contract on the SQ8 tier
+      "x120_ivfsq8_serve_stream" -> (
         "SELECT count(*) AS n_queries, CAST(1 AS INTEGER) AS stream_matches_batch " +
         "FROM embeddings WHERE vec_id < 40"),
       // x90: served-from-disk ≡ fresh in-memory is the assertion (both
