@@ -134,6 +134,36 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => s"${q(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val nFailed = results.values.count(_ < 0)
+    // Regression tripwire (r12 verdict #2): diff this run against the
+    // PREVIOUSLY COMMITTED full-run map before overwriting it. Any common
+    // gate >3x its prior min lands in a `regressions` block inside the new
+    // sidecar + a loud stderr line — the CodegenGuard/SpillGuard
+    // discipline applied to wall-time (x36 sat at 5.7x in a committed
+    // artifact without a note in r12). Noise context: the identical-code
+    // band on this box is ±11% suite-wide with single gates 1.5-10x in
+    // noisy windows (SCALE.md), so 3x is the "look at it" bar, not proof.
+    val priorQueries: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json"))
+      if (java.nio.file.Files.exists(p)) {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        // the sidecar format is ours: "queries":{"name":1.23,...} with no
+        // nested objects inside — a targeted regex parse is exact here
+        val qblock = """"queries"\s*:\s*\{([^}]*)\}""".r
+          .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+        """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(qblock)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
+    val regressions = results.toSeq.collect {
+      case (name, now) if now > 0 && priorQueries.getOrElse(name, -1.0) > 0 &&
+          now > 3.0 * priorQueries(name) =>
+        (name, priorQueries(name), now)
+    }.sortBy { case (_, prior, now) => -(now / prior) }
+    regressions.foreach { case (name, prior, now) =>
+      System.err.println(f"[bench] *** REGRESSION $name: $prior%.2f -> " +
+        f"$now%.2f s (${now / prior}%.1fx prior min) — triage before commit ***")
+    }
     // Full per-query map to a file: the stdout tail window only fits the
     // compact summary, so round-over-round diffs need this sidecar.
     try {
@@ -145,7 +175,11 @@ object Bench {
       val spNonzero = spills.toSeq.filter(_._2 > 0).sortBy(-_._2)
         .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
       val spTotal = spills.values.sum
-      val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$nRuns,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"subset":$isSubset,"spread_med":${pct(0.5)},"spread_p90":${pct(0.9)},"codegen_fallback_total":$fbTotal,"codegen_fallbacks":$fbNonzero,"spill_bytes_total":$spTotal,"spill_bytes":$spNonzero,"spread":$allSpread,"queries":$qs,"sf":${q(sfDir)}}"""
+      val regJson = regressions
+        .map { case (k, prior, now) =>
+          s"${q(k)}:{\"prior\":${r3(prior)},\"now\":${r3(now)},\"ratio\":${r3(now / prior)}}" }
+        .mkString("{", ",", "}")
+      val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$nRuns,"agg":"min","n_queries":${results.size},"n_failed":$nFailed,"subset":$isSubset,"spread_med":${pct(0.5)},"spread_p90":${pct(0.9)},"codegen_fallback_total":$fbTotal,"codegen_fallbacks":$fbNonzero,"spill_bytes_total":$spTotal,"spill_bytes":$spNonzero,"regressions":$regJson,"spread":$allSpread,"queries":$qs,"sf":${q(sfDir)}}"""
       // subset runs write a SEPARATE sidecar UNCONDITIONALLY (the env
       // override is honored only for full runs): a local profiling loop —
       // even one with a stale SPARK_GRAFT_BENCH_FULL in its shell — must

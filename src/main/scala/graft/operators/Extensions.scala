@@ -1385,8 +1385,14 @@ object Extensions {
       val expected = asg.groupBy("cluster").count()
         .agg(sum(least(col("count"), lit(cap.toLong)))).head().getLong(0)
       val perCluster = kept.groupBy("cluster").agg(count(lit(1)).as("n"))
-      val deterministic = kept.select(col("vec_id"))
-        .union(kept2).distinct().count() == kept.count()
+      // SET equality, not subset: union-distinct == kept.count alone
+      // would pass if the second run returned strictly fewer rows
+      val deterministic = {
+        val k2n = kept2.distinct().count()
+        kept.select(col("vec_id"))
+          .union(kept2).distinct().count() == kept.count() &&
+          k2n == kept.count()
+      }
       kept.agg(
         lit(e.count()).as("n_in"),
         (count(lit(1)) === expected).cast("int").as("kept_eq_sum_min"),

@@ -302,9 +302,13 @@ object Similarity {
   /** Grow a [[saveIvfIndex]] layout WITHOUT retraining — the daily-
     * ingest path: new vectors are assigned to the EXISTING centroids and
     * appended to their bucket directories (append-mode partitioned
-    * write; parquet appends are new files, never rewrites, so a serving
-    * query concurrent with the append sees either layout, both
-    * complete). The coarse quantizer drifts from the true k-means of the
+    * write; parquet appends are new files, never rewrites — but the
+    * multi-file commit is NOT atomic: a reader listing mid-commit can
+    * observe a PARTIAL superset of the old layout (old rows always
+    * complete, new rows eventually all visible). Serves that need a
+    * point-in-time cut should snapshot the file listing first or stage
+    * the append into a temp dir and rename per partition).
+    * The coarse quantizer drifts from the true k-means of the
     * grown corpus — periodic re-train + re-save is the rebuild story,
     * exactly like any IVF system. Serve parity after append is exact:
     * probing the appended layout ≡ [[ivfTopKWith]] over old ∪ new with
@@ -611,8 +615,11 @@ object Similarity {
     * daily-ingest arm of the lifecycle, mirroring [[appendToIvfIndex]]:
     * new vectors are SQ8-encoded and assigned with the EXISTING
     * centroids, appended to their bucket directories (append-mode
-    * partitioned write — new files, never rewrites, so a concurrent
-    * serve sees either layout, both complete). Drift/rebuild discipline
+    * partitioned write — new files, never rewrites; the multi-file
+    * commit is not atomic, so a concurrent serve sees the old rows plus
+    * an eventually-complete subset of the new ones — snapshot the file
+    * listing for a point-in-time cut, as [[appendToIvfIndex]] documents).
+    * Drift/rebuild discipline
     * is the same as the other two indexed layouts: audit recall on a
     * fixed probe set, blue/green retrain when it decays. */
   def appendToIvfSq8Index(newVectors: DataFrame, dir: String,

@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   * Normalization semantics (deliberately the C4/RefinedWeb canonical
   * subset — documented so the DuckDB oracle can derive the canonical form
   * independently by arithmetic, not by re-running this chain):
-  *  1. scheme and authority lowercased (path/query case preserved);
+  *  1. scheme and authority lowercased (path/query case preserved), any
+  *     `userinfo@` prefix dropped from the authority;
   *  2. fragment stripped;
   *  3. default port stripped (`:80` for http, `:443` for https);
   *  4. leading `www.` stripped from the host;
@@ -53,9 +54,20 @@ object UrlCuration {
     "co.uk", "ac.uk", "org.uk", "gov.uk", "co.jp", "ac.jp",
     "com.au", "co.in", "com.br", "co.nz")
 
-  /** Lowercased host with any port stripped; '' for non-URL strings. */
+  /** Authority with any `userinfo@` prefix removed. RFC 3986 restricts
+    * '@' in the authority to the userinfo separator, so stripping up to
+    * the LAST '@' is exact — and load-bearing for hygiene: without it,
+    * 'http://trusted.com@evil.net/x' reports registered domain
+    * 'com@evil.net', letting crafted URLs evade [[domainBlocklistFilter]]
+    * and split url-dedup keys. */
+  private def dropUserinfo(authority: Column): Column =
+    regexp_replace(authority, "^[^/]*@", "")
+
+  /** Lowercased host with userinfo and any port stripped; '' for non-URL
+    * strings. */
   def urlHost(url: Column): Column =
-    regexp_replace(lower(regexp_extract(url, HostRe, 1)), ":[0-9]+$", "")
+    regexp_replace(lower(dropUserinfo(regexp_extract(url, HostRe, 1))),
+      ":[0-9]+$", "")
 
   /** [[urlHost]] with the leading `www.` stripped — the canonical host
     * [[normalizeUrl]] emits. */
@@ -74,7 +86,15 @@ object UrlCuration {
     val last2 = element_at(parts, -2)
     val last3 = element_at(parts, -3)
     val suffix2 = concat_ws(".", last2, last1)
-    when(n >= 3 && suffix2.isin(TwoLevelSuffixes: _*),
+    // IP-literal hosts have no registered domain: an IPv4 host must pass
+    // through whole ('192.0.2.1', not '2.1' — last-two-octets grouping
+    // would merge unrelated IP hosts into one pseudo-domain in
+    // domain_stats/blocklists), and bracketed IPv6 likewise. Same
+    // PSL-subset pragmatism as [[TwoLevelSuffixes]].
+    val isIpLiteral =
+      host.rlike("^[0-9]+(\\.[0-9]+)*$") || host.startsWith("[")
+    when(isIpLiteral, host)
+      .when(n >= 3 && suffix2.isin(TwoLevelSuffixes: _*),
         concat_ws(".", last3, last2, last1))
       .when(n >= 2, suffix2)
       .otherwise(host)
@@ -88,7 +108,10 @@ object UrlCuration {
   /** Canonicalize a url column per the semantics in the object doc. */
   def normalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, SchemeRe, 1))
-    val hostport = lower(regexp_extract(url, HostRe, 1))
+    // userinfo is dropped from the canonical form (rule 1a): it never
+    // names a different resource on the crawl side, and keeping it would
+    // let 'http://x@site.com/p' and 'http://site.com/p' dedup apart
+    val hostport = lower(dropUserinfo(regexp_extract(url, HostRe, 1)))
     val hostNoPort = when(scheme === "http",
         regexp_replace(hostport, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostport, ":443$", ""))

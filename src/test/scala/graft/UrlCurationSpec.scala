@@ -91,6 +91,43 @@ class UrlCurationSpec extends AnyFunSuite {
       .foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("userinfo in the authority never pollutes host/domain/canonical form") {
+    // the adversarial crawl-hygiene case: 'trusted.com@evil.net' must
+    // resolve to evil.net (blocklist evasion otherwise), and the
+    // canonical form drops the userinfo so dedup keys match
+    val cases = Seq(
+      ("http://trusted.com@evil.net/x",
+        "evil.net", "evil.net", "http://evil.net/x"),
+      ("https://user:pw@www.site.co.uk:443/p?utm_x=1",
+        "site.co.uk", "site.co.uk", "https://site.co.uk/p"),
+      ("http://a@b@site.com/x", // '@' in userinfo: host is after the LAST
+        "site.com", "site.com", "http://site.com/x"))
+    cases.toDF("url", "wantHost", "wantDom", "wantNorm")
+      .select(UrlCuration.canonicalHost(col("url")).as("h"),
+        UrlCuration.registeredDomain(col("url")).as("d"),
+        UrlCuration.normalizeUrl(col("url")).as("n"),
+        col("wantHost"), col("wantDom"), col("wantNorm"))
+      .collect()
+      .foreach { r =>
+        assert(r.getString(0) === r.getString(3), s"host of ${r}")
+        assert(r.getString(1) === r.getString(4), s"domain of ${r}")
+        assert(r.getString(2) === r.getString(5), s"norm of ${r}")
+      }
+  }
+
+  test("IP-literal hosts pass through registeredDomain whole") {
+    val cases = Seq(
+      ("http://192.0.2.1/x", "192.0.2.1"),
+      ("http://192.0.2.1:8080/x", "192.0.2.1"),
+      ("http://10.0.0.7/x", "10.0.0.7"), // not '0.7'
+      ("http://[2001:db8::2]/x", "[2001:db8::2]"),
+      ("http://[::1]:8080/x", "[::1]"))
+    cases.toDF("url", "want")
+      .select(UrlCuration.registeredDomain(col("url")).as("got"), col("want"))
+      .collect()
+      .foreach(r => assert(r.getString(0) === r.getString(1), r.toString))
+  }
+
   test("urlDedup collapses canonically-equal variants, keeps min id per family") {
     // 3-variant families over the real corpus ids: variant bytes differ
     // (www + fragment / appended tracking param) but canonicalize to the
