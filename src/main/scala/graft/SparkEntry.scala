@@ -1264,6 +1264,59 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("name"))
         .orderBy("k").localCheckpoint()
     }),
+    // ---- S8 driver gate (r13): the q117 pattern for JDBC — the gate
+    // parquet is loaded into an embedded Derby table, registered through
+    // registerJdbc (live-connection schema introspection), and aggregated
+    // THROUGH the dialect; the oracle recomputes over the parquet alone,
+    // so a pass proves the JDBC source path end-to-end without the oracle
+    // ever seeing Derby ----
+    "q137_jdbc_source" -> ((s, d) => {
+      val e = g(s, d)
+      val url = "jdbc:derby:memory:graftq137;create=true"
+      val rows = e.catalog.relation("nation")
+        .select(org.apache.spark.sql.functions.col("n_nationkey").cast("long"),
+          org.apache.spark.sql.functions.col("n_name"),
+          org.apache.spark.sql.functions.col("n_regionkey").cast("long"))
+        .collect() // nation: 25 rows at every sf — bounded by schema, not data
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        // idempotent re-run (Bench passes share the JVM-wide memory db);
+        // Derby has no DROP TABLE IF EXISTS
+        try st.execute("DROP TABLE nation_jdbc") catch { case _: java.sql.SQLException => }
+        st.execute("CREATE TABLE nation_jdbc (n_nationkey BIGINT, " +
+          "n_name VARCHAR(64), n_regionkey BIGINT)")
+        st.close()
+        val ps = conn.prepareStatement("INSERT INTO nation_jdbc VALUES (?, ?, ?)")
+        rows.foreach { r =>
+          ps.setLong(1, r.getLong(0)); ps.setString(2, r.getString(1))
+          ps.setLong(3, r.getLong(2)); ps.addBatch()
+        }
+        ps.executeBatch(); ps.close()
+      } finally conn.close()
+      e.registerJdbc("nation_jdbc", url, "nation_jdbc",
+        introspectConstraints = true)
+      e.sql("select n_regionkey as rk, count(*) as n, min(n_name) as mn_name, " +
+        "max(n_nationkey) as mx_key from nation_jdbc group by n_regionkey " +
+        "order by rk")
+    }),
+    // ---- O7 driver gate (r13): a composed script — DDL, parameterized
+    // INSERT-SELECT, final aggregate — whose LAST statement's result is
+    // oracle-checkable as plain SQL over lineitem ----
+    "q138_sql_script" -> ((s, d) => g(s, d).sqlScript(
+      """create stream q138_sel (k long, qty double);
+        |insert into q138_sel (k, qty) select l_orderkey, l_quantity from lineitem where l_quantity > ?;
+        |select k, round(sum(qty), 2) as sq, count(*) as n from q138_sel group by k order by k""".stripMargin,
+      45.0)),
+    // ---- A7 driver gate (r13): an aggregate registered through the
+    // extension hook participates in GROUP BY through the dialect; the
+    // oracle recomputes the same formula with builtins ----
+    "q139_agg_hook" -> ((s, d) => {
+      graft.functions.Registry.registerAggregate("q139_sum_sq")(args =>
+        org.apache.spark.sql.functions.sum(args.head * args.head))
+      g(s, d).sql("select l_returnflag as f, round(q139_sum_sq(l_quantity), 2) as ssq, " +
+        "count(*) as n from lineitem group by l_returnflag order by f")
+    }),
     // ---- datetime constructors: field-wise date/timestamp assembly ----
     "q99_datetime_ctor" -> ((s, d) => g(s, d).sql(
       "select o_orderkey as k, " +
@@ -1750,6 +1803,22 @@ object SparkEntry {
     // recompute from the same parquet (the strongest oracle form)
     "q117_socket_source" -> (
       "SELECT n_nationkey AS k, n_name AS name FROM nation ORDER BY k"),
+    // q137: the Derby-loaded rows ARE the nation table — the oracle
+    // recomputes the aggregate from the parquet, never touching JDBC
+    "q137_jdbc_source" -> (
+      "SELECT n_regionkey AS rk, count(*) AS n, min(n_name) AS mn_name, " +
+      "CAST(max(n_nationkey) AS BIGINT) AS mx_key FROM nation " +
+      "GROUP BY n_regionkey ORDER BY rk"),
+    // q138: the script's final SELECT folded into one statement (sum of
+    // integer-valued doubles is binary-exact, so ROUND is order-stable)
+    "q138_sql_script" -> (
+      "SELECT l_orderkey AS k, ROUND(SUM(l_quantity), 2) AS sq, " +
+      "count(*) AS n FROM lineitem WHERE l_quantity > 45.0 " +
+      "GROUP BY l_orderkey ORDER BY k"),
+    // q139: the hook-registered aggregate recomputed with builtins
+    "q139_agg_hook" -> (
+      "SELECT l_returnflag AS f, ROUND(SUM(l_quantity * l_quantity), 2) AS ssq, " +
+      "count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY f"),
     // q123: within-family candidate pairs at hamming 0 = sum g·(g−1)/2
     "q123_hamming_pairs_fn" ->
       ("SELECT CAST(SUM(g * (g - 1) // 2) AS BIGINT) AS n_pairs FROM " +
