@@ -168,6 +168,17 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         "input relation must follow the documents convention"))
       TextAnalysis.piiStats(docs, "text", "doc_id")
     })
+    // warc_responses(rel) — parse WARC files ((warc_file, payload binary)
+    // rows; gzip auto-detected) into well-formed HTTP response records:
+    // (record_id, url, warc_date, status, mime, text, n_bytes). The crawl
+    // entry point in front of url_dedup/domain_stats (r13).
+    catalog.registerTableFunction("warc_responses", { args =>
+      arity("warc_responses", args, 1, 1)
+      val r = rel("warc_responses", args, 0)
+      Seq("warc_file", "payload").foreach(c => reqCol("warc_responses", r, c,
+        "input relation must have (warc_file, payload) columns"))
+      graft.operators.WebArchive.responses(r)
+    })
     // url_normalize(rel[, urlCol[, idCol]]) — canonical URL + host +
     // registered domain per row (C4/RefinedWeb web-hygiene stage);
     // output (id, url_norm, host, domain)

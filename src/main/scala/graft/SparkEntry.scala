@@ -1224,6 +1224,21 @@ object SparkEntry {
         "url_domain(url) as dom from q136_urls " +
         "where url_domain(url) <> 'nosuch.example' order by id")
     }),
+    // ---- warc_responses table fn (r13): the crawl entry point through
+    // the dialect — x121 proves the byte kernel row-for-row; this proves
+    // the SQL surface (WHERE on status rides the same call) ----
+    "q140_warc_fn" -> ((s, d) => {
+      val e = g(s, d)
+      val withUrl = e.catalog.relation("documents").select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        graft.operators.UrlCuration.synthCanonicalUrl(
+          org.apache.spark.sql.functions.col("doc_id")).as("url"),
+        org.apache.spark.sql.functions.col("text"))
+      e.catalog.registerTable("q140_warcs",
+        graft.operators.WebArchive.synthesizeWarc(withUrl))
+      e.sql("select record_id as id, status, length(text) as n_chars " +
+        "from warc_responses(q140_warcs) where status = 200 order by id")
+    }),
     "q117_socket_source" -> ((s, d) => {
       val nation = g(s, d).catalog.relation("nation")
         .select(org.apache.spark.sql.functions.col("n_nationkey").cast("long"),
@@ -1803,6 +1818,12 @@ object SparkEntry {
     // recompute from the same parquet (the strongest oracle form)
     "q117_socket_source" -> (
       "SELECT n_nationkey AS k, n_name AS name FROM nation ORDER BY k"),
+    // q140: 200-status records are every doc_id % 50 <> 0; text is the
+    // raw corpus text, so n_chars recomputes from documents directly
+    "q140_warc_fn" -> (
+      "SELECT doc_id AS id, 200 AS status, " +
+      "CAST(length(text) AS BIGINT) AS n_chars FROM documents " +
+      "WHERE doc_id % 50 <> 0 ORDER BY id"),
     // q137: the Derby-loaded rows ARE the nation table — the oracle
     // recomputes the aggregate from the parquet, never touching JDBC
     "q137_jdbc_source" -> (

@@ -349,6 +349,43 @@ object Extensions {
       QualityFilters.gopherFilter(redacted, "text", Seq("wc_ok", "mwl_ok"))
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    // ---- WARC ingest round trip (r13): documents become real gzipped
+    // WARC/1.0 files (warcinfo + request/response records, one gzip
+    // member each — the CommonCrawl layout), parsed back by the byte
+    // kernel. Every parsed column is doc_id arithmetic + the raw text,
+    // so the oracle recomputes the FULL row set without touching any
+    // container — the x13 discipline applied to web archives ----
+    "x121_warc_roundtrip" -> ((s, d) => {
+      val withUrl = docs(s, d).select(col("doc_id"),
+        UrlCuration.synthCanonicalUrl(col("doc_id")).as("url"), col("text"))
+      WebArchive.responses(WebArchive.synthesizeWarc(withUrl))
+        .select(col("record_id").as("id"), col("url"), col("warc_date"),
+          col("status"), col("mime"), col("text"))
+        .orderBy("id")
+    }),
+    // ---- WARC-fronted curation chain (r13): the x119 web pipeline fed
+    // from its REAL entry point — parse warc responses, drop non-200,
+    // canonical-url dedup, Gopher keep. One keyed shuffle (the dedup);
+    // parse and filters are stateless kernels ----
+    "x122_warc_pipeline" -> ((s, d) => {
+      val leader = col("doc_id") - col("doc_id") % 3
+      val canon = UrlCuration.synthCanonicalUrl(leader)
+      val url = when(col("doc_id") % 3 === 0, canon)
+        .when(col("doc_id") % 3 === 1,
+          concat(regexp_replace(canon, "://", "://www."),
+            lit("#v"), col("doc_id").cast("string")))
+        .otherwise(when(instr(canon, "?") > 0,
+            concat(canon, lit("&utm_campaign=y")))
+          .otherwise(concat(canon, lit("?utm_source=x"))))
+      val crawl = docs(s, d).select(col("doc_id"), url.as("url"), col("text"))
+      val pages = WebArchive.responses(WebArchive.synthesizeWarc(crawl))
+        .where(col("status") === 200)
+        .select(col("record_id").as("doc_id"), col("url"), col("text"))
+      val deduped = UrlCuration.urlDedup(pages, "url", "doc_id")
+        .select("doc_id", "text")
+      QualityFilters.gopherFilter(deduped, "text", Seq("wc_ok", "mwl_ok"))
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     // ---- keep-BEST exact dedup (r9): representative selection by
     // quality score instead of min id (the RefinedWeb re-crawl shape);
     // score = engine-portable multiplicative hash of the id so the
@@ -2677,6 +2714,41 @@ object Extensions {
         "'\\b\\d{7,15}\\b', '<NUM>', 'g') AS t FROM clean), " +
         "base AS (SELECT doc_id, " +
         "list_filter(regexp_split_to_array(trim(t), '\\s+'), w -> w <> '') AS ws FROM red), " +
+        "sig AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
+        "ROUND(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE) " +
+        "/ GREATEST(len(ws), 1), 6) AS mwl FROM base) " +
+        "SELECT doc_id FROM sig WHERE n_words >= 50 AND n_words <= 100000 " +
+        "AND mwl >= 3.0 AND mwl <= 10.0 ORDER BY doc_id"),
+      // x121: the parsed WARC rows rebuilt as pure doc_id arithmetic —
+      // url string, date lpad/mod fields, 404-every-50 status mix, error
+      // body substitution — with the raw text as the 200 bodies. The
+      // oracle never parses a container byte.
+      "x121_warc_roundtrip" -> (
+        "SELECT doc_id AS id, " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' || " +
+        "(CASE WHEN doc_id % 8 = 0 THEN 'blog.' ELSE '' END) || " +
+        "'site' || CAST(doc_id % 37 AS VARCHAR) || '.' || " +
+        "(CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk' " +
+        "WHEN 3 THEN 'net' ELSE 'ac.jp' END) || " +
+        "'/p/' || CAST(doc_id % 11 AS VARCHAR) || " +
+        "(CASE WHEN doc_id % 6 <= 2 THEN '?q=' || CAST(doc_id % 13 AS VARCHAR) ELSE '' END) AS url, " +
+        "'2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || 'T' || " +
+        "lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' || " +
+        "lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0') || ':' || " +
+        "lpad(CAST((doc_id * 13) % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_date, " +
+        "CASE WHEN doc_id % 50 = 0 THEN 404 ELSE 200 END AS status, " +
+        "'text/plain; charset=UTF-8' AS mime, " +
+        "CASE WHEN doc_id % 50 = 0 THEN 'not found' ELSE text END AS text " +
+        "FROM documents ORDER BY id"),
+      // x122: keep set = min surviving (status-200) member per 3-variant
+      // url family, then the Gopher wc/mwl thresholds — the x119 keep
+      // arithmetic with the WARC status mix in front
+      "x122_warc_pipeline" -> (
+        "WITH fam AS (SELECT min(doc_id) AS doc_id FROM documents " +
+        "WHERE doc_id % 50 <> 0 GROUP BY doc_id - doc_id % 3), " +
+        "base AS (SELECT d.doc_id, " +
+        "list_filter(regexp_split_to_array(trim(d.text), '\\s+'), w -> w <> '') AS ws " +
+        "FROM documents d JOIN fam USING (doc_id)), " +
         "sig AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
         "ROUND(CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE) " +
         "/ GREATEST(len(ws), 1), 6) AS mwl FROM base) " +

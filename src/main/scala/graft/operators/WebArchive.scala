@@ -1,0 +1,327 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** WARC (Web ARChive) ingest — the real entry point of every web-scale
+  * curation pipeline: CommonCrawl publishes `.warc.gz` files, and
+  * C4/RefinedWeb/Dolma all start by turning those into (url, date, mime,
+  * payload) rows before any text-level stage runs.
+  *
+  * Format implemented (public spec, ISO 28500 / WARC 1.x, same shape the
+  * reference's file sources would feed): a WARC file is a sequence of
+  * records; each record is
+  * {{{
+  *   WARC/1.0\r\n
+  *   <name>: <value>\r\n ...          (header block)
+  *   \r\n
+  *   <Content-Length bytes of content>
+  *   \r\n\r\n                          (record separator)
+  * }}}
+  * `response` records carry an HTTP/1.1 message as content (status line,
+  * headers, blank line, body). CommonCrawl convention compresses each
+  * record as its OWN gzip member, so readers can split files at member
+  * boundaries; `java.util.zip.GZIPInputStream` reads concatenated
+  * members natively, which is all the decompression this needs.
+  *
+  * Scale design:
+  *  - [[parseWarc]] is a mapPartitions byte kernel (the Multimodal codec
+  *    posture — container parsing has no Catalyst expression fit): one
+  *    pass over each file's bytes, no shuffle, output rows stream out per
+  *    record. Files are the parallelism unit, exactly like a 1000-executor
+  *    job listing a CommonCrawl prefix.
+  *  - [[synthesizeWarc]] is the deterministic test fixture (the x13
+  *    discipline): every header and byte of the synthesized records is
+  *    pure arithmetic of the doc id, so a DuckDB oracle recomputes the
+  *    parsed rows WITHOUT parsing any container. One warcinfo record per
+  *    file, then a request+response pair per document (the CommonCrawl
+  *    record mix), each record its own gzip member.
+  *  - Total function: malformed bytes never throw — the parser emits an
+  *    `ok = false` row naming the byte offset and stops scanning that
+  *    file (a truncated crawl file costs its tail, not the job).
+  */
+object WebArchive {
+
+  /** One parsed WARC record. For `response` records the HTTP message is
+    * unwrapped: `status`/`mime`/`text` come from the HTTP block;
+    * other record types carry status = -1 and the raw content as text.
+    * `record_id` is the numeric tail of `WARC-Record-ID:
+    * <urn:graft:N>` (-1 when absent/foreign), `n_bytes` the content
+    * length BEFORE http unwrapping. */
+  final case class WarcRecord(
+      warc_file: String, warc_type: String, record_id: Long, url: String,
+      warc_date: String, status: Int, mime: String, text: String,
+      n_bytes: Long, ok: Boolean)
+
+  // ---------------------------------------------------------------- parse
+
+  private val Gzip0 = 0x1f.toByte
+  private val Gzip1 = 0x8b.toByte
+
+  /** Inflate (possibly multi-member) gzip, or pass plain bytes through. */
+  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 2 || bytes(0) != Gzip0 || bytes(1) != Gzip1) return bytes
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
+  /** Index of `\r\n` at/after `from`, or -1. */
+  private def crlfAt(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  private def ascii(b: Array[Byte], from: Int, until: Int): String =
+    new String(b, from, until - from, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Parse one header block starting at `from`; returns (headers,
+    * offset-after-blank-line) or None if no terminating blank line. */
+  private def headerBlock(b: Array[Byte], from: Int): Option[(Map[String, String], Int)] = {
+    var i = from
+    val h = scala.collection.mutable.Map.empty[String, String]
+    while (true) {
+      val e = crlfAt(b, i)
+      if (e < 0) return None
+      if (e == i) return Some((h.toMap, e + 2)) // blank line = end of block
+      val line = ascii(b, i, e)
+      val c = line.indexOf(':')
+      if (c > 0) h(line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)) =
+        line.substring(c + 1).trim
+      i = e + 2
+    }
+    None // unreachable
+  }
+
+  private val RecordIdNum = """.*[:(]([0-9]+)[)>]?$""".r
+
+  /** Scan every record in one (already inflated) WARC file. */
+  private def scanRecords(file: String, b: Array[Byte]): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var pos = 0
+      private var dead = false
+      private var pending: WarcRecord = _
+
+      private def bad(reason: String): WarcRecord = {
+        dead = true
+        WarcRecord(file, s"malformed:$reason@$pos", -1L, "", "", -1, "", "",
+          (b.length - pos).toLong, ok = false)
+      }
+
+      private def advance(): Unit = {
+        pending = null
+        if (dead) return
+        // tolerate extra CRLF padding between records
+        while (pos + 1 < b.length && b(pos) == '\r' && b(pos + 1) == '\n') pos += 2
+        if (pos >= b.length) return
+        val ver = crlfAt(b, pos)
+        if (ver < 0 || !ascii(b, pos, math.min(ver, pos + 5)).startsWith("WARC/")) {
+          pending = bad("version"); return
+        }
+        headerBlock(b, ver + 2) match {
+          case None => pending = bad("headers")
+          case Some((h, bodyAt)) =>
+            val len = h.get("content-length").flatMap(_.toLongOption).getOrElse(-1L)
+            if (len < 0 || bodyAt + len > b.length) { pending = bad("length"); return }
+            val wtype = h.getOrElse("warc-type", "")
+            val url = h.getOrElse("warc-target-uri", "")
+            val date = h.getOrElse("warc-date", "")
+            val rid = h.getOrElse("warc-record-id", "") match {
+              case RecordIdNum(n) => n.toLong
+              case _ => -1L
+            }
+            val end = bodyAt + len.toInt
+            val rec =
+              if (wtype == "response") {
+                // unwrap the HTTP message inside the record content
+                val st = crlfAt(b, bodyAt)
+                val status =
+                  if (st < 0 || st > end) -1
+                  else ascii(b, bodyAt, st).split(" ") match {
+                    case parts if parts.length >= 2 && parts(0).startsWith("HTTP/") =>
+                      parts(1).toIntOption.getOrElse(-1)
+                    case _ => -1
+                  }
+                headerBlock(b, if (st < 0) bodyAt else st + 2) match {
+                  case Some((hh, httpBody)) if status >= 0 && httpBody <= end =>
+                    val body = new String(b, httpBody, end - httpBody,
+                      java.nio.charset.StandardCharsets.UTF_8)
+                    WarcRecord(file, wtype, rid, url, date, status,
+                      hh.getOrElse("content-type", ""), body, len, ok = true)
+                  case _ =>
+                    WarcRecord(file, wtype, rid, url, date, -1, "",
+                      "", len, ok = false)
+                }
+              } else {
+                WarcRecord(file, wtype, rid, url, date, -1, "",
+                  new String(b, bodyAt, len.toInt,
+                    java.nio.charset.StandardCharsets.UTF_8), len, ok = true)
+              }
+            pos = end
+            pending = rec
+        }
+      }
+
+      advance()
+      override def hasNext: Boolean = pending != null
+      override def next(): WarcRecord = {
+        val r = pending; advance(); r
+      }
+    }
+
+  /** Parse a relation of WARC files — (`nameCol` string, `payloadCol`
+    * binary) — into one row per record. mapPartitions kernel, no shuffle;
+    * gzip (single- or multi-member) is auto-detected per file. */
+  def parseWarc(warcs: DataFrame, payloadCol: String = "payload",
+                nameCol: String = "warc_file"): Dataset[WarcRecord] = {
+    val spark = warcs.sparkSession
+    import spark.implicits._
+    warcs.select(col(nameCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (name, payload) =>
+        if (payload == null) Iterator.empty
+        else {
+          val inflated =
+            try gunzipAll(payload)
+            catch { case _: java.io.IOException => null }
+          if (inflated == null)
+            Iterator.single(WarcRecord(name, "malformed:gzip@0", -1L, "", "",
+              -1, "", "", payload.length.toLong, ok = false))
+          else scanRecords(name, inflated)
+        }
+      })
+  }
+
+  /** The rows a curation pipeline starts from: well-formed `response`
+    * records only, HTTP unwrapped. */
+  def responses(warcs: DataFrame, payloadCol: String = "payload",
+                nameCol: String = "warc_file"): DataFrame =
+    parseWarc(warcs, payloadCol, nameCol).toDF()
+      .where(col("warc_type") === "response" && col("ok"))
+      .select(col("record_id"), col("url"), col("warc_date"),
+        col("status"), col("mime"), col("text"), col("n_bytes"))
+
+  // ----------------------------------------------------- deterministic fixture
+
+  private def asciiBytes(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Deterministic WARC-Date per id — recomputable as DuckDB lpad/mod
+    * arithmetic: day 1+id%28, hour id%24, minute (id*7)%60, second
+    * (id*13)%60, all in January 2024. */
+  def synthWarcDate(id: Long): String =
+    f"2024-01-${1 + id % 28}%02dT${id % 24}%02d:${(id * 7) % 60}%02d:${(id * 13) % 60}%02dZ"
+
+  /** Every 50th id is a 404 (its text replaced by the error body) — the
+    * status mix a pipeline must filter on. */
+  def synthStatus(id: Long): Int = if (id % 50 == 0) 404 else 200
+
+  val SynthMime = "text/plain; charset=UTF-8"
+
+  private def record(headers: Seq[(String, String)], content: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+    sb.append("Content-Length: ").append(content.length).append("\r\n\r\n")
+    val head = asciiBytes(sb.toString)
+    val out = new Array[Byte](head.length + content.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(content, 0, out, head.length, content.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  private def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bo)
+    gz.write(bytes); gz.finish(); gz.close()
+    bo.toByteArray
+  }
+
+  /** The request+response record pair for one document — every byte a
+    * function of (id, url, text). Concatenated form (spec convenience);
+    * [[synthesizeWarc]] emits the two records as separate gzip members. */
+  def synthRecordPair(id: Long, url: String, text: String): Array[Byte] = {
+    val (req, resp) = synthRecords(id, url, text)
+    req ++ resp
+  }
+
+  /** (request record, response record) for one document. */
+  def synthRecords(id: Long, url: String, text: String): (Array[Byte], Array[Byte]) = {
+    val date = synthWarcDate(id)
+    val req = record(Seq(
+      "WARC-Type" -> "request",
+      "WARC-Record-ID" -> s"<urn:graft:req:$id>",
+      "WARC-Date" -> date,
+      "WARC-Target-URI" -> url,
+      "Content-Type" -> "application/http; msgtype=request"),
+      asciiBytes(s"GET /p HTTP/1.1\r\nHost: graft\r\n\r\n"))
+    val status = synthStatus(id)
+    val body = (if (status == 404) "not found" else text)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val statusLine = if (status == 404) "HTTP/1.1 404 Not Found" else "HTTP/1.1 200 OK"
+    val httpHead = asciiBytes(
+      s"$statusLine\r\nContent-Type: $SynthMime\r\nContent-Length: ${body.length}\r\n\r\n")
+    val http = new Array[Byte](httpHead.length + body.length)
+    System.arraycopy(httpHead, 0, http, 0, httpHead.length)
+    System.arraycopy(body, 0, http, httpHead.length, body.length)
+    val resp = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> s"<urn:graft:$id>",
+      "WARC-Date" -> date,
+      "WARC-Target-URI" -> url,
+      "Content-Type" -> "application/http; msgtype=response"), http)
+    (req, resp)
+  }
+
+  /** Deterministic WARC files over a (id, url, text) relation: one file
+    * per non-empty input partition (zero shuffle — the grouping does not
+    * matter because the PARSED row set is partition-invariant), a
+    * `warcinfo` head record, then the request+response pair per document,
+    * each record its own gzip member (`gzipMembers = false` writes plain
+    * concatenated records). Returns (warc_file, payload, n_records). */
+  def synthesizeWarc(docs: DataFrame, urlCol: String = "url",
+                     idCol: String = "doc_id", textCol: String = "text",
+                     gzipMembers: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Par.widen(docs, idCol)
+      .select(col(idCol).cast("long"), col(urlCol), col(textCol))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val bo = new java.io.ByteArrayOutputStream(1 << 20)
+          def emit(rec: Array[Byte]): Unit =
+            bo.write(if (gzipMembers) gzipMember(rec) else rec)
+          emit(record(Seq(
+            "WARC-Type" -> "warcinfo",
+            "WARC-Record-ID" -> "<urn:graft:warcinfo:0>",
+            "WARC-Date" -> "2024-01-01T00:00:00Z",
+            "Content-Type" -> "application/warc-fields"),
+            asciiBytes("software: graft\r\nformat: WARC file version 1.0\r\n")))
+          var n = 0L
+          var minId = Long.MaxValue
+          while (it.hasNext) {
+            val (id, url, text) = it.next()
+            val (req, resp) = synthRecords(id, url, text)
+            emit(req); emit(resp)
+            n += 2
+            if (id < minId) minId = id
+          }
+          Iterator.single((s"graft-$minId.warc" + (if (gzipMembers) ".gz" else ""),
+            bo.toByteArray, n + 1))
+        }
+      }
+      .toDF("warc_file", "payload", "n_records")
+  }
+}
