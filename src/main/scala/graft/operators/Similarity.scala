@@ -281,9 +281,20 @@ object Similarity {
     * are what make serving cheap: a query batch touching `nprobe` of
     * `nlist` buckets scans only those directories (static partition
     * pruning, asserted in the spec via `inputFiles`). */
+  /** Auto-sized bucket count (SCALE.md production rule): `nlist = 0`
+    * resolves to ceil(√n) — one cheap count() aggregate — so a save path
+    * sized for 10⁶ vectors doesn't ship 16 giant buckets at 10⁹. Gates
+    * keep explicit nlist for oracle determinism. */
+  private def resolveNlist(corpus: DataFrame, nlist: Int): Int = {
+    require(nlist >= 0, "nlist must be >= 0 (0 = auto ceil(sqrt(n)))")
+    if (nlist > 0) nlist
+    else math.max(1, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+  }
+
   def saveIvfIndex(corpus: DataFrame, dir: String, nlist: Int = 16, iters: Int = 2,
                    vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
-    val centroids = trainIvfCentroids(corpus, nlist, iters, vecCol, idCol)
+    val centroids = trainIvfCentroids(corpus, resolveNlist(corpus, nlist),
+      iters, vecCol, idCol)
     val spark = corpus.sparkSession
     import spark.implicits._
     centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
@@ -600,7 +611,8 @@ object Similarity {
   def saveIvfSq8Index(corpus: DataFrame, dir: String, nlist: Int = 16,
                       iters: Int = 2, vecCol: String = "embedding",
                       idCol: String = "vec_id"): Unit = {
-    val centroids = trainIvfCentroids(corpus, nlist, iters, vecCol, idCol)
+    val centroids = trainIvfCentroids(corpus, resolveNlist(corpus, nlist),
+      iters, vecCol, idCol)
     val spark = corpus.sparkSession
     import spark.implicits._
     centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
@@ -754,7 +766,8 @@ object Similarity {
                      vecCol: String = "embedding",
                      idCol: String = "vec_id",
                      residual: Boolean = false): Unit = {
-    val centroids = trainIvfCentroids(corpus, nlist, iters, vecCol, idCol)
+    val centroids = trainIvfCentroids(corpus, resolveNlist(corpus, nlist),
+      iters, vecCol, idCol)
     val spark = corpus.sparkSession
     import spark.implicits._
     // residual mode: PQ model trained on (and codes stored for) the

@@ -280,6 +280,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Similarity.hardNegatives(mono, mono.limit(2), k = 3).isEmpty)
   }
 
+  test("nlist = 0 auto-sizes every indexed layout to ceil(sqrt(n)) buckets") {
+    val sub = emb.where(col("vec_id") < 200) // n known to the test
+    val n = sub.count()
+    val want = math.ceil(math.sqrt(n.toDouble)).toInt
+    def bucketDirs(d: String, sub: String): Int =
+      Option(new java.io.File(s"$d/$sub").listFiles())
+        .getOrElse(Array.empty).count(f => f.isDirectory && f.getName.startsWith("c="))
+    val d1 = java.nio.file.Files.createTempDirectory("ivfauto_").toString
+    val d2 = java.nio.file.Files.createTempDirectory("sq8auto_").toString
+    val d3 = java.nio.file.Files.createTempDirectory("pqauto_").toString
+    try {
+      Similarity.saveIvfIndex(sub, d1, nlist = 0, iters = 1)
+      Similarity.saveIvfSq8Index(sub, d2, nlist = 0, iters = 1)
+      Similarity.saveIvfPqIndex(sub, d3, nlist = 0, m = 4, k = 8, iters = 1)
+      // trained bucket count = ceil(sqrt(n)); the materialized layout may
+      // have fewer dirs if a centroid ends up empty, never more
+      assert(Similarity.loadIvfCentroids(spark, d1).length === want)
+      assert(Similarity.loadIvfCentroids(spark, d2).length === want)
+      assert(Similarity.loadIvfCentroids(spark, d3).length === want)
+      assert(bucketDirs(d1, "corpus") <= want && bucketDirs(d1, "corpus") > 1)
+      assert(bucketDirs(d2, "codes") <= want && bucketDirs(d2, "codes") > 1)
+      // auto-sized index still serves
+      val q = sub.where(col("vec_id") < 2)
+      assert(Similarity.ivfTopKIndexed(spark, d1, q, k = 3, nprobe = 3).count() > 0)
+      intercept[IllegalArgumentException](
+        Similarity.saveIvfIndex(sub, d1, nlist = -2))
+    } finally Seq(d1, d2, d3).foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(new java.io.File(d))
+    }
+  }
+
   test("saveIvfIndex/ivfTopKIndexed: served equals fresh, layout prunes") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx_").toString
     try {
