@@ -513,6 +513,21 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
             s"merge-list string literal, got $other")
       }
     })
+    // unigram_tokenize(rel, vocabSize[, iters]) — train a deterministic
+    // unigram-LM (SentencePiece-style Viterbi hard-EM) piece vocabulary
+    // on the relation's capped word table and tokenize it; per-doc
+    // (id, n_words, n_tokens). The second tokenizer family next to BPE.
+    catalog.registerTableFunction("unigram_tokenize", { args =>
+      arity("unigram_tokenize", args, 2, 3)
+      val r = rel("unigram_tokenize", args, 0)
+      Seq("doc_id", "text").foreach(c => reqCol("unigram_tokenize", r, c,
+        "input relation must follow the documents convention"))
+      val vs = num("unigram_tokenize", args, 1, 512L).toInt
+      val iters = num("unigram_tokenize", args, 2, 4L).toInt
+      if (vs <= 0 || iters <= 0) throw new graft.translate.GraftAnalysisException(
+        s"unigram_tokenize: vocabSize and iters must be positive, got ($vs, $iters)")
+      TextAnalysis.tokenizeUnigramTrained(r, "text", "doc_id", vs, iters)
+    })
     // pq_topk(queries, 'model'|'dir', k[, shortlist]) — PQ ANN serve
     // from a persisted savePqIndex layout: ADC over the compressed
     // codes, exact re-rank of the shortlist against the layout's

@@ -16,6 +16,13 @@ object Extensions {
   private def emb(s: SparkSession, d: String): DataFrame =
     GraftSession.forDir(s, d).catalog.relation("embeddings")
 
+  /** (id, n_letters) — the per-doc [a-z] letter count both engines
+    * recompute identically (the x124 contract anchor). */
+  private def dd_letters(dd: DataFrame): DataFrame =
+    dd.select(col("doc_id").as("id"),
+      length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+        .cast("long").as("n_letters"))
+
   /** File-backed one-batch stream replay: write the bounded frame to a
     * temp parquet dir and `readStream` it back. Unlike a MemoryStream
     * feed, rows never collect to the driver and never ride inside task
@@ -348,6 +355,33 @@ object Extensions {
         .select(col("doc_id"), TextAnalysis.redactPII(col("text")).as("text"))
       QualityFilters.gopherFilter(redacted, "text", Seq("wc_ok", "mwl_ok"))
         .select(col("doc_id")).orderBy("doc_id")
+    }),
+    // ---- unigram-LM tokenizer (r13): the second tokenizer family.
+    // x123 is the q134 discipline applied to unigram: decode(encode(x))
+    // must reproduce the word normalization of the RAW text exactly —
+    // a pass proves the Viterbi segmenter loses no character and the
+    // stream frame carries exact order ----
+    "x123_unigram_roundtrip" -> ((s, d) => {
+      val dd = docs(s, d)
+      val wf = TextAnalysis.bpeCappedVocab(dd, "text", "doc_id", 1 << 16)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val model = TextAnalysis.unigramTrain(wf, vocabSize = 512, iters = 3).toMap
+      TextAnalysis.bpeDecode(
+        TextAnalysis.unigramEncode(dd, "text", "doc_id", model))
+        .orderBy("id")
+    }),
+    // ---- x124: per-doc unigram token counts through the SQL surface;
+    // n_words is DuckDB-recomputed, and the piece-count bounds (every
+    // word >= 1 piece, every piece >= 1 char) ride as contract flags ----
+    "x124_unigram_tokenize" -> ((s, d) => {
+      val e = GraftSession.forDir(s, d)
+      val t = e.sql("select id, n_words, n_tokens from unigram_tokenize(documents, 512, 3)")
+      val letters = dd_letters(docs(s, d))
+      letters.join(t, "id")
+        .select(col("id"), col("n_words"),
+          (col("n_tokens") >= col("n_words")).cast("int").as("tok_ge_words"),
+          (col("n_tokens") <= col("n_letters")).cast("int").as("tok_le_letters"))
+        .orderBy("id")
     }),
     // ---- WARC ingest round trip (r13): documents become real gzipped
     // WARC/1.0 files (warcinfo + request/response records, one gzip
@@ -2719,6 +2753,22 @@ object Extensions {
         "/ GREATEST(len(ws), 1), 6) AS mwl FROM base) " +
         "SELECT doc_id FROM sig WHERE n_words >= 50 AND n_words <= 100000 " +
         "AND mwl >= 3.0 AND mwl <= 10.0 ORDER BY doc_id"),
+      // x123: expected detokenization derives from the RAW text (the
+      // q134 oracle verbatim) — independent of the unigram codec pair
+      "x123_unigram_roundtrip" ->
+        ("SELECT doc_id AS id, array_to_string(list_filter(" +
+         "regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> ''), ' ') AS text_detok " +
+         "FROM documents " +
+         "WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '')) > 0 " +
+         "ORDER BY id"),
+      // x124: n_words recomputed; the piece-count bounds are contract
+      // flags that must be constant 1
+      "x124_unigram_tokenize" ->
+        ("WITH w AS (SELECT doc_id AS id, len(list_filter(" +
+         "regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS nw " +
+         "FROM documents) " +
+         "SELECT id, CAST(nw AS BIGINT) AS n_words, 1 AS tok_ge_words, " +
+         "1 AS tok_le_letters FROM w WHERE nw > 0 ORDER BY id"),
       // x121: the parsed WARC rows rebuilt as pure doc_id arithmetic —
       // url string, date lpad/mod fields, 404-every-50 status mix, error
       // body substitution — with the raw text as the 200 bodies. The

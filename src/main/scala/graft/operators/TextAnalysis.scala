@@ -1174,6 +1174,186 @@ object TextAnalysis {
     merges
   }
 
+  // ------------------------------------------------------------------
+  // Unigram-LM tokenizer (SentencePiece-style; Kudo 2018, "Subword
+  // Regularization") — the second tokenizer family modern pipelines ship
+  // next to BPE. Same scale discipline as the BPE paths: TRAINING runs on
+  // the driver over the capped word-frequency table (bounded model state,
+  // the bpeTrain posture), APPLICATION collapses the corpus to its
+  // vocabulary — the Viterbi segmenter runs once per distinct in-cap
+  // word, the corpus side is joins/explodes only.
+  //
+  // Deliberately DETERMINISTIC variant (every gate needs exact
+  // reproducibility): hard-EM — the E-step uses Viterbi best
+  // segmentations (not forward-backward expectations), a fixed iteration
+  // count, total orders on all ties, and log-probs rounded to 6 dp at
+  // every iteration boundary. Single characters are never pruned (floor
+  // log-prob keeps segmentation total), mirroring the reference
+  // SentencePiece's character-coverage guarantee.
+  // ------------------------------------------------------------------
+
+  /** Log-prob floor for pieces with zero Viterbi count (kept single
+    * chars) and for characters outside the model alphabet. */
+  val UnigramFloorLogProb: Double = -20.0
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  /** Seed candidate pieces: every substring of length 1..maxPieceLen of
+    * every vocabulary word, frequency-weighted by occurrence; all single
+    * characters are kept unconditionally, multi-char candidates are cut
+    * to the top `seedSize` by (weight DESC, piece ASC) — a total order,
+    * so the seed is exactly reproducible. */
+  def unigramSeedVocab(wordFreq: Seq[(String, Long)], maxPieceLen: Int = 6,
+                       seedSize: Int = 4096): Seq[(String, Long)] = {
+    val w = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((word, f) <- wordFreq; i <- 0 until word.length;
+         j <- (i + 1) to math.min(word.length, i + maxPieceLen))
+      w.update(word.substring(i, j), w.getOrElse(word.substring(i, j), 0L) + f)
+    val (chars, multi) = w.toSeq.partition(_._1.length == 1)
+    chars.sortBy(_._1) ++
+      multi.sortBy { case (p, f) => (-f, p) }.take(math.max(0, seedSize - chars.length))
+  }
+
+  /** Viterbi best segmentation of `word` under piece log-probs: maximize
+    * the summed log-prob; ties prefer FEWER pieces, remaining ties prefer
+    * the longer piece at the earliest split (fixed scan order — a total
+    * tie-break, pinned by spec). Characters absent from `vocab` segment
+    * as themselves at [[UnigramFloorLogProb]], so the function is total.
+    * O(len × maxPieceLen) per word, driver- or executor-side. */
+  def unigramSegment(word: String, vocab: collection.Map[String, Double],
+                     maxPieceLen: Int = 6): Vector[String] = {
+    val n = word.length
+    if (n == 0) return Vector.empty
+    val bestScore = Array.fill(n + 1)(Double.NegativeInfinity)
+    val bestCount = Array.fill(n + 1)(Int.MaxValue)
+    val bestPrev = Array.fill(n + 1)(-1)
+    bestScore(0) = 0.0; bestCount(0) = 0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        val piece = word.substring(j, i)
+        val lp = vocab.getOrElse(piece,
+          if (i - j == 1) UnigramFloorLogProb else Double.NegativeInfinity)
+        if (lp > Double.NegativeInfinity && bestScore(j) > Double.NegativeInfinity) {
+          val s = bestScore(j) + lp
+          val c = bestCount(j) + 1
+          // strictly-better score wins; equal score → fewer pieces; the
+          // ascending-j scan means later (shorter-last-piece) candidates
+          // must be STRICTLY better to replace — i.e. ties keep the
+          // longest last piece
+          if (s > bestScore(i) + 1e-12 ||
+              (math.abs(s - bestScore(i)) <= 1e-12 && c < bestCount(i))) {
+            bestScore(i) = s; bestCount(i) = c; bestPrev(i) = j
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var k = n
+    while (k > 0) { val p = bestPrev(k); out += word.substring(p, k); k = p }
+    out.reverseIterator.toVector
+  }
+
+  /** Train a unigram-LM piece vocabulary on a word-frequency table —
+    * deterministic Viterbi hard-EM:
+    *  1. seed = [[unigramSeedVocab]], probs ∝ substring weight;
+    *  2. each iteration: Viterbi-segment every word under the current
+    *     (6-dp-rounded) log-probs, recount pieces frequency-weighted,
+    *     re-normalize; multi-char pieces with zero count drop out,
+    *     single chars stay at the floor;
+    *  3. after the last iteration, cut to `vocabSize` by
+    *     (count DESC, piece ASC), single chars always kept.
+    * Returns (piece, logProb) with log-probs rounded to 6 dp — the exact
+    * values any external system reproduces from the same word table. */
+  def unigramTrain(wordFreq: Seq[(String, Long)], vocabSize: Int = 512,
+                   iters: Int = 4, maxPieceLen: Int = 6,
+                   seedSize: Int = 4096): Seq[(String, Double)] = {
+    require(vocabSize > 0 && iters > 0 && maxPieceLen > 0)
+    val seed = unigramSeedVocab(wordFreq, maxPieceLen, seedSize)
+    val total0 = seed.map(_._2).sum.toDouble.max(1.0)
+    var vocab: Map[String, Double] = seed.map { case (p, f) =>
+      p -> round6(math.log(f / total0)) }.toMap
+    var it = 0
+    while (it < iters) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((word, f) <- wordFreq; piece <- unigramSegment(word, vocab, maxPieceLen))
+        counts.update(piece, counts.getOrElse(piece, 0L) + f)
+      val totalC = counts.values.sum.toDouble.max(1.0)
+      val chars = vocab.keysIterator.filter(_.length == 1).toSeq
+      val kept = counts.toSeq.filter(_._2 > 0).map { case (p, c) =>
+        p -> round6(math.log(c / totalC)) }
+      val floorChars = chars.filterNot(counts.contains)
+        .map(_ -> UnigramFloorLogProb)
+      // final-iteration cut to vocabSize (count DESC, piece ASC); single
+      // chars ride along unconditionally
+      val cut =
+        if (it == iters - 1) {
+          val (c1, cm) = kept.partition(_._1.length == 1)
+          val order = counts.toMap
+          c1 ++ cm.sortBy { case (p, _) => (-order(p), p) }
+            .take(math.max(0, vocabSize - c1.length - floorChars.length))
+        } else kept
+      vocab = (cut ++ floorChars).toMap
+      it += 1
+    }
+    vocab.toSeq.sortBy { case (p, lp) => (-lp, p) }
+  }
+
+  /** Per-doc (id, n_words, n_tokens) under a TRAINED-IN-PLACE unigram
+    * model: the vocabulary is capped ([[bpeCappedVocab]] — the bounded
+    * driver copy), EM runs on the driver, the per-word piece counts join
+    * back to the corpus exactly like the BPE paths (OOV words fall back
+    * to one token per char). */
+  def tokenizeUnigramTrained(df: DataFrame, textCol: String, idCol: String,
+                             vocabSize: Int = 512, iters: Int = 4,
+                             vocabCap: Int = DefaultBpeVocabCap): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wf = bpeCappedVocab(df, textCol, idCol, vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val model = unigramTrain(wf, vocabSize, iters).toMap
+    val vocabCounts = wf
+      .map { case (w, _) => (w, unigramSegment(w, model).length.toLong) }
+      .toDF("word", "n_tokens")
+    docTokenCounts(corpusWords(df, textCol, idCol), vocabCounts)
+  }
+
+  /** Unigram token stream — (id, wpos, tpos, token, token_id), the same
+    * frame shape as [[bpeEncode]], so [[bpeDecode]] round-trips it (the
+    * pieces concatenate to each word exactly; Viterbi never drops a
+    * character). Corpus side: one posexplode + one model join (AQE
+    * broadcast) + one posexplode; the Viterbi work is vocab-sized. */
+  def unigramEncode(df: DataFrame, textCol: String, idCol: String,
+                    model: collection.Map[String, Double],
+                    vocabCap: Int = DefaultBpeVocabCap): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = Par.widen(df, idCol)
+      .select(col(idCol).as("id"),
+        posexplode(split(lower(col(textCol)), "[^a-z]+")).as(Seq("wpos", "word")))
+      .where(col("word") =!= "")
+    val segmented = bpeCappedVocab(df, textCol, idCol, vocabCap)
+      .collect().map(r => r.getString(0))
+      .map(w => (w, unigramSegment(w, model)))
+      .toSeq.toDF("word", "toks")
+    val withToks = words.join(segmented, Seq("word"), "left")
+      .select(col("id"), col("wpos"),
+        coalesce(col("toks"), split(col("word"), "")).as("toks"))
+      .select(col("id"), col("wpos"),
+        posexplode(col("toks")).as(Seq("tpos", "token")))
+    // deterministic dense token ids — model-sized window, the bpeEncode
+    // posture exactly
+    val tokenIds = withToks.select("token").distinct()
+      .select(col("token"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("token"))).cast("long").as("token_id"))
+    withToks.join(tokenIds, "token")
+      .select(col("id"), col("wpos"), col("tpos"), col("token"), col("token_id"))
+  }
+
   private def corpusWords(df: DataFrame, textCol: String, idCol: String): DataFrame =
     Par.widen(df, idCol)
       .select(col(idCol).as("id"),
