@@ -64,10 +64,13 @@ object UrlCuration {
     regexp_replace(authority, "^[^/]*@", "")
 
   /** Lowercased host with userinfo and any port stripped; '' for non-URL
-    * strings. */
+    * strings. Userinfo and port strips ride ONE regexp_replace (they
+    * cannot overlap) — these chains inline many times per projection in
+    * scalar position, and every saved node keeps the generated code
+    * under the 64 KB codegen limit. */
   def urlHost(url: Column): Column =
-    regexp_replace(lower(dropUserinfo(regexp_extract(url, HostRe, 1))),
-      ":[0-9]+$", "")
+    regexp_replace(lower(regexp_extract(url, HostRe, 1)),
+      "^[^/]*@|:[0-9]+$", "")
 
   /** [[urlHost]] with the leading `www.` stripped — the canonical host
     * [[normalizeUrl]] emits. */
@@ -91,8 +94,7 @@ object UrlCuration {
     // would merge unrelated IP hosts into one pseudo-domain in
     // domain_stats/blocklists), and bracketed IPv6 likewise. Same
     // PSL-subset pragmatism as [[TwoLevelSuffixes]].
-    val isIpLiteral =
-      host.rlike("^[0-9]+(\\.[0-9]+)*$") || host.startsWith("[")
+    val isIpLiteral = host.rlike("^(\\[.*|[0-9]+(\\.[0-9]+)*)$")
     when(isIpLiteral, host)
       .when(n >= 3 && suffix2.isin(TwoLevelSuffixes: _*),
         concat_ws(".", last3, last2, last1))
