@@ -517,16 +517,31 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     // unigram-LM (SentencePiece-style Viterbi hard-EM) piece vocabulary
     // on the relation's capped word table and tokenize it; per-doc
     // (id, n_words, n_tokens). The second tokenizer family next to BPE.
+    // unigram_tokenize(rel, 'model') — apply an ALREADY-TRAINED unigram
+    // vocab artifact (the production shape, like bpe_tokenize's)
     catalog.registerTableFunction("unigram_tokenize", { args =>
       arity("unigram_tokenize", args, 2, 3)
       val r = rel("unigram_tokenize", args, 0)
       Seq("doc_id", "text").foreach(c => reqCol("unigram_tokenize", r, c,
         "input relation must follow the documents convention"))
-      val vs = num("unigram_tokenize", args, 1, 512L).toInt
-      val iters = num("unigram_tokenize", args, 2, 4L).toInt
-      if (vs <= 0 || iters <= 0) throw new graft.translate.GraftAnalysisException(
-        s"unigram_tokenize: vocabSize and iters must be positive, got ($vs, $iters)")
-      TextAnalysis.tokenizeUnigramTrained(r, "text", "doc_id", vs, iters)
+      args(1) match {
+        case graft.catalog.TfArg.Lit(s: String) if catalog.hasModel(s) =>
+          val m = catalog.model(s).get
+          if (m.kind != "unigram") throw new graft.translate.GraftAnalysisException(
+            s"unigram_tokenize: model '$s' has kind '${m.kind}', expected 'unigram'")
+          TextAnalysis.tokenizeUnigramModel(r, "text", "doc_id",
+            TextAnalysis.loadUnigramVocab(spark,
+              servable("unigram_tokenize", s, m)).toMap)
+        case graft.catalog.TfArg.Lit(n: Long) =>
+          val vs = n.toInt
+          val iters = num("unigram_tokenize", args, 2, 4L).toInt
+          if (vs <= 0 || iters <= 0) throw new graft.translate.GraftAnalysisException(
+            s"unigram_tokenize: vocabSize and iters must be positive, got ($vs, $iters)")
+          TextAnalysis.tokenizeUnigramTrained(r, "text", "doc_id", vs, iters)
+        case other => throw new graft.translate.GraftAnalysisException(
+          s"unigram_tokenize: argument 2 must be a vocab size (integer) " +
+            s"or a registered unigram model name, got $other")
+      }
     })
     // pq_topk(queries, 'model'|'dir', k[, shortlist]) — PQ ANN serve
     // from a persisted savePqIndex layout: ADC over the compressed
@@ -899,8 +914,14 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       if (!fs.exists(cen) || !fs.exists(cd)) throw new GraftAnalysisException(
         s"create model $name: no IVF+SQ8 layout at '$path' (expected a " +
           "Similarity.saveIvfSq8Index output with centroids/ and codes/)")
+    case "unigram" =>
+      try { graft.operators.TextAnalysis.loadUnigramVocab(spark, path); () }
+      catch { case e: Exception => throw new GraftAnalysisException(
+        s"create model $name: '$path' is not a unigram vocab " +
+          s"artifact (${e.getMessage})") }
     case other => throw new GraftAnalysisException(
-      s"create model $name: unknown kind '$other' (valid: ivf, bpe, pq, ivfpq, ivfsq8)")
+      s"create model $name: unknown kind '$other' " +
+        "(valid: ivf, bpe, unigram, pq, ivfpq, ivfsq8)")
   }
 
   private def artifactHash(kind: String, path: String): String = {

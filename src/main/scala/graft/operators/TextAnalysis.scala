@@ -1321,6 +1321,71 @@ object TextAnalysis {
     docTokenCounts(corpusWords(df, textCol, idCol), vocabCounts)
   }
 
+  /** Persist a unigram vocabulary as `piece<TAB>logprob` lines, pieces
+    * in the [[unigramTrain]] order. 6-dp decimal text round-trips the
+    * round6'd log-probs exactly (both directions are correctly-rounded
+    * conversions of k/10⁶). */
+  def saveUnigramVocab(spark: SparkSession, vocab: Seq[(String, Double)],
+                       path: String): Unit = {
+    vocab.foreach { case (p, _) =>
+      require(p.nonEmpty && !p.contains("\t") && !p.contains("\n"),
+        s"unsaveable piece `$p`") }
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(hp, true)
+    try out.write(vocab.map { case (p, lp) => f"$p\t$lp%.6f" }.mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Load a [[saveUnigramVocab]] artifact, order preserved. */
+  def loadUnigramVocab(spark: SparkSession, path: String): Seq[(String, Double)] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(hp)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      line.split("\t") match {
+        case Array(p, lp) => (p, lp.toDouble)
+        case _ => throw new IllegalArgumentException(
+          s"malformed unigram vocab line `$line` in $path (expected `piece\\tlogprob`)")
+      }
+    }.toSeq
+  }
+
+  /** Train a unigram model on the corpus (capped vocabulary) and persist
+    * it at `path` — the flow behind `CREATE MODEL … KIND 'unigram'`. */
+  def trainUnigramModel(df: DataFrame, textCol: String, idCol: String,
+                        vocabSize: Int, iters: Int, path: String,
+                        vocabCap: Int = DefaultBpeVocabCap): Seq[(String, Double)] = {
+    val wf = bpeCappedVocab(df, textCol, idCol, vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val vocab = unigramTrain(wf, vocabSize, iters)
+    saveUnigramVocab(df.sparkSession, vocab, path)
+    vocab
+  }
+
+  /** Per-doc (id, n_words, n_tokens) under an ALREADY-TRAINED unigram
+    * model — the production apply path (the tokenizer is a model
+    * artifact). Same capped-vocab shape as [[tokenizeUnigramTrained]]. */
+  def tokenizeUnigramModel(df: DataFrame, textCol: String, idCol: String,
+                           model: collection.Map[String, Double],
+                           vocabCap: Int = DefaultBpeVocabCap): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocabCounts = bpeCappedVocab(df, textCol, idCol, vocabCap)
+      .collect().map(r => r.getString(0))
+      .map(w => (w, unigramSegment(w, model).length.toLong))
+      .toSeq.toDF("word", "n_tokens")
+    docTokenCounts(corpusWords(df, textCol, idCol), vocabCounts)
+  }
+
   /** Unigram token stream — (id, wpos, tpos, token, token_id), the same
     * frame shape as [[bpeEncode]], so [[bpeDecode]] round-trips it (the
     * pieces concatenate to each word exactly; Viterbi never drops a

@@ -86,6 +86,36 @@ class UnigramSpec extends AnyFunSuite {
       (2L, "ba na na")))
   }
 
+  test("model artifact: save -> load round-trips exactly; create model + apply by name") {
+    val dir = java.nio.file.Files.createTempDirectory("unigram_model_").toString
+    val path = s"$dir/vocab.tsv"
+    val g = TestSpark.session
+    val docs = g.catalog.relation("documents")
+    val trained = TextAnalysis.trainUnigramModel(
+      docs, "text", "doc_id", vocabSize = 128, iters = 2, path = path)
+    // 6-dp text round-trip is exact (both directions correctly rounded)
+    assert(TextAnalysis.loadUnigramVocab(spark, path) === trained)
+    val g2 = new GraftSession(spark).registerDir(TestSpark.sf)
+    g2.sql(s"create model uni13 kind 'unigram' at '$path'")
+    val byName = g2.sql(
+      "select id, n_words, n_tokens from unigram_tokenize(documents, 'uni13') " +
+      "where id < 20 order by id").collect()
+    val inPlace = g2.sql(
+      "select id, n_words, n_tokens from unigram_tokenize(documents, 128, 2) " +
+      "where id < 20 order by id").collect()
+    assert(byName.nonEmpty && byName.map(_.toSeq).toSeq === inPlace.map(_.toSeq).toSeq)
+    // kind mismatch is a loud analysis error
+    val e = intercept[graft.translate.GraftAnalysisException](
+      g2.sql("select * from bpe_tokenize(documents, 'uni13')"))
+    assert(e.getMessage.contains("expected 'bpe'"), e.getMessage)
+    // a torn artifact is rejected at CREATE time
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/torn.tsv"),
+      "no-tabs-here".getBytes("UTF-8"))
+    val e2 = intercept[graft.translate.GraftAnalysisException](
+      g2.sql(s"create model broken kind 'unigram' at '$dir/torn.tsv'"))
+    assert(e2.getMessage.contains("unigram vocab"), e2.getMessage)
+  }
+
   test("SQL surface: unigram_tokenize arity and argument guards") {
     val g = TestSpark.session
     val rows = g.sql(
