@@ -543,6 +543,33 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
             s"or a registered unigram model name, got $other")
       }
     })
+    // unigram_encode(rel, 'model'[, cap]) — the unigram token stream
+    // (id, wpos, tpos, token, token_id), same frame as bpe_encode, so
+    // bpe_decode round-trips it. Model-artifact only (training belongs
+    // to unigram_tokenize / trainUnigramModel — an encode that silently
+    // trains would hide a driver EM inside a projection).
+    catalog.registerTableFunction("unigram_encode", { args =>
+      arity("unigram_encode", args, 2, 3)
+      val r = rel("unigram_encode", args, 0)
+      Seq("doc_id", "text").foreach(c => reqCol("unigram_encode", r, c,
+        "input relation must follow the documents convention"))
+      val cap = num("unigram_encode", args, 2,
+        TextAnalysis.DefaultBpeVocabCap.toLong).toInt
+      if (cap <= 0) throw new graft.translate.GraftAnalysisException(
+        s"unigram_encode: vocab cap must be positive, got $cap")
+      args(1) match {
+        case graft.catalog.TfArg.Lit(s: String) if catalog.hasModel(s) =>
+          val m = catalog.model(s).get
+          if (m.kind != "unigram") throw new graft.translate.GraftAnalysisException(
+            s"unigram_encode: model '$s' has kind '${m.kind}', expected 'unigram'")
+          TextAnalysis.unigramEncode(r, "text", "doc_id",
+            TextAnalysis.loadUnigramVocab(spark,
+              servable("unigram_encode", s, m)).toMap, cap)
+        case other => throw new graft.translate.GraftAnalysisException(
+          s"unigram_encode: argument 2 must be a registered unigram model " +
+            s"name, got $other")
+      }
+    })
     // pq_topk(queries, 'model'|'dir', k[, shortlist]) — PQ ANN serve
     // from a persisted savePqIndex layout: ADC over the compressed
     // codes, exact re-rank of the shortlist against the layout's

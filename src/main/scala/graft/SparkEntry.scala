@@ -1224,6 +1224,23 @@ object SparkEntry {
         "url_domain(url) as dom from q136_urls " +
         "where url_domain(url) <> 'nosuch.example' order by id")
     }),
+    // ---- unigram_encode → bpe_decode through the SQL surfaces (r13):
+    // the q134 round trip for the SECOND tokenizer family, riding a
+    // registered model artifact (train → CREATE MODEL → encode by name);
+    // nested table-function calls exercise the composition path ----
+    "q141_unigram_roundtrip_fn" -> ((s, d) => {
+      val e = g(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("q141_").toString
+      val path = s"$dir/vocab.tsv"
+      graft.operators.TextAnalysis.trainUnigramModel(
+        e.catalog.relation("documents"), "text", "doc_id",
+        vocabSize = 256, iters = 2, path = path)
+      // idempotent re-run (Bench passes share the session catalog)
+      try e.sql("drop model q141uni") catch { case _: Exception => }
+      e.sql(s"create model q141uni kind 'unigram' at '$path'")
+      e.sql("select id, text_detok from " +
+        "bpe_decode(unigram_encode(documents, 'q141uni')) order by id")
+    }),
     // ---- warc_responses table fn (r13): the crawl entry point through
     // the dialect — x121 proves the byte kernel row-for-row; this proves
     // the SQL surface (WHERE on status rides the same call) ----
@@ -1818,6 +1835,14 @@ object SparkEntry {
     // recompute from the same parquet (the strongest oracle form)
     "q117_socket_source" -> (
       "SELECT n_nationkey AS k, n_name AS name FROM nation ORDER BY k"),
+    // q141: the q134 detok oracle verbatim — expected text derives from
+    // the RAW corpus, independent of the unigram codec pair
+    "q141_unigram_roundtrip_fn" ->
+      ("SELECT doc_id AS id, array_to_string(list_filter(" +
+       "regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> ''), ' ') AS text_detok " +
+       "FROM documents " +
+       "WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '')) > 0 " +
+       "ORDER BY id"),
     // q140: 200-status records are every doc_id % 50 <> 0; text is the
     // raw corpus text, so n_chars recomputes from documents directly
     "q140_warc_fn" -> (

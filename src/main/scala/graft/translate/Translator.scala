@@ -1137,12 +1137,20 @@ final class Translator(spark: SparkSession, catalog: Catalog) {
           graft.catalog.TfArg.Rel(n, catalog.relation(n))
         case ColRef(None, n) => throw new GraftAnalysisException(
           s"table function $name: '$n' is not a known relation")
+        // nested table-function call — `url_dedup(warc_responses(w))` —
+        // resolves recursively to its relation (Catalyst still sees one
+        // composed plan; the nesting is purely analysis-time)
+        case FuncCall(n, innerArgs, false)
+            if catalog.tableFunction(n).isDefined =>
+          graft.catalog.TfArg.Rel(n,
+            relation(TableFnRel(n, innerArgs, None)).df)
         case Lit(v)            => graft.catalog.TfArg.Lit(v)
         case Neg(Lit(v: Long)) => graft.catalog.TfArg.Lit(-v)
         case Neg(Lit(v: Double)) => graft.catalog.TfArg.Lit(-v)
         case other => throw new GraftAnalysisException(
-          s"table function $name: arguments must be relation names or " +
-            s"literals, got ${graft.ast.Pretty.expr(other)}")
+          s"table function $name: arguments must be relation names, " +
+            s"literals, or nested table-function calls, got " +
+            s"${graft.ast.Pretty.expr(other)}")
       }
       RelPlan(fn(resolved).alias(tf.refName), Nil, windowed = false)
 

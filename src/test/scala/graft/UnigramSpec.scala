@@ -116,6 +116,28 @@ class UnigramSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unigram vocab"), e2.getMessage)
   }
 
+  test("nested table functions: encode-by-name feeds bpe_decode in one statement") {
+    val dir = java.nio.file.Files.createTempDirectory("unigram_nest_").toString
+    val g = new GraftSession(spark).registerDir(TestSpark.sf)
+    TextAnalysis.trainUnigramModel(g.catalog.relation("documents"),
+      "text", "doc_id", vocabSize = 128, iters = 2, path = s"$dir/v.tsv")
+    g.sql(s"create model uninest kind 'unigram' at '$dir/v.tsv'")
+    val out = g.sql("select id, text_detok from " +
+      "bpe_decode(unigram_encode(documents, 'uninest')) where id < 5 order by id")
+      .collect()
+    assert(out.nonEmpty && out.forall(_.getString(1).nonEmpty))
+    // the round trip is the raw-text word normalization
+    val want = g.catalog.relation("documents").where(col("doc_id") < 5)
+      .select(col("doc_id"),
+        array_join(filter(split(lower(col("text")), "[^a-z]+"), w => w =!= ""), " "))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    out.foreach(r => assert(r.getString(1) === want(r.getLong(0))))
+    // unknown inner function stays a loud analysis error
+    val e = intercept[graft.translate.GraftAnalysisException](
+      g.sql("select * from bpe_decode(no_such_fn(documents))"))
+    assert(e.getMessage.contains("no_such_fn"), e.getMessage)
+  }
+
   test("SQL surface: unigram_tokenize arity and argument guards") {
     val g = TestSpark.session
     val rows = g.sql(
