@@ -543,6 +543,19 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
             s"or a registered unigram model name, got $other")
       }
     })
+    // substring_dedup(rel[, k]) — exact-substring REMOVAL (Lee et al.):
+    // cut every char span of length >= k that a lower-id doc also
+    // contains; (id, text_clean, n_removed)
+    catalog.registerTableFunction("substring_dedup", { args =>
+      arity("substring_dedup", args, 1, 2)
+      val r = rel("substring_dedup", args, 0)
+      Seq("doc_id", "text").foreach(c => reqCol("substring_dedup", r, c,
+        "input relation must follow the documents convention"))
+      val k = num("substring_dedup", args, 1, 30L).toInt
+      if (k < 2) throw new graft.translate.GraftAnalysisException(
+        s"substring_dedup: k must be >= 2, got $k")
+      TextAnalysis.removeSharedSubstrings(r, "text", "doc_id", k)
+    })
     // unigram_encode(rel, 'model'[, cap]) — the unigram token stream
     // (id, wpos, tpos, token, token_id), same frame as bpe_encode, so
     // bpe_decode round-trips it. Model-artifact only (training belongs

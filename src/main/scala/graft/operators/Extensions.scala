@@ -356,6 +356,15 @@ object Extensions {
       QualityFilters.gopherFilter(redacted, "text", Seq("wc_ok", "mwl_ok"))
         .select(col("doc_id")).orderBy("doc_id")
     }),
+    // ---- exact-substring REMOVAL (r13): the Lee-et-al. companion to
+    // x44's detection — every char position covered by a 30-gram that a
+    // lower-id doc also contains is cut; the oracle recomputes the FULL
+    // cleaned text per doc (position anti-join + ordered string_agg) ----
+    "x125_substring_removal" -> ((s, d) =>
+      TextAnalysis.removeSharedSubstrings(docs(s, d), "text", "doc_id", k = 30)
+        .select(col("id"), col("text_clean"),
+          col("n_removed").cast("long").as("n_removed"))
+        .orderBy("id")),
     // ---- unigram-LM tokenizer (r13): the second tokenizer family.
     // x123 is the q134 discipline applied to unigram: decode(encode(x))
     // must reproduce the word normalization of the RAW text exactly —
@@ -2753,6 +2762,25 @@ object Extensions {
         "/ GREATEST(len(ws), 1), 6) AS mwl FROM base) " +
         "SELECT doc_id FROM sig WHERE n_words >= 50 AND n_words <= 100000 " +
         "AND mwl >= 3.0 AND mwl <= 10.0 ORDER BY doc_id"),
+      // x125: the full cleaned text recomputed by DuckDB — gram
+      // ownership (min id), covered-position expansion, anti-join, and
+      // ordered per-doc reassembly
+      "x125_substring_removal" -> (
+        "WITH d AS (SELECT doc_id AS id, lower(trim(text)) AS t FROM documents), " +
+        "g AS (SELECT id, p, substring(t, p, 30) AS gr " +
+        "FROM d, unnest(generate_series(1, length(t) - 29)) AS s(p) " +
+        "WHERE length(t) >= 30), " +
+        "own AS (SELECT gr, min(id) AS o FROM g GROUP BY gr), " +
+        "cov AS (SELECT g.id, g.p FROM g JOIN own USING (gr) WHERE g.id > own.o), " +
+        "cpos AS (SELECT DISTINCT id, p + u AS q " +
+        "FROM cov, unnest(generate_series(0, 29)) AS su(u)), " +
+        "pos AS (SELECT id, q, t FROM d, unnest(generate_series(1, length(t))) AS sp(q)), " +
+        "kept AS (SELECT pos.id, pos.q, substring(pos.t, pos.q, 1) AS ch " +
+        "FROM pos ANTI JOIN cpos USING (id, q)), " +
+        "clean AS (SELECT id, string_agg(ch, '' ORDER BY q) AS txt FROM kept GROUP BY id) " +
+        "SELECT d.id, COALESCE(c.txt, '') AS text_clean, " +
+        "CAST(length(d.t) - length(COALESCE(c.txt, '')) AS BIGINT) AS n_removed " +
+        "FROM d LEFT JOIN clean c USING (id) ORDER BY id"),
       // x123: expected detokenization derives from the RAW text (the
       // q134 oracle verbatim) — independent of the unigram codec pair
       "x123_unigram_roundtrip" ->

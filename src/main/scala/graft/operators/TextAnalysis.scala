@@ -647,6 +647,75 @@ object TextAnalysis {
       .select(col("id"), coalesce(col("__ns"), lit(0L)).as("n_shared"))
   }
 
+  /** The REMOVAL half of exact-substring dedup (Lee et al. 2022 — the
+    * companion to [[sharedSubstrings]]'s detection): every character
+    * position covered by a `k`-gram that also occurs in a LOWER-id
+    * document is cut; the first document to contain a span keeps it,
+    * every later verbatim copy loses it. Output: (id, text_clean,
+    * n_removed) over the normalized (lower/trim) text.
+    *
+    * Scale shape — no position explosion: grams travel as xxhash64 longs
+    * (the [[sharedSubstrings]] trick), ownership is ONE hash aggregate
+    * on the gram key (min doc id), coverage joins back on the same key
+    * (AQE reuses the exchange), and per-doc removal works on MERGED
+    * intervals — a classic running-max islands window per doc, so a
+    * fully-duplicated document carries ONE interval, never len×k covered
+    * rows. Reconstruction is a higher-order aggregate over the (≤
+    * len/(k+1)+1) disjoint intervals — interval-array-sized, outside the
+    * hot codegen path by design. Three keyed shuffles total (gram agg,
+    * per-doc window, final join). */
+  def removeSharedSubstrings(df: DataFrame, textCol: String, idCol: String,
+                             k: Int = 30): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val norm = lower(trim(col(textCol)))
+    val base = Par.widen(df, idCol)
+      .select(col(idCol).cast("long").as("id"), norm.as("__t"))
+    val grams = base
+      .where(length(col("__t")) >= k)
+      .select(col("id"),
+        explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("__p"),
+        col("__t"))
+      .select(col("id"), col("__p"),
+        xxhash64(expr(s"substring(__t, __p, $k)")).as("__gh"))
+    val owner = grams.groupBy(col("__gh")).agg(min(col("id")).as("__own"))
+    val covered = grams.join(owner, Seq("__gh"))
+      .where(col("id") > col("__own"))
+      .select(col("id"), col("__p"))
+    // running-max islands: a start position opens a new interval exactly
+    // when it lies beyond every previous gram's right edge
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__p"))
+    val runMax = max(col("__p") + k).over(
+      w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val islands = covered
+      .withColumn("__new", (col("__p") > coalesce(runMax, lit(-1L))).cast("long"))
+      .withColumn("__isl", sum(col("__new")).over(w))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min(col("__p")).as("s"), (max(col("__p")) + k).as("e")) // [s, e)
+    val perDoc = islands.groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("__ivs"))
+    base.join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__ivs").isNull, col("__t")).otherwise(
+          // fold the disjoint sorted intervals: append the gap before
+          // each, then the tail after the last
+          expr("""concat(
+              aggregate(__ivs,
+                named_struct('t', cast('' as string), 'last', 1L),
+                (acc, iv) -> named_struct(
+                  't', concat(acc.t, substring(__t, cast(acc.last as int),
+                                               cast(iv.s - acc.last as int))),
+                  'last', cast(iv.e as bigint)),
+                acc -> acc.t),
+              substring(__t,
+                cast(element_at(__ivs, -1).e as int),
+                length(__t) - cast(element_at(__ivs, -1).e as int) + 1))"""))
+          .as("text_clean"),
+        length(col("__t")).as("__n0"))
+      .select(col("id"), col("text_clean"),
+        (col("__n0") - length(col("text_clean"))).as("n_removed"))
+  }
+
   /** Cross-group contamination matrix: for each pair of groups (data
     * sources, crawl snapshots, benchmark vs corpus), the number of
     * DISTINCT word n-grams both share. The leakage-audit companion to

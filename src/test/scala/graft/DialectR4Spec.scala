@@ -199,6 +199,41 @@ class DialectR4Spec extends AnyFunSuite {
     assert(r(2).getLong(1) == 0, "unique doc must have zero shared spans")
   }
 
+  test("removeSharedSubstrings cuts later copies, keeps the first, hand-checked") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // k=5 hand case: doc 2 shares grams abcde/bcdef/cdefg with doc 1 →
+    // covered starts p=3..5 merge to interval [3,10) → "xx"+"yy"
+    val df = Seq(
+      (1L, "abcdefghij"),
+      (2L, "xxabcdefgyy"),
+      (3L, "zzzzzqqqqq")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .removeSharedSubstrings(df, "text", "doc_id", k = 5)
+      .orderBy("id").collect()
+    assert(r(0).getString(1) === "abcdefghij" && r(0).getInt(2) === 0)
+    assert(r(1).getString(1) === "xxyy" && r(1).getInt(2) === 7)
+    assert(r(2).getString(1) === "zzzzzqqqqq" && r(2).getInt(2) === 0)
+    // a full verbatim duplicate loses everything (one merged interval)
+    val dup = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val rd = graft.operators.TextAnalysis
+      .removeSharedSubstrings(dup, "text", "doc_id", k = 10)
+      .orderBy("id").collect()
+    assert(rd(0).getString(1).nonEmpty && rd(1).getString(1) === "")
+    // removal is idempotent: a second pass removes nothing more
+    val once = graft.operators.TextAnalysis
+      .removeSharedSubstrings(df, "text", "doc_id", k = 5)
+      .select(org.apache.spark.sql.functions.col("id").as("doc_id"),
+        org.apache.spark.sql.functions.col("text_clean").as("text"))
+    val twice = graft.operators.TextAnalysis
+      .removeSharedSubstrings(once, "text", "doc_id", k = 5)
+      .orderBy("id").collect()
+    assert(twice.forall(_.getInt(2) === 0))
+  }
+
   test("Bloom.prefilter never drops a true match and filters the bulk") {
     val s = TestSpark.spark
     import s.implicits._
