@@ -151,8 +151,9 @@ object Bench {
         // nested objects inside — a targeted regex parse is exact here
         val qblock = """"queries"\s*:\s*\{([^}]*)\}""".r
           .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
-        """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(qblock)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        """"([^"]+)"\s*:\s*(-?[0-9.eE+\-]+)""".r.findAllMatchIn(qblock)
+          .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+          .toMap
       } else Map.empty
     } catch { case _: Throwable => Map.empty }
     val regressions = results.toSeq.collect {

@@ -100,9 +100,43 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       arity("dup_line_stats", args, 1, 1)
       QualityFilters.dupLineStats(rel("dup_line_stats", args, 0), "text", "doc_id")
     })
+    // quality_classifier(rel[, 'model']) — hashed-bag-of-words linear
+    // scoring; the one-arg form uses the deterministic built-in weight
+    // arithmetic, the two-arg form serves a CREATE MODEL … KIND 'linear'
+    // (bucket, weight) artifact through the same codegen plumbing
     catalog.registerTableFunction("quality_classifier", { args =>
-      arity("quality_classifier", args, 1, 1)
-      TextAnalysis.hashedLinearScore(rel("quality_classifier", args, 0), "text", "doc_id")
+      arity("quality_classifier", args, 1, 2)
+      val r = rel("quality_classifier", args, 0)
+      if (args.length == 1) TextAnalysis.hashedLinearScore(r, "text", "doc_id")
+      else {
+        val name = str("quality_classifier", args, 1)
+        catalog.model(name) match {
+          case Some(m) if m.kind == "linear" =>
+            if (m.hash == "missing")
+              throw new graft.translate.GraftAnalysisException(
+                s"quality_classifier: model '$name' is degraded (its " +
+                  "artifact was unavailable when the catalog sidecar " +
+                  "replayed) — DROP MODEL and re-CREATE it")
+            TextAnalysis.hashedLinearScoreModel(r, "text", "doc_id",
+              TextAnalysis.loadLinearWeights(spark, m.path))
+          case Some(m) => throw new graft.translate.GraftAnalysisException(
+            s"quality_classifier: model '$name' has kind '${m.kind}', " +
+              "expected 'linear'")
+          case None =>
+            // registered MODEL NAME first, literal artifact path second
+            // (the ann_topk/bpe_tokenize convention); an unreadable path
+            // is an eager dialect error
+            val weights =
+              try TextAnalysis.loadLinearWeights(spark, name)
+              catch { case e: Exception =>
+                throw new graft.translate.GraftAnalysisException(
+                  s"quality_classifier: '$name' is neither a registered " +
+                    s"linear model (known: ${catalog.modelNames.mkString(", ")}) " +
+                    s"nor a (bucket, weight) parquet artifact (${e.getMessage})")
+              }
+            TextAnalysis.hashedLinearScoreModel(r, "text", "doc_id", weights)
+        }
+      }
     })
     catalog.registerTableFunction("compression_ratio", { args =>
       arity("compression_ratio", args, 1, 1)
@@ -526,6 +560,9 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         "input relation must follow the documents convention"))
       args(1) match {
         case graft.catalog.TfArg.Lit(s: String) if catalog.hasModel(s) =>
+          if (args.length > 2) throw new graft.translate.GraftAnalysisException(
+            "unigram_tokenize: iters only applies when training in place " +
+              "(integer vocab size); a registered model is already trained")
           val m = catalog.model(s).get
           if (m.kind != "unigram") throw new graft.translate.GraftAnalysisException(
             s"unigram_tokenize: model '$s' has kind '${m.kind}', expected 'unigram'")
@@ -543,18 +580,27 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
             s"or a registered unigram model name, got $other")
       }
     })
-    // substring_dedup(rel[, k]) — exact-substring REMOVAL (Lee et al.):
-    // cut every char span of length >= k that a lower-id doc also
-    // contains; (id, text_clean, n_removed)
+    // substring_dedup(rel[, k[, stride[, buckets]]]) — exact-substring
+    // REMOVAL (Lee et al.): cut every char span of length >= k that a
+    // lower-id doc also contains; (id, text_clean, n_removed). stride>1
+    // winnows gram starts (edge-approximate, guaranteed for spans >=
+    // k+stride-1); buckets>1 slices the gram shuffle (output-identical).
     catalog.registerTableFunction("substring_dedup", { args =>
-      arity("substring_dedup", args, 1, 2)
+      arity("substring_dedup", args, 1, 4)
       val r = rel("substring_dedup", args, 0)
       Seq("doc_id", "text").foreach(c => reqCol("substring_dedup", r, c,
         "input relation must follow the documents convention"))
       val k = num("substring_dedup", args, 1, 30L).toInt
       if (k < 2) throw new graft.translate.GraftAnalysisException(
         s"substring_dedup: k must be >= 2, got $k")
-      TextAnalysis.removeSharedSubstrings(r, "text", "doc_id", k)
+      val stride = num("substring_dedup", args, 2, 1L).toInt
+      val buckets = num("substring_dedup", args, 3, 1L).toInt
+      if (stride < 1 || buckets < 1) throw new graft.translate.GraftAnalysisException(
+        s"substring_dedup: stride and buckets must be >= 1, got ($stride, $buckets)")
+      if (stride > k) throw new graft.translate.GraftAnalysisException(
+        s"substring_dedup: stride must be <= k so duplicated-span interiors " +
+          s"stay covered, got stride=$stride > k=$k")
+      TextAnalysis.removeSharedSubstrings(r, "text", "doc_id", k, stride, buckets)
     })
     // unigram_encode(rel, 'model'[, cap]) — the unigram token stream
     // (id, wpos, tpos, token, token_id), same frame as bpe_encode, so
@@ -959,9 +1005,14 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       catch { case e: Exception => throw new GraftAnalysisException(
         s"create model $name: '$path' is not a unigram vocab " +
           s"artifact (${e.getMessage})") }
+    case "linear" =>
+      try { graft.operators.TextAnalysis.loadLinearWeights(spark, path); () }
+      catch { case e: Exception => throw new GraftAnalysisException(
+        s"create model $name: '$path' is not a (bucket, weight) linear " +
+          s"classifier artifact (${e.getMessage})") }
     case other => throw new GraftAnalysisException(
       s"create model $name: unknown kind '$other' " +
-        "(valid: ivf, bpe, unigram, pq, ivfpq, ivfsq8)")
+        "(valid: ivf, bpe, unigram, pq, ivfpq, ivfsq8, linear)")
   }
 
   private def artifactHash(kind: String, path: String): String = {

@@ -1241,6 +1241,26 @@ object SparkEntry {
       e.sql("select id, text_detok from " +
         "bpe_decode(unigram_encode(documents, 'q141uni')) order by id")
     }),
+    // ---- trained linear classifier artifact (r14): the x59 swap-in
+    // point made real — a (bucket, weight) parquet registered via
+    // CREATE MODEL KIND 'linear' and served through quality_classifier's
+    // model branch; weights follow a DuckDB-recomputable formula so the
+    // oracle rebuilds every score exactly (x59 BIGINT discipline) ----
+    "q142_linear_model" -> ((s, d) => {
+      val e = g(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("q142_").toString
+      // multiplier > 2^31 on purpose: DuckDB parses it as BIGINT, so the
+      // oracle's b * 2862933555 never overflows an INTEGER (the x59 trick)
+      s.range(0, 256).select(
+        org.apache.spark.sql.functions.col("id").as("bucket"),
+        ((org.apache.spark.sql.functions.col("id") * 2862933555L + 12345L)
+          % 4096L - 2048L).as("weight"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/weights")
+      try e.sql("drop model q142lin") catch { case _: Exception => }
+      e.sql(s"create model q142lin kind 'linear' at '$dir/weights'")
+      e.sql("select id, n_toks, score, keep from " +
+        "quality_classifier(documents, 'q142lin') order by id")
+    }),
     // ---- warc_responses table fn (r13): the crawl entry point through
     // the dialect — x121 proves the byte kernel row-for-row; this proves
     // the SQL surface (WHERE on status rides the same call) ----
@@ -1835,6 +1855,20 @@ object SparkEntry {
     // recompute from the same parquet (the strongest oracle form)
     "q117_socket_source" -> (
       "SELECT n_nationkey AS k, n_name AS name FROM nation ORDER BY k"),
+    // q142: the x59 oracle shape with the TRAINED weight table's formula
+    // inlined — DuckDB rebuilds bucket → weight → exact BIGINT sum →
+    // sigmoid, never reading the parquet artifact
+    "q142_linear_model" -> (
+      "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+      "t AS (SELECT doc_id, (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16 + " +
+      "(strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) AS b FROM toks WHERE tok <> ''), " +
+      "s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, " +
+      "SUM((b * 2862933555 + 12345) % 4096 - 2048) AS sw FROM t GROUP BY 1) " +
+      "SELECT d.doc_id AS id, COALESCE(s.n_toks, 0) AS n_toks, " +
+      "ROUND(1.0/(1.0 + exp(-(8.0 * sw / (4096.0 * s.n_toks)))), 6) AS score, " +
+      "CAST(CASE WHEN COALESCE(ROUND(1.0/(1.0 + exp(-(8.0 * sw / (4096.0 * s.n_toks)))), 6) >= 0.5, FALSE) " +
+      "THEN 1 ELSE 0 END AS INTEGER) AS keep " +
+      "FROM documents d LEFT JOIN s USING (doc_id) ORDER BY id"),
     // q141: the q134 detok oracle verbatim — expected text derives from
     // the RAW corpus, independent of the unigram codec pair
     "q141_unigram_roundtrip_fn" ->

@@ -365,6 +365,77 @@ object Extensions {
         .select(col("id"), col("text_clean"),
           col("n_removed").cast("long").as("n_removed"))
         .orderBy("id")),
+    // ---- stride (winnowing) recall contract (r14): the 100 TB sampling
+    // lever's guarantee, checked per doc against exact recomputation —
+    // every doc sharing a (k + stride - 1)-char span MUST be detected at
+    // that stride (winnowing theorem), and every stride detection MUST
+    // be a real shared k-gram (selected grams ⊆ all grams) ----
+    "x126_substring_stride" -> ((s, d) => {
+      val dd = docs(s, d)
+      val det = TextAnalysis.sharedSubstrings(dd, "text", "doc_id",
+          k = 30, stride = 4)
+        .select(col("id"), col("n_shared").as("__nw"))
+      val span33 = TextAnalysis.sharedSubstrings(dd, "text", "doc_id", k = 33)
+        .select(col("id"), col("n_shared").as("__n33"))
+      val exact30 = TextAnalysis.sharedSubstrings(dd, "text", "doc_id", k = 30)
+        .select(col("id"), col("n_shared").as("__n30"))
+      det.join(span33, "id").join(exact30, "id")
+        .select(col("id"),
+          (col("__n33") > 0).cast("int").as("has_span33"),
+          (col("__n33") === 0 || col("__nw") > 0).cast("int").as("recall_ok"),
+          (col("__nw") === 0 || col("__n30") > 0).cast("int").as("precision_ok"))
+        .orderBy("id")
+    }),
+    // ---- streaming unigram apply parity (r14): the x88 file-replay
+    // discipline for the SECOND tokenizer family — segmentation + token
+    // id tables frozen batch-side (model-sized), every micro-batch row
+    // encodes through stream-static joins only, md5-exact per-doc token
+    // stream vs the batch operator ----
+    "x128_unigram_stream" -> ((s, d) => {
+      import s.implicits._
+      val dd = docs(s, d).localCheckpoint()
+      val wf = TextAnalysis.bpeCappedVocab(dd, "text", "doc_id", 1 << 16)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val model = TextAnalysis.unigramTrain(wf, vocabSize = 512, iters = 3).toMap
+      val (seg0, ids0) = TextAnalysis.unigramEncodeTables(dd, "text", "doc_id", model)
+      val seg = seg0.localCheckpoint(); val ids = ids0.localCheckpoint()
+      def digest(enc: org.apache.spark.sql.DataFrame) = enc.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("wpos"), col("tpos"),
+              col("token_id")))),
+            e => e.getField("token_id").cast("string")))).as("h"))
+      val batchOut = digest(
+        TextAnalysis.unigramEncodeWith(dd, "text", "doc_id", seg, ids))
+        .localCheckpoint()
+      val in = replayStream(s, dd.select("doc_id", "text").repartition(32))
+      val streamed = TextAnalysis.unigramEncodeWith(in, "text", "doc_id", seg, ids)
+      val outDir = tempDir("x128_out_")
+      val ckpt = tempDir("x128_ckpt_")
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try streamed.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      val (nDocs, eq) = try {
+        q.processAllAvailable()
+        val got = digest(s.read.parquet(outDir))
+        val n = batchOut.count()
+        (n, n > 0 && got.count() == n &&
+          got.except(batchOut).isEmpty && batchOut.except(got).isEmpty)
+      } finally q.stop()
+      Seq((nDocs, if (eq) 1 else 0)).toDF("n_docs", "stream_matches_batch")
+    }),
+    // ---- gram-key bucketing is output-IDENTICAL (r14): the shuffle-
+    // slicing lever re-runs ownership/coverage per pmod(__gh, 4) slice;
+    // the oracle is x125's byte-exact cleaned text, unchanged ----
+    "x127_substring_removal_bucketed" -> ((s, d) =>
+      TextAnalysis.removeSharedSubstrings(docs(s, d), "text", "doc_id",
+          k = 30, buckets = 4)
+        .select(col("id"), col("text_clean"),
+          col("n_removed").cast("long").as("n_removed"))
+        .orderBy("id")),
     // ---- unigram-LM tokenizer (r13): the second tokenizer family.
     // x123 is the q134 discipline applied to unigram: decode(encode(x))
     // must reproduce the word normalization of the RAW text exactly —
@@ -2766,6 +2837,45 @@ object Extensions {
       // ownership (min id), covered-position expansion, anti-join, and
       // ordered per-doc reassembly
       "x125_substring_removal" -> (
+        "WITH d AS (SELECT doc_id AS id, lower(trim(text)) AS t FROM documents), " +
+        "g AS (SELECT id, p, substring(t, p, 30) AS gr " +
+        "FROM d, unnest(generate_series(1, length(t) - 29)) AS s(p) " +
+        "WHERE length(t) >= 30), " +
+        "own AS (SELECT gr, min(id) AS o FROM g GROUP BY gr), " +
+        "cov AS (SELECT g.id, g.p FROM g JOIN own USING (gr) WHERE g.id > own.o), " +
+        "cpos AS (SELECT DISTINCT id, p + u AS q " +
+        "FROM cov, unnest(generate_series(0, 29)) AS su(u)), " +
+        "pos AS (SELECT id, q, t FROM d, unnest(generate_series(1, length(t))) AS sp(q)), " +
+        "kept AS (SELECT pos.id, pos.q, substring(pos.t, pos.q, 1) AS ch " +
+        "FROM pos ANTI JOIN cpos USING (id, q)), " +
+        "clean AS (SELECT id, string_agg(ch, '' ORDER BY q) AS txt FROM kept GROUP BY id) " +
+        "SELECT d.id, COALESCE(c.txt, '') AS text_clean, " +
+        "CAST(length(d.t) - length(COALESCE(c.txt, '')) AS BIGINT) AS n_removed " +
+        "FROM d LEFT JOIN clean c USING (id) ORDER BY id"),
+      // x126: has_span33 recomputed exactly (the x44 shape at k = 33 —
+      // sharing a 33-gram ≡ sharing a >= 33-char span, the winnowing
+      // guarantee length for k = 30, stride = 4); both contract flags
+      // must be constant 1 for every doc
+      "x126_substring_stride" -> (
+        "WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "g AS (SELECT DISTINCT doc_id, unnest([substring(t, i, 33) for i in range(1, len(t) - 31)]) AS gram " +
+        "FROM d WHERE length(t) >= 33), " +
+        "c AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram), " +
+        "s AS (SELECT g.doc_id, count(*) AS n33 FROM g JOIN c USING (gram) " +
+        "WHERE c.nd > 1 GROUP BY g.doc_id) " +
+        "SELECT d2.doc_id AS id, " +
+        "CAST(CASE WHEN COALESCE(s.n33, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS has_span33, " +
+        "CAST(1 AS INTEGER) AS recall_ok, CAST(1 AS INTEGER) AS precision_ok " +
+        "FROM documents d2 LEFT JOIN s USING (doc_id) ORDER BY id"),
+      // x128: stream ≡ batch parity flag (not DuckDB-expressible); n_docs
+      // = docs with at least one [a-z]+ word, recomputed exactly
+      "x128_unigram_stream" -> (
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(1 AS INTEGER) AS stream_matches_batch FROM documents " +
+        "WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), " +
+        "w -> w <> '')) > 0"),
+      // x127: bucketing is output-identical — the x125 oracle verbatim
+      "x127_substring_removal_bucketed" -> (
         "WITH d AS (SELECT doc_id AS id, lower(trim(text)) AS t FROM documents), " +
         "g AS (SELECT id, p, substring(t, p, 30) AS gr " +
         "FROM d, unnest(generate_series(1, length(t) - 29)) AS s(p) " +

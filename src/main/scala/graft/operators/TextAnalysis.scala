@@ -609,41 +609,121 @@ object TextAnalysis {
           s => s.getField("v")), " ").as("chunk"))
   }
 
+  /** Gram rows (id, __p, __gh) over pre-normalized (id, __t) rows with
+    * length(__t) >= k. `stride == 1` emits EVERY k-gram start (the exact
+    * Lee-et-al. shape); `stride > 1` winnows (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03): within every window of `stride` consecutive gram
+    * hashes, keep the (first-occurrence) minimum. Selection depends only
+    * on content, so two copies of a span select the SAME grams at the
+    * same span offsets — position-mod sampling would not. Density is
+    * ~2/(stride+1) of the full gram stream; every doc with any gram
+    * keeps at least one. All work is per-row codegen — no shuffle. */
+  /** Winnowing selection over a per-doc gram-hash array `__ghs`: the
+    * distinct (1-based) positions that are the (first-occurrence) min of
+    * some window of `w` consecutive hashes. */
+  private def winnowPositionsSql(w: Int): String =
+    s"""array_distinct(transform(
+       |  sequence(1, greatest(1, size(__ghs) - ${w - 1})),
+       |  i -> cast(i - 1 + array_position(
+       |         slice(__ghs, i, least($w, size(__ghs))),
+       |         array_min(slice(__ghs, i, least($w, size(__ghs)))))
+       |       as int)))""".stripMargin
+
+  private def ghsSql(k: Int): String =
+    s"transform(sequence(1, length(__t) - ${k - 1}), " +
+      s"p -> xxhash64(substring(__t, p, $k)))"
+
+  private def gramRows(base: DataFrame, k: Int, stride: Int): DataFrame =
+    if (stride <= 1)
+      base.select(col("id"),
+        explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("__p"),
+        col("__t"))
+        .select(col("id"), col("__p"),
+          xxhash64(expr(s"substring(__t, __p, $k)")).as("__gh"))
+    else
+      base
+        .select(col("id"), expr(ghsSql(k)).as("__ghs"))
+        .select(col("id"), col("__ghs"),
+          explode(expr(winnowPositionsSql(stride))).as("__p"))
+        .select(col("id"), col("__p"),
+          expr("element_at(__ghs, __p)").as("__gh"))
+
+  /** (id, __ga) where `__ga` is the doc-DISTINCT set of (winnowed) gram
+    * hashes — the within-doc dedup runs INSIDE the projection
+    * (array_distinct), so detection never pays a corpus-wide distinct
+    * exchange. */
+  private def docGramSets(base: DataFrame, k: Int, stride: Int): DataFrame =
+    if (stride <= 1)
+      base.select(col("id"),
+        expr(s"array_distinct(${ghsSql(k)})").as("__ga"))
+    else
+      base.select(col("id"), expr(ghsSql(k)).as("__ghs"))
+        .select(col("id"),
+          expr(s"array_distinct(transform(${winnowPositionsSql(stride)}, " +
+            "p -> element_at(__ghs, p)))").as("__ga"))
+
   /** Per-document count of character `k`-grams shared verbatim with at
     * least one OTHER document — the detection half of exact-substring
     * dedup (Lee et al., "Deduplicating Training Data Makes Language
     * Models Better"): a doc with n_shared > 0 contains a ≥k-char span
     * copied somewhere else in the corpus.
     *
-    * Scale: distinct (doc, gram) pairs bound the join input by content
-    * volume; the gram-frequency side aggregates map-side. For 100 TB,
-    * swap the raw substring key for its 8-byte hash (same plan shape —
-    * [[fingerprint]]'s char-gram hashing) and sample gram START positions
-    * (stride > 1) to trade recall for a proportional cost cut. */
+    * The two 100 TB levers (both default OFF — defaults reproduce the
+    * exact semantics):
+    *  - `stride > 1` winnows gram starts (see [[gramRows]]). HARD recall
+    *    bound: every shared span of length >= k + stride - 1 contains at
+    *    least one FULL winnowing window, whose (content-only) selection
+    *    is identical in both copies — so such spans are ALWAYS detected.
+    *    Spans in [k, k + stride - 2] may be missed; n_shared counts
+    *    selected grams only (≈ 2/(stride+1) of the exact count). No
+    *    false positives ever: selected grams are a subset of real grams.
+    *  - `buckets > 1` slices the gram key space by pmod(__gh, buckets)
+    *    and runs the alone-count aggregate per slice: peak shuffle drops
+    *    to 1/buckets at the cost of re-running the narrow gram
+    *    projection per slice. Output is IDENTICAL for any bucket count
+    *    (each gram lands in exactly one slice; the per-doc reduce sums
+    *    the slices). */
   def sharedSubstrings(df: DataFrame, textCol: String, idCol: String,
-                       k: Int = 30): DataFrame = {
+                       k: Int = 30, stride: Int = 1,
+                       buckets: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val norm = lower(trim(col(textCol)))
     // grams travel as xxhash64 longs, never as 30-char strings: ~5× less
     // shuffle volume, and hash equality ≡ string equality up to 64-bit
     // collisions (expected n²/2⁶⁵ — ~10⁻⁶ at 10⁷ grams; at true 100 TB
     // scale swap in a 128-bit hash before trusting per-doc counts).
-    val grams = Par.widen(df, idCol)
+    val base = Par.widen(df, idCol)
       .select(col(idCol).as("id"), norm.as("__t"))
       .where(length(col("__t")) >= k)
-      .select(col("id"),
-        explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("__p"),
-        col("__t"))
-      .select(col("id"), xxhash64(expr(s"substring(__t, __p, $k)")).as("__gh"))
-      .distinct()
-    // single computation of the gram set: per-gram doc counts via one
-    // window over the gram hash (no second scan, no checkpoint, no join
-    // back) — then the per-doc reduce. Three narrow-row shuffles total.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__gh"))
-    val shared = grams.withColumn("__nd", count(lit(1)).over(w))
-      .where(col("__nd") > 1)
-      .groupBy(col("id")).agg(count(lit(1)).as("__ns"))
+    // count by SUBTRACTION, never by join: n_shared = (distinct grams in
+    // the doc) − (grams the doc holds ALONE). Totals are a narrow
+    // projection (size of the per-doc gram set — zero shuffle); the
+    // alone-count needs exactly ONE corpus-sized exchange, a HASH
+    // aggregate on the gram key carrying (count, min id) — a doc-freq-1
+    // gram's min id IS its only holder. No sort anywhere: the previous
+    // count-over-window shape spilled 75 GB of radix sort at sf10, and a
+    // frequency semi-join re-sorts the gram stream on dup-heavy corpora.
+    val sets = docGramSets(base, k, stride)
+    val totals = sets.select(col("id"), size(col("__ga")).cast("long").as("__tt"))
+    def aloneSlice(b: Int): DataFrame = {
+      val g0 = sets.select(col("id"), explode(col("__ga")).as("__gh"))
+      val g = if (buckets <= 1) g0
+              else g0.where(pmod(col("__gh"), lit(buckets)) === b)
+      g.groupBy(col("__gh"))
+        .agg(count(lit(1)).as("__c"), min(col("id")).as("__mid"))
+        .where(col("__c") === 1)
+        .groupBy(col("__mid")).agg(count(lit(1)).as("__u"))
+        .select(col("__mid").as("id"), col("__u"))
+    }
+    val alone = (0 until math.max(1, buckets)).map(aloneSlice)
+      .reduce(_ unionAll _)
+      .groupBy(col("id")).agg(sum(col("__u")).as("__uu"))
     df.select(col(idCol).as("id"))
-      .join(shared, Seq("id"), "left")
+      .join(totals.join(alone, Seq("id"), "left")
+        .select(col("id"),
+          (col("__tt") - coalesce(col("__uu"), lit(0L))).as("__ns")),
+        Seq("id"), "left")
       .select(col("id"), coalesce(col("__ns"), lit(0L)).as("n_shared"))
   }
 
@@ -655,32 +735,60 @@ object TextAnalysis {
     * n_removed) over the normalized (lower/trim) text.
     *
     * Scale shape — no position explosion: grams travel as xxhash64 longs
-    * (the [[sharedSubstrings]] trick), ownership is ONE hash aggregate
-    * on the gram key (min doc id), coverage joins back on the same key
-    * (AQE reuses the exchange), and per-doc removal works on MERGED
-    * intervals — a classic running-max islands window per doc, so a
-    * fully-duplicated document carries ONE interval, never len×k covered
-    * rows. Reconstruction is a higher-order aggregate over the (≤
-    * len/(k+1)+1) disjoint intervals — interval-array-sized, outside the
-    * hot codegen path by design. Three keyed shuffles total (gram agg,
-    * per-doc window, final join). */
+    * (the [[sharedSubstrings]] trick; hash equality ≡ string equality up
+    * to 64-bit collisions — expected n²/2⁶⁵, ~10⁻⁶ at 10⁷ grams — so a
+    * colliding gram can remove text that was never duplicated; at true
+    * 100 TB swap in a 128-bit hash before trusting removal byte-for-byte),
+    * ownership is ONE hash aggregate on the gram key (min doc id, kept
+    * only for grams spanning >= 2 docs so the coverage join probes a
+    * duplicated-grams-only build side — AQE broadcasts it when small and
+    * the gram stream is never sorted), and per-doc removal works on
+    * MERGED intervals — a classic running-max islands window per doc, so
+    * a fully-duplicated document carries ONE interval, never len×k
+    * covered rows. Reconstruction is a higher-order aggregate over the
+    * (≤ len/(k+1)+1) disjoint intervals — interval-array-sized, outside
+    * the hot codegen path by design.
+    *
+    * 100 TB levers (defaults OFF — defaults are byte-exact Lee et al.):
+    *  - `stride > 1` winnows gram starts (see [[gramRows]]): removal
+    *    becomes approximate at span EDGES only. Consecutive winnowed
+    *    selections are at most `stride` positions apart, so for
+    *    stride <= k the interior of every shared span of length >=
+    *    k + stride - 1 stays fully covered; at most k + 2·(stride-1)
+    *    chars can survive at each span edge (first/last selection may
+    *    sit up to stride-1 inside, and a selection near the edge may
+    *    differ between copies when its window straddles the span
+    *    boundary). Spans shorter than k + stride - 1 may be missed.
+    *  - `buckets > 1` slices ownership+coverage by pmod(__gh, buckets);
+    *    covered positions union across slices before the per-doc
+    *    interval merge, so output is IDENTICAL for any bucket count
+    *    while peak shuffle drops to 1/buckets. */
   def removeSharedSubstrings(df: DataFrame, textCol: String, idCol: String,
-                             k: Int = 30): DataFrame = {
+                             k: Int = 30, stride: Int = 1,
+                             buckets: Int = 1): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val norm = lower(trim(col(textCol)))
     val base = Par.widen(df, idCol)
       .select(col(idCol).cast("long").as("id"), norm.as("__t"))
-    val grams = base
-      .where(length(col("__t")) >= k)
-      .select(col("id"),
-        explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("__p"),
-        col("__t"))
-      .select(col("id"), col("__p"),
-        xxhash64(expr(s"substring(__t, __p, $k)")).as("__gh"))
-    val owner = grams.groupBy(col("__gh")).agg(min(col("id")).as("__own"))
-    val covered = grams.join(owner, Seq("__gh"))
-      .where(col("id") > col("__own"))
-      .select(col("id"), col("__p"))
+    def coveredSlice(b: Int): DataFrame = {
+      val g0 = gramRows(base.where(length(col("__t")) >= k), k, stride)
+      val g = if (buckets <= 1) g0
+              else g0.where(pmod(col("__gh"), lit(buckets)) === b)
+      // only grams spanning >= 2 docs can ever cover a position (within
+      // one doc id == own); filtering the build side BEFORE the join is
+      // what lets AQE broadcast it on mostly-unique corpora
+      val owner = g.groupBy(col("__gh"))
+        .agg(min(col("id")).as("__own"), max(col("id")).as("__mx"))
+        .where(col("__mx") > col("__own"))
+        .select(col("__gh"), col("__own"))
+      g.join(owner, Seq("__gh"))
+        .where(col("id") > col("__own"))
+        .select(col("id"), col("__p"))
+    }
+    val covered = (0 until math.max(1, buckets)).map(coveredSlice)
+      .reduce(_ unionAll _)
     // running-max islands: a start position opens a new interval exactly
     // when it lies beyond every previous gram's right edge
     val w = org.apache.spark.sql.expressions.Window
@@ -802,13 +910,38 @@ object TextAnalysis {
     * Output: (id, n_toks, score ∈ [0,1] rounded 6dp, keep ∈ {0,1});
     * blank docs score NULL / keep 0. */
   def hashedLinearScore(df: DataFrame, textCol: String, idCol: String,
-                        bias: Double = 0.0, scale: Double = 8.0): DataFrame = {
+                        bias: Double = 0.0, scale: Double = 8.0): DataFrame =
+    hashedLinearScoreImpl(df, textCol, idCol,
+      b => (b * lit(2654435761L)) % 4096L - 2048L, bias, scale)
+
+  /** [[hashedLinearScore]] served from a TRAINED weight artifact — the
+    * documented swap-in point made real: `weights` is the dense
+    * 256-entry bucket→weight table (one slot per md5-2-hex-char feature
+    * bucket), embedded in the plan as an array LITERAL, so the lookup is
+    * pure codegen — no join, no broadcast variable, same single per-doc
+    * hash aggregate as the arithmetic built-in. Weights are BIGINTs (the
+    * x59 exactness discipline: integer accumulation is order-independent,
+    * so scores stay bit-stable across partitionings and engines); keep
+    * them in the built-in's [-2048, 2047] band so the `/4096` sigmoid
+    * normalization retains its calibration. */
+  def hashedLinearScoreModel(df: DataFrame, textCol: String, idCol: String,
+                             weights: Array[Long], bias: Double = 0.0,
+                             scale: Double = 8.0): DataFrame = {
+    require(weights.length == 256,
+      s"linear model must carry exactly 256 bucket weights, got ${weights.length}")
+    hashedLinearScoreImpl(df, textCol, idCol,
+      b => element_at(lit(weights), (b + 1L).cast("int")), bias, scale)
+  }
+
+  private def hashedLinearScoreImpl(df: DataFrame, textCol: String,
+                                    idCol: String, weightOf: Column => Column,
+                                    bias: Double, scale: Double): DataFrame = {
     val toks = Par.widen(df, idCol)
       .select(col(idCol).as("id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("__hl_tok"))
       .where(col("__hl_tok") =!= "")
     val bucket = conv(substring(md5(col("__hl_tok")), 1, 2), 16, 10).cast("long")
-    val intWeight = (bucket * lit(2654435761L)) % 4096L - 2048L
+    val intWeight = weightOf(bucket)
     val perDoc = toks
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_toks"), sum(intWeight).as("__hl_sw"))
@@ -819,6 +952,29 @@ object TextAnalysis {
       .select(col("id"), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
         score.as("score"),
         coalesce((score >= 0.5).cast("int"), lit(0)).as("keep"))
+  }
+
+  /** Load a `CREATE MODEL … KIND 'linear'` weight artifact: a parquet of
+    * (bucket, weight) rows — bucket ∈ [0, 256), integer weight, no
+    * duplicate buckets — densified to the 256-slot array
+    * [[hashedLinearScoreModel]] embeds (absent buckets weigh 0). The
+    * table is MODEL-sized (≤ 256 rows) by contract, so the collect is a
+    * driver-side constant, never corpus work. */
+  def loadLinearWeights(spark: SparkSession, path: String): Array[Long] = {
+    val df = spark.read.parquet(path)
+    val names = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    require(names.contains("bucket") && names.contains("weight"),
+      s"expected (bucket, weight) columns, found ${df.columns.mkString(", ")}")
+    val rows = df.select(col("bucket").cast("long"), col("weight").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(rows.nonEmpty, "weight table is empty")
+    require(rows.forall { case (b, _) => b >= 0 && b < 256 },
+      "bucket ids must lie in [0, 256)")
+    require(rows.map(_._1).distinct.length == rows.length,
+      "duplicate bucket ids in weight table")
+    val dense = Array.fill(256)(0L)
+    rows.foreach { case (b, w) => dense(b.toInt) = w }
+    dense
   }
 
   /** Canonical text normalization — the cleanup pass before hashing,
@@ -1463,30 +1619,62 @@ object TextAnalysis {
   def unigramEncode(df: DataFrame, textCol: String, idCol: String,
                     model: collection.Map[String, Double],
                     vocabCap: Int = DefaultBpeVocabCap): DataFrame = {
+    val (segmented, tokenIds) =
+      unigramEncodeTables(df, textCol, idCol, model, vocabCap)
+    unigramEncodeWith(df, textCol, idCol, segmented, tokenIds)
+  }
+
+  /** The two MODEL-SIZED static tables [[unigramEncode]] builds
+    * internally, exposed so a STREAM can apply the tokenizer with
+    * stream-static joins only: `segmented` = (word, toks) for the capped
+    * batch vocabulary, `tokenIds` = (token, token_id) over the batch
+    * corpus's distinct tokens (char-fallback pieces included) with the
+    * bpeEncode dense-id discipline. Both derive from the BATCH corpus —
+    * freeze them (localCheckpoint) before serving micro-batches. */
+  def unigramEncodeTables(df: DataFrame, textCol: String, idCol: String,
+                          model: collection.Map[String, Double],
+                          vocabCap: Int = DefaultBpeVocabCap): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
-    val words = Par.widen(df, idCol)
-      .select(col(idCol).as("id"),
-        posexplode(split(lower(col(textCol)), "[^a-z]+")).as(Seq("wpos", "word")))
-      .where(col("word") =!= "")
     val segmented = bpeCappedVocab(df, textCol, idCol, vocabCap)
       .collect().map(r => r.getString(0))
       .map(w => (w, unigramSegment(w, model)))
       .toSeq.toDF("word", "toks")
-    val withToks = words.join(segmented, Seq("word"), "left")
+    // deterministic dense token ids — model-sized window, the bpeEncode
+    // posture exactly
+    val tokenIds = tokenStream(df, textCol, idCol, segmented)
+      .select("token").distinct()
+      .select(col("token"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("token"))).cast("long").as("token_id"))
+    (segmented, tokenIds)
+  }
+
+  private def tokenStream(df: DataFrame, textCol: String, idCol: String,
+                          segmented: DataFrame): DataFrame =
+    Par.widen(df, idCol)
+      .select(col(idCol).as("id"),
+        posexplode(split(lower(col(textCol)), "[^a-z]+")).as(Seq("wpos", "word")))
+      .where(col("word") =!= "")
+      .join(segmented, Seq("word"), "left")
       .select(col("id"), col("wpos"),
         coalesce(col("toks"), split(col("word"), "")).as("toks"))
       .select(col("id"), col("wpos"),
         posexplode(col("toks")).as(Seq("tpos", "token")))
-    // deterministic dense token ids — model-sized window, the bpeEncode
-    // posture exactly
-    val tokenIds = withToks.select("token").distinct()
-      .select(col("token"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("token"))).cast("long").as("token_id"))
-    withToks.join(tokenIds, "token")
+
+  /** Apply a unigram tokenizer from PRE-BUILT tables — the stateless
+    * serve path: works identically on a batch frame or a STREAM (the
+    * word/token joins are stream-static against the model-sized tables,
+    * broadcast by AQE; no aggregation, no state store). `strict = false`
+    * keeps rows whose token is outside the batch id space (token_id
+    * null) instead of dropping them — only reachable when the served
+    * corpus drifts from the table-building one. */
+  def unigramEncodeWith(df: DataFrame, textCol: String, idCol: String,
+                        segmented: DataFrame, tokenIds: DataFrame,
+                        strict: Boolean = true): DataFrame =
+    tokenStream(df, textCol, idCol, segmented)
+      .join(tokenIds, Seq("token"), if (strict) "inner" else "left")
       .select(col("id"), col("wpos"), col("tpos"), col("token"), col("token_id"))
-  }
 
   private def corpusWords(df: DataFrame, textCol: String, idCol: String): DataFrame =
     Par.widen(df, idCol)

@@ -63,7 +63,11 @@ object WebArchive {
     if (bytes.length < 2 || bytes(0) != Gzip0 || bytes(1) != Gzip1) return bytes
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(bytes), 64 * 1024)
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    // capacity HINT only — clamp so a >512 MB member (real CommonCrawl
+    // files run ~1 GB) can't overflow `length * 4` negative and throw
+    val cap = math.max(64 * 1024L,
+      math.min(bytes.length.toLong * 4, Int.MaxValue - 8L)).toInt
+    val out = new java.io.ByteArrayOutputStream(cap)
     val buf = new Array[Byte](64 * 1024)
     var n = in.read(buf)
     while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
@@ -192,7 +196,7 @@ object WebArchive {
         else {
           val inflated =
             try gunzipAll(payload)
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (inflated == null)
             Iterator.single(WarcRecord(name, "malformed:gzip@0", -1L, "", "",
               -1, "", "", payload.length.toLong, ok = false))
@@ -209,6 +213,247 @@ object WebArchive {
       .where(col("warc_type") === "response" && col("ok"))
       .select(col("record_id"), col("url"), col("warc_date"),
         col("status"), col("mime"), col("text"), col("n_bytes"))
+
+  // ----------------------------------------- member-offset range splitting
+  //
+  // parseWarc parallelizes by FILE; real CommonCrawl files are ~1 GB with
+  // thousands of gzip members, so one-file-one-task is a straggler at
+  // 100 TB. The split path cuts each file into ~targetBytes byte ranges
+  // ALIGNED to gzip member boundaries and parses ranges independently:
+  //
+  //  1. [[indexWarcMembers]] streams each file once (no decompression)
+  //     scanning for gzip member magic, and emits (path, start, end)
+  //     rows with every cut on a candidate boundary. This is the poor
+  //     man's .wat/.cdx; when a crawl publishes real offset sidecars,
+  //     feed those as the ranges instead.
+  //  2. [[parseWarcRanges]] inflates, per range, exactly the members
+  //     whose START offset lies in [start, end) — a straddling final
+  //     member is read past `end` to completion, and a range whose
+  //     `start` turns out to be a magic FALSE POSITIVE (the 4-byte
+  //     check can fire inside compressed data) scans forward to the
+  //     first offset that inflates to a full CRC-valid member, so every
+  //     true member is parsed exactly once across all ranges.
+  //
+  // Assumption (the CommonCrawl layout this exists for): records are
+  // member-aligned WITHIN a file — a record never starts mid-member-run
+  // that a cut separates. Unsplit [[parseWarc]] stays the safe path for
+  // arbitrary multi-member alignment.
+
+  /** Gzip member magic + deflate-method + reserved-flag-bits sanity. */
+  private def magicAt(b: Array[Byte], off: Int): Boolean =
+    off + 3 < b.length && b(off) == Gzip0 && b(off + 1) == Gzip1 &&
+      b(off + 2) == 8 && (b(off + 3) & 0xe0) == 0
+
+  private final case class Member(status: Int, content: Array[Byte], end: Int)
+  private val MemberOk = 0; private val MemberTruncated = 1
+  private val MemberInvalid = 2
+
+  /** Inflate exactly ONE gzip member at `b(off)`: full header parse
+    * (FEXTRA/FNAME/FCOMMENT/FHCRC), raw-deflate inflate, CRC32 + ISIZE
+    * trailer validation. Truncated = the member continues past the end
+    * of `b` (caller extends the window); Invalid = `off` is not a real
+    * member start (magic false positive or corrupt bytes). */
+  private def inflateMember(b: Array[Byte], off: Int): Member = {
+    val inv = Member(MemberInvalid, null, 0)
+    val trunc = Member(MemberTruncated, null, 0)
+    var i = off
+    def u8(): Int = if (i < b.length) { val v = b(i) & 0xff; i += 1; v } else -1
+    if (off + 10 > b.length) return trunc
+    if (u8() != 0x1f || u8() != 0x8b || u8() != 8) return inv
+    val flg = u8()
+    if ((flg & 0xe0) != 0) return inv
+    i += 6 // mtime(4) + xfl + os
+    if ((flg & 4) != 0) { // FEXTRA
+      val x1 = u8(); val x2 = u8(); if (x2 < 0) return trunc
+      i += (x1 | (x2 << 8)); if (i > b.length) return trunc
+    }
+    if ((flg & 8) != 0) { var c = u8(); while (c > 0) c = u8(); if (c < 0) return trunc }
+    if ((flg & 16) != 0) { var c = u8(); while (c > 0) c = u8(); if (c < 0) return trunc }
+    if ((flg & 2) != 0) { i += 2; if (i > b.length) return trunc }
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, i, b.length - i)
+      val out = new java.io.ByteArrayOutputStream(64 * 1024)
+      val buf = new Array[Byte](64 * 1024)
+      val crc = new java.util.zip.CRC32
+      while (!inf.finished()) {
+        if (inf.needsDictionary()) return inv // never legal in gzip deflate
+        if (inf.needsInput()) return trunc    // consumed the whole window
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return inv }
+        if (n > 0) { out.write(buf, 0, n); crc.update(buf, 0, n) }
+      }
+      val end = i + (b.length - i - inf.getRemaining)
+      if (end + 8 > b.length) return trunc
+      def le32(p: Int): Long =
+        ((b(p) & 0xffL)) | ((b(p + 1) & 0xffL) << 8) |
+          ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+      val content = out.toByteArray
+      if (le32(end) != crc.getValue || le32(end + 4) != (content.length & 0xffffffffL))
+        return inv
+      Member(MemberOk, content, end + 8)
+    } finally inf.end()
+  }
+
+  /** Byte-range index over a relation of WARC file PATHS (`pathCol`):
+    * one streaming magic scan per file (bytes-linear, no decompression),
+    * ranges cut at member-boundary candidates every ~`targetBytes`.
+    * Plain (non-gzip) files and files below the target emit one full
+    * range. Output: (path, start, end). */
+  def indexWarcMembers(files: DataFrame, targetBytes: Long = 8L << 20,
+                       pathCol: String = "path"): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    require(targetBytes >= (1L << 16), s"targetBytes too small: $targetBytes")
+    val tb = targetBytes
+    files.select(col(pathCol).cast("string")).as[String].flatMap { path =>
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val len = fs.getFileStatus(p).getLen
+      val in = fs.open(p)
+      try {
+        val head = new Array[Byte](4)
+        val cuts = scala.collection.mutable.ArrayBuffer[Long]()
+        in.readFully(0L, head, 0, math.min(4, len).toInt)
+        if (len > tb && magicAt(head, 0)) {
+          // chunked scan with a 3-byte overlap so boundary magic is seen
+          val buf = new Array[Byte](1 << 20)
+          var base = 0L
+          var carry = new Array[Byte](0)
+          var nextCut = tb
+          while (base < len && cuts.length < ((len / tb) + 2).toInt) {
+            val n = math.min(buf.length.toLong, len - base).toInt
+            in.readFully(base, buf, 0, n)
+            val win = carry ++ buf.take(n)
+            val winBase = base - carry.length
+            var j = 0
+            while (j < win.length - 3) {
+              val abs = winBase + j
+              if (abs >= nextCut && abs > 0 && magicAt(win, j)) {
+                cuts += abs; nextCut = abs + tb
+              }
+              j += 1
+            }
+            carry = win.takeRight(3)
+            base += n
+          }
+        }
+        val bounds = (0L +: cuts.toSeq) :+ len
+        bounds.sliding(2).collect {
+          case Seq(s, e) if e > s => (path, s, e)
+        }.toSeq
+      } finally in.close()
+    }.toDF("path", "start", "end")
+  }
+
+  /** Parse (path, start, end) byte ranges into WARC records — the
+    * post-index kernel of the split path. Each range inflates only the
+    * members starting inside it; decompressed bytes are range-sized
+    * (target + one straddling member), never file-sized. */
+  def parseWarcRanges(ranges: DataFrame): Dataset[WarcRecord] = {
+    val spark = ranges.sparkSession
+    import spark.implicits._
+    ranges.select(col("path").cast("string"), col("start").cast("long"),
+      col("end").cast("long"))
+      .as[(String, Long, Long)]
+      .mapPartitions(_.flatMap { case (path, start, end) =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val len = fs.getFileStatus(p).getLen
+        val in = fs.open(p)
+        try {
+          // window = the range, extended while a member straddles `end`
+          var win = new Array[Byte]((math.min(end, len) - start).toInt)
+          in.readFully(start, win, 0, win.length)
+          var winEnd = start + win.length // absolute
+          def extend(): Boolean = {
+            if (winEnd >= len) return false
+            val add = math.min(1L << 20, len - winEnd).toInt
+            val grown = java.util.Arrays.copyOf(win, win.length + add)
+            in.readFully(winEnd, grown, win.length, add)
+            win = grown; winEnd += add
+            true
+          }
+          if (start == 0 && !magicAt(win, 0)) {
+            // plain (uncompressed) file: single full range by construction
+            while (winEnd < len && extend()) ()
+            scanRecords(path, win)
+          } else {
+            val parts = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+            var bad: WarcRecord = null
+            // first verified member start >= `start`: scan candidates and
+            // demand a full CRC-valid inflate (false positives can't pass)
+            var rel = 0
+            var pos = -1L // absolute offset of the NEXT member in the chain
+            var scanning = true
+            while (scanning && rel >= 0 && start + rel < end) {
+              if (magicAt(win, rel)) {
+                var m = inflateMember(win, rel)
+                while (m.status == MemberTruncated && extend())
+                  m = inflateMember(win, rel)
+                if (m.status == MemberOk &&
+                    new String(m.content, 0, math.min(5, m.content.length),
+                      java.nio.charset.StandardCharsets.US_ASCII).startsWith("WARC/")) {
+                  parts += m.content
+                  pos = start + m.end
+                  scanning = false
+                } else if (m.status == MemberTruncated) {
+                  // file ends mid-member: the tail costs a marker row,
+                  // never silence (total-function posture)
+                  bad = WarcRecord(path, s"malformed:member@${start + rel}",
+                    -1L, "", "", -1, "", "", len - start - rel, ok = false)
+                  scanning = false
+                }
+              }
+              if (scanning) {
+                rel += 1
+                while (rel < win.length - 3 && !magicAt(win, rel)) rel += 1
+                if (rel >= win.length - 3) rel = -1
+              }
+            }
+            // chain: members sit back-to-back at exact offsets from here
+            while (pos >= 0 && pos < end) {
+              val r = (pos - start).toInt
+              var m = inflateMember(win, r)
+              while (m.status == MemberTruncated && extend())
+                m = inflateMember(win, r)
+              if (m.status == MemberOk) { parts += m.content; pos = start + m.end }
+              else {
+                bad = WarcRecord(path, s"malformed:member@$pos", -1L, "", "",
+                  -1, "", "", end - pos, ok = false)
+                pos = -2
+              }
+            }
+            val total = parts.map(_.length.toLong).sum
+            if (total > Int.MaxValue - 8)
+              Iterator.single(WarcRecord(path, s"malformed:range-bomb@$start",
+                -1L, "", "", -1, "", "", total, ok = false))
+            else {
+              val concat = new Array[Byte](total.toInt)
+              var o = 0
+              parts.foreach { c =>
+                System.arraycopy(c, 0, concat, o, c.length); o += c.length
+              }
+              val recs = scanRecords(path, concat)
+              if (bad == null) recs else recs ++ Iterator.single(bad)
+            }
+          }
+        } finally in.close()
+      })
+  }
+
+  /** One-call split path: index member boundaries, spread ranges across
+    * the cluster, parse. The ranges count (not the file count) is the
+    * parallelism unit — a single 1 GB .warc.gz becomes ~128 tasks at the
+    * default target. */
+  def parseWarcSplit(files: DataFrame, targetBytes: Long = 8L << 20,
+                     pathCol: String = "path"): Dataset[WarcRecord] = {
+    // localCheckpoint: the index scan runs ONCE (count + parse reuse it)
+    val idx = indexWarcMembers(files, targetBytes, pathCol).localCheckpoint()
+    val n = idx.count()
+    parseWarcRanges(idx.repartition(math.max(1L, math.min(n, 4096L)).toInt))
+  }
 
   // ----------------------------------------------------- deterministic fixture
 

@@ -234,6 +234,88 @@ class DialectR4Spec extends AnyFunSuite {
     assert(twice.forall(_.getInt(2) === 0))
   }
 
+  test("sharedSubstrings stride: winnowing recall bound and no false positives") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val k = 10; val stride = 4
+    // shared span of EXACTLY k + stride - 1 = 13 chars — the winnowing
+    // guarantee's minimum detectable length
+    val span = "0123456789abc"
+    assert(span.length == k + stride - 1)
+    val df = Seq(
+      (1L, s"first wrapper text $span more filler words here"),
+      (2L, s"entirely different beginning $span and a different tail"),
+      (3L, "no overlap with anything else in this tiny corpus at all"),
+      (4L, "another fully unique document that shares not one gram")
+    ).toDF("doc_id", "text")
+    val w = graft.operators.TextAnalysis
+      .sharedSubstrings(df, "text", "doc_id", k = k, stride = stride)
+      .orderBy("id").collect()
+    assert(w(0).getLong(1) > 0 && w(1).getLong(1) > 0,
+      "a span of k+stride-1 chars MUST be detected (winnowing theorem)")
+    // no false positives: winnowed detections are a subset of exact ones
+    val exact = graft.operators.TextAnalysis
+      .sharedSubstrings(df, "text", "doc_id", k = k)
+      .orderBy("id").collect()
+    (0 until 4).foreach { i =>
+      assert(w(i).getLong(1) <= exact(i).getLong(1),
+        "winnowed count must never exceed the exact count")
+      if (w(i).getLong(1) > 0) assert(exact(i).getLong(1) > 0)
+    }
+    assert(w(2).getLong(1) == 0 && w(3).getLong(1) == 0)
+  }
+
+  test("removeSharedSubstrings stride: full duplicate keeps <= 2(stride-1) chars") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .removeSharedSubstrings(df, "text", "doc_id", k = 10, stride = 4)
+      .orderBy("id").collect()
+    assert(r(0).getString(1) === text, "owner doc must be untouched")
+    // first selection <= stride in, last >= L_g - stride + 1 → residue
+    // bounded by 2(stride-1) chars
+    assert(r(1).getString(1).length <= 2 * (4 - 1),
+      s"full duplicate must lose all but the edge residue, kept '${r(1).getString(1)}'")
+  }
+
+  test("substring family: buckets > 1 is output-identical to buckets = 1") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val span = "this exact thirty-plus character span is copied verbatim"
+    val df = Seq(
+      (1L, s"prefix one $span suffix alpha"),
+      (2L, s"other intro $span closing words"),
+      (3L, s"third copy here $span trailing"),
+      (4L, "completely unrelated text with no overlap whatsoever here"),
+      (5L, "abcdefghij klmnopqrst uvwxyz0123 456789 distinct tail")
+    ).toDF("doc_id", "text")
+    val s1 = graft.operators.TextAnalysis
+      .sharedSubstrings(df, "text", "doc_id", k = 30)
+      .orderBy("id").collect().toSeq
+    val s3 = graft.operators.TextAnalysis
+      .sharedSubstrings(df, "text", "doc_id", k = 30, buckets = 3)
+      .orderBy("id").collect().toSeq
+    assert(s1 === s3, "bucketed detection must equal unbucketed")
+    val r1 = graft.operators.TextAnalysis
+      .removeSharedSubstrings(df, "text", "doc_id", k = 12)
+      .orderBy("id").collect().toSeq
+    val r3 = graft.operators.TextAnalysis
+      .removeSharedSubstrings(df, "text", "doc_id", k = 12, buckets = 3)
+      .orderBy("id").collect().toSeq
+    assert(r1 === r3, "bucketed removal must equal unbucketed byte-for-byte")
+    // winnowed + bucketed compose: still a subset of exact detection
+    val wb = graft.operators.TextAnalysis
+      .sharedSubstrings(df, "text", "doc_id", k = 30, stride = 3, buckets = 2)
+      .orderBy("id").collect()
+    (0 until 5).foreach { i =>
+      assert(wb(i).getLong(1) <= s1(i).getLong(1))
+    }
+    assert(wb(0).getLong(1) > 0 && wb(1).getLong(1) > 0 && wb(2).getLong(1) > 0,
+      "57-char span >> k+stride-1 must survive winnowing in every copy")
+  }
+
   test("Bloom.prefilter never drops a true match and filters the bulk") {
     val s = TestSpark.spark
     import s.implicits._

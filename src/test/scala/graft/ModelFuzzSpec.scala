@@ -39,9 +39,15 @@ class ModelFuzzSpec extends AnyFunSuite {
         iters = 1)
       val ivfsq8Dir = base.resolve("ivfsq8").toString
       Similarity.saveIvfSq8Index(embT, ivfsq8Dir, nlist = 8, iters = 1)
+      val linDir = base.resolve("linear").toString
+      spark.range(0, 256).select(
+        org.apache.spark.sql.functions.col("id").as("bucket"),
+        ((org.apache.spark.sql.functions.col("id") * 37L + 11L) % 512L - 256L)
+          .as("weight"))
+        .coalesce(1).write.mode("overwrite").parquet(linDir)
       val artifacts =
         Map("bpe" -> mergesPath, "ivf" -> ivfDir, "pq" -> pqDir,
-          "ivfpq" -> ivfpqDir, "ivfsq8" -> ivfsq8Dir)
+          "ivfpq" -> ivfpqDir, "ivfsq8" -> ivfsq8Dir, "linear" -> linDir)
       // by-name vs literal-form query pairs per kind; %s is the model
       // name or its literal equivalent (path; merge list for bpe)
       def serveSql(kind: String, ref: String): String = kind match {
@@ -60,6 +66,9 @@ class ModelFuzzSpec extends AnyFunSuite {
         case "ivfsq8" =>
           s"select qid, vec_id, cos from ivfsq8_topk(fuzzq, '$ref', 4, 2) " +
             "order by qid, cos desc, vec_id"
+        case "linear" =>
+          s"select id, n_toks, score, keep from " +
+            s"quality_classifier(documents, '$ref') where id < 40 order by id"
       }
       def literalRef(kind: String): String =
         if (kind == "bpe") mergesList else artifacts(kind)
@@ -69,7 +78,7 @@ class ModelFuzzSpec extends AnyFunSuite {
       g.sql("create table fuzzq as select vec_id, embedding from embeddings where vec_id < 3")
       val mirror = scala.collection.mutable.Map.empty[String, String]
       val names = (0 until 6).map(i => s"fm$i")
-      val kinds = Seq("bpe", "ivf", "pq", "ivfpq", "ivfsq8")
+      val kinds = Seq("bpe", "ivf", "pq", "ivfpq", "ivfsq8", "linear")
       val rnd = new scala.util.Random(20260815L)
       var serves = 0
       var wrongKinds = 0

@@ -151,9 +151,10 @@ object PlanProbe {
         "range between interval 1 hour preceding and current row) as sv from events"),
       Seq("Window", "specifiedwindowframe(RangeFrame"))
 
-    show("shared substrings: gram hashes (xxhash64) through window + aggregate, no string shuffle",
+    show("shared substrings: per-doc gram sets in the projection, ONE " +
+      "corpus-sized HASH aggregate, no join on the gram key, no Window",
       operators.TextAnalysis.sharedSubstrings(docs, "text", "doc_id"),
-      Seq("xxhash64", "Window"))
+      Seq("xxhash64", "HashAggregate", "array_distinct"))
 
     show("int8 quantization is a narrow projection (no Exchange at all)",
       operators.Similarity.quantizeInt8(emb, "embedding", "vec_id"),

@@ -111,4 +111,84 @@ class WebArchiveSpec extends AnyFunSuite {
         .toDF("warc_file", "payload")).collect()
     assert(nul.isEmpty)
   }
+
+  // ---- member-offset splitting (r14): one big .warc.gz becomes many
+  // byte-range tasks; the split parse must be record-identical to the
+  // whole-file parse ----
+
+  private def bigCorpus(n: Int) = spark.range(1, n + 1).selectExpr(
+    "id as doc_id",
+    "concat('http://site', cast(id % 13 as string), '.com/p/', cast(id as string)) as url",
+    // ~660 INCOMPRESSIBLE chars each (md5 hex) so the gzip members stay
+    // fat enough for a few hundred docs to clear the 64 KiB min target
+    "array_join(transform(sequence(1, 20), i -> md5(concat(cast(id as string), ':', cast(i as string)))), ' ') as text")
+
+  /** One big on-disk WARC: the synthesized per-partition files
+    * concatenated (legal for both multi-member gzip and plain records).
+    * Returns (path, bytes, expected record count incl. per-partition
+    * warcinfo heads). */
+  private def writeOneWarc(dir: java.nio.file.Path, gz: Boolean): (String, Array[Byte], Int) = {
+    val payloads = WebArchive.synthesizeWarc(bigCorpus(400), gzipMembers = gz)
+      .select("payload").collect().map(_.getAs[Array[Byte]](0))
+    assert(payloads.nonEmpty)
+    val all = payloads.reduce(_ ++ _)
+    val f = dir.resolve(if (gz) "big.warc.gz" else "big.warc")
+    java.nio.file.Files.write(f, all)
+    (f.toString, all, 800 + payloads.length)
+  }
+
+  test("split parse: many member-aligned ranges, records ≡ whole-file parse") {
+    val dir = java.nio.file.Files.createTempDirectory("warcsplit_")
+    val (path, payload, nRecs) = writeOneWarc(dir, gz = true)
+    assert(payload.length > 3 * 65536, s"fixture too small: ${payload.length}")
+    val idx = WebArchive.indexWarcMembers(
+      Seq(path).toDF("path"), targetBytes = 65536).collect()
+    assert(idx.length > 2, s"expected several ranges, got ${idx.length}")
+    // ranges tile the file exactly: sorted starts chain into ends
+    val sorted = idx.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(sorted.head._1 === 0L && sorted.last._2 === payload.length.toLong)
+    sorted.sliding(2).foreach { case Array((_, e), (s2, _)) => assert(e === s2)
+      case _ => }
+    val split = WebArchive.parseWarcSplit(
+      Seq(path).toDF("path"), targetBytes = 65536)
+    assert(split.rdd.getNumPartitions === idx.length,
+      "one task per range is the whole point")
+    def key(r: WebArchive.WarcRecord) =
+      (r.warc_type, r.record_id, r.url, r.warc_date, r.status, r.mime,
+        r.text, r.n_bytes, r.ok)
+    val whole = WebArchive.parseWarc(
+      Seq(("big.warc.gz", payload)).toDF("warc_file", "payload"))
+      .collect().map(key).sortBy(_.toString)
+    val ranged = split.collect().map(key).sortBy(_.toString)
+    assert(ranged.length === nRecs) // per-partition warcinfo + 2 × 400
+    assert(ranged.toSeq === whole.toSeq,
+      "split parse must be record-identical to whole-file parse")
+  }
+
+  test("split parse: plain (non-gzip) file degrades to one full range") {
+    val dir = java.nio.file.Files.createTempDirectory("warcsplitp_")
+    val (path, payload, nRecs) = writeOneWarc(dir, gz = false)
+    val idx = WebArchive.indexWarcMembers(
+      Seq(path).toDF("path"), targetBytes = 65536).collect()
+    assert(idx.length === 1 && idx.head.getLong(1) === 0L &&
+      idx.head.getLong(2) === payload.length.toLong)
+    val rows = WebArchive.parseWarcSplit(Seq(path).toDF("path"),
+      targetBytes = 65536).collect()
+    assert(rows.length === nRecs && rows.forall(_.ok))
+  }
+
+  test("split parse: truncated tail costs a marker row, earlier ranges survive") {
+    val dir = java.nio.file.Files.createTempDirectory("warcsplitt_")
+    val (path, payload, _) = writeOneWarc(dir, gz = true)
+    val cut = payload.length - payload.length / 10
+    val tf = dir.resolve("trunc.warc.gz")
+    java.nio.file.Files.write(tf, payload.take(cut))
+    val rows = WebArchive.parseWarcSplit(Seq(tf.toString).toDF("path"),
+      targetBytes = 65536).collect()
+    val (good, bad) = rows.partition(_.ok)
+    assert(bad.nonEmpty && bad.forall(_.warc_type.startsWith("malformed:")))
+    assert(good.length > 700, s"earlier records must survive, got ${good.length}")
+    assert(good.forall(r => r.warc_type == "warcinfo" ||
+      r.record_id >= 1L))
+  }
 }
