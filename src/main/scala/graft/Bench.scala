@@ -89,14 +89,26 @@ object Bench {
     // the VM was. Pass 1 still absorbs codegen/JIT; whole-suite passes
     // (not per-query repeats) so cache states stay comparable.
     val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
-    val pass1 = benchSet.map { case (name, fn) => name -> Vector(once(name, fn)) }
+    // suite-order study knob (r14, drift protocol): SPARK_GRAFT_BENCH_SHUFFLE
+    // =<seed> runs every pass in a seeded-random gate order. If ordered ≫
+    // shuffled on identical code, the suite accumulates pressure
+    // (temp dirs, heap fragmentation, native handles) rather than the
+    // gates themselves regressing.
+    val benchOrder: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      sys.env.get("SPARK_GRAFT_BENCH_SHUFFLE") match {
+        case Some(seed) =>
+          System.err.println(s"[bench] *** SHUFFLED GATE ORDER (seed=$seed) ***")
+          new scala.util.Random(seed.toLong).shuffle(benchSet.toSeq)
+        case None => benchSet.toSeq
+      }
+    val pass1 = benchOrder.map { case (name, fn) => name -> Vector(once(name, fn)) }.toMap
     val allRuns = (2 to nRuns).foldLeft(pass1) { (acc, _) =>
-      benchSet.map { case (name, fn) =>
+      benchOrder.map { case (name, fn) =>
         // a failed query is not retried (its negative marker survives);
         // a transient later failure must not clobber an earlier success
         val prev = acc(name)
         name -> (if (prev.head < 0) prev else prev :+ once(name, fn))
-      }
+      }.toMap
     }
     val results = allRuns.map { case (name, ts) =>
       val ok = ts.filter(_ > 0)

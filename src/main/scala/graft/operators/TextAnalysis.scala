@@ -618,21 +618,6 @@ object TextAnalysis {
     * same span offsets — position-mod sampling would not. Density is
     * ~2/(stride+1) of the full gram stream; every doc with any gram
     * keeps at least one. All work is per-row codegen — no shuffle. */
-  /** Winnowing selection over a per-doc gram-hash array `__ghs`: the
-    * distinct (1-based) positions that are the (first-occurrence) min of
-    * some window of `w` consecutive hashes. */
-  private def winnowPositionsSql(w: Int): String =
-    s"""array_distinct(transform(
-       |  sequence(1, greatest(1, size(__ghs) - ${w - 1})),
-       |  i -> cast(i - 1 + array_position(
-       |         slice(__ghs, i, least($w, size(__ghs))),
-       |         array_min(slice(__ghs, i, least($w, size(__ghs)))))
-       |       as int)))""".stripMargin
-
-  private def ghsSql(k: Int): String =
-    s"transform(sequence(1, length(__t) - ${k - 1}), " +
-      s"p -> xxhash64(substring(__t, p, $k)))"
-
   private def gramRows(base: DataFrame, k: Int, stride: Int): DataFrame =
     if (stride <= 1)
       base.select(col("id"),
@@ -641,26 +626,18 @@ object TextAnalysis {
         .select(col("id"), col("__p"),
           xxhash64(expr(s"substring(__t, __p, $k)")).as("__gh"))
     else
-      base
-        .select(col("id"), expr(ghsSql(k)).as("__ghs"))
-        .select(col("id"), col("__ghs"),
-          explode(expr(winnowPositionsSql(stride))).as("__p"))
-        .select(col("id"), col("__p"),
-          expr("element_at(__ghs, __p)").as("__gh"))
+      base.select(col("id"),
+        explode(graft.expr.GramOps.gramWinnow(col("__t"), k, stride)).as("__s"))
+        .select(col("id"), col("__s.p").as("__p"), col("__s.gh").as("__gh"))
 
   /** (id, __ga) where `__ga` is the doc-DISTINCT set of (winnowed) gram
-    * hashes — the within-doc dedup runs INSIDE the projection
-    * (array_distinct), so detection never pays a corpus-wide distinct
-    * exchange. */
+    * hashes — the within-doc dedup runs INSIDE the projection (the
+    * [[graft.expr.GramOps]] native kernel: child evaluated once, one
+    * allocation-light pass), so detection never pays a corpus-wide
+    * distinct exchange and never re-normalizes text per gram. */
   private def docGramSets(base: DataFrame, k: Int, stride: Int): DataFrame =
-    if (stride <= 1)
-      base.select(col("id"),
-        expr(s"array_distinct(${ghsSql(k)})").as("__ga"))
-    else
-      base.select(col("id"), expr(ghsSql(k)).as("__ghs"))
-        .select(col("id"),
-          expr(s"array_distinct(transform(${winnowPositionsSql(stride)}, " +
-            "p -> element_at(__ghs, p)))").as("__ga"))
+    base.select(col("id"),
+      graft.expr.GramOps.gramHashSet(col("__t"), k, math.max(1, stride)).as("__ga"))
 
   /** Per-document count of character `k`-grams shared verbatim with at
     * least one OTHER document — the detection half of exact-substring

@@ -234,6 +234,63 @@ class DialectR4Spec extends AnyFunSuite {
     assert(twice.forall(_.getInt(2) === 0))
   }
 
+  test("GramOps native kernel ≡ xxhash64(substring) + brute-force winnow reference") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, length, expr => sqlExpr}
+    val texts = Seq(
+      (1L, "abcabcabcabcabc"),
+      (2L, "héllo wörld ünïcode gräm test — mixed width bytes here"),
+      (3L, "aaaaaaaaaaaaaaa"), // all-equal hashes: tie handling
+      (4L, "the quick brown fox jumps over the lazy dog"))
+    val df = texts.toDF("doc_id", "text")
+    val k = 5
+    // SQL reference hashes per gram (tiny rows — no collapse hazard here)
+    val ref = df.where(length(col("text")) >= k)
+      .select(col("doc_id"), sqlExpr(
+        s"transform(sequence(1, length(text) - ${k - 1}), " +
+          s"p -> xxhash64(substring(text, p, $k)))").as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // native hash-set at w=1 == sorted distinct of the reference
+    val nat = df.where(length(col("text")) >= k)
+      .select(col("doc_id"),
+        graft.expr.GramOps.gramHashSet(col("text"), k, 1).as("ga"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    ref.foreach { case (id, hs) =>
+      assert(nat(id) === hs.distinct.sorted,
+        s"doc $id: native gram set must equal SQL reference")
+    }
+    // native winnow at w=3 == brute-force leftmost-min-per-window
+    val w = 3
+    val win = df.where(length(col("text")) >= k)
+      .select(col("doc_id"),
+        graft.expr.GramOps.gramWinnow(col("text"), k, w).as("sel"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getInt(0), x.getLong(1)))
+      }.toMap
+    ref.foreach { case (id, hs) =>
+      val L = hs.length
+      val we = math.min(w, L)
+      val expectIdx = (0 to L - we).flatMap { i =>
+        val slice = hs.slice(i, i + we)
+        Seq(i + slice.indexOf(slice.min)) // leftmost min
+      }.distinct.sorted
+      val expect = expectIdx.map(i => (i + 1, hs(i)))
+      assert(win(id) === expect, s"doc $id: winnow selection must match")
+      // contract: selections ⊆ all grams, at least one per window
+      assert(expect.nonEmpty)
+    }
+    // hash-set at w == distinct hashes of the winnow selection
+    val natW = df.where(length(col("text")) >= k)
+      .select(col("doc_id"),
+        graft.expr.GramOps.gramHashSet(col("text"), k, w).as("ga"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    win.foreach { case (id, sel) =>
+      assert(natW(id) === sel.map(_._2).distinct.sorted)
+    }
+  }
+
   test("sharedSubstrings stride: winnowing recall bound and no false positives") {
     val s = TestSpark.spark
     import s.implicits._

@@ -43,6 +43,35 @@ object PackAutoProbe {
     time(s"auto target=${total / 32} (~32 shards)")(
       operators.Curation.packTokenStreamAuto(enc, seqLen = 256, total / 32,
         estimatedTokens = Some(total)))
+
+    // ---- the FULL x98 gate pipeline (r14, VERDICT #7): encode + pack +
+    // per-sequence md5 digest, pinned 8 shards (the committed envelope's
+    // shape) vs the auto-sized path at target = total/32 — the number
+    // that shows the 41× envelope is the task-per-shard constant, with
+    // shard count as the lever a 100 TB run turns ----
+    def x98Digest(packed: org.apache.spark.sql.DataFrame) =
+      packed.groupBy(col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("offset"), col("token_id")))),
+            e => e.getField("token_id").cast("string")))).as("h"))
+    def timed(df: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val pinned = timed(x98Digest(operators.Curation.packTokenStream(enc,
+      seqLen = 256, shard = pmod(
+        pmod(col("id"), lit(1000000L)) * lit(2654435761L) % lit(1000000L),
+        lit(8L)))))
+    val auto = timed(x98Digest(operators.Curation.packTokenStreamAuto(enc,
+      seqLen = 256, total / 32, estimatedTokens = Some(total))))
+    val json = f"""{"metric":"x98_pack_pipeline","unit":"sec","sf":"$sfDir","tokens":$total,"pinned8_sec":$pinned%.1f,"auto32_sec":$auto%.1f}"""
+    println(s"[packauto] $json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_sf10_packauto.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[packauto] sidecar: $e") }
     spark.stop()
   }
 }
