@@ -86,7 +86,9 @@ object GramOps {
     (hashes, sel)
   }
 
-  private[expr] def computeSet(s: UTF8String, k: Int, w: Int): ArrayData = {
+  // public: codegen calls this via the static forwarder, which Scala
+  // only emits for PUBLIC object methods (Janino cannot see GramOps$)
+  def computeSet(s: UTF8String, k: Int, w: Int): ArrayData = {
     val (hashes, sel) = hashesAndSelection(s, k, w)
     if (hashes.isEmpty) return UnsafeArrayData.fromPrimitiveArray(hashes)
     val cand =
@@ -108,7 +110,7 @@ object GramOps {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(cand, m + 1))
   }
 
-  private[expr] def computeWinnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+  def computeWinnow(s: UTF8String, k: Int, w: Int): ArrayData = {
     val (hashes, sel) = hashesAndSelection(s, k, w)
     if (hashes.isEmpty) return new GenericArrayData(Array.empty[Any])
     val rows = new scala.collection.mutable.ArrayBuffer[Any](
