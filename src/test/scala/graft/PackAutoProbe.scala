@@ -22,9 +22,13 @@ object PackAutoProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = GraftSession.forDir(spark, sfDir).catalog.relation("documents")
-    // the x98 shape: capped encode of the full corpus into a token stream
+    // the x98 shape: capped encode of the full corpus into a token stream.
+    // DISK_ONLY, not localCheckpoint: 115M rows of MEMORY_AND_DISK blocks
+    // inside an 8 GB driver heap left the window sorts one GC stall from
+    // OOM (two of three probe attempts died flakily before this change)
     val enc = operators.TextAnalysis.bpeEncode(docs, "text", "doc_id",
-      operators.Extensions.X86_MERGES, vocabCap = 12).localCheckpoint()
+      operators.Extensions.X86_MERGES, vocabCap = 12)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val total = enc.count()
     println(s"[packauto] token stream: $total tokens")
     def time(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
@@ -48,7 +52,8 @@ object PackAutoProbe {
     // per-sequence md5 digest, pinned 8 shards (the committed envelope's
     // shape) vs the auto-sized path at target = total/32 — the number
     // that shows the 41× envelope is the task-per-shard constant, with
-    // shard count as the lever a 100 TB run turns ----
+    // shard count as the lever a 100 TB run turns.
+    def enc2 = enc
     def x98Digest(packed: org.apache.spark.sql.DataFrame) =
       packed.groupBy(col("shard"), col("seq_id"))
         .agg(count(lit(1)).as("n_tokens"),
@@ -60,11 +65,11 @@ object PackAutoProbe {
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val pinned = timed(x98Digest(operators.Curation.packTokenStream(enc,
+    val pinned = timed(x98Digest(operators.Curation.packTokenStream(enc2,
       seqLen = 256, shard = pmod(
         pmod(col("id"), lit(1000000L)) * lit(2654435761L) % lit(1000000L),
         lit(8L)))))
-    val auto = timed(x98Digest(operators.Curation.packTokenStreamAuto(enc,
+    val auto = timed(x98Digest(operators.Curation.packTokenStreamAuto(enc2,
       seqLen = 256, total / 32, estimatedTokens = Some(total))))
     val json = f"""{"metric":"x98_pack_pipeline","unit":"sec","sf":"$sfDir","tokens":$total,"pinned8_sec":$pinned%.1f,"auto32_sec":$auto%.1f}"""
     println(s"[packauto] $json")
