@@ -377,6 +377,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: GramOps native kernel ≡ SQL reference over random unicode text") {
+    // random texts mixing ASCII, repeats, and multi-byte codepoints —
+    // the UTF-8 offset table and tie handling must agree with Spark's
+    // own substring/xxhash64 semantics for every one of them
+    val charGen = Gen.frequency(
+      (8, Gen.alphaNumChar), (3, Gen.const(' ')),
+      (2, Gen.oneOf('é', 'ü', 'ß', 'λ', '中', '€')),
+      (2, Gen.oneOf('a', 'a', 'b'))) // extra repeats → hash ties
+    val textGen = Gen.choose(0, 120).flatMap(n => Gen.listOfN(n, charGen)).map(_.mkString)
+    val texts = samples(textGen, 40).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    for (k <- Seq(2, 5, 9); w <- Seq(1, 3, 7)) {
+      val rows = df.where(length(col("text")) >= k)
+        .select(col("doc_id"),
+          expr(s"transform(sequence(1, length(text) - ${k - 1}), " +
+            s"p -> xxhash64(substring(text, p, $k)))").as("ref"),
+          graft.expr.GramOps.gramHashSet(col("text"), k, w).as("set"),
+          graft.expr.GramOps.gramWinnow(col("text"), k, w).as("win"))
+        .collect()
+      rows.foreach { r =>
+        val ref = r.getSeq[Long](1)
+        val set = r.getSeq[Long](2)
+        val win = r.getSeq[org.apache.spark.sql.Row](3).map(x => (x.getInt(0), x.getLong(1)))
+        // winnow reference: leftmost min of every w'-window, distinct
+        val we = math.min(w, ref.length)
+        val expectIdx = (0 to ref.length - we).map { i =>
+          val s = ref.slice(i, i + we); i + s.indexOf(s.min)
+        }.distinct.sorted
+        assert(win == expectIdx.map(i => (i + 1, ref(i))),
+          s"doc ${r.getLong(0)} k=$k w=$w winnow mismatch")
+        assert(set == win.map(_._2).distinct.sorted,
+          s"doc ${r.getLong(0)} k=$k w=$w set mismatch")
+      }
+    }
+  }
+
   test("property: epochExpand total matches floor+fraction arithmetic per group") {
     for (eTenths <- samples(Gen.choose(0, 35), 6).distinct) {
       val e = eTenths / 10.0

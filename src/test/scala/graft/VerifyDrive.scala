@@ -226,6 +226,37 @@ object VerifyDrive {
         "max(int8_dot(qvec, qvec)) as mxdot from int8_quantize(embeddings)").head()
       s"all-scales-pos=${r.getInt(0)} max-selfdot=${r.getLong(1)}"
     })
+    println("=== substring_dedup levers: " + {
+      // stride/buckets through the SQL surface: bucketed ≡ plain, stride
+      // approximate-but-bounded; error path for stride > k
+      val plain = g.sql("select sum(n_removed) as nr from substring_dedup(documents, 12)").head().getLong(0)
+      val bucketed = g.sql("select sum(n_removed) as nr from substring_dedup(documents, 12, 1, 3)").head().getLong(0)
+      val strided = g.sql("select sum(n_removed) as nr from substring_dedup(documents, 12, 4)").head().getLong(0)
+      val err = try { g.sql("select * from substring_dedup(documents, 5, 9)"); "NO-ERROR" }
+      catch { case e: Exception => if (e.getMessage.contains("stride must be <= k")) "stride>k rejected" else e.getMessage }
+      s"plain=$plain bucketed-eq=${plain == bucketed} strided<=plain=${strided <= plain} [$err]"
+    })
+    println("=== linear model serve: " + {
+      val dir = java.nio.file.Files.createTempDirectory("vd_lin_").toString
+      spark.range(0, 256).selectExpr("id as bucket", "(id * 7) % 64 - 32 as weight")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      g.sql(s"create model vdlin kind 'linear' at '$dir'")
+      val r = g.sql("select count(*) as n, min(score) as mn, max(score) as mx " +
+        "from quality_classifier(documents, 'vdlin') where n_toks > 0").head()
+      val wrong = try { g.sql("select * from bpe_tokenize(documents, 'vdlin')"); "NO-ERROR" }
+      catch { case e: Exception => if (e.getMessage.contains("expected 'bpe'")) "wrong-kind rejected" else e.getMessage }
+      s"docs=${r.getLong(0)} score-range=[${r.getDouble(1)},${r.getDouble(2)}] [$wrong]"
+    })
+    println("=== unigram model-branch arity: " + {
+      val dir = java.nio.file.Files.createTempDirectory("vd_uni_").toString
+      graft.operators.TextAnalysis.trainUnigramModel(
+        g.catalog.relation("documents"), "text", "doc_id",
+        vocabSize = 64, iters = 1, path = s"$dir/v.tsv")
+      g.sql(s"create model vduni kind 'unigram' at '$dir/v.tsv'")
+      try { g.sql("select * from unigram_tokenize(documents, 'vduni', 5)"); "NO-ERROR" }
+      catch { case e: Exception =>
+        if (e.getMessage.contains("iters only applies")) "model+iters rejected" else e.getMessage }
+    })
     try {
       val url = "jdbc:derby:memory:drive_card;create=true"
       val c = java.sql.DriverManager.getConnection(url)
