@@ -398,6 +398,26 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
             "re-CREATE it to re-validate the artifact")
       m.path
     }
+    // resolve a model argument (the quality_classifier convention:
+    // registered MODEL NAME first, literal artifact path second) and
+    // load it kind-checked — a wrong-kind model is an eager error, not
+    // a path fallback, and an unloadable literal path is an eager
+    // dialect error naming the known models
+    def loadArtifact[A](fn: String, ref: String, kind: String,
+                        what: String)(load: String => A): A =
+      catalog.model(ref) match {
+        case Some(m) if m.kind == kind => load(servable(fn, ref, m))
+        case Some(m) => throw new graft.translate.GraftAnalysisException(
+          s"$fn: model '$ref' has kind '${m.kind}', expected '$kind'")
+        case None =>
+          try load(ref)
+          catch { case e: Exception =>
+            throw new graft.translate.GraftAnalysisException(
+              s"$fn: '$ref' is neither a registered $kind model " +
+                s"(known: ${catalog.modelNames.mkString(", ")}) nor " +
+                s"$what (${e.getMessage})")
+          }
+      }
     catalog.registerTableFunction("dsir_scores", { args =>
       arity("dsir_scores", args, 2, 3)
       graft.operators.Importance.dsirScores(
@@ -418,6 +438,64 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
           str("dsir_resample", args, 1),
         frac = dbl("dsir_resample", args, 2),
         buckets = num("dsir_resample", args, 3, 1024L).toInt)
+    })
+    // dsir_apply(rel, 'model') — the ONLINE half of DSIR served from a
+    // persisted CREATE MODEL … KIND 'dsir' artifact: stateless (batch or
+    // streaming), scores bit-identical to dsir_scores on the model
+    // corpus (the x73 parity contract survives the save/load cycle —
+    // Double.toString round-trips exactly)
+    catalog.registerTableFunction("dsir_apply", { args =>
+      arity("dsir_apply", args, 2, 2)
+      val r = rel("dsir_apply", args, 0)
+      Seq("text", "doc_id").foreach(c => reqCol("dsir_apply", r, c,
+        "the documents convention the curation appliers score"))
+      val (model, buckets) = loadArtifact("dsir_apply",
+        str("dsir_apply", args, 1), "dsir", "a DSIR log-ratio artifact")(
+        p => graft.operators.Importance.loadDsirModel(spark, p))
+      graft.operators.Importance.applyDsirScore(r, "text", "doc_id",
+        model, buckets)
+    })
+    // span_excise(rel, 'model'[, spanWords]) — hot-span excision served
+    // from a persisted 'spans' artifact (x88's stateless apply, by name;
+    // spanWords must match the value the hot set was mined with)
+    catalog.registerTableFunction("span_excise", { args =>
+      arity("span_excise", args, 2, 3)
+      val r = rel("span_excise", args, 0)
+      Seq("text", "doc_id").foreach(c => reqCol("span_excise", r, c,
+        "the documents convention the curation appliers excise"))
+      graft.operators.Dedup.applySpanExcision(r, "text", "doc_id",
+        loadArtifact("span_excise", str("span_excise", args, 1), "spans",
+          "a (key BIGINT) hot-span artifact")(
+          p => graft.operators.Dedup.loadHotSpans(spark, p)),
+        spanWords = num("span_excise", args, 2, 8L).toInt)
+    })
+    // paragraph_apply(rel, 'model') — hot-paragraph dedup served from a
+    // persisted 'paragraphs' artifact (the x64 stateless apply, by name)
+    catalog.registerTableFunction("paragraph_apply", { args =>
+      arity("paragraph_apply", args, 2, 2)
+      val r = rel("paragraph_apply", args, 0)
+      Seq("text", "doc_id").foreach(c => reqCol("paragraph_apply", r, c,
+        "the documents convention the curation appliers dedup"))
+      graft.operators.Dedup.applyParagraphDedup(r, "text", "doc_id",
+        loadArtifact("paragraph_apply", str("paragraph_apply", args, 1),
+          "paragraphs", "a (key STRING) hot-paragraph artifact")(
+          p => graft.operators.Dedup.loadHotParagraphs(spark, p)))
+    })
+    // decontaminate_apply(rel, 'model'[, w[, minHits]]) — benchmark
+    // removal served from a persisted 'shingles' artifact (the x109
+    // stateless apply, by name; w must match the mined shingle width)
+    catalog.registerTableFunction("decontaminate_apply", { args =>
+      arity("decontaminate_apply", args, 2, 4)
+      val r = rel("decontaminate_apply", args, 0)
+      Seq("text", "doc_id").foreach(c => reqCol("decontaminate_apply", r, c,
+        "the documents convention the curation appliers filter"))
+      graft.operators.Decontaminate.applyClean(r, "text", "doc_id",
+        loadArtifact("decontaminate_apply",
+          str("decontaminate_apply", args, 1), "shingles",
+          "an (h BIGINT) benchmark shingle artifact")(
+          p => graft.operators.Decontaminate.loadBenchShingles(spark, p)),
+        w = num("decontaminate_apply", args, 2, 8L).toInt,
+        minHits = num("decontaminate_apply", args, 3, 1L).toInt)
     })
     // grouped quantile_cont with BOUNDED executor state (histogram
     // refinement) — the documented alternative to the dialect's exact
@@ -1010,9 +1088,30 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
       catch { case e: Exception => throw new GraftAnalysisException(
         s"create model $name: '$path' is not a (bucket, weight) linear " +
           s"classifier artifact (${e.getMessage})") }
+    case "dsir" =>
+      try { graft.operators.Importance.loadDsirModel(spark, path); () }
+      catch { case e: Exception => throw new GraftAnalysisException(
+        s"create model $name: '$path' is not a DSIR log-ratio " +
+          s"artifact (${e.getMessage})") }
+    case "spans" =>
+      try { graft.operators.Dedup.loadHotSpans(spark, path); () }
+      catch { case e: Exception => throw new GraftAnalysisException(
+        s"create model $name: '$path' is not a (key BIGINT) hot-span " +
+          s"artifact (${e.getMessage})") }
+    case "paragraphs" =>
+      try { graft.operators.Dedup.loadHotParagraphs(spark, path); () }
+      catch { case e: Exception => throw new GraftAnalysisException(
+        s"create model $name: '$path' is not a (key STRING) " +
+          s"hot-paragraph artifact (${e.getMessage})") }
+    case "shingles" =>
+      try { graft.operators.Decontaminate.loadBenchShingles(spark, path); () }
+      catch { case e: Exception => throw new GraftAnalysisException(
+        s"create model $name: '$path' is not an (h BIGINT) benchmark " +
+          s"shingle artifact (${e.getMessage})") }
     case other => throw new GraftAnalysisException(
       s"create model $name: unknown kind '$other' " +
-        "(valid: ivf, bpe, unigram, pq, ivfpq, ivfsq8, linear)")
+        "(valid: ivf, bpe, unigram, pq, ivfpq, ivfsq8, linear, dsir, " +
+        "spans, paragraphs, shingles)")
   }
 
   private def artifactHash(kind: String, path: String): String = {

@@ -1261,6 +1261,27 @@ object SparkEntry {
       e.sql("select id, n_toks, score, keep from " +
         "quality_classifier(documents, 'q142lin') order by id")
     }),
+    // ---- persisted DSIR model served by name (r15): the last
+    // save/load-less broadcast model promoted to a catalog artifact —
+    // trainDsirModel lands the log-ratio table, CREATE MODEL KIND
+    // 'dsir' registers it (eager validation + content hash + sidecar
+    // journal), dsir_apply scores through the stateless online path.
+    // Saved log-ratios round-trip bit-identically (Double.toString), so
+    // the x71/x73 batch DuckDB oracle pins the served scores verbatim ----
+    "q143_dsir_model" -> ((s, d) => {
+      val e = g(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("q143_").toString
+      val path = s"$dir/dsir.tsv"
+      graft.operators.Importance.trainDsirModel(
+        e.catalog.relation("documents"), "text", "doc_id",
+        isTarget = org.apache.spark.sql.functions.col("source") === "src0",
+        buckets = 256, path = path)
+      // idempotent re-run (Bench passes share the session catalog)
+      try e.sql("drop model q143dsir") catch { case _: Exception => }
+      e.sql(s"create model q143dsir kind 'dsir' at '$path'")
+      e.sql("select id, n_toks, score from " +
+        "dsir_apply(documents, 'q143dsir') order by id")
+    }),
     // ---- warc_responses table fn (r13): the crawl entry point through
     // the dialect — x121 proves the byte kernel row-for-row; this proves
     // the SQL surface (WHERE on status rides the same call) ----
@@ -1869,6 +1890,11 @@ object SparkEntry {
       "CAST(CASE WHEN COALESCE(ROUND(1.0/(1.0 + exp(-(8.0 * sw / (4096.0 * s.n_toks)))), 6) >= 0.5, FALSE) " +
       "THEN 1 ELSE 0 END AS INTEGER) AS keep " +
       "FROM documents d LEFT JOIN s USING (doc_id) ORDER BY id"),
+    // q143: the shared batch-DSIR recompute (the x71/x73 oracle) — the
+    // served scores must match the batch path bit-for-bit, proving the
+    // artifact save/load cycle loses nothing
+    "q143_dsir_model" ->
+      (graft.operators.Extensions.duckDsirScores + " ORDER BY id"),
     // q141: the q134 detok oracle verbatim — expected text derives from
     // the RAW corpus, independent of the unigram codec pair
     "q141_unigram_roundtrip_fn" ->

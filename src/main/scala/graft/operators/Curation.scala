@@ -22,6 +22,30 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Land `df` at `dir` with the commit-marker discipline and hand back
+    * the read-back frame: if `dir` already carries a `_COMMITTED` marker
+    * the existing parquet is READ and `df` is never executed (the
+    * restart-from-seam property — by-name callers skip the whole
+    * upstream); otherwise `df` is written, the marker is created, and
+    * the landed files are read back. A crash between write and marker
+    * leaves an uncommitted directory that the next run overwrites whole
+    * — a seam is only ever observed empty-or-complete (the
+    * [[graft.streaming.Sinks.publishBatch]] contract, batch-shaped). */
+  def seam(df: => DataFrame, dir: String): DataFrame = {
+    // the session comes from the landed frame when we write, but a
+    // committed seam must be readable WITHOUT evaluating `df` — use the
+    // active session for the read-back path
+    val spark = org.apache.spark.sql.SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(p, "_COMMITTED")
+    if (!fs.exists(marker)) {
+      df.write.mode("overwrite").parquet(dir)
+      fs.create(marker, true).close()
+    }
+    spark.read.parquet(dir)
+  }
+
   /** Curate a document corpus:
     * 1. exact dedup on text (keep lowest id);
     * 2. drop docs below `minQuality` (TextAnalysis.quality formula);
@@ -82,26 +106,35 @@ object Curation {
     * packed corpus (id, rep, split, bucket, token_est, shard, bin),
     * ready for [[writeShards]].
     *
-    * Scale notes: the two `localCheckpoint`s are corpus-sized but each
-    * cuts a ≥3-way re-execution of the whole upstream (survivors feed
-    * the pair mining, the token stats, AND the split; MEMORY_AND_DISK,
-    * so they spill rather than OOM). At true 100 TB you'd land the
-    * deduped survivors on parquet at that seam instead — same plan
-    * shape, durable materialization. Shard/bin hashing uses the portable
+    * Scale notes: the two corpus-sized materializations each cut a
+    * ≥3-way re-execution of the whole upstream (survivors feed the pair
+    * mining, the token stats, AND the split). By default they are
+    * `localCheckpoint`s (MEMORY_AND_DISK — they spill rather than OOM,
+    * but die with the session). Pass `seamDir` to land them on PARQUET
+    * with the x83 `_COMMITTED` marker discipline instead — the 100 TB
+    * posture: each seam directory is observed empty-or-complete, and a
+    * RE-RUN with the same `seamDir` resumes from any committed seam
+    * without re-executing its upstream (restart-from-seam; delete the
+    * directory to force recompute). Shard/bin hashing uses the portable
     * multiplicative hash so external systems can recompute placement. */
   def fullPipeline(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", testPercent: Int = 10,
                    budget: Long = 2048L, buckets: Int = 4,
-                   nearDupThreshold: Double = 0.8): DataFrame = {
+                   nearDupThreshold: Double = 0.8,
+                   seamDir: Option[String] = None): DataFrame = {
+    def landed(df: => DataFrame, name: String): DataFrame = seamDir match {
+      case None       => df.localCheckpoint()
+      case Some(root) => seam(df, s"$root/$name")
+    }
     val normed = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.normalizeText(col(textCol)).as("text"))
     val filtered = QualityFilters.gopherFilter(
       normed, "text", required = Seq("wc_ok", "mwl_ok"))
-    val kept = Dedup.exactByHash(filtered, "text", "doc_id")
-      .localCheckpoint() // read 3×: pair mining, token stats, split
-    val pairs = Dedup.nearDuplicates(kept, "text", "doc_id",
+    val kept = landed(Dedup.exactByHash(filtered, "text", "doc_id"),
+      "kept") // read 3×: pair mining, token stats, split
+    val pairs = landed(Dedup.nearDuplicates(kept, "text", "doc_id",
         threshold = nearDupThreshold)
-      .select(col("ida"), col("idb")).localCheckpoint()
+      .select(col("ida"), col("idb")), "pairs")
     val fams = Components.connectedComponents(pairs)
     val splits = Sampling.leakageSafeSplit(kept, "text", "doc_id",
       testPercent, Some(fams))

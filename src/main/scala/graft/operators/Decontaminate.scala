@@ -45,6 +45,17 @@ object Decontaminate {
     Dedup.shingleRows(bench, textCol, idCol, w)
       .select(xxhash64(col("sh")).as("h")).distinct()
 
+  /** Persist a [[benchShingleHashes]] hot set — the artifact behind
+    * `CREATE MODEL … KIND 'shingles'`: one (h BIGINT) parquet directory,
+    * served through [[applyClean]]. */
+  def saveBenchShingles(hashes: DataFrame, path: String): Unit =
+    ModelIO.saveColumnSet(hashes, path, "h", "long")
+
+  /** Load a [[saveBenchShingles]] artifact (layout-validated). */
+  def loadBenchShingles(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame =
+    ModelIO.loadColumnSet(spark, path, "h", "long")
+
   /** STATELESS streaming decontamination — the hot-set discipline of the
     * streaming line/paragraph/span dedups applied to benchmark removal:
     * the benchmark's distinct shingle hashes broadcast as ONE sorted

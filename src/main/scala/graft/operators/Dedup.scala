@@ -771,6 +771,30 @@ object Dedup {
       .select(col("__gh").as("key"))
   }
 
+  /** Persist a [[hotSpans]] hot set — the artifact behind `CREATE MODEL
+    * … KIND 'spans'`: one (key BIGINT) parquet directory, loaded back by
+    * [[loadHotSpans]] and served through [[applySpanExcision]]. */
+  def saveHotSpans(hot: DataFrame, path: String): Unit =
+    graft.operators.ModelIO.saveColumnSet(hot, path, "key", "long")
+
+  /** Load a [[saveHotSpans]] artifact (layout-validated). */
+  def loadHotSpans(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    graft.operators.ModelIO.loadColumnSet(spark, path, "key", "long")
+
+  /** Persist a [[hotParagraphs]] hot set (its key column only — the
+    * doc-frequency diagnostic is train-time metadata) — the artifact
+    * behind `CREATE MODEL … KIND 'paragraphs'`: one (key STRING) parquet
+    * directory, served through [[applyParagraphDedup]]. */
+  def saveHotParagraphs(hot: DataFrame, path: String): Unit =
+    graft.operators.ModelIO.saveColumnSet(
+      hot.select(hot.columns.head), path, "key", "string")
+
+  /** Load a [[saveHotParagraphs]] artifact (layout-validated). */
+  def loadHotParagraphs(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame =
+    graft.operators.ModelIO.loadColumnSet(spark, path, "key", "string")
+
   def exciseSharedSpans(df: DataFrame, textCol: String, idCol: String,
                         spanWords: Int = 8, minDocFreq: Long = 2L): DataFrame = {
     require(spanWords >= 2, "spanWords must be >= 2")

@@ -436,6 +436,66 @@ object Extensions {
         .select(col("id"), col("text_clean"),
           col("n_removed").cast("long").as("n_removed"))
         .orderBy("id")),
+    // ---- stride removal END-TO-END (r15): the winnowing lever applied
+    // to REMOVAL, against a DuckDB-computable contract — constructed
+    // full duplicates (doc_id % 5 == 3 copies the text of doc_id - 3)
+    // must shrink to <= 2*(stride-1) residual chars (content-only
+    // selection: both copies pick identical grams, consecutive
+    // selections are <= stride <= k apart, so the interior is gap-free
+    // and only the <= stride-1 chars outside the first/last selection
+    // survive), and docs sharing NO exact 30-gram must come back
+    // byte-identical (selected grams ⊆ real grams — no false
+    // positives). has_shared is recomputed exactly by the oracle (the
+    // x44 window shape over the MODIFIED corpus), so the pass also pins
+    // the dup-construction arithmetic ----
+    "x129_substring_stride_removal" -> ((s, d) => {
+      val dd = docs(s, d)
+      val donors = dd.select((col("doc_id") + lit(3L)).as("doc_id"),
+        col("text").as("__dt"))
+      val mod = dd.select(col("doc_id"), col("text"))
+        .join(donors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("doc_id") % 5 === 3 && col("__dt").isNotNull).as("__dup"),
+          when(col("doc_id") % 5 === 3 && col("__dt").isNotNull, col("__dt"))
+            .otherwise(col("text")).as("text"))
+        .localCheckpoint() // removal + exact detection + norm read it
+      val cleaned = TextAnalysis.removeSharedSubstrings(mod, "text", "doc_id",
+        k = 30, stride = 4)
+      val exact = TextAnalysis.sharedSubstrings(mod, "text", "doc_id", k = 30)
+        .select(col("id"), col("n_shared"))
+      val normed = mod.select(col("doc_id").as("id"), col("__dup"),
+        lower(trim(col("text"))).as("__nt"))
+      cleaned.join(exact, "id").join(normed, "id")
+        .select(col("id"),
+          col("__dup").cast("int").as("is_dup"),
+          (col("n_shared") > 0).cast("int").as("has_shared"),
+          when(col("__dup") && length(col("__nt")) >= 30,
+            (length(col("text_clean")) <= 6).cast("int"))
+            .otherwise(1).as("resid_ok"),
+          when(col("n_shared") === 0,
+            (col("text_clean") === col("__nt")).cast("int"))
+            .otherwise(1).as("clean_ok"))
+        .orderBy("id")
+    }),
+    // ---- auto-shard packing (r15): the PRODUCTION pack shape — shard
+    // count DERIVED from the measured token total (ceil(total/target)),
+    // not pinned by the caller (the sf10 sizing study: pinned-8 58.4 s
+    // vs auto 25.0 s). Placement stays the portable multiplicative
+    // hash, so the oracle enumerates the derived shards exactly as x98
+    // enumerates its pinned 8 ----
+    "x130_pack_tokens_auto" -> ((s, d) => {
+      val enc = TextAnalysis.bpeEncode(docs(s, d), "text", "doc_id",
+          X86_MERGES, vocabCap = 12)
+        .localCheckpoint() // counted once (shard sizing) + packed once
+      val packed = Curation.packTokenStreamAuto(enc, seqLen = 256,
+        targetTokensPerShard = 20000L)
+      packed.groupBy(col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("offset"), col("token_id")))),
+            e => e.getField("token_id").cast("string")))).as("h"))
+        .orderBy("shard", "seq_id")
+    }),
     // ---- unigram-LM tokenizer (r13): the second tokenizer family.
     // x123 is the q134 discipline applied to unigram: decode(encode(x))
     // must reproduce the word normalization of the RAW text exactly —
@@ -792,7 +852,12 @@ object Extensions {
     // published_ok flag (read-back row total == kept docs). The sf10
     // metrics run of this same pipeline is the DressRehearsal main. ----
     "x95_dress_rehearsal" -> ((s, d) => {
-      val packed = Curation.fullPipeline(docs(s, d))
+      // seam ON (r15): the two corpus-sized lineage cuts land on parquet
+      // with _COMMITTED markers (fresh dir per run — no stale resume);
+      // the oracle is unchanged, proving the seam is output-neutral.
+      // x100 keeps the default localCheckpoint path covered.
+      val packed = Curation.fullPipeline(docs(s, d),
+          seamDir = Some(tempDir("x95_seam_")))
         .localCheckpoint() // published AND aggregated below
       val audit = Curation.writeShards(
         packed.select("id", "split", "bucket", "bin", "token_est"),
@@ -2413,7 +2478,7 @@ object Extensions {
     * md5-ascii-fold bucket hash, both smoothed bucket models, and the
     * sorted-fold mean, with explicit DOUBLE casts so DuckDB's
     * HUGEINT-sum arithmetic matches Spark's long+double exactly. */
-  private val duckDsirScores =
+  private[graft] val duckDsirScores =
     "WITH tk AS (SELECT doc_id AS id, source = 'src0' AS is_t, " +
     "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
     "tk2 AS (SELECT id, is_t, " +
@@ -2891,6 +2956,35 @@ object Extensions {
         "SELECT d.id, COALESCE(c.txt, '') AS text_clean, " +
         "CAST(length(d.t) - length(COALESCE(c.txt, '')) AS BIGINT) AS n_removed " +
         "FROM d LEFT JOIN clean c USING (id) ORDER BY id"),
+      // x129: the modified corpus (dup construction) rebuilt by the
+      // same LEFT JOIN arithmetic, has_shared recomputed exactly (the
+      // x44/x126 window shape), contract flags constant 1
+      "x129_substring_stride_removal" -> (
+        "WITH dmod AS (SELECT d.doc_id, " +
+        "CASE WHEN d.doc_id % 5 = 3 AND don.text IS NOT NULL THEN 1 ELSE 0 END AS is_dup, " +
+        "CASE WHEN d.doc_id % 5 = 3 AND don.text IS NOT NULL THEN don.text ELSE d.text END AS text " +
+        "FROM documents d LEFT JOIN documents don ON don.doc_id = d.doc_id - 3), " +
+        "t AS (SELECT doc_id, is_dup, lower(trim(text)) AS t FROM dmod), " +
+        "g AS (SELECT DISTINCT doc_id, unnest([substring(t, i, 30) for i in range(1, len(t) - 28)]) AS gram " +
+        "FROM t WHERE length(t) >= 30), " +
+        "c AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram), " +
+        "s AS (SELECT g.doc_id, count(*) AS n FROM g JOIN c USING (gram) " +
+        "WHERE c.nd > 1 GROUP BY g.doc_id) " +
+        "SELECT t.doc_id AS id, CAST(t.is_dup AS INTEGER) AS is_dup, " +
+        "CAST(CASE WHEN COALESCE(s.n, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS has_shared, " +
+        "CAST(1 AS INTEGER) AS resid_ok, CAST(1 AS INTEGER) AS clean_ok " +
+        "FROM t LEFT JOIN s USING (doc_id) ORDER BY id"),
+      // x130: x98's oracle with the shard count DERIVED the way
+      // packTokenStreamAuto derives it — ceil(total tokens / 20000)
+      "x130_pack_tokens_auto" -> (
+        s"WITH $duckBpeEncodeCtes, " +
+        "tot AS (SELECT CAST(GREATEST(1, (count(*) + 19999) // 20000) AS BIGINT) AS ns FROM j), " +
+        "sh AS (SELECT j.*, ((((doc_id % 1000000) * 2654435761) % 1000000) % (SELECT ns FROM tot)) AS shard FROM j), " +
+        "rn AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id, wpos, tpos) - 1 AS BIGINT) AS i FROM sh) " +
+        "SELECT CAST(shard AS BIGINT) AS shard, CAST(i // 256 AS BIGINT) AS seq_id, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+        "md5(string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY i % 256)) AS h " +
+        "FROM rn GROUP BY 1, 2 ORDER BY 1, 2"),
       // x123: expected detokenization derives from the RAW text (the
       // q134 oracle verbatim) — independent of the unigram codec pair
       "x123_unigram_roundtrip" ->

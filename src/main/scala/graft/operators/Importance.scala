@@ -105,6 +105,76 @@ object Importance {
     }.sortBy(_._1)
   }
 
+  /** Persist a [[dsirModel]] log-ratio table — the artifact behind
+    * `CREATE MODEL … KIND 'dsir'`. Text format (one small file, like the
+    * BPE merge list): a `buckets\t<n>` header line, then one
+    * `bucket\t<logratio>` line per non-empty bucket. Log-ratios print
+    * via `Double.toString`, whose shortest-round-trip representation
+    * parses back BIT-IDENTICAL — the x73 parity contract survives a
+    * save/load cycle. */
+  def saveDsirModel(spark: org.apache.spark.sql.SparkSession,
+                    model: Array[(Long, Double)], buckets: Int,
+                    path: String): Unit = {
+    require(buckets >= 1, "buckets must be >= 1")
+    model.foreach { case (b, lr) =>
+      require(b >= 0 && b < buckets, s"bucket $b outside [0, $buckets)")
+      require(!lr.isNaN && !lr.isInfinite, s"unsaveable log-ratio $lr") }
+    require(model.map(_._1).distinct.length == model.length,
+      "duplicate bucket ids in DSIR model")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write((s"buckets\t$buckets" +: model.sortBy(_._1).map { case (b, lr) =>
+      s"$b\t${java.lang.Double.toString(lr)}" }).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Load a [[saveDsirModel]] artifact: (log-ratio table, buckets). */
+  def loadDsirModel(spark: org.apache.spark.sql.SparkSession,
+                    path: String): (Array[(Long, Double)], Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    val buckets = lines.headOption match {
+      case Some(h) => h.split("\t") match {
+        case Array("buckets", n) if n.toIntOption.exists(_ >= 1) => n.toInt
+        case _ => throw new IllegalArgumentException(
+          s"malformed DSIR header `${lines.head}` in $path (expected `buckets\\t<n>`)")
+      }
+      case None => throw new IllegalArgumentException(s"empty DSIR model at $path")
+    }
+    val rows = lines.tail.map { line =>
+      line.split("\t") match {
+        case Array(b, lr) if b.toLongOption.isDefined &&
+            lr.toDoubleOption.isDefined => (b.toLong, lr.toDouble)
+        case _ => throw new IllegalArgumentException(
+          s"malformed DSIR line `$line` in $path (expected `bucket\\tlogratio`)")
+      }
+    }.toArray
+    rows.foreach { case (b, _) =>
+      require(b >= 0 && b < buckets, s"bucket $b outside [0, $buckets) in $path") }
+    (rows, buckets)
+  }
+
+  /** Fit the DSIR bucket models and persist the artifact at `path` —
+    * the train-then-register flow behind `CREATE MODEL … KIND 'dsir'`
+    * (the trainBpeModel convention). */
+  def trainDsirModel(df: DataFrame, textCol: String, idCol: String,
+                     isTarget: Column, buckets: Int,
+                     path: String): Array[(Long, Double)] = {
+    val model = dsirModel(df, textCol, idCol, isTarget, buckets)
+    saveDsirModel(df.sparkSession, model, buckets, path)
+    model
+  }
+
   /** The online half: score rows — BATCH OR STREAMING — against a
     * precomputed [[dsirModel]], row-at-a-time with no shuffle, grouping,
     * or state: tokens → bucket → broadcast-literal map lookup → sorted

@@ -681,7 +681,17 @@ object TextAnalysis {
     // gram's min id IS its only holder. No sort anywhere: the previous
     // count-over-window shape spilled 75 GB of radix sort at sf10, and a
     // frequency semi-join re-sorts the gram stream on dup-heavy corpora.
-    val sets = docGramSets(base, k, stride)
+    // bucketed runs materialize the doc-gram-set rows once (DISK_ONLY —
+    // the removeSharedSubstrings seam discipline) so the B slices filter
+    // a landed frame instead of re-running the gram kernel per slice
+    val sets0 = docGramSets(base, k, stride)
+    val sets =
+      if (buckets <= 1) sets0
+      else {
+        val p = sets0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        p.count()
+        p
+      }
     val totals = sets.select(col("id"), size(col("__ga")).cast("long").as("__tt"))
     def aloneSlice(b: Int): DataFrame = {
       val g0 = sets.select(col("id"), explode(col("__ga")).as("__gh"))
@@ -739,7 +749,16 @@ object TextAnalysis {
     *  - `buckets > 1` slices ownership+coverage by pmod(__gh, buckets);
     *    covered positions union across slices before the per-doc
     *    interval merge, so output is IDENTICAL for any bucket count
-    *    while peak shuffle drops to 1/buckets. */
+    *    while peak shuffle drops to 1/buckets. The gram projection runs
+    *    ONCE: the (id, __p, __gh) rows land on local disk (DISK_ONLY
+    *    persist — a 24 B/gram seam, deliberately not memory so slices
+    *    can't evict each other into silent recompute) and every slice
+    *    filters the materialized frame, so bucketing costs one extra
+    *    disk pass instead of B re-runs of the scan + normalize + hash
+    *    pipeline. The cache unpins via the ContextCleaner when the
+    *    result frame is dropped; at 100 TB, land the same rows on
+    *    cluster parquet instead (write the gram frame, read it back —
+    *    identical slicing) when executor-local disk is the constraint. */
   def removeSharedSubstrings(df: DataFrame, textCol: String, idCol: String,
                              k: Int = 30, stride: Int = 1,
                              buckets: Int = 1): DataFrame = {
@@ -749,10 +768,17 @@ object TextAnalysis {
     val norm = lower(trim(col(textCol)))
     val base = Par.widen(df, idCol)
       .select(col(idCol).cast("long").as("id"), norm.as("__t"))
+    val gAll = gramRows(base.where(length(col("__t")) >= k), k, stride)
+    val gSrc =
+      if (buckets <= 1) gAll
+      else {
+        val p = gAll.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        p.count() // materialize the seam exactly once, before any slice
+        p
+      }
     def coveredSlice(b: Int): DataFrame = {
-      val g0 = gramRows(base.where(length(col("__t")) >= k), k, stride)
-      val g = if (buckets <= 1) g0
-              else g0.where(pmod(col("__gh"), lit(buckets)) === b)
+      val g = if (buckets <= 1) gSrc
+              else gSrc.where(pmod(col("__gh"), lit(buckets)) === b)
       // only grams spanning >= 2 docs can ever cover a position (within
       // one doc id == own); filtering the build side BEFORE the join is
       // what lets AQE broadcast it on mostly-unique corpora

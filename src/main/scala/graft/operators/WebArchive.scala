@@ -234,10 +234,23 @@ object WebArchive {
   //     first offset that inflates to a full CRC-valid member, so every
   //     true member is parsed exactly once across all ranges.
   //
-  // Assumption (the CommonCrawl layout this exists for): records are
-  // member-aligned WITHIN a file — a record never starts mid-member-run
-  // that a cut separates. Unsplit [[parseWarc]] stays the safe path for
-  // arbitrary multi-member alignment.
+  // CommonCrawl's layout has records member-aligned; files where a
+  // RECORD spans gzip members are NOT trusted to be: every candidate
+  // cut is VERIFIED at index time (the member at the cut must inflate
+  // CRC-valid and its content must open with a WARC/1.x version line,
+  // i.e. the cut is record-aligned, not merely member-aligned).
+  // Unverifiable cuts are dropped — the neighboring ranges merge, and a
+  // file whose members never open on a record boundary degrades to ONE
+  // whole-file range, which parses multi-member records correctly
+  // (members concatenate in order before the record scan). As defense
+  // for hand-fed ranges, [[parseWarcRanges]] additionally emits a
+  // `malformed:misaligned` marker row (never silence) when it meets a
+  // CRC-valid member that does not open a record.
+  //
+  // Both executor closures use the SESSION's Hadoop configuration
+  // (serialized into the task, as Spark's own file sources do) — the
+  // `spark.hadoop.*` credentials/endpoints this path needs on the
+  // remote object stores it exists for.
 
   /** Gzip member magic + deflate-method + reserved-flag-bits sanity. */
   private def magicAt(b: Array[Byte], off: Int): Boolean =
@@ -296,20 +309,54 @@ object WebArchive {
     } finally inf.end()
   }
 
+  /** Verify a candidate cut at `off`: the gzip member there must inflate
+    * to a full CRC-valid member whose content OPENS a WARC record — the
+    * record-alignment proof that makes [[parseWarcRanges]]' slicing safe
+    * on files where records span members. Window grows geometrically
+    * (64 KiB → 2× per retry) so a fat member costs O(size) inflation,
+    * not O(size²). */
+  private def verifiedCut(in: org.apache.hadoop.fs.FSDataInputStream,
+                          len: Long, off: Long): Boolean = {
+    var cap = 1 << 16
+    var done = false
+    var ok = false
+    while (!done) {
+      val n = math.min(cap.toLong, len - off).toInt
+      val win = new Array[Byte](n)
+      in.readFully(off, win, 0, n)
+      val m = inflateMember(win, 0)
+      if (m.status == MemberOk) {
+        ok = new String(m.content, 0, math.min(5, m.content.length),
+          java.nio.charset.StandardCharsets.US_ASCII).startsWith("WARC/")
+        done = true
+      } else if (m.status == MemberInvalid || n.toLong >= len - off ||
+                 cap >= Int.MaxValue - 8) {
+        done = true // false-positive magic, EOF-truncated, or un-windowable
+      } else {
+        cap = math.min(cap.toLong * 2, Int.MaxValue - 8L).toInt
+      }
+    }
+    ok
+  }
+
   /** Byte-range index over a relation of WARC file PATHS (`pathCol`):
     * one streaming magic scan per file (bytes-linear, no decompression),
-    * ranges cut at member-boundary candidates every ~`targetBytes`.
-    * Plain (non-gzip) files and files below the target emit one full
-    * range. Output: (path, start, end). */
+    * ranges cut at member-boundary candidates every ~`targetBytes`, then
+    * each candidate VERIFIED record-aligned (one member inflate per cut
+    * — ~len/targetBytes members per file) and dropped if not. Plain
+    * (non-gzip) files and files below the target emit one full range.
+    * Output: (path, start, end). */
   def indexWarcMembers(files: DataFrame, targetBytes: Long = 8L << 20,
                        pathCol: String = "path"): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
     require(targetBytes >= (1L << 16), s"targetBytes too small: $targetBytes")
     val tb = targetBytes
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     files.select(col(pathCol).cast("string")).as[String].flatMap { path =>
       val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(hconf.value)
       val len = fs.getFileStatus(p).getLen
       val in = fs.open(p)
       try {
@@ -330,7 +377,8 @@ object WebArchive {
             var j = 0
             while (j < win.length - 3) {
               val abs = winBase + j
-              if (abs >= nextCut && abs > 0 && magicAt(win, j)) {
+              if (abs >= nextCut && abs > 0 && magicAt(win, j) &&
+                  verifiedCut(in, len, abs)) {
                 cuts += abs; nextCut = abs + tb
               }
               j += 1
@@ -354,36 +402,63 @@ object WebArchive {
   def parseWarcRanges(ranges: DataFrame): Dataset[WarcRecord] = {
     val spark = ranges.sparkSession
     import spark.implicits._
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     ranges.select(col("path").cast("string"), col("start").cast("long"),
       col("end").cast("long"))
       .as[(String, Long, Long)]
       .mapPartitions(_.flatMap { case (path, start, end) =>
         val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(hconf.value)
         val len = fs.getFileStatus(p).getLen
         val in = fs.open(p)
         try {
-          // window = the range, extended while a member straddles `end`
-          var win = new Array[Byte]((math.min(end, len) - start).toInt)
+          val rangeBytes = math.min(end, len) - start
+          if (rangeBytes > Int.MaxValue - 8L) {
+            // a >2 GB range can't window into one array: marker row, not
+            // a NegativeArraySizeException-dead task (a plain file over
+            // 2 GB always arrives as one full-file range)
+            Iterator.single(WarcRecord(path, s"malformed:range-bomb@$start",
+              -1L, "", "", -1, "", "", rangeBytes, ok = false))
+          } else {
+          // window = the range, extended while a member straddles `end`;
+          // growth is GEOMETRIC (1 MiB, then doubling) so a single fat
+          // straddling member re-inflates O(log) times, not O(size/1MiB)
+          var win = new Array[Byte](rangeBytes.toInt)
           in.readFully(start, win, 0, win.length)
           var winEnd = start + win.length // absolute
+          var step = 1L << 20
           def extend(): Boolean = {
             if (winEnd >= len) return false
-            val add = math.min(1L << 20, len - winEnd).toInt
+            val room = (Int.MaxValue - 8L) - win.length
+            if (room <= 0) return false // un-windowable; caller degrades
+            val add = math.min(math.min(step, len - winEnd), room).toInt
             val grown = java.util.Arrays.copyOf(win, win.length + add)
             in.readFully(winEnd, grown, win.length, add)
             win = grown; winEnd += add
+            step = math.min(step * 2, 1L << 30)
             true
           }
           if (start == 0 && !magicAt(win, 0)) {
             // plain (uncompressed) file: single full range by construction
             while (winEnd < len && extend()) ()
-            scanRecords(path, win)
+            if (winEnd < len)
+              // >2 GB plain file: the window cap stopped growth — flag
+              // the unparsed remainder rather than scan a torn buffer
+              Iterator.single(WarcRecord(path, s"malformed:range-bomb@0",
+                -1L, "", "", -1, "", "", len, ok = false))
+            else scanRecords(path, win)
           } else {
             val parts = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-            var bad: WarcRecord = null
+            val bad = scala.collection.mutable.ArrayBuffer[WarcRecord]()
             // first verified member start >= `start`: scan candidates and
-            // demand a full CRC-valid inflate (false positives can't pass)
+            // demand a full CRC-valid inflate (false positives can't
+            // pass). A CRC-valid member whose content does NOT open a
+            // WARC record is record/member MISALIGNMENT (a record
+            // spanning members, cut here by the range) — index-time cut
+            // verification prevents this for indexed ranges; hand-fed
+            // ranges get a marker row, never silent loss, and the scan
+            // resumes AFTER the foreign member
             var rel = 0
             var pos = -1L // absolute offset of the NEXT member in the chain
             var scanning = true
@@ -398,18 +473,29 @@ object WebArchive {
                   parts += m.content
                   pos = start + m.end
                   scanning = false
+                } else if (m.status == MemberOk) {
+                  // misaligned: real member, mid-record content
+                  bad += WarcRecord(path, s"malformed:misaligned@${start + rel}",
+                    -1L, "", "", -1, "", "", m.content.length.toLong,
+                    ok = false)
+                  rel = m.end - 1 // resume after the member (+1 below)
                 } else if (m.status == MemberTruncated) {
                   // file ends mid-member: the tail costs a marker row,
                   // never silence (total-function posture)
-                  bad = WarcRecord(path, s"malformed:member@${start + rel}",
+                  bad += WarcRecord(path, s"malformed:member@${start + rel}",
                     -1L, "", "", -1, "", "", len - start - rel, ok = false)
                   scanning = false
                 }
               }
               if (scanning) {
                 rel += 1
-                while (rel < win.length - 3 && !magicAt(win, rel)) rel += 1
-                if (rel >= win.length - 3) rel = -1
+                var hunting = true
+                while (hunting) {
+                  while (rel < win.length - 3 && !magicAt(win, rel)) rel += 1
+                  if (rel < win.length - 3) hunting = false
+                  else if (start + rel < end && winEnd < len && extend()) ()
+                  else { rel = -1; hunting = false } // true tail: give up
+                }
               }
             }
             // chain: members sit back-to-back at exact offsets from here
@@ -420,7 +506,7 @@ object WebArchive {
                 m = inflateMember(win, r)
               if (m.status == MemberOk) { parts += m.content; pos = start + m.end }
               else {
-                bad = WarcRecord(path, s"malformed:member@$pos", -1L, "", "",
+                bad += WarcRecord(path, s"malformed:member@$pos", -1L, "", "",
                   -1, "", "", end - pos, ok = false)
                 pos = -2
               }
@@ -435,9 +521,9 @@ object WebArchive {
               parts.foreach { c =>
                 System.arraycopy(c, 0, concat, o, c.length); o += c.length
               }
-              val recs = scanRecords(path, concat)
-              if (bad == null) recs else recs ++ Iterator.single(bad)
+              scanRecords(path, concat) ++ bad.iterator
             }
+          }
           }
         } finally in.close()
       })

@@ -45,9 +45,31 @@ class ModelFuzzSpec extends AnyFunSuite {
         ((org.apache.spark.sql.functions.col("id") * 37L + 11L) % 512L - 256L)
           .as("weight"))
         .coalesce(1).write.mode("overwrite").parquet(linDir)
+      // the r15 curation-model kinds: DSIR log-ratio table, hot-span /
+      // hot-paragraph sets, benchmark shingle hashes
+      val docsT = g0.catalog.relation("documents")
+      val dsirPath = base.resolve("dsir.tsv").toString
+      graft.operators.Importance.trainDsirModel(docsT, "text", "doc_id",
+        org.apache.spark.sql.functions.col("source") === "src0",
+        buckets = 64, path = dsirPath)
+      val spansDir = base.resolve("spans").toString
+      graft.operators.Dedup.saveHotSpans(
+        graft.operators.Dedup.hotSpans(docsT, "text", "doc_id",
+          spanWords = 8, minDocFreq = 2L), spansDir)
+      val parasDir = base.resolve("paras").toString
+      graft.operators.Dedup.saveHotParagraphs(
+        graft.operators.Dedup.hotParagraphs(docsT, "text", "doc_id",
+          minDocFreq = 2L), parasDir)
+      val shinglesDir = base.resolve("shingles").toString
+      graft.operators.Decontaminate.saveBenchShingles(
+        graft.operators.Decontaminate.benchShingleHashes(
+          docsT.where(org.apache.spark.sql.functions.col("doc_id") < 5),
+          "text", "doc_id"), shinglesDir)
       val artifacts =
         Map("bpe" -> mergesPath, "ivf" -> ivfDir, "pq" -> pqDir,
-          "ivfpq" -> ivfpqDir, "ivfsq8" -> ivfsq8Dir, "linear" -> linDir)
+          "ivfpq" -> ivfpqDir, "ivfsq8" -> ivfsq8Dir, "linear" -> linDir,
+          "dsir" -> dsirPath, "spans" -> spansDir,
+          "paragraphs" -> parasDir, "shingles" -> shinglesDir)
       // by-name vs literal-form query pairs per kind; %s is the model
       // name or its literal equivalent (path; merge list for bpe)
       def serveSql(kind: String, ref: String): String = kind match {
@@ -69,6 +91,18 @@ class ModelFuzzSpec extends AnyFunSuite {
         case "linear" =>
           s"select id, n_toks, score, keep from " +
             s"quality_classifier(documents, '$ref') where id < 40 order by id"
+        case "dsir" =>
+          s"select id, n_toks, score from dsir_apply(documents, '$ref') " +
+            "where id < 40 order by id"
+        case "spans" =>
+          s"select id, n_words, n_removed from span_excise(documents, '$ref') " +
+            "where id < 40 order by id"
+        case "paragraphs" =>
+          s"select doc_id, n_kept, n_removed from " +
+            s"paragraph_apply(documents, '$ref') where doc_id < 40 order by doc_id"
+        case "shingles" =>
+          s"select doc_id, n_chars from decontaminate_apply(documents, '$ref') " +
+            "where doc_id < 40 order by doc_id"
       }
       def literalRef(kind: String): String =
         if (kind == "bpe") mergesList else artifacts(kind)
@@ -77,8 +111,9 @@ class ModelFuzzSpec extends AnyFunSuite {
         .persistTo(sidecar)
       g.sql("create table fuzzq as select vec_id, embedding from embeddings where vec_id < 3")
       val mirror = scala.collection.mutable.Map.empty[String, String]
-      val names = (0 until 6).map(i => s"fm$i")
-      val kinds = Seq("bpe", "ivf", "pq", "ivfpq", "ivfsq8", "linear")
+      val names = (0 until 10).map(i => s"fm$i")
+      val kinds = Seq("bpe", "ivf", "pq", "ivfpq", "ivfsq8", "linear",
+        "dsir", "spans", "paragraphs", "shingles")
       val rnd = new scala.util.Random(20260815L)
       var serves = 0
       var wrongKinds = 0

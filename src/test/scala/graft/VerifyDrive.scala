@@ -257,6 +257,34 @@ object VerifyDrive {
       catch { case e: Exception =>
         if (e.getMessage.contains("iters only applies")) "model+iters rejected" else e.getMessage }
     })
+    println("=== curation model kinds: " + {
+      // r15: the persisted curation artifacts served by name — DSIR
+      // log-ratio table, hot-span set, benchmark shingles — plus the
+      // eager wrong-kind error across the new kinds
+      val base = java.nio.file.Files.createTempDirectory("vd_cur_")
+      val docsT = g.catalog.relation("documents")
+      graft.operators.Importance.trainDsirModel(docsT, "text", "doc_id",
+        org.apache.spark.sql.functions.col("source") === "src0",
+        buckets = 64, path = base.resolve("dsir.tsv").toString)
+      graft.operators.Dedup.saveHotSpans(
+        graft.operators.Dedup.hotSpans(docsT, "text", "doc_id", 8, 2L),
+        base.resolve("spans").toString)
+      graft.operators.Decontaminate.saveBenchShingles(
+        graft.operators.Decontaminate.benchShingleHashes(
+          docsT.where(org.apache.spark.sql.functions.col("doc_id") < 5),
+          "text", "doc_id"),
+        base.resolve("sh").toString)
+      g.sql(s"create model vddsir kind 'dsir' at '${base.resolve("dsir.tsv")}'")
+      g.sql(s"create model vdspan kind 'spans' at '${base.resolve("spans")}'")
+      g.sql(s"create model vdsh kind 'shingles' at '${base.resolve("sh")}'")
+      val ds = g.sql("select count(*) as n from dsir_apply(documents, 'vddsir') where score is not null").head().getLong(0)
+      val sp = g.sql("select count(*) as n from span_excise(documents, 'vdspan')").head().getLong(0)
+      val dc = g.sql("select count(*) as n from decontaminate_apply(documents, 'vdsh')").head().getLong(0)
+      val wrong = try { g.sql("select * from dsir_apply(documents, 'vdspan')"); "NO-ERROR" }
+      catch { case e: Exception =>
+        if (e.getMessage.contains("expected 'dsir'")) "wrong-kind rejected" else e.getMessage }
+      s"dsir-docs=$ds span-docs=$sp decontam-docs=$dc [$wrong]"
+    })
     try {
       val url = "jdbc:derby:memory:drive_card;create=true"
       val c = java.sql.DriverManager.getConnection(url)

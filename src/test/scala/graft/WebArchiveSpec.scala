@@ -177,6 +177,103 @@ class WebArchiveSpec extends AnyFunSuite {
     assert(rows.length === nRecs && rows.forall(_.ok))
   }
 
+  /** Gzip one member per SLICE of `bytes` (size `slice`), ignoring record
+    * boundaries — the record-spans-members layout the split path must
+    * not trust. */
+  private def gzipSliced(bytes: Array[Byte], slice: Int): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream(bytes.length)
+    bytes.grouped(slice).foreach { chunk =>
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      gz.write(chunk); gz.finish(); gz.close()
+    }
+    bo.toByteArray
+  }
+
+  test("misaligned members (records span slices): index drops every cut, output ≡ whole-file parse") {
+    val dir = java.nio.file.Files.createTempDirectory("warcmis_")
+    // plain record stream, then re-gzipped in fixed 10 KiB slices: no
+    // member after the first opens on a record boundary
+    val (_, plain, nRecs) = writeOneWarc(dir, gz = false)
+    val sliced = gzipSliced(plain, 10240)
+    val f = dir.resolve("sliced.warc.gz")
+    java.nio.file.Files.write(f, sliced)
+    assert(sliced.length > 2 * 65536, s"fixture too small: ${sliced.length}")
+    // every candidate cut fails record-alignment verification → 1 range
+    val idx = WebArchive.indexWarcMembers(
+      Seq(f.toString).toDF("path"), targetBytes = 65536).collect()
+    assert(idx.length === 1 && idx.head.getLong(1) === 0L &&
+      idx.head.getLong(2) === sliced.length.toLong,
+      s"expected whole-file degrade, got ${idx.length} ranges")
+    def key(r: WebArchive.WarcRecord) =
+      (r.warc_type, r.record_id, r.url, r.status, r.text, r.ok)
+    val whole = WebArchive.parseWarc(
+      Seq(("sliced.warc.gz", sliced)).toDF("warc_file", "payload"))
+      .collect().map(key).sortBy(_.toString)
+    val split = WebArchive.parseWarcSplit(Seq(f.toString).toDF("path"),
+      targetBytes = 65536).collect().map(key).sortBy(_.toString)
+    assert(whole.length === nRecs && split.toSeq === whole.toSeq,
+      "fallback must be record-identical to the whole-file parse")
+  }
+
+  test("multi-record members (records per member, aligned): split still splits, output ≡ whole-file") {
+    val dir = java.nio.file.Files.createTempDirectory("warcmulti_")
+    // 5 record-PAIRS per gzip member: member boundaries are record
+    // boundaries (alignment holds) but members hold many records
+    val pairs = (1 to 400).map { id =>
+      // incompressible bodies (seeded hex) so the gzip members stay fat
+      val rnd = new scala.util.Random(id)
+      WebArchive.synthRecordPair(id.toLong, s"http://m.com/$id",
+        (1 to 40).map(_ => rnd.nextLong().toHexString).mkString(" "))
+    }
+    val bo = new java.io.ByteArrayOutputStream()
+    pairs.grouped(5).foreach { g =>
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      g.foreach(gz.write); gz.finish(); gz.close()
+    }
+    val payload = bo.toByteArray
+    val f = dir.resolve("multi.warc.gz")
+    java.nio.file.Files.write(f, payload)
+    assert(payload.length > 2 * 65536, s"fixture too small: ${payload.length}")
+    val idx = WebArchive.indexWarcMembers(
+      Seq(f.toString).toDF("path"), targetBytes = 65536).collect()
+    assert(idx.length > 2, s"aligned multi-record members must still split, got ${idx.length}")
+    def key(r: WebArchive.WarcRecord) =
+      (r.warc_type, r.record_id, r.url, r.status, r.text, r.ok)
+    val whole = WebArchive.parseWarc(
+      Seq(("multi.warc.gz", payload)).toDF("warc_file", "payload"))
+      .collect().map(key).sortBy(_.toString)
+    assert(whole.length === 800 && whole.forall(_._6))
+    val split = WebArchive.parseWarcSplit(Seq(f.toString).toDF("path"),
+      targetBytes = 65536).collect().map(key).sortBy(_.toString)
+    assert(split.toSeq === whole.toSeq)
+  }
+
+  test("hand-fed misaligned range: marker rows, never silent loss") {
+    val dir = java.nio.file.Files.createTempDirectory("warchand_")
+    val (_, plain, _) = writeOneWarc(dir, gz = false)
+    val sliced = gzipSliced(plain, 10240)
+    val f = dir.resolve("hand.warc.gz")
+    java.nio.file.Files.write(f, sliced)
+    // cut at the 3rd member's magic — a REAL member whose content is
+    // mid-record (records span the 10 KiB slices)
+    val cutAt = {
+      var found = List.empty[Int]
+      var i = 1
+      while (i < sliced.length - 3 && found.length < 2) {
+        if (sliced(i) == 0x1f.toByte && sliced(i + 1) == 0x8b.toByte &&
+            sliced(i + 2) == 8) found = found :+ i
+        i += 1
+      }
+      found.last.toLong
+    }
+    val ranges = Seq((f.toString, 0L, cutAt),
+      (f.toString, cutAt, sliced.length.toLong)).toDF("path", "start", "end")
+    val rows = WebArchive.parseWarcRanges(ranges).collect()
+    assert(rows.exists(r => !r.ok &&
+      r.warc_type.startsWith("malformed:misaligned")),
+      s"expected a misaligned marker, got ${rows.filterNot(_.ok).map(_.warc_type).toSeq}")
+  }
+
   test("split parse: truncated tail costs a marker row, earlier ranges survive") {
     val dir = java.nio.file.Files.createTempDirectory("warcsplitt_")
     val (path, payload, _) = writeOneWarc(dir, gz = true)
