@@ -213,6 +213,20 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
         "input relation must have (warc_file, payload) columns"))
       graft.operators.WebArchive.responses(r)
     })
+    // warc_scan(files[, targetBytes]) — the crawl entry point over file
+    // PATHS: member-offset split parse (indexWarcMembers cuts each file
+    // at record-aligned gzip member boundaries every ~targetBytes, so
+    // one big .warc.gz becomes many tasks), well-formed response
+    // records only. The index scan runs eagerly at translation (it
+    // sizes the task spread).
+    catalog.registerTableFunction("warc_scan", { args =>
+      arity("warc_scan", args, 1, 2)
+      val files = rel("warc_scan", args, 0)
+      reqCol("warc_scan", files, "path",
+        "input relation must list WARC file paths in a `path` column")
+      graft.operators.WebArchive.responsesSplit(files,
+        targetBytes = num("warc_scan", args, 1, 8L << 20))
+    })
     // url_normalize(rel[, urlCol[, idCol]]) — canonical URL + host +
     // registered domain per row (C4/RefinedWeb web-hygiene stage);
     // output (id, url_norm, host, domain)

@@ -1297,6 +1297,30 @@ object SparkEntry {
       e.sql("select record_id as id, status, length(text) as n_chars " +
         "from warc_responses(q140_warcs) where status = 200 order by id")
     }),
+    // ---- warc_scan table fn (r15): the crawl entry point over file
+    // PATHS through the dialect — synthesized .warc.gz files land on
+    // disk, the split parse (record-aligned member-boundary ranges at a
+    // 64 KiB target, so files genuinely split) must recover exactly the
+    // q140 response rows ----
+    "q144_warc_scan_fn" -> ((s, d) => {
+      val e = g(s, d)
+      val withUrl = e.catalog.relation("documents").select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        graft.operators.UrlCuration.synthCanonicalUrl(
+          org.apache.spark.sql.functions.col("doc_id")).as("url"),
+        org.apache.spark.sql.functions.col("text"))
+      val dir = java.nio.file.Files.createTempDirectory("q144_")
+      val paths = graft.operators.WebArchive.synthesizeWarc(withUrl)
+        .select("warc_file", "payload").collect().map { r =>
+          val p = dir.resolve(r.getString(0))
+          java.nio.file.Files.write(p, r.getAs[Array[Byte]](1))
+          p.toString
+        }
+      import s.implicits._
+      e.catalog.registerTable("q144_files", paths.toSeq.toDF("path"))
+      e.sql("select record_id as id, status, length(text) as n_chars " +
+        "from warc_scan(q144_files, 65536) where status = 200 order by id")
+    }),
     "q117_socket_source" -> ((s, d) => {
       val nation = g(s, d).catalog.relation("nation")
         .select(org.apache.spark.sql.functions.col("n_nationkey").cast("long"),
@@ -1903,6 +1927,12 @@ object SparkEntry {
        "FROM documents " +
        "WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '')) > 0 " +
        "ORDER BY id"),
+    // q144: the q140 oracle verbatim — the split path must be
+    // record-identical to the whole-payload parse
+    "q144_warc_scan_fn" -> (
+      "SELECT doc_id AS id, 200 AS status, " +
+      "CAST(length(text) AS BIGINT) AS n_chars FROM documents " +
+      "WHERE doc_id % 50 <> 0 ORDER BY id"),
     // q140: 200-status records are every doc_id % 50 <> 0; text is the
     // raw corpus text, so n_chars recomputes from documents directly
     "q140_warc_fn" -> (

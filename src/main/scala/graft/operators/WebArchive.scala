@@ -541,6 +541,18 @@ object WebArchive {
     parseWarcRanges(idx.repartition(math.max(1L, math.min(n, 4096L)).toInt))
   }
 
+  /** [[responses]] over file PATHS via the member-offset split parse —
+    * the dialect's crawl entry point at CommonCrawl scale (`warc_scan`):
+    * one ~1 GB `.warc.gz` becomes ~`targetBytes` tasks instead of one
+    * straggler. NOTE: constructing this frame runs the index scan (a
+    * count over the member index) eagerly. */
+  def responsesSplit(files: DataFrame, targetBytes: Long = 8L << 20,
+                     pathCol: String = "path"): DataFrame =
+    parseWarcSplit(files, targetBytes, pathCol).toDF()
+      .where(col("warc_type") === "response" && col("ok"))
+      .select(col("record_id"), col("url"), col("warc_date"),
+        col("status"), col("mime"), col("text"), col("n_bytes"))
+
   // ----------------------------------------------------- deterministic fixture
 
   private def asciiBytes(s: String): Array[Byte] =
