@@ -1041,6 +1041,10 @@ object SparkEntry {
       val e = g(s, d)
       val sig = e.catalog.relation("documents")
         .select(org.apache.spark.sql.functions.col("doc_id"))
+        // r15 opt: PNG encode + dHash is the cost; spread it over the
+        // cluster instead of the one-split documents scan (guide §2.5)
+        .repartition(s.sparkContext.defaultParallelism,
+          org.apache.spark.sql.functions.col("doc_id"))
         .as[Long].mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
           it.map { id =>

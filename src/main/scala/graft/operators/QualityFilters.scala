@@ -72,7 +72,12 @@ object QualityFilters {
     "alpha_ok" -> (sig("n_alpha_words") * 10L >= sig("n_words") * 8L),
     "stopword_ok" -> (sig("n_stopword_hits") >= 2L))
 
-  def gopherFlags(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def gopherFlags(df0: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // r15 opt (guide §2.5 input skew): the signal expressions are the cost
+    // here (a dozen regex/HOF kernels per row). A small corpus arrives as
+    // ONE scan split, serializing the whole kernel on one core; widen is a
+    // no-op whenever the scan already parallelizes (i.e. at scale).
+    val df = Par.widen(df0, idCol)
     val out = df.select(
       (col(idCol).as("id") +:
         gopherSignals(col(textCol)).map { case (n, c) => c.as(n) }): _*)
@@ -116,7 +121,8 @@ object QualityFilters {
     * fractions inside whole-stage codegen, so the operator is a narrow
     * projection at any corpus size. Ratios round at 6dp. Docs with no
     * non-blank lines (or paragraphs) report NULL fractions. */
-  def dupLineStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def dupLineStats(df0: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val df = Par.widen(df0, idCol) // r15 opt: same single-split story as gopherFlags
     val t = col(textCol)
     def fracs(items: Column, prefix: String): Seq[Column] = {
       val n = size(items).cast("long")
@@ -147,8 +153,9 @@ object QualityFilters {
     * surviving lines in order. Output: (id, n_lines, n_kept, cleaned,
     * has_lorem, has_brace, keep) — `keep` = doc retains >= `minKeptLines`
     * lines and has neither tell anywhere. */
-  def c4LineFilter(df: DataFrame, textCol: String, idCol: String,
+  def c4LineFilter(df0: DataFrame, textCol: String, idCol: String,
                    minLineWords: Int = 3, minKeptLines: Int = 1): DataFrame = {
+    val df = Par.widen(df0, idCol) // r15 opt: same single-split story as gopherFlags
     val t = col(textCol)
     val lines = split(t, "\n")
     def lineOk(l: Column): Column =

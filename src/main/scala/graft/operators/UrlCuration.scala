@@ -133,8 +133,9 @@ object UrlCuration {
   /** (id, url_norm, host, domain) per row — the relation the SQL surface
     * `url_normalize(rel)` returns; host/domain derive from the CANONICAL
     * form, so the three columns are mutually consistent. */
-  def normalize(df: DataFrame, urlCol: String = "url",
+  def normalize(df0: DataFrame, urlCol: String = "url",
                 idCol: String = "doc_id"): DataFrame = {
+    val df = Par.widen(df0, idCol) // r15 opt: same single-split story as urlDedup
     val norm = normalizeUrl(col(urlCol))
     df.select(col(idCol).as("id"), norm.as("url_norm"),
       canonicalHost(col(urlCol)).as("host"),
@@ -147,7 +148,11 @@ object UrlCuration {
     * shuffle ([[Dedup.exact]]'s groupBy + semi-join on the same key). */
   def urlDedup(df: DataFrame, urlCol: String = "url",
                idCol: String = "doc_id"): DataFrame =
-    Dedup.exact(df.withColumn("url_norm", normalizeUrl(col(urlCol))),
+    // r15 opt: widen BELOW the normalizer — the canonicalization kernel
+    // (a dozen regexes per row) must not serialize on a one-split scan;
+    // no-op when the scan already parallelizes (guide §2.5 input skew)
+    Dedup.exact(Par.widen(df, idCol)
+        .withColumn("url_norm", normalizeUrl(col(urlCol))),
       Seq("url_norm"), idCol)
 
   /** Per-registered-domain corpus stats: page count, distinct canonical
@@ -226,9 +231,12 @@ object UrlCuration {
       when(id % 6 <= 2, concat(lit("?q="), (id % 13).cast("string")))
         .otherwise(""))
 
-  /** (doc_id, url) fixture table over a documents relation. */
+  /** (doc_id, url) fixture table over a documents relation. Widened
+    * (r15 opt): consumers run url kernels straight over this frame, and a
+    * one-split documents scan would serialize them on one core. */
   def synthUrls(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol), synthUrl(col(idCol)).as("url"))
+    Par.widen(docs.select(col(idCol)), idCol)
+      .select(col(idCol), synthUrl(col(idCol)).as("url"))
 
   /** Domain-disjoint train/test split — the web-corpus leakage guard:
     * membership is decided per REGISTERED DOMAIN, never per page, so two
