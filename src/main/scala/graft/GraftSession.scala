@@ -922,10 +922,17 @@ final class GraftSession(val spark: SparkSession, streaming: Boolean = false) {
     files.foreach { f =>
       val name = f.getName.stripSuffix(".parquet")
       val nanoCols = nanoTimestampCols(f.getPath) // footer read once
+      // Infer the schema ONCE at registration (r15 opt): a schema-less
+      // parquet read re-runs footer schema inference — a real Spark job —
+      // inside EVERY query's analysis (measured: ~60-100 ms per table
+      // reference, ~30 s across the bench suite). With the schema pinned,
+      // analysis is pure driver work.
+      val schema = spark.read.parquet(f.getPath).schema
       // by-name: every catalog access plans a FRESH read, so self-joins get
       // distinct attribute ids (otherwise `e1 join e2` on the same table
       // collapses both sides onto one relation).
-      catalog.registerTable(name, restoreNanoTimestamps(spark.read.parquet(f.getPath), nanoCols))
+      catalog.registerTable(name, restoreNanoTimestamps(
+        spark.read.schema(schema).parquet(f.getPath), nanoCols))
     }
     this
   }

@@ -36,7 +36,17 @@ object Extensions {
     * single-partition MemoryStream feed. */
   private def replayStream(s: SparkSession, df: DataFrame): DataFrame = {
     val dir = tempDir("graft_replay_")
-    df.write.mode("overwrite").parquet(dir)
+    // r15 opt: the file stream source parallelizes BY FILE, so a one-file
+    // replay runs its whole micro-batch (the per-row apply kernels this
+    // harness exists to exercise) as one task on one core — measured 4.8 s
+    // of x109's 7.3 s. Spread the landing files across the cluster; a
+    // replay that is already multi-file keeps its layout. Row order across
+    // files is not preserved, which is exactly replayStream's documented
+    // contract (order-sensitive replays use MemoryStream instead).
+    val want = s.sparkContext.defaultParallelism
+    val spread = if (df.rdd.getNumPartitions * 2 >= want) df
+                 else df.repartition(want)
+    spread.write.mode("overwrite").parquet(dir)
     s.readStream.schema(df.schema).parquet(dir)
   }
 

@@ -344,7 +344,7 @@ object Similarity {
     * — the audit turns that into a number a scheduler can threshold. */
   def ivfIndexRecallAudit(spark: SparkSession, dir: String, queries: DataFrame,
                           k: Int = 10, nprobe: Int = 4): DataFrame = {
-    val corpus = spark.read.parquet(s"$dir/corpus")
+    val corpus = readLayout(spark, s"$dir/corpus")
       .select(col("vec_id"), col("v").as("embedding"))
     annRecall(
       ivfTopKIndexed(spark, dir, queries, k, nprobe),
@@ -376,7 +376,7 @@ object Similarity {
       Seq((nq, recallBefore, 0, 0, recallBefore))
         .toDF("n_queries", "recall_before", "drifted", "retrained", "recall_after")
     else {
-      val corpus = spark.read.parquet(s"$dir/corpus")
+      val corpus = readLayout(spark, s"$dir/corpus")
         .select(col("vec_id"), col("v").as("embedding"))
       saveIvfIndex(corpus, rebuildDir, nlist, iters)
       val after = ivfIndexRecallAudit(spark, rebuildDir, queries, k, nprobe)
@@ -559,21 +559,35 @@ object Similarity {
       }
     } catch { case _: Exception => -1L }
   }
-  private def cachedModel[T <: AnyRef](sub: String)(load: => T): T = {
+  private def cachedModel[T <: AnyRef](sub: String, key: String = "")(load: => T): T = {
     val st = localStamp(sub)
     if (st == -1L) load
     else {
-      val hit = modelCache.get(sub)
+      val k = if (key.isEmpty) sub else key
+      val hit = modelCache.get(k)
       if (hit != null && hit._1 == st) hit._2.asInstanceOf[T]
-      else { val v = load; modelCache.put(sub, (st, v)); v }
+      else { val v = load; modelCache.put(k, (st, v)); v }
     }
+  }
+
+  /** Read an index-layout directory with its schema pinned from a cached
+    * one-time inference (same stamp discipline as [[cachedModel]]): a
+    * schema-less parquet read re-infers the footer schema — a Spark job —
+    * inside every serve/audit call's analysis. Appends don't change a
+    * layout's schema, so re-inference after a stamp change is just a
+    * cheap refresh. */
+  private def readLayout(spark: SparkSession, path: String): DataFrame = {
+    val schema = cachedModel(path, s"$path#schema") {
+      spark.read.parquet(path).schema
+    }
+    spark.read.schema(schema).parquet(path)
   }
 
   /** The persisted PQ codebook model, (subspace, centroid)-ordered. */
   def loadPqCodebooks(spark: SparkSession,
                       dir: String): Array[Array[Array[Double]]] =
     cachedModel(s"$dir/codebooks") {
-      val rows = spark.read.parquet(s"$dir/codebooks")
+      val rows = readLayout(spark, s"$dir/codebooks")
         .select("j", "c", "centroid").orderBy("j", "c").collect()
       rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
         rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
@@ -590,9 +604,9 @@ object Similarity {
     val codebooks = loadPqCodebooks(spark, dir)
     // the layout always stores (vec_id, embedding); align to the
     // caller's column convention before the shared rerank path
-    val originals = spark.read.parquet(s"$dir/corpus")
+    val originals = readLayout(spark, s"$dir/corpus")
       .select(col("vec_id").as(idCol), col("embedding").as(vecCol))
-    pqTopKRerank(spark.read.parquet(s"$dir/codes"), codebooks,
+    pqTopKRerank(readLayout(spark, s"$dir/codes"), codebooks,
       originals, queries, k, shortlist, vecCol, idCol)
   }
 
@@ -692,7 +706,7 @@ object Similarity {
     * are what drift adds). Fixed query sample, the x76 discipline. */
   def ivfSq8RecallAudit(spark: SparkSession, dir: String, queries: DataFrame,
                         k: Int = 10, nprobe: Int = 4): DataFrame = {
-    val corpus = dequantizeInt8(spark.read.parquet(s"$dir/codes"))
+    val corpus = dequantizeInt8(readLayout(spark, s"$dir/codes"))
       .select(col("vec_id"), col("vec").as("embedding"))
     annRecall(
       ivfSq8TopK(spark, dir, queries, k, nprobe),
@@ -720,7 +734,7 @@ object Similarity {
     else {
       // float32 at the retrain boundary: the original corpus WAS float32
       // and the trainer's seed collect reads floats
-      val corpus = dequantizeInt8(spark.read.parquet(s"$dir/codes"))
+      val corpus = dequantizeInt8(readLayout(spark, s"$dir/codes"))
         .select(col("vec_id"), col("vec").cast("array<float>").as("embedding"))
       saveIvfSq8Index(corpus, rebuildDir, nlist, iters)
       val after = ivfSq8RecallAudit(spark, rebuildDir, queries, k, nprobe)
@@ -740,7 +754,7 @@ object Similarity {
     val centroids = loadIvfCentroids(spark, dir)
     val needed = guardedProbeBuckets("ivfSq8TopK", queries, centroids,
       nprobe, vecCol)
-    val indexed = spark.read.parquet(s"$dir/codes")
+    val indexed = readLayout(spark, s"$dir/codes")
       .where(col("c").isin(needed.map(Int.box): _*))
     sq8Serve(indexed, queries, k, centroids, nprobe, vecCol, idCol)
   }
@@ -804,7 +818,7 @@ object Similarity {
       loadIvfPqResidualFlagUncached(spark, dir))).booleanValue()
   private def loadIvfPqResidualFlagUncached(
       spark: SparkSession, dir: String): Boolean =
-    try spark.read.parquet(s"$dir/meta").select("residual").head().getBoolean(0)
+    try readLayout(spark, s"$dir/meta").select("residual").head().getBoolean(0)
     catch { case scala.util.control.NonFatal(_) => false }
 
   def saveIvfPqIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
@@ -889,7 +903,7 @@ object Similarity {
       .select(col(idCol).as("qid"), col(vecCol).as("qv"),
         explode(probeCentroids(col(vecCol), centroids, nprobe)).as("c")))
     val residual = loadIvfPqResidualFlag(spark, dir)
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codes = readLayout(spark, s"$dir/codes")
       .where(col("c").isin(needed.map(Int.box): _*))
     // every code row lives in exactly ONE bucket and a query's probe
     // buckets are distinct, so the (c) join pairs each (query, code) at
@@ -909,7 +923,7 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
     // shortlist ids can only come from probed buckets: the re-rank scan
     // prunes to the same directories
-    val originals = spark.read.parquet(s"$dir/corpus")
+    val originals = readLayout(spark, s"$dir/corpus")
       .where(col("c").isin(needed.map(Int.box): _*))
       .select(col("vec_id"), col("v"))
     val exact = originals.join(cand, "vec_id").join(q, "qid")
@@ -958,7 +972,7 @@ object Similarity {
                             queries: DataFrame, k: Int = 10,
                             nprobe: Int = 4,
                             shortlist: Int = 50): DataFrame = {
-    val corpus = spark.read.parquet(s"$dir/corpus")
+    val corpus = readLayout(spark, s"$dir/corpus")
       .select(col("vec_id"), col("v").as("embedding"))
     annRecall(
       ivfPqTopK(spark, dir, queries, k, nprobe, shortlist),
@@ -985,7 +999,7 @@ object Similarity {
       Seq((nq, recallBefore, 0, 0, recallBefore))
         .toDF("n_queries", "recall_before", "drifted", "retrained", "recall_after")
     else {
-      val corpus = spark.read.parquet(s"$dir/corpus")
+      val corpus = readLayout(spark, s"$dir/corpus")
         .select(col("vec_id"), col("v").as("embedding"))
       // the rebuild preserves the old layout's residual mode
       saveIvfPqIndex(corpus, rebuildDir, nlist, m, kSub, iters,
@@ -1001,7 +1015,7 @@ object Similarity {
     * held by design, like the in-memory trainer's output). */
   def loadIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     cachedModel(s"$dir/centroids") {
-      spark.read.parquet(s"$dir/centroids").select("c", "centroid")
+      readLayout(spark, s"$dir/centroids").select("c", "centroid")
         .orderBy("c").collect().map(_.getSeq[Double](1).toArray)
     }
 
@@ -1020,7 +1034,7 @@ object Similarity {
       explode(probeCentroids(col(vecCol), centroids, nprobe)).as("c"))
     val needed = guardedProbeBuckets("ivfTopKIndexed", queries, centroids,
       nprobe, vecCol)
-    val indexed = spark.read.parquet(s"$dir/corpus")
+    val indexed = readLayout(spark, s"$dir/corpus")
       .where(col("c").isin(needed.map(Int.box): _*))
     val scored = indexed.join(broadcast(probes), "c")
       .where(col("qid") =!= col("vec_id"))
